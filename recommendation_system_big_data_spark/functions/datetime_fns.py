@@ -1,0 +1,82 @@
+"""Date/time functions over `lineitem.l_shipdate` / `orders.o_orderdate` /
+`events.ts` — the minimal temporal surface SURVEY.md §2.9 declares (the
+reference keeps its date-like columns as raw strings, model-als.py:27-28).
+
+Timestamp-precision discipline (SURVEY.md §7.3 item 5): testdata timestamps
+are ns (events) and ms (lineitem/orders); Spark works at µs. Every query
+output is either a formatted date string or an epoch-second long, so the
+oracle hash never depends on sub-second representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+@register(
+    "fn_date_trunc",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+    tags=("datetime",),
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue rollup via date_trunc (SURVEY.md §2.9 extension)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("_m"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.date_format("_m", "yyyy-MM-dd").alias("ship_month"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "fn_extract_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)  AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT)   AS order_day
+    FROM orders
+    """,
+    tags=("datetime",),
+)
+def fn_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar field extraction (year/month/day)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+    )
+
+
+@register(
+    "fn_unix_epoch",
+    oracle="""
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts
+    FROM events
+    """,
+    tags=("datetime",),
+)
+def fn_unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-second conversion of the ns-precision event stream; TZ-safe
+    because `catalog.load` builds the column from timestamp_micros (UTC)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("unix_ts")
+    )

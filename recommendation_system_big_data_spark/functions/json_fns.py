@@ -1,0 +1,55 @@
+"""JSON extraction over `events.props` — SURVEY.md §2.11 op #49.
+
+The reference keeps every semi-structured string opaque (model-als.py:22
+`Genres`); the engine exposes the two idiomatic Spark forms: path extraction
+(`get_json_object`) and schema projection (`from_json`). `from_json` is the
+scale path — one parse per row into a typed struct, columnar after that —
+while `get_json_object` re-parses per call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_value
+    FROM events
+    """,
+    tags=("json",),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-based extraction: get_json_object (op #49)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@register(
+    "json_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT) AS k_mod10
+    FROM events
+    """,
+    tags=("json",),
+)
+def json_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read projection: from_json into a typed struct, then
+    ordinary columnar expressions over the parsed field (op #49)."""
+    parsed = load(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        (F.col("p.k") % 10).alias("k_mod10"),
+    )

@@ -1,0 +1,174 @@
+"""Text analysis over `documents.text` — SURVEY.md §2.11 op #48 + the
+training-data-pipeline text surface (language-ID, quality scoring, token
+counting, fingerprinting, TF-IDF).
+
+The in-reference analogue is the comma-separated `Genres` string the anime
+table carries (model-als.py:22); everything here is split/explode/agg over
+built-in functions — zero Python UDFs, so the whole surface scales as plain
+shuffled aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+#: Tiny deterministic stopword list used by language-ID and quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+_SW_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)          AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT)                          AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex word count."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN CAST(len(list_intersect(list_distinct(string_split(text,' ')), {_SW_SQL})) AS DOUBLE)
+                     / greatest(len(list_distinct(string_split(text,' '))), 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS predicted_lang,
+           lang AS labeled_lang
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: share of distinct tokens that
+    are English stopwords. (Deterministic heuristic, not a model — the
+    point is the distributed shape: set-intersect per row, no shuffle.)"""
+    toks = F.array_distinct(tokens(F.col("text")))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.array_intersect(toks, sw)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / greatest(len(string_split(text,' ')), 1), 6) AS distinct_ratio,
+           ROUND(CAST(len(list_intersect(list_distinct(string_split(text,' ')), {_SW_SQL})) AS DOUBLE)
+                 / greatest(len(list_distinct(string_split(text,' '))), 1), 6) AS stopword_ratio,
+           ROUND(CAST(length(text) AS DOUBLE) / greatest(len(string_split(text,' ')), 1), 6) AS avg_token_len,
+           CAST(len(string_split(text,' ')) BETWEEN 5 AND 1000 AS BIGINT) AS len_ok
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: type-token ratio, stopword ratio, mean token length,
+    length gate — the standard pre-training corpus filters."""
+    toks = tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.size(dtoks).cast("double") / n_toks, 6).alias("distinct_ratio"),
+        F.round(
+            F.size(F.array_intersect(dtoks, sw)).cast("double")
+            / F.greatest(F.size(dtoks), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_toks, 6).alias("avg_token_len"),
+        F.size(toks).between(5, 1000).cast("long").alias("len_ok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — a
+    canonical-form hash (token-order- and repetition-invariant), the
+    cheap exact-near-dup key."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(canon.cast("binary")).alias("fingerprint")
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.doc_id % 10 = 0
+    """,
+    tags=("text", "headline"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via explode + two aggregations + broadcast joins (op #48).
+
+    The document-frequency table is tiny (vocabulary-sized) and broadcast;
+    the corpus-size scalar is a broadcast cross join — so the token stream
+    shuffles exactly once (the tf groupBy). Output sampled to doc_id%10=0
+    (same filter in the oracle) to keep the correctness diff bounded."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )

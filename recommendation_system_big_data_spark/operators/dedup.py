@@ -1,0 +1,300 @@
+"""Deduplication — exact and near-duplicate detection at corpus scale.
+
+SURVEY.md §2.11 ops #45-46 plus the training-data-pipeline dedup family:
+  - exact (hash-groupBy)                    → oracle-checked
+  - n-gram (3-shingle) Jaccard, blocked     → oracle-checked
+  - MinHash + LSH banding                   → ⊘ (approx recall; pytest
+    verifies recall against the exact Jaccard result)
+  - SimHash (64-bit) + Hamming pairing      → ⊘ (pytest property tests)
+  - embedding-cosine near-dup               → oracle-checked
+
+Everything is built-in-function Spark (xxhash64 / transform / array_min /
+explode / groupBy): deterministic across runs AND across cluster sizes, no
+Python in the row path, no MLlib randomness.
+
+Scale shape: exact dedup is one shuffle on the content hash. The exact
+Jaccard variant is quadratic within its blocking group — it exists as the
+small-data oracle; MinHash-LSH is the 100 TB path (shuffle on band keys,
+candidate pairs ≪ n², verify only candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.functions.vectors import as_double_array, cosine
+from recommendation_system_big_data_spark.registry import register
+
+#: MinHash configuration: 64 hashes in 16 bands of 4 rows → LSH s-curve
+#: threshold (1/16)^(1/4) ≈ 0.50, matching the declared Jaccard cutoff.
+NUM_HASHES = 64
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles(text: Column) -> Column:
+    """Distinct 3-token shingles; shorter docs yield their full text as one
+    shingle (concat_ws skips the NULL out-of-range accesses)."""
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
+            "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy with a deterministic keeper (op #45;
+    the engine form of model-als.py:109's dropDuplicates). One shuffle on
+    the content key; at 100 TB group on md5(text) instead of raw text so
+    shuffle rows stay fixed-width."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.md5(F.col("text").cast("binary")).alias("text_md5"), "keeper_doc_id", "n_copies")
+    )
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "headline"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, size band).
+
+    Quadratic within each block — this is the *reference semantics* the
+    approximate variants are measured against. The size-band predicate is
+    sound: J ≥ 0.5 forces |A| and |B| within 2× of each other."""
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", shingles(F.col("text")).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ja = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.size("a.sh") <= 2 * F.size("b.sh"))
+            & (F.size("b.sh") <= 2 * F.size("a.sh")),
+        )
+        .filter(ja >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(ja, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
+    """NUM_HASHES-wide MinHash signature: min over shingles of
+    xxhash64(shingle, seed_i). xxhash64 is a fixed JVM builtin — the
+    signature is deterministic across runs, partitionings, and clusters
+    (unlike MLlib's MinHashLSH, whose hash families are RNG-seeded at fit
+    time)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda t, i=i: F.xxhash64(t, F.lit(i))))
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def band_keys(sig: Column) -> Column:
+    """Hash each band of ROWS_PER_BAND signature slots to one 64-bit key."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "headline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify (op #46). ⊘ approximate recall → rows-only check;
+    tests/test_dedup.py measures recall against dedup_ngram_jaccard.
+
+    Scale shape: one explode to (doc, band, key), one shuffle on the band
+    key, pairs generated per bucket (buckets are tiny for non-pathological
+    corpora), then a verify join that touches only candidates. This is the
+    n≫10⁶ path where the quadratic exact join is impossible."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    sig = docs.select("doc_id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
+    banded = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ja = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(ja >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(ja, 6).alias("jaccard"))
+    )
+
+
+def simhash64(doc_tokens: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from a (doc_id, token, cnt) frame: sum ±cnt per
+    bit of xxhash64(token), sign → bit. Pure aggregate arithmetic — 64
+    conditional sums fused into one HashAggregate pass."""
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = doc_tokens.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        [
+            F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(64)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, candidates via 16-bit
+    chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), verified
+    with bit_count(xor) ≤ 3. ⊘ rows-only; property tests in
+    tests/test_dedup.py."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fp = simhash64(toks)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_EMB_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup",))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the ANN bucket
+    stand-in) over a deterministic vec_id%5 sample. Cosine is a left-to-right
+    double fold (functions/vectors.py) — bit-identical to the sequential
+    oracle. At scale the label block becomes an LSH/IVF bucket
+    (operators/similarity.py)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+    )
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+SURVEY.md §2.11 ("multimodal columns" north star): media payloads live in a
+`binary` column with metadata alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over `mapInPandas`.
+
+The container has no image/audio libraries, so the actual codec step is a
+clearly-marked stub (`decode_image` raises NotImplementedError unless a
+decoder import succeeds); the *Spark-side plumbing* — binary schema, batch
+iteration, output schema, partition-preserving shape — is real and tested.
+The registered queries use a deterministic fake decode (pure arithmetic on
+the payload length) so even the Pandas-UDF path is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a media table: the document text bytes stand in for an encoded
+    image payload; metadata is a typed struct next to the blob."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes) -> Any:
+    """REAL decode path — STUB: no codec libraries ship in this container.
+
+    Gated behind an import-try per the build contract; the deterministic
+    fake used by the queries below lives in `_fake_decode_batch`."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image decode requires a codec library not present in this environment"
+        ) from exc
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder: width/height/frames derived from payload
+    length. Arrow-batched — each `pdf` is a columnar batch, the real shape a
+    production decoder would use."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (n % 640 + 1).astype("int64"),
+                "height": (n * 7 % 480 + 1).astype("int64"),
+                "n_frames": (n % 30 + 1).astype("int64"),
+            }
+        )
+
+
+_DECODE_SCHEMA = "doc_id bigint, width bigint, height bigint, n_frames bigint"
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + typed metadata projection, hashed payload integrity
+    (document text is ASCII, so byte length == char length in the oracle)."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) % 640 + 1 AS BIGINT)     AS width,
+           CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS height,
+           CAST(length(text) % 30 + 1 AS BIGINT)      AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode via mapInPandas (Arrow batches — the real multimodal plumbing),
+    with the deterministic fake codec so the oracle can verify the full
+    Python round-trip. Partition-local: no shuffle, scales linearly."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    return media.select("doc_id", "payload").mapInPandas(
+        _fake_decode_batch, schema=_DECODE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(generate_series(0, CAST(length(text) % 30 AS BIGINT), 5)) AS BIGINT) AS frame_idx
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 5th frame index of each fake-decoded video,
+    via sequence+explode (set-returning, still no Python in the row path)."""
+    decoded = multimodal_decode(spark, sf_dir)
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(5).cast("long"))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,216 @@
+"""Data profiling — the EDA pipeline's capability surface, minus plotting.
+
+Re-implements exploratory-data-analysis.py:144-195 as reusable, lazy,
+single-pass DataFrame programs: missing-value audit with the reference's
+dual-layer sentinel convention, descriptive statistics, and a correlation
+matrix — all computed distributed (the reference dropped to pandas for the
+last two: exploratory-data-analysis.py:124,137,157-165).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+#: String sentinels the reference treats as missing, beyond real NULLs
+#: (exploratory-data-analysis.py:147-153).
+MISSING_SENTINELS = ("None", "NULL", "Unknown")
+
+
+def missing_predicate(df: DataFrame, col: str) -> Column:
+    """The reference's per-column missing test: real NULL, sentinel
+    containment, empty string, or NaN — applied by dtype exactly as the OR
+    chain at exploratory-data-analysis.py:147-153."""
+    dtype = dict(df.dtypes)[col]
+    pred = F.col(col).isNull()
+    if dtype == "string":
+        for s in MISSING_SENTINELS:
+            pred = pred | F.col(col).contains(s)
+        pred = pred | (F.col(col) == "")
+    if dtype in ("double", "float"):
+        pred = pred | F.isnan(F.col(col))
+    return pred
+
+
+def missing_value_audit(df: DataFrame) -> DataFrame:
+    """One-pass conditional-count audit across every column (op #20)."""
+    return df.agg(
+        *[F.count(F.when(missing_predicate(df, c), 1)).alias(c) for c in df.columns]
+    )
+
+
+def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deterministic DataFrame.summary() equivalent (op #22;
+    exploratory-data-analysis.py:193): count/mean/stddev/min/p25/p50/p75/max
+    per numeric column, computed in ONE aggregate pass (the per-column
+    structs are built in a single projection, then exploded to rows).
+
+    mean uses the exact-decimal path; stddev rounds to 4 (parallel variance
+    merge differs in low-order bits across engines); percentiles are exact
+    (`F.percentile`, not approx) so they hash-match quantile_cont."""
+    structs = []
+    for c in cols:
+        col = F.col(c)
+        dec = col.cast("decimal(18,2)")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(col).alias("n"),
+                F.round(F.sum(dec).cast("double") / F.count(col), 6).alias("mean"),
+                F.round(F.stddev_samp(col), 4).alias("stddev"),
+                F.round(F.min(col), 6).alias("min_v"),
+                F.round(F.percentile(col, F.lit(0.25)), 6).alias("p25"),
+                F.round(F.percentile(col, F.lit(0.50)), 6).alias("p50"),
+                F.round(F.percentile(col, F.lit(0.75)), 6).alias("p75"),
+                F.round(F.max(col), 6).alias("max_v"),
+            ).alias(c)
+        )
+    one_row = df.agg(*structs)
+    exploded = one_row.select(
+        F.explode(F.array(*[F.col(c) for c in cols])).alias("s")
+    )
+    return exploded.select("s.*")
+
+
+def _summary_oracle_branch(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name,
+           COUNT({c}) AS n,
+           ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({c}), 6) AS mean,
+           ROUND(stddev_samp({c}), 4) AS stddev,
+           ROUND(MIN({c}), 6) AS min_v,
+           ROUND(quantile_cont({c}, 0.25), 6) AS p25,
+           ROUND(quantile_cont({c}, 0.50), 6) AS p50,
+           ROUND(quantile_cont({c}, 0.75), 6) AS p75,
+           ROUND(MAX({c}), 6) AS max_v
+    FROM lineitem
+    """
+
+
+_SUMMARY_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+AGG_SUMMARY_ORACLE = " UNION ALL ".join(_summary_oracle_branch(c) for c in _SUMMARY_COLS)
+
+
+@register("agg_summary", oracle=AGG_SUMMARY_ORACLE, tags=("profile", "agg"))
+def agg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive statistics over lineitem numerics (op #22)."""
+    return summarize(load(spark, sf_dir, "lineitem"), _SUMMARY_COLS)
+
+
+_AUDIT_ORACLE = """
+SELECT COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS doc_id,
+       COUNT(CASE WHEN text IS NULL OR text LIKE '%None%' OR text LIKE '%NULL%'
+                       OR text LIKE '%Unknown%' OR text = '' THEN 1 END) AS text,
+       COUNT(CASE WHEN lang IS NULL OR lang LIKE '%None%' OR lang LIKE '%NULL%'
+                       OR lang LIKE '%Unknown%' OR lang = '' THEN 1 END) AS lang,
+       COUNT(CASE WHEN source IS NULL OR source LIKE '%None%' OR source LIKE '%NULL%'
+                       OR source LIKE '%Unknown%' OR source = '' THEN 1 END) AS source,
+       COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars
+FROM documents
+"""
+
+
+@register("agg_conditional_count", oracle=_AUDIT_ORACLE, tags=("profile", "agg"))
+def agg_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-aware missing-value audit, 1 job for all columns (op #20;
+    exploratory-data-analysis.py:146-155)."""
+    return missing_value_audit(load(spark, sf_dir, "documents"))
+
+
+_NULL_PCT_ORACLE = """
+WITH audit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS total,
+           COUNT(CASE WHEN lang IS NULL OR lang LIKE '%None%' OR lang LIKE '%NULL%'
+                           OR lang LIKE '%Unknown%' OR lang = '' THEN 1 END) AS lang_missing,
+           COUNT(CASE WHEN source IS NULL OR source LIKE '%None%' OR source LIKE '%NULL%'
+                           OR source LIKE '%Unknown%' OR source = '' THEN 1 END) AS source_missing,
+           COUNT(CASE WHEN text IS NULL OR text LIKE '%None%' OR text LIKE '%NULL%'
+                           OR text LIKE '%Unknown%' OR text = '' THEN 1 END) AS text_missing
+    FROM documents
+)
+SELECT col_name, missing_count, ROUND(missing_count / total * 100, 6) AS missing_pct
+FROM (
+    SELECT total, 'lang' AS col_name, lang_missing AS missing_count FROM audit
+    UNION ALL SELECT total, 'source', source_missing FROM audit
+    UNION ALL SELECT total, 'text', text_missing FROM audit
+)
+ORDER BY missing_pct DESC, col_name ASC
+"""
+
+
+@register("agg_null_pct", oracle=_NULL_PCT_ORACLE, tags=("profile", "agg"))
+def agg_null_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-percentage per column, sorted (op #25;
+    exploratory-data-analysis.py:160-165 — done there in pandas transpose,
+    here as explode over one aggregate row)."""
+    df = load(spark, sf_dir, "documents")
+    cols = ["lang", "source", "text"]
+    one_row = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_total"),
+        *[F.count(F.when(missing_predicate(df, c), 1)).alias(c) for c in cols],
+    )
+    return (
+        one_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).alias("missing_count"),
+                            F.round(F.col(c) / F.col("_total") * 100, 6).alias("missing_pct"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy(F.desc("missing_pct"), F.asc("col_name"))
+    )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_CORR_ORACLE = " UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 4) AS pearson FROM lineitem"
+    for a, b in _CORR_PAIRS
+)
+
+
+@register("agg_corr_matrix", oracle=_CORR_ORACLE, tags=("profile", "agg"))
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every numeric pair in ONE aggregate pass
+    (op #24; exploratory-data-analysis.py:137 used pandas df.corr()).
+    Rounded to 4: parallel co-moment merges differ in low-order bits."""
+    df = load(spark, sf_dir, "lineitem")
+    one_row = df.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}__{b}")
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return one_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"{a}__{b}").alias("pearson"),
+                    )
+                    for a, b in _CORR_PAIRS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -1,0 +1,117 @@
+"""Recommender pipeline — the reference's core payload (SURVEY.md §2.11).
+
+ALS train / predict / RMSE-evaluate / per-user top-k with the reference's
+exact hyperparameters (model-als.py:111-122: maxIter=10, regParam=0.1,
+rank=10, nonnegative=True, coldStartStrategy='drop', seed fixed), with the
+collect-loop unnest antipattern (model-als.py:134-139) replaced by a single
+`explode` plan (op #44) and the enrichment join expressed as in
+queries/flagship.py.
+
+All ALS queries are ⊘ rows-only (SURVEY.md §5.2): factorization output is
+seed- and partitioning-sensitive, so the driver checks rows/schema and the
+pytest suite checks the RMSE tolerance gate mirroring model-als.py:127-129.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+#: Reference hyperparameters, model-als.py:111-120.
+ALS_PARAMS = dict(maxIter=10, regParam=0.1, rank=10, nonnegative=True)
+SEED = 42
+TOP_K = 10
+
+
+def ratings_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recast the event stream as an (user, item, rating) fact table — the
+    shape of the reference's rating_complete CSV (model-als.py:73-77)."""
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("user_id"),
+        (F.col("event_id") % 101).cast("int").alias("item_id"),
+        (F.col("value") / F.lit(40.0)).cast("float").alias("rating"),
+    )
+
+
+def train_als(ratings: DataFrame):
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=SEED,
+        **ALS_PARAMS,
+    )
+    return als.fit(ratings)
+
+
+@register("als_recommend_topk", oracle=None, tags=("ml",))
+def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ALS on the full ratings table and emit per-user top-10 as FLAT
+    rows: recommendForAllUsers → explode(ARRAY<STRUCT>) (ops #40, #43, #44).
+    The reference did this flatten with a driver-side Python loop
+    (model-als.py:134-139); here it is one logical plan end-to-end."""
+    ratings = ratings_from_events(spark, sf_dir)
+    model = train_als(ratings)
+    recs = model.recommendForAllUsers(TOP_K)
+    flat = recs.select(
+        "user_id", F.posexplode("recommendations").alias("pos", "rec")
+    )
+    return flat.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("rec.item_id").cast("long").alias("item_id"),
+        (F.col("pos") + 1).cast("long").alias("rank_pos"),
+    )
+
+
+@register("als_rmse", oracle=None, tags=("ml",))
+def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 80/20 split → fit train → score test → RMSE, exactly the
+    reference evaluation loop (model-als.py:122-129; ops #33, #41, #42).
+    Returns a 1-row metric frame; the tolerance gate lives in tests."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    ratings = ratings_from_events(spark, sf_dir)
+    train, test = ratings.randomSplit([0.8, 0.2], seed=SEED)
+    model = train_als(train)
+    predictions = model.transform(test)
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(predictions)
+    return load(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [("rmse", float(rmse))], ["metric", "value"]
+    )
+
+
+@register("als_enriched_recs", oracle=None, tags=("ml",))
+def als_enriched_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline shape (model-als.py:106-158): train →
+    recommend → explode → enrich with per-item aggregate → rank → top-5 —
+    one lazy plan, no driver round-trips."""
+    from pyspark.sql.window import Window
+
+    ratings = ratings_from_events(spark, sf_dir)
+    model = train_als(ratings)
+    flat = (
+        model.recommendForAllUsers(TOP_K)
+        .select("user_id", F.explode("recommendations").alias("rec"))
+        .select("user_id", F.col("rec.item_id").alias("item_id"), F.col("rec.rating").alias("score"))
+    )
+    item_avg = ratings.groupBy("item_id").agg(F.avg("rating").alias("avg_rating"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("avg_rating"), F.asc("item_id"))
+    return (
+        flat.join(F.broadcast(item_avg), "item_id", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("item_id").cast("long").alias("item_id"),
+            F.round("avg_rating", 6).alias("avg_rating"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -1,0 +1,689 @@
+"""Relational core — SURVEY.md §2.1-2.9 operator inventory.
+
+Each registered query re-expresses one operator the reference exercises
+(citations inline) over the driver testdata, paired with a DuckDB oracle.
+All queries are pure DataFrame-API plans: Catalyst handles pushdown,
+pruning, join strategy, and top-k fusion (SURVEY.md §4); nothing here
+collects to the driver or loops in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.queries.tpch import davg, dsum
+from recommendation_system_big_data_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources (parquet + driver-local; CSV lives in sources/csv.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with filter+projection pushdown (op #3; reference CSV
+    analogue model-als.py:56-67). `.explain` shows PushedFilters and a
+    4-column ReadSchema — the scan never materializes the other 7 columns."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "from_local",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'URGENT'),
+        (CAST(2 AS BIGINT), 'HIGH'),
+        (CAST(3 AS BIGINT), 'MEDIUM'),
+        (CAST(4 AS BIGINT), 'LOW'),
+        (CAST(5 AS BIGINT), 'NONE')
+    ) AS t(tier_id, tier_name)
+    """,
+    tags=("scan",),
+)
+def from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame from a driver-local collection (op #4; model-als.py:131,139)."""
+    rows = [(1, "URGENT"), (2, "HIGH"), (3, "MEDIUM"), (4, "LOW"), (5, "NONE")]
+    return spark.createDataFrame(rows, ["tier_id", "tier_name"])
+
+
+@register(
+    "roundtrip_pandas",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("scan",),
+)
+def roundtrip_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow round-trip: DataFrame → pandas → DataFrame (ops #5-6;
+    model-als.py:164-165). Arrow transfer is exact for int64/float64, so the
+    values hash identically to the source table. Only valid for
+    driver-fitting results — never on unbounded data (SURVEY.md §7.3)."""
+    pdf = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    ).toPandas()
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_named",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    tags=("projection",),
+)
+def project_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection by name (op #9; model-als.py:142-143)."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "project_computed",
+    oracle="""
+    SELECT COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)      AS o_orderkey,
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)       AS o_custkey,
+           COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END)   AS o_orderstatus,
+           COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END)    AS o_totalprice,
+           COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)     AS o_orderdate,
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority
+    FROM orders
+    """,
+    tags=("projection",),
+)
+def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Programmatically-built projection: one conditional-count expression per
+    column, exactly the EDA null-audit shape (op #10, #20;
+    exploratory-data-analysis.py:146-154). One pass, one aggregate."""
+    df = load(spark, sf_dir, "orders")
+    return df.agg(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]
+    )
+
+
+@register(
+    "rename_col",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("projection",),
+)
+def rename_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename a derived aggregate column (op #11; model-als.py:145)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(davg(F.col("l_quantity")).alias("avg_l_quantity"))
+        .withColumnRenamed("avg_l_quantity", "avg_qty")
+    )
+
+
+@register(
+    "drop_col",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("projection",),
+)
+def drop_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the duplicate join key after an equi-join (op #12; model-als.py:148)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .drop(cust["c_custkey"])
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("filter",),
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter on a string column (op #13; model-als.py:150,155)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_compound",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE lang LIKE '%e%' OR source LIKE '%0%' OR lang IS NULL OR source = ''
+    """,
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-chain compound predicate: contains | contains | isNull | == ''
+    (op #14; exploratory-data-analysis.py:147-153)."""
+    pred = (
+        F.col("lang").contains("e")
+        | F.col("source").contains("0")
+        | F.col("lang").isNull()
+        | (F.col("source") == "")
+    )
+    return load(spark, sf_dir, "documents").filter(pred).select("doc_id", "lang", "source")
+
+
+@register(
+    "alias_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price
+    FROM lineitem
+    """,
+    tags=("projection",),
+)
+def alias_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias a computed expression (op #15; exploratory-data-analysis.py:153).
+    Per-row decimal arithmetic — exact, no rounding needed."""
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", net.alias("net_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_dim",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join fact→dimension on differently-named keys, dimension
+    broadcast (op #16; model-als.py:141-143). The reference's 17.5k-row anime
+    dim is exactly this shape; at 100 TB the dim stays broadcast-able while
+    the fact side never shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@register(
+    "join_left_agg",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, avg_qty
+    FROM part LEFT JOIN (
+        SELECT l_partkey,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) ON p_partkey = l_partkey
+    """,
+    tags=("join",),
+)
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join against a grouped-aggregate subplan, duplicate key dropped
+    (op #17; model-als.py:145-148 — recs ⋈ avg_ratings)."""
+    part = load(spark, sf_dir, "part")
+    avg_qty = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    )
+    return (
+        part.join(avg_qty, part["p_partkey"] == avg_qty["l_partkey"], "left")
+        .drop("l_partkey")
+        .select("p_partkey", "p_name", "p_brand", "avg_qty")
+    )
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (op #18; capability extension per SURVEY.md §2.3)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order (op #18). Semi joins
+    never duplicate or widen rows — the scale-safe EXISTS."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (op #18)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (profiling-flavored aggs live in operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_avg_by_key",
+    oracle="""
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_avg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by single key, mean of one measure (op #19; model-als.py:145 —
+    the avg_ratings aggregate). Partial+final HashAggregate, one shuffle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(davg(F.col("value")).alias("avg_value"))
+    )
+
+
+@register(
+    "agg_count_rows",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    tags=("agg",),
+)
+def agg_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full row count as a 1-row DataFrame (op #21;
+    exploratory-data-analysis.py:158,170-171 — computed once, not three times)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts per group (SURVEY.md §2.4 note;
+    at 100 TB prefer approx_count_distinct — see test_profile for the HLL
+    variant, which is not oracle-hashable by design)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "agg_topk_categories",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n FROM part
+    GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 20
+    """,
+    tags=("agg",),
+)
+def agg_topk_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent categorical values (op #23;
+    exploratory-data-analysis.py:124 did this in pandas `value_counts` —
+    here it is a distributed agg + TakeOrderedAndProject, no driver data)."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_brand"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (SURVEY.md §2.4 'available natively')."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+           COALESCE(o_orderpriority, '(all)') AS orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE (SURVEY.md §2.4)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice")).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+    tags=("sort",),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit → TakeOrderedAndProject, not a full sort
+    (ops #27-28; model-als.py:151-158). The pandas re-sort the reference
+    appends (model-als.py:167-171) is a no-op folded away (op #29)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations / dedup / cleaning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_pos",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+    """,
+    tags=("setop",),
+)
+def union_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional UNION ALL retaining duplicates (op #30; model-als.py:107).
+    unionByName is the engine's preferred spelling; positional kept for
+    reference parity."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = orders.filter(F.col("o_totalprice") > 100000)
+    b = orders.filter(F.col("o_totalprice") > 150000)
+    return a.union(b)
+
+
+@register(
+    "dropna_after_join",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+    tags=("setop",),
+)
+def dropna_after_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.drop() over a null-producing LEFT join ≡ the inner join (op #31;
+    model-als.py:107). The oracle states the algebraic identity."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .na.drop()
+    )
+
+
+@register(
+    "dedup_subset",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY event_id ASC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key dedup with a deterministic keeper (op #32;
+    model-als.py:109). dropDuplicates keeps an *arbitrary* row — fine for
+    the reference, unverifiable for an oracle — so the engine's canonical
+    dedup is row_number()=1 with an explicit tiebreaker (SURVEY.md §7.3)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("setop",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row DISTINCT (SURVEY.md §2.7 'native')."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers and
+    suppliers (SURVEY.md §2.7)."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with no suppliers (SURVEY.md §2.7)."""
+    nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return nation.subtract(supp)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_contains",
+    oracle="""
+    SELECT doc_id,
+           CAST(text LIKE '%spark%' AS BIGINT) AS has_spark,
+           CAST(lang LIKE '%e%' AS BIGINT)     AS lang_has_e
+    FROM documents
+    """,
+    tags=("scalar",),
+)
+def fn_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring containment (op #35; exploratory-data-analysis.py:147-151)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").contains("spark").cast("long").alias("has_spark"),
+        F.col("lang").contains("e").cast("long").alias("lang_has_e"),
+    )
+
+
+@register(
+    "fn_isnull_isnan",
+    oracle="""
+    SELECT event_id,
+           CAST(value IS NULL AS BIGINT) AS value_is_null,
+           CAST(isnan(value) AS BIGINT)  AS value_is_nan,
+           CAST(props IS NULL AS BIGINT) AS props_is_null
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def fn_isnull_isnan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL and NaN tests (ops #36-37; exploratory-data-analysis.py:150-152)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").isNull().cast("long").alias("value_is_null"),
+        F.isnan("value").cast("long").alias("value_is_nan"),
+        F.col("props").isNull().cast("long").alias("props_is_null"),
+    )
+
+
+@register(
+    "fn_when_case",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS value_band,
+           CAST(event_type = 'purchase' AS BIGINT) AS is_purchase
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def fn_when_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression + equality-vs-literal (ops #38-39;
+    exploratory-data-analysis.py:147, model-als.py:150)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+        .alias("value_band"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 nested-data unnesting (the reference's collect-loop antipattern fixed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unnest_recs",
+    oracle="SELECT o_custkey, o_orderkey, o_totalprice FROM orders",
+    tags=("nested",),
+)
+def unnest_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY<STRUCT> build + explode, one plan end-to-end (op #44).
+
+    The reference collects the nested ALS output to the driver and unnests
+    with a Python loop (model-als.py:134-139) — a plan break Catalyst cannot
+    see across. The engine's form nests with collect_list(struct(...)) and
+    flattens with explode; the oracle states the round-trip identity."""
+    nested = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("recs"))
+    )
+    flat = nested.select("o_custkey", F.explode("recs").alias("rec"))
+    return flat.select(
+        "o_custkey",
+        F.col("rec.o_orderkey").alias("o_orderkey"),
+        F.col("rec.o_totalprice").alias("o_totalprice"),
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over `embeddings.embedding ARRAY<FLOAT>` —
+SURVEY.md §2.11 op #47.
+
+Two tiers, per the declared scale story:
+  - brute-force cosine top-k: broadcast the (small) query set against the
+    candidate stream; exact, oracle-checked — the correctness baseline.
+  - sign-LSH (random-hyperplane) bucketed top-k: deterministic hyperplanes
+    from a fixed-seed generator, multi-probe by Hamming distance on the
+    sketch; ⊘ approximate — pytest measures recall against brute force.
+
+All vector math is built-in higher-order functions (functions/vectors.py);
+the LSH sketch reduces each 64-float vector to one long, so the candidate
+filter compares 8-byte keys, not vectors.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.functions.vectors import as_double_array, cosine
+from recommendation_system_big_data_spark.registry import register
+
+TOP_K = 10
+N_QUERIES = 20  # vec_id < 20 form the deterministic query set
+
+_SIM_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+    FROM q JOIN e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cos_sim, rn FROM (
+    SELECT query_id, neighbor_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(c, 6) DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_SIM_ORACLE, tags=("similarity", "headline"))
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streamed candidates → window
+    top-k per query. The candidate table is scanned once and never shuffled
+    until the (tiny) per-query rank; ordering ranks on the ROUNDED cosine so
+    last-ulp engine differences cannot flip neighbors at the cut line."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+N_PLANES = 16
+_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Fixed-seed random hyperplanes — plain Python constants, shipped into
+    the plan as literals; no RNG at execution time."""
+    rng = random.Random(42)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(_DIM)] for _ in range(N_PLANES)]
+
+
+def sign_sketch(v) -> F.Column:  # type: ignore[name-defined]
+    """N_PLANES-bit sign sketch of a double array packed into one long."""
+    planes = _hyperplanes()
+    bits = []
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, plane_col, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return sum(bits[1:], bits[0])
+
+
+@register("sim_topk_lsh", oracle=None, tags=("similarity",))
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH sketches with Hamming≤6 multi-probe.
+
+    Candidates are pairs whose 16-bit sketches differ in ≤6 planes — an
+    8-byte comparison instead of a 64-float dot product; survivors get the
+    exact cosine re-rank. ⊘ rows-only (approximate recall, measured vs
+    brute force in tests/test_similarity.py). At 100 TB: sketches are
+    precomputed once per corpus, and the probe join groups by sketch bucket
+    instead of the pairwise bit_count used at this scale."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    sk = e.select("vec_id", "v", sign_sketch(F.col("v")).alias("sketch"))
+    q = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sketch").alias("qsketch"),
+    )
+    hamming = F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsketch")))
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    probed = (
+        sk.join(F.broadcast(q), (F.col("vec_id") != F.col("query_id")) & (hamming <= 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        probed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

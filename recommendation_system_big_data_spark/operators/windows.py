@@ -1,0 +1,127 @@
+"""Window functions — per-group top-k, ranking, analytics, frames.
+
+The reference's only per-group top-k is delegated to MLlib
+(`recommendForUserSubset`, model-als.py:132); SURVEY.md §2.5 declares the
+idiomatic Window realization as the engine surface. All orderings carry
+explicit tiebreakers so results are oracle-hashable.
+
+Scale note: a Window.partitionBy(k) is one shuffle on k; for top-k over
+heavily skewed partitions, pre-aggregate or salt first. None of these
+queries sort globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+@register(
+    "topk_per_user",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id ASC
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "headline"),
+)
+def topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 events by value (op #26) — the relational equivalent of
+    the reference's recommendForUserSubset top-30 (model-als.py:132)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, rnk, drnk FROM (
+        SELECT p_partkey, p_brand, p_size,
+               RANK()       OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk
+        FROM part
+    ) WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with genuine ties (SURVEY.md §2.5 extension row).
+    Tie groups share a rank, so the emitted row set is deterministic without
+    an intra-tie ordering."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over per-user event time (SURVEY.md §2.5)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: per-customer running spend (SURVEY.md §2.5).
+    Decimal accumulation keeps every prefix sum exact and order-stable."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )

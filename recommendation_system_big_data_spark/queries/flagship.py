@@ -1,0 +1,92 @@
+"""Flagship query — the reference's canonical query shape on testdata.
+
+The reference's enrichment query (model-als.py:141-158, SURVEY.md §3.3) is
+"top-5 titles per media type among recommendations, ranked by global average
+rating": scan → broadcast join to a dimension → join to a grouped aggregate →
+filter → sort → limit. Re-expressed over the driver's star schema as
+**top-5 customers per order priority by average order value**, with the
+per-type filter+sort+limit pair generalized to a window-ranked top-k
+(the idiomatic Spark form of the reference's two filter branches).
+
+Physical plan this is designed to produce (asserted in tests):
+- partial+final HashAggregate for the per-customer average (map-side combine
+  → one shuffle on o_custkey),
+- BroadcastHashJoin against `customer` (dimension explicitly broadcast, as
+  Catalyst does implicitly for the reference's 17.5k-row anime table),
+- a single window shuffle on o_orderpriority for the rank.
+At 100 TB: the aggregation shuffles once on a high-cardinality key (no skew —
+custkeys are uniform); the dimension stays broadcast-able (customers «
+orders); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+FLAGSHIP_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           o_orderpriority,
+           ROUND(AVG(o_totalprice), 6) AS avg_order_value,
+           COUNT(*)                    AS order_count
+    FROM orders
+    GROUP BY o_custkey, o_orderpriority
+), ranked AS (
+    SELECT o_orderpriority,
+           c_custkey,
+           c_name,
+           c_mktsegment,
+           avg_order_value,
+           order_count,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY avg_order_value DESC, c_custkey ASC
+           ) AS rnk
+    FROM per_cust
+    LEFT JOIN customer ON o_custkey = c_custkey
+)
+SELECT o_orderpriority, c_custkey, c_name, c_mktsegment,
+       avg_order_value, order_count, rnk
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+@register("flagship_top_customers", oracle=FLAGSHIP_ORACLE, tags=("pipeline", "headline"))
+def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan → agg → broadcast-join dim → window top-k (model-als.py:141-158 shape)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    per_cust = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+    rank_window = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("avg_order_value"), F.asc("c_custkey")
+    )
+
+    return (
+        per_cust.join(
+            F.broadcast(customer),
+            per_cust["o_custkey"] == customer["c_custkey"],
+            how="left",
+        )
+        .withColumn("rnk", F.row_number().over(rank_window))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "o_orderpriority",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "avg_order_value",
+            "order_count",
+            "rnk",
+        )
+    )

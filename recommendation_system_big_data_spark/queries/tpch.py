@@ -1,0 +1,199 @@
+"""Star-schema pipeline queries over the driver testdata (TPC-H-shaped).
+
+These are the scale-bearing headline queries: wide fact scans, multi-way
+joins with broadcast dimensions, and high-cardinality aggregation — the
+capability class the reference's enrichment query (model-als.py:141-158)
+belongs to, expressed the way a 100 TB deployment would run it.
+
+Determinism note (applies to every money-valued aggregate in this repo):
+floating-point summation order differs between Spark partial aggregates and
+DuckDB parallel aggregates, and at ~10^9 magnitudes the divergence survives
+ROUND(x, 6). All fixed-scale inputs (prices, discounts, taxes, quantities,
+balances have ≤2 decimals) are therefore summed as DECIMAL — exact, hence
+order-independent — and cast back to DOUBLE at the end. Averages divide the
+exact decimal sum by the exact count, one deterministic double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+def dsum(col: Column, scale: str = "decimal(18,2)") -> Column:
+    """Order-independent sum of a fixed-scale double: cast→DECIMAL→sum→DOUBLE."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+def davg(col: Column, scale: str = "decimal(18,2)") -> Column:
+    """Exact-sum average: decimal sum / count, one double division."""
+    return F.round(
+        F.sum(col.cast(scale)).cast("double") / F.count(col), 6
+    )
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6)      AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount), 6)      AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("pipeline", "headline"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide fact scan, 6-group aggregate, no joins.
+
+    At scale this is the pure map-side-combine benchmark: partial
+    HashAggregate per input partition, 6 groups shuffled, final aggregate.
+    The date filter reaches the parquet scan as a pushed predicate.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    one = F.lit(1).cast("decimal(3,0)")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(price_d * (one - disc_d)).cast("double").alias("sum_disc_price"),
+            F.sum(price_d * (one - disc_d) * (one + tax_d)).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE, tags=("pipeline", "headline"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
+
+    customer is filtered before the join (Catalyst pushes the predicate),
+    then explicitly broadcast: at 100 TB the BUILDING segment of customers
+    is still orders of magnitude smaller than the orders×lineitem stream, so
+    both joins avoid shuffling the fact tables. orderBy+limit fuses to
+    TakeOrderedAndProject (no global sort).
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("pipeline", "headline"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, all dimensions broadcast.
+
+    nation⋈region prunes to one region before touching facts; supplier,
+    nation, region, customer are broadcast so the only shuffle left is the
+    final 25-group aggregate. This is the canonical "don't shuffle the fact
+    table through five joins" plan shape for 100 TB star schemas.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+
+    asia_supp = supp.join(
+        F.broadcast(asia_nations), supp["s_nationkey"] == asia_nations["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+
+    return (
+        li.join(F.broadcast(asia_supp), li["l_suppkey"] == asia_supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (asia_supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -1,0 +1,76 @@
+"""Sinks — CSV export (reference parity) and partitioned Parquet (scale).
+
+The reference's sink is pandas `to_csv` of a 5-row result
+(model-als.py:173-174); `write_single_csv` reproduces that single-file
+contract without leaving Spark. `write_partitioned_parquet` is the actual
+100 TB sink: partition columns prune downstream scans, and writers run
+fully parallel (no coalesce(1) on big data — ever).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+from recommendation_system_big_data_spark.sources.csv import FIXTURE_ROOT
+
+
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV with header (op #7; model-als.py:173-174 equivalent).
+    coalesce(1) is acceptable only for driver-scale results like the
+    reference's 5-row exports."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partitioned Parquet sink — the scale path (SURVEY.md §7.3 item 7)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+_SINK_QUERY_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
+@register("sink_csv_roundtrip", oracle=_SINK_QUERY_ORACLE, tags=("sink", "csv"))
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a top-k result to a single CSV file, read it back through the
+    explicit schema (op #7) — proves the sink preserves values exactly."""
+    top = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_csv")
+    write_single_csv(top, out)
+    return spark.read.schema(top.schema).option("header", "true").csv(out)
+
+
+_SINK_PARQUET_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sink_parquet_partitioned", oracle=_SINK_PARQUET_ORACLE, tags=("sink",))
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Parquet write + partition-pruned read-back aggregate.
+    The read-back groupBy hits exactly the partition column, so the oracle
+    also certifies that partitioning preserved every row."""
+    orders = load(spark, sf_dir, "orders")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_parquet")
+    write_partitioned_parquet(orders, out, ["o_orderpriority"])
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

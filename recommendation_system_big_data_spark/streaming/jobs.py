@@ -1,0 +1,244 @@
+"""Structured Streaming surface over the `events` table — SURVEY.md §2.10.
+
+The reference is batch-only; this module adds the declared streaming
+extension: tumbling / sliding / session windows with watermarked late-data
+handling, a file (Parquet) stream source, memory + foreachBatch sinks.
+
+Per the driver contract, each windowed aggregation registers TWICE:
+  - a batch-mode query (identical window math) with a DuckDB oracle
+    (`time_bucket` / gaps-and-islands) — the hash-checked correctness gate;
+  - a true `readStream` run (Trigger.AvailableNow → memory sink) — ⊘
+    rows-only, since DuckDB cannot express micro-batch execution.
+
+Scale notes: windowed aggs shuffle on (window, key) and keep state only for
+open windows (watermark bounds state size); the parquet file source is the
+stand-in for Kafka — swap `readStream.format` and the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+#: Raw parquet schema of events (ts is INT64 TIMESTAMP(NANOS) read as long).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per micro-batch
+    in AvailableNow mode), ns-long ts converted exactly as catalog.load."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# Batch-mode window aggregations (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 10 MINUTES, ts))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL 10 MINUTES, ts), event_type
+"""
+
+
+@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE, tags=("streaming", "headline"))
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows × event_type (batch mode; §2.10)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+    SELECT unnest([time_bucket(INTERVAL 5 MINUTES, ts),
+                   time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES]) AS ws,
+           value
+    FROM events
+)
+SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY ws
+"""
+
+
+@register("sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("streaming",))
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 10-minute length / 5-minute slide: every event lands
+    in exactly two windows; the oracle materializes both starts explicitly."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value")
+    )
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTES
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), g AS (
+    SELECT user_id, ts, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+@register("session_window_agg", oracle=_SESSION_ORACLE, tags=("streaming",))
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute inactivity gap per user (batch mode).
+    The oracle is the classic gaps-and-islands formulation; a session closes
+    when the next event arrives ≥ gap after the previous one (Spark session
+    windows are half-open [start, last+gap))."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# True streaming runs (⊘ rows-only — micro-batch execution, memory sink)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_to_memory(
+    agg: DataFrame, spark: SparkSession, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming aggregation to a memory sink with
+    Trigger.AvailableNow (process everything available, then stop)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_tumbling_counts", oracle=None, tags=("streaming",))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run: parquet file source → 30-minute
+    watermark → tumbling 10-minute count/sum → memory sink (AvailableNow).
+    ⊘ rows-only; tests assert it matches the batch tumbling query."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, spark, "rsbd_stream_tumbling")
+
+
+@register("stream_session_windows", oracle=None, tags=("streaming",))
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming sessionization: watermarked session_window per user.
+    ⊘ rows-only; tests assert parity with the batch session query."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, spark, "rsbd_stream_sessions")
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> list[int]:
+    """foreachBatch sink demo (§2.10): write each micro-batch of a filtered
+    stream to partitioned parquet. Returns per-batch row counts (library
+    function, exercised by tests — not a registered query)."""
+    counts: list[int] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        counts.append(n)
+        batch_df.write.mode("append").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = ev.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return counts
