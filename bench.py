@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a noop write (full execution, no driver
+collect cost). First run of each query includes Catalyst planning; that is
+part of the measured time, as it would be for a user.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from recommendation_system_big_data_spark.registry import registry  # noqa: E402
+from recommendation_system_big_data_spark.session import get_spark  # noqa: E402
+
+#: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
+#: text + dedup + similarity extensions, streaming window math.
+HEADLINE = [
+    "flagship_top_customers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_user",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "text_tfidf",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "agg_summary",
+    "dedup_exact",
+    "window_running_sum",
+    "json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark(app_name="rsbd-bench")
+    defs = registry()
+
+    # Warm the JVM/codegen once on a trivial job so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = defs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,15 +35,24 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 JACCARD_THRESHOLD = 0.5
 
 
-def shingles(text: Column) -> Column:
-    """Distinct 3-token shingles; shorter docs yield their full text as one
-    shingle (concat_ws skips the NULL out-of-range accesses)."""
+def token_shingles(toks: Column) -> Column:
+    """Distinct 3-token shingles from a *materialized* tokens column; shorter
+    docs yield their full text as one shingle (concat_ws skips the NULL
+    out-of-range accesses). Callers should project the tokens column in a
+    prior select so the split isn't re-evaluated per shingle position."""
     return F.array_distinct(
-        F.expr(
-            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
-            "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
         )
     )
+
+
+def shingles(text: Column) -> Column:
+    """3-token shingles straight from a text column (convenience form)."""
+    return token_shingles(F.split(text, " "))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -94,47 +103,98 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh) with tokenization and shingling staged as separate
+    projections — each expensive expression evaluates exactly once per row
+    (Catalyst's CollapseProject keeps multi-referenced expensive exprs in
+    their own project)."""
+    return docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).select("doc_id", "lang", token_shingles(F.col("toks")).alias("sh"))
+
+
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_sh, shingle) — one row per DISTINCT shingle of each
+    doc; the inverted-index representation of the corpus."""
+    return _shingled(docs).select(
+        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+
+
+def _count_jaccard(shared: DataFrame) -> DataFrame:
+    """Finish a (doc_a, doc_b, n_a, n_b, shared) frame into Jaccard pairs:
+    |A∩B| is the shared-shingle count, |A∪B| = n_a + n_b - shared."""
+    j = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "headline"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, size band).
+    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index.
 
-    Quadratic within each block — this is the *reference semantics* the
-    approximate variants are measured against. The size-band predicate is
-    sound: J ≥ 0.5 forces |A| and |B| within 2× of each other."""
-    sh = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", shingles(F.col("text")).alias("sh")
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    ja = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
+    Identical semantics to the quadratic all-pairs formulation the oracle
+    uses (pairs with zero shared shingles have J=0 and can never pass the
+    threshold), but the plan is one equi-join on (shingle, lang) + one
+    count aggregate: |A∩B| is COUNTED, never materialized as an array
+    intersection. The size-band predicate is sound (J ≥ 0.5 forces sizes
+    within 2×) and prunes the candidate stream before the shuffle.
+
+    Scale shape: shuffle on the shingle key; hot shingles are the skew risk
+    — AQE skew-join splits them, and truly pathological shingles (appearing
+    in a large fraction of docs) indicate boilerplate that a production
+    pipeline strips upstream. This is also exactly the candidate-pair
+    count MinHash-LSH approximates when even one pass over pairs is too
+    much — see dedup_minhash_lsh."""
+    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.size("a.sh") <= 2 * F.size("b.sh"))
-            & (F.size("b.sh") <= 2 * F.size("a.sh")),
+            & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+            & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
         )
-        .filter(ja >= JACCARD_THRESHOLD)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(ja, 6).alias("jaccard"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _count_jaccard(shared)
+
+
+def base_hashes(sh: Column) -> Column:
+    """One xxhash64 per shingle string — the only pass that hashes variable-
+    length data; the NUM_HASHES family is derived from these 8-byte values."""
+    return F.transform(sh, lambda t: F.xxhash64(t))
+
+
+def minhash_from_hashes(h0s: Column) -> Column:
+    """NUM_HASHES-wide MinHash signature from pre-hashed shingles:
+    sig_i = min over shingles of xxhash64(h0, seed_i). Hashing a long is a
+    fixed 8-byte operation, so the 64-pass family costs far less than
+    re-hashing strings. xxhash64 is a fixed JVM builtin — signatures are
+    deterministic across runs, partitionings, and clusters (unlike MLlib's
+    MinHashLSH, whose hash family is RNG-seeded at fit time)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(h0s, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            for i in range(NUM_HASHES)
+        ]
     )
 
 
 def minhash_signature(sh: Column) -> Column:
-    """NUM_HASHES-wide MinHash signature: min over shingles of
-    xxhash64(shingle, seed_i). xxhash64 is a fixed JVM builtin — the
-    signature is deterministic across runs, partitionings, and clusters
-    (unlike MLlib's MinHashLSH, whose hash families are RNG-seeded at fit
-    time)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda t, i=i: F.xxhash64(t, F.lit(i))))
-            for i in range(NUM_HASHES)
-        ]
-    )
+    """Convenience form over raw shingle strings (library API; the query
+    path stages base_hashes/minhash_from_hashes through projections)."""
+    return minhash_from_hashes(base_hashes(sh))
 
 
 def band_keys(sig: Column) -> Column:
@@ -159,33 +219,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, pairs generated per bucket (buckets are tiny for non-pathological
     corpora), then a verify join that touches only candidates. This is the
     n≫10⁶ path where the quadratic exact join is impossible."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    )
-    sig = docs.select("doc_id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands"))
+    # Each stage is its own projection: shingle → base-hash → signature →
+    # band keys. Every multi-referenced expensive expression materializes
+    # once per row instead of being inlined into 16 band expressions.
+    sh_df = _shingled(load(spark, sf_dir, "documents"))
+    h_df = sh_df.select("doc_id", "lang", base_hashes(F.col("sh")).alias("h0s"))
+    sig = h_df.select("doc_id", "lang", minhash_from_hashes(F.col("h0s")).alias("sig"))
     banded = sig.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+        "doc_id", "lang", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
+    # Same blocking as the exact query (lang) so recall is measured
+    # apples-to-apples in tests/test_dedup.py.
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    ja = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .filter(ja >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(ja, 6).alias("jaccard"))
+    # Verify candidates with the exact count-based Jaccard: explode only the
+    # candidate docs' shingles, join through the pair list, count matches.
+    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
+    ea = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
+    eb = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    shared = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _count_jaccard(shared)
 
 
 def simhash64(doc_tokens: DataFrame) -> DataFrame:

@@ -119,8 +119,12 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsketch")))
     cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    # Probe radius 8/16: for a neighbor at cosine c the per-plane disagree
+    # probability is acos(c)/π, so even the weak (c≈0.3-0.4) neighbors in
+    # random test data land within 8 with ~85% probability; true near-dups
+    # (c→1) are found with near certainty.
     probed = (
-        sk.join(F.broadcast(q), (F.col("vec_id") != F.col("query_id")) & (hamming <= 6))
+        sk.join(F.broadcast(q), (F.col("vec_id") != F.col("query_id")) & (hamming <= 8))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -40,16 +40,32 @@ def read_schema(df: DataFrame) -> str:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Count exchange operators in the physical plan (SURVEY.md §7.2: every
-    P2+ operator documents its shuffle count — this verifies it)."""
+    """Count true shuffle exchanges (SURVEY.md §7.2: every P2+ operator
+    documents its shuffle count — this verifies it). Counts only the
+    numbered node list of the formatted plan (each node appears once there;
+    the tree rendering above it would double-count), and excludes
+    BroadcastExchange — broadcasts move the small side only, which is
+    exactly the point of using them."""
     plan = physical_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+    n = 0
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("(") and ") Exchange" in line and "Broadcast" not in line:
+            n += 1
+    return n
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    plan = physical_plan(df)
-    ids = set()
-    for line in plan.splitlines():
-        if "WholeStageCodegen" in line:
-            ids.add(line.split("WholeStageCodegen")[-1].strip())
-    return len(ids)
+    """Number of WholeStageCodegen subtrees ('codegen' explain mode — the
+    formatted mode hides them under an unresolved AdaptiveSparkPlan)."""
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    import re
+
+    # Zero case: "Found 0 WholeStageCodegen subtrees."
+    # Nonzero: one "== Subtree i / N ... ==" header per compiled subtree.
+    m = re.search(r"Found (\d+) WholeStageCodegen", text)
+    if m:
+        return int(m.group(1))
+    return len(re.findall(r"== Subtree \d+ / \d+", text))

@@ -1,0 +1,75 @@
+"""Physical-plan assertions (SURVEY.md §4 / §5.2 item 4): the optimizations
+the engine relies on must actually appear in the plan — broadcast joins,
+filter/column pushdown, top-k fusion, bounded shuffle counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.plans import explain
+from recommendation_system_big_data_spark.queries.flagship import flagship_top_customers
+from recommendation_system_big_data_spark.queries.tpch import (
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+from recommendation_system_big_data_spark.operators.relational import (
+    scan_parquet,
+    sort_limit_topk,
+)
+
+
+def test_flagship_broadcasts_dimension(spark, sf_dir):
+    df = flagship_top_customers(spark, sf_dir)
+    assert explain.has_broadcast_hash_join(df)
+
+
+def test_flagship_shuffle_count(spark, sf_dir):
+    # one shuffle for the groupBy(o_custkey, priority), one for the
+    # priority window — the dimension join must NOT add an exchange.
+    df = flagship_top_customers(spark, sf_dir)
+    assert explain.num_shuffles(df) <= 2, explain.physical_plan(df)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = scan_parquet(spark, sf_dir)
+    pushed = explain.pushed_filters(df)
+    assert "l_quantity" in pushed, pushed
+    schema = explain.read_schema(df)
+    # only the 4 projected columns reach the parquet reader
+    assert "l_extendedprice" not in schema, schema
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_dir):
+    df = sort_limit_topk(spark, sf_dir)
+    assert explain.has_take_ordered(df)
+
+
+def test_q3_broadcasts_both_dims(spark, sf_dir):
+    plan = explain.physical_plan(q3_shipping_priority(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q5_fact_table_not_shuffled_through_dims(spark, sf_dir):
+    # all four dimension joins broadcast; shuffles only for the final agg
+    # (+ possibly the orders join) — bound the exchange count.
+    df = q5_local_supplier_volume(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # AQE wraps the plan and defers codegen compilation until execution;
+    # disable it for the inspection so the codegen subtrees are visible.
+    # NOTE: catalog.load re-asserts AQE=true (ensure_runtime_conf), so the
+    # conf flip must happen AFTER load and before the (lazy) explain.
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert explain.whole_stage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,33 @@
+"""ALS pipeline gates (SURVEY.md §5.2 item 2): the RMSE tolerance check
+mirroring the reference's printed metric (model-als.py:127-129), plus shape
+invariants of the flattened recommendation output."""
+
+from __future__ import annotations
+
+from recommendation_system_big_data_spark.operators.recommend import (
+    TOP_K,
+    als_recommend_topk,
+    als_rmse,
+    ratings_from_events,
+)
+
+
+def test_rmse_within_tolerance(spark, sf_dir):
+    row = als_rmse(spark, sf_dir).collect()[0]
+    assert row["metric"] == "rmse"
+    # ratings are value/40 ∈ [0, ~5]; a sane factorization lands well under
+    # the ratings' own stddev. Generous bound — this is a sanity gate, not
+    # a model-quality benchmark.
+    assert 0.0 < row["value"] < 3.0, row
+
+
+def test_recommend_topk_shape(spark, sf_dir):
+    recs = als_recommend_topk(spark, sf_dir)
+    n_users = ratings_from_events(spark, sf_dir).select("user_id").distinct().count()
+    rows = recs.collect()
+    assert len(rows) == n_users * TOP_K
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["rank_pos"])
+    for user, ranks in per_user.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), (user, ranks)
