@@ -1,0 +1,144 @@
+"""Physical-layout operators: bucketed co-located joins and salted skew
+joins — the two techniques SURVEY.md §7.3 item 7 names for the 100 TB join
+story (neither appears in the reference, which broadcasts everything).
+
+Bucketing: both sides pre-hashed into the same bucket count on the join key
+at write time → the join needs NO exchange at read time (asserted in
+tests/test_bucketing.py). At 100 TB this converts every recurring join on
+the bucket key from a full fact-table shuffle into a local zip of buckets.
+
+Salting: when one side's key distribution is skewed (a handful of hot
+suppliers receiving most lineitems), explode the small side over N salt
+values and give the big side a deterministic salt in [0, N) — the hot key's
+rows spread across N reducers. AQE's skew-join split handles moderate skew
+automatically; salting is the explicit form for extreme or repeatable
+cases."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+N_BUCKETS = 8
+N_SALTS = 8
+
+
+def _table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ensure orders and customer exist as bucketed tables (same bucket
+    count, same key) for this scale factor; returns their table names."""
+    sfn = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, ct = f"orders_bkt_{sfn}", f"customer_bkt_{sfn}"
+    if not _table_exists(spark, ot):
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(ot)
+        )
+    if not _table_exists(spark, ct):
+        (
+            load(spark, sf_dir, "customer")
+            .write.bucketBy(N_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(ct)
+        )
+    return ot, ct
+
+
+_BUCKETED_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("join_bucketed", oracle=_BUCKETED_ORACLE, tags=("join", "layout"))
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key — zero exchanges on
+    either input (SortMergeJoin reads matching buckets directly; the plan
+    assertion lives in tests/test_bucketing.py). Falls back to the plain
+    tables if the session cannot write managed tables (read-only warehouse),
+    preserving identical results."""
+    try:
+        ot, ct = bucketed_pair(spark, sf_dir)
+        orders, cust = spark.table(ot), spark.table(ct)
+    except Exception:  # pragma: no cover - warehouse not writable
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def salt_column(n: int, *cols: Column) -> Column:
+    """Deterministic salt in [0, n): xxhash64 of row-identifying columns —
+    reproducible across runs/partitionings, unlike rand()-based salting."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    big_id_cols: list[str],
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate `small` n_salts times, salt `big`
+    deterministically, join on (key, salt). Row multiset identical to the
+    plain join."""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "salt", salt_column(n_salts, *[F.col(c) for c in big_id_cols])
+    )
+    return big_salted.join(
+        small_rep,
+        (big_salted[big_key] == small_rep[small_key]) & (big_salted["salt"] == small_rep["salt"]),
+    ).drop("salt")
+
+
+_SALTED_ORACLE = """
+SELECT s_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_ORACLE, tags=("join", "layout"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier key is the testdata's skew axis (few suppliers, many
+    lineitems); the salted join spreads each hot supplier over N_SALTS
+    reducers. Result provably identical to the plain join (the oracle IS
+    the plain join)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    joined = salted_join(
+        li, supp, "l_suppkey", "s_suppkey", ["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )

@@ -687,3 +687,62 @@ def unnest_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.o_orderkey").alias("o_orderkey"),
         F.col("rec.o_totalprice").alias("o_totalprice"),
     )
+
+
+@register(
+    "fn_split_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 10
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode over a delimited multi-value string (SURVEY.md §2.9
+    extension row — the reference's comma-separated `Genres` string,
+    model-als.py:22, is exactly this shape)."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(10)
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, tags=("agg",))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts (⊘ approximate by construction — the
+    100 TB spelling of COUNT(DISTINCT); the exact variant is
+    agg_count_distinct). rsd=0.01 keeps the estimate within ~1%; the pytest
+    gate checks it against the exact count."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@register(
+    "schema_introspection",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+        ('o_orderstatus', 'string'), ('o_totalprice', 'double'),
+        ('o_orderdate', 'timestamp_ntz'), ('o_orderpriority', 'string')
+    ) AS t(col_name, dtype)
+    """,
+    tags=("introspection",),
+)
+def schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-as-data: df.dtypes surfaced as rows (SURVEY.md §1.3 — the EDA
+    pipeline's printSchema/dtypes/columns surface, exploratory-data-
+    analysis.py:169-191). The oracle pins the expected driver-testdata
+    schema, so this doubles as a schema-drift tripwire."""
+    df = load(spark, sf_dir, "orders")
+    return spark.createDataFrame(df.dtypes, ["col_name", "dtype"])

@@ -34,12 +34,15 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.similarity",
     "recommendation_system_big_data_spark.operators.multimodal",
     "recommendation_system_big_data_spark.operators.recommend",
+    "recommendation_system_big_data_spark.operators.bucketing",
+    "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.json_fns",
     "recommendation_system_big_data_spark.functions.datetime_fns",
     "recommendation_system_big_data_spark.sources.csv",
     "recommendation_system_big_data_spark.sources.sinks",
     "recommendation_system_big_data_spark.streaming.jobs",
+    "recommendation_system_big_data_spark.streaming.stateful",
 )
 
 

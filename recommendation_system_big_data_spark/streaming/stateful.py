@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+SURVEY.md §2.10's "custom stateful operators" extension point.
+
+The operator keeps (count, sum, max_ts) per user across micro-batches and
+emits the updated stats each batch — the building block for online feature
+stores / per-entity counters that tumbling windows can't express (state
+lives across windows and batches). Arrow-batched per group; state is a
+typed tuple, bounded by the user-id cardinality (at 100 TB: millions of
+keys × a few longs — trivially partitioned by the state store)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+from recommendation_system_big_data_spark.streaming.jobs import (
+    events_stream,
+    run_stream_to_memory,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+    )
+
+
+def stateful_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user running stats with explicit state."""
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("stream_stateful_user_stats", oracle=None, tags=("streaming",))
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊘ true streaming run of the custom stateful operator (AvailableNow →
+    memory sink, update mode). tests/test_streaming.py checks the final
+    per-user stats equal the batch groupBy."""
+    out = run_stream_to_memory(
+        stateful_user_stats_stream(spark, sf_dir),
+        spark,
+        "rsbd_stream_stateful",
+        output_mode="update",
+    )
+    # update-mode memory sink may hold one row per state update; keep the
+    # final (max n_events) row per user deterministically.
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("n_events"))
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

@@ -38,6 +38,28 @@ def test_stream_sessions_match_batch(spark, sf_dir):
     assert _as_set(stream) == _as_set(batch)
 
 
+def test_stateful_operator_matches_batch(spark, sf_dir):
+    from recommendation_system_big_data_spark.streaming.stateful import (
+        stream_stateful_user_stats,
+    )
+
+    stream = stream_stateful_user_stats(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in stream.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], (u, got[u], want[u])
+        assert abs(got[u][1] - want[u][1]) < 1e-4, (u, got[u], want[u])
+
+
 def test_foreach_batch_exactly_once(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="rsbd_feb_")
     try:
