@@ -50,7 +50,15 @@ def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
 
     mean uses the exact-decimal path; stddev rounds to 4 (parallel variance
     merge differs in low-order bits across engines); percentiles are exact
-    (`F.percentile`, not approx) so they hash-match quantile_cont."""
+    (`F.percentile`, not approx) so they hash-match quantile_cont.
+
+    Shape: the cheap moments (count/mean/stddev/min/max) compute in one
+    keyless aggregate pass; the exact percentiles — whose partial state is
+    the full value list — go through an unpivot + groupBy(col_name) so each
+    column's sort runs in its own reducer instead of all columns funneling
+    into a single final task. Two jobs, but the expensive one is
+    column-parallel; at 100 TB swap F.percentile for approx_percentile and
+    it is one cheap pass (the oracle requires exactness here)."""
     structs = []
     for c in cols:
         col = F.col(c)
@@ -62,17 +70,32 @@ def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.round(F.sum(dec).cast("double") / F.count(col), 6).alias("mean"),
                 F.round(F.stddev_samp(col), 4).alias("stddev"),
                 F.round(F.min(col), 6).alias("min_v"),
-                F.round(F.percentile(col, F.lit(0.25)), 6).alias("p25"),
-                F.round(F.percentile(col, F.lit(0.50)), 6).alias("p50"),
-                F.round(F.percentile(col, F.lit(0.75)), 6).alias("p75"),
                 F.round(F.max(col), 6).alias("max_v"),
             ).alias(c)
         )
-    one_row = df.agg(*structs)
-    exploded = one_row.select(
-        F.explode(F.array(*[F.col(c) for c in cols])).alias("s")
+    moments = (
+        df.agg(*structs)
+        .select(F.explode(F.array(*[F.col(c) for c in cols])).alias("s"))
+        .select("s.*")
     )
-    return exploded.select("s.*")
+    unpivoted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    pct = unpivoted.groupBy("col_name").agg(
+        F.round(F.percentile("v", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("v", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("v", F.lit(0.75)), 6).alias("p75"),
+    )
+    return moments.join(pct, "col_name").select(
+        "col_name", "n", "mean", "stddev", "min_v", "p25", "p50", "p75", "max_v"
+    )
 
 
 def _summary_oracle_branch(c: str) -> str:

@@ -127,9 +127,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
+    # Only the selective customer dim gets a broadcast hint. orders⋈lineitem
+    # is left to AQE: broadcast at small scale, sort-merge on o_orderkey at
+    # 100 TB — hinting broadcast on the orders side would OOM a real cluster.
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -185,11 +188,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(asia_nations), supp["s_nationkey"] == asia_nations["n_nationkey"]
     ).select("s_suppkey", "s_nationkey", "n_name")
 
+    # supplier/nation/region are true broadcast dims; orders and customer
+    # join by key WITHOUT hints — AQE broadcasts them at this scale, a
+    # 100 TB run shuffles on o_orderkey / o_custkey (both uniform keys).
     return (
         li.join(F.broadcast(asia_supp), li["l_suppkey"] == asia_supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            F.broadcast(cust),
+            cust,
             (orders["o_custkey"] == cust["c_custkey"])
             & (asia_supp["s_nationkey"] == cust["c_nationkey"]),
         )

@@ -45,17 +45,20 @@ def test_topk_fuses_to_take_ordered(spark, sf_dir):
     assert explain.has_take_ordered(df)
 
 
-def test_q3_broadcasts_both_dims(spark, sf_dir):
+def test_q3_broadcasts_selective_dim_only(spark, sf_dir):
+    # the BUILDING-customer dim is hinted; orders⋈lineitem is AQE's call
+    # (broadcast here, sort-merge at 100 TB) — so the static plan shows
+    # exactly the hinted broadcast, not a broadcast of the orders side.
     plan = explain.physical_plan(q3_shipping_priority(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
 
 
-def test_q5_fact_table_not_shuffled_through_dims(spark, sf_dir):
-    # all four dimension joins broadcast; shuffles only for the final agg
-    # (+ possibly the orders join) — bound the exchange count.
+def test_q5_small_dims_broadcast(spark, sf_dir):
+    # nation⋈region and lineitem⋈supplier are hinted broadcasts; customer
+    # and orders join without hints (AQE decides by size at runtime).
     df = q5_local_supplier_volume(spark, sf_dir)
     plan = explain.physical_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
