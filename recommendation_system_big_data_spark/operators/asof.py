@@ -1,0 +1,127 @@
+"""Temporal join operators Spark has no native word for — expressed as
+compositions of existing DataFrame ops (the SURVEY.md §2.11 custom-operator rule:
+composition first, Pandas UDF only if semantics demand it).
+
+As-of join: attach to each left event the most recent right event at or
+before it (per key). The scalable form is NOT a per-key loop or a
+range-predicate join (quadratic within key) but union + last(ignorenulls)
+over an ordered window: one shuffle on (user), linear scan per partition.
+DuckDB spells the same thing ASOF JOIN; the oracle uses the window
+formulation so tie-breaking is bit-identical.
+
+Range join: band predicate against a small bucket dimension — broadcast +
+non-equi condition, the idiomatic Spark shape when one side is tiny."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'view' THEN value END AS view_value,
+           CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+           value
+    FROM events WHERE event_type IN ('view', 'purchase')
+), filled AS (
+    SELECT user_id, ts, event_id, purchase_id, value,
+           LAST_VALUE(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_view_value
+    FROM tagged
+)
+SELECT purchase_id AS event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+       value AS purchase_value,
+       last_view_value
+FROM filled WHERE purchase_id IS NOT NULL
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE, tags=("join", "temporal"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the most recent prior (or same-instant
+    earlier-id) view's value for that user. Composition: tag → union is
+    implicit (one scan, two CASE columns) → last(ignorenulls) over the
+    event-time window → filter to the left stream. One shuffle on user_id,
+    no range predicate, no skew beyond the key distribution — this is the
+    100 TB as-of shape."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("purchase_id").isNotNull()).select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("unix_ts"),
+        F.col("value").alias("purchase_value"),
+        "last_view_value",
+    )
+
+
+_RANGE_ORACLE = """
+WITH bands AS (
+    SELECT * FROM (VALUES
+        ('tiny', 0.0, 50.0), ('small', 50.0, 100.0),
+        ('medium', 100.0, 150.0), ('large', 150.0, 1e9)
+    ) AS t(band, lo, hi)
+)
+SELECT band, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+@register("join_range_band", oracle=_RANGE_ORACLE, tags=("join", "temporal"))
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against a tiny interval dimension via
+    broadcast nested-loop on the band predicate — at any scale the fact side
+    streams once; never express this as a cross join + filter of two big
+    sides."""
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 50.0),
+            ("small", 50.0, 100.0),
+            ("medium", 100.0, 150.0),
+            ("large", 150.0, 1e9),
+        ],
+        ["band", "lo", "hi"],
+    )
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+    )

@@ -32,12 +32,25 @@ def _table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
 
 
+def _drop_stale_location(spark: SparkSession, name: str) -> None:
+    """The in-memory catalog forgets managed tables between sessions but
+    their warehouse directories persist; saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. Clear the orphaned location."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+
+
 def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ensure orders and customer exist as bucketed tables (same bucket
     count, same key) for this scale factor; returns their table names."""
     sfn = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     ot, ct = f"orders_bkt_{sfn}", f"customer_bkt_{sfn}"
     if not _table_exists(spark, ot):
+        _drop_stale_location(spark, ot)
         (
             load(spark, sf_dir, "orders")
             .write.bucketBy(N_BUCKETS, "o_custkey")
@@ -47,6 +60,7 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .saveAsTable(ot)
         )
     if not _table_exists(spark, ct):
+        _drop_stale_location(spark, ct)
         (
             load(spark, sf_dir, "customer")
             .write.bucketBy(N_BUCKETS, "c_custkey")

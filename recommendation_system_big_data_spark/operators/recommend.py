@@ -69,6 +69,22 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("als_predict", oracle=None, tags=("ml",))
+def als_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the held-out split with the trained model (op #41;
+    model-als.py:126 `model.transform(test)`). ⊘ rows-only — factor
+    matrices are seed/partitioning-sensitive."""
+    ratings = ratings_from_events(spark, sf_dir)
+    train, test = ratings.randomSplit([0.8, 0.2], seed=SEED)
+    model = train_als(train)
+    return model.transform(test).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("item_id").cast("long").alias("item_id"),
+        F.round(F.col("rating").cast("double"), 6).alias("rating"),
+        F.round(F.col("prediction").cast("double"), 4).alias("prediction"),
+    )
+
+
 @register("als_rmse", oracle=None, tags=("ml",))
 def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 80/20 split → fit train → score test → RMSE, exactly the

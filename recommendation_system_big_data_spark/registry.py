@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.multimodal",
     "recommendation_system_big_data_spark.operators.recommend",
     "recommendation_system_big_data_spark.operators.bucketing",
+    "recommendation_system_big_data_spark.operators.asof",
     "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.json_fns",
