@@ -49,8 +49,13 @@ def main() -> None:
     spark = get_spark(app_name="rsbd-bench")
     defs = registry()
 
-    # Warm the JVM/codegen once on a trivial job so q1 doesn't pay startup.
+    # Warm the JVM once: codegen on a trivial job + parquet reader/file-index
+    # class loading on the smallest table. No benchmark data is cached —
+    # the first timed query still does its own scans.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from recommendation_system_big_data_spark.catalog import load
+
+    load(spark, sf_dir, "region").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

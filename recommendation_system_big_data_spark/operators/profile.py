@@ -196,6 +196,27 @@ def agg_null_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_report(df: DataFrame, numeric_cols: list[str], topk_col: str) -> dict:
+    """The EDA pipeline's `basic_eda` (exploratory-data-analysis.py:144-195)
+    as a lazy composite — row/column counts, missing audit, summary stats,
+    top-k categories — every piece a DataFrame, nothing collected here, no
+    repeated count() jobs (the reference ran three — SURVEY.md §4)."""
+    counts = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    return {
+        "counts": counts,
+        "n_columns": len(df.columns),
+        "dtypes": df.dtypes,
+        "missing": missing_value_audit(df),
+        "summary": summarize(df, numeric_cols),
+        "top_categories": (
+            df.groupBy(topk_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc(topk_col))
+            .limit(20)
+        ),
+    }
+
+
 _CORR_PAIRS = [
     ("l_quantity", "l_extendedprice"),
     ("l_quantity", "l_discount"),

@@ -98,6 +98,70 @@ def sign_sketch(v) -> F.Column:  # type: ignore[name-defined]
     return sum(bits[1:], bits[0])
 
 
+@register("sim_topk_ivf", oracle=None, tags=("similarity",))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: data-derived
+    coarse centroids (every 25th vector — deterministic, no RNG/k-means),
+    each vector assigned to its nearest centroid, queries probe the 4
+    nearest centroid lists and re-rank exactly. ⊘ approximate; recall vs
+    brute force gated in tests/test_similarity.py.
+
+    Scale shape: assignment is one broadcast(centroids) pass; the probe
+    joins query→probed-centroid→posting-list, touching n/n_lists·n_probe of
+    the corpus instead of all of it. At 100 TB the posting lists are
+    bucketed/partitioned by centroid_id so a probe is a partition-pruned
+    scan, and centroids come from a sampled k-means feeding the same plan."""
+    n_probe = 4
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("centroid_id"))
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 @register("sim_topk_lsh", oracle=None, tags=("similarity",))
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-LSH sketches with Hamming≤6 multi-probe.

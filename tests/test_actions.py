@@ -1,0 +1,37 @@
+"""Action-surface parity (SURVEY.md §2.1 ops #5 collect, #8 show, plus the
+EDA schema-introspection calls §1.3): trivial by construction, asserted so
+the inventory row is exercised, not assumed."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from recommendation_system_big_data_spark.catalog import load
+
+
+def test_collect_materializes_rows(spark, sf_dir):
+    rows = load(spark, sf_dir, "region").collect()  # op #5, model-als.py:134
+    assert len(rows) == 5
+    assert {r["r_name"] for r in rows} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
+
+
+def test_show_renders_table(spark, sf_dir):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        # op #8, exploratory-data-analysis.py:168 `show(5, truncate=False)`
+        load(spark, sf_dir, "nation").show(5, truncate=False)
+    out = buf.getvalue()
+    assert "n_nationkey" in out and out.count("\n") >= 7
+
+
+def test_schema_introspection_calls(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    assert "o_orderkey" in df.columns  # exploratory-data-analysis.py:154
+    assert dict(df.dtypes)["o_totalprice"] == "double"  # :175
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.printSchema()  # :169
+    assert "o_orderpriority" in buf.getvalue()

@@ -30,6 +30,25 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert mean_recall >= 0.6, mean_recall
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.similarity import (
+        sim_topk_ivf,
+    )
+
+    exact = _topsets(sim_topk_bruteforce(spark, sf_dir))
+    approx = _topsets(sim_topk_ivf(spark, sf_dir))
+    recalls = [
+        len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ]
+    # random vectors scatter near-uniformly over coarse cells, so 4-of-20
+    # probes bounds recall near n_probe/n_lists; the gate guards the index
+    # mechanics (assignment + probe + re-rank), not ANN quality on noise.
+    assert sum(recalls) / len(recalls) >= 0.15, sum(recalls) / len(recalls)
+    # every returned neighbor must be a real vector with a sane rank list
+    rows = sim_topk_ivf(spark, sf_dir).collect()
+    assert all(1 <= r["rn"] <= 10 for r in rows)
+
+
 def test_bruteforce_deterministic(spark, sf_dir):
     a = sorted(map(str, sim_topk_bruteforce(spark, sf_dir).collect()))
     b = sorted(map(str, sim_topk_bruteforce(spark, sf_dir).collect()))
