@@ -128,6 +128,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_PRIME = 1_000_000_007
+ROLLING_BASE = 131
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Polynomial rolling hash over the token stream:
+    h = (h*BASE + xxhash64(token) mod P) mod P — order-sensitive (unlike the
+    canonical-form md5 fingerprint), built entirely from fold arithmetic
+    that stays below 2^63 (P·BASE + P « Long.MAX), so it is ANSI-overflow-
+    safe and deterministic across partitionings."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * ROLLING_BASE + F.pmod(F.xxhash64(t), F.lit(ROLLING_PRIME)),
+            F.lit(ROLLING_PRIME),
+        ),
+    )
+
+
+@register("text_rolling_hash", oracle=None, tags=("text",))
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint via polynomial rolling hash
+    (⊘ — xxhash64 has no DuckDB twin; property-tested in
+    tests/test_text.py: equal texts collide, reordered tokens don't)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash(tokens(F.col("text"))).alias("rhash")
+    )
+
+
 @register(
     "text_tfidf",
     oracle="""

@@ -119,6 +119,51 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resize: fit the fake-decoded frame into a 224×224
+    box preserving aspect ratio (integer arithmetic only)."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        w = (n % 640 + 1).astype("int64")
+        h = (n * 7 % 480 + 1).astype("int64")
+        scale_w = (224 * 1000) // w
+        scale_h = (224 * 1000) // h
+        scale = scale_w.combine(scale_h, min)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": (w * scale // 1000).astype("int64"),
+                "out_h": (h * scale // 1000).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) % 640 + 1 AS BIGINT)     AS w,
+               CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           w * least(224000 // w, 224000 // h) // 1000 AS out_w,
+           h * least(224000 // w, 224000 // h) // 1000 AS out_h
+    FROM d
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the media pipeline as a second mapInPandas stage —
+    integer box-fit arithmetic on the fake decode, so the Arrow round-trip
+    through two chained Pandas stages is still oracle-checkable."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    return media.select("doc_id", "payload").mapInPandas(
+        _fake_resize_batch, schema="doc_id bigint, out_w bigint, out_h bigint"
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""

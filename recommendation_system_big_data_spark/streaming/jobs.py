@@ -208,6 +208,22 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, "rsbd_stream_tumbling")
 
 
+@register("stream_sliding_counts", oracle=None, tags=("streaming",))
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming sliding windows (10 min / 5 min slide) with watermark.
+    ⊘ rows-only; tests assert parity with the batch sliding query."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value")
+    )
+    return run_stream_to_memory(agg, spark, "rsbd_stream_sliding")
+
+
 @register("stream_session_windows", oracle=None, tags=("streaming",))
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming sessionization: watermarked session_window per user.

@@ -38,6 +38,17 @@ def test_stream_sessions_match_batch(spark, sf_dir):
     assert _as_set(stream) == _as_set(batch)
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        sliding_window_agg,
+        stream_sliding_counts,
+    )
+
+    stream = stream_sliding_counts(spark, sf_dir)
+    batch = sliding_window_agg(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
+
+
 def test_stateful_operator_matches_batch(spark, sf_dir):
     from recommendation_system_big_data_spark.streaming.stateful import (
         stream_stateful_user_stats,
