@@ -47,8 +47,12 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
 def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ensure orders and customer exist as bucketed tables (same bucket
     count, same key) for this scale factor; returns their table names."""
+    # pid-scoped names: two processes sharing the warehouse dir must never
+    # manage the same table (one's overwrite deletes the files under the
+    # other's reader). Within a process the pair is built once and reused.
     sfn = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    ot, ct = f"orders_bkt_{sfn}", f"customer_bkt_{sfn}"
+    pid = os.getpid()
+    ot, ct = f"orders_bkt_{sfn}_{pid}", f"customer_bkt_{sfn}_{pid}"
     if not _table_exists(spark, ot):
         _drop_stale_location(spark, ot)
         (
