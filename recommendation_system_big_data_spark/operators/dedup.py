@@ -107,10 +107,19 @@ def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, sh) with tokenization and shingling staged as separate
     projections — each expensive expression evaluates exactly once per row
     (Catalyst's CollapseProject keeps multi-referenced expensive exprs in
-    their own project)."""
-    return docs.select(
-        "doc_id", "lang", F.split("text", " ").alias("toks")
-    ).select("doc_id", "lang", token_shingles(F.col("toks")).alias("sh"))
+    their own project).
+
+    The leading repartition spreads the corpus across the cluster BEFORE
+    the expensive per-row shingling: one thin shuffle of raw text rows buys
+    full parallelism for everything downstream. (Locally it also defeats
+    the single-row-group testdata files that would otherwise pin the whole
+    pipeline to one task.)"""
+    return (
+        docs.select("doc_id", "lang", "text")
+        .repartition("doc_id")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", token_shingles(F.col("toks")).alias("sh"))
+    )
 
 
 def _exploded_shingles(docs: DataFrame) -> DataFrame:
@@ -228,6 +237,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", "lang", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
+    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
     # Same blocking as the exact query (lang) so recall is measured
     # apples-to-apples in tests/test_dedup.py.
     cand = (
@@ -244,7 +254,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify candidates with the exact count-based Jaccard: explode only the
     # candidate docs' shingles, join through the pair list, count matches.
-    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
     ea = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )

@@ -78,16 +78,25 @@ def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
         .select(F.explode(F.array(*[F.col(c) for c in cols])).alias("s"))
         .select("s.*")
     )
-    unpivoted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
-                    for c in cols
-                ]
-            )
-        ).alias("s")
-    ).select("s.*")
+    # spread before the row-multiplying unpivot: one thin shuffle of the
+    # source rows, then the explode and percentile sort run fully parallel
+    # (single-file local sources would otherwise unpivot in one task).
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    unpivoted = (
+        df.select(*cols)
+        .repartition(n_parts)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
     pct = unpivoted.groupBy("col_name").agg(
         F.round(F.percentile("v", F.lit(0.25)), 6).alias("p25"),
         F.round(F.percentile("v", F.lit(0.50)), 6).alias("p50"),
