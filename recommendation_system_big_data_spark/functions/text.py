@@ -128,6 +128,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_PREP_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, text, lang,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / greatest(len(string_split(text,' ')), 1) AS distinct_ratio,
+           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+    FROM documents
+), filtered AS (
+    SELECT * FROM scored
+    WHERE n_tokens BETWEEN 5 AND 1000 AND distinct_ratio >= 0.1
+), deduped AS (
+    SELECT doc_id, lang, n_tokens, fingerprint,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+    FROM filtered
+)
+SELECT doc_id, lang, n_tokens, fingerprint
+FROM deduped WHERE rn = 1
+"""
+
+
+@register("pipeline_corpus_prep", oracle=_CORPUS_PREP_ORACLE, tags=("text", "pipeline"))
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: quality gate → canonical
+    fingerprint → keep-first dedup — the composition a 100 TB text pipeline
+    runs before tokenization, as ONE lazy plan (filter pushes to the scan,
+    fingerprint computes once per row, dedup is a single window on the
+    fingerprint key)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col("text"))
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("distinct_ratio"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+        ).alias("fingerprint"),
+    )
+    filtered = scored.filter(
+        F.col("n_tokens").between(5, 1000) & (F.col("distinct_ratio") >= 0.1)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "fingerprint")
+    )
+
+
 ROLLING_PRIME = 1_000_000_007
 ROLLING_BASE = 131
 

@@ -69,6 +69,44 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enrich_and_rank(
+    recs: DataFrame,
+    dim: DataFrame,
+    ratings: DataFrame,
+    type_value: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """The reference's enrichment query (model-als.py:141-158) as a reusable
+    relational program: recommendations LEFT JOIN dimension on
+    anime_id == ID, project the 4 dim columns + score, LEFT JOIN the
+    per-item average rating, drop the duplicate key, filter one media type,
+    sort by avg_rating desc, keep top_n. Produces the golden-output shape
+    `ID, Name, English name, avg_rating` (recommendations_series.csv:1).
+
+    Differences from the reference, by design (SURVEY.md §4):
+    - the pandas re-sort round-trip (model-als.py:164-171) is folded into
+      the single orderBy (op #29);
+    - ID is an explicit deterministic tiebreaker so ties can't reorder."""
+    enriched = recs.join(dim, recs["anime_id"] == dim["ID"], how="left").select(
+        dim["ID"], dim["Name"], dim["English name"], dim["Type"], recs["predicted_rating"]
+    )
+    avg_ratings = (
+        ratings.groupBy("anime_id")
+        .avg("rating")
+        .withColumnRenamed("avg(rating)", "avg_rating")
+    )
+    return (
+        enriched.join(
+            F.broadcast(avg_ratings), enriched["ID"] == avg_ratings["anime_id"], "left"
+        )
+        .drop(avg_ratings["anime_id"])
+        .filter(F.col("Type") == type_value)
+        .orderBy(F.col("avg_rating").desc(), F.col("ID").asc())
+        .select("ID", "Name", "English name", F.round("avg_rating", 6).alias("avg_rating"))
+        .limit(top_n)
+    )
+
+
 @register("als_predict", oracle=None, tags=("ml",))
 def als_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score the held-out split with the trained model (op #41;
