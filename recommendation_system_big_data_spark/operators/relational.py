@@ -729,6 +729,61 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) on an explicit value list — per-user event-type
+    matrix. The value list is pinned so the plan is ONE aggregate pass
+    (unpinned pivot runs an extra distinct-values job, an avoidable full
+    scan at 100 TB)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "clean_fill_replace",
+    oracle="""
+    SELECT c_custkey,
+           c_name,
+           COALESCE(o_orderkey, -1) AS o_orderkey,
+           COALESCE(o_totalprice, 0.0) AS o_totalprice,
+           CASE WHEN COALESCE(o_orderpriority, 'NONE') = '5-LOW'
+                THEN 'LOW' ELSE COALESCE(o_orderpriority, 'NONE') END AS priority
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    tags=("setop", "cleaning"),
+)
+def clean_fill_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.fill + na.replace — the constructive side of the reference's
+    cleaning pass (model-als.py:107 drops; a training pipeline usually
+    imputes instead). Typed defaults per column, then a value rewrite."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderpriority")
+        .na.fill({"o_orderkey": -1, "o_totalprice": 0.0, "o_orderpriority": "NONE"})
+        .replace("5-LOW", "LOW", subset=["o_orderpriority"])
+        .withColumnRenamed("o_orderpriority", "priority")
+    )
+
+
+@register(
     "schema_introspection",
     oracle="""
     SELECT * FROM (VALUES
