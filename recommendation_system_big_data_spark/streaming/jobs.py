@@ -241,6 +241,28 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, "rsbd_stream_sessions")
 
 
+def rate_source_demo(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate source (§2.10 'file/rate source'): the built-in synthetic stream
+    generator, shaped like the events table — the local stand-in for a
+    Kafka/Kinesis source; swapping `format("rate")` for `format("kafka")`
+    leaves the rest of the plan untouched. Library function; exercised by
+    tests/test_streaming.py with a short timed run."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+
 def run_stream_foreach_batch(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> list[int]:

@@ -71,6 +71,34 @@ def test_stateful_operator_matches_batch(spark, sf_dir):
         assert abs(got[u][1] - want[u][1]) < 1e-4, (u, got[u], want[u])
 
 
+def test_rate_source_produces_shaped_rows(spark):
+    from recommendation_system_big_data_spark.streaming.jobs import rate_source_demo
+
+    ev = rate_source_demo(spark, rows_per_second=500)
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("rsbd_rate_demo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("rsbd_rate_demo").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rsbd_rate_demo").limit(10).collect()
+        assert rows, "rate source produced no rows in 20s"
+        assert {r["event_type"] for r in rows} <= {"view", "click", "purchase"}
+        assert all(0 <= r["user_id"] < 50 for r in rows)
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_exactly_once(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="rsbd_feb_")
     try:
