@@ -97,10 +97,21 @@ def summarize(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         .select("s.*")
     )
-    pct = unpivoted.groupBy("col_name").agg(
-        F.round(F.percentile("v", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("v", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("v", F.lit(0.75)), 6).alias("p75"),
+    # one percentile aggregate with an array of quantiles: a single
+    # value-count buffer per partition instead of three copies of it.
+    pct = (
+        unpivoted.groupBy("col_name")
+        .agg(
+            F.percentile(
+                "v", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+            ).alias("ps")
+        )
+        .select(
+            "col_name",
+            F.round(F.col("ps")[0], 6).alias("p25"),
+            F.round(F.col("ps")[1], 6).alias("p50"),
+            F.round(F.col("ps")[2], 6).alias("p75"),
+        )
     )
     return moments.join(pct, "col_name").select(
         "col_name", "n", "mean", "stddev", "min_v", "p25", "p50", "p75", "max_v"
