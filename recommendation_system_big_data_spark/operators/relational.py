@@ -729,6 +729,60 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_upper,
+           trim(source) AS source_trim,
+           regexp_replace(lang, '[aeiou]', '_', 'g') AS lang_masked,
+           substring(source, 1, 3) AS source_prefix,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key
+    FROM documents
+    """,
+    tags=("scalar",),
+)
+def fn_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case, trim, regexp_replace, substring, pad
+    (SURVEY.md §2.9 — all JVM built-ins, zero Python)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.trim("source").alias("source_trim"),
+        F.regexp_replace("lang", "[aeiou]", "_").alias("lang_masked"),
+        F.substring("source", 1, 3).alias("source_prefix"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT) AS n_positive,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1.5)) > 0 AS BIGINT) AS has_large,
+           ROUND(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum
+    FROM embeddings
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: size, filter, exists, slice+aggregate
+    fold (SURVEY.md §2.9 extension; the similarity operators build on the
+    same primitives in functions/vectors.py)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.exists(v, lambda x: F.abs(x) > 1.5).cast("long").alias("has_large"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+    )
+
+
+@register(
     "agg_pivot",
     oracle="""
     SELECT user_id,
