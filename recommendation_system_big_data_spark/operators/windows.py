@@ -98,6 +98,32 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist over a
+    fully-tiebroken global order (SURVEY.md §2.5). A global window is a
+    single-reducer stage — fine for driver-scale ranking; partition it by a
+    key at 100 TB."""
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey,
