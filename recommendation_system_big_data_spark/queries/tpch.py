@@ -148,6 +148,43 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE, tags=("pipeline",))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. The returnflag filter
+    pushes to the lineitem scan; nation broadcasts; orders⋈customer and the
+    fact join are AQE's choice (sort-merge on uniform keys at 100 TB); the
+    top-20 fuses to TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    return (
+        li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 Q5_ORACLE = """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -71,6 +71,58 @@ def test_stateful_operator_matches_batch(spark, sf_dir):
         assert abs(got[u][1] - want[u][1]) < 1e-4, (u, got[u], want[u])
 
 
+def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir):
+    """Exactly-once across restarts: a checkpointed file-source stream,
+    stopped and restarted after new data arrives, processes only the new
+    file — the recovery contract a 100 TB ingest pipeline depends on."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from recommendation_system_big_data_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="rsbd_ckpt_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    ev = load(spark, sf_dir, "events")
+    n_total = ev.count()
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    # write halves as raw-long ts so the stream schema matches the source
+    half_a.withColumn("ts", F.unix_timestamp("ts") * 1_000_000_000).write.parquet(
+        os.path.join(src, "a"), mode="overwrite"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == half_a.count()
+
+    half_b.withColumn("ts", F.unix_timestamp("ts") * 1_000_000_000).write.parquet(
+        os.path.join(src, "b"), mode="overwrite"
+    )
+    run_once()  # restart from checkpoint: must pick up ONLY the new file
+    total = spark.read.parquet(out).count()
+    assert total == n_total, (first, total, n_total)
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_rate_source_produces_shaped_rows(spark):
     from recommendation_system_big_data_spark.streaming.jobs import rate_source_demo
 
