@@ -58,6 +58,70 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 _loaded = False
 
+#: Driver-verification window aliases (round 2).
+#:
+#: The correctness driver records at most 50 queries per round, taken in
+#: alphabetical order of the registry names. Round 1 verified the first 50
+#: (``agg_approx_count_distinct`` .. ``join_semi``, CORRECTNESS_r01.json);
+#: the remaining 51 names sorted past the cap and got no driver row. Per
+#: VERDICT.md "Next round" #1, each of those (minus ``random_split``,
+#: rows-only by design and pytest-covered) gets an ``a0_``-prefixed alias —
+#: same callable, same oracle — which sorts *before* ``agg_*`` and therefore
+#: into the round-2 checked window. Canonical names remain the public API;
+#: aliases are tagged ``alias`` so bench/docs can skip them.
+_DRIVER_WINDOW_ALIASES = (
+    "json_extract",
+    "json_from_json",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "pipeline_corpus_prep",
+    "project_computed",
+    "project_named",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rename_col",
+    "roundtrip_pandas",
+    "sample_frac",
+    "scan_csv_headerless",
+    "scan_csv_schema",
+    "scan_parquet",
+    "schema_introspection",
+    "session_window_agg",
+    "set_except",
+    "set_intersect",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sink_csv_roundtrip",
+    "sink_parquet_partitioned",
+    "sliding_window_agg",
+    "sort_limit_topk",
+    "sql_backtick_names",
+    "sql_surface_agg",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stateful_user_stats",
+    "stream_tumbling_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_hash",
+    "text_tfidf",
+    "text_token_count",
+    "topk_per_user",
+    "tumbling_window_agg",
+    "union_pos",
+    "unnest_recs",
+    "window_lag_lead",
+    "window_ntile_dist",
+    "window_rank_dense",
+    "window_running_sum",
+)
+
 
 def register(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
@@ -77,6 +141,12 @@ def load_all_modules() -> None:
         return
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    for canon in _DRIVER_WINDOW_ALIASES:
+        q = _REGISTRY[canon]
+        alias = f"a0_{canon}"
+        _REGISTRY[alias] = QueryDef(
+            name=alias, fn=q.fn, oracle=q.oracle, tags=q.tags + ("alias",)
+        )
     _loaded = True
 
 

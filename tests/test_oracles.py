@@ -11,8 +11,20 @@ from recommendation_system_big_data_spark.registry import registry
 from tests.conftest import assert_oracle_match
 
 _DEFS = registry()
-_WITH_ORACLE = [name for name, q in _DEFS.items() if q.oracle is not None]
-_ROWS_ONLY = [name for name, q in _DEFS.items() if q.oracle is None]
+# a0_* driver-window aliases are the same callables/oracles as their canonical
+# names (see registry._DRIVER_WINDOW_ALIASES) — running them again here would
+# only double the suite's wall-clock.
+_CANON = {name: q for name, q in _DEFS.items() if "alias" not in q.tags}
+_WITH_ORACLE = [name for name, q in _CANON.items() if q.oracle is not None]
+_ROWS_ONLY = [name for name, q in _CANON.items() if q.oracle is None]
+
+
+def test_alias_entries_mirror_canonical():
+    """Every a0_ alias must point at exactly its canonical fn + oracle."""
+    for name, q in _DEFS.items():
+        if "alias" in q.tags:
+            canon = _DEFS[name.removeprefix("a0_")]
+            assert q.fn is canon.fn and q.oracle == canon.oracle, name
 
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
