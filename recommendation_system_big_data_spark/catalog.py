@@ -46,6 +46,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Mirror of spark.sql.autoBroadcastJoinThreshold's intent, applied where a
+#: *logical* hint would otherwise be unconditional (VERDICT r1 #2).
+BROADCAST_THRESHOLD_BYTES = 64 * 1024 * 1024
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a testdata table (single parquet file per table)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast-hint ``df`` only when its at-rest size is provably small.
+
+    An unconditional ``F.broadcast`` on a dimension that *grows with the
+    scale factor* (customer is 1.5 M rows/SF) forces an OOM-or-die broadcast
+    at 100×; gating on the parquet footprint keeps the hint for genuinely
+    small tables and otherwise leaves the strategy to AQE's runtime
+    statistics, matching the discipline in queries/tpch.py (hint only
+    provably-small filtered dims)."""
+    if table_bytes(sf_dir, name) <= BROADCAST_THRESHOLD_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -237,16 +237,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The document-frequency table is tiny (vocabulary-sized) and broadcast;
     the corpus-size scalar is a broadcast cross join — so the token stream
     shuffles exactly once (the tf groupBy). Output sampled to doc_id%10=0
-    (same filter in the oracle) to keep the correctness diff bounded."""
+    (same filter in the oracle) to keep the correctness diff bounded; the
+    sample is applied in the tf *branch*, before its groupBy, so the tf
+    shuffle carries a tenth of the token stream — while df and n_docs stay
+    corpus-wide (document frequency is a corpus property, not a sample
+    property)."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("doc_id") % 10 == 0)
         .select(
             "doc_id",
             "token",

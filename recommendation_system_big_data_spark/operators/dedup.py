@@ -138,11 +138,25 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
 #: strings (tens of MB at sf0.1; partitioned across executors at scale).
 _SHINGLE_INDEX: dict[tuple[str, str], DataFrame] = {}
 
+#: Bound on live cache entries (ADVICE r1): one index per (app, sf_dir) pair
+#: is the working set; anything older is unpersisted so cached blocks and
+#: stale DataFrame references can't accumulate across scale factors or
+#: sessions in a long-lived process.
+_SHINGLE_INDEX_MAX = 2
+
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    # Evict entries from any previous (stopped) session first — their
+    # DataFrames are unusable and unpersist would throw, so just drop them.
+    for k in [k for k in _SHINGLE_INDEX if k[0] != app_id]:
+        _SHINGLE_INDEX.pop(k)
     df = _SHINGLE_INDEX.get(key)
     if df is None:
+        while len(_SHINGLE_INDEX) >= _SHINGLE_INDEX_MAX:
+            oldest = next(iter(_SHINGLE_INDEX))
+            _SHINGLE_INDEX.pop(oldest).unpersist()
         df = _shingled(load(spark, sf_dir, "documents")).persist()
         _SHINGLE_INDEX[key] = df
     return df

@@ -86,7 +86,11 @@ def enrich_and_rank(
     Differences from the reference, by design (SURVEY.md §4):
     - the pandas re-sort round-trip (model-als.py:164-171) is folded into
       the single orderBy (op #29);
-    - ID is an explicit deterministic tiebreaker so ties can't reorder."""
+    - ID is an explicit deterministic tiebreaker so ties can't reorder;
+    - the per-item average join carries no broadcast hint: its size is the
+      item-catalog cardinality, which AQE can see at runtime — an
+      unconditional hint would force the broadcast even if the catalog
+      outgrew executor memory (VERDICT r1 #2)."""
     enriched = recs.join(dim, recs["anime_id"] == dim["ID"], how="left").select(
         dim["ID"], dim["Name"], dim["English name"], dim["Type"], recs["predicted_rating"]
     )
@@ -97,13 +101,39 @@ def enrich_and_rank(
     )
     return (
         enriched.join(
-            F.broadcast(avg_ratings), enriched["ID"] == avg_ratings["anime_id"], "left"
+            avg_ratings, enriched["ID"] == avg_ratings["anime_id"], "left"
         )
         .drop(avg_ratings["anime_id"])
         .filter(F.col("Type") == type_value)
         .orderBy(F.col("avg_rating").desc(), F.col("ID").asc())
         .select("ID", "Name", "English name", F.round("avg_rating", 6).alias("avg_rating"))
         .limit(top_n)
+    )
+
+
+@register("als_recommend_user_subset", oracle=None, tags=("ml",))
+def als_recommend_user_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's *actual* flagship flow (model-als.py:131-139): build a
+    one-row user table from a local collection (`spark.createDataFrame([(id,)],
+    ["user_id"])`), call `recommendForUserSubset(df, 30)`, and flatten. The
+    reference flattened via `.collect()` + a Python list round-trip; here the
+    ARRAY<STRUCT> explodes inside the plan (op #44), so nothing leaves the
+    executors. ⊘ rows-only — factor matrices are seed/partitioning-sensitive;
+    shape gated in tests/test_recommend.py."""
+    n_recs = 30
+    ratings = ratings_from_events(spark, sf_dir)
+    model = train_als(ratings)
+    # Deterministic existing user: the smallest user_id in the ratings.
+    target_user_id = ratings.agg(F.min("user_id")).collect()[0][0]
+    target_user_df = spark.createDataFrame([(int(target_user_id),)], ["user_id"])
+    user_recs = model.recommendForUserSubset(target_user_df, n_recs)
+    return (
+        user_recs.select("user_id", F.posexplode("recommendations").alias("pos", "rec"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("rec.item_id").cast("long").alias("item_id"),
+            (F.col("pos") + 1).cast("long").alias("rank_pos"),
+        )
     )
 
 
@@ -156,10 +186,12 @@ def als_enriched_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.explode("recommendations").alias("rec"))
         .select("user_id", F.col("rec.item_id").alias("item_id"), F.col("rec.rating").alias("score"))
     )
+    # item_avg joins unhinted: AQE broadcasts it at runtime while the item
+    # catalog is small, and falls back gracefully if it isn't (VERDICT r1 #2).
     item_avg = ratings.groupBy("item_id").agg(F.avg("rating").alias("avg_rating"))
     w = Window.partitionBy("user_id").orderBy(F.desc("avg_rating"), F.asc("item_id"))
     return (
-        flat.join(F.broadcast(item_avg), "item_id", "left")
+        flat.join(item_avg, "item_id", "left")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(

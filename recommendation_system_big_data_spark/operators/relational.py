@@ -68,12 +68,15 @@ def from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 def roundtrip_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow round-trip: DataFrame → pandas → DataFrame (ops #5-6;
     model-als.py:164-165). Arrow transfer is exact for int64/float64, so the
-    values hash identically to the source table. Only valid for
-    driver-fitting results — never on unbounded data (SURVEY.md §7.3)."""
-    pdf = load(spark, sf_dir, "supplier").select(
+    values hash identically to the source table. Re-entering Spark through
+    the ORIGINAL schema keeps the trip null-faithful: pandas stores a NULL
+    double as NaN, and an inferred-schema createDataFrame would hand that
+    NaN back as a value, not a NULL. Only valid for driver-fitting results —
+    never on unbounded data (SURVEY.md §7.3)."""
+    src = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
-    ).toPandas()
-    return spark.createDataFrame(pdf)
+    )
+    return spark.createDataFrame(src.toPandas(), schema=src.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -855,3 +858,63 @@ def schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, so this doubles as a schema-drift tripwire."""
     df = load(spark, sf_dir, "orders")
     return spark.createDataFrame(df.dtypes, ["col_name", "dtype"])
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+    SELECT doc_id, u.long_tok
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text, ' '), x -> len(x) > 9)) = 0
+                    THEN [NULL]
+                    ELSE list_filter(string_split(text, ' '), x -> len(x) > 9)
+               END AS toks
+        FROM documents
+    ), unnest(toks) AS u(long_tok)
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null-preserving unnest — documents whose filtered
+    token array is EMPTY still emit one (doc_id, NULL) row, so an outer
+    explode never silently drops parent rows (the LEFT JOIN semantics of
+    unnest; a plain explode is the inner join). The oracle spells the same
+    semantics via CASE-to-[NULL]."""
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 9)
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode_outer(toks).alias("long_tok"))
+    )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    SELECT doc_id,
+           lang   AS lang_tag,
+           source AS source_tag,
+           2      AS n_tags,
+           (lang IS NOT NULL) AS has_lang
+    FROM documents
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map from entries, extract by key, inspect
+    cardinality and key membership — the tag/properties-column shape of a
+    metadata table. The oracle verifies the extracted VALUES (DuckDB's MAP
+    type doesn't hash-compare across engines, so the map itself never
+    reaches the output schema — extraction happens Spark-side)."""
+    tags = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", tags.alias("tags"))
+    return d.select(
+        "doc_id",
+        F.element_at("tags", "lang").alias("lang_tag"),
+        F.element_at("tags", "source").alias("source_tag"),
+        F.size("tags").alias("n_tags"),
+        F.array_contains(F.map_keys("tags"), "lang").alias("has_lang"),
+    )

@@ -11,8 +11,9 @@ per-type filter+sort+limit pair generalized to a window-ranked top-k
 Physical plan this is designed to produce (asserted in tests):
 - partial+final HashAggregate for the per-customer average (map-side combine
   → one shuffle on o_custkey),
-- BroadcastHashJoin against `customer` (dimension explicitly broadcast, as
-  Catalyst does implicitly for the reference's 17.5k-row anime table),
+- BroadcastHashJoin against `customer` while the dimension is provably small
+  (size-gated hint — see catalog.maybe_broadcast; above the gate AQE's
+  runtime stats pick broadcast vs shuffle),
 - a single window shuffle on o_orderpriority for the rank.
 At 100 TB: the aggregation shuffles once on a high-cardinality key (no skew —
 custkeys are uniform); the dimension stays broadcast-able (customers «
@@ -25,19 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.registry import register
 
 FLAGSHIP_ORACLE = """
 WITH per_cust AS (
     SELECT o_custkey,
            o_orderpriority,
-           ROUND(AVG(o_totalprice), 6) AS avg_order_value,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6)        AS avg_order_value,
            COUNT(*)                    AS order_count
     FROM orders
     GROUP BY o_custkey, o_orderpriority
 ), ranked AS (
     SELECT o_orderpriority,
+           o_custkey,
            c_custkey,
            c_name,
            c_mktsegment,
@@ -45,7 +48,7 @@ WITH per_cust AS (
            order_count,
            ROW_NUMBER() OVER (
                PARTITION BY o_orderpriority
-               ORDER BY avg_order_value DESC, c_custkey ASC
+               ORDER BY avg_order_value DESC, o_custkey ASC
            ) AS rnk
     FROM per_cust
     LEFT JOIN customer ON o_custkey = c_custkey
@@ -59,22 +62,35 @@ WHERE rnk <= 5
 
 @register("flagship_top_customers", oracle=FLAGSHIP_ORACLE, tags=("pipeline", "headline"))
 def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """scan → agg → broadcast-join dim → window top-k (model-als.py:141-158 shape)."""
+    """scan → agg → join dim → window top-k (model-als.py:141-158 shape).
+
+    The average uses the repo's decimal-sum convention (exact DECIMAL(18,2)
+    sum, one double division — order-independent, so partition count can't
+    flip the hash check), the rank tiebreaks on the join's non-nullable
+    o_custkey side (Spark sorts NULLs first on ASC, DuckDB last — c_custkey
+    would diverge on any custkey missing from customer), and the customer
+    broadcast is size-gated: customer grows 1.5 M rows/SF, so the hint only
+    applies while the table is provably small, after which AQE's runtime
+    stats pick the strategy."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
 
     per_cust = orders.groupBy("o_custkey", "o_orderpriority").agg(
-        F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_order_value"),
         F.count(F.lit(1)).alias("order_count"),
     )
 
     rank_window = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("avg_order_value"), F.asc("c_custkey")
+        F.desc("avg_order_value"), F.asc("o_custkey")
     )
 
     return (
         per_cust.join(
-            F.broadcast(customer),
+            maybe_broadcast(customer, sf_dir, "customer"),
             per_cust["o_custkey"] == customer["c_custkey"],
             how="left",
         )

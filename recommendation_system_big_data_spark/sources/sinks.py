@@ -47,8 +47,11 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
         .limit(10)
     )
+    # pid-scoped output: two concurrent processes at the same sf (driver
+    # verify + bench/pytest) must not overwrite under each other's readers —
+    # the same cross-process race already fixed for bucketed table names.
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_csv")
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_csv_{os.getpid()}")
     write_single_csv(top, out)
     return spark.read.schema(top.schema).option("header", "true").csv(out)
 
@@ -67,7 +70,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     also certifies that partitioning preserved every row."""
     orders = load(spark, sf_dir, "orders")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_parquet")
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_parquet_{os.getpid()}")
     write_partitioned_parquet(orders, out, ["o_orderpriority"])
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").agg(
