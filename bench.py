@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "agg_summary",
+    "agg_summary_approx",
     "dedup_exact",
     "window_running_sum",
     "json_extract",

@@ -92,3 +92,65 @@ def sql_backtick_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         'SELECT `Doc ID`, `Lang-Code`, `Char Count` FROM v_docs_spaced WHERE `Char Count` > 200'
     )
+
+
+_EXISTS_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("sql_exists_subquery", oracle=_EXISTS_ORACLE, tags=("sql",))
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface. Catalyst rewrites the
+    subquery to a LeftSemi join on the correlation key — the same plan the
+    DataFrame left_semi form produces, so the fact side is scanned once
+    with the quantity filter pushed down and no payload columns carried."""
+    vs = _view(spark, sf_dir, "supplier")
+    vl = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT s_suppkey, s_name
+        FROM {vs} s
+        WHERE EXISTS (
+            SELECT 1 FROM {vl} l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+_SCALAR_SUBQ_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+@register("sql_scalar_subquery", oracle=_SCALAR_SUBQ_ORACLE, tags=("sql",))
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate. Catalyst evaluates the
+    1-row aggregate as its own tiny job and folds the result into the main
+    scan's filter — the fact table is read once, not self-joined. (The
+    1.9×avg comparison is float-benign: it gates a >2σ-ish tail, and row
+    membership at the boundary would need a price within one ulp of
+    exactly 1.9× the mean; the factor sits below max/avg in the quasi-uniform
+    price distribution so the tail is non-empty at every test SF.)"""
+    v = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM {v}
+        WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM {v})
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+        """
+    )

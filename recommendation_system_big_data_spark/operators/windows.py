@@ -151,3 +151,44 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS last_type,
+           ROUND(FIRST_VALUE(value) OVER w, 6) AS first_value,
+           ROUND(LAST_VALUE(value)  OVER w, 6) AS last_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit unbounded ROWS frame — the
+    session-entry/session-exit attribution shape (first touch vs last touch
+    per user). The frame must be spelled out: last_value's default frame
+    ends at CURRENT ROW, which silently returns the current row instead of
+    the partition's last. One shuffle on user_id; DISTINCT collapses the
+    per-event duplication and is fused into the same exchange set."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.round(F.first("value").over(w), 6).alias("first_value"),
+            F.round(F.last("value").over(w), 6).alias("last_value"),
+        )
+        .distinct()
+    )

@@ -245,3 +245,131 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+Q18_ORACLE = """
+WITH big_orders AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big_orders)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customers", oracle=Q18_ORACLE, tags=("pipeline",))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, expressed as a
+    semi join against the aggregated key set.
+
+    Scale shape: the big-orders key set comes from ONE map-side-combined
+    aggregate of the fact table (p99 threshold → very selective), and the
+    fact stream is then *semi*-joined on orderkey — Catalyst plans a
+    LeftSemi that carries no payload columns, and AQE broadcasts the tiny
+    key set so the lineitem stream never shuffles for the filter. The final
+    per-order rollup shuffles only the surviving ~1% of rows."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li_big = li.join(big.withColumnRenamed("l_orderkey", "bok"),
+                     li["l_orderkey"] == F.col("bok"), "left_semi")
+    return (
+        li_big.join(orders, li_big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_d) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume_d
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume", oracle=Q7_ORACLE, tags=("pipeline",))
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between a nation pair by ship year.
+
+    Both nation joins broadcast (25-row dim), the supplier side prunes to
+    the two nations BEFORE touching the fact stream (selective broadcast
+    semi-shape like q5's asia_supp), the date window pushes to the parquet
+    scan, and the OR-pair predicate applies on the enriched stream. One
+    fact shuffle (orders join via orderkey), one aggregate shuffle."""
+    nation = load(spark, sf_dir, "nation")
+    pair = {"NATION_1", "NATION_2"}
+    n_pair = nation.filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n_pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1995-01-01", "1997-12-31")
+    )
+    orders_c = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders_c, li["l_orderkey"] == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

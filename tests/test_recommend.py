@@ -7,6 +7,7 @@ from __future__ import annotations
 from recommendation_system_big_data_spark.operators.recommend import (
     TOP_K,
     als_recommend_topk,
+    als_recommend_user_subset,
     als_rmse,
     ratings_from_events,
 )
@@ -19,6 +20,19 @@ def test_rmse_within_tolerance(spark, sf_dir):
     # the ratings' own stddev. Generous bound — this is a sanity gate, not
     # a model-quality benchmark.
     assert 0.0 < row["value"] < 3.0, row
+
+
+def test_recommend_user_subset_shape(spark, sf_dir):
+    """model-als.py:131-139 parity: exactly one user, 30 flat rows with
+    contiguous rank positions, and the user is the requested (minimum) id."""
+    rows = als_recommend_user_subset(spark, sf_dir).collect()
+    assert len(rows) == 30, len(rows)
+    users = {r["user_id"] for r in rows}
+    min_user = (
+        ratings_from_events(spark, sf_dir).agg({"user_id": "min"}).collect()[0][0]
+    )
+    assert users == {min_user}
+    assert sorted(r["rank_pos"] for r in rows) == list(range(1, 31))
 
 
 def test_recommend_topk_shape(spark, sf_dir):
