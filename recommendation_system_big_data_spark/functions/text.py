@@ -263,3 +263,43 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("text",),
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: adjacent-token pairs generated inside the
+    array domain (transform over an index sequence — no self-join of the
+    token stream on position, which is the naive relational spelling and a
+    full extra shuffle), then one explode + one map-side-combined count.
+    The TakeOrderedAndProject top-20 avoids a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("l"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -420,3 +420,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+_INCREMENTAL_ORACLE = """
+WITH corpus AS (
+    SELECT md5(text) AS h FROM documents WHERE doc_id < 400
+), batch AS (
+    SELECT doc_id, md5(text) AS h, n_chars FROM documents WHERE doc_id >= 400
+)
+SELECT b.doc_id, b.n_chars
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+"""
+
+
+@register("dedup_incremental_exact", oracle=_INCREMENTAL_ORACLE, tags=("dedup",))
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a new batch (doc_id >= 400) admits only
+    documents whose content hash is absent from the existing corpus
+    (doc_id < 400) — a LEFT ANTI join on md5(text).
+
+    This is the shape every growing training corpus runs daily: the corpus
+    side reduces to a fixed-width hash column (never the text), the anti
+    join carries no corpus payload, and at 100 TB the corpus hash set lives
+    as a bucketed-by-hash table so each new batch anti-joins with zero
+    corpus shuffle (only the small batch side moves)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus_hashes = docs.filter(F.col("doc_id") < 400).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    batch = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5(F.col("text")).alias("h"), "n_chars"
+    )
+    return (
+        batch.join(corpus_hashes, "h", "left_anti")
+        .select("doc_id", "n_chars")
+    )

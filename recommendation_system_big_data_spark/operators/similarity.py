@@ -98,26 +98,71 @@ def sign_sketch(v) -> F.Column:  # type: ignore[name-defined]
     return sum(bits[1:], bits[0])
 
 
+def kmeans_centroids(e: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Deterministic Lloyd k-means over (vec_id, v) in pure DataFrame ops:
+    seeds are every 25th vector (reproducible, no RNG), then ``n_iter``
+    rounds of assign-to-nearest (one broadcast(centroids) pass, argmax
+    cosine with centroid_id tiebreak) and recompute (element-wise mean via
+    posexplode → groupBy(centroid, pos) → re-assemble sorted by position).
+
+    Scale shape: each iteration is one broadcast join over the corpus plus
+    one combiner-friendly aggregate of dim×k cells — no all-pairs work. At
+    100 TB the iterations run on a uniform SAMPLE of the corpus (centroid
+    quality converges long before full-data passes pay off) and only the
+    final assignment touches every vector."""
+    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iter):
+        assign_w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_cos"), F.asc("centroid_id")
+        )
+        assigned = (
+            e.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "centroid_id",
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+            )
+            .withColumn("arn", F.row_number().over(assign_w))
+            .filter(F.col("arn") == 1)
+        )
+        cent = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
 @register("sim_topk_ivf", oracle=None, tags=("similarity",))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: data-derived
-    coarse centroids (every 25th vector — deterministic, no RNG/k-means),
-    each vector assigned to its nearest centroid, queries probe the 4
-    nearest centroid lists and re-rank exactly. ⊘ approximate; recall vs
-    brute force gated in tests/test_similarity.py.
+    """Approximate top-k via an IVF (inverted-file) index: coarse centroids
+    from a deterministic 2-iteration Lloyd refinement (kmeans_centroids —
+    seeded by every 25th vector, no RNG anywhere, so results are stable
+    across runs AND cluster sizes), each vector assigned to its nearest
+    centroid, queries probe the 4 nearest centroid lists and re-rank
+    exactly. ⊘ approximate; recall vs brute force gated in
+    tests/test_similarity.py.
 
     Scale shape: assignment is one broadcast(centroids) pass; the probe
     joins query→probed-centroid→posting-list, touching n/n_lists·n_probe of
     the corpus instead of all of it. At 100 TB the posting lists are
     bucketed/partitioned by centroid_id so a probe is a partition-pruned
-    scan, and centroids come from a sampled k-means feeding the same plan."""
+    scan, and kmeans_centroids runs on a corpus sample feeding this plan."""
     n_probe = 4
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
+    cent = kmeans_centroids(e)
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )

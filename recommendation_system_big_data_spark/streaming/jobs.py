@@ -280,3 +280,52 @@ def run_stream_foreach_batch(
     q = ev.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
     return counts
+
+
+_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM (
+    SELECT event_id, user_id, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM events
+)
+GROUP BY event_id, user_id, event_type, value
+"""
+
+
+@register("dedup_events_replayed", oracle=_DEDUP_EVENTS_ORACLE, tags=("streaming", "dedup"))
+def dedup_events_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of at-least-once stream dedup: the event stream replayed
+    twice (union with itself — the delivery-duplicate model), then
+    dropDuplicates on the event key. The oracle certifies the deduped
+    output is exactly one row per event. One shuffle on event_id; at scale
+    this is the idempotent-ingestion primitive in every exactly-once
+    pipeline (the streaming twin below bounds its state by watermark)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return (
+        ev.unionByName(ev)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+@register("stream_dedup_replayed", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming dedup: two readStream branches over the same source
+    (an at-least-once redelivery), unioned, watermarked, then
+    dropDuplicatesWithinWatermark on event_id — state for a key is dropped
+    once the watermark passes it, so dedup state is bounded no matter how
+    long the stream runs (plain dropDuplicates on a stream retains keys
+    forever). ⊘ rows-only; parity with the batch twin asserted in
+    tests/test_streaming.py."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    dedup = (
+        a.unionByName(b)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+    )
+    return run_stream_to_memory(dedup, spark, "rsbd_stream_dedup", output_mode="append")

@@ -40,10 +40,11 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recalls = [
         len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
     ]
-    # random vectors scatter near-uniformly over coarse cells, so 4-of-20
-    # probes bounds recall near n_probe/n_lists; the gate guards the index
-    # mechanics (assignment + probe + re-rank), not ANN quality on noise.
-    assert sum(recalls) / len(recalls) >= 0.15, sum(recalls) / len(recalls)
+    # With the 2-iteration Lloyd refinement the coarse cells track the data
+    # (measured ~0.49 mean recall on random vectors at 4-of-20 probes, vs
+    # the ~n_probe/n_lists floor for arbitrary cells); the gate guards the
+    # index mechanics AND the centroid refinement staying effective.
+    assert sum(recalls) / len(recalls) >= 0.3, sum(recalls) / len(recalls)
     # every returned neighbor must be a real vector with a sane rank list
     rows = sim_topk_ivf(spark, sf_dir).collect()
     assert all(1 <= r["rn"] <= 10 for r in rows)
@@ -53,3 +54,24 @@ def test_bruteforce_deterministic(spark, sf_dir):
     a = sorted(map(str, sim_topk_bruteforce(spark, sf_dir).collect()))
     b = sorted(map(str, sim_topk_bruteforce(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    """Lloyd refinement is RNG-free: two runs yield identical centroids."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from recommendation_system_big_data_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    a = sorted(map(str, kmeans_centroids(e).collect()))
+    b = sorted(map(str, kmeans_centroids(e).collect()))
+    assert a == b
+    assert len(a) > 1

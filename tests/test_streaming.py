@@ -163,3 +163,16 @@ def test_foreach_batch_exactly_once(spark, sf_dir):
         assert written == expected
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a twice-replayed stream must yield
+    exactly the batch dedup of the same replay (one row per event)."""
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        dedup_events_replayed,
+        stream_dedup_replayed,
+    )
+
+    stream = stream_dedup_replayed(spark, sf_dir)
+    batch = dedup_events_replayed(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
