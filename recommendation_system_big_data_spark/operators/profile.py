@@ -79,15 +79,11 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
                     ).alias("mean"),
                     F.round(F.stddev_samp(col), 4).alias("stddev"),
                     F.round(F.min(col), 6).alias("min_v"),
-                    F.round(
-                        F.approx_percentile(col, qs, F.lit(APPROX_PCT_ACCURACY))[0], 6
-                    ).alias("p25"),
-                    F.round(
-                        F.approx_percentile(col, qs, F.lit(APPROX_PCT_ACCURACY))[1], 6
-                    ).alias("p50"),
-                    F.round(
-                        F.approx_percentile(col, qs, F.lit(APPROX_PCT_ACCURACY))[2], 6
-                    ).alias("p75"),
+                    # ONE GK sketch per column: the 3-quantile array aggregates
+                    # once and is unpacked in the projection below — spelling
+                    # `approx_percentile(col, ...)[i]` three times would build
+                    # three identical (un-deduplicated) sketch buffers.
+                    F.approx_percentile(col, qs, F.lit(APPROX_PCT_ACCURACY)).alias("ps"),
                     F.round(F.max(col), 6).alias("max_v"),
                 ).alias(c)
             )
@@ -96,7 +92,10 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
             .select(F.explode(F.array(*[F.col(c) for c in cols])).alias("s"))
             .select(
                 "s.col_name", "s.n", "s.mean", "s.stddev", "s.min_v",
-                "s.p25", "s.p50", "s.p75", "s.max_v",
+                F.round(F.col("s.ps")[0], 6).alias("p25"),
+                F.round(F.col("s.ps")[1], 6).alias("p50"),
+                F.round(F.col("s.ps")[2], 6).alias("p75"),
+                "s.max_v",
             )
         )
     structs = []
