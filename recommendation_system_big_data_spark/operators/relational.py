@@ -918,3 +918,132 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tags").alias("n_tags"),
         F.array_contains(F.map_keys("tags"), "lang").alias("has_lang"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+           n_orders,
+           c_name
+    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) a
+    FULL OUTER JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order counts against the customer dim —
+    customers with no orders surface with NULL n_orders (the right-side
+    preservation), and any orphan order keys would surface with NULL c_name
+    (left-side). Full outer cannot broadcast (both sides must be preserved),
+    so the plan is the shuffle join AQE picks; keys are uniform."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        agg.join(cust, agg["o_custkey"] == cust["c_custkey"], "full_outer")
+        .select(
+            F.coalesce(agg["o_custkey"], cust["c_custkey"]).alias("custkey"),
+            "n_orders",
+            "c_name",
+        )
+    )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, ROUND(median(l_quantity), 6) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+    ), counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), modal AS (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, l_quantity ASC) AS rn
+        FROM counts
+    )
+    SELECT med.l_returnflag, med.median_qty, modal.mode_qty
+    FROM med JOIN modal ON med.l_returnflag = modal.l_returnflag AND modal.rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact interpolated, = quantile_cont 0.5) and mode per group.
+    The mode is computed as count-then-rank with an explicit value tiebreak
+    rather than F.mode, whose tie resolution is engine-defined — the
+    deterministic spelling is also the scalable one (combiner-friendly
+    count, then a tiny per-group rank)."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_quantity"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(modal, "l_returnflag")
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           o_totalprice    AS price,
+           (o_totalprice > 300000) AS is_big
+    FROM orders
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: build a nested struct column, access fields via
+    dotted paths, star-expand a sub-struct back to columns — the
+    carry-a-record-through-the-pipeline shape. The oracle verifies the
+    re-flattened values (struct construction + field access must be
+    lossless)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                (F.col("o_totalprice") > 300000).alias("is_big"),
+            ).alias("money"),
+        ).alias("rec"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("rec.priority").alias("priority"),
+        F.col("rec.money.price").alias("price"),
+        F.col("rec.money.is_big").alias("is_big"),
+    )
+
+
+@register(
+    "fn_regexp_extract",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+) (\\w+)', 1) AS type_head,
+           regexp_extract(p_type, '(\\w+)$', 1)         AS type_tail,
+           CAST(regexp_matches(p_name, 'a.*e') AS BIGINT) AS name_has_ae
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + boolean match (rlike) — the log-parsing /
+    field-carving scalar surface. Pure codegen'd string ops, no UDF."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"^(\w+) (\w+)", 1).alias("type_head"),
+        F.regexp_extract(F.col("p_type"), r"(\w+)$", 1).alias("type_tail"),
+        F.col("p_name").rlike("a.*e").cast("long").alias("name_has_ae"),
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.asof",
     "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.functions.text",
+    "recommendation_system_big_data_spark.functions.pandas_fns",
     "recommendation_system_big_data_spark.functions.json_fns",
     "recommendation_system_big_data_spark.functions.datetime_fns",
     "recommendation_system_big_data_spark.sources.csv",

@@ -77,3 +77,27 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+_JSONL_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register("sink_jsonl_roundtrip", oracle=_JSONL_ORACLE, tags=("sink", "json"))
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip: write the documents table as
+    newline-delimited JSON (the interchange format every LLM-data pipeline
+    speaks), read it back through the ORIGINAL schema, and prove values
+    survive exactly (JSON string escaping round-trips unicode/control
+    chars; the explicit schema avoids type widening on read). Writers run
+    one file per partition — the parallel sink shape — and the read-back
+    is schema-pinned, never inferred (inference is a full extra pass at
+    100 TB)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_jsonl_{os.getpid()}")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
