@@ -326,3 +326,32 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+    SELECT AVG(value) AS m, STDDEV_SAMP(value) AS s FROM events
+)
+SELECT event_id, user_id, ROUND(value, 6) AS value
+FROM events, stats
+WHERE value BETWEEN m - 3 * s AND m + 3 * s
+"""
+
+
+@register("clean_outlier_filter", oracle=_OUTLIER_ORACLE, tags=("profile", "clean"))
+def clean_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier gate: keep rows within mean ± 3·stddev. The stats are
+    a 1-row aggregate broadcast-cross-joined into the scan predicate — the
+    DataFrame spelling of an uncorrelated scalar subquery; the fact table is
+    read once (twice total counting the stats pass), never self-joined.
+    (Boundary membership is float-benign: a row flips only if its 2-decimal
+    value lands within one ulp of the 3σ edge.)"""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .filter(F.col("value").between(F.col("m") - 3 * F.col("s"), F.col("m") + 3 * F.col("s")))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )

@@ -1047,3 +1047,50 @@ def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("p_type"), r"(\w+)$", 1).alias("type_tail"),
         F.col("p_name").rlike("a.*e").cast("long").alias("name_has_ae"),
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "nested"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a SORTED array — collection aggregates are
+    set-semantics (arrival order is partitioning-dependent), so any
+    oracle-comparable or downstream-joinable use must canonicalize with
+    array_sort. The distinct set is tiny per group (bounded domain), so the
+    combiner ships sets, not rows."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.array_sort(F.collect_set("l_linestatus")).alias("statuses"))
+        .select("l_returnflag", "statuses", F.size("statuses").alias("n_statuses"))
+    )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stat"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — the contingency-table helper (pairwise frequency
+    of two categoricals). Same plan class as groupBy().pivot() with a
+    count aggregate: one shuffle on the row key, columns from the (bounded)
+    value domain."""
+    ct = load(spark, sf_dir, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+    )

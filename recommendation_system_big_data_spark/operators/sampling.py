@@ -35,3 +35,19 @@ def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.8, seed=42)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register("sample_stratified", oracle=None, tags=("sampling",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key) sampling via sampleBy: different Bernoulli
+    fractions per l_returnflag stratum, fixed seed. ⊘ rows-only (sampling
+    is seed/partitioning-defined, not SQL-expressible); the per-stratum
+    rates are gated in tests/test_sampling.py. The 100 TB use is
+    class-balanced training-set extraction — one scan, no shuffle, the
+    filter evaluates per-row against the stratum's threshold."""
+    fractions = {"A": 0.2, "N": 0.05, "R": 0.1}
+    return (
+        load(spark, sf_dir, "lineitem")
+        .sampleBy("l_returnflag", fractions=fractions, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )

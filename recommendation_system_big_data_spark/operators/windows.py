@@ -192,3 +192,36 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_10m_sum
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user rolling 10-minute value sum —
+    the time-windowed-lookback shape (fraud velocity, rate limiting). RANGE
+    (unlike ROWS) includes all peers of the current timestamp, so the frame
+    is deterministic even under ts ties; ordering is on INTEGER epoch
+    microseconds — range frames need a numeric distance, and whole-second
+    truncation (unix_timestamp / epoch()) shifts boundary membership for
+    events with sub-second timestamps. One shuffle on user_id; decimal sum
+    keeps the rolling total order-independent."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_10m_sum"),
+    )
