@@ -182,3 +182,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(5).cast("long"))
         ).alias("frame_idx"),
     )
+
+
+@register(
+    "multimodal_dedup_payload",
+    oracle="""
+    SELECT md5(text)                 AS payload_md5,
+           MIN(doc_id)               AS keeper_doc_id,
+           COUNT(*)                  AS n_copies,
+           CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup by content hash: group the BINARY payload column on its
+    md5 — the image/audio twin of exact text dedup (identical bytes = same
+    asset regardless of filename/metadata). The hash computes in the scan
+    projection, so the shuffle carries 16-byte keys + counters, never the
+    payloads; at 100 TB this is the only dedup whose shuffle size is
+    independent of asset size. Perceptual (near-dup) hashing slots into the
+    same plan with pHash in place of md5 via the mapInPandas decode path."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "doc_id",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .select("payload_md5", "keeper_doc_id", "n_copies", "n_bytes")
+    )

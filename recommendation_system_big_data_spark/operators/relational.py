@@ -1094,3 +1094,65 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").cast("long").alias("F"),
         F.col("O").cast("long").alias("O"),
     )
+
+
+@register(
+    "fn_null_safe_eq",
+    oracle="""
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+    FROM documents d1 JOIN documents d2
+      ON d1.lang IS NOT DISTINCT FROM d2.lang
+     AND d1.doc_id < d2.doc_id AND d1.doc_id < 20 AND d2.doc_id < 20
+    """,
+    tags=("join", "scalar"),
+)
+def fn_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each OTHER instead of matching nothing — the semantics needed when NULL
+    is a legitimate category value (unknown language still groups with
+    unknown language). Catalyst plans <=> as a hash-join key, unlike an
+    `a = b OR (a IS NULL AND b IS NULL)` spelling, which degenerates to a
+    nested-loop."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        a.join(b, a["lang_a"].eqNullSafe(b["lang_b"]) & (a["doc_a"] < b["doc_b"]))
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT s_suppkey, s_name, NULL
+    FROM supplier WHERE s_suppkey <= 100
+    """,
+    tags=("set",),
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-mediated union of
+    heterogeneous sources — the supplier side has no balance column and gets
+    NULLs, by NAME, not by position (a positional union would silently pair
+    the wrong columns the moment one side reorders)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 100)
+        .select(
+            F.col("s_suppkey").alias("custkey"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
