@@ -58,3 +58,64 @@ def fn_pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", F.round(damped(F.col("value")), 6).alias("damped")
     )
+
+
+_SLOPE_SCHEMA = "user_id long, n long, slope double"
+
+_SLOPE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n,
+       ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 4) AS slope
+FROM events
+GROUP BY user_id
+"""
+
+
+def _slope_fn():
+    """Build the per-group OLS slope function: value vs time-in-hours,
+    numerically stabilized by centering x (the covariance/variance form
+    regr_slope also uses). Returned as a NESTED function on purpose:
+    cloudpickle serializes closures by value, so Spark's Python workers
+    never need this package importable — a module-level function would be
+    pickled by reference and fail under the driver's vanilla session."""
+
+    def slope(pdf):
+        import pandas as pd_local
+
+        x = pdf["ts_hours"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        xc = x - x.mean()
+        denom = (xc * xc).sum()
+        s = float((xc * y).sum() / denom) if denom > 0 else None
+        return pd_local.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(pdf)],
+                "slope": [None if s is None else round(s, 4)],
+            }
+        )
+
+    return slope
+
+
+@register(
+    "grouped_pandas_slope",
+    oracle=_SLOPE_ORACLE,
+    tags=("agg", "udf"),
+)
+def grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInPandas`: per-user OLS trend (value vs time) where
+    each user's events arrive as one pandas DataFrame — the custom-per-group-
+    model shape (per-entity regression/seasonality/forecast) that has no
+    built-in aggregate. One shuffle on the group key, Arrow both ways, and
+    each group must fit one executor's memory — the documented contract of
+    grouped map (bounded per-user history here; at 100 TB cap or window the
+    per-key rows first). Oracle: DuckDB's closed-form regr_slope over the
+    same centered-x arithmetic; x is scaled to hours so slopes are O(1) and
+    survive ROUND(,4) across engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3.6e9)).alias("ts_hours"),
+        "value",
+    )
+    return ev.groupBy("user_id").applyInPandas(_slope_fn(), schema=_SLOPE_SCHEMA)

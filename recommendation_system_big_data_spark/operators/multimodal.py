@@ -56,20 +56,32 @@ def decode_image(payload: bytes) -> Any:
         ) from exc
 
 
-def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake decoder: width/height/frames derived from payload
-    length. Arrow-batched — each `pdf` is a columnar batch, the real shape a
-    production decoder would use."""
-    for pdf in batches:
-        n = pdf["payload"].map(len)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": (n % 640 + 1).astype("int64"),
-                "height": (n * 7 % 480 + 1).astype("int64"),
-                "n_frames": (n % 30 + 1).astype("int64"),
-            }
-        )
+def _fake_decode_batch():
+    """Build the deterministic fake decoder: width/height/frames derived from
+    payload length. Arrow-batched — each `pdf` is a columnar batch, the real
+    shape a production decoder would use.
+
+    Returned as a NESTED function: cloudpickle serializes closures by value,
+    so Spark's Python workers never need this package on their import path —
+    a module-level function is pickled by reference and fails when the
+    driver process added the repo to sys.path only (the round driver's
+    vanilla-session, foreign-cwd condition)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pdl
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pdl.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640 + 1).astype("int64"),
+                    "height": (n * 7 % 480 + 1).astype("int64"),
+                    "n_frames": (n % 30 + 1).astype("int64"),
+                }
+            )
+
+    return decode
 
 
 _DECODE_SCHEMA = "doc_id bigint, width bigint, height bigint, n_frames bigint"
@@ -115,27 +127,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python round-trip. Partition-local: no shuffle, scales linearly."""
     media = with_binary_payload(load(spark, sf_dir, "documents"))
     return media.select("doc_id", "payload").mapInPandas(
-        _fake_decode_batch, schema=_DECODE_SCHEMA
+        _fake_decode_batch(), schema=_DECODE_SCHEMA
     )
 
 
-def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake resize: fit the fake-decoded frame into a 224×224
-    box preserving aspect ratio (integer arithmetic only)."""
-    for pdf in batches:
-        n = pdf["payload"].map(len)
-        w = (n % 640 + 1).astype("int64")
-        h = (n * 7 % 480 + 1).astype("int64")
-        scale_w = (224 * 1000) // w
-        scale_h = (224 * 1000) // h
-        scale = scale_w.combine(scale_h, min)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "out_w": (w * scale // 1000).astype("int64"),
-                "out_h": (h * scale // 1000).astype("int64"),
-            }
-        )
+def _fake_resize_batch():
+    """Build the deterministic fake resize: fit the fake-decoded frame into
+    a 224×224 box preserving aspect ratio (integer arithmetic only). Nested
+    for by-value pickling — see _fake_decode_batch."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pdl
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 1).astype("int64")
+            h = (n * 7 % 480 + 1).astype("int64")
+            scale_w = (224 * 1000) // w
+            scale_h = (224 * 1000) // h
+            scale = scale_w.combine(scale_h, min)
+            yield pdl.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": (w * scale // 1000).astype("int64"),
+                    "out_h": (h * scale // 1000).astype("int64"),
+                }
+            )
+
+    return resize
 
 
 @register(
@@ -160,7 +179,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     through two chained Pandas stages is still oracle-checkable."""
     media = with_binary_payload(load(spark, sf_dir, "documents"))
     return media.select("doc_id", "payload").mapInPandas(
-        _fake_resize_batch, schema="doc_id bigint, out_w bigint, out_h bigint"
+        _fake_resize_batch(), schema="doc_id bigint, out_w bigint, out_h bigint"
     )
 
 

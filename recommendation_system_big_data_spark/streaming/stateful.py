@@ -48,28 +48,38 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update_user_stats(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
-    )
+def _update_user_stats_fn():
+    """Build the state-update function as a CLOSURE: cloudpickle serializes
+    nested functions by value, so streaming Python workers never need this
+    package importable (a module-level function pickles by reference and
+    dies under the round driver's vanilla-session, foreign-cwd condition)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pdl
+
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pdl.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    return update
 
 
 def stateful_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user running stats with explicit state."""
     ev = events_stream(spark, sf_dir).select("user_id", "value")
     return ev.groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        _update_user_stats_fn(),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

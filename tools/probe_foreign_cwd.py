@@ -1,0 +1,20 @@
+# Probe every Python-row-path query under the WORST driver conditions:
+# vanilla session, cwd=/tmp, package only on driver sys.path.
+import os, sys
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+os.chdir("/tmp")
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]").appName("cwd-probe")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as E
+qs = E.queries()
+SF = "/root/testdata/sf0.01"
+for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+             "stream_stateful_user_stats", "fn_pandas_udf_vectorized", "grouped_pandas_slope"]:
+    try:
+        n = qs[name](spark, SF).count()
+        print("OK", name, n)
+    except Exception as e:
+        print("ERROR", name, str(e)[:120].replace("\n", " "))
+spark.stop()
