@@ -43,6 +43,12 @@ HEADLINE = [
     "dedup_exact",
     "window_running_sum",
     "json_extract",
+    # round-2 additions: the new scale-bearing paths get their own
+    # baselines (no prior-round number to compare against).
+    "q18_large_volume_customers",
+    "sim_topk_lsh",
+    "dedup_incremental_exact",
+    "grouped_pandas_slope",
 ]
 
 
