@@ -456,3 +456,84 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(corpus_hashes, "h", "left_anti")
         .select("doc_id", "n_chars")
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_ORACLE}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component
+FROM reach
+GROUP BY node
+"""
+
+#: Iteration cap for min-label propagation. Convergence needs at most the
+#: cluster diameter in rounds; near-dup clusters are dense (near-cliques),
+#: so real diameters are tiny. The cap is a runaway bound, not a tuning.
+_CC_MAX_ITERS = 15
+
+
+def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Connected components over an undirected pair list via min-label
+    propagation: every node starts labeled with its own id; each round,
+    every node takes the min of its label and its neighbors' labels; at
+    fixpoint the label is the component's minimum node id.
+
+    Each round is one equi-join (labels ⋈ edges) + one min-aggregate —
+    fully distributed, no driver-side adjacency. ``localCheckpoint`` cuts
+    the growing lineage per round (the standard iterative-algorithm
+    pattern; without it round N's plan contains all N-1 predecessors).
+    The per-round convergence check is a metadata-cheap count on the
+    changed-label frame. At 100 TB this is the same alternating
+    join/aggregate large-star step of the map-reduce CC algorithms
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    dup clusters have tiny diameters, so rounds stay in low single digits.
+    Returns (node, component)."""
+    edges = pairs.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).unionAll(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("e_src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges["e_src"] == labels["node"])
+            .select(F.col("e_dst").alias("node"), "comp")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_cluster_components", oracle=_CLUSTER_ORACLE, tags=("dedup",))
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components over the
+    3-gram-Jaccard pair list, labeling every involved doc with its
+    cluster's minimum doc_id (the canonical keeper a dedup pipeline
+    retains). This is the step pairwise dedup outputs feed at scale —
+    pairs alone over-delete when A~B and B~C but a pipeline drops both
+    B and C only if they share a component. Oracle: the same closure via
+    a recursive CTE over the identical pair query."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

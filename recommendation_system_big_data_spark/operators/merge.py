@@ -1,0 +1,116 @@
+"""Snapshot maintenance: MERGE/upsert semantics over an immutable snapshot.
+
+A 100 TB training-data pipeline is incremental: a nightly change feed
+(inserts, updates, deletes keyed by primary key) must be folded into the
+previous snapshot. Table formats (Delta/Iceberg/Hudi) expose this as
+``MERGE INTO``; on plain DataFrames the same semantics are one full-outer
+join on the key plus coalesce — which is also what those formats execute
+underneath, minus the file-level skipping. This module spells that plan
+out so the engine covers the operation without depending on a format
+library the container doesn't ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+_UPSERT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+), changes AS (
+    SELECT o_orderkey, 'U' AS op, 'U' AS new_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS new_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'D', NULL, NULL
+    FROM orders WHERE o_orderkey % 21 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'I', 'N', CAST(o_totalprice AS DOUBLE)
+    FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey)      AS o_orderkey,
+       COALESCE(c.new_orderstatus, b.o_orderstatus)   AS o_orderstatus,
+       ROUND(COALESCE(c.new_totalprice, b.o_totalprice), 6) AS o_totalprice
+FROM base b
+FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """MERGE a change feed into a snapshot.
+
+    ``changes`` columns: ``key``, ``op`` ('U'pdate / 'D'elete / 'I'nsert),
+    plus ``new_*`` payload columns overriding same-named base columns.
+    One full-outer shuffle join on the key — the identical plan shape a
+    Delta ``MERGE INTO`` compiles to. Deletes drop the base row, updates
+    coalesce change payload over base payload, inserts survive the outer
+    join with no base match. Keys are assumed unique per side (snapshot PK
+    and compacted feed); a real feed is deduplicated to last-write-wins
+    upstream (see dedup_subset for that operator)."""
+    b, c = base.alias("b"), changes.alias("c")
+    payload = [col for col in base.columns if col != key]
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    kept = joined.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+    out_cols = [F.coalesce(F.col(f"c.{key}"), F.col(f"b.{key}")).alias(key)]
+    for col in payload:
+        new = f"new_{col.split('_', 1)[1]}" if "_" in col else f"new_{col}"
+        if new in changes.columns:
+            out_cols.append(F.coalesce(F.col(f"c.{new}"), F.col(f"b.{col}")).alias(col))
+        else:
+            out_cols.append(F.col(f"b.{col}").alias(col))
+    return kept.select(*out_cols)
+
+
+@register("upsert_snapshot", oracle=_UPSERT_ORACLE, tags=("merge",))
+def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold a deterministic synthetic change feed (≈14% updates with a 10%
+    price bump, ≈5% deletes, ≈8% inserts under shifted keys, all carved
+    from the orders table by key modulus) into the orders snapshot.
+
+    The price bump is exact decimal arithmetic (2-dp price × 1-dp factor =
+    3-dp result) so both engines produce the identical double. Scale shape:
+    the snapshot shuffles once on its primary key; at 100 TB the win is
+    storing the snapshot bucketed by that key so only the (small) change
+    feed shuffles — see join_bucketed for the zero-exchange variant."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    k = F.col("o_orderkey")
+    orders = load(spark, sf_dir, "orders")
+    bumped = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.lit(1.1).cast("decimal(2,1)")
+    ).cast("double")
+    upd = orders.filter((k % 7 == 0) & (k % 21 != 0)).select(
+        k.alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("new_orderstatus"),
+        bumped.alias("new_totalprice"),
+    )
+    dele = orders.filter(k % 21 == 0).select(
+        k.alias("o_orderkey"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_orderstatus"),
+        F.lit(None).cast("double").alias("new_totalprice"),
+    )
+    ins = orders.filter(k % 13 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("new_orderstatus"),
+        F.col("o_totalprice").cast("double").alias("new_totalprice"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = apply_changes(base, changes, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )

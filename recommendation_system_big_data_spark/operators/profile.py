@@ -355,3 +355,47 @@ def clean_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").between(F.col("m") - 3 * F.col("s"), F.col("m") + 3 * F.col("s")))
         .select("event_id", "user_id", F.round("value", 6).alias("value"))
     )
+
+
+_GROUP_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(qs[1], 6) AS p25,
+       ROUND(qs[2], 6) AS p50,
+       ROUND(qs[3], 6) AS p75,
+       n_orders
+FROM (
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+)
+"""
+
+
+@register("agg_percentile_by_group", oracle=_GROUP_PCTL_ORACLE, tags=("profile",))
+def agg_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles: one F.percentile aggregate per group
+    computing all three quantiles from a single sort buffer (spelling the
+    array literal once — three separate percentile calls would build three
+    buffers; the planner does not deduplicate identical aggregates).
+
+    Exact percentiles hold the group's full value list in the aggregation
+    state, so this is only the right call when per-group cardinality is
+    bounded (5 priorities × ~300 k orders/SF here). For unbounded groups at
+    100 TB, `summarize(..., exact=False)`'s approx_percentile (bounded GK
+    sketch state) is the production path — same trade documented at
+    profile.py::agg_summary."""
+    qs = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]))
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(qs.alias("qs"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            "n_orders",
+        )
+    )

@@ -302,3 +302,43 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+_CENTROID_ORACLE = """
+SELECT label, pos,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n
+FROM (
+    SELECT label,
+           unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_ORACLE, tags=("similarity",))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (class prototypes / k-means M-step), emitted as
+    (label, dimension, value) rows rather than reassembled arrays.
+
+    posexplode flattens the corpus to one row per (vector, dimension) and a
+    single hash aggregate on (label, pos) averages each coordinate — pure
+    map-side-combine, one shuffle of (labels × dims) partial states no
+    matter how many vectors stream through, which is exactly how a 100 TB
+    corpus computes prototypes: state is O(classes × dims), data is
+    touched once. The row-per-dimension output keeps the result oracle-
+    hashable and feeds straight into a pivot or array_agg if a caller wants
+    packed vectors (see kmeans_centroids above for the packed in-engine
+    variant used by IVF). Double-precision averaging of ≤ thousands of
+    float32 values per group stays far inside the ROUND(,6) tolerance."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr("label", "posexplode(embedding) AS (pos, v)")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

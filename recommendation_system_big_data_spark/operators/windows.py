@@ -225,3 +225,75 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_10m_sum"),
     )
+
+
+_SESSIONIZE_ORACLE = """
+WITH stamped AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, us,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_idx
+    FROM stamped
+)
+SELECT user_id, session_idx,
+       COUNT(*)          AS n_events,
+       MIN(us)           AS start_us,
+       MAX(us) - MIN(us) AS duration_us
+FROM flagged
+GROUP BY user_id, session_idx
+"""
+
+#: Inactivity gap that closes a session: 12 hours in microseconds. The
+#: testdata's inter-event gaps have p50 ≈ 7.3 h and p90 ≈ 25 h, so this
+#: threshold produces real multi-event sessions rather than singletons.
+_SESSION_GAP_US = 43_200_000_000
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE, tags=("window",))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: assign each event to a per-user
+    session that closes after 12 h of inactivity, then roll up per session.
+
+    The classic lag-flag-cumsum construction: LAG finds each event's gap to
+    its predecessor, a gap over the threshold raises a new-session flag, and
+    the running sum of flags numbers the sessions. Both window passes share
+    one (user_id)-partitioned sort, so sessionization costs a single shuffle
+    regardless of how many sessions a user has — the 100 TB shape, since
+    sessions per user are unbounded but events-per-user partitions are not
+    (skewed power users are bounded by the window sort, not a cross join).
+    The per-session rollup is a second shuffle on (user_id, session_idx).
+    All outputs are exact integers (epoch microseconds), so the oracle hash
+    is float-free. Ties on ts break by event_id on both engines. Streaming
+    equivalent: session_window_agg / stream_session_windows (F.session_window
+    with a watermark); this is the batch/backfill twin of those queries.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | (F.col("us") - F.lag("us").over(order) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

@@ -305,6 +305,185 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=Q6_ORACLE, tags=("pipeline",))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate with zero joins.
+
+    At 100 TB this is the predicate-pushdown benchmark: all three filters
+    (date window, discount band, quantity cap) reach the parquet scan as
+    PushedFilters, row groups outside the date window are skipped on
+    statistics alone, and the single global sum is a map-side partial
+    aggregate per partition plus a 1-row exchange — no shuffle of data,
+    only of partial states."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q12_priority_shipments", oracle=Q12_ORACLE, tags=("pipeline",))
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode column absent in this schema, so grouped by
+    line status): fact⋈fact join with conditional counts.
+
+    orders⋈lineitem is deliberately unhinted — both sides grow with the
+    scale factor, so AQE broadcasts at test scale and sort-merges on the
+    uniform orderkey at 100 TB. The date window pushes to the lineitem
+    scan; orders is pruned to (o_orderkey, o_orderpriority) before the
+    join so the shuffle carries two columns, not the whole order row.
+    The priority flag folds into the aggregate (conditional count), so
+    there is exactly one post-join shuffle: the 2-group aggregate."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q14_ORACLE = """
+SELECT ROUND(
+         100.0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-10-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=Q14_ORACLE, tags=("pipeline",))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over one month.
+
+    The month filter cuts lineitem to ~1/80 before the join, and part is
+    pruned to (p_partkey, p_type) — but NOT hint-broadcast: part grows with
+    the scale factor (1/30 of lineitem at TPC-H ratios), so the strategy is
+    AQE's call (broadcast here, shuffle join at 100 TB). Both the promo and
+    total sums are exact decimal (order-independent); the single division
+    happens once on the driver-side 1-row result."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price())
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(disc_price()).cast("double").alias("total_rev"),
+        )
+        .select(
+            F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=Q19_ORACLE, tags=("pipeline",))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing columns from both join sides.
+
+    The disjunction references part columns (brand, size) AND lineitem
+    columns (quantity), so no branch can be fully pushed below the join —
+    but Catalyst derives the table-local residues via CNF conversion: the
+    part scan gets `brand IN (…) AND size BETWEEN 1 AND 50` and the
+    lineitem scan gets `quantity BETWEEN 1 AND 40` as pushed filters, so
+    both inputs shrink before the join and the exact 3-way predicate only
+    runs on surviving pairs. The join itself is AQE's choice (the brand
+    filter makes the part side broadcastable at any scale where ~3 brands
+    of parts fit in memory)."""
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
 Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
        CAST(SUM(volume_d) AS DOUBLE) AS revenue
