@@ -399,3 +399,53 @@ def agg_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register("agg_hll_sketch_merge", oracle=None, tags=("profile", "sketch"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg):
+    per-priority distinct-customer sketches, then ONE global estimate by
+    merging the five binary sketches with hll_union_agg — never re-touching
+    the data.
+
+    This two-level shape is the 100 TB pattern approx_count_distinct can't
+    give you: partial sketches are durable values that can be stored per
+    partition/day, merged across any grouping later, and re-estimated —
+    incremental distinct counting with no second scan. Output: one row per
+    priority plus an 'ALL' row whose estimate came only from the merge.
+    ⊘ rows-only (sketch binaries are engine-specific); the tolerance gate
+    vs exact distinct counts lives in tests/test_profile.py."""
+    per_group = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    per_group = per_group.localCheckpoint(eager=True)  # sketch once, reuse twice
+    per_rows = per_group.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_distinct_customers"),
+    )
+    merged = per_group.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_distinct_customers"),
+    )
+    return per_rows.unionByName(merged)
+
+
+@register("stat_freq_items", oracle=None, tags=("profile", "sketch"))
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via df.stat.freqItems (Karp/Papadimitriou/Shenker
+    counting): single pass, state bounded by 1/support counters per column
+    — the streaming-friendly alternative to an exact groupBy-count-sort
+    when only "which items exceed s of the mass" is needed. May include
+    false positives near the threshold (the algorithm's contract), so the
+    gate in tests/test_profile.py asserts containment of the true frequent
+    set, not equality. ⊘ rows-only: counter eviction order is partitioning-
+    dependent, so the spurious tail is not cross-engine stable. Output:
+    one row, sorted arrays for hash stability at fixed partitioning."""
+    df = load(spark, sf_dir, "orders")
+    fi = df.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    return fi.select(
+        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
+        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+    )

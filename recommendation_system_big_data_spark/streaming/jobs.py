@@ -329,3 +329,88 @@ def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
     )
     return run_stream_to_memory(dedup, spark, "rsbd_stream_dedup", output_mode="append")
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 12 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+def _attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Every (purchase, click) pair for the same user with the click in the
+    12 h before the purchase — the ad-attribution interval join. The user
+    equality is the shuffle key; the time bound is the join residual that
+    (in streaming) also bounds state retention."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 12 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+@register("attribution_click_purchase", oracle=_ATTRIBUTION_ORACLE, tags=("streaming", "join"))
+def attribution_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases matched to
+    same-user clicks in the preceding 12 h. Both sides shuffle once on
+    user_id (equi-key) and the interval predicate evaluates as the join
+    residual; at 100 TB the selective event_type filters push to the scans
+    first, so the shuffle carries only the two thin event streams."""
+    ev = load(spark, sf_dir, "events")
+    return _attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+@register("stream_stream_join_attribution", oracle=None, tags=("streaming", "join"))
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream inner join: two watermarked readStream branches
+    (purchases, clicks) joined on user + a 12 h event-time interval.
+
+    The canonical Structured Streaming form: BOTH sides carry watermarks
+    and the join condition bounds event-time distance, so the state store
+    evicts a click once the purchase-side watermark passes click_ts + 12 h
+    — state is O(events in the window), not O(stream length). Inner-join
+    matches emit append-mode in the micro-batch that completes the pair.
+    ⊘ rows-only; parity with the batch twin asserted in
+    tests/test_streaming.py."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+    )
+    joined = _attribution(purchases, clicks)
+    return run_stream_to_memory(
+        joined, spark, "rsbd_stream_attribution", output_mode="append"
+    )

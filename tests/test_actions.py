@@ -35,3 +35,22 @@ def test_schema_introspection_calls(spark, sf_dir):
     with redirect_stdout(buf):
         df.printSchema()  # :169
     assert "o_orderpriority" in buf.getvalue()
+
+
+def test_observe_metrics_piggyback_on_action(spark, sf_dir):
+    """df.observe attaches accumulator-style metrics to a real action — row
+    counts and sums arrive with the job, no second scan. The operational
+    pattern for pipeline health checks at 100 TB (counting a 100 TB input
+    twice to log progress doubles the bill)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("orders_health")
+    df = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    n = df.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["total"] > 0

@@ -52,3 +52,38 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
             3, 0.05 * r["exact_parts"]
         ), r
+
+
+def test_hll_sketch_merge_estimates_within_tolerance(spark, sf_dir):
+    """Per-group HLL estimates and the merged-sketch ALL estimate must land
+    within 5% of the exact distinct counts (standard error at default
+    lgK=12 is ~1.6%, so 5% is a stable CI bound, not a tuned pass)."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.profile import (
+        agg_hll_sketch_merge,
+    )
+
+    est = {r["scope"]: r["approx_distinct_customers"]
+           for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: r["n"]
+             for r in orders.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for scope, n in exact.items():
+        assert abs(est[scope] - n) <= 0.05 * n, (scope, est[scope], n)
+
+
+def test_freq_items_contains_true_frequent_values(spark, sf_dir):
+    """Every value with true frequency ≥ support must appear (the KPS
+    guarantee); all 5 priorities sit near 20% ≫ the 10% support."""
+    from recommendation_system_big_data_spark.operators.profile import stat_freq_items
+
+    row = stat_freq_items(spark, sf_dir).collect()[0]
+    assert {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"} <= set(
+        row["frequent_priorities"]
+    )
+    assert {"F", "O", "P"} <= set(row["frequent_statuses"])

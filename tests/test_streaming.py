@@ -176,3 +176,17 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     stream = stream_dedup_replayed(spark, sf_dir)
     batch = dedup_events_replayed(spark, sf_dir)
     assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch attribution pairs: inner-join matches are complete once
+    AvailableNow drains both sides."""
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        attribution_click_purchase,
+        stream_stream_join_attribution,
+    )
+
+    stream = stream_stream_join_attribution(spark, sf_dir)
+    batch = attribution_click_purchase(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
