@@ -449,3 +449,57 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
         F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT bucket,
+       1013.7  + bucket * ((499978.59 - 1013.7) / 20) AS lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+FROM (
+    SELECT LEAST(CAST(FLOOR((o_totalprice - 1013.7)
+                            / ((499978.59 - 1013.7) / 20)) AS BIGINT),
+                 19) AS bucket,
+           o_totalprice
+    FROM orders
+)
+GROUP BY bucket
+"""
+
+#: Fixed histogram domain: the orders.o_totalprice generator range. Fixed
+#: literals (not a min/max subquery) keep bucket edges IDENTICAL across
+#: engines and scale factors — a data-dependent edge moves with every
+#: append, which makes histograms incomparable across pipeline runs.
+_HIST_LO, _HIST_HI, _HIST_NB = 1013.7, 499978.59, 20
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE, tags=("profile",))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram as one map-side-combined aggregate: bucket =
+    floor((v - lo) / step) clamped to the last bucket, then count + exact
+    decimal mass per bucket. Arithmetic is plain IEEE double in both
+    engines (same expression, same order → bit-identical buckets); state
+    is O(buckets) no matter the input size, the EDA histogram shape that
+    replaces the reference's driver-side seaborn histplot
+    (exploratory-data-analysis.py:96-142) with a distributed aggregate."""
+    step = (_HIST_HI - _HIST_LO) / _HIST_NB
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / step).cast("long"),
+        F.lit(_HIST_NB - 1),
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("mass"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * F.lit(step)).alias("lo"),
+            "n",
+            "mass",
+        )
+    )

@@ -8,8 +8,9 @@ the pytest suite checks their statistical and determinism properties
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
@@ -50,4 +51,113 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .sampleBy("l_returnflag", fractions=fractions, seed=42)
         .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+def portable_bucket(col: Column, n: int) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, n): first 8 hex
+    digits of md5 of the key's string form, as an integer, mod n. Unlike
+    xxhash64 (JVM-specific) or rand (partitioning-dependent), md5 exists
+    with identical semantics in Spark, DuckDB, and every warehouse — so
+    split assignment is reproducible across engines, re-runs, cluster
+    sizes, and repartitionings. That reproducibility is the point of
+    hash-based splits: a row's split follows it forever (no train/test
+    leakage when the dataset is re-ingested or grows)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % n
+
+
+_HASH_SPLIT_ORACLE = """
+SELECT split, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+    SELECT CASE
+             WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           o_totalprice
+    FROM orders
+)
+GROUP BY split
+"""
+
+
+@register("split_by_hash", oracle=_HASH_SPLIT_ORACLE, tags=("sampling",))
+def split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key hash — the
+    production alternative to randomSplit for ML data: assignment is a pure
+    function of the key, so it is stable under re-ingestion, appends, and
+    any cluster size (randomSplit's assignment shifts with partitioning,
+    silently leaking rows across splits between runs). Fully SQL-
+    expressible, hence oracle-checked — the one sampling op where
+    cross-engine hash equality is provable. Output: per-split row count
+    and exact decimal value mass."""
+    bucket = portable_bucket(F.col("o_orderkey"), 100)
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+_BALANCED_ORACLE = """
+WITH target AS (
+    SELECT MIN(cnt) AS m FROM (
+        SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority
+    )
+), ranked AS (
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT),
+                        o_orderkey
+           ) AS rn
+    FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n
+FROM ranked, target
+WHERE rn <= m
+GROUP BY o_orderpriority
+"""
+
+
+@register("sample_class_balanced", oracle=_BALANCED_ORACLE, tags=("sampling",))
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: downsample every class to the
+    smallest class's size, choosing WHICH rows survive by hash order (not
+    rand()), so the balanced set is reproducible row-for-row across runs
+    and engines — the curriculum/domain-mixing primitive in training-data
+    pipelines ("cap every source at N documents").
+
+    Plan shape: one count-aggregate for the floor (broadcast as a 1-row
+    cross join), one window over the class key to rank rows, one filter.
+    The window shuffle is the cost; at 100 TB with few classes the per-
+    class partitions are huge but the rank-then-filter form still beats
+    collecting per-class counts and re-sampling (one pass, no skewed
+    reservoir on the driver). Skewed-class salting applies if one class
+    dominates (see join_salted_skew)."""
+    orders = load(spark, sf_dir, "orders")
+    floor = orders.groupBy("o_orderpriority").count().agg(
+        F.min("count").alias("m")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        portable_bucket(F.col("o_orderkey"), 1 << 62), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

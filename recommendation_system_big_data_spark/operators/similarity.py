@@ -342,3 +342,61 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_QUANTIZE_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(list_aggregate(
+           list_transform(embedding, v ->
+               CAST(LEAST(FLOOR((CAST(v AS DOUBLE) - lo) / sc), 255) AS BIGINT)),
+           'sum') AS BIGINT) AS q_sum,
+       ROUND(lo, 6) AS v_min,
+       ROUND(hi, 6) AS v_max
+FROM (
+    SELECT vec_id, embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CAST(list_max(embedding) AS DOUBLE) AS hi,
+           (CAST(list_max(embedding) AS DOUBLE)
+            - CAST(list_min(embedding) AS DOUBLE)) / 255 AS sc
+    FROM embeddings
+)
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE, tags=("similarity",))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 scalar quantization — the 4× memory compression
+    step before ANN serving (a 100 TB float32 corpus becomes 25 TB and the
+    dot products become integer SIMD). Each vector carries its own (min,
+    scale) codebook: q_i = clamp(floor((v_i - min)/scale), 0, 255).
+
+    All math is JVM-side higher-order array functions (transform /
+    aggregate) — no UDF, no explode: one projection per row regardless of
+    dimensionality. The checked output is the quantized-value checksum and
+    the codebook (exact integers + rounded bounds), engine-portable
+    because both sides evaluate the identical IEEE double expression.
+    Reconstruction-error bound (≤ one quantization step per coordinate)
+    is asserted in tests/test_similarity.py."""
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+        .withColumn("sc", (F.col("hi") - F.col("lo")) / 255)
+    )
+    quant = F.transform(
+        "embedding",
+        lambda v: F.least(
+            F.floor((v.cast("double") - F.col("lo")) / F.col("sc")), F.lit(255)
+        ).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(quant, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "q_sum"
+        ),
+        F.round("lo", 6).alias("v_min"),
+        F.round("hi", 6).alias("v_max"),
+    )

@@ -118,3 +118,52 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
         assert explain.whole_stage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    # Q6 is the pushdown benchmark: date window, discount band, and quantity
+    # cap must all appear as pushed parquet filters, and only the 4 touched
+    # columns may reach the reader.
+    from recommendation_system_big_data_spark.queries.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    pushed = explain.pushed_filters(df)
+    for col in ("l_discount", "l_quantity", "l_shipdate"):
+        assert col in pushed, pushed
+    schema = explain.read_schema(df)
+    assert "l_orderkey" not in schema and "l_tax" not in schema, schema
+
+
+def test_q19_derives_single_table_residues(spark, sf_dir):
+    # The OR-of-ANDs references both sides, so it can't push wholesale —
+    # but Catalyst must derive the part-side disjunction (brand/size) as a
+    # pushed filter so the scan shrinks before the join.
+    from recommendation_system_big_data_spark.queries.tpch import (
+        q19_disjunctive_predicates,
+    )
+
+    df = q19_disjunctive_predicates(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Brand#1" in explain.pushed_filters(df) or "Brand#1" in plan, plan
+
+
+def test_sessionize_single_sort_for_both_windows(spark, sf_dir):
+    # lag + running-sum share one (user_id) partition ordering: exactly one
+    # exchange for the window pass plus one for the per-session rollup.
+    from recommendation_system_big_data_spark.operators.windows import (
+        sessionize_events,
+    )
+
+    df = sessionize_events(spark, sf_dir)
+    assert explain.num_shuffles(df) <= 2, explain.physical_plan(df)
+
+
+def test_q18_semi_join_carries_no_payload(spark, sf_dir):
+    # The big-orders filter must plan as LeftSemi (key-only), not an inner
+    # join that duplicates lineitem rows per match.
+    from recommendation_system_big_data_spark.queries.tpch import (
+        q18_large_volume_customers,
+    )
+
+    plan = explain.physical_plan(q18_large_volume_customers(spark, sf_dir))
+    assert "LeftSemi" in plan, plan

@@ -75,3 +75,45 @@ def test_kmeans_centroids_deterministic(spark, sf_dir):
     b = sorted(map(str, kmeans_centroids(e).collect()))
     assert a == b
     assert len(a) > 1
+
+
+def test_quantization_reconstruction_error_bounded(spark, sf_dir):
+    """Dequantizing q back to lo + q*scale must land within one step of the
+    original coordinate for every dimension (floor quantization's bound)."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import load
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min("embedding").cast("double").alias("lo"),
+            F.array_max("embedding").cast("double").alias("hi"),
+        )
+        .withColumn("sc", (F.col("hi") - F.col("lo")) / 255)
+    )
+    err = e.select(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda v: F.abs(
+                    v.cast("double")
+                    - (
+                        F.col("lo")
+                        + F.least(
+                            F.floor((v.cast("double") - F.col("lo")) / F.col("sc")),
+                            F.lit(255),
+                        )
+                        * F.col("sc")
+                    )
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        F.col("sc"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("sc") * 1.000001).count()
+    assert bad == 0
