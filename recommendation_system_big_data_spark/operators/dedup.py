@@ -537,3 +537,60 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+)
+SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+           AS containment
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+"""
+
+#: Containment threshold: |A∩B| / |A| ≥ 0.9 means ≥90% of A's shingles
+#: appear in B — "A is (nearly) quoted inside B".
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| — catches a short
+    document embedded in a longer one, which symmetric Jaccard misses (a
+    1-page doc quoted in a 100-page doc has J ≈ 0.01 but containment ≈ 1).
+    This is the boilerplate/quotation detector in corpus prep.
+
+    Same inverted-index plan as dedup_ngram_jaccard (shared-shingle counts
+    via one equi-join + count aggregate, never array intersection), but
+    DIRECTED pairs and no size band — containment has no size bound, which
+    is the point. Candidates still need ≥1 shared shingle, so the join
+    stream is identical; only the finishing predicate differs."""
+    ex = _exploded_index(spark, sf_dir)
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("b.doc_id").alias("doc_container"),
+            F.col("a.n_sh").alias("n_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.col("n_a")
+    return shared.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_contained", "doc_container", F.round(cont, 6).alias("containment")
+    )

@@ -503,3 +503,84 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mass",
         )
     )
+
+
+_QUALITY_CONSTRAINT_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey)            AS null_custkey,
+       COUNT(*) - COUNT(DISTINCT o_orderkey)  AS dup_orderkey,
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1999-01-01'
+                THEN 1 ELSE 0 END)            AS future_orderdate,
+       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END)            AS invalid_status
+FROM orders
+"""
+
+
+@register("quality_constraint_report", oracle=_QUALITY_CONSTRAINT_ORACLE, tags=("profile", "clean"))
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit in ONE aggregate pass: completeness
+    (null key count), uniqueness (duplicate primary keys), range validity
+    (non-positive prices, future dates), and domain membership (status
+    enum) — every check a conditional count folded into the same partial
+    aggregation, so auditing a 100 TB table costs exactly one scan and a
+    1-row exchange, not one job per constraint. Gate the pipeline on
+    `all counts == expected` before publishing a snapshot (the batch twin
+    of the df.observe health metrics in tests/test_actions.py)."""
+    d = F.col("o_orderdate").cast("date")
+    return load(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(F.when(d > F.lit("1999-01-01").cast("date"), 1).otherwise(0)).alias(
+            "future_orderdate"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("invalid_status"),
+    )
+
+
+_SKEW_ORACLE = """
+WITH kc AS (
+    SELECT l_suppkey AS key, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+)
+SELECT COUNT(*)                                    AS n_keys,
+       CAST(SUM(c) AS BIGINT)                      AS n_rows,
+       MAX(c)                                      AS max_per_key,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)   AS top_key_share,
+       ROUND(quantile_cont(c, 0.99), 6)            AS p99_per_key,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_per_key
+FROM kc
+"""
+
+
+@register("skew_key_report", oracle=_SKEW_ORACLE, tags=("profile",))
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the distribution of rows-per-key for a
+    prospective shuffle key (two aggregates: per-key count, then count
+    statistics). max/p99/avg per key and the hottest key's share of all
+    rows are exactly the numbers that decide the strategy — share ≪ 1/parallelism
+    → plain shuffle; a hot key → salting (join_salted_skew) or AQE skew
+    split. Run this BEFORE burning a cluster-day on a skewed join; the
+    first aggregate is map-side combined so the diagnostic costs one scan
+    plus a keys-sized shuffle."""
+    kc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_key_share"),
+        F.round(F.percentile("c", F.lit(0.99)), 6).alias("p99_per_key"),
+        F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_per_key"
+        ),
+    )
