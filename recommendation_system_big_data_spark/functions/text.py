@@ -355,8 +355,16 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+    # Spread docs across the cluster BEFORE the per-shingle md5: the
+    # repartition is one thin shuffle of raw text that buys full
+    # parallelism for the hash-heavy explode (and locally defeats the
+    # driver testdata's single-row-group files, which would otherwise pin
+    # all hashing to one task). Same pattern as dedup._shingled.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
     )
     positional = docs.select(
         "doc_id",

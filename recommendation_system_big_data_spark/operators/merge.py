@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
@@ -113,4 +114,50 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_orderstatus"),
         F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+_SCD2_ORACLE = """
+SELECT o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       COALESCE(
+           strftime(LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+           '9999-12-31') AS valid_to,
+       o_orderpriority AS attr,
+       CASE WHEN LEAD(o_orderdate) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM orders
+"""
+
+
+@register("scd2_build", oracle=_SCD2_ORACLE, tags=("merge",))
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from a change log:
+    each change row opens a validity interval [its date, next change's
+    date), the latest change stays open (9999-12-31 sentinel, is_current
+    flag). One LEAD window per key — a single shuffle on the dimension key
+    regardless of history depth.
+
+    This is the historization step that makes `join_asof` (asof.py) work:
+    a fact row joins the dimension version whose [valid_from, valid_to)
+    interval contains the fact timestamp. Orders stand in for the change
+    log (customer's priority "changes" with each order); the ordering
+    carries an o_orderkey tiebreaker so same-day changes historize
+    deterministically in both engines."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        F.col("o_orderpriority").alias("attr"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )

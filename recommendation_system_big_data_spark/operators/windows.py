@@ -297,3 +297,91 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("start_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH ew AS (
+    SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+), v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t_view
+    FROM ew WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+    FROM ew e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+    FROM ew e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+    GROUP BY e.user_id
+), u AS (
+    SELECT DISTINCT user_id FROM ew
+)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+GROUP BY funnel_stage
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("window",))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: how many users progressed view → click →
+    purchase, where each step must occur AT OR AFTER the previous step's
+    first occurrence (a purchase before any click doesn't count). The
+    funnel is scoped to an analysis window (first 3 days of the event
+    history — chosen so the testdata populates all four stages; full-
+    history funnels saturate at stage 3 for every user).
+
+    Each stage is one filtered min-aggregate over the event stream joined
+    to the previous stage's firsts — three map-side-combined aggregates
+    and three joins on user_id, all shuffling only (user, timestamp)
+    pairs. The stage frames shrink monotonically (stage N ⊆ stage N-1),
+    so at 100 TB the expensive scans are the first stage; later joins are
+    against ever-smaller key sets (broadcastable once selective). Epoch-
+    microsecond comparisons keep step ordering exact."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("us") >= F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(stage.alias("funnel_stage"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
