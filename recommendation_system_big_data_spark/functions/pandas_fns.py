@@ -12,6 +12,8 @@ same machinery via mapInPandas for binary payloads.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,3 +121,171 @@ def grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return ev.groupBy("user_id").applyInPandas(_slope_fn(), schema=_SLOPE_SCHEMA)
+
+
+def _arrow_stats_fn():
+    """mapInArrow batch function, nested for by-value pickling (see
+    _slope_fn). Consumes pyarrow RecordBatches directly — no pandas
+    conversion at all, the cheapest possible Python boundary."""
+
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            v = batch.column("value")
+            absv = pc.abs(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pc.round(pc.multiply(absv, pa.scalar(2.0)), 6),
+                ],
+                names=["event_id", "double_abs"],
+            )
+
+    return batch_stats
+
+
+@register(
+    "fn_map_in_arrow",
+    oracle="""
+    SELECT event_id, ROUND(abs(value) * 2.0, 6) AS double_abs FROM events
+    """,
+    tags=("scalar", "udf"),
+)
+def fn_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the third (and cheapest) Python-boundary tier. Batches
+    arrive as raw pyarrow RecordBatches — no Arrow→pandas materialization,
+    so the per-batch overhead is a pointer handoff, not a Series build.
+    The tier ladder the engine documents: built-ins (codegen, the hot-path
+    rule) → @pandas_udf / mapInPandas (Arrow + pandas, for numpy-shaped
+    logic) → mapInArrow (Arrow only, for columnar codecs and zero-copy
+    passthroughs like the multimodal payload filters). Oracle-checked
+    against the closed-form SQL."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    return ev.mapInArrow(_arrow_stats_fn(), "event_id long, double_abs double")
+
+
+def _tail_share_udf():
+    """Iterator-of-Series pandas UDF, nested for by-value pickling. The
+    iterator form exists for expensive ONE-TIME init (model weights, a
+    tokenizer): the setup runs once per PARTITION, then streams every
+    Arrow batch through it — a plain pandas_udf would re-enter Python
+    cold for every batch with no place to hold state."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def tail_share(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        threshold = 75.0  # stand-in for "load the model once per partition"
+        for v in it:
+            yield pd.Series(np.where(v.to_numpy() >= threshold, 1.0, 0.0))
+
+    return tail_share
+
+
+@register(
+    "fn_pandas_udf_iterator",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 75.0 THEN 1.0 ELSE 0.0 END AS is_tail
+    FROM events
+    """,
+    tags=("scalar", "udf"),
+)
+def fn_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (SCALAR_ITER): per-partition init amortized
+    across all of a partition's Arrow batches — the shape for UDFs that
+    load weights/tokenizers. Oracle-checked against the closed-form
+    threshold."""
+    tail = _tail_share_udf()
+    return load(spark, sf_dir, "events").select(
+        "event_id", tail(F.col("value")).alias("is_tail")
+    )
+
+
+_COGROUP_SCHEMA = "user_id long, n_events long, n_sessions long, events_per_session double"
+
+
+def _cogroup_ratio_fn():
+    """Cogrouped-map function (nested, by-value pickled): receives BOTH
+    groups for a key — the events batch and the sessions batch — as
+    pandas frames, locally aligned. The cogroup is Spark's two-sided
+    grouped-map: a full shuffle co-partitions both inputs on the key, then
+    Python sees each key exactly once with both sides."""
+
+    def ratio(events_pdf, sessions_pdf):
+        import pandas as pd
+
+        uid = (
+            events_pdf["user_id"].iloc[0]
+            if len(events_pdf)
+            else sessions_pdf["user_id"].iloc[0]
+        )
+        n_ev = int(len(events_pdf))
+        n_sess = int(sessions_pdf["n_sessions"].iloc[0]) if len(sessions_pdf) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_ev],
+                "n_sessions": [n_sess],
+                "events_per_session": [
+                    round(n_ev / n_sess, 6) if n_sess else None
+                ],
+            }
+        )
+
+    return ratio
+
+
+@register(
+    "cogrouped_pandas_ratio",
+    oracle="""
+    WITH stamped AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+                        THEN 1 ELSE 0 END) AS n_sessions
+        FROM stamped GROUP BY user_id
+    ), ev AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT ev.user_id, ev.n_events, sess.n_sessions,
+           ROUND(CAST(ev.n_events AS DOUBLE) / sess.n_sessions, 6)
+               AS events_per_session
+    FROM ev JOIN sess ON ev.user_id = sess.user_id
+    """,
+    tags=("udf", "window"),
+)
+def cogrouped_pandas_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().cogroup().applyInPandas — the two-sided grouped-map API:
+    each user's raw events AND their per-user session count (from
+    sessionize_events' rollup) arrive together in Python, co-partitioned
+    by one shuffle each. Here the Python body is a trivial ratio (so the
+    DuckDB oracle can check the plumbing end-to-end); the real use is
+    two-sided per-key logic that SQL can't express — custom as-of
+    matching, per-key model scoring against a feature group. Hot-path
+    rule still applies: this exact ratio SHOULD be a join + division
+    (see the oracle); the query exists to keep the cogroup machinery
+    exercised and correct."""
+    from recommendation_system_big_data_spark.operators.windows import (
+        sessionize_events,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    sessions = (
+        sessionize_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_idx").alias("n_sessions"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(sessions.groupBy("user_id"))
+        .applyInPandas(_cogroup_ratio_fn(), _COGROUP_SCHEMA)
+    )

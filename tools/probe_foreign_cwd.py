@@ -11,7 +11,8 @@ import __spark_entry__ as E
 qs = E.queries()
 SF = "/root/testdata/sf0.01"
 for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
-             "stream_stateful_user_stats", "fn_pandas_udf_vectorized", "grouped_pandas_slope"]:
+             "stream_stateful_user_stats", "fn_pandas_udf_vectorized", "grouped_pandas_slope",
+             "fn_map_in_arrow", "fn_pandas_udf_iterator", "cogrouped_pandas_ratio"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
