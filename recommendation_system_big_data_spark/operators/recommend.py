@@ -201,3 +201,54 @@ def als_enriched_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+@register("als_param_grid", oracle=None, tags=("ml",))
+def als_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection over a small (rank × regParam) grid: one seeded
+    train/validation split reused across all candidates, each fit scored
+    by validation RMSE, best flagged. The reference hand-picks rank=10/
+    reg=0.1 (model-als.py:112-120); this is the loop that justifies such
+    a choice.
+
+    Scale shape: each fit is itself distributed (ALS factor updates are
+    Spark jobs), so the grid runs sequentially by design — at 100 TB the
+    cluster is saturated by ONE fit; parallelizing candidates multiplies
+    peak memory by the grid size for zero wall-clock gain once the
+    cluster is full. Candidate count stays driver-side (it is hyperparam
+    metadata, not data). ⊘ rows-only: ALS factors are solver-specific;
+    the monotone-sanity and determinism gates live in
+    tests/test_recommend.py."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    ratings = ratings_from_events(spark, sf_dir)
+    train, val = ratings.randomSplit([0.8, 0.2], seed=SEED)
+    train = train.cache()
+    val = val.cache()
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    rows = []
+    for rank in (5, 10):
+        for reg in (0.05, 0.1):
+            model = ALS(
+                userCol="user_id",
+                itemCol="item_id",
+                ratingCol="rating",
+                coldStartStrategy="drop",
+                seed=SEED,
+                maxIter=5,  # screening-depth iterations: the grid ranks
+                # candidates; the winner is refit at full depth (train_als)
+                nonnegative=True,
+                rank=rank,
+                regParam=reg,
+            ).fit(train)
+            rows.append((rank, float(reg), float(evaluator.evaluate(model.transform(val)))))
+    train.unpersist()
+    val.unpersist()
+    best = min(r[2] for r in rows)
+    out = [(r[0], r[1], round(r[2], 6), 1 if r[2] == best else 0) for r in rows]
+    return spark.createDataFrame(
+        out, "rank long, reg_param double, val_rmse double, is_best long"
+    )

@@ -45,3 +45,19 @@ def test_recommend_topk_shape(spark, sf_dir):
         per_user.setdefault(r["user_id"], []).append(r["rank_pos"])
     for user, ranks in per_user.items():
         assert sorted(ranks) == list(range(1, TOP_K + 1)), (user, ranks)
+
+
+def test_als_param_grid_deterministic_and_flags_best(spark, sf_dir):
+    """Seeded fits → identical grid on rerun; exactly one is_best row and
+    it carries the minimum validation RMSE."""
+    from recommendation_system_big_data_spark.operators.recommend import (
+        als_param_grid,
+    )
+
+    rows = sorted(als_param_grid(spark, sf_dir).collect())
+    assert len(rows) == 4
+    best = [r for r in rows if r["is_best"] == 1]
+    assert len(best) == 1
+    assert best[0]["val_rmse"] == min(r["val_rmse"] for r in rows)
+    rows2 = sorted(als_param_grid(spark, sf_dir).collect())
+    assert rows == rows2
