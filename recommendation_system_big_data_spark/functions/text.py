@@ -389,3 +389,104 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+_TRAINING_MIX_ORACLE = """
+WITH RECURSIVE scored AS (
+    SELECT doc_id, text, lang,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / greatest(len(string_split(text,' ')), 1) AS distinct_ratio,
+           md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+    FROM documents
+), filtered AS (
+    SELECT * FROM scored
+    WHERE n_tokens BETWEEN 5 AND 1000 AND distinct_ratio >= 0.1
+), deduped AS (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+    FROM filtered
+), prep AS (
+    SELECT doc_id, lang, n_tokens FROM deduped WHERE rn = 1
+), sh AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), keep AS (
+    SELECT p.doc_id, p.lang, p.n_tokens
+    FROM prep p LEFT JOIN comp c ON p.doc_id = c.node
+    WHERE c.node IS NULL OR c.component = p.doc_id
+)
+SELECT lang,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM keep
+GROUP BY lang, split
+"""
+
+
+@register("pipeline_training_mix", oracle=_TRAINING_MIX_ORACLE, tags=("text", "pipeline"))
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly line, composed from the engine's own
+    operators: quality gate + exact dedup (pipeline_corpus_prep) → NEAR-dup
+    cluster removal keeping only each component's canonical doc
+    (dedup_cluster_components — drops the non-canonical members of every
+    near-dup cluster, the over-deletion-safe way) → deterministic hash
+    split (split_by_hash's portable bucket) → per-(lang, split) doc and
+    token accounting. One oracle checks the entire composition end-to-end,
+    recursive closure included.
+
+    This is the query a 100 TB corpus runs nightly: every stage is a
+    shuffle-bounded operator already profiled in SCALING.md; composing
+    them adds NO driver-side materialization — the only loop is the CC
+    fixpoint, whose rounds are dup-cluster-diameter bounded."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_cluster_components,
+    )
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    prep = pipeline_corpus_prep(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    comp = dedup_cluster_components(spark, sf_dir)
+    keep = (
+        prep.join(comp, prep["doc_id"] == comp["doc_id"], "left")
+        .filter(comp["doc_id"].isNull() | (F.col("component") == prep["doc_id"]))
+        .select(prep["doc_id"], "lang", "n_tokens")
+    )
+    bucket = portable_bucket(F.col("doc_id"), 100)
+    return (
+        keep.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
