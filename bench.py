@@ -49,6 +49,9 @@ HEADLINE = [
     "sim_topk_lsh",
     "dedup_incremental_exact",
     "grouped_pandas_slope",
+    # round-2b: the composed corpus pipeline (prep → CC dedup → split) is
+    # the LLM-data flagship; first recorded run defines its baseline.
+    "pipeline_training_mix",
 ]
 
 

@@ -584,3 +584,38 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_per_key"
         ),
     )
+
+
+_REGR_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 4)     AS slope,
+       ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4) AS intercept,
+       ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 4)        AS r2
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_regression_stats", oracle=_REGR_ORACLE, tags=("profile",))
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS aggregates (regr_slope / regr_intercept / regr_r2):
+    per-event-type trend of value against time-in-hours, entirely JVM-side
+    — the codegen'd answer to grouped_pandas_slope (functions/pandas_fns),
+    which prices the same regression through the applyInPandas escape
+    hatch. Covariance-form partials merge associatively, so this is one
+    map-side-combined shuffle of O(groups) state. Rounded to 4 (not 6):
+    the partials accumulate double products of epoch-hour magnitudes, so
+    the last two digits are summation-order noise across engines."""
+    x = F.unix_micros("ts") / 3.6e9
+    v = F.col("value")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(v, x), 4).alias("slope"),
+            F.round(F.regr_intercept(v, x), 4).alias("intercept"),
+            F.round(F.regr_r2(v, x), 4).alias("r2"),
+        )
+    )
