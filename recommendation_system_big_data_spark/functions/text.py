@@ -490,3 +490,51 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+_PERPLEXITY_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), total AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(vocab.c / total.n)), 6) AS avg_neg_logp
+FROM tok JOIN vocab ON tok.token = vocab.token CROSS JOIN total
+GROUP BY tok.doc_id
+"""
+
+
+@register("text_unigram_surprisal", oracle=_PERPLEXITY_ORACLE, tags=("text",))
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: mean unigram surprisal −ln p(token)
+    under the corpus's own unigram LM — the cheap stand-in for the
+    model-based perplexity filters used to score pre-training text (high
+    surprisal ⇒ rare-token soup / noise; near-zero ⇒ repetitive boiler-
+    plate; both are removal candidates).
+
+    Same plan skeleton as TF-IDF: one token-stream aggregate builds the
+    vocabulary, which is broadcast (vocabulary-sized) together with the
+    1-row total back onto the stream, then one per-doc aggregate. Two
+    shuffles total; the LM "training" and the scoring share a single
+    corpus scan's worth of tokens. Per-doc averages of a few hundred
+    doubles sit far inside ROUND(,6) tolerance."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )

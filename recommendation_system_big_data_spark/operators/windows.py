@@ -385,3 +385,99 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(stage.alias("funnel_stage"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
+)
+SELECT strftime(f.first_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', f.first_day, a.day) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.first_day, day_offset
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("window",))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort start — the
+    growth-analytics staple. One min-aggregate for cohort assignment, one
+    distinct-projection of (user, day) activity, a broadcastable join
+    (firsts is one row per user, same key as the activity shuffle), and
+    the final (cohort, offset) rollup. All outputs exact (dates and
+    counts), so the retention matrix is hash-stable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "first_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT o_custkey,
+           NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+    FROM rfm
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_ORACLE, tags=("window",))
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency, frequency,
+    and monetary value (ntile over each metric, custkey tiebreak for
+    cross-engine determinism), rolled up to segment-cell counts.
+
+    Scale note: the three NTILEs are GLOBAL orderings — a single-partition
+    sort of the per-customer aggregate. That is fine while customers fit a
+    partition (one row per customer, not per order); at true 100 TB
+    customer cardinality the quartile boundaries would come from
+    approx_percentile instead and scoring becomes a stateless comparison
+    (same trade documented at agg_summary). The per-order data, which is
+    what actually scales, is reduced map-side in the first aggregate."""
+    rfm = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        rfm.select(
+            F.ntile(4).over(r).alias("r_score"),
+            F.ntile(4).over(f).alias("f_score"),
+            F.ntile(4).over(m).alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
