@@ -160,3 +160,77 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
     )
+
+
+_ZORDER_ORACLE = """
+WITH bucketed AS (
+    SELECT o_orderkey,
+           o_custkey % 65536 AS xb,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS yb
+    FROM orders
+), s1 AS (
+    SELECT o_orderkey,
+           (xb | (xb << 8)) & 16711935 AS x,
+           (yb | (yb << 8)) & 16711935 AS y
+    FROM bucketed
+), s2 AS (
+    SELECT o_orderkey,
+           (x | (x << 4)) & 252645135 AS x,
+           (y | (y << 4)) & 252645135 AS y
+    FROM s1
+), s3 AS (
+    SELECT o_orderkey,
+           (x | (x << 2)) & 858993459 AS x,
+           (y | (y << 2)) & 858993459 AS y
+    FROM s2
+), s4 AS (
+    SELECT o_orderkey,
+           (x | (x << 1)) & 1431655765 AS x,
+           (y | (y << 1)) & 1431655765 AS y
+    FROM s3
+)
+SELECT o_orderkey, x | (y << 1) AS z_key FROM s4
+"""
+
+
+def _spread_bits(col):
+    """Interleave-ready 16-bit spread (Morton encoding half): insert a zero
+    between every bit using the standard mask cascade — pure BIGINT
+    arithmetic, bit-identical in any engine."""
+    col = col.cast("long")
+    v = (col.bitwiseOR(F.shiftleft(col, 8))).bitwiseAND(F.lit(0x00FF00FF).cast("long"))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F).cast("long"))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333).cast("long"))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555).cast("long"))
+    return v
+
+
+@register("zorder_key", oracle=_ZORDER_ORACLE, tags=("layout",))
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave of (customer, order-day) — the multi-
+    dimensional clustering key. Sorting a table by z_key before writing
+    gives every file a TIGHT min/max envelope on BOTH dimensions at once,
+    so parquet row-group statistics prune scans filtered by either column
+    — the data-layout trick behind Delta/Iceberg OPTIMIZE ZORDER, here as
+    a plain deterministic projection (bit-mask cascade, no UDF, identical
+    BIGINT arithmetic in both engines).
+
+    Usage at 100 TB: `df.repartitionByRange(N, "z_key").sortWithinPartitions
+    ("z_key").write...` — range partitioning by z_key is what turns the
+    key into file-level locality. The projection itself is shuffle-free."""
+    b = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xb"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            % 65536
+        ).alias("yb"),
+    )
+    return b.select(
+        "o_orderkey",
+        _spread_bits(F.col("xb"))
+        .bitwiseOR(F.shiftleft(_spread_bits(F.col("yb")), 1))
+        .alias("z_key"),
+    )

@@ -77,3 +77,24 @@ def test_shingle_index_bounded_eviction(spark, sf_dir):
     # the evicted (oldest) frame must be unpersisted
     assert a.storageLevel.useMemory is False
     D._SHINGLE_INDEX.clear()
+
+
+def test_connected_components_converges_on_long_chains(spark):
+    """A path graph has the worst diameter for min-label propagation; two
+    10-node chains plus an isolated pair must collapse to exactly three
+    components labeled by their minimum node."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain1 = [(i, i + 1) for i in range(1, 10)]       # 1–10
+    chain2 = [(i, i + 1) for i in range(20, 29)]      # 20–29
+    pairs = spark.createDataFrame(chain1 + chain2 + [(100, 101)], ["a", "b"])
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    want = {(n, 1) for n in range(1, 11)}
+    want |= {(n, 20) for n in range(20, 30)}
+    want |= {(100, 100), (101, 100)}
+    assert got == want
