@@ -484,6 +484,51 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_ORACLE, tags=("pipeline",))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated view (the supplier(s)
+    with maximum quarterly revenue), spelled as revenue-view ⋈ 1-row max
+    — an uncorrelated scalar subquery as a broadcast cross join, the same
+    shape as clean_outlier_filter. Ties return every argmax row (exact
+    decimal revenue makes the equality well-defined cross-engine — a
+    float-summed revenue would make `= MAX` flaky). The revenue view is
+    one map-side-combined aggregate of the quarter's lineitems; supplier
+    joins AQE-decided."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
        CAST(SUM(volume_d) AS DOUBLE) AS revenue

@@ -54,3 +54,28 @@ def test_stratified_sample_rates(spark, sf_dir):
     for k, frac in fractions.items():
         expected = totals[k] * frac
         assert abs(got.get(k, 0) - expected) <= 0.5 * expected + 5, (k, got.get(k), expected)
+
+
+def test_portable_bucket_matches_reference_md5(spark):
+    """The engine's split bucket must equal the pure-Python md5 reference
+    (first 8 hex digits as int, mod 100) — the property that makes split
+    assignment reproducible outside Spark entirely."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    keys = list(range(1, 101)) + [10**12 + 7, 987654321]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", portable_bucket(F.col("k"), 100).alias("b")
+        ).collect()
+    }
+    for k in keys:
+        want = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+        assert got[k] == want, (k, got[k], want)
