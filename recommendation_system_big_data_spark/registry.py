@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.bucketing",
     "recommendation_system_big_data_spark.operators.asof",
     "recommendation_system_big_data_spark.operators.merge",
+    "recommendation_system_big_data_spark.operators.eda_export",
     "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.pandas_fns",

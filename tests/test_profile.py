@@ -87,3 +87,26 @@ def test_freq_items_contains_true_frequent_values(spark, sf_dir):
         row["frequent_priorities"]
     )
     assert {"F", "O", "P"} <= set(row["frequent_statuses"])
+
+
+def test_eda_render_stub_raises_without_matplotlib(spark, sf_dir):
+    """The data path is complete; rendering is honestly stubbed until a
+    plotting stack exists (same policy as the multimodal codec)."""
+    import pytest
+
+    from recommendation_system_big_data_spark.operators.eda_export import (
+        eda_plot_series,
+        render_eda_pngs,
+    )
+
+    pdf = eda_plot_series(spark, sf_dir).toPandas()
+    assert set(pdf["series"]) == {"hist_totalprice", "top_brands", "corr"}
+    try:
+        import matplotlib  # noqa: F401
+
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(NotImplementedError):
+            render_eda_pngs(pdf, "/tmp/eda_out")
