@@ -167,3 +167,12 @@ def test_q18_semi_join_carries_no_payload(spark, sf_dir):
 
     plan = explain.physical_plan(q18_large_volume_customers(spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_zorder_key_is_shuffle_free(spark, sf_dir):
+    # The Morton key is a pure projection — clustering cost appears only
+    # when a writer range-partitions by it, never in the key computation.
+    from recommendation_system_big_data_spark.operators.bucketing import zorder_key
+
+    df = zorder_key(spark, sf_dir)
+    assert explain.num_shuffles(df) == 0, explain.physical_plan(df)
