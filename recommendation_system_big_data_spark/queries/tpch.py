@@ -597,3 +597,261 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+Q8_ORACLE = """
+WITH all_sales AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      AND p_type = 'STANDARD'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_sales
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE, tags=("pipeline",))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's STANDARD-part
+    revenue by order year — the widest join in the repo (7 tables, the
+    fact stream touched once).
+
+    Plan shape: region→nation prunes the CUSTOMER side before any fact
+    contact (q5's trick), the supplier-nation lookup broadcasts (25 rows),
+    part is filtered to one type and pruned to its key, and orders carries
+    the date window to its scan. The share division happens after exact
+    decimal sums, so the ratio is order-independent. The conditional-sum
+    numerator (CASE WHEN nation) costs nothing extra — both sums fold into
+    the same partial aggregate."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sales = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")))
+            .cast("double")
+            .alias("num"),
+            F.sum("volume").cast("double").alias("den"),
+        )
+        .select(
+            "o_year", F.round(F.col("num") / F.col("den"), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=Q13_ORACLE, tags=("pipeline",))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders —
+    INCLUDING the zero-order customers, which forces a LEFT join with the
+    order filter in the JOIN CONDITION (in the WHERE it would silently
+    turn the join inner and drop the zeros — the classic outer-join
+    filter-placement bug, here exercised deliberately). Double aggregation:
+    per-customer count, then the count-of-counts histogram; both map-side
+    combined, the second one over at most (max orders per customer) rows."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q17_ORACLE = """
+WITH lim AS (
+    SELECT l_partkey AS pk,
+           0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*)) AS qty_limit
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+           AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN lim  ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+"""
+
+
+@register("q17_small_quantity", oracle=Q17_ORACLE, tags=("pipeline",))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand
+    — a correlated "below 20% of this part's average quantity" predicate,
+    decorrelated into a per-part aggregate joined back to the fact stream
+    (exactly what Catalyst does to the correlated subquery form).
+
+    Determinism note: the 20% limit is computed from an EXACT decimal
+    average, so both engines derive the identical double threshold —
+    a plain fp AVG would put boundary rows one ulp apart across engines.
+    Scale shape: the per-part average is map-side combined; the threshold
+    join is on the same key as the fact scan's partkey, and AQE picks the
+    strategy (the Brand#1 filter makes the part side tiny)."""
+    li = load(spark, sf_dir, "lineitem")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(lim, li["l_partkey"] == lim["pk"])
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (0, 5, 10, 15, 20)
+  AND c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2000-06-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q22_sales_opportunity", oracle=Q22_ORACLE, tags=("pipeline",))
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers (balance above the positive-
+    balance average) from selected nations with no RECENT order (nothing
+    since mid-2000; the testdata has full referential integrity, so the
+    classic never-ordered predicate would select nothing) — an
+    uncorrelated scalar subquery (broadcast 1-row cross join) plus an
+    ANTI join against the orders key set (the NOT EXISTS plan). The
+    average is an exact decimal sum / count so the balance threshold is
+    the identical double in both engines. Anti-join side carries only
+    o_custkey; at 100 TB AQE broadcasts the filtered customer side."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("2000-06-01").cast("date"))
+        .select("o_custkey")
+    )
+    eligible = (
+        cust.filter(F.col("c_nationkey").isin(0, 5, 10, 15, 20))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+    )
+    return (
+        eligible.join(
+            orders, eligible["c_custkey"] == orders["o_custkey"], "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
