@@ -619,3 +619,134 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_r2(v, x), 4).alias("r2"),
         )
     )
+
+
+_AB_TEST_ORACLE = """
+WITH assigned AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+               AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events
+    GROUP BY user_id
+)
+SELECT variant,
+       COUNT(*)                                        AS n_users,
+       CAST(SUM(converted) AS BIGINT)                  AS conversions,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+FROM assigned
+GROUP BY variant
+ORDER BY variant
+"""
+
+
+@register("ab_test_report", oracle=_AB_TEST_ORACLE, tags=("profile", "experiment"))
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with HASH-assigned variants: each user's arm
+    is the engine-portable md5 bucket of their id (sampling.portable_bucket
+    % 2), so assignment is stable across sessions, re-ingestion, engines,
+    and cluster sizes — the property that makes an experiment analyzable
+    at all (rand() assignment re-randomizes every run and poisons the
+    readout). Conversion = user ever purchased; one per-user aggregate,
+    one 2-group rollup, both map-side combined. The z-test itself is a
+    driver-side formula over this 2-row frame — the cluster's job ends at
+    the sufficient statistics."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    assigned = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            portable_bucket(F.col("user_id"), 2).alias("variant"), "converted"
+        )
+    )
+    return (
+        assigned.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("conversions"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("variant")
+    )
+
+
+_PSI_ORACLE = """
+WITH binned AS (
+    SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'ref' ELSE 'cur' END
+               AS period,
+           LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9) AS bin
+    FROM events
+), counts AS (
+    SELECT period, bin, COUNT(*) AS c FROM binned GROUP BY period, bin
+), totals AS (
+    SELECT period, SUM(c) AS t FROM counts GROUP BY period
+), props AS (
+    SELECT c.bin,
+           MAX(CASE WHEN c.period = 'ref' THEN CAST(c.c AS DOUBLE) / t.t END) AS p_ref,
+           MAX(CASE WHEN c.period = 'cur' THEN CAST(c.c AS DOUBLE) / t.t END) AS p_cur
+    FROM counts c JOIN totals t ON c.period = t.period
+    GROUP BY c.bin
+)
+SELECT bin,
+       ROUND(p_ref, 6) AS p_ref,
+       ROUND(p_cur, 6) AS p_cur,
+       ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM props
+"""
+
+
+@register("drift_psi_report", oracle=_PSI_ORACLE, tags=("profile", "experiment"))
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check: bin a monitored metric with
+    FIXED edges (data-dependent edges would move with the drift they're
+    supposed to detect), compare the first half of the event history
+    against the second, and emit the per-bin PSI terms (Σ terms > 0.2 is
+    the standard "investigate" threshold, summed by the caller or an
+    alerting query). One binned count aggregate per period out of a single
+    scan, then a bins-sized pivot join — state is O(bins), the cheapest
+    possible production drift monitor. Assumes every bin is populated in
+    both periods (true for this metric; production adds Laplace smoothing
+    to dodge empty-bin infinities)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    counts = ev.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("period").agg(F.sum("c").alias("t"))
+    props = (
+        counts.join(totals, "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "ref", F.col("c").cast("double") / F.col("t"))
+            ).alias("p_ref"),
+            F.max(
+                F.when(F.col("period") == "cur", F.col("c").cast("double") / F.col("t"))
+            ).alias("p_cur"),
+        )
+    )
+    return props.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
