@@ -538,3 +538,59 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+    SELECT doc_id,
+           i AS chunk_id,
+           t[(i * 48 + 1):(i * 48 + 64)] AS chunk
+    FROM toks,
+         UNNEST(generate_series(0,
+             CAST(CEIL(GREATEST(len(t) - 16, 1) / 48.0) AS BIGINT) - 1)) AS g(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+@register("text_chunk_documents", oracle=_CHUNK_ORACLE, tags=("text", "pipeline"))
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the split-for-context-length step
+    of every LLM training pipeline: 64-token chunks with a 16-token
+    overlap (stride 48), each chunk identified by (doc_id, chunk_id) and
+    content-hashed so downstream exact-dedup can run at CHUNK granularity
+    (near-dup docs often share most chunks — chunk-level dedup is how
+    pipelines deduplicate partially-overlapping crawls).
+
+    One explode over computed chunk indices + a per-chunk array slice:
+    all JVM higher-order functions, no UDF, no shuffle — chunking is a
+    pure flatMap-shaped projection, so it scales with the scan. The
+    chunk COUNT comes from ceil((n-overlap)/stride) so the final partial
+    window is emitted once (not both a full and a dangling tail)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.size("t") - 16, F.lit(1)).cast("double") / 48.0
+    ).cast("long")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        # 1-based slice start, matching DuckDB list slicing semantics.
+        F.slice(F.col("t"), F.col("chunk_id") * 48 + 1, 64).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_hash"),
+    )
