@@ -433,10 +433,19 @@ WITH RECURSIVE scored AS (
     SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ), comp AS (
     SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+), member AS (
+    SELECT p.doc_id, p.lang, p.n_tokens, c.component
+    FROM prep p JOIN comp c ON p.doc_id = c.node
+), keepers AS (
+    SELECT component, MIN(doc_id) AS keeper FROM member GROUP BY component
 ), keep AS (
     SELECT p.doc_id, p.lang, p.n_tokens
     FROM prep p LEFT JOIN comp c ON p.doc_id = c.node
-    WHERE c.node IS NULL OR c.component = p.doc_id
+    WHERE c.node IS NULL
+    UNION ALL
+    SELECT m.doc_id, m.lang, m.n_tokens
+    FROM member m JOIN keepers k
+      ON m.component = k.component AND m.doc_id = k.keeper
 )
 SELECT lang,
        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
@@ -453,9 +462,11 @@ GROUP BY lang, split
 def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data assembly line, composed from the engine's own
     operators: quality gate + exact dedup (pipeline_corpus_prep) → NEAR-dup
-    cluster removal keeping only each component's canonical doc
-    (dedup_cluster_components — drops the non-canonical members of every
-    near-dup cluster, the over-deletion-safe way) → deterministic hash
+    cluster removal keeping each cluster's minimum SURVIVING member
+    (dedup_cluster_components labels with the component minimum over ALL
+    docs, but that doc may itself have failed the quality gate — electing
+    the keeper among gate survivors guarantees every cluster with any
+    surviving member keeps exactly one, never zero) → deterministic hash
     split (split_by_hash's portable bucket) → per-(lang, split) doc and
     token accounting. One oracle checks the entire composition end-to-end,
     recursive closure included.
@@ -473,11 +484,19 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep = pipeline_corpus_prep(spark, sf_dir).select("doc_id", "lang", "n_tokens")
     comp = dedup_cluster_components(spark, sf_dir)
-    keep = (
-        prep.join(comp, prep["doc_id"] == comp["doc_id"], "left")
-        .filter(comp["doc_id"].isNull() | (F.col("component") == prep["doc_id"]))
-        .select(prep["doc_id"], "lang", "n_tokens")
+    member = prep.join(comp, prep["doc_id"] == comp["doc_id"]).select(
+        prep["doc_id"], "lang", "n_tokens", "component"
     )
+    keepers = member.groupBy("component").agg(F.min("doc_id").alias("keeper"))
+    clustered_keep = (
+        member.join(keepers, "component")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    unclustered = prep.join(
+        comp, prep["doc_id"] == comp["doc_id"], "left_anti"
+    ).select("doc_id", "lang", "n_tokens")
+    keep = unclustered.unionByName(clustered_keep)
     bucket = portable_bucket(F.col("doc_id"), 100)
     return (
         keep.withColumn(

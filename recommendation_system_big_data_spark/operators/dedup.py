@@ -489,13 +489,19 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
 
     Each round is one equi-join (labels ⋈ edges) + one min-aggregate —
     fully distributed, no driver-side adjacency. ``localCheckpoint`` cuts
-    the growing lineage per round (the standard iterative-algorithm
-    pattern; without it round N's plan contains all N-1 predecessors).
-    The per-round convergence check is a metadata-cheap count on the
-    changed-label frame. At 100 TB this is the same alternating
+    the growing lineage per round; this is REQUIRED, not an optimization —
+    labels is referenced three times per round (propagate join, union,
+    convergence join), so without the cut the logical plan tree triples
+    per round and the analyzer OOMs near the iteration cap. Superseded
+    rounds' checkpoint blocks are reclaimed by Spark's ContextCleaner once
+    this function drops the Python references (RDDs register for cleanup
+    on creation; unreachable ⇒ unpersisted), so storage holds O(1) live
+    frames in steady state. At 100 TB this is the same alternating
     join/aggregate large-star step of the map-reduce CC algorithms
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     dup clusters have tiny diameters, so rounds stay in low single digits.
+    Raises if the cap is hit before the fixpoint: a silently unconverged
+    labeling would mislabel any component with diameter above the cap.
     Returns (node, component)."""
     edges = pairs.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
@@ -504,6 +510,7 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     labels = edges.select(F.col("e_src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges["e_src"] == labels["node"])
@@ -520,7 +527,14 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         )
         labels = neighbor_min
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{_CC_MAX_ITERS} rounds — a component's diameter exceeds the "
+            f"cap; raise _CC_MAX_ITERS (rounds needed ≈ cluster diameter)"
+        )
     return labels
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.operators.profile import hist_bucket
 from recommendation_system_big_data_spark.registry import register
 
 _PLOT_SERIES_ORACLE = """
@@ -49,9 +50,6 @@ UNION ALL SELECT * FROM bars
 UNION ALL SELECT * FROM corr_cells
 """
 
-_HIST_LO, _HIST_HI, _HIST_NB = 1013.7, 499978.59, 20
-
-
 @register("eda_plot_series", oracle=_PLOT_SERIES_ORACLE, tags=("profile", "eda"))
 def eda_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three chart-ready series of the reference's EDA figures in long
@@ -60,14 +58,9 @@ def eda_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates unioned — the whole result is O(bins + bars + pairs) rows
     whatever the input size, which is what makes cluster-side EDA viable
     at 100 TB (the reference's toPandas-then-plot would ship the table)."""
-    step = (_HIST_HI - _HIST_LO) / _HIST_NB
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - _HIST_LO) / step).cast("long"),
-        F.lit(_HIST_NB - 1),
-    )
     hist = (
         load(spark, sf_dir, "orders")
-        .groupBy(bucket.cast("string").alias("x"))
+        .groupBy(hist_bucket(F.col("o_totalprice")).cast("string").alias("x"))
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
         .select(F.lit("hist_totalprice").alias("series"), "x", "y")
     )

@@ -25,20 +25,20 @@ WITH base AS (
            CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders
 ), changes AS (
-    SELECT o_orderkey, 'U' AS op, 'U' AS new_orderstatus,
+    SELECT o_orderkey, 'U' AS op, 'U' AS new_o_orderstatus,
            CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS new_totalprice
+                * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS new_o_totalprice
     FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
     UNION ALL
     SELECT o_orderkey, 'D', NULL, NULL
     FROM orders WHERE o_orderkey % 21 = 0
     UNION ALL
-    SELECT o_orderkey + 10000000, 'I', 'N', CAST(o_totalprice AS DOUBLE)
+    SELECT -o_orderkey - 1, 'I', 'N', CAST(o_totalprice AS DOUBLE)
     FROM orders WHERE o_orderkey % 13 = 0
 )
 SELECT COALESCE(c.o_orderkey, b.o_orderkey)      AS o_orderkey,
-       COALESCE(c.new_orderstatus, b.o_orderstatus)   AS o_orderstatus,
-       ROUND(COALESCE(c.new_totalprice, b.o_totalprice), 6) AS o_totalprice
+       COALESCE(c.new_o_orderstatus, b.o_orderstatus)   AS o_orderstatus,
+       ROUND(COALESCE(c.new_o_totalprice, b.o_totalprice), 6) AS o_totalprice
 FROM base b
 FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
 WHERE c.op IS NULL OR c.op <> 'D'
@@ -49,8 +49,11 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """MERGE a change feed into a snapshot.
 
     ``changes`` columns: ``key``, ``op`` ('U'pdate / 'D'elete / 'I'nsert),
-    plus ``new_*`` payload columns overriding same-named base columns.
-    One full-outer shuffle join on the key — the identical plan shape a
+    plus ``new_<base column>`` payload columns — the FULL base column name
+    after the prefix (``o_totalprice`` → ``new_o_totalprice``), so two base
+    columns can never collide on a shared suffix and a feed column matches
+    exactly one snapshot column. Base columns without a ``new_`` twin pass
+    through unchanged. One full-outer shuffle join on the key — the identical plan shape a
     Delta ``MERGE INTO`` compiles to. Deletes drop the base row, updates
     coalesce change payload over base payload, inserts survive the outer
     join with no base match. Keys are assumed unique per side (snapshot PK
@@ -62,7 +65,7 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     kept = joined.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
     out_cols = [F.coalesce(F.col(f"c.{key}"), F.col(f"b.{key}")).alias(key)]
     for col in payload:
-        new = f"new_{col.split('_', 1)[1]}" if "_" in col else f"new_{col}"
+        new = f"new_{col}"
         if new in changes.columns:
             out_cols.append(F.coalesce(F.col(f"c.{new}"), F.col(f"b.{col}")).alias(col))
         else:
@@ -73,7 +76,7 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
 @register("upsert_snapshot", oracle=_UPSERT_ORACLE, tags=("merge",))
 def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fold a deterministic synthetic change feed (≈14% updates with a 10%
-    price bump, ≈5% deletes, ≈8% inserts under shifted keys, all carved
+    price bump, ≈5% deletes, ≈8% inserts under negated keys (negative, so they can never collide with a real orderkey at any scale factor), all carved
     from the orders table by key modulus) into the orders snapshot.
 
     The price bump is exact decimal arithmetic (2-dp price × 1-dp factor =
@@ -93,20 +96,20 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = orders.filter((k % 7 == 0) & (k % 21 != 0)).select(
         k.alias("o_orderkey"),
         F.lit("U").alias("op"),
-        F.lit("U").alias("new_orderstatus"),
-        bumped.alias("new_totalprice"),
+        F.lit("U").alias("new_o_orderstatus"),
+        bumped.alias("new_o_totalprice"),
     )
     dele = orders.filter(k % 21 == 0).select(
         k.alias("o_orderkey"),
         F.lit("D").alias("op"),
-        F.lit(None).cast("string").alias("new_orderstatus"),
-        F.lit(None).cast("double").alias("new_totalprice"),
+        F.lit(None).cast("string").alias("new_o_orderstatus"),
+        F.lit(None).cast("double").alias("new_o_totalprice"),
     )
     ins = orders.filter(k % 13 == 0).select(
-        (k + 10_000_000).alias("o_orderkey"),
+        (-k - 1).alias("o_orderkey"),
         F.lit("I").alias("op"),
-        F.lit("N").alias("new_orderstatus"),
-        F.col("o_totalprice").cast("double").alias("new_totalprice"),
+        F.lit("N").alias("new_o_orderstatus"),
+        F.col("o_totalprice").cast("double").alias("new_o_totalprice"),
     )
     changes = upd.unionByName(dele).unionByName(ins)
     merged = apply_changes(base, changes, "o_orderkey")

@@ -420,7 +420,10 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
     )
-    per_group = per_group.localCheckpoint(eager=True)  # sketch once, reuse twice
+    # Sketch once, reuse twice (per-group rows + the union-merge branch).
+    # The 5-row checkpoint block is reclaimed by ContextCleaner once the
+    # returned frame is dereferenced — not pinned for the session.
+    per_group = per_group.localCheckpoint(eager=True)
     per_rows = per_group.select(
         F.col("o_orderpriority").alias("scope"),
         F.hll_sketch_estimate("sk").alias("approx_distinct_customers"),
@@ -470,7 +473,20 @@ GROUP BY bucket
 #: literals (not a min/max subquery) keep bucket edges IDENTICAL across
 #: engines and scale factors — a data-dependent edge moves with every
 #: append, which makes histograms incomparable across pipeline runs.
+#: Shared with eda_export.eda_plot_series via hist_bucket() so the "same
+#: histogram" can never silently diverge between the two queries.
 _HIST_LO, _HIST_HI, _HIST_NB = 1013.7, 499978.59, 20
+
+
+def hist_bucket(col):
+    """Clamped equal-width bucket index over the fixed o_totalprice domain
+    — the single definition both agg_histogram and eda_plot_series use
+    (their oracles necessarily repeat the literals; this keeps the Spark
+    side single-sourced)."""
+    step = (_HIST_HI - _HIST_LO) / _HIST_NB
+    return F.least(
+        F.floor((col - _HIST_LO) / step).cast("long"), F.lit(_HIST_NB - 1)
+    )
 
 
 @register("agg_histogram", oracle=_HISTOGRAM_ORACLE, tags=("profile",))
@@ -483,10 +499,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the reference's driver-side seaborn histplot
     (exploratory-data-analysis.py:96-142) with a distributed aggregate."""
     step = (_HIST_HI - _HIST_LO) / _HIST_NB
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - _HIST_LO) / step).cast("long"),
-        F.lit(_HIST_NB - 1),
-    )
+    bucket = hist_bucket(F.col("o_totalprice"))
     return (
         load(spark, sf_dir, "orders")
         .groupBy(bucket.alias("bucket"))

@@ -349,7 +349,9 @@ SELECT vec_id,
        len(embedding) AS n_dims,
        CAST(list_aggregate(
            list_transform(embedding, v ->
-               CAST(LEAST(FLOOR((CAST(v AS DOUBLE) - lo) / sc), 255) AS BIGINT)),
+               CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(LEAST(FLOOR((CAST(v AS DOUBLE) - lo) / sc), 255) AS BIGINT)
+               END),
            'sum') AS BIGINT) AS q_sum,
        ROUND(lo, 6) AS v_min,
        ROUND(hi, 6) AS v_max
@@ -375,9 +377,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) — no UDF, no explode: one projection per row regardless of
     dimensionality. The checked output is the quantized-value checksum and
     the codebook (exact integers + rounded bounds), engine-portable
-    because both sides evaluate the identical IEEE double expression.
-    Reconstruction-error bound (≤ one quantization step per coordinate)
-    is asserted in tests/test_similarity.py."""
+    because both sides evaluate the identical IEEE double expression;
+    constant vectors (sc = 0) quantize to bucket 0 on both engines rather
+    than dividing by zero. Reconstruction-error bound (≤ one quantization
+    step per coordinate) is asserted in tests/test_similarity.py."""
     lo = F.array_min("embedding").cast("double")
     hi = F.array_max("embedding").cast("double")
     e = (
@@ -385,11 +388,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
         .withColumn("sc", (F.col("hi") - F.col("lo")) / 255)
     )
+    # A constant vector has sc = 0; dividing would make NaNs that the two
+    # engines cast differently — map every coordinate to bucket 0 instead
+    # (the codebook (lo, sc=0) reconstructs it exactly anyway).
     quant = F.transform(
         "embedding",
-        lambda v: F.least(
-            F.floor((v.cast("double") - F.col("lo")) / F.col("sc")), F.lit(255)
-        ).cast("long"),
+        lambda v: F.when(F.col("sc") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.floor((v.cast("double") - F.col("lo")) / F.col("sc")), F.lit(255)
+            ).cast("long")
+        ),
     )
     return e.select(
         "vec_id",

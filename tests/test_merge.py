@@ -52,7 +52,7 @@ def test_apply_changes_matches_dict_model(spark):
         )
         feed = spark.createDataFrame(
             changes,
-            "o_orderkey long, op string, new_orderstatus string, new_totalprice double",
+            "o_orderkey long, op string, new_o_orderstatus string, new_o_totalprice double",
         )
         got = {
             (r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
