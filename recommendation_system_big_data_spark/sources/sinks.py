@@ -101,3 +101,36 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_jsonl_{os.getpid()}")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
+
+
+_ORC_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+WHERE o_orderkey % 5 = 0
+"""
+
+
+@register("sink_orc_roundtrip", oracle=_ORC_ORACLE, tags=("sink",))
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — the second columnar at-rest format
+    Spark ships natively (Hive-ecosystem interop; same predicate-pushdown
+    and column-pruning machinery as parquet, different reader). Values
+    must survive exactly: the oracle reads the SOURCE table, so any
+    type-mapping loss in the ORC writer/reader (decimal widening, date
+    epoch mismatch) would hash-mismatch. Pid-scoped output path keeps
+    concurrent driver/pytest/bench processes off each other's files."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_orc_{os.getpid()}")
+    orders.write.mode("overwrite").orc(out)
+    return spark.read.schema(orders.schema).orc(out)
