@@ -72,6 +72,28 @@ _loaded = False
 #: same callable, same oracle — which sorts *before* ``agg_*`` and therefore
 #: into the round-2 checked window. Canonical names remain the public API;
 #: aliases are tagged ``alias`` so bench/docs can skip them.
+#: ROUND-3 ROTATION (do this at the start of round 3): replace the tuple
+#: below with 50 names drawn from the never-driver-verified pool — every
+#: canonical query added in round 2, namely: q6/q7/q8/q12/q13/q14/q15/q17/
+#: q18/q19/q22 pipelines, sql_exists/scalar_subquery, window_first_last/
+#: range_frame, fn_explode_outer/map_ops/struct_ops/regexp_extract/
+#: pandas_udf_vectorized/pandas_udf_iterator/map_in_arrow,
+#: cogrouped_pandas_ratio, agg_summary_approx/median_mode/collect_sorted/
+#: percentile_by_group/histogram/hll_sketch_merge/regression_stats,
+#: stat_crosstab/freq_items, als_recommend_user_subset/param_grid,
+#: dedup_events_replayed/incremental_exact/cluster_components/containment,
+#: stream_dedup_replayed/stream_stream_join_attribution,
+#: attribution_click_purchase, text_bigram_freq/winnowing_fingerprint/
+#: unigram_surprisal/chunk_documents, sink_jsonl/orc_roundtrip,
+#: join_full_outer/null_safe, union_by_name_missing, clean_outlier_filter,
+#: sample_stratified/class_balanced, split_by_hash, upsert_snapshot,
+#: scd2_build, sessionize_events, funnel_conversion, cohort_retention,
+#: rfm_segmentation, zorder_key, eda_plot_series, ab_test_report,
+#: drift_psi_report, quality_constraint_report, skew_key_report,
+#: embedding_centroids/quantize_int8, json_variant_extract,
+#: multimodal_dedup_payload, grouped_pandas_slope, pipeline_training_mix.
+#: That pool exceeds one 50-name window — prioritize oracle-bearing names
+#: (hash-checked rows beat rows-only) and queue the remainder for round 4.
 _DRIVER_WINDOW_ALIASES = (
     "json_extract",
     "json_from_json",
