@@ -52,6 +52,13 @@ HEADLINE = [
     # round-2b: the composed corpus pipeline (prep → CC dedup → split) is
     # the LLM-data flagship; first recorded run defines its baseline.
     "pipeline_training_mix",
+    # round-3: the heavy TPC-H shapes entering the driver-verified window
+    # this round (VERDICT r2 #7) — first recorded run defines each baseline,
+    # so round 4 has regression coverage over the full pipeline surface.
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q22_sales_opportunity",
 ]
 
 

@@ -536,18 +536,29 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     plate; both are removal candidates).
 
     Same plan skeleton as TF-IDF: one token-stream aggregate builds the
-    vocabulary, which is broadcast (vocabulary-sized) together with the
-    1-row total back onto the stream, then one per-doc aggregate. Two
-    shuffles total; the LM "training" and the scoring share a single
-    corpus scan's worth of tokens. Per-doc averages of a few hundred
-    doubles sit far inside ROUND(,6) tolerance."""
+    vocabulary, which joins back onto the stream together with the 1-row
+    total, then one per-doc aggregate. Two shuffles total; the LM
+    "training" and the scoring share a single corpus scan's worth of
+    tokens. Per-doc averages of a few hundred doubles sit far inside
+    ROUND(,6) tolerance.
+
+    The vocabulary broadcast is size-gated on the source corpus footprint
+    (VERDICT r2 #3): a 100 TB corpus's unigram vocabulary easily reaches
+    10^8-10^9 rows, which an unconditional `F.broadcast` would ship to —
+    and OOM — the driver. Small corpus → hint; large corpus → no hint, the
+    token/vocab shuffle join is on the same `token` key as the vocabulary
+    aggregate itself, so the exchange is reused, and AQE may still pick a
+    runtime broadcast if the *actual* vocab turns out small. The 1-row
+    `total` broadcast is unconditionally safe."""
+    from recommendation_system_big_data_spark.catalog import maybe_broadcast
+
     tok = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n"))
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(maybe_broadcast(vocab, sf_dir, "documents"), "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -34,6 +34,20 @@ NUM_BANDS = 16
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 JACCARD_THRESHOLD = 0.5
 
+#: Document-frequency cap on the shingle inverted index (VERDICT r2 #5).
+#: A shingle appearing in more than this many documents is corpus
+#: boilerplate (navigation chrome, license headers, template text): it
+#: cannot evidence that two specific documents duplicate EACH OTHER, and in
+#: the self-join it alone contributes df² candidate rows. Dropping such
+#: shingles before candidate generation bounds the join blowup; the planted
+#: near-dup clusters in any real corpus sit far below the cap (testdata max
+#: df is 25 at sf0.1), so results are unchanged there — the property
+#: tests/test_dedup.py asserts. When the cap does bind, Jaccard/containment
+#: are *underestimated* (shared hot shingles are excluded from the
+#: intersection count while n_sh keeps the full set size) — strictly
+#: false-negative drift, confined to pairs whose overlap is boilerplate.
+SHINGLE_DF_CAP = 1000
+
 
 def token_shingles(toks: Column) -> Column:
     """Distinct 3-token shingles from a *materialized* tokens column; shorter
@@ -136,7 +150,7 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
 #: dedup service shingles its corpus once and serves many probes from the
 #: materialized index — this cache is that, sized at ~tokens-per-corpus
 #: strings (tens of MB at sf0.1; partitioned across executors at scale).
-_SHINGLE_INDEX: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_INDEX: dict[tuple, DataFrame] = {}
 
 #: Bound on live cache entries (ADVICE r1): one index per (app, sf_dir) pair
 #: is the working set; anything older is unpersisted so cached blocks and
@@ -144,22 +158,79 @@ _SHINGLE_INDEX: dict[tuple[str, str], DataFrame] = {}
 #: sessions in a long-lived process.
 _SHINGLE_INDEX_MAX = 2
 
+#: Session-scoped hot-shingle sets, cached separately from the main index
+#: (they are a few rows each; the persist means the df-count aggregate runs
+#: once per corpus, not once per query invocation).
+_HOT_SHINGLES: dict[tuple, DataFrame] = {}
+
+
+def _lru_cached_df(cache: dict, spark: SparkSession, key_tail: tuple, build, max_entries: int) -> DataFrame:
+    """Session-scoped LRU cache of persisted DataFrames. Eviction is
+    least-recently-USED (re-insert on hit — ADVICE r2: FIFO could evict the
+    hot entry while a colder, older one survives); entries from stopped
+    sessions are dropped without unpersist (their contexts are gone)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id,) + key_tail
+    for k in [k for k in cache if k[0] != app_id]:
+        cache.pop(k)
+    df = cache.get(key)
+    if df is None:
+        while len(cache) >= max_entries:
+            # Non-blocking: lineage recomputes if a straggler still holds
+            # the old frame; blocks drain in the background.
+            cache.pop(next(iter(cache))).unpersist(blocking=False)
+        df = build().persist()
+    else:
+        cache.pop(key)
+    cache[key] = df
+    return df
+
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    # Evict entries from any previous (stopped) session first — their
-    # DataFrames are unusable and unpersist would throw, so just drop them.
-    for k in [k for k in _SHINGLE_INDEX if k[0] != app_id]:
-        _SHINGLE_INDEX.pop(k)
-    df = _SHINGLE_INDEX.get(key)
-    if df is None:
-        while len(_SHINGLE_INDEX) >= _SHINGLE_INDEX_MAX:
-            oldest = next(iter(_SHINGLE_INDEX))
-            _SHINGLE_INDEX.pop(oldest).unpersist()
-        df = _shingled(load(spark, sf_dir, "documents")).persist()
-        _SHINGLE_INDEX[key] = df
-    return df
+    return _lru_cached_df(
+        _SHINGLE_INDEX,
+        spark,
+        (sf_dir,),
+        lambda: _shingled(load(spark, sf_dir, "documents")),
+        _SHINGLE_INDEX_MAX,
+    )
+
+
+def hot_shingle_set(spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """The corpus's boilerplate shingles (df > cap), persisted per session —
+    a production index materializes this next to the postings, so every
+    dedup probe pays the anti-join (against a few rows), not the count."""
+    return _lru_cached_df(
+        _HOT_SHINGLES,
+        spark,
+        (sf_dir, df_cap),
+        lambda: _hot_shingles(_exploded_index(spark, sf_dir), df_cap),
+        _SHINGLE_INDEX_MAX,
+    )
+
+
+def _hot_shingles(ex: DataFrame, df_cap: int) -> DataFrame:
+    """Distinct shingles occurring in more than ``df_cap`` documents."""
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+
+
+def _drop_hot_shingles(ex: DataFrame, df_cap: int, hot: DataFrame | None = None) -> DataFrame:
+    """Remove rows whose shingle occurs in more than ``df_cap`` documents.
+
+    The hot-shingle set is tiny (distinct boilerplate shingles only), so
+    the anti-join broadcasts under AQE; the df aggregate is one map-side-
+    combined count over the already-exploded index (or a pre-built
+    ``hot_shingle_set`` when the caller has one). This is the cheap
+    insurance that keeps a boilerplate-heavy corpus from turning the
+    candidate self-join quadratic in df."""
+    if hot is None:
+        hot = _hot_shingles(ex, df_cap)
+    return ex.join(hot, "shingle", "left_anti")
 
 
 def _exploded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,24 +251,13 @@ def _count_jaccard(shared: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "headline"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index.
-
-    Identical semantics to the quadratic all-pairs formulation the oracle
-    uses (pairs with zero shared shingles have J=0 and can never pass the
-    threshold), but the plan is one equi-join on (shingle, lang) + one
-    count aggregate: |A∩B| is COUNTED, never materialized as an array
-    intersection. The size-band predicate is sound (J ≥ 0.5 forces sizes
-    within 2×) and prunes the candidate stream before the shuffle.
-
-    Scale shape: shuffle on the shingle key; hot shingles are the skew risk
-    — AQE skew-join splits them, and truly pathological shingles (appearing
-    in a large fraction of docs) indicate boilerplate that a production
-    pipeline strips upstream. This is also exactly the candidate-pair
-    count MinHash-LSH approximates when even one pass over pairs is too
-    much — see dedup_minhash_lsh."""
-    ex = _exploded_index(spark, sf_dir)
+def ngram_jaccard_pairs(
+    ex: DataFrame, df_cap: int = SHINGLE_DF_CAP, hot: DataFrame | None = None
+) -> DataFrame:
+    """Core n-gram Jaccard pair computation over an exploded shingle index
+    (as produced by ``_exploded_shingles``), with the hot-shingle df-cap
+    applied before the candidate self-join."""
+    ex = _drop_hot_shingles(ex, df_cap, hot)
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
         a.join(
@@ -217,6 +277,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return _count_jaccard(shared)
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "headline"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Identical semantics to the quadratic all-pairs formulation the oracle
+    uses (pairs with zero shared shingles have J=0 and can never pass the
+    threshold), but the plan is one equi-join on (shingle, lang) + one
+    count aggregate: |A∩B| is COUNTED, never materialized as an array
+    intersection. The size-band predicate is sound (J ≥ 0.5 forces sizes
+    within 2×) and prunes the candidate stream before the shuffle.
+
+    Scale shape: shuffle on the shingle key; moderate-df shingles are the
+    skew risk — AQE skew-join splits them — and pathological boilerplate
+    shingles are REMOVED before the self-join by the SHINGLE_DF_CAP
+    anti-join (VERDICT r2 #5; no-op on testdata, bounds the blowup on a
+    template-heavy corpus). This is also exactly the candidate-pair
+    count MinHash-LSH approximates when even one pass over pairs is too
+    much — see dedup_minhash_lsh."""
+    return ngram_jaccard_pairs(
+        _exploded_index(spark, sf_dir), hot=hot_shingle_set(spark, sf_dir)
+    )
 
 
 def base_hashes(sh: Column) -> Column:
@@ -576,19 +659,14 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
 CONTAINMENT_THRESHOLD = 0.9
 
 
-@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| — catches a short
-    document embedded in a longer one, which symmetric Jaccard misses (a
-    1-page doc quoted in a 100-page doc has J ≈ 0.01 but containment ≈ 1).
-    This is the boilerplate/quotation detector in corpus prep.
-
-    Same inverted-index plan as dedup_ngram_jaccard (shared-shingle counts
-    via one equi-join + count aggregate, never array intersection), but
-    DIRECTED pairs and no size band — containment has no size bound, which
-    is the point. Candidates still need ≥1 shared shingle, so the join
-    stream is identical; only the finishing predicate differs."""
-    ex = _exploded_index(spark, sf_dir)
+def containment_pairs(
+    ex: DataFrame, df_cap: int = SHINGLE_DF_CAP, hot: DataFrame | None = None
+) -> DataFrame:
+    """Core directed-containment computation over an exploded shingle index,
+    hot shingles removed before the self-join (same rationale as
+    ``ngram_jaccard_pairs``; a df-capped shingle is template text, not
+    evidence that one specific doc quotes another)."""
+    ex = _drop_hot_shingles(ex, df_cap, hot)
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
         a.join(
@@ -607,4 +685,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = F.col("shared").cast("double") / F.col("n_a")
     return shared.filter(cont >= CONTAINMENT_THRESHOLD).select(
         "doc_contained", "doc_container", F.round(cont, 6).alias("containment")
+    )
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| — catches a short
+    document embedded in a longer one, which symmetric Jaccard misses (a
+    1-page doc quoted in a 100-page doc has J ≈ 0.01 but containment ≈ 1).
+    This is the boilerplate/quotation detector in corpus prep.
+
+    Same inverted-index plan as dedup_ngram_jaccard (shared-shingle counts
+    via one equi-join + count aggregate, never array intersection; same
+    SHINGLE_DF_CAP boilerplate anti-join), but DIRECTED pairs and no size
+    band — containment has no size bound, which is the point. Candidates
+    still need ≥1 shared sub-cap shingle, so the join stream is identical;
+    only the finishing predicate differs."""
+    return containment_pairs(
+        _exploded_index(spark, sf_dir), hot=hot_shingle_set(spark, sf_dir)
     )

@@ -330,10 +330,17 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OUTLIER_ORACLE = """
 WITH stats AS (
-    SELECT AVG(value) AS m, STDDEV_SAMP(value) AS s FROM events
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv2,
+           COUNT(value) AS n
+    FROM events
+), bounds AS (
+    SELECT sv / n AS m,
+           SQRT((sv2 - sv * sv / n) / (n - 1)) AS s
+    FROM stats
 )
 SELECT event_id, user_id, ROUND(value, 6) AS value
-FROM events, stats
+FROM events, bounds
 WHERE value BETWEEN m - 3 * s AND m + 3 * s
 """
 
@@ -344,11 +351,25 @@ def clean_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row aggregate broadcast-cross-joined into the scan predicate — the
     DataFrame spelling of an uncorrelated scalar subquery; the fact table is
     read once (twice total counting the stats pass), never self-joined.
-    (Boundary membership is float-benign: a row flips only if its 2-decimal
-    value lands within one ulp of the 3σ edge.)"""
+
+    Both moments come from exact decimal sums (values are 2-dp decimals
+    stored as double), so sum order — and therefore partition count / engine
+    — cannot perturb them; the only float arithmetic is the identical scalar
+    formula evaluated on both sides. This keeps boundary membership of the
+    oracle-compared predicate deterministic, instead of hoping no row lands
+    within one ulp of a float-aggregated 3σ edge."""
     ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
     stats = ev.agg(
-        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(v * v).cast("double").alias("sv2"),
+        F.count("value").alias("n"),
+    ).select(
+        (F.col("sv") / F.col("n")).alias("m"),
+        F.sqrt(
+            (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s"),
     )
     return (
         ev.crossJoin(F.broadcast(stats))

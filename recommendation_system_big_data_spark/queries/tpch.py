@@ -763,11 +763,26 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism note: the 20% limit is computed from an EXACT decimal
     average, so both engines derive the identical double threshold —
     a plain fp AVG would put boundary rows one ulp apart across engines.
-    Scale shape: the per-part average is map-side combined; the threshold
-    join is on the same key as the fact scan's partkey, and AQE picks the
-    strategy (the Brand#1 filter makes the part side tiny)."""
+    Scale shape (VERDICT r2 #2): the per-part average is computed only over
+    lineitems of Brand#1 parts — a left-semi join BEFORE the aggregate —
+    instead of aggregating every part's lineitems and discarding ~99.9% of
+    the result at the subsequent join. Per-part averages are unchanged by
+    the restriction (the semi-join drops whole parts, never individual
+    lineitems of a kept part). The aggregate is map-side combined; the
+    threshold join is on the same key as the fact scan's partkey, and AQE
+    picks the strategy (the Brand#1 filter makes the part side tiny)."""
     li = load(spark, sf_dir, "lineitem")
-    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_brand = li.join(
+        part.select(F.col("p_partkey").alias("sk")),
+        li["l_partkey"] == F.col("sk"),
+        "left_semi",
+    )
+    lim = li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
             0.2
             * (
@@ -775,11 +790,6 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             )
         ).alias("qty_limit")
-    )
-    part = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#1")
-        .select("p_partkey")
     )
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])

@@ -61,90 +61,80 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 _loaded = False
 
-#: Driver-verification window aliases (round 2).
+#: Driver-verification window aliases (round 3 rotation).
 #:
 #: The correctness driver records at most 50 queries per round, taken in
-#: alphabetical order of the registry names. Round 1 verified the first 50
-#: (``agg_approx_count_distinct`` .. ``join_semi``, CORRECTNESS_r01.json);
-#: the remaining 51 names sorted past the cap and got no driver row. Per
-#: VERDICT.md "Next round" #1, each of those (minus ``random_split``,
-#: rows-only by design and pytest-covered) gets an ``a0_``-prefixed alias —
-#: same callable, same oracle — which sorts *before* ``agg_*`` and therefore
-#: into the round-2 checked window. Canonical names remain the public API;
-#: aliases are tagged ``alias`` so bench/docs can skip them.
-#: ROUND-3 ROTATION (do this at the start of round 3): replace the tuple
-#: below with 50 names drawn from the never-driver-verified pool — every
-#: canonical query added in round 2, namely: q6/q7/q8/q12/q13/q14/q15/q17/
-#: q18/q19/q22 pipelines, sql_exists/scalar_subquery, window_first_last/
-#: range_frame, fn_explode_outer/map_ops/struct_ops/regexp_extract/
-#: pandas_udf_vectorized/pandas_udf_iterator/map_in_arrow,
-#: cogrouped_pandas_ratio, agg_summary_approx/median_mode/collect_sorted/
-#: percentile_by_group/histogram/hll_sketch_merge/regression_stats,
-#: stat_crosstab/freq_items, als_recommend_user_subset/param_grid,
-#: dedup_events_replayed/incremental_exact/cluster_components/containment,
-#: stream_dedup_replayed/stream_stream_join_attribution,
-#: attribution_click_purchase, text_bigram_freq/winnowing_fingerprint/
-#: unigram_surprisal/chunk_documents, sink_jsonl/orc_roundtrip,
-#: join_full_outer/null_safe, union_by_name_missing, clean_outlier_filter,
-#: sample_stratified/class_balanced, split_by_hash, upsert_snapshot,
-#: scd2_build, sessionize_events, funnel_conversion, cohort_retention,
-#: rfm_segmentation, zorder_key, eda_plot_series, ab_test_report,
-#: drift_psi_report, quality_constraint_report, skew_key_report,
-#: embedding_centroids/quantize_int8, json_variant_extract,
-#: multimodal_dedup_payload, grouped_pandas_slope, pipeline_training_mix.
-#: That pool exceeds one 50-name window — prioritize oracle-bearing names
-#: (hash-checked rows beat rows-only) and queue the remainder for round 4.
+#: alphabetical order of the registry names. ``a0_``-prefixed aliases (same
+#: callable, same oracle as the canonical entry) sort before every canonical
+#: name and therefore fill the round's checked window. Round 1 verified the
+#: first 50 canonical names (CORRECTNESS_r01.json); round 2's aliases covered
+#: the next 50 (CORRECTNESS_r02.json). This round-3 window holds 49
+#: oracle-bearing names from the 73-name never-driver-verified pool plus
+#: ``random_split`` (rows-only by design; VERDICT r2 asked for its row
+#: explicitly). Canonical names remain the public API; aliases are tagged
+#: ``alias`` so bench/docs can skip them.
+#:
+#: ROUND-4 QUEUE (the 23 pool names that did not fit this window — rotate
+#: these in next round, oracle-bearing first):
+#:   oracle-bearing (15): ab_test_report, agg_collect_sorted,
+#:     attribution_click_purchase, dedup_events_replayed, drift_psi_report,
+#:     eda_plot_series, fn_explode_outer, fn_map_ops, fn_regexp_extract,
+#:     fn_struct_ops, quality_constraint_report, skew_key_report,
+#:     stat_crosstab, window_first_last, zorder_key
+#:   rows-only (8): agg_hll_sketch_merge, agg_summary_approx, als_param_grid,
+#:     als_recommend_user_subset, sample_stratified, stat_freq_items,
+#:     stream_dedup_replayed, stream_stream_join_attribution
 _DRIVER_WINDOW_ALIASES = (
-    "json_extract",
-    "json_from_json",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pipeline_corpus_prep",
-    "project_computed",
-    "project_named",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rename_col",
-    "roundtrip_pandas",
-    "sample_frac",
-    "scan_csv_headerless",
-    "scan_csv_schema",
-    "scan_parquet",
-    "schema_introspection",
-    "session_window_agg",
-    "set_except",
-    "set_intersect",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sink_csv_roundtrip",
-    "sink_parquet_partitioned",
-    "sliding_window_agg",
-    "sort_limit_topk",
-    "sql_backtick_names",
-    "sql_surface_agg",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_stateful_user_stats",
-    "stream_tumbling_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_hash",
-    "text_tfidf",
-    "text_token_count",
-    "topk_per_user",
-    "tumbling_window_agg",
-    "union_pos",
-    "unnest_recs",
-    "window_lag_lead",
-    "window_ntile_dist",
-    "window_rank_dense",
-    "window_running_sum",
+    "agg_histogram",
+    "agg_median_mode",
+    "agg_percentile_by_group",
+    "agg_regression_stats",
+    "clean_outlier_filter",
+    "cogrouped_pandas_ratio",
+    "cohort_retention",
+    "dedup_cluster_components",
+    "dedup_containment",
+    "dedup_incremental_exact",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "fn_map_in_arrow",
+    "fn_null_safe_eq",
+    "fn_pandas_udf_iterator",
+    "fn_pandas_udf_vectorized",
+    "funnel_conversion",
+    "grouped_pandas_slope",
+    "join_full_outer",
+    "json_variant_extract",
+    "multimodal_dedup_payload",
+    "pipeline_training_mix",
+    "q12_priority_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "random_split",
+    "rfm_segmentation",
+    "sample_class_balanced",
+    "scd2_build",
+    "sessionize_events",
+    "sink_jsonl_roundtrip",
+    "sink_orc_roundtrip",
+    "split_by_hash",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "text_bigram_freq",
+    "text_chunk_documents",
+    "text_unigram_surprisal",
+    "text_winnowing_fingerprint",
+    "union_by_name_missing",
+    "upsert_snapshot",
+    "window_range_frame",
 )
 
 
@@ -167,6 +157,11 @@ def load_all_modules() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     for canon in _DRIVER_WINDOW_ALIASES:
+        if canon not in _REGISTRY:
+            raise RuntimeError(
+                f"driver-window alias target {canon!r} is not a registered "
+                "query — fix the _DRIVER_WINDOW_ALIASES rotation list"
+            )
         q = _REGISTRY[canon]
         alias = f"a0_{canon}"
         _REGISTRY[alias] = QueryDef(

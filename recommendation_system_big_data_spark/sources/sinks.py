@@ -9,7 +9,10 @@ fully parallel (no coalesce(1) on big data — ever).
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +20,50 @@ from pyspark.sql import functions as F
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
 from recommendation_system_big_data_spark.sources.csv import FIXTURE_ROOT
+
+#: Sink outputs are pid-scoped (`<sf>_sink_<kind>_<pid>`) so concurrent
+#: driver/pytest/bench processes never overwrite under each other's readers.
+#: ADVICE r2: that fixed the race but leaked one directory per process
+#: forever. Lifecycle now: each process removes its own dirs at exit, and
+#: module import sweeps any dir whose owning pid is no longer alive
+#: (covering processes that died before their atexit ran).
+_SINK_DIR_RE = re.compile(r"_sink_[a-z]+_(\d+)$")
+_OWNED_SINK_DIRS: set[str] = set()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_stale_sink_dirs() -> None:
+    if not os.path.isdir(FIXTURE_ROOT):
+        return
+    for name in os.listdir(FIXTURE_ROOT):
+        m = _SINK_DIR_RE.search(name)
+        if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(FIXTURE_ROOT, name), ignore_errors=True)
+
+
+@atexit.register
+def _cleanup_own_sink_dirs() -> None:
+    for d in _OWNED_SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_sweep_stale_sink_dirs()
+
+
+def _sink_dir(sf_dir: str, kind: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_{kind}_{os.getpid()}")
+    _OWNED_SINK_DIRS.add(out)
+    return out
 
 
 def write_single_csv(df: DataFrame, path: str) -> None:
@@ -50,8 +97,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-scoped output: two concurrent processes at the same sf (driver
     # verify + bench/pytest) must not overwrite under each other's readers —
     # the same cross-process race already fixed for bucketed table names.
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_csv_{os.getpid()}")
+    out = _sink_dir(sf_dir, "csv")
     write_single_csv(top, out)
     return spark.read.schema(top.schema).option("header", "true").csv(out)
 
@@ -69,8 +115,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The read-back groupBy hits exactly the partition column, so the oracle
     also certifies that partitioning preserved every row."""
     orders = load(spark, sf_dir, "orders")
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_parquet_{os.getpid()}")
+    out = _sink_dir(sf_dir, "parquet")
     write_partitioned_parquet(orders, out, ["o_orderpriority"])
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").agg(
@@ -97,8 +142,7 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_jsonl_{os.getpid()}")
+    out = _sink_dir(sf_dir, "jsonl")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
 
@@ -130,7 +174,6 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
     )
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(FIXTURE_ROOT, f"{sf_name}_sink_orc_{os.getpid()}")
+    out = _sink_dir(sf_dir, "orc")
     orders.write.mode("overwrite").orc(out)
     return spark.read.schema(orders.schema).orc(out)

@@ -79,6 +79,52 @@ def test_shingle_index_bounded_eviction(spark, sf_dir):
     D._SHINGLE_INDEX.clear()
 
 
+def test_df_cap_is_noop_on_testdata(spark, sf_dir):
+    """VERDICT r2 #5: the SHINGLE_DF_CAP boilerplate anti-join must not
+    change results on the test corpus (max shingle df 25 at sf0.1, far
+    below the production cap) — capped and effectively-uncapped runs must
+    emit identical pair sets."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        _exploded_index,
+        ngram_jaccard_pairs,
+    )
+
+    ex = _exploded_index(spark, sf_dir)
+    capped = ngram_jaccard_pairs(ex)  # default SHINGLE_DF_CAP
+    uncapped = ngram_jaccard_pairs(ex, df_cap=10**9)
+    assert _pairs(capped) == _pairs(uncapped)
+
+
+def test_df_cap_bounds_boilerplate_blowup(spark):
+    """On a template-heavy corpus (every doc shares one boilerplate
+    sentence), uncapped candidate generation goes quadratic in the corpus
+    while a binding cap removes the boilerplate shingles entirely: the
+    planted true near-dup pair survives, the n² boilerplate-only pairs do
+    not."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        _exploded_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved contact us terms of service"
+    # 8 boiler tokens + 2 unique → 6 of 8 shingles shared between any two
+    # docs → J = 6/10 ≥ 0.5 for every one of the C(40,2) boilerplate pairs
+    docs = [(i, "en", f"{boiler} id{i} x{i}") for i in range(40)]
+    # planted near-dup pair: identical long bodies, distinct from the rest
+    twin = "the quick brown fox jumps over the lazy dog again and again today"
+    docs += [(100, "en", twin), (101, "en", twin + " extra")]
+    ex = _exploded_shingles(
+        spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    )
+    uncapped = _pairs(ngram_jaccard_pairs(ex, df_cap=10**9))
+    capped = _pairs(ngram_jaccard_pairs(ex, df_cap=10))
+    assert (100, 101) in capped
+    # boilerplate-only pairs pass J>=0.5 uncapped (shared sentence dominates
+    # the short docs) but are dropped once its shingles exceed the cap
+    assert len(uncapped) > len(capped)
+    assert all(a == 100 for a, _ in capped), capped
+
+
 def test_connected_components_converges_on_long_chains(spark):
     """A path graph has the worst diameter for min-label propagation; two
     10-node chains plus an isolated pair must collapse to exactly three
