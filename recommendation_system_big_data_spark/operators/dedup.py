@@ -704,3 +704,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _exploded_index(spark, sf_dir), hot=hot_shingle_set(spark, sf_dir)
     )
+
+
+_PARAGRAPH_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+    SELECT doc_id,
+           i AS block_id,
+           array_to_string(toks[(i * 16 + 1):(i * 16 + 16)], ' ') AS block
+    FROM t,
+         UNNEST(generate_series(0,
+             CAST(CEIL(len(toks) / 16.0) AS BIGINT) - 1)) AS g(i)
+), c AS (
+    SELECT block, COUNT(*) AS cnt FROM b GROUP BY block
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       ROUND(CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM b JOIN c ON b.block = c.block
+GROUP BY b.doc_id
+"""
+
+
+@register("dedup_paragraph_exact", oracle=_PARAGRAPH_ORACLE, tags=("dedup", "text"))
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the CCNet/RefinedWeb
+    line-dedup step: score every document by how much of it is repeated
+    verbatim ELSEWHERE in the corpus. The driver corpus has no newlines, so
+    "paragraph" is a non-overlapping 16-token block (the same granularity a
+    line split would give prose); a block is duplicated when its exact text
+    occurs more than once corpus-wide. Downstream, a pipeline drops
+    documents by `dup_ratio` or strips just the duplicated blocks.
+
+    Plan: one explode to (doc, block), one count aggregate on the block
+    text, one join back keyed on the same value, one per-doc rollup — two
+    shuffles plus a key-aligned join. At 100 TB the block key shuffles as
+    md5(block) fixed width (here raw text keeps the oracle comparable);
+    block frequency is Zipfian but the count aggregate is map-side combined
+    and the join key is the AGGREGATED (distinct-block) side, so no skew
+    amplification."""
+    toks = F.split(F.col("text"), " ")
+    blocks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("toks") / F.lit(16.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16)),
+                )
+            ).alias("block_id", "block"),
+        )
+    )
+    counts = blocks.groupBy("block").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        blocks.join(counts, "block")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(dup).alias("n_dup_blocks"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )

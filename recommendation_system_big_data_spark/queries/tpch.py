@@ -865,3 +865,420 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+Q2_ORACLE = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+), costed AS (
+    SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+           MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+    FROM part
+    JOIN ps ON l_partkey = p_partkey
+    JOIN eu ON s_suppkey = l_suppkey
+    WHERE p_type = 'SMALL' AND p_size < 15
+)
+SELECT ROUND(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM costed
+WHERE s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE, tags=("pipeline",))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) achieving
+    the per-part minimum — the classic correlated-MIN subquery, decorrelated
+    into a window MIN over the join product (exactly Catalyst's rewrite of
+    the correlated form). The driver testdata has no partsupp table, so the
+    part↔supplier relation is DISTINCT (l_partkey, l_suppkey) from lineitem
+    and the minimized measure is s_acctbal in place of ps_supplycost; the
+    plan shape — region-filtered supplier dim, relation join, per-part
+    windowed min, equality filter, global top-k — is Q2's.
+
+    Scale: the window partitions on p_partkey (high cardinality, uniform);
+    the EUROPE supplier side is broadcast while provably small. The
+    min-equality compares raw stored doubles (no arithmetic), so boundary
+    membership is engine-exact. Final ORDER BY carries a full tiebreaker
+    chain so the LIMIT is deterministic."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "SMALL") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_brand")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        part.join(ps, part["p_partkey"] == ps["l_partkey"])
+        .join(eu, ps["l_suppkey"] == eu["s_suppkey"])
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=Q4_ORACLE, tags=("pipeline",))
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: one-quarter order window, EXISTS against the fact
+    table, count by priority. (The reference predicate l_commitdate <
+    l_receiptdate uses columns the driver testdata lacks; the stand-in
+    EXISTS — "has a returned lineitem" — preserves the semi-join-then-
+    aggregate plan exactly.)
+
+    The EXISTS plans as LeftSemi keyed on l_orderkey: no lineitem payload,
+    no duplication of orders rows with multiple matches. The quarter filter
+    is pushed to the orders scan; at 100 TB AQE picks broadcast-vs-shuffle
+    for the semi join by the filtered orders size."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-10-01").cast("date"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey  = l_partkey
+JOIN supplier ON s_suppkey  = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, CAST(strftime(o_orderdate, '%Y') AS BIGINT)
+"""
+
+
+@register("q9_product_profit", oracle=Q9_ORACLE, tags=("pipeline",))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation × order
+    year — the five-table fact join with a substring part filter. (No
+    partsupp in the driver testdata: cost is p_retailprice × l_quantity in
+    place of ps_supplycost × l_quantity; identical join/aggregate shape,
+    one fewer join.)
+
+    Per-row profit is a single exact decimal expression (revenue − cost,
+    aligned scales), so the sum is order-independent. The %gear% filter
+    prunes part before the join (pushed, ~1/8 of parts); nation is hinted
+    broadcast (25 rows at any SF), part/supplier/orders joins are AQE's
+    call. Aggregate keys (nation, year) are low-cardinality → partial
+    aggregation collapses the stream map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = disc_price() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+Q11_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+       > (SELECT 0.02 * SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier)
+ORDER BY nation_bal DESC, n_name ASC
+"""
+
+
+@register("q11_important_balance", oracle=Q11_ORACLE, tags=("pipeline",))
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group share filtered against a global scalar
+    aggregate (HAVING SUM(...) > fraction × global SUM) — the grouped
+    aggregate and the scalar subquery scan the same table once each, and
+    the comparison stays in exact decimal arithmetic on BOTH sides of both
+    engines, so threshold membership cannot flip. (partsupp-free stand-in:
+    supplier account balance per nation vs 2% of the global balance.)
+
+    Plan: two aggregates + a 1-row broadcast cross join; nothing shuffles
+    twice. At 100 TB the global aggregate is a map-side-combined single
+    row — the cheapest possible second pass."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    bal = F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+    total = sup.agg(
+        (bal * F.lit("0.02").cast("decimal(3,2)")).alias("thresh")
+    )
+    return (
+        sup.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(bal.alias("bal_dec"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("bal_dec") > F.col("thresh"))
+        .select(
+            "n_name", F.col("bal_dec").cast("double").alias("nation_bal")
+        )
+        .orderBy(F.desc("nation_bal"), F.asc("n_name"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_part_count", oracle=Q16_ORACLE, tags=("pipeline",))
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding an unwanted supplier set (NOT IN subquery → anti join; the
+    "customer complaints" predicate becomes negative account balance on the
+    partsupp-free schema).
+
+    The part↔supplier relation is DISTINCT pairs from lineitem — at 100 TB
+    that distinct is the dominant shuffle and is keyed uniformly; the
+    excluded-supplier set is tiny → broadcast anti join; COUNT(DISTINCT)
+    expands to a two-phase aggregate (distinct-combine then count) on
+    (brand, type, size) keys."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+Q20_ORACLE = """
+WITH shipped AS (
+    SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_suppkey
+), threshold AS (
+    SELECT CAST(SUM(qty) AS DOUBLE) / (2 * COUNT(*)) AS half_avg FROM shipped
+)
+SELECT s_name, ROUND(s_acctbal, 6) AS s_acctbal
+FROM supplier, threshold
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                    WHERE CAST(qty AS DOUBLE) > half_avg)
+ORDER BY s_name
+"""
+
+
+@register("q20_promotion_suppliers", oracle=Q20_ORACLE, tags=("pipeline",))
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries three levels deep — suppliers
+    IN (suppliers whose shipped quantity of (parts IN name-filtered set)
+    over one year beats a derived threshold). Each IN decorrelates to a
+    semi join; the aggregate threshold is "half the average per-supplier
+    quantity" standing in for the availqty comparison (no partsupp table).
+
+    Scale: the part-name semi join prunes lineitem before the per-supplier
+    aggregate (same aggregate-after-semi-join discipline as q17); the
+    threshold is a broadcast 1-row cross join; the final supplier semi join
+    carries keys only. All quantities sum as exact decimals, so the
+    threshold double is engine-identical."""
+    small_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    threshold = shipped.agg(
+        (
+            F.sum("qty").cast("double") / (2 * F.count(F.lit(1)))
+        ).alias("half_avg")
+    )
+    qualifying = (
+        shipped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty").cast("double") > F.col("half_avg"))
+        .select("l_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R'
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+@register("q21_waiting_suppliers", oracle=Q21_ORACLE, tags=("pipeline",))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame detector — suppliers whose returned
+    lines sit in finalized multi-supplier orders where NO other supplier
+    returned anything. One correlated EXISTS and one correlated NOT EXISTS
+    against the same fact table, both on the order key with a supplier
+    inequality. (Returnflag stands in for the receipt-after-commit lateness
+    columns the driver testdata lacks; the three-way correlated plan is
+    Q21's.)
+
+    Plan shape: both subqueries become key-plus-filter semi/anti joins on
+    l_orderkey (the inequality rides along as a join residual — still hash
+    joins, not nested loops). The l2 side carries DISTINCT (orderkey,
+    suppkey) so the semi probe stream is minimal; at 100 TB all three
+    lineitem passes shuffle on the same uniform l_orderkey."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    pairs = li.distinct().select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    )
+    returned_pairs = l1.distinct().select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    waiting = (
+        l1.join(orders_f, l1["l_orderkey"] == orders_f["o_orderkey"], "left_semi")
+        .join(
+            pairs,
+            (F.col("l_orderkey") == F.col("p_orderkey"))
+            & (F.col("l_suppkey") != F.col("p_suppkey")),
+            "left_semi",
+        )
+        .join(
+            returned_pairs,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_suppkey") != F.col("r_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(supplier, waiting["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

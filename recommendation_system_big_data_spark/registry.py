@@ -84,6 +84,11 @@ _loaded = False
 #:   rows-only (8): agg_hll_sketch_merge, agg_summary_approx, als_param_grid,
 #:     als_recommend_user_subset, sample_stratified, stat_freq_items,
 #:     stream_dedup_replayed, stream_stream_join_attribution
+#:   round-3 additions (also never driver-verified yet): q2_min_cost_supplier,
+#:     q4_priority_exists, q9_product_profit, q11_important_balance,
+#:     q16_supplier_part_count, q20_promotion_suppliers, q21_waiting_suppliers,
+#:     dedup_paragraph_exact, dim_enriched_window_agg (all oracle-bearing) and
+#:     stream_static_dim_join (rows-only) — 33 total for the round-4 window.
 _DRIVER_WINDOW_ALIASES = (
     "agg_histogram",
     "agg_median_mode",

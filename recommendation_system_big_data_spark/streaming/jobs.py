@@ -414,3 +414,70 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stream_to_memory(
         joined, spark, "rsbd_stream_attribution", output_mode="append"
     )
+
+
+_ENRICHED_ORACLE = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 15 MINUTES, ts))) AS BIGINT)
+           AS window_start,
+       c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY time_bucket(INTERVAL 15 MINUTES, ts), c_mktsegment
+"""
+
+
+@register("dim_enriched_window_agg", oracle=_ENRICHED_ORACLE, tags=("streaming",))
+def dim_enriched_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment: events joined to the
+    customer dimension on user_id, then tumbling 15-minute windows per
+    market segment. The hash-checked twin of `stream_static_dim_join`."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from recommendation_system_big_data_spark.catalog import maybe_broadcast
+
+    return (
+        ev.join(
+            maybe_broadcast(cust, sf_dir, "customer"),
+            ev["user_id"] == cust["c_custkey"],
+        )
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register("stream_static_dim_join", oracle=None, tags=("streaming",))
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming stream-static join: the watermarked event stream is
+    enriched against the STATIC customer dimension (re-read per micro-batch
+    by Structured Streaming — the canonical pattern for dimension lookups
+    in a streaming ETL; at scale the static side is a broadcast or a
+    bucketed store, and slowly-changing dims swap in scd2_build's output).
+    ⊘ rows-only; tests assert parity with `dim_enriched_window_agg`."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, spark, "rsbd_stream_static_join")

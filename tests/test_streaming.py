@@ -190,3 +190,14 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = stream_stream_join_attribution(spark, sf_dir)
     batch = attribution_click_purchase(spark, sf_dir)
     assert _as_set(stream) == _as_set(batch)
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        dim_enriched_window_agg,
+        stream_static_dim_join,
+    )
+
+    stream = stream_static_dim_join(spark, sf_dir)
+    batch = dim_enriched_window_agg(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
