@@ -1,0 +1,313 @@
+"""Corpus-quality and safety operators for the training-data pipeline:
+Gopher-style quality rules, n-gram repetition signals, benchmark
+decontamination, and PII scan/redact.
+
+These extend the reference's EDA/profiling surface
+(exploratory-data-analysis.py:105-160 computes per-column null audits and
+descriptive stats) to the document domain: the same "profile then gate"
+discipline, applied per-document at corpus scale. Everything is built-in
+`pyspark.sql.functions` — explode/aggregate/regexp — so the whole module
+runs inside whole-stage codegen with zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.functions.text import STOPWORDS, _SW_SQL
+from recommendation_system_big_data_spark.registry import register
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) t
+    GROUP BY doc_id, word
+), g AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT)  AS n_words,
+           CAST(COUNT(*) AS BIGINT)  AS n_distinct_words,
+           ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_word_ratio,
+           ROUND(CAST(SUM(len(word) * cnt) AS DOUBLE) / SUM(cnt), 6) AS mean_word_len,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_word_share,
+           ROUND(CAST(SUM(CASE WHEN word IN {_SW_SQL.replace("[", "(").replace("]", ")")}
+                                THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt), 6)
+               AS stopword_ratio
+    FROM w GROUP BY doc_id
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND top_word_share <= 0.2
+        AND dup_word_ratio <= 0.7) AS gopher_pass
+FROM g
+"""
+
+
+@register("text_gopher_quality", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality report (Rae et al. 2021 §A1.1 class of
+    filters): word count bounds, mean word length band, top-word dominance,
+    duplicate-word mass, stopword ratio, and the combined pass flag.
+
+    Plan: one explode to (doc, word), a (doc, word) count aggregate, a
+    per-doc rollup — both aggregates map-side combined, keyed on doc_id so
+    the second shuffle is narrow. Every ratio is exact-integer / exact-
+    integer in double, so the comparison thresholds are engine-exact and
+    the pass flag cannot flip between engines. At 100 TB this is the
+    standard two-shuffle wordcount skeleton; no state grows with corpus
+    size beyond the (doc, distinct-word) stream."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_words = F.sum("cnt")
+    per_doc = words.groupBy("doc_id").agg(
+        n_words.cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.round(1 - F.count(F.lit(1)).cast("double") / n_words, 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(
+            F.sum(F.length("word") * F.col("cnt")).cast("double") / n_words, 6
+        ).alias("mean_word_len"),
+        F.round(F.max("cnt").cast("double") / n_words, 6).alias("top_word_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("word").isin(*STOPWORDS), F.col("cnt")).otherwise(0)
+            ).cast("double")
+            / n_words,
+            6,
+        ).alias("stopword_ratio"),
+    )
+    return per_doc.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("top_word_share") <= 0.2)
+        & (F.col("dup_word_ratio") <= 0.7),
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), bg AS (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+    FROM t
+), bc AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g
+), b AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_share
+    FROM bc GROUP BY doc_id
+), tg AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+    FROM t
+), tc AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM tg GROUP BY doc_id, g
+), tr AS (
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_trigram_share
+    FROM tc GROUP BY doc_id
+)
+SELECT b.doc_id, n_bigrams, top_bigram_share, n_trigrams, top_trigram_share
+FROM b JOIN tr ON b.doc_id = tr.doc_id
+"""
+
+
+def _ngrams(n: int) -> F.Column:
+    """Adjacent n-grams generated inside the array domain (no positional
+    self-join — that spelling costs a full extra shuffle)."""
+    parts = ", ".join(f"element_at(l, i + {j})" for j in range(n))
+    return F.expr(
+        f"transform(sequence(1, greatest(size(l) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+
+
+@register(
+    "text_repetition_topngram", oracle=_REPETITION_ORACLE, tags=("text", "quality")
+)
+def text_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: the mass of the single most frequent
+    bigram / trigram within each document — the filter that catches
+    boilerplate loops and template spam that unigram stats miss.
+
+    Two explode→count→rollup pipelines (one per n) joined on doc_id; both
+    rollups key on doc_id so the final join is co-partitioned with zero
+    extra shuffle under AQE. Shares are exact-int/exact-int doubles.
+    The greatest(...,0) guard keeps sequence() ascending for degenerate
+    sub-n-token documents (Spark's sequence(1,0) would DESCEND)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+
+    def share(n: int, n_name: str, s_name: str) -> DataFrame:
+        return (
+            toks.select("doc_id", F.explode(_ngrams(n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias(n_name),
+                F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(s_name),
+            )
+        )
+
+    return share(2, "n_bigrams", "top_bigram_share").join(
+        share(3, "n_trigrams", "top_trigram_share"), "doc_id"
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+    FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS s(i)
+), h AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), c AS (
+    SELECT g.doc_id, g.gram, (h.gram IS NOT NULL) AS hit
+    FROM g LEFT JOIN h ON g.gram = h.gram
+    WHERE g.doc_id % 97 <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS contamination_ratio
+FROM c GROUP BY doc_id
+"""
+
+
+@register(
+    "contamination_ngram_check", oracle=_CONTAMINATION_ORACLE, tags=("text", "quality")
+)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM style): flag every
+    training document sharing any verbatim 8-gram with a holdout set. The
+    holdout here is the deterministic doc_id % 97 == 0 slice standing in
+    for an eval benchmark; a real run swaps in the benchmark corpus.
+
+    Plan: one explode to (doc, 8-gram), DISTINCT over the (tiny) holdout
+    grams, a LEFT join keyed on the gram, per-doc rollup. Benchmark suites
+    are MB-scale, so the distinct holdout side is explicitly broadcast —
+    the 100 TB candidate stream is never shuffled at all (the rollup keys
+    on doc_id, which is the explode's partitioning). At scale the join key
+    becomes xxhash64(gram) — fixed width, no long-string comparisons; raw
+    text is kept here so the oracle sees identical values."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    grams = toks.select("doc_id", F.explode(_ngrams(8)).alias("gram"))
+    holdout = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    ).withColumn("hit", F.lit(1))
+    hits = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(holdout), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            hits.cast("long").alias("n_contaminated"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+#: PII regexes kept to the RE2 ∩ java.util.regex common subset (no
+#: lookaround, no backrefs) so Spark and DuckDB match identically.
+_RE_EMAIL = r"[a-z0-9._%+]+@[a-z0-9.]+\.[a-z]{2,}"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_AUG_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH a AS (
+    SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_RE_IP}')) AS BIGINT)    AS n_ips,
+       CAST(len(regexp_extract_all(aug, '{_RE_SSN}')) AS BIGINT)   AS n_ssns,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(aug, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+               '{_RE_IP}', '<IP>', 'g'),
+           '{_RE_SSN}', '<SSN>', 'g') AS redacted
+FROM a
+"""
+
+
+@register("pii_scan_redact", oracle=_PII_ORACLE, tags=("text", "quality"))
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: count and mask emails / IPv4s / SSN-shaped
+    strings. The synthetic corpus carries no organic PII, so a
+    deterministic doc_id-derived contact line is appended first — the scan
+    and the redaction then exercise real nonzero match paths in both
+    engines (the augmentation is part of the oracle, so any regex-engine
+    divergence fails the hash).
+
+    Entirely regexp_count / regexp_replace inside codegen — a pure map
+    stage: no shuffle, no UDF, scales embarrassingly. Redaction order
+    (email → ip → ssn) is fixed so overlapping matches resolve
+    identically everywhere."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), F.lit(_RE_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_RE_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_RE_SSN),
+        F.lit("<SSN>"),
+    )
+    return d.select("doc_id", aug.alias("aug")).select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(_RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("aug"), F.lit(_RE_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("aug"), F.lit(_RE_SSN)).cast("long").alias("n_ssns"),
+        red.alias("redacted"),
+    )

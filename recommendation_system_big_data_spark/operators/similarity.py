@@ -408,3 +408,72 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 6).alias("v_min"),
         F.round("hi", 6).alias("v_max"),
     )
+
+
+KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, e.label,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_dot_product(q.qv, e.v)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                        e.vec_id ASC) AS rn
+    FROM q JOIN e ON e.vec_id != q.query_id
+), votes AS (
+    SELECT query_id, label, COUNT(*) AS votes
+    FROM scored WHERE rn <= {KNN_K}
+    GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT query_id, label, votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label ASC) AS r
+    FROM votes
+) WHERE r = 1
+"""
+
+
+@register("knn_classify", oracle=_KNN_ORACLE, tags=("similarity",))
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding space: each query vector
+    takes the majority label of its 5 nearest neighbors by cosine (the
+    classic lazy classifier, and the shape every embedding-based
+    auto-labeling / retrieval-augmented tagging job runs at corpus scale).
+
+    Plan reuses the brute-force kernel: broadcast query set × candidate
+    stream, per-query rank on the ROUNDED cosine (ulp-stable cut), then a
+    tiny (query, label) vote count and a votes-desc/label-asc argmax —
+    deterministic at every tie level. At 100 TB the candidate stream is
+    scanned once with no shuffle before the ≤ q×k vote aggregate; for
+    repeated serving the LSH/IVF tiers swap in as the candidate
+    generator."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    neighbors = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = neighbors.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )

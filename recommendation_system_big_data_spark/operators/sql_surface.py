@@ -154,3 +154,39 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 6) AS c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name ASC
+    LIMIT 3
+) t
+ORDER BY n.n_name ASC, c_acctbal DESC, t.c_name ASC
+"""
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_ORACLE, tags=("sql",))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join with ORDER BY + LIMIT — the SQL spelling of
+    per-group top-k. Catalyst decorrelates the lateral subquery into a
+    ranked window over the join (DecorrelateInnerQuery), so despite the
+    per-nation phrasing this executes as ONE pass over customer with a
+    rank filter — not |nation| probe queries. The deterministic tiebreak
+    (c_acctbal DESC, c_name ASC) makes the LIMIT stable across engines."""
+    vn = _view(spark, sf_dir, "nation")
+    vc = _view(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 6) AS c_acctbal
+        FROM {vn} n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM {vc} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC
+            LIMIT 3
+        ) t
+        ORDER BY n.n_name ASC, c_acctbal DESC, t.c_name ASC
+        """
+    )

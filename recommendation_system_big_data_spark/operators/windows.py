@@ -481,3 +481,50 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+_ROLLUP_INCR_ORACLE = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 15 MINUTES, ts))) AS BIGINT)
+           AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL 15 MINUTES, ts), event_type
+"""
+
+
+@register("rollup_incremental_agg", oracle=_ROLLUP_INCR_ORACLE, tags=("window",))
+def rollup_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate maintenance: the 15-minute
+    rollup is computed FROM the 1-minute rollup, never from raw events —
+    count and decimal-sum are algebraic aggregates, so re-aggregating
+    partials is exact. The oracle aggregates raw events directly, proving
+    the two-level path bit-identical.
+
+    This is the scale pattern for dashboard hierarchies (1m → 15m → 1h →
+    1d): each level reads the level below (~1/15th the rows), raw data is
+    scanned exactly once ever, and a late-arriving partition re-rolls only
+    its own buckets. Both aggregates shuffle on aligned keys (the 15-min
+    key is a pure function of the 1-min key), so AQE coalesces the second
+    exchange to near-zero."""
+    ev = load(spark, sf_dir, "events")
+    m1 = ev.groupBy(
+        F.window("ts", "1 minute").alias("w1"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    return (
+        m1.groupBy(F.window(F.col("w1.start"), "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

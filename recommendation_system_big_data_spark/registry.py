@@ -39,7 +39,9 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.merge",
     "recommendation_system_big_data_spark.operators.eda_export",
     "recommendation_system_big_data_spark.operators.sql_surface",
+    "recommendation_system_big_data_spark.operators.reshape",
     "recommendation_system_big_data_spark.functions.text",
+    "recommendation_system_big_data_spark.functions.quality",
     "recommendation_system_big_data_spark.functions.pandas_fns",
     "recommendation_system_big_data_spark.functions.json_fns",
     "recommendation_system_big_data_spark.functions.datetime_fns",
@@ -87,8 +89,13 @@ _loaded = False
 #:   round-3 additions (also never driver-verified yet): q2_min_cost_supplier,
 #:     q4_priority_exists, q9_product_profit, q11_important_balance,
 #:     q16_supplier_part_count, q20_promotion_suppliers, q21_waiting_suppliers,
-#:     dedup_paragraph_exact, dim_enriched_window_agg (all oracle-bearing) and
-#:     stream_static_dim_join (rows-only) — 33 total for the round-4 window.
+#:     dedup_paragraph_exact, dim_enriched_window_agg, text_gopher_quality,
+#:     text_repetition_topngram, contamination_ngram_check, pii_scan_redact,
+#:     reshape_pivot, reshape_unpivot, set_ops_cohorts, sql_lateral_topk,
+#:     rollup_incremental_agg, dpp_partition_pruned_join, knn_classify (all
+#:     oracle-bearing) and stream_static_dim_join, stream_foreachbatch_upsert
+#:     (rows-only) — 45 total for the round-4 window (rotate oracle-bearing
+#:     first; the 8 rows-only names spill to round 5 if the window is full).
 _DRIVER_WINDOW_ALIASES = (
     "agg_histogram",
     "agg_median_mode",

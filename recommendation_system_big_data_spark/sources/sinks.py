@@ -177,3 +177,50 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_dir(sf_dir, "orc")
     orders.write.mode("overwrite").orc(out)
     return spark.read.schema(orders.schema).orc(out)
+
+
+_DPP_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE day(ts) IN (1, 2, 3)
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+@register("dpp_partition_pruned_join", oracle=_DPP_ORACLE, tags=("sink",))
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: events land date-partitioned
+    (the canonical fact layout), then a join against a FILTERED calendar
+    dimension prunes the fact scan to the dimension's surviving dates at
+    RUNTIME — the partition filter is injected as a dynamicpruning#
+    subquery on the broadcast build side, so the 100 TB table reads 3
+    partitions, not 30 (tests/test_plans.py asserts the plan shape). This
+    is the join-shaped analogue of static partition pruning: the date set
+    comes from data, not from a literal in the query text.
+
+    The calendar dim derives deterministically from the raw events (month
+    days 1-3 flagged); the oracle re-derives the same cohort with a WHERE,
+    proving pruning lost no rows."""
+    ev = load(spark, sf_dir, "events")
+    out = _sink_dir(sf_dir, "dpp")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    calendar = (
+        ev.select(F.col("ts").cast("date").alias("d")).distinct()
+        .filter(F.dayofmonth("d").isin(1, 2, 3))
+    )
+    return (
+        fact.join(F.broadcast(calendar), fact["event_date"] == calendar["d"])
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

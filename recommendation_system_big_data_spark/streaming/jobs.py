@@ -481,3 +481,75 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, spark, "rsbd_stream_static_join")
+
+
+@register("stream_foreachbatch_upsert", oracle=None, tags=("streaming",))
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — THE production pattern for streaming into
+    a keyed store (Delta MERGE, JDBC upsert, a KV service): a per-user
+    running aggregate streams in update mode, and every micro-batch's
+    changed keys are merged into persistent state by delete-matching +
+    append, emulating the transactional MERGE with a versioned parquet
+    swap. The source is split into 4 files and throttled to
+    maxFilesPerTrigger=1, so the merge genuinely runs several times with
+    overlapping keys — the final state must equal the one-shot batch
+    aggregate (tests assert parity).
+
+    Scale: each micro-batch merge joins state against only the batch's
+    keys (broadcast — update mode emits changed keys only); state is
+    key-partitioned parquet, so the anti-join prunes to touched
+    partitions. ⊘ rows-only (micro-batch execution is not
+    SQL-expressible)."""
+    from recommendation_system_big_data_spark.sources.sinks import _sink_dir
+
+    src = _sink_dir(sf_dir, "fbsrc")
+    ev = load(spark, sf_dir, "events")
+    # deterministic 4-way split (not .repartition(4), whose row placement is
+    # partitioner-dependent): event_id ranges → one file each → 4 triggers
+    ev.withColumn("split", (F.col("event_id") % 4).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(src)
+
+    state_root = _sink_dir(sf_dir, "fbstate")
+    state = {"path": None, "version": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select("user_id", "n", "sum_value")
+        if state["path"] is not None:
+            prev = spark.read.parquet(state["path"])
+            keep = prev.join(
+                F.broadcast(new.select("user_id")), "user_id", "left_anti"
+            )
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        state["version"] += 1
+        out = os.path.join(state_root, f"v{state['version']}")
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    raw = (
+        spark.readStream.schema(
+            EVENTS_RAW_SCHEMA.add("split", "integer")
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"])

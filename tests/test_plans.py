@@ -186,3 +186,46 @@ def test_zorder_key_is_shuffle_free(spark, sf_dir):
 
     df = zorder_key(spark, sf_dir)
     assert explain.num_shuffles(df) == 0, explain.physical_plan(df)
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    # The date-partitioned fact scan must carry a dynamicpruning# subquery
+    # injected from the filtered calendar dim — runtime partition pruning,
+    # not a full scan followed by a join filter.
+    from recommendation_system_big_data_spark.sources.sinks import (
+        dpp_partition_pruned_join,
+    )
+
+    plan = explain.physical_plan(dpp_partition_pruned_join(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pivot_two_phase_no_discovery_job(spark, sf_dir):
+    # Explicit-value pivot: a (user, type) pre-agg plus the pivotfirst agg
+    # on user — two shuffles, no per-type scans, and critically no
+    # value-discovery distinct job (the scan appears exactly once).
+    from recommendation_system_big_data_spark.operators.reshape import reshape_pivot
+
+    df = reshape_pivot(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert explain.num_shuffles(df) <= 2, plan
+    assert plan.count("events.parquet") == 1, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.reshape import reshape_unpivot
+
+    df = reshape_unpivot(spark, sf_dir)
+    assert explain.num_shuffles(df) == 0, explain.physical_plan(df)
+
+
+def test_contamination_broadcasts_holdout(spark, sf_dir):
+    # The benchmark-gram side must broadcast; the candidate gram stream is
+    # only ever shuffled by the per-doc rollup (keyed on doc_id).
+    from recommendation_system_big_data_spark.functions.quality import (
+        contamination_ngram_check,
+    )
+
+    df = contamination_ngram_check(spark, sf_dir)
+    assert explain.has_broadcast_hash_join(df)

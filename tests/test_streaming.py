@@ -201,3 +201,25 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     stream = stream_static_dim_join(spark, sf_dir)
     batch = dim_enriched_window_agg(spark, sf_dir)
     assert _as_set(stream) == _as_set(batch)
+
+
+def test_foreachbatch_upsert_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        stream_foreachbatch_upsert,
+    )
+
+    final_state = stream_foreachbatch_upsert(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    assert _as_set(final_state) == _as_set(batch)
