@@ -59,6 +59,16 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_distribution",
     "q22_sales_opportunity",
+    # round-3b: the new LLM-pipeline and reshape surfaces — gopher quality
+    # (two-level wordcount), 8-gram decontamination (explode + broadcast
+    # join), paragraph-block dedup, pivot, incremental rollup, and k-NN.
+    # First recorded run defines each baseline.
+    "text_gopher_quality",
+    "contamination_ngram_check",
+    "dedup_paragraph_exact",
+    "reshape_pivot",
+    "rollup_incremental_agg",
+    "knn_classify",
 ]
 
 

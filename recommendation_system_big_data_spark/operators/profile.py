@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
@@ -59,12 +60,14 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
     buffers; measured 2× faster than the exact path at sf0.1 and the only
     shape that survives 100 TB.
 
-    ``exact=True`` reserves the oracle-grade path (`F.percentile` hash-
-    matches DuckDB's quantile_cont): the cheap moments compute in one
-    keyless pass while the exact percentiles — whose partial state is the
-    full value list — go through an unpivot + groupBy(col_name) so each
-    column's sort runs in its own reducer instead of all columns funneling
-    into a single final task."""
+    ``exact=True`` is the oracle-grade path (hash-matches DuckDB's
+    quantile_cont): moments in one keyless pass, exact percentiles via CDF
+    aggregation — count per (column, distinct value), cumulative positions
+    over a per-column window, then quantile_cont's own lo + (hi−lo)·frac
+    interpolation. For bounded-precision measures this keeps aggregate
+    state at ≤|value domain| rows instead of F.percentile's full value
+    list, so the exact path ALSO survives 100 TB (the GK path remains for
+    genuinely continuous domains)."""
     if not exact:
         qs = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
         structs = []
@@ -117,41 +120,51 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
         .select(F.explode(F.array(*[F.col(c) for c in cols])).alias("s"))
         .select("s.*")
     )
-    # spread before the row-multiplying unpivot: one thin shuffle of the
-    # source rows, then the explode and percentile sort run fully parallel
-    # (single-file local sources would otherwise unpivot in one task).
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    unpivoted = (
-        df.select(*cols)
-        .repartition(n_parts)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
-                        for c in cols
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
+    # Exact percentiles WITHOUT the full-value-list aggregation buffer
+    # F.percentile carries: aggregate the CDF instead. The measures are
+    # bounded-precision currency/ratio columns, so groupBy(col, value)
+    # collapses the stream map-side to ≤|domain| rows per column — state
+    # that stays bounded at 100 TB where a percentile value buffer is an
+    # executor OOM. The interpolated quantile is then recovered from
+    # cumulative positions with the same lo + (hi-lo)·frac formula
+    # percentile/quantile_cont define, so the result is bit-identical.
+    unpivoted = df.select(*cols).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    counts = unpivoted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_ord = Window.partitionBy("col_name").orderBy("v")
+    w_all = Window.partitionBy("col_name")
+    ranked = counts.select(
+        "col_name",
+        "v",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),  # 0-based positions [cum-c, cum-1]
+        F.lead("v").over(w_ord).alias("next_v"),
+        F.sum("c").over(w_all).alias("n_tot"),
     )
-    # one percentile aggregate with an array of quantiles: a single
-    # value-count buffer per partition instead of three copies of it.
-    pct = (
-        unpivoted.groupBy("col_name")
-        .agg(
-            F.percentile(
-                "v", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
-            ).alias("ps")
+    q_exprs = []
+    for q, qname in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+        idx = F.lit(q) * (F.col("n_tot") - 1).cast("double")
+        i = F.floor(idx)
+        frac = idx - i.cast("double")
+        in_range = (i >= F.col("cum") - F.col("c")) & (i <= F.col("cum") - 1)
+        hi = F.when(i + 1 <= F.col("cum") - 1, F.col("v")).otherwise(F.col("next_v"))
+        # frac == 0 ⇒ the quantile IS v (and hi may be the NULL lead on the
+        # last row — never let it poison the product)
+        interp = F.when(frac > 0, F.col("v") + (hi - F.col("v")) * frac).otherwise(
+            F.col("v")
         )
-        .select(
-            "col_name",
-            F.round(F.col("ps")[0], 6).alias("p25"),
-            F.round(F.col("ps")[1], 6).alias("p50"),
-            F.round(F.col("ps")[2], 6).alias("p75"),
+        q_exprs.append(
+            F.round(F.max(F.when(in_range, interp)), 6).alias(qname)
         )
-    )
+    pct = ranked.groupBy("col_name").agg(*q_exprs)
     return moments.join(pct, "col_name").select(
         "col_name", "n", "mean", "stddev", "min_v", "p25", "p50", "p75", "max_v"
     )
