@@ -289,3 +289,61 @@ def cogrouped_pandas_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(sessions.groupBy("user_id"))
         .applyInPandas(_cogroup_ratio_fn(), _COGROUP_SCHEMA)
     )
+
+
+def _token_offsets_udtf():
+    """Build the token-offset UDTF. The decorated CLASS is defined inside
+    this factory on purpose: cloudpickle serializes module-level classes BY
+    REFERENCE, which dies with ModuleNotFoundError on Python workers that
+    don't share the driver's sys.path (the round driver's vanilla session);
+    a closure-scoped class pickles by value."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx int, token string, char_start int")
+    class TokenOffsets:
+        def eval(self, text: str):
+            pos = 0
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, pos
+                pos += len(tok) + 1
+
+    return TokenOffsets
+
+
+_UDTF_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS token_idx,
+       toks[i] AS token,
+       CAST(COALESCE(SUM(len(toks[i]) + 1) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS char_start
+FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+"""
+
+
+@register("fn_python_udtf", oracle=_UDTF_ORACLE, tags=("udf", "text"))
+def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+) — the last rung of the
+    Python-boundary ladder: one input row yields MANY output rows from
+    imperative Python, consumed through LATERAL. Here: tokens with their
+    character offsets (the span bookkeeping every annotation/NER pipeline
+    threads through chunking).
+
+    The oracle reproduces the offsets relationally (UNNEST + running
+    window sum) — which is also the engine's own preferred spelling for
+    this particular job; the UDTF exists to keep the table-function
+    plumbing exercised, priced, and correct (same built-in-first rule as
+    every rung: fn docstrings in this module). UDTF rows stream through
+    Arrow batches partition-locally — no shuffle, scales as a map stage."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    spark.udtf.register("token_offsets", _token_offsets_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token_idx, t.token, t.char_start
+        FROM v_docs_udtf d, LATERAL token_offsets(d.text) t
+        """
+    )

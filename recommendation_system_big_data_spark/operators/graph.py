@@ -1,0 +1,124 @@
+"""Iterative graph analytics on DataFrames — PageRank over the part
+co-purchase graph.
+
+Companion to the connected-components fixpoint in `operators/dedup.py`
+(the other iterative algorithm in the engine): where CC iterates to
+convergence with a driver-checked delta, PageRank runs a FIXED iteration
+count, which keeps it oracle-expressible (the DuckDB oracle unrolls the
+same three iterations as CTE levels).
+
+Scale design: the edge list is built once (the only heavy shuffle), then
+every iteration is one join + one aggregate keyed on the edge endpoints —
+the rank table (|nodes| rows) is dwarfed by the edge table, and
+`localCheckpoint` after each iteration cuts the growing lineage exactly as
+dedup.py:592 does for CC. No driver-side collect anywhere: even the node
+count enters the plan as a broadcast 1-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+DAMPING = 0.85
+N_ITER = 3
+
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), e0 AS (
+    SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst
+), outw AS (
+    SELECT src, SUM(w) AS tot FROM e0 GROUP BY src
+), e AS (
+    SELECT e0.src, e0.dst, e0.w, outw.tot FROM e0 JOIN outw ON outw.src = e0.src
+), nodes AS (
+    SELECT DISTINCT src AS id FROM e0
+), nn AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+    SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+), c1 AS (
+    SELECT e.dst AS id, SUM(r0.r * e.w / e.tot) AS c
+    FROM e JOIN r0 ON r0.id = e.src GROUP BY e.dst
+), r1 AS (
+    SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c1.c, 0) AS r
+    FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id
+), c2 AS (
+    SELECT e.dst AS id, SUM(r1.r * e.w / e.tot) AS c
+    FROM e JOIN r1 ON r1.id = e.src GROUP BY e.dst
+), r2 AS (
+    SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c2.c, 0) AS r
+    FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id
+), c3 AS (
+    SELECT e.dst AS id, SUM(r2.r * e.w / e.tot) AS c
+    FROM e JOIN r2 ON r2.id = e.src GROUP BY e.dst
+), r3 AS (
+    SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c3.c, 0) AS r
+    FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id
+)
+SELECT id AS part_id, ROUND(r, 6) AS pagerank FROM r3
+"""
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations) over the part
+    co-purchase graph: parts are linked when they appear in the same order,
+    edge weight = co-occurrence count, edges symmetric by construction (so
+    no dangling-mass correction is needed). The classic "customers who
+    bought X also value Y" centrality — the graph-shaped cousin of the
+    reference's ALS item ranking (model-als.py:125-139).
+
+    Float determinism: per-edge contribution r·w/tot is the identical IEEE
+    expression in both engines; only the SUM order differs, whose drift is
+    ~1e-14 absolute after 3 iterations — six orders below the final
+    ROUND(.,6) boundary. No intermediate rounding (that would CREATE
+    boundary flips rather than prevent them).
+
+    At 100 TB: pair generation is the dominant shuffle (quadratic per
+    order, bounded by order size — cap with a per-order item limit for
+    pathological baskets); each iteration shuffles |edges| once on src
+    (join) and once on dst (aggregate), reusing the same hash partitioning
+    AQE-side. Ranks are localCheckpoint'ed per iteration to cut lineage,
+    mirroring the CC fixpoint discipline (dedup.py:592)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    e0 = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    outw = e0.groupBy("src").agg(F.sum("w").alias("tot"))
+    edges = e0.join(outw, "src").localCheckpoint(eager=False)
+    nodes = e0.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("tot")).alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias("part_id"), F.round("r", 6).alias("pagerank"))

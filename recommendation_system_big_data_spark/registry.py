@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.eda_export",
     "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.operators.reshape",
+    "recommendation_system_big_data_spark.operators.graph",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.quality",
     "recommendation_system_big_data_spark.functions.pandas_fns",
@@ -92,10 +93,11 @@ _loaded = False
 #:     dedup_paragraph_exact, dim_enriched_window_agg, text_gopher_quality,
 #:     text_repetition_topngram, contamination_ngram_check, pii_scan_redact,
 #:     reshape_pivot, reshape_unpivot, set_ops_cohorts, sql_lateral_topk,
-#:     rollup_incremental_agg, dpp_partition_pruned_join, knn_classify (all
-#:     oracle-bearing) and stream_static_dim_join, stream_foreachbatch_upsert
-#:     (rows-only) — 45 total for the round-4 window (rotate oracle-bearing
-#:     first; the 8 rows-only names spill to round 5 if the window is full).
+#:     rollup_incremental_agg, dpp_partition_pruned_join, knn_classify,
+#:     graph_pagerank, fn_python_udtf (all oracle-bearing) and
+#:     stream_static_dim_join, stream_foreachbatch_upsert (rows-only) —
+#:     47 total for the round-4 window (rotate oracle-bearing first; the 8
+#:     rows-only names spill to round 5 if the window is full).
 _DRIVER_WINDOW_ALIASES = (
     "agg_histogram",
     "agg_median_mode",
