@@ -164,3 +164,100 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("attr"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+_CDC_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+), feed AS (
+    SELECT o_orderkey, 1 AS seq, 'U' AS op, 'U1' AS new_o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS new_o_totalprice
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', 'U2',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', NULL, NULL
+    FROM orders WHERE o_orderkey % 20 = 0
+    UNION ALL
+    SELECT -o_orderkey - 1, 1, 'I', 'N', CAST(o_totalprice AS DOUBLE)
+    FROM orders WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT -o_orderkey - 1, 2, 'U', 'N2',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(2.0 AS DECIMAL(2,1)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 26 = 0
+), latest AS (
+    SELECT o_orderkey, op, new_o_orderstatus, new_o_totalprice FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM feed
+    ) WHERE rn = 1
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey)           AS o_orderkey,
+       COALESCE(c.new_o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       ROUND(COALESCE(c.new_o_totalprice, b.o_totalprice), 6) AS o_totalprice
+FROM base b
+FULL JOIN latest c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+@register("cdc_apply_changes", oracle=_CDC_ORACLE, tags=("merge",))
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO semantics (Delta Live Tables / Debezium-feed
+    folding): the change feed carries MULTIPLE versions per key with a
+    monotone sequence number — possibly out of order, insert-then-update,
+    update-then-delete. Stage 1 compacts the feed to last-write-wins via a
+    per-key rank on seq DESC; stage 2 is the same full-outer MERGE as
+    `upsert_snapshot` (apply_changes). A 'U' whose key is absent from the
+    snapshot upserts — the outer join makes new-key updates and inserts
+    converge, exactly the APPLY CHANGES contract.
+
+    Scale: the rank shuffles the FEED only (days of changes, ≪ snapshot);
+    the merge is the one snapshot-sized shuffle. Feed versions per key are
+    bounded by feed cadence, so no skew amplification from hot keys."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def slice_(mod: int, seq: int, op: str, key, status, price) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % mod == 0).select(
+            key.alias("o_orderkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            status.alias("new_o_orderstatus"),
+            price.alias("new_o_totalprice"),
+        )
+
+    k = F.col("o_orderkey")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    feed = (
+        slice_(5, 1, "U", k, F.lit("U1"),
+               (dec * F.lit("1.05").cast("decimal(3,2)")).cast("double"))
+        .unionByName(slice_(10, 2, "U", k, F.lit("U2"),
+                            (dec * F.lit("1.1").cast("decimal(2,1)")).cast("double")))
+        .unionByName(slice_(20, 3, "D", k, null_s, null_d))
+        .unionByName(slice_(13, 1, "I", -k - 1, F.lit("N"),
+                            F.col("o_totalprice").cast("double")))
+        .unionByName(slice_(26, 2, "U", -k - 1, F.lit("N2"),
+                            (dec * F.lit("2.0").cast("decimal(2,1)")).cast("double")))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    merged = apply_changes(base, latest, "o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
+    )

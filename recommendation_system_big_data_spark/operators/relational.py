@@ -1156,3 +1156,25 @@ def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+_PROVENANCE_ORACLE = """
+SELECT 'events.parquet' AS file_name, COUNT(*) AS n
+FROM events
+"""
+
+
+@register("scan_file_provenance", oracle=_PROVENANCE_ORACLE, tags=("scan",))
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance via the hidden `_metadata` struct — which
+    physical file produced each row (file_name/file_path/row_index). The
+    bookkeeping every audited training-data pipeline must carry: a bad
+    shard gets traced and excised by provenance, not by value forensics.
+    Zero-cost column (populated from split metadata, no extra IO); here
+    rolled up to per-file row counts."""
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -528,3 +528,57 @@ def rollup_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_EWMA_ORACLE = """
+WITH r AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+)
+SELECT t1.event_id,
+       ROUND(SUM(t2.value * pow(0.8, t1.rn - t2.rn))
+             / SUM(pow(0.8, t1.rn - t2.rn)), 6) AS ewma
+FROM r t1 JOIN r t2
+  ON t1.user_id = t2.user_id AND t2.rn BETWEEN t1.rn - 9 AND t1.rn
+GROUP BY t1.event_id
+"""
+
+
+@register("window_ewma", oracle=_EWMA_ORACLE, tags=("window",))
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.8, last 10 observations,
+    pandas adjust=True normalization) per user over event time — the
+    trailing smoother behind every monitoring/anomaly baseline.
+
+    Spark spelling: collect the 10-row trailing frame into an array via a
+    single window pass, then weight and fold entirely in JVM higher-order
+    functions (zip_with + aggregate) — no self-join, no UDF. The oracle
+    spells the same math as a relational band self-join on row index; the
+    engine's window form shuffles once on user_id where the self-join
+    shuffles twice and multiplies rows ×10. Weight products are identical
+    IEEE expressions; only summation order differs (fold vs hash-agg),
+    drift ~1e-15 against the ROUND(6) boundary."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.expr(
+        """
+        aggregate(
+            zip_with(vals, sequence(size(vals) - 1, 0, -1),
+                     (v, j) -> v * pow(0.8, j)),
+            0D, (acc, x) -> acc + x)
+        / aggregate(transform(sequence(size(vals) - 1, 0, -1),
+                              j -> pow(0.8, j)),
+                    0D, (acc, x) -> acc + x)
+        """
+    )
+    return (
+        ev.select("event_id", vals.alias("vals"))
+        .select("event_id", F.round(ewma, 6).alias("ewma"))
+    )

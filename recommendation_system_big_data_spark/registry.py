@@ -94,10 +94,11 @@ _loaded = False
 #:     text_repetition_topngram, contamination_ngram_check, pii_scan_redact,
 #:     reshape_pivot, reshape_unpivot, set_ops_cohorts, sql_lateral_topk,
 #:     rollup_incremental_agg, dpp_partition_pruned_join, knn_classify,
-#:     graph_pagerank, fn_python_udtf (all oracle-bearing) and
-#:     stream_static_dim_join, stream_foreachbatch_upsert (rows-only) —
-#:     47 total for the round-4 window (rotate oracle-bearing first; the 8
-#:     rows-only names spill to round 5 if the window is full).
+#:     graph_pagerank, fn_python_udtf, cdc_apply_changes,
+#:     compaction_small_files, schema_evolution_merge, window_ewma,
+#:     scan_file_provenance (all oracle-bearing) and stream_static_dim_join,
+#:     stream_foreachbatch_upsert (rows-only) — 52 total for the round-4
+#:     window (rotate oracle-bearing first; overflow spills to round 5).
 _DRIVER_WINDOW_ALIASES = (
     "agg_histogram",
     "agg_median_mode",

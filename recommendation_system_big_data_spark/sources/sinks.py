@@ -224,3 +224,81 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+_COMPACTION_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders
+"""
+
+
+@register("compaction_small_files", oracle=_COMPACTION_ORACLE, tags=("sink",))
+def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-lived
+    lake runs (streaming sinks and per-batch appends fragment tables into
+    KB files; at 100 TB the resulting file-listing and task-granularity
+    overhead dominates scan cost). A deliberately fragmented copy (64
+    files) is rewritten as range-partitioned, key-sorted target files:
+    `repartitionByRange(4, key)` gives equal-sized output files with
+    non-overlapping key ranges (min/max footer stats then prune reads),
+    and `sortWithinPartitions` makes each file internally ordered for
+    row-group skipping. Content identity is the oracle; the file count
+    drop is asserted in tests/test_sinks.py."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    frag = _sink_dir(sf_dir, "frag")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact = _sink_dir(sf_dir, "compact")
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+
+
+_EVOLUTION_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 6), o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@register("schema_evolution_merge", oracle=_EVOLUTION_ORACLE, tags=("sink",))
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 lands with the v1 schema, batch 2
+    adds a column, and `mergeSchema` unions the footers so old files
+    surface NULL for the new column — the standard contract for long-lived
+    corpora whose schema widens over time (every Delta/Iceberg table does
+    exactly this; plain parquet exposes it via the option).
+
+    mergeSchema is priced honestly: it footer-reads every file at load, so
+    production tables keep the merged schema in a catalog instead — the
+    option belongs at ingest/repair time, not on every query. The oracle
+    is the explicit NULL-padded UNION ALL."""
+    orders = load(spark, sf_dir, "orders")
+    out = _sink_dir(sf_dir, "evolve")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

@@ -229,3 +229,17 @@ def test_contamination_broadcasts_holdout(spark, sf_dir):
 
     df = contamination_ngram_check(spark, sf_dir)
     assert explain.has_broadcast_hash_join(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # The engine must be able to FORCE each physical join strategy when the
+    # optimizer's default would be wrong for a known workload: shuffle_hash
+    # avoids SMJ's sort on huge-but-uniform sides; merge avoids hash build
+    # OOM on dense keys. (Catalyst may override hints only when a strategy
+    # is impossible for the join type.)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    shj = li.join(orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "ShuffledHashJoin" in explain.physical_plan(shj)
+    smj = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in explain.physical_plan(smj)
