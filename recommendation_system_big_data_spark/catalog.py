@@ -33,17 +33,53 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS) which Spark cannot map
-    to a native type; with `spark.sql.legacy.parquet.nanosAsLong` it arrives
-    as a nanosecond epoch long and is converted here to TimestampType at
-    microsecond precision using integer division (`ts div 1000`) — a double
-    division would lose precision for epochs above 2^53 ns (~mid-1970).
+    `events.ts` has been generated differently across driver rounds: parquet
+    TIMESTAMP(NANOS) (→ bigint under `spark.sql.legacy.parquet.nanosAsLong`,
+    converted here with integer division — a double division would lose
+    precision above 2^53 ns), and plain TIMESTAMP_NTZ micros (round 4+),
+    which Spark maps natively. Timestamp columns are kept as whatever naive
+    (NTZ) type they arrive as; epoch math must go through `epoch_us`/
+    `epoch_s` below, which are timezone-agnostic and accept both NTZ and
+    instant inputs.
     """
     ensure_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def epoch_us(col) -> F.Column:
+    """Epoch microseconds of a timestamp column, timezone-agnostic.
+
+    The driver's testdata stores naive timestamps (TIMESTAMP_NTZ in round
+    4+), which DuckDB also reads as naive TIMESTAMP — so oracle-parity epoch
+    math must not route through the session timezone. `F.unix_micros`
+    requires an instant (fails on NTZ outright) and would skew under a
+    non-UTC driver session; `timestamp_diff` against the NTZ epoch is exact
+    integer microseconds for either input type (instants are cast to NTZ
+    via the session zone, which `ensure_runtime_conf` pins to UTC).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def epoch_s(col) -> F.Column:
+    """Epoch seconds (truncated) of a timestamp column — see `epoch_us`.
+
+    Matches `unix_timestamp` / DuckDB `floor(epoch(ts))` semantics for
+    post-1970 data (timestamp_diff truncates toward zero).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
 
 
 #: Mirror of spark.sql.autoBroadcastJoinThreshold's intent, applied where a

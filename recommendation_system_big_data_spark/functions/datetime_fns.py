@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -78,5 +78,5 @@ def fn_unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-second conversion of the ns-precision event stream; TZ-safe
     because `catalog.load` builds the column from timestamp_micros (UTC)."""
     return load(spark, sf_dir, "events").select(
-        "event_id", F.unix_timestamp("ts").alias("unix_ts")
+        "event_id", epoch_s("ts").alias("unix_ts")
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -117,7 +117,7 @@ def grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive ROUND(,4) across engines."""
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        (F.unix_micros("ts") / F.lit(3.6e9)).alias("ts_hours"),
+        (epoch_us("ts") / F.lit(3.6e9)).alias("ts_hours"),
         "value",
     )
     return ev.groupBy("user_id").applyInPandas(_slope_fn(), schema=_SLOPE_SCHEMA)

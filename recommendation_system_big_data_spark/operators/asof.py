@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 _ASOF_ORACLE = """
@@ -74,7 +74,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("purchase_id").isNotNull()).select(
         F.col("purchase_id").alias("event_id"),
         "user_id",
-        F.unix_timestamp("ts").alias("unix_ts"),
+        epoch_s("ts").alias("unix_ts"),
         F.col("value").alias("purchase_value"),
         "last_view_value",
     )

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 #: String sentinels the reference treats as missing, beyond real NULLs
@@ -654,7 +654,7 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle of O(groups) state. Rounded to 4 (not 6):
     the partials accumulate double products of epoch-hour magnitudes, so
     the last two digits are summation-order noise across engines."""
-    x = F.unix_micros("ts") / 3.6e9
+    x = epoch_us("ts") / 3.6e9
     v = F.col("value")
     return (
         load(spark, sf_dir, "events")

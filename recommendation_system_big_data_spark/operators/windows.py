@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -217,7 +217,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the rolling total order-independent."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-600_000_000, Window.currentRow)
     )
     return load(spark, sf_dir, "events").select(
@@ -276,7 +276,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a watermark); this is the batch/backfill twin of those queries.
     """
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", epoch_us("ts").alias("us")
     )
     order = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
     flagged = ev.withColumn(
@@ -350,7 +350,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
-        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .select("user_id", "event_type", epoch_us("ts").alias("us"))
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -522,7 +522,7 @@ def rollup_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value").cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_s(F.col("w.start")).alias("window_start"),
             "event_type",
             "n",
             "sum_value",

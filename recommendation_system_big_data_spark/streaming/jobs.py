@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
 
 #: Raw parquet schema of events (ts is INT64 TIMESTAMP(NANOS) read as long).
@@ -81,7 +81,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_s(F.col("w.start")).alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -115,7 +115,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
-        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value")
+        .select(epoch_s(F.col("w.start")).alias("window_start"), "n", "sum_value")
     )
 
 
@@ -155,7 +155,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            epoch_s(F.col("w.start")).alias("session_start"),
             "n_events",
             "sum_value",
         )
@@ -199,7 +199,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_s(F.col("w.start")).alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -219,7 +219,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
-        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value")
+        .select(epoch_s(F.col("w.start")).alias("window_start"), "n", "sum_value")
     )
     return run_stream_to_memory(agg, spark, "rsbd_stream_sliding")
 
@@ -234,7 +234,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            epoch_s(F.col("w.start")).alias("session_start"),
             "n_events",
         )
     )
@@ -370,7 +370,7 @@ def _attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         "purchase_id",
         "click_id",
         "user_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        (epoch_us("p_ts") - epoch_us("c_ts")).alias("gap_us"),
     )
 
 
@@ -448,7 +448,7 @@ def dim_enriched_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_s(F.col("w.start")).alias("window_start"),
             "c_mktsegment",
             "n",
             "sum_value",
@@ -474,7 +474,7 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_s(F.col("w.start")).alias("window_start"),
             "c_mktsegment",
             "n",
             "sum_value",
