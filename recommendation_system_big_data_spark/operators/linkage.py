@@ -1,0 +1,73 @@
+"""Fuzzy record linkage — blocked edit-distance similarity join.
+
+The unblocked spelling is a cartesian product with a levenshtein
+predicate — O(n²) comparisons and a nested-loop plan. Production entity
+resolution always blocks first: an equality key (brand) bounds each
+comparison group, and a cheap length-band predicate prunes pairs the
+edit-distance threshold already excludes, so the expensive metric runs
+only on survivors. Candidate count is Σ(block size²), controlled by
+blocking-key cardinality — the same inverted-index discipline as
+dedup.py's shingle joins, with equality blocks instead of shingle
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+#: Maximum edit distance for a pair to link.
+_MAX_DIST = 2
+
+_FUZZY_ORACLE = f"""
+SELECT a.p_partkey AS p1_key,
+       b.p_partkey AS p2_key,
+       a.p_name    AS p1_name,
+       b.p_name    AS p2_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+"""
+
+
+@register("fuzzy_join_levenshtein", oracle=_FUZZY_ORACLE, tags=("linkage",))
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names within a brand: pairs at edit distance
+    ≤ 2, keyed a<b so each pair reports once.
+
+    Plan shape: shuffle hash join on the p_brand blocking key (the ONLY
+    equality conjunct — the rest are post-join filters), then the
+    length-band prune |len(a)−len(b)| ≤ 2 (any pair violating it has edit
+    distance > 2 by the length lower bound, so the filter is free
+    correctness-wise and skips the O(len²) DP for most pairs), then exact
+    levenshtein. At 100 TB the block key must keep Σ(block²) sane — brand
+    (25 values) is the demo; a real corpus blocks on a composite
+    (brand, soundex/prefix) key, same plan."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_partkey").alias("p1_key"),
+        F.col("p_name").alias("p1_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("p2_key"),
+        F.col("p_name").alias("p2_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("p1_key") < F.col("p2_key"))
+        .filter(
+            F.abs(F.length("p1_name") - F.length("p2_name")) <= _MAX_DIST
+        )
+        .withColumn(
+            "dist", F.levenshtein("p1_name", "p2_name").cast("long")
+        )
+        .filter(F.col("dist") <= _MAX_DIST)
+        .select("p1_key", "p2_key", "p1_name", "p2_name", "dist")
+    )

@@ -1,0 +1,303 @@
+"""Interval / time-grid operators — bucketed range join, gap-fill with
+forward fill, and interval-overlap concurrency.
+
+Spark has no native range-join optimizer rule (a point-in-interval ON
+clause compiles to BroadcastNestedLoopJoin or a cartesian product), so the
+big×big case needs the classic bucketing rewrite: quantize both sides to
+fixed-width buckets no narrower than the band, explode the interval side
+into the ≤2 buckets it can overlap, equi-join on the bucket key, and
+re-check the exact predicate. The candidate space drops from |O|×|L| to
+(rows per bucket)², and the join is an ordinary shuffled hash join that
+scales horizontally. Same rewrite Databricks' range-join hint and Flink's
+interval join apply internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import epoch_us, load
+from recommendation_system_big_data_spark.registry import register
+
+#: Range-join band: lineitems shipped within [o_orderdate, +3 days).
+_BAND_DAYS = 3
+#: Bucket width must be ≥ band so an interval spans at most 2 buckets.
+_BUCKET_DAYS = 4
+
+_RANGE_JOIN_ORACLE = f"""
+SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n_pairs
+FROM orders o
+JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+     + INTERVAL {_BAND_DAYS} DAYS
+ AND l.l_orderkey <> o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("join_range_bucketed", oracle=_RANGE_JOIN_ORACLE, tags=("range",))
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big point-in-interval join via bucketing: count, per order
+    month, the OTHER orders' lineitems shipped inside each order's 3-day
+    window — a co-shipment density signal.
+
+    Both sides quantize ship/order dates to 4-day buckets. A 3-day interval
+    starting at day `s` can only contain points in buckets ⌊s/4⌋ and
+    ⌊s/4⌋+1, so the interval side explodes into exactly those two bucket
+    keys (2× fan-out, constant), the point side keeps its single bucket,
+    and the bucket equi-join + exact-predicate filter replaces the
+    nested-loop plan Spark would otherwise pick for an inequality-only ON
+    clause. Bucket width ≥ band guarantees each qualifying pair meets in
+    exactly one bucket — no post-join dedup. Per-bucket row counts are
+    bounded by data density per 4 days, independent of total history
+    length, so the plan survives a 100× scale-up where the nested loop is
+    quadratic."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("o_day"),
+    )
+    o = o.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("o_day") / _BUCKET_DAYS),
+                F.floor(F.col("o_day") / _BUCKET_DAYS) + 1,
+            )
+        ),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("l_day"),
+    )
+    li = li.withColumn("bucket", F.floor(F.col("l_day") / _BUCKET_DAYS))
+    pairs = o.join(li, "bucket").filter(
+        (F.col("l_day") >= F.col("o_day"))
+        & (F.col("l_day") < F.col("o_day") + _BAND_DAYS)
+        & (F.col("l_orderkey") != F.col("o_orderkey"))
+    )
+    return pairs.groupBy("order_month").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+#: Gap-fill grid resolution: one hour, in microseconds.
+_HOUR_US = 3_600_000_000
+
+#: Fixed event-type domain (same contract as reshape.EVENT_TYPES — an
+#: unbounded domain would need a discovery scan and is a determinism risk).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_GAPFILL_ORACLE = f"""
+WITH sparse AS (
+    SELECT event_type,
+           epoch_us(ts) // {_HOUR_US} AS hour_idx,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS hour_sum
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT MIN(hour_idx) AS mn, MAX(hour_idx) AS mx FROM sparse
+), grid AS (
+    SELECT t.event_type, g.hour_idx
+    FROM (VALUES {", ".join(f"('{t}')" for t in _EVENT_TYPES)}) AS t(event_type),
+         bounds, UNNEST(generate_series(bounds.mn, bounds.mx)) AS g(hour_idx)
+)
+SELECT grid.event_type,
+       grid.hour_idx,
+       ROUND(LAST_VALUE(sparse.hour_sum IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.hour_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS filled_sum,
+       CASE WHEN sparse.hour_sum IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid LEFT JOIN sparse
+  ON grid.event_type = sparse.event_type AND grid.hour_idx = sparse.hour_idx
+"""
+
+
+@register("ts_gapfill_ffill", oracle=_GAPFILL_ORACLE, tags=("range",))
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-type value sums on a dense
+    hour grid, empty hours forward-filled from the last observed hour —
+    the resample + ffill step every downstream window/forecast pipeline
+    assumes (hypertable-style time_bucket gapfill + locf).
+
+    The dense grid is generated distributively — `sequence()` between the
+    observed min/max hour exploded against the fixed type domain — not
+    collected and re-parallelized. Forward fill is `last(x, ignorenulls)`
+    over an hour-ordered window per series; one shuffle on event_type for
+    the window, after an hour-level pre-aggregate has collapsed the stream
+    to |hours|×|types| rows. Decimal sums keep hour totals
+    order-independent (tpch.py determinism note); the per-series window
+    partitions are grid-sized (bounded by time span, not event volume), so
+    a skewed type costs nothing extra."""
+    ev = load(spark, sf_dir, "events")
+    sparse = (
+        ev.select(
+            "event_type",
+            F.floor(epoch_us("ts") / _HOUR_US).cast("long").alias("hour_idx"),
+            "value",
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("hour_sum")
+        )
+    )
+    bounds = sparse.agg(
+        F.min("hour_idx").alias("mn"), F.max("hour_idx").alias("mx")
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in _EVENT_TYPES], "event_type string"
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hour_idx")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    ffill = Window.partitionBy("event_type").orderBy("hour_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.join(sparse, ["event_type", "hour_idx"], "left").select(
+        "event_type",
+        "hour_idx",
+        F.round(F.last("hour_sum", ignorenulls=True).over(ffill), 6).alias(
+            "filled_sum"
+        ),
+        F.when(F.col("hour_sum").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+#: Same inactivity gap as sessionize_events (windows.py) — sessions stay
+#: "active" until the timeout, so the interval is [first_event, last+gap).
+_SESSION_GAP_US = 43_200_000_000
+
+_CONCURRENCY_ORACLE = f"""
+WITH stamped AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM stamped
+), intervals AS (
+    SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + {_SESSION_GAP_US} AS e_us
+    FROM flagged GROUP BY user_id, sid
+), boundaries AS (
+    SELECT s_us AS us, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT e_us AS us, -1 AS delta FROM intervals
+), net AS (
+    SELECT us, SUM(delta) AS net FROM boundaries GROUP BY us
+), conc AS (
+    SELECT us, SUM(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS n
+    FROM net
+)
+SELECT CAST(MAX(n) AS BIGINT) AS peak_concurrency,
+       MIN(us) FILTER (WHERE n = (SELECT MAX(n) FROM conc)) AS peak_at_us
+FROM conc
+"""
+
+
+@register(
+    "max_concurrent_intervals", oracle=_CONCURRENCY_ORACLE, tags=("range",)
+)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval overlap: the maximum number of simultaneously active
+    user sessions and the first instant it is reached (capacity-planning /
+    peak-load shape).
+
+    Sessions are the gap-based intervals of sessionize_events, active
+    until the 12 h timeout. Each interval emits a +1/−1 boundary pair; the
+    boundaries collapse to one net delta per timestamp (ends sort with
+    starts at the same instant, so touching sessions never double-count),
+    and the running sum of nets IS the concurrency curve.
+
+    The prefix sum over the single global time order is the scale hazard —
+    a bare Window.orderBy(us) funnels every boundary through one task.
+    This uses the two-phase distributed pattern instead: range-partition
+    by timestamp, per-partition running sums, then a per-partition-totals
+    cumulative offset (a ≤|partitions|-row window — trivially small)
+    broadcast-joined back. Each task scans only its time slice; the
+    sequential step is O(partitions), not O(boundaries)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | (F.col("us") - F.lag("us").over(order) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = flagged.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"),
+        (F.max("us") + F.lit(_SESSION_GAP_US)).alias("e_us"),
+    )
+    boundaries = intervals.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    net = boundaries.groupBy("us").agg(F.sum("delta").alias("net"))
+
+    # Two-phase distributed prefix sum over the global `us` order.
+    parts = net.repartitionByRange(16, "us").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    within = parts.withColumn(
+        "run",
+        F.sum("net").over(
+            Window.partitionBy("pid")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("net").alias("tot"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("tot").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    conc = within.join(F.broadcast(offsets), "pid").select(
+        "us", (F.col("run") + F.col("off")).alias("n")
+    )
+    # Peak, then first instant reaching it. The 1-row peak broadcasts back
+    # onto the curve; the curve lineage is evaluated twice (once per pass),
+    # which AQE's exchange reuse elides when the net aggregate's shuffle is
+    # shared — persisting `conc` would trade memory for the guarantee.
+    peak = conc.agg(F.max("n").alias("mx"))
+    return (
+        conc.join(F.broadcast(peak), F.col("n") == F.col("mx"))
+        .agg(
+            F.max("n").cast("long").alias("peak_concurrency"),
+            F.min("us").alias("peak_at_us"),
+        )
+    )

@@ -477,3 +477,67 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+_STANDARDIZE_ORACLE = """
+WITH flat AS (
+    SELECT vec_id, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+), stats AS (
+    SELECT pos,
+           CAST(SUM(CAST(v AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS mean,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS m2
+    FROM flat GROUP BY pos
+)
+SELECT f.vec_id, f.pos,
+       ROUND(CASE WHEN s.m2 - s.mean * s.mean <= 0 THEN 0
+                  ELSE (f.v - s.mean) / sqrt(s.m2 - s.mean * s.mean)
+             END, 6) AS z
+FROM flat f JOIN stats s USING (pos)
+"""
+
+
+@register("embedding_standardize", oracle=_STANDARDIZE_ORACLE, tags=("similarity",))
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus — the
+    feature-scaling pass before distance-based models (k-means, kNN) where
+    an unscaled high-variance dimension dominates the metric.
+
+    Two passes over the flattened (vector, dimension) stream: a per-
+    dimension moment aggregate (mean, E[v²]) whose state is O(dims) and
+    map-side combines — one shuffle of dims-sized partials regardless of
+    corpus size — then the tiny stats table broadcasts back onto the
+    stream for the per-value transform. No UDF, no driver materialization.
+
+    Cross-engine determinism: moments are exact-decimal sums divided once
+    (tpch.py convention), and both engines then evaluate the identical
+    IEEE expression (v − mean)/√(E[v²] − mean²), so ROUND(,6) hashes
+    equal. Constant dimensions (variance ≤ 0 after the subtraction,
+    including the negative-epsilon float case) map to z = 0 on both
+    engines rather than dividing by ~0."""
+    flat = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "posexplode(embedding) AS (pos, v)")
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    stats = flat.groupBy("pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,20)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,20)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    var = F.col("m2") - F.col("mean") * F.col("mean")
+    return flat.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.round(
+            F.when(var <= 0, F.lit(0.0)).otherwise(
+                (F.col("v") - F.col("mean")) / F.sqrt(var)
+            ),
+            6,
+        ).alias("z"),
+    )

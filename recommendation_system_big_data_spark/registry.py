@@ -40,6 +40,10 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.eda_export",
     "recommendation_system_big_data_spark.operators.sql_surface",
     "recommendation_system_big_data_spark.operators.reshape",
+    "recommendation_system_big_data_spark.operators.olap",
+    "recommendation_system_big_data_spark.operators.ranges",
+    "recommendation_system_big_data_spark.operators.skew",
+    "recommendation_system_big_data_spark.operators.linkage",
     "recommendation_system_big_data_spark.operators.graph",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.quality",

@@ -243,3 +243,78 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in explain.physical_plan(shj)
     smj = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
     assert "SortMergeJoin" in explain.physical_plan(smj)
+
+
+def test_range_join_is_bucket_equi_join(spark, sf_dir):
+    # The point-in-interval join must compile to a hash/sort-merge join on
+    # the bucket key, never the nested-loop plan a bare inequality ON
+    # clause produces.
+    from recommendation_system_big_data_spark.operators.ranges import (
+        join_range_bucketed,
+    )
+
+    plan = explain.physical_plan(join_range_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan, plan
+
+
+def test_gapfill_grid_is_distributed(spark, sf_dir):
+    # The dense hour grid comes from sequence()+explode on executors — no
+    # driver-side collect/parallelize of the grid.
+    from recommendation_system_big_data_spark.operators.ranges import (
+        ts_gapfill_ffill,
+    )
+
+    plan = explain.physical_plan(ts_gapfill_ffill(spark, sf_dir))
+    assert "sequence(" in plan and "explode" in plan.lower(), plan
+
+
+def test_concurrency_sweep_has_no_global_window(spark, sf_dir):
+    # The prefix sum must be the two-phase partitioned pattern: every
+    # window over the boundary stream is keyed by pid; only the
+    # ≤|partitions|-row offset window may be partition-less.
+    from recommendation_system_big_data_spark.operators.ranges import (
+        max_concurrent_intervals,
+    )
+
+    df = max_concurrent_intervals(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    import re
+
+    # Unpartitioned running-sum windows sort by the raw timestamp; the
+    # only such window allowed is the pid-offset one (sorts by pid).
+    bad = re.findall(r"Window \[[^\]]*us ASC[^\]]*\](?!.*partition)", plan)
+    globals_over_us = [
+        w for w in plan.splitlines()
+        if "Window" in w and "us#" in w and "pid#" not in w and "user_id" not in w
+    ]
+    assert not bad and not globals_over_us, plan
+
+
+def test_cube_single_expand_aggregate(spark, sf_dir):
+    # CUBE must be one Expand + one aggregation pass over one scan — not a
+    # union of per-level aggregates re-reading the fact table.
+    from recommendation_system_big_data_spark.operators.olap import (
+        agg_cube_revenue,
+    )
+
+    import re
+
+    plan = explain.physical_plan(agg_cube_revenue(spark, sf_dir))
+    assert "Expand" in plan, plan
+    # formatted explain lists each node once in the tree and once in the
+    # details — count unique scan node ids, not substring occurrences
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+
+
+def test_fuzzy_join_blocks_on_brand(spark, sf_dir):
+    # The levenshtein predicate must ride on a brand equi-join, not turn
+    # the plan into a cartesian/nested-loop comparison of all part pairs.
+    from recommendation_system_big_data_spark.operators.linkage import (
+        fuzzy_join_levenshtein,
+    )
+
+    plan = explain.physical_plan(fuzzy_join_levenshtein(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
