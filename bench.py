@@ -69,6 +69,17 @@ HEADLINE = [
     "reshape_pivot",
     "rollup_incremental_agg",
     "knn_classify",
+    # round-4: multi-level grouping (Expand), bucketed range join, dense
+    # grid gap-fill, distributed prefix-sum sweep, blocked fuzzy join, and
+    # wedge-join triangle counting. First recorded run defines each
+    # baseline.
+    "agg_cube_revenue",
+    "join_range_bucketed",
+    "ts_gapfill_ffill",
+    "max_concurrent_intervals",
+    "fuzzy_join_levenshtein",
+    "embedding_standardize",
+    "graph_triangle_count",
 ]
 
 

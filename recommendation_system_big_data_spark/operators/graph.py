@@ -122,3 +122,105 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("id").alias("part_id"), F.round("r", 6).alias("pagerank"))
+
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey)    AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph — the
+    clustering/cohesion primitive behind community detection and spam
+    topology checks.
+
+    The compact-forward algorithm: orient each undirected edge from the
+    endpoint with the smaller (degree, id) to the larger, self-join the
+    oriented edges on the shared middle node to enumerate wedges, and keep
+    wedges whose closing (a, c) edge exists (a third equi-join). Each
+    unordered triangle survives exactly once. Degree ordering is the scale
+    guarantee: a hub of degree d generates wedges only toward
+    HIGHER-degree neighbors, bounding total wedges at O(m^1.5) instead of
+    the Σd² blow-up a fixed id ordering suffers on skewed graphs — the
+    oracle uses the simple id orientation, which counts the identical
+    triangle set, because per-node membership is orientation-invariant.
+    All three joins are key-partitioned shuffles; the degree table
+    (|nodes| rows) broadcasts. No driver materialization."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg).select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = F.broadcast(deg).select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    # Orient by (degree, id): src is the endpoint earlier in that order.
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
