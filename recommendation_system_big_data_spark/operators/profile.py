@@ -797,3 +797,61 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+_FK_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+       (SELECT COUNT(*) FROM orders) AS n_child_rows,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+"""
+
+
+@register("fk_integrity_report", oracle=_FK_ORACLE, tags=("profile", "quality"))
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared FK edge, the child row count and the number of orphans
+    (child keys with no parent) — the warehouse smoke test run after
+    every load, and the check MERGE/CDC pipelines regress when a parent
+    arrives late.
+
+    Each edge is one left-anti join against the parent's key projection —
+    the parent side prunes to the single key column before the shuffle,
+    and an anti join carries no payload, so cost is ~one distinct-key
+    shuffle per edge regardless of parent width. Zero orphans is the
+    expected (and still asserted) result on the driver testdata; the op
+    exists to catch the day that stops being true."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+
+    def edge(child: DataFrame, key: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        orphans = (
+            child.select(key)
+            .join(parent.select(pkey), child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("fk"), "n_child_rows", "n_orphans"
+        )
+
+    e1 = edge(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey->orders.o_orderkey")
+    e2 = edge(orders, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey",
+              "orders.o_custkey->customer.c_custkey")
+    e3 = edge(li, "l_partkey", load(spark, sf_dir, "part"), "p_partkey",
+              "lineitem.l_partkey->part.p_partkey")
+    return e1.unionByName(e2).unionByName(e3)

@@ -83,10 +83,15 @@ _loaded = False
 #: round-3 hash mismatches. Canonical names remain the public API; aliases
 #: are tagged ``alias`` so bench/docs can skip them.
 #:
-#: ROUND-5 QUEUE (rows-only names that did not fit this window):
-#:   agg_hll_sketch_merge, sample_stratified, stat_freq_items,
-#:   stream_dedup_replayed, stream_stream_join_attribution,
-#:   stream_static_dim_join — plus every operator added in round 4.
+#: ROUND-5 QUEUE (did not fit this window — rotate in next round):
+#:   rows-only carryover (6): agg_hll_sketch_merge, sample_stratified,
+#:     stat_freq_items, stream_dedup_replayed,
+#:     stream_stream_join_attribution, stream_static_dim_join
+#:   round-4 additions (11, all oracle-bearing): agg_rollup_hierarchy,
+#:     agg_cube_revenue, join_range_bucketed, ts_gapfill_ffill,
+#:     max_concurrent_intervals, join_skew_salted, fuzzy_join_levenshtein,
+#:     embedding_standardize, graph_triangle_count,
+#:     scan_json_corrupt_records, fk_integrity_report
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
     "cogrouped_pandas_ratio",

@@ -16,6 +16,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
@@ -301,4 +302,75 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(out)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+#: Deterministic corruption rule for the malformed-JSON fixture: every
+#: doc whose id is 0 mod 50 gets its closing brace cut off.
+_CORRUPT_MOD = 50
+
+_CORRUPT_JSON_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE doc_id % {_CORRUPT_MOD} != 0
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang, COUNT(*) AS n_docs FROM documents
+WHERE doc_id % {_CORRUPT_MOD} = 0
+"""
+
+
+@register(
+    "scan_json_corrupt_records", oracle=_CORRUPT_JSON_ORACLE, tags=("source",)
+)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion of a corpus with malformed lines — the
+    real-world JSONL scrape where a fraction of records is truncated.
+
+    A fixture is built by serializing `documents` to JSON lines and
+    deterministically truncating every 50th record, then read back
+    schema-pinned in PERMISSIVE mode with `_corrupt_record` capturing the
+    rejects. The query reports per-language good-record counts plus the
+    quarantined count under the `_corrupt` sentinel — the
+    ingest-monitoring shape (FAILFAST would kill a 100 TB job on one bad
+    byte; DROPMALFORMED silently loses data; PERMISSIVE + quarantine
+    column is the only auditable mode). Parsing stays in the JVM JSON
+    reader; corruption detection costs nothing extra."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % _CORRUPT_MOD == 0,
+            # cut the tail off the serialized record → unparseable
+            F.expr("substring(to_json(struct(doc_id, lang, source, n_chars)), 1, 20)"),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "source", "n_chars")))
+        .alias("value")
+    )
+    out = _sink_dir(sf_dir, "jsonl_corrupt")
+    lines.write.mode("overwrite").text(out)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("lang")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

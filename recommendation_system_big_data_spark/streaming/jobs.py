@@ -31,29 +31,36 @@ from pyspark.sql.types import (
 
 from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
 from recommendation_system_big_data_spark.registry import register
-
-#: Raw parquet schema of events (ts is INT64 TIMESTAMP(NANOS) read as long).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
+from recommendation_system_big_data_spark.session import ensure_runtime_conf
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per micro-batch
-    in AvailableNow mode), ns-long ts converted exactly as catalog.load."""
+    in AvailableNow mode).
+
+    Streaming sources require an explicit schema; hard-coding one breaks
+    the day the generator changes its timestamp encoding (round 4: ts went
+    from INT64 TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros, and a pinned
+    LongType schema silently read micros as if they were nanos — every
+    window start off by 1000×). The batch reader's footer schema is the
+    source of truth; the ns-long case converts exactly as catalog.load.
+
+    Watermarks require an instant TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE on NTZ), so NTZ event time is cast through the session
+    zone — ensure_runtime_conf pins it to UTC, making the cast value-
+    preserving against the naive batch/oracle reads."""
+    ensure_runtime_conf(spark)
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 # ---------------------------------------------------------------------------
@@ -529,15 +536,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["path"] = out
 
     raw = (
-        spark.readStream.schema(
-            EVENTS_RAW_SCHEMA.add("split", "integer")
-        )
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
     agg = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .groupBy("user_id")
+        raw.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(

@@ -77,7 +77,6 @@ def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir):
     file — the recovery contract a 100 TB ingest pipeline depends on."""
     import tempfile
     from pyspark.sql import functions as F
-    from recommendation_system_big_data_spark.streaming.jobs import EVENTS_RAW_SCHEMA
 
     base = tempfile.mkdtemp(prefix="rsbd_ckpt_")
     src = os.path.join(base, "src")
@@ -89,14 +88,11 @@ def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir):
     n_total = ev.count()
     half_a = ev.filter(F.col("event_id") % 2 == 0)
     half_b = ev.filter(F.col("event_id") % 2 == 1)
-    # write halves as raw-long ts so the stream schema matches the source
-    half_a.withColumn("ts", F.unix_timestamp("ts") * 1_000_000_000).write.parquet(
-        os.path.join(src, "a"), mode="overwrite"
-    )
+    half_a.write.parquet(os.path.join(src, "a"), mode="overwrite")
 
     def run_once():
         stream = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(ev.schema)
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
@@ -113,9 +109,7 @@ def test_checkpoint_recovery_processes_each_file_once(spark, sf_dir):
     first = spark.read.parquet(out).count()
     assert first == half_a.count()
 
-    half_b.withColumn("ts", F.unix_timestamp("ts") * 1_000_000_000).write.parquet(
-        os.path.join(src, "b"), mode="overwrite"
-    )
+    half_b.write.parquet(os.path.join(src, "b"), mode="overwrite")
     run_once()  # restart from checkpoint: must pick up ONLY the new file
     total = spark.read.parquet(out).count()
     assert total == n_total, (first, total, n_total)
