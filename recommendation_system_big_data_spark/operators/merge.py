@@ -261,3 +261,100 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
     )
+
+
+_PIT_ORACLE = """
+WITH dim AS (
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(
+               strftime(LEAD(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+               '9999-12-31') AS valid_to,
+           o_orderpriority AS attr
+    FROM orders
+), fact AS (
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_linenumber = 1
+)
+SELECT f.l_orderkey, f.o_custkey, f.ship_day, d.attr AS priority_at_ship
+FROM fact f
+JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.ship_day >= d.valid_from
+ AND f.ship_day < d.valid_to
+"""
+
+
+@register("scd2_pit_lookup", oracle=_PIT_ORACLE, tags=("merge", "temporal"))
+def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact→SCD2 lookup: each shipment joins the dimension
+    VERSION that was valid on its ship date — the query every
+    historized warehouse runs ("what was the customer's priority when
+    this shipped?"), and the consumer side of scd2_build.
+
+    NOT an interval predicate join (quadratic within key, and a
+    nested-loop plan): dimension version-starts and fact rows interleave
+    in one stream sorted by (custkey, date), and last(ignorenulls) over
+    that window carries the in-effect version onto every fact row — the
+    same union-sort machinery as join_asof (asof.py), which works here
+    because SCD2 intervals tile the timeline per key: "valid at d" ≡
+    "most recent version start ≤ d". One shuffle on the dimension key;
+    facts whose ship day precedes the first version simply drop (inner
+    semantics), matching the interval-join oracle exactly. Ties (a
+    version starting ON the ship day) resolve to the new version on both
+    engines: the window orders version rows before fact rows at equal
+    dates only via the is_fact 0/1 secondary key.
+
+    Same-day version churn: two changes for one key on one day historize
+    as a zero-length interval [d, d) plus the survivor [d, next). The
+    zero-length version can match no fact in interval semantics, so it is
+    dropped BEFORE the union — which also makes (custkey, day) unique on
+    the dim side, the determinism requirement for last() under equal
+    window sort keys."""
+    dim = scd2_build(spark, sf_dir).filter(
+        F.col("valid_from") < F.col("valid_to")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("valid_from").alias("day"),
+        F.lit(0).alias("is_fact"),
+        F.col("attr"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("string").alias("ship_day"),
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    orders = load(spark, sf_dir, "orders")
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("string").alias("attr"),
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+    stream = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy(F.asc("day"), F.asc("is_fact"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = stream.withColumn(
+        "priority_at_ship", F.last("attr", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(
+            (F.col("is_fact") == 1) & F.col("priority_at_ship").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            F.col("custkey").alias("o_custkey"),
+            "ship_day",
+            "priority_at_ship",
+        )
+    )

@@ -79,6 +79,24 @@ def roundtrip_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(src.toPandas(), schema=src.schema)
 
 
+@register(
+    "roundtrip_arrow",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def roundtrip_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Arrow round-trip: DataFrame → pyarrow.Table → DataFrame
+    (Spark 4's toArrow / createDataFrame-from-Table). The zero-copy sibling
+    of roundtrip_pandas — no pandas object conversion, no NaN/NULL
+    ambiguity, and the Table carries its own schema so the return trip
+    needs no re-pinning. The driver-materialization caveat is identical:
+    results only, never unbounded data."""
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return spark.createDataFrame(src.toArrow())
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / predicates
 # ---------------------------------------------------------------------------
