@@ -82,13 +82,21 @@ def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two domains (~12), so the post-Expand shuffle is tiny regardless of
     fact size; the Expand fan-out happens after column pruning, so each
     duplicated row carries only the 4 needed columns."""
-    li = load(spark, sf_dir, "lineitem")
+    # The discounted-price decimal multiply is projected BEFORE the cube:
+    # Expand replicates each row 4×, and an agg-input expression would be
+    # evaluated on the expanded stream — pre-computing it does the decimal
+    # math once per source row instead of once per (row × grouping set).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", disc_price().alias("dp")
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_items"),
-            dsum(disc_price(), "decimal(22,4)").alias("sum_disc_price"),
+            F.sum(F.col("dp").cast("decimal(22,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_disc_price")
     )
