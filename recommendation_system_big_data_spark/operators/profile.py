@@ -855,3 +855,43 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = edge(li, "l_partkey", load(spark, sf_dir, "part"), "p_partkey",
               "lineitem.l_partkey->part.p_partkey")
     return e1.unionByName(e2).unionByName(e3)
+
+
+_OBSERVE_ORACLE = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS null_prices
+FROM orders
+"""
+
+
+@register("observe_metrics_gate", oracle=_OBSERVE_ORACLE, tags=("profile",))
+def observe_metrics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-observed quality metrics via the native Observation API — the
+    production pattern for collecting row counts / null counts / control
+    totals AS A SIDE EFFECT of the job that is already running, instead of
+    a second audit scan (at 100 TB the second scan is the entire cost of
+    naive data-quality tooling).
+
+    The observed aggregates ride the existing action's execution (metrics
+    accumulate per-task and merge on the driver, like SQL metrics); the
+    returned 1-row frame re-enters Spark so the driver contract still
+    gets a DataFrame. Decimal control total keeps the hash
+    order-independent."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    orders = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_prices"),
+    )
+    orders.write.format("noop").mode("overwrite").save()  # the observed action
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_orders"], row["total_price"], row["null_prices"])],
+        "n_orders bigint, total_price double, null_prices bigint",
+    )

@@ -92,7 +92,7 @@ _loaded = False
 #:     max_concurrent_intervals, join_skew_salted, fuzzy_join_levenshtein,
 #:     embedding_standardize, graph_triangle_count,
 #:     scan_json_corrupt_records, fk_integrity_report, scd2_pit_lookup,
-#:     roundtrip_arrow
+#:     roundtrip_arrow, observe_metrics_gate
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
     "cogrouped_pandas_ratio",

@@ -318,3 +318,16 @@ def test_fuzzy_join_blocks_on_brand(spark, sf_dir):
     plan = explain.physical_plan(fuzzy_join_levenshtein(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # The engine leans on AQE + size-gated broadcast hints; this pins the
+    # OTHER strategy controls Spark exposes — a shuffle_hash hint must
+    # produce ShuffledHashJoin (skipping the sort-merge default), and a
+    # merge hint must produce SortMergeJoin even where broadcast would win.
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sh = o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    assert "ShuffledHashJoin" in explain.physical_plan(sh)
+    sm = o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    assert "SortMergeJoin" in explain.physical_plan(sm)
