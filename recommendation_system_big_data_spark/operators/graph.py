@@ -205,6 +205,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
     )
+    # The edge pipeline (fact self-join → distinct → degree orientation)
+    # feeds all three legs of the wedge join; without a lineage cut Spark
+    # re-evaluates it once per leg. Materializing the oriented edge list —
+    # tiny next to the fact table — is exactly what a 100 TB deployment
+    # does (persist the edge list, then enumerate).
+    oriented = oriented.localCheckpoint()
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

@@ -305,10 +305,11 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     conc = within.join(F.broadcast(offsets), "pid").select(
         "us", (F.col("run") + F.col("off")).alias("n")
     )
-    # Peak, then first instant reaching it. The 1-row peak broadcasts back
-    # onto the curve; the curve lineage is evaluated twice (once per pass),
-    # which AQE's exchange reuse elides when the net aggregate's shuffle is
-    # shared — persisting `conc` would trade memory for the guarantee.
+    # Peak, then first instant reaching it — two passes over the curve.
+    # The curve is |distinct boundary timestamps| rows (≪ events), so a
+    # lineage cut is cheap and guarantees the sessionize/window pipeline
+    # underneath runs once, rather than relying on AQE exchange reuse.
+    conc = conc.localCheckpoint()
     peak = conc.agg(F.max("n").alias("mx"))
     return (
         conc.join(F.broadcast(peak), F.col("n") == F.col("mx"))
