@@ -34,6 +34,51 @@ _BUCKET_DAYS = 4
 #: semantics problem, not a plan problem.
 _MIN_ORDER_VALUE = 495_000.0
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    band: int,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Equi-join rewrite of ``ON p >= s AND p < s + band`` (integer domain).
+
+    Quantize both sides to ``bucket_width``-wide buckets (must be ≥ band;
+    default band+1): an interval [s, s+band) can only contain points in
+    buckets ⌊s/w⌋ and ⌊s/w⌋+1, so the interval side explodes into exactly
+    those two keys, the point side keeps its single bucket, and a bucket
+    equi-join + exact re-check replaces the nested-loop plan an
+    inequality-only ON clause compiles to. Each qualifying pair meets in
+    exactly ONE bucket (the point's), so no post-join dedup. Returns the
+    joined frame with both sides' columns; callers aggregate.
+
+    Property-tested against the naive cross-join filter in
+    tests/test_property_ranges.py (random bands, bucket-boundary cases).
+    """
+    w = bucket_width if bucket_width is not None else band + 1
+    if w < band:
+        raise ValueError(f"bucket_width {w} must be >= band {band}")
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col(start_col) / w),
+                F.floor(F.col(start_col) / w) + 1,
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+    return (
+        pt.join(iv, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(start_col) + band)
+        )
+        .drop("__bucket")
+    )
+
+
 _RANGE_JOIN_ORACLE = f"""
 SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
        COUNT(*) AS n_pairs
@@ -79,27 +124,15 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("o_day"),
         )
     )
-    o = o.withColumn(
-        "bucket",
-        F.explode(
-            F.array(
-                F.floor(F.col("o_day") / _BUCKET_DAYS),
-                F.floor(F.col("o_day") / _BUCKET_DAYS) + 1,
-            )
-        ),
-    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.datediff(
             F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("l_day"),
     )
-    li = li.withColumn("bucket", F.floor(F.col("l_day") / _BUCKET_DAYS))
-    pairs = o.join(li, "bucket").filter(
-        (F.col("l_day") >= F.col("o_day"))
-        & (F.col("l_day") < F.col("o_day") + _BAND_DAYS)
-        & (F.col("l_orderkey") != F.col("o_orderkey"))
-    )
+    pairs = point_in_interval_join(
+        li, o, "l_day", "o_day", _BAND_DAYS, _BUCKET_DAYS
+    ).filter(F.col("l_orderkey") != F.col("o_orderkey"))
     return pairs.groupBy("order_month").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
@@ -267,15 +300,29 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("s_us"),
         (F.max("us") + F.lit(_SESSION_GAP_US)).alias("e_us"),
     )
+    return interval_peak_concurrency(intervals)
+
+
+def interval_peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    n_parts: int = 16,
+) -> DataFrame:
+    """Peak overlap of half-open intervals [start, end) → 1 row
+    (peak_concurrency, peak_at_us). The +1/−1 boundary sweep with the
+    two-phase distributed prefix sum described in the op docstring.
+    Property-tested against a brute-force sweep in
+    tests/test_property_ranges.py."""
     boundaries = intervals.select(
-        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+        F.col(start_col).alias("us"), F.lit(1).alias("delta")
     ).unionByName(
-        intervals.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+        intervals.select(F.col(end_col).alias("us"), F.lit(-1).alias("delta"))
     )
     net = boundaries.groupBy("us").agg(F.sum("delta").alias("net"))
 
     # Two-phase distributed prefix sum over the global `us` order.
-    parts = net.repartitionByRange(16, "us").withColumn(
+    parts = net.repartitionByRange(n_parts, "us").withColumn(
         "pid", F.spark_partition_id()
     )
     within = parts.withColumn(

@@ -1,0 +1,105 @@
+"""Property tests for the range/interval kernels (operators/ranges.py):
+the bucketed point-in-interval join must equal the naive cross-join
+filter, and the distributed concurrency sweep must equal a brute-force
+Python sweep — over randomized inputs that hit bucket boundaries, empty
+overlaps, duplicate timestamps, and touching intervals."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.operators.ranges import (
+    interval_peak_concurrency,
+    point_in_interval_join,
+)
+
+
+def _pairs(df):
+    return sorted((r["pid"], r["iid"]) for r in df.collect())
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    rng = random.Random(42)
+    for band, bucket_width in ((1, 1), (3, 4), (7, 7), (10, 25)):
+        points = [(i, rng.randrange(0, 200)) for i in range(300)]
+        intervals = [(j, rng.randrange(-10, 200)) for j in range(80)]
+        p = spark.createDataFrame(points, "pid long, p long")
+        iv = spark.createDataFrame(intervals, "iid long, s long")
+        got = _pairs(
+            point_in_interval_join(p, iv, "p", "s", band, bucket_width)
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, pv in points
+            for iid, sv in intervals
+            if sv <= pv < sv + band
+        )
+        assert got == want, (band, bucket_width, len(got), len(want))
+
+
+def test_bucketed_range_join_rejects_narrow_buckets(spark):
+    import pytest
+
+    p = spark.createDataFrame([(1, 1)], "pid long, p long")
+    iv = spark.createDataFrame([(1, 1)], "iid long, s long")
+    with pytest.raises(ValueError):
+        point_in_interval_join(p, iv, "p", "s", band=5, bucket_width=4)
+
+
+def test_bucketed_range_join_negative_domain(spark):
+    # floor-division bucketing must stay consistent below zero (floor, not
+    # truncation): points and starts straddling 0 still pair correctly.
+    points = [(i, v) for i, v in enumerate(range(-20, 21))]
+    intervals = [(j, s) for j, s in enumerate(range(-22, 20, 3))]
+    p = spark.createDataFrame(points, "pid long, p long")
+    iv = spark.createDataFrame(intervals, "iid long, s long")
+    got = _pairs(point_in_interval_join(p, iv, "p", "s", 3))
+    want = sorted(
+        (pid, iid)
+        for pid, pv in points
+        for iid, sv in intervals
+        if sv <= pv < sv + 3
+    )
+    assert got == want
+
+
+def _brute_peak(intervals):
+    """Brute-force sweep: peak overlap of [s, e) and first time it occurs."""
+    bounds = {}
+    for s, e in intervals:
+        bounds[s] = bounds.get(s, 0) + 1
+        bounds[e] = bounds.get(e, 0) - 1
+    cur = peak = 0
+    peak_at = None
+    for us in sorted(bounds):
+        cur += bounds[us]
+        if cur > peak:
+            peak, peak_at = cur, us
+    return peak, peak_at
+
+
+def test_peak_concurrency_equals_bruteforce(spark):
+    rng = random.Random(7)
+    for trial in range(5):
+        ivs = []
+        for _ in range(rng.randrange(5, 120)):
+            s = rng.randrange(0, 500)
+            ivs.append((s, s + rng.randrange(1, 60)))
+        # touching intervals: one ends exactly where another starts
+        ivs.append((600, 650))
+        ivs.append((650, 700))
+        df = spark.createDataFrame(ivs, "s_us long, e_us long")
+        row = interval_peak_concurrency(df).collect()[0]
+        peak, peak_at = _brute_peak(ivs)
+        assert row["peak_concurrency"] == peak, (trial, row, peak)
+        assert row["peak_at_us"] == peak_at, (trial, row, peak_at)
+
+
+def test_peak_concurrency_touching_intervals_do_not_overlap(spark):
+    # [0, 10) and [10, 20): ends apply before starts at the same instant,
+    # so the peak must be 1.
+    df = spark.createDataFrame([(0, 10), (10, 20)], "s_us long, e_us long")
+    row = interval_peak_concurrency(df).collect()[0]
+    assert row["peak_concurrency"] == 1
