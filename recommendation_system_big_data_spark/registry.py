@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.functions.datetime_fns",
     "recommendation_system_big_data_spark.sources.csv",
     "recommendation_system_big_data_spark.sources.sinks",
+    "recommendation_system_big_data_spark.sources.pyds",
     "recommendation_system_big_data_spark.streaming.jobs",
     "recommendation_system_big_data_spark.streaming.stateful",
 )
@@ -92,7 +93,7 @@ _loaded = False
 #:     max_concurrent_intervals, join_skew_salted, fuzzy_join_levenshtein,
 #:     embedding_standardize, graph_triangle_count,
 #:     scan_json_corrupt_records, fk_integrity_report, scd2_pit_lookup,
-#:     roundtrip_arrow, observe_metrics_gate
+#:     roundtrip_arrow, observe_metrics_gate, scan_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
     "cogrouped_pandas_ratio",

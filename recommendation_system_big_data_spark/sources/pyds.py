@@ -1,0 +1,84 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — the extension
+point for reading formats Spark has no built-in connector for.
+
+The reference reads only CSV; a 100 TB deployment inevitably meets a
+bespoke format (proprietary log framing, an internal record service).
+Spark 4's Python DataSource API is the sanctioned way in: the source
+declares its schema and a PARTITION PLAN, and executors pull their
+partitions in parallel through Arrow — no driver materialization, no
+single-threaded ingest. The demo source generates a deterministic
+synthetic record stream (hash-derived values, no RNG), so the DuckDB
+oracle can regenerate it exactly from `generate_series`.
+
+Worker-pickling discipline (same rule as functions/pandas_fns.py): the
+DataSource classes are defined INSIDE the query function, so cloudpickle
+serializes them BY VALUE. Module-level classes would pickle by reference
+and die with ModuleNotFoundError on executors when the driver-owned
+session has the repo only on driver sys.path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recommendation_system_big_data_spark.registry import register
+from recommendation_system_big_data_spark.session import ensure_runtime_conf
+
+#: Rows and partition count of the synthetic source (options to the API).
+_N_ROWS = 10_000
+_N_PARTS = 8
+
+_PYDS_ORACLE = f"""
+SELECT g.i AS id,
+       CAST(g.i % 32 AS INTEGER) AS bucket,
+       CAST((g.i * 7919) % 104729 AS DOUBLE) / 104729 AS val
+FROM UNNEST(generate_series(0, {_N_ROWS - 1})) AS g(i)
+"""
+
+
+@register("scan_python_datasource", oracle=_PYDS_ORACLE, tags=("source",))
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a registered custom Python DataSource: 8 planned
+    input partitions, each executor generating its slice — the partition
+    fan-out (not the toy payload) is the point. Values are integer-exact
+    before one final double division, so both engines produce identical
+    IEEE doubles with no rounding tolerance needed."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    ensure_runtime_conf(spark)
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            # round-robin slice: partition i yields rows i, i+P, i+2P, …
+            for k in range(partition.value, self.n, self.parts):
+                yield (k, k % 32, (k * 7919 % 104729) / 104729)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rsbd_synth"
+
+        def schema(self):
+            return "id bigint, bucket int, val double"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    return (
+        spark.read.format("rsbd_synth")
+        .option("n", str(_N_ROWS))
+        .option("parts", str(_N_PARTS))
+        .load()
+    )
