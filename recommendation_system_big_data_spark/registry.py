@@ -88,7 +88,7 @@ _loaded = False
 #:   rows-only carryover (6): agg_hll_sketch_merge, sample_stratified,
 #:     stat_freq_items, stream_dedup_replayed,
 #:     stream_stream_join_attribution, stream_static_dim_join
-#:   round-4 additions (13, all oracle-bearing): agg_rollup_hierarchy,
+#:   round-4 additions (16, all oracle-bearing): agg_rollup_hierarchy,
 #:     agg_cube_revenue, join_range_bucketed, ts_gapfill_ffill,
 #:     max_concurrent_intervals, join_skew_salted, fuzzy_join_levenshtein,
 #:     embedding_standardize, graph_triangle_count,
