@@ -82,3 +82,83 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", str(_N_PARTS))
         .load()
     )
+
+
+@register("stream_python_datasource", oracle=None, tags=("source", "streaming"))
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the DataSource API: a SimpleDataSourceStreamReader
+    serving deterministic offset-tracked micro-batches — the template for a
+    bespoke queue/service connector when Kafka isn't the transport.
+
+    The reader's contract is the offset protocol: initialOffset → read
+    (returns rows + next offset) → commit. AvailableNow snapshots only the
+    FIRST read's progress for a simple reader, so the query runs on the
+    default micro-batch trigger and is stopped once the offset stops
+    advancing — four 2 500-row batches, then an empty read. The final
+    memory-sink table is exactly rows [0, _N_ROWS) — asserted against the
+    batch source in tests/test_streaming.py. ⊘ rows-only (micro-batch
+    execution is not SQL-expressible); classes nested for by-value
+    pickling, as above."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    ensure_runtime_conf(spark)
+    batch_rows = 2500
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= _N_ROWS:
+                return iter([]), {"pos": pos}
+            end = min(pos + batch_rows, _N_ROWS)
+            rows = [
+                (k, k % 32, (k * 7919 % 104729) / 104729)
+                for k in range(pos, end)
+            ]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            rows = [
+                (k, k % 32, (k * 7919 % 104729) / 104729)
+                for k in range(start["pos"], end["pos"])
+            ]
+            return iter(rows)
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rsbd_synth_stream"
+
+        def schema(self):
+            return "id bigint, bucket int, val double"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+
+    name = "rsbd_pyds_stream"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = spark.readStream.format("rsbd_synth_stream").load()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            query.processAllAvailable()
+            if spark.table(name).count() >= _N_ROWS:
+                break
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    return spark.table(name)

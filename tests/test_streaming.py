@@ -217,3 +217,16 @@ def test_foreachbatch_upsert_matches_batch(spark, sf_dir):
         )
     )
     assert _as_set(final_state) == _as_set(batch)
+
+
+def test_stream_python_datasource_matches_batch(spark, sf_dir):
+    """The custom streaming DataSource must deliver exactly the batch
+    source's rows across its offset-tracked micro-batches."""
+    from recommendation_system_big_data_spark.sources.pyds import (
+        scan_python_datasource,
+        stream_python_datasource,
+    )
+
+    stream = stream_python_datasource(spark, sf_dir)
+    batch = scan_python_datasource(spark, sf_dir)
+    assert _as_set(stream) == _as_set(batch)
