@@ -347,3 +347,57 @@ def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_udtf d, LATERAL token_offsets(d.text) t
         """
     )
+
+
+def _geomean_udaf():
+    """Grouped-agg pandas UDAFs (Series → scalar), built lazily like the
+    scalar UDFs above and nested so cloudpickle ships them by value.
+    Spark disallows mixing a grouped-agg pandas UDF with non-pandas
+    aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    count is a second UDAF rather than F.count."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def ncount(v: pd.Series) -> int:
+        return int(len(v))
+
+    return geomean, ncount
+
+
+@register(
+    "fn_pandas_udaf_grouped",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+           COUNT(*) AS n
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+    tags=("agg", "udf"),
+)
+def fn_pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF — the aggregation rung of the Python tier
+    ladder (scalar → iterator → grouped-map → cogrouped-map → UDAF):
+    per-type geometric mean of positive event values, one Arrow batch per
+    group reduced to one scalar in numpy.
+
+    The closed form EXP(AVG(LN(v))) is the oracle AND the better engine
+    spelling (stays in codegen, map-side combines); the UDAF exists to
+    keep the aggregation boundary exercised — it is the shape you need
+    when the per-group reduction has no SQL closed form (trimmed
+    estimators, order statistics over weights). Caveat priced into the
+    plan: a grouped-agg UDAF has NO partial aggregation — every raw row
+    shuffles to its group's task, where built-in aggregates ship one
+    partial state per map task."""
+    geo, ncount = _geomean_udaf()
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo("value"), 6).alias("geo_mean"),
+        ncount("value").alias("n"),
+    )
