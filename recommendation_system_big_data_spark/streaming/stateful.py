@@ -111,3 +111,85 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+def _user_stats_processor_cls():
+    """Build the StatefulProcessor class inside a factory (by-value
+    pickling, same rule as above). ValueState holds (n, total) per user;
+    each micro-batch folds its rows in and emits the running stats."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pdl
+
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pdl.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user running stats through transformWithStateInPandas —
+    Spark 4's successor to applyInPandasWithState: a StatefulProcessor
+    object with named, typed state slots (ValueState/ListState/MapState),
+    lifecycle hooks, and timer support, instead of one callback with a
+    single state tuple.
+
+    ENVIRONMENT-GATED (same class as the PIL codec and matplotlib
+    renderer): the transformWithState state protocol speaks protobuf
+    between the JVM and the Python state server, and this container ships
+    no google.protobuf — the API crashes at driver-worker init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Not registered as a
+    driver query for that reason; tests/test_streaming.py runs the parity
+    check whenever protobuf IS importable, so the operator lights up on a
+    normally-provisioned cluster with zero code change. The registered
+    applyInPandasWithState operator (above) covers the stateful surface
+    in-container."""
+    import importlib.util
+
+    if (importlib.util.find_spec("google") is None
+            or importlib.util.find_spec("google.protobuf") is None):
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "container does not provide"
+        )
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_stats_processor_cls()(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    result = run_stream_to_memory(
+        out, spark, "rsbd_stream_tws", output_mode="update"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

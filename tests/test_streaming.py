@@ -230,3 +230,36 @@ def test_stream_python_datasource_matches_batch(spark, sf_dir):
     stream = stream_python_datasource(spark, sf_dir)
     batch = scan_python_datasource(spark, sf_dir)
     assert _as_set(stream) == _as_set(batch)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The transformWithStateInPandas operator must produce the same final
+    per-user stats as the batch groupBy (and hence as the legacy
+    applyInPandasWithState operator). Skips where the container lacks
+    google.protobuf (the API's state-protocol dependency)."""
+    import importlib.util
+
+    import pytest
+
+    if (importlib.util.find_spec("google") is None
+            or importlib.util.find_spec("google.protobuf") is None):
+        pytest.skip("google.protobuf not available in this container")
+    from recommendation_system_big_data_spark.streaming.stateful import (
+        stream_transform_with_state,
+    )
+
+    stream = stream_transform_with_state(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in stream.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], (u, got[u], want[u])
+        assert abs(got[u][1] - want[u][1]) < 1e-4, (u, got[u], want[u])
