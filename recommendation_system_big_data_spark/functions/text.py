@@ -624,3 +624,100 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_hash"),
     )
+
+
+_URL_NORM_ORACLE = """
+WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://Example' || CAST(doc_id % 3 AS VARCHAR)
+               || '.COM/Path/' || CAST(doc_id % 100 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&utm_campaign=x&id='
+                            || CAST(doc_id % 100 AS VARCHAR)
+                       WHEN doc_id % 5 = 0
+                       THEN '?id=' || CAST(doc_id % 100 AS VARCHAR)
+                            || '&utm_medium=mail'
+                       ELSE '' END AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '^https?://', ''),
+                       'utm_[a-z]+=[^&]*&?', '', 'g'),
+                   '[?&]$', ''),
+               '/$', '') AS canonical
+    FROM raw
+)
+SELECT canonical,
+       COUNT(*) AS n_urls,
+       MIN(doc_id) AS keeper_doc
+FROM canon GROUP BY canonical HAVING COUNT(*) > 1
+"""
+
+
+@register("text_url_normalize_dedup", oracle=_URL_NORM_ORACLE, tags=("text",))
+def text_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the CommonCrawl-style first
+    pass of a web-scrape pipeline: the same page arrives under
+    scheme/case variants, trailing slashes, and tracking parameters, and
+    canonicalizing BEFORE the content-hash dedup removes the bulk of
+    duplicates at string cost instead of shingling cost.
+
+    URLs are synthesized deterministically from doc_id (the corpus has no
+    URL column), with planted variant classes: mixed-case scheme+host,
+    trailing slash (every 3rd), utm_* tracking params (every 2nd), and a
+    legitimate id param that must SURVIVE normalization while utm_* dies.
+    Normalization is four regexp_replace passes — scheme strip, lowercase,
+    utm param removal, trailing ?&/ cleanup — all codegen'd JVM string
+    ops, one map stage; the dedup is one hash aggregate on the canonical
+    key with MIN(doc_id) as the deterministic keeper. Output: duplicate
+    groups only (HAVING n > 1)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".COM/Path/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&id="),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("&utm_medium=mail"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""),
+                r"utm_[a-z]+=[^&]*&?",
+                "",
+            ),
+            r"[?&]$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )

@@ -161,3 +161,56 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+#: Mixture weights per source bucket: sources are mapped onto 4 weight
+#: tiers by numeric suffix mod 4 — a stand-in for the per-source sampling
+#: rates of a real training-mix spec (wiki ×1.0, web ×0.25, …).
+_MIX_RATES = {0: 100, 1: 50, 2: 25, 3: 10}  # percent, applied per source tier
+
+_SOURCE_WEIGHTED_ORACLE = f"""
+WITH tiered AS (
+    SELECT doc_id, source,
+           CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS tier,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept
+FROM tiered
+WHERE bucket < CASE tier
+    WHEN 0 THEN {_MIX_RATES[0]} WHEN 1 THEN {_MIX_RATES[1]}
+    WHEN 2 THEN {_MIX_RATES[2]} ELSE {_MIX_RATES[3]} END
+GROUP BY source
+"""
+
+
+@register(
+    "sample_source_weighted", oracle=_SOURCE_WEIGHTED_ORACLE, tags=("sampling",)
+)
+def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling — the data-mixing step of a training
+    corpus spec (Pile/Dolma-style: keep 100% of tier-0 sources, 50% of
+    tier-1, …), as a pure map-stage filter.
+
+    Each row's keep/drop is `portable_bucket(doc_id) < rate(source)`:
+    deterministic, engine-portable (md5), independent of partitioning,
+    and stable under re-ingestion — re-running the mix on a grown corpus
+    keeps every previously-kept row (monotone bucket rule), so training
+    runs can be extended without resampling churn. No shuffle until the
+    per-source accounting aggregate; at 100 TB the filter is free
+    (codegen map stage) and the only cost is the scan itself."""
+    tier = F.substring("source", 4, 10).cast("long") % 4
+    rate = (
+        F.when(tier == 0, F.lit(_MIX_RATES[0]))
+        .when(tier == 1, F.lit(_MIX_RATES[1]))
+        .when(tier == 2, F.lit(_MIX_RATES[2]))
+        .otherwise(F.lit(_MIX_RATES[3]))
+    )
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(portable_bucket(F.col("doc_id"), 100) < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

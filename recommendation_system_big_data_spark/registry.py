@@ -94,7 +94,8 @@ _loaded = False
 #:     embedding_standardize, graph_triangle_count,
 #:     scan_json_corrupt_records, fk_integrity_report, scd2_pit_lookup,
 #:     roundtrip_arrow, observe_metrics_gate, scan_python_datasource
-#:   round-4 oracle-bearing: fn_pandas_udaf_grouped
+#:   round-4 oracle-bearing: fn_pandas_udaf_grouped,
+#:     sample_source_weighted, text_url_normalize_dedup
 #:   round-4 rows-only: stream_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
