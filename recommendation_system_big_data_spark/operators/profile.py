@@ -895,3 +895,43 @@ def observe_metrics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_orders"], row["total_price"], row["null_prices"])],
         "n_orders bigint, total_price double, null_prices bigint",
     )
+
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("profile", "sketch")
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the scale answer
+    between COUNT(DISTINCT) (exact, but re-shuffles raw keys for every
+    regrouping) and HLL (mergeable, but approximate). Keys map to
+    (bucket, bit position); per-group bitmaps build in the map stage,
+    merge associatively in partials (bitmap_or_agg), and popcount to the
+    exact distinct — the same two-level rollup HLL sketches get, with no
+    error. At 100 TB the bitmap segments are the materialized-rollup
+    currency: store per-(group, bucket) bitmaps once, answer exact
+    distincts for any group rollup by OR-merging, never rescanning keys.
+
+    Two-level spelling: bitmap_construct_agg per (priority, bucket) —
+    each bitmap covers one 32768-key range — then popcounts sum per
+    priority. The oracle is plain COUNT(DISTINCT): bitmaps are exact, so
+    the results are equal by definition."""
+    orders = load(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_customers")
+    )

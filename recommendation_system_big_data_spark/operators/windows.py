@@ -582,3 +582,55 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", vals.alias("vals"))
         .select("event_id", F.round(ewma, 6).alias("ewma"))
     )
+
+
+_SEQ_PATTERN_ORACLE = """
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN seq LIKE '%view%click%purchase%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM seqs
+"""
+
+
+@register("sequence_pattern_match", oracle=_SEQ_PATTERN_ORACLE, tags=("window",))
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence pattern detection (SQL MATCH_RECOGNIZE's
+    simplest shape, which Spark lacks): how many users' event streams
+    contain view → … → click → … → purchase in that order.
+
+    Per-user sequences build as sort_array(collect_list(struct(ts-key,
+    type))) — one shuffle on user_id, the sort is per-group and
+    partition-local — then the pattern is a single LIKE over the
+    comma-joined type string (valid because no event type is a substring
+    of another). Everything stays in codegen; contrast with
+    funnel_conversion/attribution (windows.py, streaming/jobs.py), which
+    answer the same family via min-timestamp joins — that is the shape
+    for UNBOUNDED per-user histories, while this one trades a bounded
+    collect_list for arbitrary regex-class patterns."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us"), "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("seq").like("%view%click%purchase%"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+    )

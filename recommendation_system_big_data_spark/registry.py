@@ -95,7 +95,8 @@ _loaded = False
 #:     scan_json_corrupt_records, fk_integrity_report, scd2_pit_lookup,
 #:     roundtrip_arrow, observe_metrics_gate, scan_python_datasource
 #:   round-4 oracle-bearing: fn_pandas_udaf_grouped,
-#:     sample_source_weighted, text_url_normalize_dedup
+#:     sample_source_weighted, text_url_normalize_dedup,
+#:     agg_bitmap_distinct, sequence_pattern_match
 #:   round-4 rows-only: stream_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
