@@ -80,3 +80,28 @@ def fn_unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", epoch_s("ts").alias("unix_ts")
     )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT event_id,
+       value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0) AS safe_ratio,
+       CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS was_div0
+FROM events
+"""
+
+
+@register("fn_try_arithmetic", oracle=_TRY_ARITH_ORACLE, tags=("scalar",))
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant arithmetic: try_divide yields NULL instead of a
+    job-killing exception under ANSI mode (and instead of ±Infinity under
+    legacy mode) — the spelling that makes a 100 TB pipeline robust to
+    the one bad row in a trillion. The oracle is the portable
+    NULLIF-denominator form; a was_div0 flag keeps the quarantine
+    auditable rather than silent."""
+    ev = load(spark, sf_dir, "events")
+    denom = (F.col("user_id") % 5).cast("double")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom).alias("safe_ratio"),
+        F.when(F.col("user_id") % 5 == 0, 1).otherwise(0).alias("was_div0"),
+    )

@@ -82,3 +82,40 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.k", "bigint").alias("k_value"),
         F.variant_get("v", "$.k", "string").alias("k_string"),
     )
+
+
+_XML_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@register("fn_xml_extract", oracle=_XML_ORACLE, tags=("scalar", "xml"))
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via from_xml (new in Spark 4): records are serialized
+    to XML strings (deterministically, from the orders table — the corpus
+    has no XML column), then parsed back through an explicit schema and
+    the extracted fields verified against the source values by the
+    oracle. Round-trips the third major semi-structured format alongside
+    JSON (json_fns) and variant (json_variant_extract); parsing stays in
+    the JVM row-path, schema pinned — never inferred."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.lit("</price></order>"),
+    )
+    parsed = orders.select(
+        F.from_xml(xml, "key BIGINT, status STRING, price DOUBLE").alias("x")
+    )
+    return parsed.select(
+        F.col("x.key").alias("o_orderkey"),
+        F.col("x.status").alias("status"),
+        F.col("x.price").alias("price"),
+    )

@@ -96,7 +96,8 @@ _loaded = False
 #:     roundtrip_arrow, observe_metrics_gate, scan_python_datasource
 #:   round-4 oracle-bearing: fn_pandas_udaf_grouped,
 #:     sample_source_weighted, text_url_normalize_dedup,
-#:     agg_bitmap_distinct, sequence_pattern_match
+#:     agg_bitmap_distinct, sequence_pattern_match, fn_try_arithmetic,
+#:     fn_xml_extract
 #:   round-4 rows-only: stream_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
