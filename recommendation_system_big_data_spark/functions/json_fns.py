@@ -119,3 +119,30 @@ def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.status").alias("status"),
         F.col("x.price").alias("price"),
     )
+
+
+_AES_ORACLE = """
+SELECT c_custkey, c_name AS name_roundtripped, c_mktsegment
+FROM customer WHERE c_custkey % 20 = 0
+"""
+
+
+@register("fn_aes_roundtrip", oracle=_AES_ORACLE, tags=("scalar", "crypto"))
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip: aes_encrypt (GCM) then
+    aes_decrypt with the same key recovers the plaintext exactly — the
+    PII-at-rest pattern where a sensitive column is stored encrypted and
+    only privileged readers hold the key. GCM mode is randomized (fresh
+    IV per row), so ciphertexts are not comparable or hashable — the
+    oracle verifies the DECRYPTED value equals the source, which is the
+    actual contract. Both AES stages are JVM codegen expressions; no
+    Python, no UDF."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; prod = KMS-provided
+    enc = F.aes_encrypt(F.col("c_name").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary"))
+    return cust.select(
+        "c_custkey",
+        dec.cast("string").alias("name_roundtripped"),
+        "c_mktsegment",
+    )

@@ -190,3 +190,29 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name ASC, c_acctbal DESC, t.c_name ASC
         """
     )
+
+
+_PARAM_SQL_ORACLE = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL_ORACLE, tags=("sql",))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql — named markers bound server-side, the
+    injection-safe way to template queries (string-formatting a user
+    value into SQL is how warehouses get owned; parameter binding never
+    re-parses the value as syntax). The markers bind as literals in the
+    parsed plan, so Catalyst constant-folds and pushes them down exactly
+    like hand-written constants."""
+    v = _view(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM {v}
+        WHERE c_acctbal > :min_bal AND c_mktsegment = :segment
+        """,
+        args={"min_bal": 9000, "segment": "BUILDING"},
+    )

@@ -634,3 +634,68 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_matched"),
     )
+
+
+#: Dynamic session gaps: purchases keep a session alive 24 h, everything
+#: else 12 h (in microseconds / seconds).
+_GAP_LONG_US = 86_400_000_000
+_GAP_SHORT_US = 43_200_000_000
+
+_DYN_SESSION_ORACLE = f"""
+WITH stamped AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN event_type = 'purchase'
+                THEN {_GAP_LONG_US} ELSE {_GAP_SHORT_US} END AS gap_us
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN MAX(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR us >= MAX(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+           THEN 1 ELSE 0 END AS brk
+    FROM stamped
+), numbered AS (
+    SELECT user_id, us,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+@register("sessionize_dynamic_gap", oracle=_DYN_SESSION_ORACLE, tags=("window",))
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT inactivity gap — purchases hold the
+    session open 24 h, other events 12 h (the checkout-grace-period
+    shape). Spark's session_window accepts a gap EXPRESSION, evaluated per
+    event; each event opens [ts, ts+gap) and overlapping windows merge.
+
+    The oracle derives identical semantics relationally: an event starts a
+    new session iff it is at-or-after the running MAX of every previous
+    event's (ts + its own gap) — the running-max formulation of interval
+    merging (half-open, so touching boundaries split). Same single
+    (user_id)-shuffle cost as fixed-gap sessionize_events; the dynamic gap
+    is a map-side CASE, free at any scale."""
+    # the gap expression must resolve to CalendarIntervalType — string
+    # branches coerce there; DayTimeIntervalType (INTERVAL literals) is
+    # rejected by the session_window analyzer
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("24 hours")
+    ).otherwise(F.lit("12 hours"))
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

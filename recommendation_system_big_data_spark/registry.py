@@ -97,7 +97,8 @@ _loaded = False
 #:   round-4 oracle-bearing: fn_pandas_udaf_grouped,
 #:     sample_source_weighted, text_url_normalize_dedup,
 #:     agg_bitmap_distinct, sequence_pattern_match, fn_try_arithmetic,
-#:     fn_xml_extract
+#:     fn_xml_extract, sql_parameterized, fn_aes_roundtrip,
+#:     sessionize_dynamic_gap
 #:   round-4 rows-only: stream_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
