@@ -365,3 +365,99 @@ def interval_peak_concurrency(
             F.min("us").alias("peak_at_us"),
         )
     )
+
+
+#: Interval-overlap join bucket width: one day of microseconds.
+_OVERLAP_BUCKET_US = 86_400_000_000
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH stamped AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, us,
+           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM stamped
+), iv AS (
+    SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + {_SESSION_GAP_US} AS e_us
+    FROM flagged GROUP BY user_id, sid
+)
+SELECT COUNT(*) AS n_overlapping_pairs,
+       COUNT(DISTINCT a.user_id) AS n_even_users
+FROM iv a JOIN iv b
+  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+ AND a.s_us < b.e_us AND b.s_us < a.e_us
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE, tags=("range",))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — the general case point_in_interval
+    is a degenerate form of: count session pairs (even-user × odd-user)
+    whose active intervals overlap (co-presence / concurrent-usage
+    analysis).
+
+    Bucketing now fans out BOTH sides: each interval explodes into every
+    day-bucket it spans (variable fan-out, bounded by interval length ÷
+    bucket width — the data-dependent cost knob of interval joins), the
+    join is an equi-join on the bucket, and the exact overlap predicate
+    re-checks. A pair can now meet in MANY buckets, so instead of a
+    post-join distinct, each pair is counted only in its canonical first
+    shared bucket — ⌊max(s₁,s₂)/w⌋, which both intervals provably cover —
+    a stateless predicate, not a dedup shuffle. Session building is the
+    one (user_id) shuffle; the overlap join shuffles on day buckets,
+    where per-bucket density is bounded by concurrent sessions per day,
+    not by history length."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | (F.col("us") - F.lag("us").over(order) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = flagged.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"),
+        (F.max("us") + F.lit(_SESSION_GAP_US)).alias("e_us"),
+    )
+
+    def explode_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        w = _OVERLAP_BUCKET_US
+        return df.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("s_us").alias(f"{prefix}_s"),
+            F.col("e_us").alias(f"{prefix}_e"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s_us") / w),
+                    F.floor((F.col("e_us") - 1) / w),
+                )
+            ).alias("bucket"),
+        )
+
+    a = explode_buckets(iv.filter(F.col("user_id") % 2 == 0), "a")
+    b = explode_buckets(iv.filter(F.col("user_id") % 2 == 1), "b")
+    w = _OVERLAP_BUCKET_US
+    pairs = a.join(b, "bucket").filter(
+        (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        # canonical first shared bucket: count each pair exactly once
+        & (F.col("bucket") == F.floor(F.greatest("a_s", "b_s") / w))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs"),
+        F.countDistinct("a_user").alias("n_even_users"),
+    )

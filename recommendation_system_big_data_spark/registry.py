@@ -98,7 +98,7 @@ _loaded = False
 #:     sample_source_weighted, text_url_normalize_dedup,
 #:     agg_bitmap_distinct, sequence_pattern_match, fn_try_arithmetic,
 #:     fn_xml_extract, sql_parameterized, fn_aes_roundtrip,
-#:     sessionize_dynamic_gap
+#:     sessionize_dynamic_gap, join_interval_overlap
 #:   round-4 rows-only: stream_python_datasource
 _DRIVER_WINDOW_ALIASES = (
     # round-3 hash mismatches, re-verified after the NTZ epoch fix
