@@ -250,8 +250,8 @@ def _cogroup_ratio_fn():
         FROM events
     ), sess AS (
         SELECT user_id,
-               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
-                        THEN 1 ELSE 0 END) AS n_sessions
+               CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM stamped GROUP BY user_id
     ), ev AS (
         SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id

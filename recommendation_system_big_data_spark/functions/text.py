@@ -452,7 +452,7 @@ SELECT lang,
             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM keep
 GROUP BY lang, split
 """

@@ -556,11 +556,11 @@ _QUALITY_CONSTRAINT_ORACLE = """
 SELECT COUNT(*) AS n_rows,
        COUNT(*) - COUNT(o_custkey)            AS null_custkey,
        COUNT(*) - COUNT(DISTINCT o_orderkey)  AS dup_orderkey,
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1999-01-01'
-                THEN 1 ELSE 0 END)            AS future_orderdate,
-       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                THEN 1 ELSE 0 END)            AS invalid_status
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1999-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT)  AS future_orderdate,
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT)  AS invalid_status
 FROM orders
 """
 

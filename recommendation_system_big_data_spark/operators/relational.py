@@ -1071,7 +1071,7 @@ def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1086,8 +1086,12 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.array_sort(F.collect_set("l_linestatus")).alias("statuses"))
-        .select("l_returnflag", "statuses", F.size("statuses").alias("n_statuses"))
+        .agg(F.array_sort(F.collect_set("l_linestatus")).alias("statuses_arr"))
+        .select(
+            "l_returnflag",
+            F.array_join("statuses_arr", ",").alias("statuses"),
+            F.size("statuses_arr").alias("n_statuses"),
+        )
     )
 
 

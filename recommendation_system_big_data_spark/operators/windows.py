@@ -236,11 +236,11 @@ WITH stamped AS (
     FROM events
 ), flagged AS (
     SELECT user_id, event_id, us,
-           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
                     THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY us, event_id
                ROWS UNBOUNDED PRECEDING
-           ) AS session_idx
+           ) AS BIGINT) AS session_idx
     FROM stamped
 )
 SELECT user_id, session_idx,
