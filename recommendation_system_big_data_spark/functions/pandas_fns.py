@@ -374,7 +374,7 @@ def _geomean_udaf():
     "fn_pandas_udaf_grouped",
     oracle="""
     SELECT event_type,
-           ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+           ROUND(EXP(AVG(LN(value))), 4) AS geo_mean,
            COUNT(*) AS n
     FROM events WHERE value > 0
     GROUP BY event_type
@@ -394,10 +394,12 @@ def fn_pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimators, order statistics over weights). Caveat priced into the
     plan: a grouped-agg UDAF has NO partial aggregation — every raw row
     shuffles to its group's task, where built-in aggregates ship one
-    partial state per map task."""
+    partial state per map task. Rounded to 4 decimals (not 6): the log
+    sum accumulates in engine-specific order, so the 6th decimal can flip
+    on larger groups (same precision budget as agg_regression_stats)."""
     geo, ncount = _geomean_udaf()
     ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
-        F.round(geo("value"), 6).alias("geo_mean"),
+        F.round(geo("value"), 4).alias("geo_mean"),
         ncount("value").alias("n"),
     )

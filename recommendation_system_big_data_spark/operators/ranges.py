@@ -322,8 +322,15 @@ def interval_peak_concurrency(
     net = boundaries.groupBy("us").agg(F.sum("delta").alias("net"))
 
     # Two-phase distributed prefix sum over the global `us` order.
-    parts = net.repartitionByRange(n_parts, "us").withColumn(
-        "pid", F.spark_partition_id()
+    # `within` and `offsets` both branch off `parts`; the pid→offset
+    # mapping is only correct if both branches see the SAME range
+    # boundaries. repartitionByRange samples boundaries per execution, so
+    # cut lineage here rather than relying on Spark reusing the exchange
+    # (AQE replan / disabled reuse would silently corrupt the prefix sum).
+    parts = (
+        net.repartitionByRange(n_parts, "us")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     within = parts.withColumn(
         "run",

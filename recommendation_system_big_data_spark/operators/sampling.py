@@ -171,13 +171,13 @@ _MIX_RATES = {0: 100, 1: 50, 2: 25, 3: 10}  # percent, applied per source tier
 _SOURCE_WEIGHTED_ORACLE = f"""
 WITH tiered AS (
     SELECT doc_id, source,
-           CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS tier,
+           TRY_CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS tier,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 100 AS bucket
     FROM documents
 )
 SELECT source,
-       COUNT(*) AS n_kept
+       CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM tiered
 WHERE bucket < CASE tier
     WHEN 0 THEN {_MIX_RATES[0]} WHEN 1 THEN {_MIX_RATES[1]}
@@ -201,7 +201,10 @@ def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs can be extended without resampling churn. No shuffle until the
     per-source accounting aggregate; at 100 TB the filter is free
     (codegen map stage) and the only cost is the scan itself."""
-    tier = F.substring("source", 4, 10).cast("long") % 4
+    # Unbounded suffix + try-cast semantics on BOTH sides: Spark's non-ANSI
+    # cast and DuckDB's TRY_CAST each yield NULL on a non-numeric suffix,
+    # and NULL % 4 falls through to the final 10% tier in both CASEs.
+    tier = F.expr("substring(source, 4)").cast("long") % 4
     rate = (
         F.when(tier == 0, F.lit(_MIX_RATES[0]))
         .when(tier == 1, F.lit(_MIX_RATES[1]))

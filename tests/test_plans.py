@@ -320,7 +320,7 @@ def test_fuzzy_join_blocks_on_brand(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_join_strategy_hints_are_honored(spark, sf_dir):
+def test_join_strategy_hints_orders_customer(spark, sf_dir):
     # The engine leans on AQE + size-gated broadcast hints; this pins the
     # OTHER strategy controls Spark exposes — a shuffle_hash hint must
     # produce ShuffledHashJoin (skipping the sort-merge default), and a
