@@ -98,6 +98,25 @@ def main() -> None:
     load(spark, sf_dir, "region").collect()
 
     timings: dict[str, float] = {}
+
+    # Host-noise sentinel (VERDICT r4 #8): a fixed-cost, data-independent,
+    # plan-stable job whose code never changes round-to-round. Its drift
+    # across rounds measures container/host contention, not the engine —
+    # per-query ratios can be contention-corrected against it when two
+    # rounds disagree uniformly.
+    def _sentinel():
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) as s"
+        ).write.format("noop").mode("overwrite").save()
+
+    _sentinel()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sentinel()
+        best = min(best, time.perf_counter() - t0)
+    timings["sentinel_fixed_cost"] = round(best, 3)
+
     for name in HEADLINE:
         fn = defs[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -113,7 +132,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    # The sentinel measures the host, not the engine — keep it out of the
+    # headline total so round-over-round totals stay comparable.
+    total = round(
+        sum(v for k, v in timings.items() if k != "sentinel_fixed_cost"), 3
+    )
     print(
         json.dumps(
             {

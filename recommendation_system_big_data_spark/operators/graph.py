@@ -17,7 +17,7 @@ count enters the plan as a broadcast 1-row aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommendation_system_big_data_spark.catalog import load
@@ -26,10 +26,47 @@ from recommendation_system_big_data_spark.registry import register
 DAMPING = 0.85
 N_ITER = 3
 
-_PAGERANK_ORACLE = """
-WITH pairs AS (
+#: Per-order item cap for co-purchase pair generation. Pair fan-out is
+#: quadratic in basket size; one uncapped pathological basket (a 10k-item
+#: bot "order" or a catalog dump) alone generates 10^8 pairs inside a
+#: single task. Capping to the first MAX_BASKET distinct part keys —
+#: dense_rank, so every ROW of a surviving part survives and co-occurrence
+#: multiplicities are unchanged — bounds per-order fan-out at MAX_BASKET^2
+#: deterministically of partitioning. Max observed basket at the test SFs
+#: is 17 distinct parts, so the cap is inert there (oracle results
+#: unchanged) and only bites where it should.
+MAX_BASKET = 32
+
+_CAPPED_ITEMS_SQL = """
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               DENSE_RANK() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS irk
+        FROM lineitem
+    ) WHERE irk <= 32
+"""
+
+
+def _capped_items(li: DataFrame) -> DataFrame:
+    """Cap each order's basket to its first MAX_BASKET distinct parts.
+
+    The dense_rank window shuffles on l_orderkey — the same key the pair
+    self-join hashes on, so the partitioning is reused and the cap adds
+    no extra exchange."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        li.withColumn("irk", F.dense_rank().over(w))
+        .filter(F.col("irk") <= MAX_BASKET)
+        .drop("irk")
+    )
+
+
+_PAGERANK_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), pairs AS (
     SELECT a.l_partkey AS src, b.l_partkey AS dst
-    FROM lineitem a JOIN lineitem b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ), e0 AS (
     SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst
@@ -82,12 +119,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary flips rather than prevent them).
 
     At 100 TB: pair generation is the dominant shuffle (quadratic per
-    order, bounded by order size — cap with a per-order item limit for
-    pathological baskets); each iteration shuffles |edges| once on src
+    order, bounded at MAX_BASKET^2 by the _capped_items guard); each
+    iteration shuffles |edges| once on src
     (join) and once on dst (aggregate), reusing the same hash partitioning
     AQE-side. Ranks are localCheckpoint'ed per iteration to cut lineage,
     mirroring the CC fixpoint discipline (dedup.py:592)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -124,11 +163,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("part_id"), F.round("r", 6).alias("pagerank"))
 
 
-_TRIANGLE_ORACLE = """
-WITH pairs AS (
+_TRIANGLE_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), pairs AS (
     SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey)    AS u,
                     GREATEST(a.l_partkey, b.l_partkey) AS v
-    FROM lineitem a JOIN lineitem b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ), tri AS (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -163,8 +203,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses the simple id orientation, which counts the identical
     triangle set, because per-node membership is orientation-invariant.
     All three joins are key-partitioned shuffles; the degree table
-    (|nodes| rows) broadcasts. No driver materialization."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    (|nodes| rows) broadcasts. No driver materialization.
+
+    Scale regime: O(m^1.5) wedge volume grows ~1000x at 100x edges — when
+    exact counting stops being affordable, switch to the DOULION
+    edge-sampling estimator below (graph_triangle_count_doulion), which
+    is unbiased and concentrates exactly where the exact kernel is most
+    expensive."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -229,4 +277,99 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+#: DOULION sampling rate for the approximate triangle count. At the test
+#: SFs the exact kernel is cheap; p exists to exercise and gate the
+#: estimator. A 100 TB deployment picks p so the sampled edge list fits
+#: the cluster (expected wedge volume scales by p^1.5).
+DOULION_P = 0.5
+
+
+@register("graph_triangle_count_doulion", tags=("graph", "approx"))
+def graph_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION global triangle estimate — the sampling escape hatch for the
+    exact compact-forward kernel (graph_triangle_count above).
+
+    Exact per-node triangle counting is O(m^1.5) wedge volume; at 100× the
+    edge count that grows ~1000×, so at the top end of the scale regime the
+    exact kernel is a cluster-day. DOULION (Tsourakakis et al., KDD'09:
+    "DOULION: counting triangles in massive graphs with a coin") sparsifies
+    first: keep each edge independently with probability p, count triangles
+    exactly on the sparsified graph, scale by 1/p^3 — an unbiased estimator
+    whose variance vanishes as the true count grows (concentration is best
+    exactly where exact counting is least affordable). Expected cost drops
+    by p^2 on edges materialized and ~p^1.5 on wedge volume.
+
+    The coin is a portable md5 hash of the undirected edge key — not
+    rand() — so the estimate is deterministic, partitioning-independent,
+    and reproducible across runs/engines. Same oriented-edge pipeline as
+    the exact kernel, then one global count: returns 1 row
+    (est_triangles double, n_edges_sampled bigint, p double).
+
+    ⊘ rows-only by design: a sampling estimator has no SQL-exact oracle;
+    tests/test_graph.py gates the estimate's relative error against the
+    exact count and pins determinism.
+    """
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    # The DOULION coin: deterministic per-edge keep/drop at rate p.
+    kept = edges.filter(
+        portable_bucket(F.concat_ws("|", F.col("u"), F.col("v")), 1000)
+        < F.lit(int(DOULION_P * 1000))
+    )
+    deg = (
+        kept.select(F.col("u").alias("node"))
+        .unionByName(kept.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg).select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = F.broadcast(deg).select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        kept.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .localCheckpoint()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
+        e3,
+        (F.col("e1.src") == F.col("e3.src"))
+        & (F.col("e2.dst") == F.col("e3.dst")),
+    )
+    n_edges = kept.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    scale = 1.0 / (DOULION_P**3)
+    return tri.agg(
+        (F.count(F.lit(1)) * F.lit(scale)).alias("est_triangles")
+    ).crossJoin(F.broadcast(n_edges)).select(
+        "est_triangles", "n_edges_sampled", F.lit(DOULION_P).alias("p")
     )

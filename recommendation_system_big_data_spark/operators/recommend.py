@@ -123,9 +123,11 @@ def als_recommend_user_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_recs = 30
     ratings = ratings_from_events(spark, sf_dir)
     model = train_als(ratings)
-    # Deterministic existing user: the smallest user_id in the ratings.
-    target_user_id = ratings.agg(F.min("user_id")).collect()[0][0]
-    target_user_df = spark.createDataFrame([(int(target_user_id),)], ["user_id"])
+    # Deterministic existing user: the smallest user_id in the ratings —
+    # built as a 1-row DataFrame without a driver round-trip (the reference
+    # collect()ed the scalar; recommendForUserSubset only needs a DataFrame
+    # of user ids, so the min stays inside the plan).
+    target_user_df = ratings.select("user_id").orderBy("user_id").limit(1)
     user_recs = model.recommendForUserSubset(target_user_df, n_recs)
     return (
         user_recs.select("user_id", F.posexplode("recommendations").alias("pos", "rec"))

@@ -1,0 +1,57 @@
+"""Gates for the graph kernels' approximate/sampled variants.
+
+The exact kernels (graph_pagerank, graph_triangle_count) are oracle-checked
+in test_oracles.py; this module gates what an oracle cannot express — the
+DOULION estimator's accuracy and determinism — and pins the basket cap's
+inertness at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommendation_system_big_data_spark.operators.graph import (
+    MAX_BASKET,
+    graph_triangle_count,
+    graph_triangle_count_doulion,
+)
+from recommendation_system_big_data_spark.catalog import load
+
+
+def test_doulion_estimate_within_tolerance(spark, sf_dir):
+    # Exact global count = sum of per-node counts / 3 (each triangle is
+    # counted once per corner).
+    exact = (
+        graph_triangle_count(spark, sf_dir)
+        .agg((F.sum("n_triangles") / 3).alias("t"))
+        .collect()[0]["t"]
+    )
+    row = graph_triangle_count_doulion(spark, sf_dir).collect()[0]
+    assert row["p"] == 0.5
+    assert row["n_edges_sampled"] > 0
+    # DOULION is unbiased with concentration improving as the true count
+    # grows; at this tiny SF the gate is loose but still rejects a broken
+    # scale factor (1/p^3 = 8x) or a wrong join by a wide margin.
+    assert exact > 0
+    rel_err = abs(row["est_triangles"] - exact) / exact
+    assert rel_err < 0.5, f"exact={exact} est={row['est_triangles']}"
+
+
+def test_doulion_is_deterministic(spark, sf_dir):
+    a = graph_triangle_count_doulion(spark, sf_dir).collect()[0]
+    b = graph_triangle_count_doulion(spark, sf_dir).collect()[0]
+    assert a["est_triangles"] == b["est_triangles"]
+    assert a["n_edges_sampled"] == b["n_edges_sampled"]
+
+
+def test_basket_cap_inert_at_test_scale(spark, sf_dir):
+    # The per-order cap must not bite at the test SFs (VERDICT r4 requires
+    # hashes unchanged): max distinct parts per order stays under MAX_BASKET.
+    mx = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx <= MAX_BASKET
