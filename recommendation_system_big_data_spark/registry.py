@@ -69,93 +69,84 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 _loaded = False
 
-#: Driver-verification window aliases (round 4 rotation).
+#: Driver-verification window aliases (round 5 rotation).
 #:
 #: The correctness driver records at most 50 queries per round, taken in
 #: alphabetical order of the registry names. ``a0_``-prefixed aliases (same
 #: callable, same oracle as the canonical entry) sort before every canonical
-#: name and therefore fill the round's checked window. Round 1 verified the
-#: first 50 canonical names (CORRECTNESS_r01.json); round 2's aliases covered
-#: the next 50 (CORRECTNESS_r02.json); round 3's window verified 50 more
-#: (CORRECTNESS_r03.json — 45 hash-green, 1 rows-only, 4 hash mismatches
-#: caused by the TIMESTAMP(NANOS)→NTZ testdata transition, fixed via
-#: catalog.epoch_us/epoch_s). This round-4 window holds the remaining
-#: never-driver-verified pool (oracle-bearing first) plus re-runs of the 4
-#: round-3 hash mismatches. Canonical names remain the public API; aliases
-#: are tagged ``alias`` so bench/docs can skip them.
-#:
-#: ROUND-5 QUEUE (did not fit this window — rotate in next round):
-#:   rows-only carryover (6): agg_hll_sketch_merge, sample_stratified,
-#:     stat_freq_items, stream_dedup_replayed,
-#:     stream_stream_join_attribution, stream_static_dim_join
-#:   round-4 additions (16, all oracle-bearing): agg_rollup_hierarchy,
-#:     agg_cube_revenue, join_range_bucketed, ts_gapfill_ffill,
-#:     max_concurrent_intervals, join_skew_salted, fuzzy_join_levenshtein,
-#:     embedding_standardize, graph_triangle_count,
-#:     scan_json_corrupt_records, fk_integrity_report, scd2_pit_lookup,
-#:     roundtrip_arrow, observe_metrics_gate, scan_python_datasource
-#:   round-4 oracle-bearing: fn_pandas_udaf_grouped,
-#:     sample_source_weighted, text_url_normalize_dedup,
-#:     agg_bitmap_distinct, sequence_pattern_match, fn_try_arithmetic,
-#:     fn_xml_extract, sql_parameterized, fn_aes_roundtrip,
-#:     sessionize_dynamic_gap, join_interval_overlap
-#:   round-4 rows-only: stream_python_datasource
+#: name and therefore fill the round's checked window. Rounds 1-4 covered
+#: the canonical core plus the round-3/4 additions (CORRECTNESS_r01-r04).
+#: This round-5 window completes registry-wide driver evidence:
+#:   - the 6 round-4 hash failures, re-verified after the oracle dtype fix
+#:     (DuckDB HUGEINT SUM -> BIGINT casts; agg_collect_sorted array ->
+#:     string serialization),
+#:   - every remaining never-driver-verified query (the round-4b additions
+#:     and rows-only carryovers),
+#:   - the queries whose code or oracle changed this round (basket cap in
+#:     the graph builders, sampling cast semantics, UDAF rounding, ALS
+#:     subset plan change),
+#:   - new round-5 queries, and spot-check re-runs of early-round greens in
+#:     the remaining slots.
+#: Canonical names remain the public API; aliases are tagged ``alias`` so
+#: bench/docs can skip them.
 _DRIVER_WINDOW_ALIASES = (
-    # round-3 hash mismatches, re-verified after the NTZ epoch fix
+    # round-4 hash failures, fixed (oracle dtypes) and re-queued
+    "agg_collect_sorted",
     "cogrouped_pandas_ratio",
     "pipeline_training_mix",
     "q12_priority_shipments",
-    "sessionize_events",
-    # oracle-bearing round-4 queue
-    "ab_test_report",
-    "agg_collect_sorted",
-    "attribution_click_purchase",
-    "cdc_apply_changes",
-    "compaction_small_files",
-    "contamination_ngram_check",
-    "dedup_events_replayed",
-    "dedup_paragraph_exact",
-    "dim_enriched_window_agg",
-    "dpp_partition_pruned_join",
-    "drift_psi_report",
-    "eda_plot_series",
-    "fn_explode_outer",
-    "fn_map_ops",
-    "fn_python_udtf",
-    "fn_regexp_extract",
-    "fn_struct_ops",
-    "graph_pagerank",
-    "knn_classify",
-    "pii_scan_redact",
-    "q11_important_balance",
-    "q16_supplier_part_count",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q9_product_profit",
     "quality_constraint_report",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "rollup_incremental_agg",
-    "scan_file_provenance",
-    "schema_evolution_merge",
-    "set_ops_cohorts",
-    "skew_key_report",
-    "sql_lateral_topk",
-    "stat_crosstab",
-    "text_gopher_quality",
-    "text_repetition_topngram",
-    "window_ewma",
-    "window_first_last",
-    "zorder_key",
-    # rows-only (⊘): VERDICT r2 #6 asked for the ALS rows explicitly;
-    # agg_summary_approx is a bench headline; foreachbatch is the
-    # streaming-sink representative
-    "agg_summary_approx",
-    "als_param_grid",
+    "sessionize_events",
+    # rows-only carryover, never driver-verified
+    "agg_hll_sketch_merge",
+    "sample_stratified",
+    "stat_freq_items",
+    "stream_dedup_replayed",
+    "stream_stream_join_attribution",
+    "stream_static_dim_join",
+    "stream_python_datasource",
+    # round-4 additions, never driver-verified (oracle-bearing)
+    "agg_rollup_hierarchy",
+    "agg_cube_revenue",
+    "join_range_bucketed",
+    "ts_gapfill_ffill",
+    "max_concurrent_intervals",
+    "join_skew_salted",
+    "fuzzy_join_levenshtein",
+    "embedding_standardize",
+    "graph_triangle_count",
+    "scan_json_corrupt_records",
+    "fk_integrity_report",
+    "scd2_pit_lookup",
+    "roundtrip_arrow",
+    "observe_metrics_gate",
+    "scan_python_datasource",
+    "fn_pandas_udaf_grouped",
+    "sample_source_weighted",
+    "text_url_normalize_dedup",
+    "agg_bitmap_distinct",
+    "sequence_pattern_match",
+    "fn_try_arithmetic",
+    "fn_xml_extract",
+    "sql_parameterized",
+    "fn_aes_roundtrip",
+    "sessionize_dynamic_gap",
+    "join_interval_overlap",
+    # changed this round (basket cap / plan change) — re-verify
+    "graph_pagerank",
     "als_recommend_user_subset",
-    "stream_foreachbatch_upsert",
+    # new in round 5
+    "graph_triangle_count_doulion",
+    # spot-check re-runs of round-1/2 greens (swap out for new round-5
+    # queries as they land)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_left_dim",
+    "agg_summary",
+    "dedup_exact",
+    "topk_per_user",
+    "text_tfidf",
+    "dedup_minhash_lsh",
 )
 
 
