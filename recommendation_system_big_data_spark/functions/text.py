@@ -721,3 +721,72 @@ def text_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_urls") > 1)
     )
+
+
+_READABILITY_ORACLE = """
+WITH counted AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+    FROM documents
+    WHERE len(trim(text)) > 0
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           AS flesch_score
+FROM counted
+WHERE n_words > 0
+"""
+
+
+@register("text_readability_score", oracle=_READABILITY_ORACLE, tags=("text", "quality"))
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability rung of the
+    quality-signal ladder (alongside the Gopher rules and unigram
+    surprisal above): 206.835 − 1.015·(words/sentence) − 84.6·(syllables/
+    word). Readability scores are standard corpus-curation features —
+    extremely low scores flag boilerplate/code/gibberish, and the score is
+    a common stratification key for curriculum mixes.
+
+    Syllables are approximated as vowel-group runs ([aeiouy]+) — the
+    standard regex proxy; sentence count clamps to ≥1 so punctuation-free
+    documents score rather than divide by zero. Everything is codegen'd
+    JVM string ops over one scan (regexp_extract_all + size — no UDF, no
+    shuffle at all: a pure map-stage feature extractor that composes with
+    any downstream gate). The identical regexes run on both engines; the
+    arithmetic is the same IEEE expression, ROUND(4) for display only."""
+    txt = F.col("text")
+    counted = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(txt)) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim(txt), r"\s+")).cast("long").alias("n_words"),
+            F.greatest(
+                F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), 0)), F.lit(1)
+            ).cast("long").alias("n_sentences"),
+            F.size(
+                F.regexp_extract_all(F.lower(txt), F.lit("[aeiouy]+"), 0)
+            ).cast("long").alias("n_syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return counted.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch, 4).alias("flesch_score"),
+    )

@@ -373,3 +373,100 @@ def graph_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_edges)).select(
         "est_triangles", "n_edges_sampled", F.lit(DOULION_P).alias("p")
     )
+
+
+#: Minimum co-occurrence (order count) for a rule to be reported.
+_RULE_MIN_SUPPORT = 5
+
+_BASKET_RULES_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM ({_CAPPED_ITEMS_SQL})
+), n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM items
+), item_supp AS (
+    SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS n_item
+    FROM items GROUP BY l_partkey
+), pair_supp AS (
+    SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+           CAST(COUNT(*) AS DOUBLE) AS n_pair
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.antecedent, p.consequent,
+       CAST(p.n_pair AS BIGINT) AS n_orders_both,
+       ROUND(p.n_pair / sa.n_item, 6) AS confidence,
+       ROUND(p.n_pair * n_orders.n / (sa.n_item * sc.n_item), 6) AS lift
+FROM pair_supp p
+JOIN item_supp sa ON sa.l_partkey = p.antecedent
+JOIN item_supp sc ON sc.l_partkey = p.consequent
+CROSS JOIN n_orders
+WHERE p.n_pair >= {_RULE_MIN_SUPPORT}
+"""
+
+
+@register("basket_rules_lift", oracle=_BASKET_RULES_ORACLE, tags=("graph", "ml"))
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — support, confidence, and lift
+    for every part pair co-purchased in at least _RULE_MIN_SUPPORT orders.
+    The classic market-basket analysis ("X ⇒ Y with lift 2.3"): confidence
+    is P(Y|X); lift normalizes by P(Y), so lift > 1 separates genuine
+    affinity from popularity. The frequency-statistics complement of the
+    model-based rankers in this engine: ALS factors (recommend.py) and
+    PageRank centrality (above) learn global structure, rules expose
+    directly explainable pairwise affinities.
+
+    Plan: distinct (order, item) pairs → pair counts via the capped
+    self-join (bounded at MAX_BASKET² per order) → two broadcast-size
+    joins against per-item supports and one 1-row cross join for the
+    order total. The pair aggregate reuses the l_orderkey partitioning of
+    the self-join; item supports are |parts| rows — broadcastable at any
+    realistic catalog size. The min-support filter applies BEFORE the
+    support joins, so only reportable rules flow into them. Both engines
+    evaluate the identical ratio expressions; ROUND(6) absorbs nothing
+    but display noise (counts are exact integers)."""
+    items = (
+        _capped_items(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    item_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_item")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
+        .filter(F.col("n_pair") >= _RULE_MIN_SUPPORT)
+    )
+    sa = F.broadcast(item_supp).select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("supp_a")
+    )
+    sc = F.broadcast(item_supp).select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("supp_c")
+    )
+    return (
+        pair_supp.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").cast("long").alias("n_orders_both"),
+            F.round(F.col("n_pair") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("n") / (F.col("supp_a") * F.col("supp_c")), 6
+            ).alias("lift"),
+        )
+    )

@@ -358,3 +358,81 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_at_ship",
         )
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey,
+           md5(CONCAT(o_orderstatus, '|', CAST(CAST(o_totalprice AS
+               DECIMAL(18,2)) AS VARCHAR), '|', o_orderpriority)) AS row_hash
+    FROM orders WHERE o_orderkey % 11 <> 0
+), new AS (
+    SELECT o_orderkey,
+           md5(CONCAT(CASE WHEN o_orderkey % 7 = 0 THEN 'R'
+                           ELSE o_orderstatus END, '|',
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '|',
+               o_orderpriority)) AS row_hash
+    FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.row_hash <> n.row_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+GROUP BY status
+"""
+
+
+@register("diff_snapshots", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("merge", "quality"))
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit — the reconciliation step after any
+    upsert/backfill/migration: given yesterday's and today's snapshot of
+    the same table, report how many rows were added, removed, changed, and
+    unchanged. This is the validation twin of upsert_snapshot above: MERGE
+    produces the new snapshot, diff proves what the merge did.
+
+    Rows compare by a single md5 over the canonicalized payload (decimals
+    pinned to a fixed scale so formatting can't masquerade as change) —
+    computed in the map stage, so the full-outer join ships (key, 32-byte
+    hash) instead of whole rows. At 100 TB that is the difference between
+    shuffling two table-widths and shuffling two key columns; with both
+    snapshots bucketed on the key the exchange disappears entirely. The
+    two synthetic snapshots here carve deterministic subsets of orders
+    (drop keys %11=0 from old, %13=0 from new, flip status on %7=0) so
+    every status bucket is non-empty at every SF.
+    """
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws("|", F.col("o_orderstatus"), price, F.col("o_orderpriority"))
+        ).alias("row_hash"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.when(F.col("o_orderkey") % 7 == 0, F.lit("R")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+                price,
+                F.col("o_orderpriority"),
+            )
+        ).alias("row_hash"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("o.row_hash") != F.col("n.row_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

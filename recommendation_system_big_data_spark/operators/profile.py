@@ -935,3 +935,65 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("bm")).alias("n_distinct_customers")
     )
+
+
+_ENTROPY_ORACLE = """
+WITH unpivoted AS (
+    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+), counts AS (
+    SELECT col_name, val, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM unpivoted GROUP BY col_name, val
+), tot AS (
+    SELECT col_name, SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS n_values
+    FROM counts GROUP BY col_name
+)
+SELECT c.col_name,
+       t.n_values,
+       ROUND(-SUM((c.n / t.t) * log2(c.n / t.t)), 6) AS entropy_bits,
+       ROUND(1.0 - SUM((c.n / t.t) * (c.n / t.t)), 6) AS gini_impurity
+FROM counts c JOIN tot t ON c.col_name = t.col_name
+GROUP BY c.col_name, t.n_values
+"""
+
+
+@register("agg_entropy_gini", oracle=_ENTROPY_ORACLE, tags=("profile",))
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column categorical dispersion — Shannon entropy (bits) and Gini
+    impurity of each column's value distribution. The feature-selection /
+    drift-triage primitive: near-zero entropy flags dead or constant
+    columns, entropy near log2(cardinality) flags uniform ones, and a
+    round-over-round entropy delta is a distribution-drift alarm that —
+    unlike the binned PSI report above — needs no reference binning.
+
+    Spark spelling: stack() unpivots the audited columns into (col_name,
+    val) pairs IN the map stage (one scan for any number of columns), then
+    two keyed aggregations: value counts, then the entropy/Gini fold. Both
+    shuffles are on tiny keys (col_name, val) with map-side partials; at
+    100 TB the scan dominates and adding a column to the audit costs zero
+    additional passes. ROUND(6) absorbs hash-agg summation-order drift
+    (terms-per-column = column cardinality, single digits here)."""
+    orders = load(spark, sf_dir, "orders")
+    unpivoted = orders.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
+        )
+    )
+    counts = (
+        unpivoted.groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = counts.groupBy("col_name").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("n_values")
+    )
+    p = F.col("n") / F.col("t")
+    return (
+        counts.join(tot, "col_name")
+        .groupBy("col_name", "n_values")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.lit(1.0) - F.sum(p * p), 6).alias("gini_impurity"),
+        )
+    )

@@ -217,3 +217,62 @@ def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+#: Weighted-reservoir sample size.
+_RESERVOIR_K = 100
+
+_WEIGHTED_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+    SELECT o_orderkey, o_totalprice,
+           -LN((CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+               / CAST(o_totalprice AS DOUBLE) AS ekey
+    FROM orders
+    WHERE o_totalprice > 0
+), ranked AS (
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY ekey ASC, o_orderkey ASC) AS rn
+    FROM keyed
+)
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight
+FROM ranked WHERE rn <= {_RESERVOIR_K}
+"""
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_WEIGHTED_RESERVOIR_ORACLE,
+    tags=("sampling",),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, inclusion probability
+    proportional to weight — Efraimidis-Spirakis exponential-sort: draw
+    u ~ U(0,1) per row, key = -ln(u)/w, keep the k smallest keys. One pass,
+    no per-stratum state, and — because u comes from the portable md5
+    bucket, not rand() — the sample is deterministic, partitioning-
+    independent, and reproducible in any engine (the oracle recomputes the
+    identical keys in DuckDB).
+
+    Scale shape: key assignment is a codegen map stage over the scan; the
+    global top-k is TakeOrderedAndProject (per-partition k then a k·P
+    driver-side merge — never a full sort). At 100 TB with k=100 the
+    shuffled state is k rows per partition, i.e. nothing. This is the
+    sampling rung between uniform hash sampling (split_by_hash) and the
+    per-tier mixture (sample_source_weighted): one knob, smooth weights.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    u = (
+        portable_bucket(F.col("o_orderkey"), 1_000_000).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    w = F.col("o_totalprice").cast("double")
+    keyed = orders.select(
+        "o_orderkey",
+        w.alias("weight"),
+        (-F.log(u) / w).alias("ekey"),
+    )
+    return (
+        keyed.orderBy(F.asc("ekey"), F.asc("o_orderkey"))
+        .limit(_RESERVOIR_K)
+        .select("o_orderkey", "weight")
+    )

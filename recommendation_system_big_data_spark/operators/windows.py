@@ -699,3 +699,65 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH framed AS (
+    SELECT event_id, user_id, value,
+           AVG(value) OVER w AS mu,
+           STDDEV_SAMP(value) OVER w AS sd,
+           COUNT(*) OVER w AS n_obs
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_id, user_id,
+       ROUND((value - mu) / sd, 4) AS zscore,
+       CAST(ABS((value - mu) / sd) > 3.0 AS BIGINT) AS is_anomaly
+FROM framed
+WHERE n_obs >= 5 AND sd > 0
+"""
+
+
+@register("window_rolling_zscore", oracle=_ROLLING_ZSCORE_ORACLE, tags=("window",))
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against the mean and
+    sample stddev of its user's PRECEDING 20 observations (frame excludes the
+    current row — scoring a point against a baseline that contains it dilutes
+    exactly the spikes being hunted). Events with fewer than 5 prior
+    observations or a degenerate (zero-variance) baseline are withheld rather
+    than scored against noise.
+
+    One shuffle on user_id serves all three frame aggregates (single WINDOW
+    spec both engines). At 100 TB this is the streaming-adjacent anomaly
+    baseline: the same frame math ports to a stateful streaming op with a
+    20-row ring buffer per key; batch form costs one exchange + sort within
+    partitions. STDDEV_SAMP over an explicit frame is sequentially
+    accumulated in both engines; ROUND(4) absorbs the accumulation-order
+    drift (same precision budget as fn_pandas_udaf_grouped).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.filter((F.col("n_obs") >= 5) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 3.0).cast("long").alias("is_anomaly"),
+        )
+    )

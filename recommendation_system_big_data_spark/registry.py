@@ -137,16 +137,15 @@ _DRIVER_WINDOW_ALIASES = (
     "als_recommend_user_subset",
     # new in round 5
     "graph_triangle_count_doulion",
-    # spot-check re-runs of round-1/2 greens (swap out for new round-5
-    # queries as they land)
+    "sample_weighted_reservoir",
+    "window_rolling_zscore",
+    "agg_entropy_gini",
+    "diff_snapshots",
+    "basket_rules_lift",
+    "text_readability_score",
+    # spot-check re-runs of round-1/2 greens
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_left_dim",
     "agg_summary",
-    "dedup_exact",
-    "topk_per_user",
-    "text_tfidf",
-    "dedup_minhash_lsh",
 )
 
 
