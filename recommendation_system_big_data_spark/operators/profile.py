@@ -997,3 +997,198 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.sum(p * p), 6).alias("gini_impurity"),
         )
     )
+
+
+_BINNING_ORACLE = """
+WITH b AS (
+    SELECT quantile_disc(CAST(o_totalprice AS DOUBLE),
+                         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+    FROM orders
+), assigned AS (
+    SELECT len(list_filter(b.bounds, x -> CAST(o.o_totalprice AS DOUBLE) > x))
+               AS bin,
+           CAST(o.o_totalprice AS DOUBLE) AS v
+    FROM orders o CROSS JOIN b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(v), 2) AS lo,
+       ROUND(MAX(v), 2) AS hi,
+       ROUND(AVG(v), 4) AS avg_price
+FROM assigned GROUP BY bin
+"""
+
+
+@register("feature_binning_equidepth", oracle=_BINNING_ORACLE, tags=("profile", "ml"))
+def feature_binning_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning — the discretization step for
+    GBDT-style feature prep, score calibration buckets, and stratified
+    monitoring. Two-phase, scale-safe: (1) ONE aggregate computes the nine
+    decile boundaries with percentile_disc — discrete percentiles return
+    actual data values, so the boundary set is bit-identical in any engine,
+    unlike interpolated quantiles; (2) the 9-element boundary array
+    broadcasts and each row's bin is size(filter(bounds, x -> v > x)) — a
+    codegen'd map stage.
+
+    The tempting one-phase spelling — NTILE(10) OVER (ORDER BY price) —
+    is a scale-killer: an empty-partition global window drags every row
+    through a single task. Here the only data-wide operations are the
+    percentile aggregate (mergeable partials) and the final per-bin
+    rollup (10 groups); ties land deterministically on the same side of
+    each boundary in both engines because the comparison is strict-> on
+    identical doubles."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "percentile_disc(array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            " WITHIN GROUP (ORDER BY cast(o_totalprice as double))"
+        ).alias("bounds")
+    )
+    assigned = (
+        orders.select(F.col("o_totalprice").cast("double").alias("v"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter("bounds", lambda x: F.col("v") > x))
+            .cast("long")
+            .alias("bin"),
+            "v",
+        )
+    )
+    return assigned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+        F.round(F.avg("v"), 4).alias("avg_price"),
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_disc(value, 0.5) AS m
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, med.m, ABS(e.value - med.m) AS adev
+    FROM events e JOIN med ON e.event_type = med.event_type
+), mad AS (
+    SELECT event_type, quantile_disc(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(d.m), 6) AS median_value,
+       ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("agg_robust_mad_outliers", oracle=_MAD_ORACLE, tags=("profile", "clean"))
+def agg_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe alternative to the z-score filter (clean_outlier_filter
+    above): mean/stddev are themselves dragged by the outliers they're
+    meant to catch, while the median/MAD pair has a 50% breakdown point.
+    Flags |x − median| > 3·1.4826·MAD (1.4826 scales MAD to σ under
+    normality).
+
+    Determinism across engines is engineered, not hoped for: BOTH medians
+    are discrete (percentile_disc / quantile_disc), so median and MAD are
+    actual data values — bit-identical everywhere — and every comparison
+    operand (|x−m|, 3·1.4826·MAD) is the same IEEE expression on the same
+    bits. An interpolated median would put float noise on the threshold.
+
+    Plan: two grouped percentile aggregates + two broadcast joins of the
+    per-group scalars (|event_type| rows) — the raw table shuffles once
+    per percentile pass and never for the joins. At 100 TB swap the exact
+    discrete median for approx_percentile and keep the identical shape."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("m"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(3 * 1.4826) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_CHI2_ORACLE = """
+WITH obs AS (
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(COUNT(*) AS DOUBLE) AS o
+    FROM lineitem GROUP BY rf, ls
+), rt AS (
+    SELECT rf, SUM(o) AS row_tot FROM obs GROUP BY rf
+), ct AS (
+    SELECT ls, SUM(o) AS col_tot FROM obs GROUP BY ls
+), tot AS (
+    SELECT SUM(o) AS n FROM obs
+)
+SELECT ROUND(SUM(POWER(obs.o - rt.row_tot * ct.col_tot / tot.n, 2)
+             / (rt.row_tot * ct.col_tot / tot.n)), 4) AS chi2_stat,
+       CAST((COUNT(DISTINCT obs.rf) - 1) * (COUNT(DISTINCT obs.ls) - 1)
+            AS BIGINT) AS dof,
+       CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_rows
+FROM obs
+JOIN rt ON obs.rf = rt.rf
+JOIN ct ON obs.ls = ct.ls
+CROSS JOIN tot
+"""
+
+
+@register("stat_chi_square", oracle=_CHI2_ORACLE, tags=("profile", "experiment"))
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the returnflag × linestatus
+    contingency table — the categorical counterpart of the A/B z-test
+    above (ab_test_report): are two discrete columns associated, or is
+    the joint distribution just the product of the marginals? The
+    workhorse for segment×outcome dashboards and for catching spurious
+    feature/label dependence before training.
+
+    The contingency table is ONE groupBy over the fact table (cells =
+    |rf|×|ls| rows — single digits); marginals and the grand total are
+    re-aggregations of the CELLS, never the raw data, and join back as
+    broadcasts. So the raw table is scanned and shuffled exactly once
+    regardless of how many statistics are derived. Expected counts and
+    the χ² fold are identical IEEE expressions on exact integer counts;
+    ROUND(4) covers the hash-agg summation order of single-digit terms."""
+    obs = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rt = obs.groupBy("rf").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("ls").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("o") - expected, 2) / expected), 4
+            ).alias("chi2_stat"),
+            (
+                (F.countDistinct("rf") - 1) * (F.countDistinct("ls") - 1)
+            ).cast("long").alias("dof"),
+            F.any_value("n").cast("long").alias("n_rows"),
+        )
+    )

@@ -761,3 +761,52 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).cast("long").alias("is_anomaly"),
         )
     )
+
+
+_LAG_FEATURES_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value, 6) AS val,
+       ROUND(LAG(value, 1) OVER w, 6) AS lag_1,
+       ROUND(LAG(value, 7) OVER w, 6) AS lag_7,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS roll_mean_7,
+       ROUND((value - LAG(value, 1) OVER w)
+             / NULLIF(LAG(value, 1) OVER w, 0), 4) AS pct_change
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ts_lag_features", oracle=_LAG_FEATURES_ORACLE, tags=("window", "ml"))
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-feature matrix — the forecasting/feature-store shape: previous
+    value, 7-back value, trailing 7-row mean, and period-over-period change
+    per user series. This is the feature-engineering mirror of
+    window_rolling_zscore (same frame machinery, pointed at model inputs
+    instead of anomaly flags); at 100 TB it is THE bulk op of a feature
+    store backfill.
+
+    All four features share one user_id shuffle + one within-partition
+    sort — Spark computes every window expression over the same
+    WindowSpec in a single Window physical operator (the oracle spells it
+    as one named WINDOW for the same reason). Leading rows with no lag
+    are NULL (not dropped): a feature matrix must stay row-aligned with
+    its source. pct_change NULLIFs a zero denominator rather than
+    emitting ±Inf — NULL features are imputable, infinities poison
+    downstream normalization."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w7 = w.rowsBetween(-6, 0)
+    lag1 = F.lag("value", 1).over(w)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("val"),
+        F.round(lag1, 6).alias("lag_1"),
+        F.round(F.lag("value", 7).over(w), 6).alias("lag_7"),
+        F.round(F.avg("value").over(w7), 4).alias("roll_mean_7"),
+        F.round(
+            (F.col("value") - lag1) / F.nullif(lag1, F.lit(0)), 4
+        ).alias("pct_change"),
+    )

@@ -89,6 +89,12 @@ _loaded = False
 #:     the remaining slots.
 #: Canonical names remain the public API; aliases are tagged ``alias`` so
 #: bench/docs can skip them.
+#:
+#: ROUND-6 QUEUE (round-5 additions that did not fit this window):
+#:   feature_binning_equidepth, ts_lag_features, agg_robust_mad_outliers,
+#:   stat_chi_square — all oracle-bearing, locally green (test_oracles +
+#:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
+#:   with spot-checks of earlier rounds.
 _DRIVER_WINDOW_ALIASES = (
     # round-4 hash failures, fixed (oracle dtypes) and re-queued
     "agg_collect_sorted",
