@@ -80,6 +80,15 @@ HEADLINE = [
     "fuzzy_join_levenshtein",
     "embedding_standardize",
     "graph_triangle_count",
+    # round-5: basket-pair analytics, wide window features, snapshot
+    # reconciliation, two-phase equi-depth binning, and the recursive-CTE
+    # graph walk. First recorded run defines each baseline.
+    "basket_rules_lift",
+    "window_rolling_zscore",
+    "ts_lag_features",
+    "diff_snapshots",
+    "feature_binning_equidepth",
+    "sql_recursive_reachability",
 ]
 
 

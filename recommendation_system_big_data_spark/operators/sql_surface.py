@@ -216,3 +216,55 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 9000, "segment": "BUILDING"},
     )
+
+
+_RECURSIVE_REACH_ORACLE = """
+WITH RECURSIVE capped AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               DENSE_RANK() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS irk
+        FROM lineitem
+    ) WHERE irk <= 32
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seed AS (
+    SELECT MIN(l_partkey) AS node FROM capped
+), reach(node, depth) AS (
+    SELECT node, 0 FROM seed
+    UNION ALL
+    SELECT DISTINCT e.v, r.depth + 1
+    FROM reach r JOIN edges e ON e.u = r.node
+    WHERE r.depth < 2
+)
+SELECT CAST(min_depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, MIN(depth) AS min_depth FROM reach GROUP BY node)
+GROUP BY min_depth
+"""
+
+
+@register("sql_recursive_reachability", oracle=_RECURSIVE_REACH_ORACLE, tags=("sql", "graph"))
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) — bounded-depth BFS over the co-purchase
+    graph from the smallest part key: how many parts are 0, 1, and 2 hops
+    away. The declarative spelling of the iterative traversals this engine
+    otherwise drives from Python (PageRank's fixed loop, the connected-
+    components fixpoint in dedup.py) — the recursion lives INSIDE one
+    Catalyst plan, so the SQL surface now covers hierarchy/graph walks
+    (org rollups, BOM explosions, referral chains) without a driver loop.
+
+    The recursive leg is a per-iteration DISTINCT frontier expansion on an
+    equi-join against the (deduplicated, basket-capped) edge list; depth
+    is bounded at 2 because an unbounded walk of a dense co-purchase
+    graph is the path-explosion anti-pattern — real deployments bound
+    depth or iterate with a visited-set fixpoint (dedup_cluster_components
+    for the unbounded case). Min-depth per node is taken AFTER the walk:
+    UNION ALL + final MIN keeps both engines' recursion semantics
+    identical rather than leaning on engine-specific cycle handling."""
+    for t in ("lineitem",):
+        _view(spark, sf_dir, t)
+    return spark.sql(_RECURSIVE_REACH_ORACLE.replace("FROM lineitem", "FROM v_lineitem"))
