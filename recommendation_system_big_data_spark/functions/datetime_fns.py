@@ -105,3 +105,43 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), denom).alias("safe_ratio"),
         F.when(F.col("user_id") % 5 == 0, 1).otherwise(0).alias("was_div0"),
     )
+
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d')
+           AS due_date,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+           AS review_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS month_close,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+            AS BIGINT) AS days_to_cutoff
+FROM orders
+"""
+
+
+@register("fn_date_arithmetic", oracle=_DATE_ARITH_ORACLE, tags=("datetime",))
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-calendar date arithmetic — date_add, add_months, last_day,
+    datediff: the SLA / billing-cycle scalar surface (due dates, review
+    windows, month-end closes, days-to-cutoff aging). All four are
+    codegen'd integer date math over the scan — zero shuffles, and the
+    computed dates remain partition-pruning-friendly constants under
+    Catalyst folding when filtered on.
+
+    Month-end clamping is the cross-engine trap this query pins:
+    Jan 31 + 1 month must clamp to Feb 28/29 — Spark's add_months and
+    DuckDB's + INTERVAL n MONTH both clamp, and the oracle match proves
+    it. Dates are emitted as formatted strings so the hash never depends
+    on date physical representation."""
+    d = F.col("o_orderdate").cast("date")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("review_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_close"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d)
+        .cast("long")
+        .alias("days_to_cutoff"),
+    )

@@ -1192,3 +1192,88 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n").cast("long").alias("n_rows"),
         )
     )
+
+
+_FACT_CONSISTENCY_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS li_total
+    FROM lineitem GROUP BY l_orderkey
+), joined AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS header_total,
+           li.li_total,
+           CASE
+             WHEN li.li_total IS NULL THEN 'no_lines'
+             WHEN ABS(CAST(o.o_totalprice AS DOUBLE) - li.li_total)
+                  <= 0.01 * ABS(CAST(o.o_totalprice AS DOUBLE))
+                  THEN 'within_1pct'
+             WHEN li.li_total > CAST(o.o_totalprice AS DOUBLE)
+                  THEN 'lines_exceed_header'
+             ELSE 'header_exceeds_lines'
+           END AS bucket
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(header_total), 2) AS header_sum,
+       ROUND(SUM(COALESCE(li_total, 0)), 2) AS lines_sum
+FROM joined GROUP BY bucket
+"""
+
+
+@register(
+    "audit_fact_consistency",
+    oracle=_FACT_CONSISTENCY_ORACLE,
+    tags=("profile", "quality"),
+)
+def audit_fact_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table VALUE reconciliation — does the order header total agree
+    with the sum of its line items? The complement of fk_integrity_report
+    (which checks key EXISTENCE): finance-grade pipelines audit that
+    aggregates reconcile across fact granularities after every load, not
+    just that keys resolve. Buckets: within 1%, lines exceed header,
+    header exceeds lines, no lines at all.
+
+    One aggregation of the fine-grained fact keyed on the join key, then a
+    LEFT join from headers — at 100 TB the aggregate collapses lineitem to
+    |orders| rows BEFORE the join, so the join input is two key-partitioned
+    order-grain tables (co-partitioned for free if both are bucketed on
+    orderkey). Line sums accumulate in DECIMAL — exact and
+    summation-order-independent, so the bucket comparisons are stable in
+    both engines; only the reporting sums are rounded."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("li_total")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("header_total")
+    )
+    joined = orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left")
+    bucket = (
+        F.when(F.col("li_total").isNull(), F.lit("no_lines"))
+        .when(
+            F.abs(F.col("header_total") - F.col("li_total"))
+            <= 0.01 * F.abs(F.col("header_total")),
+            F.lit("within_1pct"),
+        )
+        .when(F.col("li_total") > F.col("header_total"), F.lit("lines_exceed_header"))
+        .otherwise(F.lit("header_exceeds_lines"))
+    )
+    return (
+        joined.select(bucket.alias("bucket"), "header_total", "li_total")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("header_total"), 2).alias("header_sum"),
+            F.round(F.sum(F.coalesce(F.col("li_total"), F.lit(0.0))), 2).alias(
+                "lines_sum"
+            ),
+        )
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -192,4 +193,113 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
+    )
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("buf", ArrayType(DoubleType())),
+        StructField("n_scored", LongType()),
+        StructField("n_anomalies", LongType()),
+    ]
+)
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_scored", LongType()),
+        StructField("n_anomalies", LongType()),
+    ]
+)
+
+#: Mirror of the batch op's constants (operators/windows.py
+#: window_rolling_zscore): baseline = up to 20 PRIOR observations, at
+#: least 5 required, |z| > 3 flags, sample stddev.
+_ANOM_WINDOW = 20
+_ANOM_MIN_OBS = 5
+_ANOM_THRESHOLD = 3.0
+
+
+def _rolling_anomaly_fn():
+    """Closure factory (by-value pickling — see _update_user_stats_fn)."""
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pdl
+
+        (user_id,) = key
+        if state.exists:
+            buf, n_scored, n_anom = state.get
+            buf = list(buf)
+        else:
+            buf, n_scored, n_anom = [], 0, 0
+        rows = pdl.concat(list(pdfs))
+        # Event-time order within the batch: state evolves per event
+        # exactly as the batch window does per frame.
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"].astype(float):
+            window = buf[-_ANOM_WINDOW:]
+            if len(window) >= _ANOM_MIN_OBS:
+                mu = sum(window) / len(window)
+                var = sum((x - mu) ** 2 for x in window) / (len(window) - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    n_scored += 1
+                    if abs((v - mu) / sd) > _ANOM_THRESHOLD:
+                        n_anom += 1
+            buf = (buf + [v])[-_ANOM_WINDOW:]
+        state.update((buf, n_scored, n_anom))
+        yield pdl.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_scored": [n_scored],
+                "n_anomalies": [n_anom],
+            }
+        )
+
+    return update
+
+
+def rolling_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user rolling-zscore anomaly counters with an explicit
+    20-value ring buffer in state."""
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _rolling_anomaly_fn(),
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("stream_rolling_anomaly", oracle=None, tags=("streaming",))
+def stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊘ the streaming twin of window_rolling_zscore (operators/windows.py):
+    per-user anomaly counters maintained across micro-batches with a
+    bounded 20-value ring buffer in typed state — the online-monitoring
+    shape (alert on the event, not in tomorrow's batch) that a windowed
+    aggregation cannot express because the baseline spans window
+    boundaries. State per key is 20 doubles + 2 longs — at 100 TB the
+    state store holds |users| × ~176 bytes, partitioned by key, and each
+    micro-batch touches only the keys it carries.
+
+    tests/test_streaming.py pins batch parity: the final streamed counters
+    equal the batch frame aggregation when everything arrives in order
+    (AvailableNow over static files), which is exactly the determinism a
+    replay/backfill through the streaming path must deliver."""
+    out = run_stream_to_memory(
+        rolling_anomaly_stream(spark, sf_dir),
+        spark,
+        "rsbd_stream_anomaly",
+        output_mode="update",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_scored"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_scored", "n_anomalies")
     )

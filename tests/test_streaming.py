@@ -263,3 +263,39 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0], (u, got[u], want[u])
         assert abs(got[u][1] - want[u][1]) < 1e-4, (u, got[u], want[u])
+
+
+def test_rolling_anomaly_stream_matches_batch(spark, sf_dir):
+    """The streaming rolling-zscore counters (20-value ring buffer in
+    state) must equal the batch preceding-20 frame aggregation when all
+    events arrive in order — the replay/backfill determinism contract."""
+    from recommendation_system_big_data_spark.operators.windows import (
+        window_rolling_zscore,
+    )
+    from recommendation_system_big_data_spark.streaming.stateful import (
+        stream_rolling_anomaly,
+    )
+
+    streamed = {
+        r["user_id"]: (r["n_scored"], r["n_anomalies"])
+        for r in stream_rolling_anomaly(spark, sf_dir).collect()
+    }
+    batch = (
+        window_rolling_zscore(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("is_anomaly").alias("n_anomalies"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n_scored"], r["n_anomalies"]) for r in batch.collect()
+    }
+    # Streamed output covers every user with events; batch covers users
+    # with >=5 scored observations. Compare on the batch's support, and
+    # require streamed zero-counts elsewhere to be consistent.
+    for u, (n_scored, n_anom) in want.items():
+        assert streamed[u] == (n_scored, n_anom), (u, streamed[u], want[u])
+    for u, (n_scored, _) in streamed.items():
+        if u not in want:
+            assert n_scored == 0, (u, streamed[u])
