@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
@@ -789,4 +790,86 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_syllables",
         F.round(flesch, 4).alias("flesch_score"),
+    )
+
+
+#: Bigram LM pruning: keep predictions with at least this many
+#: observations and report the top-N next words per context.
+_BIGRAM_MIN_COUNT = 10
+_BIGRAM_TOP_N = 3
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE len(trim(text)) > 0
+), pairs AS (
+    SELECT z[1] AS w1, z[2] AS w2
+    FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM toks)
+), cnt AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM pairs GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY w1
+), ranked AS (
+    SELECT cnt.w1, cnt.w2, cnt.c12,
+           ROUND(cnt.c12 / ctx.c1, 6) AS p_next,
+           ROW_NUMBER() OVER (
+               PARTITION BY cnt.w1 ORDER BY cnt.c12 DESC, cnt.w2 ASC
+           ) AS rn
+    FROM cnt JOIN ctx ON cnt.w1 = ctx.w1
+    WHERE cnt.c12 >= {_BIGRAM_MIN_COUNT}
+)
+SELECT w1, w2, c12, p_next, CAST(rn AS BIGINT) AS rank_pos
+FROM ranked WHERE rn <= {_BIGRAM_TOP_N}
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE, tags=("text", "ml"))
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a pruned bigram language model from the corpus: P(next word |
+    word) with top-_BIGRAM_TOP_N predictions per context, min count
+    {_BIGRAM_MIN_COUNT}. The conditional-probability companion of
+    text_unigram_surprisal's marginals — the artifact behind classic
+    autocomplete, OOV detection, and cheap LM-based quality filters
+    (documents whose transitions are improbable under the corpus LM are
+    boilerplate or gibberish candidates).
+
+    Bigram extraction never self-joins: zip_with pairs each token array
+    with its own tail INSIDE the row (array ops in the map stage), then
+    one explode → one groupBy. The context totals re-aggregate the
+    bigram counts (not the raw pairs), and the min-count prune applies
+    before the ranking window, so the window input is the pruned model,
+    not the corpus. Shuffles: pair counts, context counts, ranking — all
+    keyed on words (Zipf-skewed: hot contexts are exactly what AQE's
+    skew-split handles; the prune also removes the long tail before the
+    window sort)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z")
+    ).select("z.w1", "z.w2")
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    w = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (
+        cnt.filter(F.col("c12") >= _BIGRAM_MIN_COUNT)
+        .join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_next"),
+            F.row_number().over(w).alias("rank_pos"),
+        )
+        .filter(F.col("rank_pos") <= _BIGRAM_TOP_N)
+        .select("w1", "w2", "c12", "p_next", F.col("rank_pos").cast("long").alias("rank_pos"))
     )
