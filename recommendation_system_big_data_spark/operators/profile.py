@@ -1277,3 +1277,70 @@ def audit_fact_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MOMENTS_ORACLE = """
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), cm AS (
+    SELECT e.event_type,
+           ANY_VALUE(mu.n) AS n,
+           ROUND(ANY_VALUE(mu.m), 6) AS mean_value,
+           AVG(POWER(e.value - mu.m, 2)) AS m2,
+           AVG(POWER(e.value - mu.m, 3)) AS m3,
+           AVG(POWER(e.value - mu.m, 4)) AS m4
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+)
+SELECT event_type, n, mean_value,
+       ROUND(m2, 4) AS variance_pop,
+       ROUND(m3 / POWER(m2, 1.5), 4) AS skewness_g1,
+       ROUND(m4 / POWER(m2, 2) - 3, 4) AS kurtosis_excess
+FROM cm
+"""
+
+
+@register("agg_moments_shape", oracle=_MOMENTS_ORACLE, tags=("profile",))
+def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments per group: population variance, skewness
+    g1 = m3/m2^1.5, excess kurtosis m4/m2² − 3 — the profiling signals
+    behind tail-risk flags (heavy tails break z-score assumptions; see
+    agg_robust_mad_outliers) and drift detection beyond mean/variance.
+
+    Built from explicit central moments rather than the engines' built-in
+    skewness()/kurtosis() — THE definitional trap this query pins: Spark's
+    built-ins return population (g-form) statistics while DuckDB's return
+    sample-corrected (G-form), so the built-ins disagree by design and any
+    cross-engine check must fix the estimator. Two passes (mean, then
+    centered moments with the mean joined back as a broadcast) keep the
+    computation in the numerically stable centered form — a single-pass
+    E[x⁴] expansion cancels catastrophically at large means. ROUND(4) on
+    ratio outputs absorbs hash-agg summation order (same budget as
+    agg_regression_stats)."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("m")
+    return (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.round(F.any_value("m"), 6).alias("mean_value"),
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            F.round(F.col("m2"), 4).alias("variance_pop"),
+            F.round(F.col("m3") / F.pow(F.col("m2"), 1.5), 4).alias("skewness_g1"),
+            F.round(F.col("m4") / F.pow(F.col("m2"), 2) - 3, 4).alias(
+                "kurtosis_excess"
+            ),
+        )
+    )

@@ -1200,3 +1200,51 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_NULLS_ORDER_ORACLE = """
+WITH nulled AS (
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END
+               AS maybe_cust
+    FROM orders
+)
+SELECT o_orderkey, maybe_cust,
+       CAST(maybe_cust IS NULL AS BIGINT) AS is_null
+FROM nulled
+ORDER BY maybe_cust DESC NULLS FIRST, o_orderkey ASC
+LIMIT 200
+"""
+
+
+@register("sort_nulls_ordering", oracle=_NULLS_ORDER_ORACLE, tags=("sort",))
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ordering — the silent cross-engine trap
+    this query pins: Spark's default puts NULLs FIRST on ascending (LAST
+    on descending), DuckDB/Postgres default NULLS LAST on ascending (FIRST
+    on descending). Any top-k over a nullable ranking column silently
+    returns different rows per engine unless the placement is spelled out
+    — so this engine's rule is: orderings over nullable keys ALWAYS carry
+    desc_nulls_first/asc_nulls_last explicitly (here DESC NULLS FIRST on
+    a synthetically-nulled key, exercising the non-default corner on both
+    engines).
+
+    sort+limit compiles to TakeOrderedAndProject (per-partition top-k +
+    driver merge of k·P rows) — never a global sort. NULL rows order among
+    themselves by the o_orderkey tiebreaker, keeping the result
+    hash-stable."""
+    nulled = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("maybe_cust"),
+    )
+    return (
+        nulled.select(
+            "o_orderkey",
+            "maybe_cust",
+            F.col("maybe_cust").isNull().cast("long").alias("is_null"),
+        )
+        .orderBy(F.desc_nulls_first("maybe_cust"), F.asc("o_orderkey"))
+        .limit(200)
+    )

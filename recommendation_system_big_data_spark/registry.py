@@ -93,8 +93,9 @@ _loaded = False
 #: ROUND-6 QUEUE (round-5 additions that did not fit this window):
 #:   feature_binning_equidepth, ts_lag_features, agg_robust_mad_outliers,
 #:   stat_chi_square, sql_recursive_reachability, audit_fact_consistency,
-#:   fn_date_arithmetic, text_bigram_lm, stream_rolling_anomaly (⊘) — all
-#:   except the last oracle-bearing, locally green (test_oracles +
+#:   fn_date_arithmetic, text_bigram_lm, sort_nulls_ordering,
+#:   agg_moments_shape, stream_rolling_anomaly (⊘) — all except the last
+#:   oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
 _DRIVER_WINDOW_ALIASES = (
