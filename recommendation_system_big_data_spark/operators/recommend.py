@@ -254,3 +254,55 @@ def als_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank long, reg_param double, val_rmse double, is_best long"
     )
+
+
+@register("als_item_similarity", oracle=None, tags=("ml", "similarity"))
+def als_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity from the trained ALS factor matrix: cosine
+    between item factor vectors, top-5 neighbours per item — the "related
+    items" surface that complements per-user recommendations (the factors
+    already encode co-preference, so factor cosine is the standard
+    model-based item-kNN). ⊘ rows-only: factors are seed/partitioning-
+    sensitive; tests/test_recommend.py gates the invariants (no
+    self-neighbours, k per item, cosine within [-1, 1]).
+
+    Plan shape: itemFactors is |catalog| × rank — dimension-table sized by
+    construction (101 items here; a real catalog is millions × rank=10
+    floats ≈ GBs, still the SMALL side next to any fact table). The
+    self-join broadcasts one copy, computes dot/norms with JVM
+    higher-order functions (zip_with + aggregate — no UDF), and takes
+    top-k per item with the standard rank window. At 100 TB of ratings
+    the factor join is unchanged — model size scales with the catalog,
+    not the event volume."""
+    from pyspark.sql.window import Window
+
+    ratings = ratings_from_events(spark, sf_dir)
+    model = train_als(ratings)
+    f = model.itemFactors.select(
+        F.col("id").alias("item_id"), F.col("features").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    a, b = f.alias("a"), f.alias("b")
+    scored = (
+        a.join(F.broadcast(b), F.col("a.item_id") != F.col("b.item_id"))
+        .select(
+            F.col("a.item_id").alias("item_id"),
+            F.col("b.item_id").alias("similar_item_id"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.desc("cosine"), F.asc("similar_item_id")
+    )
+    return (
+        scored.withColumn("rank_pos", F.row_number().over(w))
+        .filter(F.col("rank_pos") <= 5)
+        .select("item_id", "similar_item_id", "cosine", F.col("rank_pos").cast("long").alias("rank_pos"))
+    )

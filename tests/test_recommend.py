@@ -61,3 +61,25 @@ def test_als_param_grid_deterministic_and_flags_best(spark, sf_dir):
     assert best[0]["val_rmse"] == min(r["val_rmse"] for r in rows)
     rows2 = sorted(als_param_grid(spark, sf_dir).collect())
     assert rows == rows2
+
+
+def test_als_item_similarity_invariants(spark, sf_dir):
+    """Factor cosine item-kNN: no self-neighbours, exactly 5 ranked
+    neighbours per item, cosines in [-1, 1] and non-increasing by rank."""
+    from recommendation_system_big_data_spark.operators.recommend import (
+        als_item_similarity,
+    )
+
+    rows = als_item_similarity(spark, sf_dir).collect()
+    assert rows
+    by_item = {}
+    for r in rows:
+        assert r["item_id"] != r["similar_item_id"]
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        by_item.setdefault(r["item_id"], []).append((r["rank_pos"], r["cosine"]))
+    for item, ranked in by_item.items():
+        ranked.sort()
+        assert [p for p, _ in ranked] == list(range(1, len(ranked) + 1))
+        assert len(ranked) == 5, (item, ranked)
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True), (item, cosines)
