@@ -311,3 +311,119 @@ def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("aug"), F.lit(_RE_SSN)).cast("long").alias("n_ssns"),
         red.alias("redacted"),
     )
+
+
+_QUALITY_DASHBOARD_ORACLE = """
+WITH base AS (
+    SELECT doc_id, text, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents WHERE len(trim(text)) > 0
+), counted AS (
+    SELECT doc_id,
+           CAST(n_tokens AS DOUBLE) AS n_words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+               AS n_syllables
+    FROM base WHERE n_tokens > 0
+), lang_p AS (
+    SELECT CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM base) AS p
+    FROM base GROUP BY lang
+)
+SELECT 'n_docs' AS metric, CAST((SELECT COUNT(*) FROM base) AS DOUBLE) AS value
+UNION ALL
+SELECT 'mean_tokens_per_doc',
+       ROUND((SELECT AVG(CAST(n_tokens AS DOUBLE)) FROM base), 4)
+UNION ALL
+SELECT 'mean_flesch',
+       ROUND((SELECT AVG(206.835 - 1.015 * (n_words / n_sentences)
+                         - 84.6 * (n_syllables / n_words))
+              FROM counted), 4)
+UNION ALL
+SELECT 'exact_dup_rate',
+       ROUND(1.0 - CAST((SELECT COUNT(DISTINCT md5(text)) FROM base) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM base), 6)
+UNION ALL
+SELECT 'lang_entropy_bits',
+       ROUND((SELECT -SUM(p * log2(p)) FROM lang_p), 6)
+"""
+
+
+@register(
+    "pipeline_quality_dashboard",
+    oracle=_QUALITY_DASHBOARD_ORACLE,
+    tags=("quality", "pipeline"),
+)
+def pipeline_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One long-format corpus health report — the per-ingest scorecard a
+    curation pipeline publishes after every batch: corpus size, mean
+    document length, mean readability, exact-duplicate rate, and language
+    diversity (entropy). Composed from the engine's own signal definitions
+    (readability per text_readability_score, entropy per agg_entropy_gini)
+    so the dashboard can never drift from the operators it summarizes.
+
+    Each metric is a whole-corpus aggregate with map-side partials — the
+    scan is read once per metric branch at worst, and Spark fuses the
+    cheap ones; output is 5 rows however large the corpus. Long format
+    (metric, value) on purpose: metrics append as rows, so adding a signal
+    never changes the schema a monitoring sink ingests."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("n_words"),
+            F.greatest(
+                F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+            ).cast("double").alias("n_sentences"),
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+            ).cast("double").alias("n_syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        F.lit("n_docs").alias("metric"), "value"
+    )
+    mean_tokens = docs.agg(
+        F.round(F.avg("n_words"), 4).alias("value")
+    ).select(F.lit("mean_tokens_per_doc").alias("metric"), "value")
+    mean_flesch = (
+        docs.filter(F.col("n_words") > 0)
+        .agg(F.round(F.avg(flesch), 4).alias("value"))
+        .select(F.lit("mean_flesch").alias("metric"), "value")
+    )
+    dup_rate = docs.agg(
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("value")
+    ).select(F.lit("exact_dup_rate").alias("metric"), "value")
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lang_entropy = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                -F.sum((F.col("n") / F.col("t")) * F.log2(F.col("n") / F.col("t"))),
+                6,
+            ).alias("value")
+        )
+        .select(F.lit("lang_entropy_bits").alias("metric"), "value")
+    )
+    return (
+        n_docs.unionByName(mean_tokens)
+        .unionByName(mean_flesch)
+        .unionByName(dup_rate)
+        .unionByName(lang_entropy)
+    )
