@@ -810,3 +810,136 @@ def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - lag1) / F.nullif(lag1, F.lit(0)), 4
         ).alias("pct_change"),
     )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH framed AS (
+    SELECT event_id, user_id,
+           MEDIAN(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+           ) AS med,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+           ) AS n_obs
+    FROM events
+)
+SELECT event_id, user_id, ROUND(med, 6) AS rolling_median
+FROM framed WHERE n_obs >= 5
+"""
+
+
+@register("window_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE, tags=("window",))
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over the preceding-20 frame — the robust companion of
+    window_rolling_zscore's mean baseline (a single spike drags a rolling
+    mean for 20 rows; the rolling median shrugs it off).
+
+    Spark refuses aggregate-percentiles over framed windows
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so this demonstrates the
+    frame-array technique for ARBITRARY order statistics: collect_list
+    over the frame (one window pass), then array_sort + middle element(s)
+    entirely in JVM higher-order expressions — the same pattern
+    window_ewma uses for weighted folds. Interpolated even-count median
+    (mean of the two middle elements) matches DuckDB's MEDIAN exactly.
+    Cost: the frame array is bounded at 20 elements per row by
+    construction, so state is O(frame), not O(partition)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            vals.alias("vals"),
+        )
+        .filter(F.size("vals") >= 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.when(
+                    F.size("vals") % 2 == 1,
+                    F.element_at("vals", ((F.size("vals") + 1) / 2).cast("int")),
+                ).otherwise(
+                    (
+                        F.element_at("vals", (F.size("vals") / 2).cast("int"))
+                        + F.element_at("vals", (F.size("vals") / 2).cast("int") + 1)
+                    )
+                    / 2.0
+                ),
+                6,
+            ).alias("rolling_median"),
+        )
+    )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+    FROM orders
+), grouped AS (
+    SELECT o_custkey, d,
+           d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY d
+           ) AS INTEGER) AS island
+    FROM days
+), islands AS (
+    SELECT o_custkey, island,
+           CAST(COUNT(*) AS BIGINT) AS streak_days,
+           MIN(d) AS streak_start
+    FROM grouped GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       strftime(MIN(streak_start), '%Y-%m-%d') AS first_streak_start
+FROM islands
+GROUP BY o_custkey
+HAVING MAX(streak_days) >= 2
+"""
+
+
+@register("window_gaps_islands", oracle=_STREAKS_ORACLE, tags=("window",))
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-order-day streaks per customer — the
+    activity-streak / continuous-coverage primitive (login streaks, sensor
+    uptime segments, contiguous inventory runs). The classic O(n) trick:
+    date minus its per-customer row_number is CONSTANT within a run of
+    consecutive days, so one window + two aggregations find every island —
+    no self-join, no recursion, no per-row loop.
+
+    All three steps share the o_custkey partitioning: distinct days, the
+    row_number window, and both island rollups — one shuffle does the
+    work (AQE reuses the exchange). Dates subtract as integer day counts
+    in both engines; the HAVING keeps only customers with a real (≥2-day)
+    streak so the result is meaningful at every SF."""
+    days = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grouped = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = grouped.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.max("streak_days").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+                "first_streak_start"
+            ),
+        )
+        .filter(F.col("longest_streak") >= 2)
+    )

@@ -94,7 +94,8 @@ _loaded = False
 #:   feature_binning_equidepth, ts_lag_features, agg_robust_mad_outliers,
 #:   stat_chi_square, sql_recursive_reachability, audit_fact_consistency,
 #:   fn_date_arithmetic, text_bigram_lm, sort_nulls_ordering,
-#:   agg_moments_shape, pipeline_quality_dashboard,
+#:   agg_moments_shape, pipeline_quality_dashboard, window_rolling_median,
+#:   window_gaps_islands,
 #:   stream_rolling_anomaly (⊘), als_item_similarity (⊘) — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
