@@ -427,3 +427,68 @@ def pipeline_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dup_rate)
         .unionByName(lang_entropy)
     )
+
+
+_KANON_ORACLE = """
+WITH groups AS (
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+), bucketed AS (
+    SELECT CASE WHEN k = 1 THEN '1 (unique)'
+                WHEN k < 5 THEN '2-4'
+                WHEN k < 20 THEN '5-19'
+                ELSE '20+' END AS k_bucket,
+           k
+    FROM groups
+)
+SELECT k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(k) AS DOUBLE) / (SELECT SUM(k) FROM groups), 6)
+           AS pct_rows
+FROM bucketed GROUP BY k_bucket
+"""
+
+
+@register("privacy_k_anonymity", oracle=_KANON_ORACLE, tags=("quality", "privacy"))
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nationkey, mktsegment) quasi-identifier:
+    how many customers sit in equivalence classes of size 1 (re-identifiable
+    by those two attributes alone), 2-4, 5-19, 20+. The release gate run
+    before publishing "anonymized" extracts — rows in the k=1 bucket are
+    the ones a generalization/suppression pass must fix, and the companion
+    redaction primitive is pii_scan_redact.
+
+    Shape: one groupBy on the quasi-identifier tuple (the only fact-table
+    shuffle), then bucketing on the group-size table, which has at most
+    |nations|x|segments| rows — the second aggregate and the total-rows
+    window are constant-sized. Swapping in different quasi-identifier
+    columns changes nothing structurally."""
+    from pyspark.sql.window import Window
+
+    groups = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bucket = (
+        F.when(F.col("k") == 1, "1 (unique)")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 20, "5-19")
+        .otherwise("20+")
+    )
+    return (
+        groups.select(bucket.alias("k_bucket"), "k")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("k").alias("n_rows"))
+        .select(
+            "k_bucket",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(Window.partitionBy()),
+                6,
+            ).alias("pct_rows"),
+        )
+    )

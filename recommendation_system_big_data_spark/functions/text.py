@@ -873,3 +873,64 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_pos") <= _BIGRAM_TOP_N)
         .select("w1", "w2", "c12", "p_next", F.col("rank_pos").cast("long").alias("rank_pos"))
     )
+
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+    FROM freq
+)
+SELECT CAST((SELECT COUNT(*) FROM freq) AS BIGINT) AS n_types,
+       CAST((SELECT SUM(n) FROM freq) AS BIGINT) AS n_tokens,
+       ROUND(REGR_SLOPE(LN(n), LN(rnk)), 4) AS zipf_slope,
+       ROUND(REGR_R2(LN(n), LN(rnk)), 4) AS fit_r2
+FROM ranked WHERE rnk <= 500
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE, tags=("text",))
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: log-log regression of
+    frequency on rank across the top-500 types. Natural text sits near
+    slope −1 with high R²; template-generated or deduplicated-to-death
+    corpora drift toward flat/steep slopes — a one-row corpus health
+    signal alongside pipeline_quality_dashboard's per-source metrics.
+
+    Rank assignment is the one global ordering, but it runs on the
+    VOCABULARY (post-aggregation, Zipf-bounded ≈ millions of rows at any
+    corpus size), not the token stream: tokens reduce via map-side-combined
+    groupBy before anything sorts, and a top-500 filter bounds the
+    regression input. regr_slope/regr_r2 are the same least-squares
+    estimator in both engines; ROUND(4) absorbs summation order. Tie-break
+    rank by (n DESC, token ASC) so equal-frequency types rank identically
+    everywhere — ln(rank) makes rank order PART OF THE VALUE, not just
+    presentation."""
+    freq = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("n").alias("n_tokens")
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 500)
+    fit = ranked.agg(
+        F.round(F.regr_slope(F.ln("n"), F.ln("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.ln("n"), F.ln("rnk")), 4).alias("fit_r2"),
+    )
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_types", "n_tokens", "zipf_slope", "fit_r2"
+    )

@@ -470,3 +470,84 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_BFS_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+    SELECT DISTINCT src AS id FROM edges
+), seeds AS (
+    SELECT id FROM nodes WHERE id % 100 = 0
+), f1 AS (
+    SELECT DISTINCT e.dst AS id FROM edges e JOIN seeds s ON e.src = s.id
+), f2 AS (
+    SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON e.src = f1.id
+), f3 AS (
+    SELECT DISTINCT e.dst AS id FROM edges e JOIN f2 ON e.src = f2.id
+), all_levels AS (
+    SELECT id, 0 AS hops FROM seeds
+    UNION ALL SELECT id, 1 FROM f1
+    UNION ALL SELECT id, 2 FROM f2
+    UNION ALL SELECT id, 3 FROM f3
+)
+SELECT id AS part_id, CAST(MIN(hops) AS INTEGER) AS hops
+FROM all_levels GROUP BY id
+"""
+
+
+@register("graph_bfs_hops", oracle=_BFS_ORACLE, tags=("graph",))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: minimum hop distance
+    (≤3) from the seed set {parts with id % 100 == 0} — the "blast radius"
+    primitive behind recall campaigns (everything within 2 hops of a
+    defective part), influence propagation, and fraud-ring expansion from
+    known-bad seeds.
+
+    Level-synchronous frontier expansion, the standard distributed-BFS
+    shape: each level is one equi-join frontier⨝edges (shuffle keyed on
+    src) followed by a distinct on the frontier — NEVER a recursive
+    per-path enumeration, whose path count grows as degree^k while the
+    frontier is capped at |nodes|. The DuckDB oracle unrolls the identical
+    level sets as CTEs (its recursive CTE would enumerate paths).
+    Distances resolve by MIN over levels at the end, so a node reached at
+    hops 1 and 3 reports 1. Fixed depth keeps it oracle-expressible; the
+    unbounded variant is the CC fixpoint loop (dedup.py:592) with the same
+    per-iteration localCheckpoint lineage cut."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 100 == 0)
+    )
+    levels = [frontier.select("id", F.lit(0).alias("hops"))]
+    for depth in (1, 2, 3):
+        frontier = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        levels.append(frontier.select("id", F.lit(depth).alias("hops")))
+    union = levels[0]
+    for lv in levels[1:]:
+        union = union.unionByName(lv)
+    return union.groupBy(F.col("id").alias("part_id")).agg(
+        F.min("hops").cast("int").alias("hops")
+    )

@@ -1344,3 +1344,129 @@ def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+    SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice))))
+                AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice > 0
+), obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS p_obs
+    FROM digits GROUP BY digit
+)
+SELECT digit, n,
+       ROUND(p_obs, 6) AS obs_pct,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_pct,
+       ROUND(ABS(p_obs - LOG10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM obs
+"""
+
+
+@register("stat_benford", oracle=_BENFORD_ORACLE, tags=("profile", "audit"))
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: organically grown monetary amounts follow
+    P(d) = log10(1 + 1/d); fabricated or truncated ones don't. Output is
+    the 9-row observed-vs-expected table with per-digit absolute deviation
+    (the inputs to a chi-square or MAD decision; stat_chi_square holds the
+    test machinery).
+
+    First significant digit via floor(x / 10^floor(log10 x)) — the same
+    IEEE expression in both engines, so the digit boundary at 9.999…e^k
+    cannot flip between them. One scan, one 9-group aggregate; the
+    OVER () total runs on the 9-row aggregate, not the fact table."""
+    digits = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    p_obs = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(p_obs, 6).alias("obs_pct"),
+        F.round(benford, 6).alias("benford_pct"),
+        F.round(F.abs(p_obs - benford), 6).alias("abs_dev"),
+    )
+
+
+_LINREG_ORACLE = """
+WITH s AS (
+    SELECT COVAR_POP(l_quantity, l_quantity)      AS s11,
+           COVAR_POP(l_quantity, l_discount)      AS s12,
+           COVAR_POP(l_discount, l_discount)      AS s22,
+           COVAR_POP(l_extendedprice, l_quantity) AS sy1,
+           COVAR_POP(l_extendedprice, l_discount) AS sy2,
+           VAR_POP(l_extendedprice)               AS syy,
+           AVG(l_quantity)      AS mx1,
+           AVG(l_discount)      AS mx2,
+           AVG(l_extendedprice) AS my,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+)
+SELECT n,
+       ROUND((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12), 4) AS b_quantity,
+       ROUND((sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12), 4) AS b_discount,
+       ROUND(my - (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * mx1
+                - (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * mx2,
+             4) AS intercept,
+       ROUND(((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * sy1
+            + (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * sy2) / syy,
+             4) AS r2
+FROM s
+"""
+
+
+@register("ml_linreg_normal_eq", oracle=_LINREG_ORACLE, tags=("profile", "ml"))
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature linear regression (normal equations via
+    Cramer's rule): extendedprice ~ quantity + discount. The multi-feature
+    big brother of agg_regression_stats' regr_slope — and the template for
+    ANY fixed-dimension least squares at 100 TB: ONE distributed aggregate
+    produces the tiny Gram/moment matrix, and the solve is O(d³) on d=2 —
+    pure column expressions, no collect, no iteration, no MLlib.
+
+    Numerics: built on population covariances (Spark covar_pop = DuckDB
+    COVAR_POP, both stable one-pass co-moment updates), so the normal
+    equations are solved in centered form — immune to the catastrophic
+    cancellation a raw Σx² formulation hits when means dwarf variances.
+    Coefficient ratios are scale-free; ROUND(4) absorbs the ~1e-12
+    summation-order drift (same budget as agg_regression_stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.covar_pop("l_quantity", "l_quantity").alias("s11"),
+        F.covar_pop("l_quantity", "l_discount").alias("s12"),
+        F.covar_pop("l_discount", "l_discount").alias("s22"),
+        F.covar_pop("l_extendedprice", "l_quantity").alias("sy1"),
+        F.covar_pop("l_extendedprice", "l_discount").alias("sy2"),
+        F.var_pop("l_extendedprice").alias("syy"),
+        F.avg("l_quantity").alias("mx1"),
+        F.avg("l_discount").alias("mx2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det
+    b2 = (F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det
+    return s.select(
+        "n",
+        F.round(b1, 4).alias("b_quantity"),
+        F.round(b2, 4).alias("b_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4
+        ).alias("intercept"),
+        F.round((b1 * F.col("sy1") + b2 * F.col("sy2")) / F.col("syy"), 4).alias(
+            "r2"
+        ),
+    )

@@ -541,3 +541,54 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+N_COV_DIMS = 16
+
+_COV_ORACLE = f"""
+SELECT gi.i, gj.j,
+       ROUND(COVAR_POP(e.embedding[gi.i], e.embedding[gj.j]), 6) AS cov
+FROM embeddings e, range(1, {N_COV_DIMS + 1}) gi(i), range(1, {N_COV_DIMS + 1}) gj(j)
+WHERE gj.j >= gi.i
+GROUP BY gi.i, gj.j
+"""
+
+
+@register("embedding_covariance", oracle=_COV_ORACLE, tags=("similarity", "ml"))
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the first 16 embedding
+    dimensions, in long (i, j, cov) form — the input to PCA/whitening and
+    the standard drift probe for embedding spaces (a production model
+    regression shows up as off-diagonal mass moving).
+
+    Shape: each row is expanded against a BROADCAST 136-pair dimension
+    table (two broadcast cross-joins of a 16-row range — no fact-table
+    shuffle to build pairs), values picked by element_at, then one
+    covar_pop aggregate whose map-side partials reduce every partition to
+    ≤136 groups before the only exchange. For the full d=1024 case at
+    100 TB, flip to per-partition Gram accumulation in mapInPandas (one
+    d×d numpy matrix per partition, summed on a single reducer) — the
+    pair-explosion factor d²/2 stops being free around d≈64; the
+    aggregation algebra is identical. DuckDB oracle indexes the same
+    1-based list positions, COVAR_POP matching covar_pop's population
+    estimator exactly."""
+    dims = spark.range(1, N_COV_DIMS + 1).select(F.col("id").cast("int"))
+    gi = F.broadcast(dims.select(F.col("id").alias("i")))
+    gj = F.broadcast(dims.select(F.col("id").alias("j")))
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .crossJoin(gi)
+        .crossJoin(gj)
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.covar_pop(
+                    F.element_at("embedding", F.col("i")).cast("double"),
+                    F.element_at("embedding", F.col("j")).cast("double"),
+                ),
+                6,
+            ).alias("cov")
+        )
+    )

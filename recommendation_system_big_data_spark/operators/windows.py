@@ -943,3 +943,192 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 2)
     )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+           AS transition_prob
+FROM pairs
+"""
+
+
+@register(
+    "sequence_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("window", "ml")
+)
+def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | prev_type), the behavioral fingerprint behind next-action
+    prediction, funnel-leak diagnosis, and bot detection (bots have
+    near-degenerate rows; humans don't). Companion to
+    sequence_pattern_match, which looks for ONE fixed pattern — this
+    summarizes ALL observed 2-grams.
+
+    One lag window per user (shuffle on user_id), then a 25-cell aggregate:
+    the output is |event_types|² regardless of input size, so the second
+    shuffle is constant-sized and the row-normalizing window runs on that
+    constant table. At 100 TB the lag window is the only real cost and it
+    partitions by user — no global ordering anywhere."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        ).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type")),
+            6,
+        ).alias("transition_prob"),
+    )
+
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) = 1 THEN 1 ELSE 0 END AS is_first
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("window_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE, tags=("window",))
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — SQL window frames
+    forbid DISTINCT aggregates, so the standard rewrite is first-occurrence
+    flagging: a row is +1 iff it is the first time its (user, type) pair
+    appears (one row_number window), then a plain running SUM of the flag
+    (second window). Feature engineering's "breadth of behavior so far"
+    signal (how many distinct actions preceded this purchase?).
+
+    Both windows partition by user_id — the second reuses the first's
+    shuffle (the (user,type) window hash-partitions on user_id too, since
+    partitionBy prefixes match), so the plan carries ONE exchange. State is
+    O(1) per row either way; nothing accumulates a set."""
+    flagged = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy(F.asc("ts"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS d, SUM(o_totalprice) AS rev
+    FROM orders GROUP BY o_orderdate
+), lagged AS (
+    SELECT rev,
+           LAG(rev, 1) OVER (ORDER BY d) AS l1,
+           LAG(rev, 2) OVER (ORDER BY d) AS l2,
+           LAG(rev, 3) OVER (ORDER BY d) AS l3,
+           LAG(rev, 7) OVER (ORDER BY d) AS l7
+    FROM daily
+)
+SELECT CAST(lag_days AS INTEGER) AS lag_days, ROUND(acf, 4) AS acf FROM (
+    SELECT CORR(rev, l1) AS "1", CORR(rev, l2) AS "2",
+           CORR(rev, l3) AS "3", CORR(rev, l7) AS "7"
+    FROM lagged
+) UNPIVOT (acf FOR lag_days IN ("1", "2", "3", "7"))
+ORDER BY lag_days
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_ORACLE, tags=("window", "ml"))
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1/2/3/7 — the
+    seasonality probe run before choosing forecast features (a spike at
+    lag 7 means weekly cycle; slow decay means trend — difference first).
+    Definition pinned to CORR(x_t, x_{t-k}) over the aligned pairs (the
+    "sample ACF with per-lag re-centering"), identical in both engines.
+
+    The unpartitioned LAG window is safe HERE and only here: the series is
+    one row per calendar day (bounded by the date span, ~2.4k rows over the
+    TPC-H range, independent of fact-table size), produced by a properly
+    distributed pre-aggregation. The pattern to copy is agg-then-window,
+    never window-then-agg. All four lags ride ONE window sort; the four
+    CORRs fold into ONE global aggregate; stack() reshapes 4 columns to
+    long form without touching the fact table again."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy(F.asc("d"))
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("l1"),
+        F.lag("rev", 2).over(w).alias("l2"),
+        F.lag("rev", 3).over(w).alias("l3"),
+        F.lag("rev", 7).over(w).alias("l7"),
+    )
+    wide = lagged.agg(
+        F.corr("rev", "l1").alias("a1"),
+        F.corr("rev", "l2").alias("a2"),
+        F.corr("rev", "l3").alias("a3"),
+        F.corr("rev", "l7").alias("a7"),
+    )
+    return (
+        wide.select(
+            F.expr(
+                "stack(4, 1, a1, 2, a2, 3, a3, 7, a7) AS (lag_days, acf)"
+            )
+        )
+        .select(
+            F.col("lag_days").cast("int").alias("lag_days"),
+            F.round("acf", 4).alias("acf"),
+        )
+        .orderBy("lag_days")
+    )

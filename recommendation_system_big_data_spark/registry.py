@@ -96,7 +96,11 @@ _loaded = False
 #:   fn_date_arithmetic, text_bigram_lm, sort_nulls_ordering,
 #:   agg_moments_shape, pipeline_quality_dashboard, window_rolling_median,
 #:   window_gaps_islands,
-#:   stream_rolling_anomaly (⊘), als_item_similarity (⊘) — all but the
+#:   stream_rolling_anomaly (⊘), als_item_similarity (⊘),
+#:   sequence_transition_matrix, window_running_distinct,
+#:   ts_autocorrelation, stat_benford, ml_linreg_normal_eq,
+#:   privacy_k_anonymity, graph_bfs_hops, embedding_covariance,
+#:   text_zipf_fit — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
