@@ -403,3 +403,95 @@ def fn_pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo("value"), 4).alias("geo_mean"),
         ncount("value").alias("n"),
     )
+
+
+#: Misra-Gries summary capacity per partition. Guarantee: an item with
+#: GLOBAL frequency > N/MG_K has per-partition frequency > N_p/MG_K in at
+#: least one partition (pigeonhole over the partition sums), and per-
+#: partition MG with capacity MG_K never evicts such an item to zero —
+#: so the union of per-partition candidate sets is a superset of the true
+#: heavy hitters. False positives are killed by the exact recheck pass.
+MG_K = 200
+
+
+def _mg_candidates_fn():
+    """Factory for the per-partition Misra-Gries pass (closure-pickled —
+    module-level functions die on vanilla-session Python workers, see
+    _token_offsets_udtf). Consumes the whole partition's Arrow batches
+    through one iterator, maintains a bounded MG_K-entry summary, and
+    emits only the surviving candidates."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    return mg
+
+
+_HH_ORACLE = """
+WITH tok AS (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+), t AS (
+    SELECT token FROM tok WHERE token <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY token
+HAVING COUNT(*) > (SELECT COUNT(*) FROM t) / 200.0
+"""
+
+
+@register("agg_heavy_hitters_mg", oracle=_HH_ORACLE, tags=("udf", "text", "sketch"))
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with frequency > N/200) via the two-pass
+    Misra-Gries candidate + exact-recheck pattern — the way to find
+    frequent items at 100 TB WITHOUT shuffling the full vocabulary:
+
+    - Pass 1: each partition streams once through a bounded MG_K-entry
+      summary (mapInPandas over the token stream; O(MG_K) state, no
+      shuffle). Pigeonhole guarantees the candidate union contains every
+      true heavy hitter (proof at MG_K), so the sketch can only ADD
+      spurious candidates, never lose real ones.
+    - Pass 2: exact counts for the candidate set only — a broadcast
+      semi-join prunes the token stream before the groupBy, so the only
+      shuffle aggregates |candidates| ≲ partitions × MG_K keys instead of
+      the full vocabulary.
+
+    The final HAVING uses exact counts, which is why this sketch query is
+    oracle-checkable bit-for-bit (the oracle is the naive full groupBy):
+    the approximation affects WORK, not the ANSWER. Python is the sketch's
+    natural home here — MG's data-dependent eviction has no vectorized
+    form — and it touches each token exactly once per pass."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    candidates = (
+        toks.mapInPandas(_mg_candidates_fn(), "token string").distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("n_total") / 200.0)
+        .select("token", "n")
+    )

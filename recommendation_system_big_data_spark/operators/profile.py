@@ -1470,3 +1470,74 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+_KS_ORACLE = """
+WITH s AS (
+    SELECT value,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+           CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END AS b
+    FROM events WHERE event_type IN ('click', 'view')
+), pv AS (
+    SELECT value, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+    FROM s GROUP BY value
+), cdf AS (
+    SELECT SUM(na) OVER (ORDER BY value) AS ca,
+           SUM(nb) OVER (ORDER BY value) AS cb
+    FROM pv
+)
+SELECT CAST((SELECT SUM(a) FROM s) AS BIGINT) AS n_click,
+       CAST((SELECT SUM(b) FROM s) AS BIGINT) AS n_view,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / (SELECT SUM(a) FROM s)
+                   - CAST(cb AS DOUBLE) / (SELECT SUM(b) FROM s))), 6) AS ks_d
+FROM cdf
+"""
+
+
+@register("drift_ks_test", oracle=_KS_ORACLE, tags=("profile", "drift"))
+def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the 'click'
+    and 'view' value distributions: D = max over x of |F1(x) − F2(x)|.
+    The nonparametric companion to drift_psi_report — PSI needs a binning
+    choice; KS does not, which makes it the cleaner canary for silent
+    upstream distribution shifts (unit changes, truncation, a new default
+    value) in feature pipelines.
+
+    Shape: dual conditional counts per DISTINCT value (one
+    map-side-combined groupBy — both samples in a single pass, no
+    self-join), then running sums over the sorted distinct-value table
+    give both empirical CDFs at every step point, and ONE max-aggregate
+    finds D. Evaluating only at observed points is exact: |F1−F2| is
+    constant between jumps. The unpartitioned running-sum window orders
+    the distinct-VALUE table, not the event stream; for a continuous
+    100 TB column, range-partition the sort or quantile-bucket first
+    (bucketed KS bounds error by the bucket mass)."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("a"),
+            (F.col("event_type") == "view").cast("long").alias("b"),
+        )
+    )
+    pv = s.groupBy("value").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    totals = s.agg(F.sum("a").alias("n_click"), F.sum("b").alias("n_view"))
+    cdf = pv.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    d = cdf.crossJoin(F.broadcast(totals)).agg(
+        F.any_value("n_click").alias("n_click"),
+        F.any_value("n_view").alias("n_view"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("n_click")
+                    - F.col("cb").cast("double") / F.col("n_view")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+    return d

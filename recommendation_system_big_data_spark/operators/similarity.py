@@ -592,3 +592,95 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov")
         )
     )
+
+
+def _gram_partials_fn(dim: int):
+    """Factory (closure-pickled, see pandas_fns._token_offsets_udtf) for the
+    per-partition Gram accumulation pass: each partition folds its rows
+    into ONE (count, col-sum, X'X) triple — numpy matmul per Arrow batch,
+    O(d²) state regardless of partition size."""
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return gram
+
+
+@register("embedding_pca_project", oracle=None, tags=("similarity", "ml"))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the full 64-dim embedding space onto its top-2
+    principal components — the dimensionality-reduction / visualization /
+    whitening primitive, built the way distributed PCA actually works at
+    scale (this is MLlib RowMatrix's internal shape, re-expressed on the
+    DataFrame API):
+
+    1. ONE distributed pass folds every partition into a (count, Σx, X'X)
+       triple via mapInPandas — O(d²) state per partition, numpy matmul
+       per Arrow batch, no shuffle of the N×d matrix, ever.
+    2. The ≤|partitions| partial rows (a few KB each at d=64) collect to
+       the driver and reduce to the d×d covariance — the sanctioned
+       small-model collect: its size is O(P·d²), INDEPENDENT of row count,
+       exactly like ALS factor fitting. numpy's symmetric eigensolver then
+       yields the top-2 components, sign-fixed (largest-|loading| entry
+       made positive) so output is deterministic.
+    3. The 2×d component matrix broadcasts back as array LITERALS inside
+       the projection expressions — scoring N rows is JVM-side zip_with
+       dots, whole-stage codegen, no Python.
+
+    ⊘ rows-only for the driver (eigenvectors aren't SQL-expressible);
+    tests/test_similarity.py gates the invariants instead: projected
+    variances equal the top eigenvalues, components are orthonormal, and
+    pc1/pc2 are uncorrelated in the projected table."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+    parts = emb.select("embedding").mapInPandas(
+        _gram_partials_fn(dim), "n long, s array<double>, g array<double>"
+    )
+    rows = parts.collect()  # O(P * d²) — partition partials, not data rows
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = []
+    for k in (dim - 1, dim - 2):  # eigh is ascending — take the top two
+        v = evecs[:, k]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    centered = F.zip_with(
+        as_double_array(F.col("embedding")),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    projections = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias(name)
+        for comp, name in zip(comps, ("pc1", "pc2"))
+    ]
+    return emb.select("vec_id", "label", *projections)

@@ -1132,3 +1132,66 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey, SUM(l_extendedprice) AS part_rev
+    FROM lineitem GROUP BY l_partkey
+), tiled AS (
+    SELECT part_rev,
+           NTILE(10) OVER (ORDER BY part_rev DESC, l_partkey ASC) AS decile
+    FROM rev
+), by_decile AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           SUM(part_rev) AS decile_rev
+    FROM tiled GROUP BY decile
+)
+SELECT decile, n_parts,
+       ROUND(decile_rev / SUM(decile_rev) OVER (), 6) AS rev_share,
+       ROUND(SUM(decile_rev) OVER (ORDER BY decile)
+             / SUM(decile_rev) OVER (), 6) AS cum_rev_share
+FROM by_decile
+"""
+
+
+@register("window_cumulative_share", oracle=_PARETO_ORACLE, tags=("window",))
+def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC concentration curve: parts ranked by revenue, split
+    into deciles, each decile's share and cumulative share of total
+    revenue — the "do 20% of SKUs carry 80% of revenue?" table that drives
+    assortment pruning and cache-tier sizing (its skew twin is
+    skew_key_report, which measures the same concentration on join keys).
+
+    The fact table reduces via one map-side-combined groupBy before
+    anything global happens; NTILE's unpartitioned sort runs on the PART
+    dimension (|parts| rows, ~1/30th of lineitem here and post-aggregation
+    always), and the share windows run on exactly 10 rows. At larger
+    dimensions swap NTILE for a percent_rank cutoff on the same sorted
+    aggregate — same single dimension-table sort, no new shape."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_rev"))
+    )
+    tiled = rev.select(
+        "part_rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("part_rev"), F.asc("l_partkey")))
+        .alias("decile"),
+    )
+    by_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("part_rev").alias("decile_rev")
+    )
+    tot = Window.partitionBy()
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return by_decile.select(
+        "decile",
+        "n_parts",
+        F.round(F.col("decile_rev") / F.sum("decile_rev").over(tot), 6).alias(
+            "rev_share"
+        ),
+        F.round(
+            F.sum("decile_rev").over(cum) / F.sum("decile_rev").over(tot), 6
+        ).alias("cum_rev_share"),
+    )

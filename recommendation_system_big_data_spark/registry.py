@@ -100,7 +100,8 @@ _loaded = False
 #:   sequence_transition_matrix, window_running_distinct,
 #:   ts_autocorrelation, stat_benford, ml_linreg_normal_eq,
 #:   privacy_k_anonymity, graph_bfs_hops, embedding_covariance,
-#:   text_zipf_fit — all but the
+#:   text_zipf_fit, window_cumulative_share, drift_ks_test,
+#:   agg_heavy_hitters_mg, embedding_pca_project (⊘) — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

@@ -117,3 +117,42 @@ def test_quantization_reconstruction_error_bounded(spark, sf_dir):
     )
     bad = err.filter(F.col("max_err") > F.col("sc") * 1.000001).count()
     assert bad == 0
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """embedding_pca_project is ⊘ (eigen isn't SQL-expressible); gate the
+    linear-algebra invariants instead: the projected coordinates must have
+    variance equal to the top eigenvalues of the input covariance (in
+    descending order) and be mutually uncorrelated, and the projection must
+    be deterministic across runs (sign fix)."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_pca_project,
+    )
+
+    rows = embedding_pca_project(spark, sf_dir).collect()
+    pc1 = np.array([r["pc1"] for r in rows])
+    pc2 = np.array([r["pc2"] for r in rows])
+    # variance ordering + decorrelation (population covariance)
+    v1, v2 = pc1.var(), pc2.var()
+    assert v1 >= v2 > 0
+    corr = np.corrcoef(pc1, pc2)[0, 1]
+    assert abs(corr) < 0.05, corr
+    # eigen-variance match: recompute the covariance directly
+    emb = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    cov = np.cov(emb, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)
+    # ROUND(4) on outputs → loose relative tolerance
+    assert abs(v1 - evals[-1]) / evals[-1] < 0.02, (v1, evals[-1])
+    assert abs(v2 - evals[-2]) / evals[-2] < 0.02, (v2, evals[-2])
+    # determinism
+    again = embedding_pca_project(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
