@@ -1,0 +1,354 @@
+"""Statistical inference operators — two-sample tests, concentration and
+weighted order statistics.
+
+The reference's EDA script stops at describe()/corr
+(exploratory-data-analysis.py:88-141); SURVEY.md §2.2 declares profiling as
+an engine surface, and a production analytics engine is expected to answer
+"is this difference real?" next. These operators compute the classical
+inference statistics with closed-form aggregate algebra — one scan, one
+reduce — never a per-row Python boundary.
+
+Scale notes: every test statistic here folds to a constant number of rows
+after ONE map-side-combined aggregation of the fact table; the only window
+operators run on post-aggregation grains (distinct values / dimension
+rows), documented per-operator with the bucketed-prefix-sum fallback for
+grains that outgrow one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+_TTEST_ORACLE = """
+WITH g AS (
+    SELECT
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+        AVG(CASE WHEN event_type = 'click' THEN value END)               AS m_a,
+        VAR_SAMP(CASE WHEN event_type = 'click' THEN value END)          AS v_a,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+        AVG(CASE WHEN event_type = 'purchase' THEN value END)            AS m_b,
+        VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END)       AS v_b
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+)
+SELECT
+    n_a, n_b,
+    ROUND(m_a, 4) AS mean_a,
+    ROUND(m_b, 4) AS mean_b,
+    ROUND(m_a - m_b, 4) AS mean_diff,
+    ROUND(SQRT(v_a / n_a + v_b / n_b), 4) AS std_err,
+    ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 4) AS t_stat,
+    ROUND(
+        POW(v_a / n_a + v_b / n_b, 2)
+        / (POW(v_a / n_a, 2) / (n_a - 1) + POW(v_b / n_b, 2) / (n_b - 1)),
+        2
+    ) AS welch_dof
+FROM g
+"""
+
+
+@register("stat_ttest_welch", oracle=_TTEST_ORACLE, tags=("profile", "experiment"))
+def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: is the mean event value
+    of clicks different from purchases? The continuous-outcome counterpart
+    of `ab_test_report` (two-proportion z) and `stat_chi_square`
+    (categorical association) — together the three cover the standard
+    experiment-readout matrix.
+
+    Everything is conditional aggregation over ONE filtered scan — n, mean
+    and sample variance per arm come out of a single keyless reduce (the
+    filter `event_type IN (...)` is pushed to the parquet scan), and the
+    Welch statistic plus the Welch–Satterthwaite degrees of freedom are
+    closed-form scalar algebra on that 1-row aggregate. No shuffle beyond
+    the final 1-row reduce; at 100 TB this is scan-bound, embarrassingly
+    partial-aggregable, and skew-immune (no keys at all).
+
+    ROUND(4) on the float outputs covers cross-engine summation order in
+    the mean/variance folds."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    a = F.when(F.col("event_type") == "click", F.col("value"))
+    b = F.when(F.col("event_type") == "purchase", F.col("value"))
+    g = ev.agg(
+        F.count(a).alias("n_a"),
+        F.avg(a).alias("m_a"),
+        F.var_samp(a).alias("v_a"),
+        F.count(b).alias("n_b"),
+        F.avg(b).alias("m_b"),
+        F.var_samp(b).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        F.round(F.sqrt(se2), 4).alias("std_err"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )
+
+
+_MWU_ORACLE = """
+WITH v AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c_a,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY value
+), r AS (
+    SELECT c_a, c,
+           COALESCE(CAST(SUM(c) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cum_before
+    FROM v
+), s AS (
+    SELECT
+        CAST(SUM(c_a) AS BIGINT)                          AS n_a,
+        CAST(SUM(c - c_a) AS BIGINT)                      AS n_b,
+        CAST(SUM(c_a * (2 * cum_before + c + 1)) AS BIGINT) AS rank_sum2_a,
+        CAST(SUM(c * c * c - c) AS BIGINT)                AS tie_term
+    FROM r
+)
+SELECT
+    n_a, n_b,
+    ROUND((rank_sum2_a - n_a * (n_a + 1)) / 2.0, 1) AS u_stat,
+    ROUND(
+        ((rank_sum2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+        / SQRT(
+            n_a * n_b / 12.0 * (
+                (n_a + n_b + 1)
+                - tie_term / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))
+            )
+        ),
+        4
+    ) AS z_stat
+FROM s
+"""
+
+
+@register("stat_mann_whitney", oracle=_MWU_ORACLE, tags=("profile", "experiment"))
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) for clicks vs purchases — the
+    non-parametric sibling of `stat_ttest_welch` for heavy-tailed value
+    distributions where means mislead (revenue, latency).
+
+    Exact midranks WITHOUT a row-level global sort: the fact table first
+    folds to one row per DISTINCT value carrying per-arm counts (one
+    map-side-combined groupBy); midranks come from a running count over
+    that distinct-value grain (cum_before + (c+1)/2, doubled to stay in
+    exact integer arithmetic — `rank_sum2_a` is 2×R_A, so every quantity
+    up to the final U/z fold is a BIGINT and hash-exact across engines).
+    The tie correction Σ(t³−t) falls out of the same per-value counts.
+
+    Scale note: the unpartitioned window runs on the distinct-value grain,
+    not the fact grain. Where distinct values themselves outgrow one
+    partition, the same running count decomposes into the bucketed
+    two-phase prefix sum used by `interval_peak_concurrency`
+    (ranges.py) — per-bucket partials, broadcast bucket offsets; the
+    statistic's algebra is unchanged."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c_a"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c_a",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("c_a")).cast("long").alias("n_b"),
+        F.sum(F.col("c_a") * (2 * F.col("cum_before") + F.col("c") + 1))
+        .cast("long")
+        .alias("rank_sum2_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u = (F.col("rank_sum2_a") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    n = F.col("n_a") + F.col("n_b")
+    var_u = (
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(
+            (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var_u), 4
+        ).alias("z_stat"),
+    )
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT x,
+           CAST(ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS BIGINT) AS i
+    FROM rev
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_customers,
+    ROUND(CAST(SUM(x) AS DOUBLE), 2) AS total_rev,
+    ROUND(
+        (2.0 * CAST(SUM(i * x) AS DOUBLE)
+         - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
+        / (COUNT(*) * CAST(SUM(x) AS DOUBLE)),
+        6
+    ) AS gini
+FROM ranked
+"""
+
+
+@register("stat_gini_coefficient", oracle=_GINI_ORACLE, tags=("profile",))
+def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the scalar
+    summary of the Lorenz curve whose decile form is
+    `window_cumulative_share` (windows.py). 0 = perfectly equal spend,
+    →1 = one whale carries the book.
+
+    Uses the rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over ascending
+    per-customer revenue: the fact table folds to the customer grain first
+    (one map-side-combined groupBy), revenue is summed as DECIMAL so both
+    engines rank identical exact values, and the only global sort runs on
+    the customer dimension grain — post-aggregation always, and swappable
+    for the bucketed prefix-sum pattern (ranges.py) when even the
+    dimension outgrows one partition."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(sx, 2).alias("total_rev"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x")).cast("double") - (n + 1) * sx)
+            / (n * sx),
+            6,
+        ).alias("gini"),
+    )
+
+
+_WEIGHTED_PCTL_ORACLE = """
+WITH pw AS (
+    SELECT l_returnflag AS rf, l_extendedprice AS price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS w
+    FROM lineitem
+    GROUP BY l_returnflag, l_extendedprice
+), c AS (
+    SELECT rf, price, w,
+           CAST(SUM(w) OVER (
+               PARTITION BY rf ORDER BY price ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS cumw,
+           CAST(SUM(w) OVER (PARTITION BY rf) AS DECIMAL(18,2)) AS totw
+    FROM pw
+)
+SELECT rf,
+       CAST(totw AS DOUBLE) AS total_weight,
+       MIN(CASE WHEN cumw >= CAST(0.25 AS DECIMAL(3,2)) * totw THEN price END)
+           AS wp25,
+       MIN(CASE WHEN cumw >= CAST(0.50 AS DECIMAL(3,2)) * totw THEN price END)
+           AS wmedian,
+       MIN(CASE WHEN cumw >= CAST(0.75 AS DECIMAL(3,2)) * totw THEN price END)
+           AS wp75
+FROM c
+GROUP BY rf, totw
+"""
+
+
+@register(
+    "agg_weighted_percentile", oracle=_WEIGHTED_PCTL_ORACLE, tags=("profile", "agg")
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per returnflag — "half the UNITS
+    shipped cost at most X", which is the inventory question
+    (`agg_percentile_by_group`'s unweighted quantiles answer the
+    line-item question). Spark has no weighted percentile built-in; the
+    exact semantics compose from a cumulative-weight scan.
+
+    Shape: fold to one row per (group, distinct price) with DECIMAL weight
+    sums first — so the cumulative window runs on the distinct-price grain
+    in a fixed ascending order, making every running sum an exact decimal
+    both engines reproduce bit-identically (no float summation-order
+    hazard on the threshold comparison). Quantile selection is then a
+    conditional MIN over the windowed frame — one groupBy, no join. Same
+    CDF-aggregation idea as `agg_summary`'s exact percentiles, weighted."""
+    pw = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("w")
+        )
+    )
+    cum = (
+        Window.partitionBy("rf")
+        .orderBy(F.asc("price"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = pw.select(
+        "rf",
+        "price",
+        F.sum("w").over(cum).cast("decimal(18,2)").alias("cumw"),
+        F.sum("w").over(Window.partitionBy("rf")).cast("decimal(18,2)").alias("totw"),
+    )
+
+    def pick(frac: str):
+        thresh = F.lit(frac).cast("decimal(3,2)") * F.col("totw")
+        return F.min(F.when(F.col("cumw") >= thresh, F.col("price")))
+
+    return c.groupBy("rf", "totw").agg(
+        pick("0.25").alias("wp25"),
+        pick("0.50").alias("wmedian"),
+        pick("0.75").alias("wp75"),
+    ).select(
+        "rf",
+        F.col("totw").cast("double").alias("total_weight"),
+        "wp25",
+        "wmedian",
+        "wp75",
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.skew",
     "recommendation_system_big_data_spark.operators.linkage",
     "recommendation_system_big_data_spark.operators.graph",
+    "recommendation_system_big_data_spark.operators.stats_tests",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.quality",
     "recommendation_system_big_data_spark.functions.pandas_fns",
