@@ -492,3 +492,69 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_rows"),
         )
     )
+
+
+_LDIV_ORACLE = """
+WITH cells AS (
+    SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+           o.o_orderpriority AS sens,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+), cls AS (
+    SELECT nat, seg,
+           CAST(COUNT(*) AS BIGINT) AS l,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
+    FROM cells
+    GROUP BY nat, seg
+)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       ROUND(AVG(entropy), 4) AS avg_entropy
+FROM cls
+GROUP BY l
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_ORACLE, tags=("quality", "privacy"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a class can
+    be large (k-safe) yet still leak if every member shares the same
+    sensitive value. Over the (nationkey, mktsegment) quasi-identifier
+    classes of the order fact, counts how many DISTINCT sensitive values
+    (order priority) each class contains, plus the entropy form
+    (ln n − Σc·ln c / n — the stronger guarantee: a class dominated by
+    one value has low entropy even with high l). Groups classes by l.
+
+    Shape: fact × broadcast customer dims → ONE groupBy on
+    (QI, sensitive) — the only fact-sized shuffle; the class table
+    (≤ |nations|·|segments| rows) and the final l-bucket rollup are
+    constant-sized re-aggregations. The entropy identity needs only
+    Σc and Σc·ln c, so it folds in the same aggregate as l."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cells = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("nat", "seg", F.col("o_orderpriority").alias("sens"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cls = cells.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.round(
+            F.log(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("entropy"),
+    )
+    return cls.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+    )

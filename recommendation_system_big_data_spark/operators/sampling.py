@@ -276,3 +276,66 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RESERVOIR_K)
         .select("o_orderkey", "weight")
     )
+
+
+_CV_FOLD_ORACLE = """
+WITH folded AS (
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 5 AS fold,
+           o_orderpriority,
+           o_totalprice
+    FROM orders
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share,
+       ROUND(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS urgent_rate,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_rev
+FROM folded
+GROUP BY fold
+"""
+
+
+@register("ml_cv_fold_assign", oracle=_CV_FOLD_ORACLE, tags=("sampling", "ml"))
+def ml_cv_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) with a fold
+    balance report — fold id is a pure function of the key via the
+    portable md5 bucket, so folds are stable under re-ingestion, appends,
+    cluster resizes, and are reproducible in ANY engine that can hash
+    (the same property split_by_hash pins for train/val/test). The report
+    is what a training harness checks before trusting the folds: equal
+    shares, matching label rates (urgent_rate as the stand-in class
+    balance), matching value mass.
+
+    One narrow projection (the fold column) + one map-side-combined
+    groupBy on 5 keys; the share window runs on 5 rows. Nothing here
+    scales with anything but the fact scan."""
+    orders = load(spark, sf_dir, "orders")
+    folded = orders.select(
+        portable_bucket(F.col("o_orderkey"), 5).alias("fold"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    per_fold = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("urgent_rate"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_rev"),
+    )
+    return per_fold.select(
+        "fold",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+        "urgent_rate",
+        "total_rev",
+    )

@@ -1,0 +1,432 @@
+"""Time-series resampling and signal operators over the event stream.
+
+SURVEY.md §2.5 declares windowed time analytics an engine surface; these
+operators add the batch time-series toolkit a metrics/ML pipeline expects
+on top of the existing tumbling/sliding/session windows: bar resampling
+(OHLC), rolling activity, trend signals (SMA crossover), drawdown,
+seasonality and changepoint scans.
+
+Shared scale discipline: the fact table is always reduced to a coarse
+grain FIRST (day, user, (day,user)) with one map-side-combined groupBy,
+revenue/value sums ride as exact DECIMALs so cross-engine comparisons are
+bit-stable, and every subsequent window runs on the reduced grain. The
+only unpartitioned windows here run on the daily grain (≤ retention-period
+days — constant-sized, not data-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.registry import register
+
+
+_OHLC_ORACLE = """
+WITH keyed AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           value,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+    FROM events
+)
+SELECT day,
+       arg_min(value, ord) AS open,
+       MAX(value)          AS high,
+       MIN(value)          AS low,
+       arg_max(value, ord) AS close,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM keyed
+GROUP BY day
+"""
+
+
+@register("ts_resample_ohlc", oracle=_OHLC_ORACLE, tags=("window", "timeseries"))
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over event values — downsampling a point series to
+    open/high/low/close/volume bars, the canonical tick→bar compaction
+    every metrics store and market-data pipeline runs.
+
+    ONE aggregation, no window: open/close are `min_by`/`max_by` with a
+    (ts, event_id) struct orderkey — fully partial-aggregable (each
+    partition keeps its earliest/latest candidate, merge keeps the
+    winner), so the plan is a single map-side-combined groupBy on day
+    with no sort and no second scan. The oracle reproduces the selection
+    with a zero-padded string orderkey (DuckDB's arg_min lacks struct
+    keys); event_id uniqueness makes the orderkey total, so both engines
+    pick identical rows. Volume sums ride as DECIMAL for cross-engine
+    exactness."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "value",
+            F.struct("ts", "event_id").alias("ord"),
+        )
+        .groupBy("day")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+_DRAWDOWN_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM events
+), d AS (
+    SELECT user_id, ts, event_id, cum,
+           MAX(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+    FROM c
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_events,
+       ROUND(MAX(cum), 6)              AS peak_value,
+       ROUND(arg_max(cum, ord), 6)     AS final_value,
+       ROUND(MAX(peak - cum), 6)       AS max_drawdown
+FROM d
+GROUP BY user_id
+"""
+
+
+@register("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("window", "timeseries"))
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the cumulative value series: largest
+    peak-to-trough drop of the running total — the risk/health metric for
+    any monotone-ish KPI (balance, engagement score, SLA budget).
+
+    Two stacked running windows on the SAME partitioning+ordering
+    (cumulative sum, then running max of it) — Spark plans a single
+    exchange and a single sort feeding both Window operators, then one
+    groupBy on the already-partitioned user key. Running sums accumulate
+    in frame order, so the doubles are bit-identical across engines (same
+    class as the oracle-green `window_running_sum`); the final-value pick
+    uses the total (ts, event_id) orderkey via max_by/arg_max."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = ev.select(
+        "user_id",
+        F.struct("ts", "event_id").alias("ord"),
+        F.sum("value").over(w).alias("cum"),
+    )
+    d = c.select(
+        "user_id",
+        "ord",
+        "cum",
+        F.max("cum")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("peak"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("cum"), 6).alias("peak_value"),
+        F.round(F.max_by("cum", "ord"), 6).alias("final_value"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown"),
+    )
+
+
+_SMA_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+    FROM events
+    GROUP BY 1
+), sma AS (
+    SELECT day,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+           CAST(SUM(rev) OVER (
+               ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 3 AS sma_fast,
+           CAST(SUM(rev) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 7 AS sma_slow
+    FROM daily
+), sig AS (
+    SELECT day, sma_fast, sma_slow,
+           sma_fast - sma_slow AS diff,
+           LAG(sma_fast - sma_slow) OVER (ORDER BY day) AS prev_diff
+    FROM sma
+    WHERE rn >= 7
+)
+SELECT day,
+       ROUND(sma_fast, 4) AS sma_fast,
+       ROUND(sma_slow, 4) AS sma_slow,
+       CASE WHEN diff > 0 THEN 'golden_cross' ELSE 'death_cross' END AS signal
+FROM sig
+WHERE prev_diff IS NOT NULL
+  AND ((diff > 0 AND prev_diff <= 0) OR (diff < 0 AND prev_diff >= 0))
+"""
+
+
+@register("ts_sma_crossover", oracle=_SMA_ORACLE, tags=("window", "timeseries"))
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow moving-average crossover detection on the daily value
+    series — the classic trend-change trigger (3-day SMA crossing the
+    7-day SMA), generalized to any KPI monitored for regime shifts.
+
+    The fact table folds to the daily grain first; all SMA windows and
+    the LAG run on that constant-sized series (≤ retention days), so the
+    unpartitioned window is bounded regardless of fact volume. Daily
+    revenue is an exact DECIMAL sum and both SMAs divide the exact sum as
+    a double — so the crossover comparisons see bit-identical values on
+    both engines and the emitted signal set is hash-stable (no epsilon
+    games on the sign tests). Partial leading windows are excluded
+    (rn >= 7) so denominators are the fixed 3 and 7."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    sma = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        (F.sum("rev").over(w3).cast("double") / 3).alias("sma_fast"),
+        (F.sum("rev").over(w7).cast("double") / 7).alias("sma_slow"),
+    ).where(F.col("rn") >= 7)
+    diff = F.col("sma_fast") - F.col("sma_slow")
+    sig = sma.select(
+        "day",
+        "sma_fast",
+        "sma_slow",
+        diff.alias("diff"),
+        F.lag(diff).over(Window.orderBy("day")).alias("prev_diff"),
+    )
+    return sig.where(
+        F.col("prev_diff").isNotNull()
+        & (
+            ((F.col("diff") > 0) & (F.col("prev_diff") <= 0))
+            | ((F.col("diff") < 0) & (F.col("prev_diff") >= 0))
+        )
+    ).select(
+        "day",
+        F.round("sma_fast", 4).alias("sma_fast"),
+        F.round("sma_slow", 4).alias("sma_slow"),
+        F.when(F.col("diff") > 0, F.lit("golden_cross"))
+        .otherwise(F.lit("death_cross"))
+        .alias("signal"),
+    )
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+    FROM orders
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(COUNT(*) AS BIGINT) AS total_days
+    FROM daily
+)
+SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS avg_daily_rev,
+       ROUND(
+           (CAST(SUM(rev) AS DOUBLE) / COUNT(*))
+           / (MAX(total_rev) / MAX(total_days)),
+           6
+       ) AS seasonal_index
+FROM daily CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+@register("ts_seasonal_index", oracle=_SEASONAL_ORACLE, tags=("window", "timeseries"))
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue: each weekday's average
+    daily revenue relative to the overall daily average (index 1.0 = a
+    typical day) — the first factor peeled off in any demand
+    decomposition, and the denominator for weekday-corrected anomaly
+    alerts.
+
+    Orders fold to the daily grain once (exact DECIMAL sums); the 1-row
+    grand total joins back as a broadcast so the index derives from the
+    DAILY aggregate only — the fact table is scanned exactly once
+    regardless of how many seasonal factors are read off. Spark's
+    dayofweek (1=Sunday) is pinned as the output convention; the oracle
+    maps DuckDB's 0-based dayofweek onto it."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    tot = daily.agg(
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.count(F.lit(1)).cast("long").alias("total_days"),
+    )
+    avg_daily = F.sum("rev").cast("double") / F.count(F.lit(1))
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy(F.dayofweek("day").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(avg_daily, 2).alias("avg_daily_rev"),
+            F.round(
+                avg_daily / (F.max("total_rev") / F.max("total_days")), 6
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+), spine AS (
+    SELECT DISTINCT day FROM du
+), fanned AS (
+    SELECT du.day + CAST(o.o AS INT) AS report_day, du.user_id
+    FROM du CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS o) o
+)
+SELECT s.day AS report_day,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS active_users_7d,
+       CAST(COUNT(*) AS BIGINT) AS user_days_7d
+FROM fanned f JOIN spine s ON f.report_day = s.day
+GROUP BY s.day
+"""
+
+
+@register(
+    "ts_rolling_active_users",
+    oracle=_ROLLING_ACTIVE_ORACLE,
+    tags=("window", "timeseries"),
+)
+def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users (WAU) per day — THE product activity
+    metric, and the textbook case where the naive form (count distinct
+    over a sliding range frame) simply does not exist as a window
+    aggregate in either engine.
+
+    Scalable shape: the fact table first dedups to (day, user) — one
+    map-side-combined aggregation that collapses arbitrarily many events
+    per user-day to one row — then each user-day is fanned out to the 7
+    report days it contributes to via an in-row `explode(sequence(0,6))`
+    (pure narrow op, no join), and one groupBy per report day counts
+    distinct users. Fan-out is 7× of the REDUCED grain, every join is an
+    equi-join (the day-spine probe that trims partial trailing windows is
+    a broadcast of the tiny date dimension), and there is no range
+    self-join or nested loop anywhere."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    fanned = du.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select(F.date_add("day", F.col("o")).alias("report_day"), "user_id")
+    return (
+        fanned.join(
+            F.broadcast(spine.withColumnRenamed("day", "report_day")),
+            "report_day",
+        )
+        .groupBy("report_day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("active_users_7d"),
+            F.count(F.lit(1)).cast("long").alias("user_days_7d"),
+        )
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS rev
+    FROM events
+    GROUP BY 1
+), m AS (
+    SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev FROM daily
+), c AS (
+    SELECT day, rev, rev - mean_rev AS dev,
+           SUM(rev - mean_rev) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cusum
+    FROM daily CROSS JOIN m
+)
+SELECT day,
+       ROUND(rev, 2)   AS daily_rev,
+       ROUND(dev, 6)   AS deviation,
+       ROUND(cusum, 6) AS cusum,
+       CAST(ABS(cusum) = MAX(ABS(cusum)) OVER () AS BOOLEAN) AS is_changepoint
+FROM c
+"""
+
+
+@register("ts_changepoint_cusum", oracle=_CUSUM_ORACLE, tags=("window", "timeseries"))
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily value series: cumulative sum
+    of deviations from the global mean; the day where |CUSUM| peaks is
+    the single most likely level-shift point (the classic offline CUSUM
+    estimator). Flags that day alongside the full diagnostic series.
+
+    Fact → daily grain first (exact DECIMAL sums cast once to double, so
+    both engines hold bit-identical inputs); the global mean joins back
+    as a 1-row broadcast; the running CUSUM and its |max| run on the
+    constant-sized daily series. The argmax flag compares doubles
+    produced by an identical fixed-order accumulation on both engines —
+    deterministic, no epsilon."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    m = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("mean_rev")
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "rev",
+        (F.col("rev") - F.col("mean_rev")).alias("dev"),
+        F.sum(F.col("rev") - F.col("mean_rev")).over(run).alias("cusum"),
+    )
+    return c.select(
+        "day",
+        F.round("rev", 2).alias("daily_rev"),
+        F.round("dev", 6).alias("deviation"),
+        F.round("cusum", 6).alias("cusum"),
+        (
+            F.abs(F.col("cusum"))
+            == F.max(F.abs(F.col("cusum"))).over(
+                Window.partitionBy()
+            )
+        ).alias("is_changepoint"),
+    )

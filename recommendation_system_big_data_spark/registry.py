@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.linkage",
     "recommendation_system_big_data_spark.operators.graph",
     "recommendation_system_big_data_spark.operators.stats_tests",
+    "recommendation_system_big_data_spark.operators.timeseries",
+    "recommendation_system_big_data_spark.operators.runtime_filter",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.quality",
     "recommendation_system_big_data_spark.functions.pandas_fns",
@@ -102,7 +104,12 @@ _loaded = False
 #:   ts_autocorrelation, stat_benford, ml_linreg_normal_eq,
 #:   privacy_k_anonymity, graph_bfs_hops, embedding_covariance,
 #:   text_zipf_fit, window_cumulative_share, drift_ks_test,
-#:   agg_heavy_hitters_mg, embedding_pca_project (⊘) — all but the
+#:   agg_heavy_hitters_mg, embedding_pca_project (⊘),
+#:   stat_ttest_welch, stat_mann_whitney, stat_gini_coefficient,
+#:   agg_weighted_percentile, ts_resample_ohlc, ts_max_drawdown,
+#:   ts_sma_crossover, ts_seasonal_index, ts_rolling_active_users,
+#:   ts_changepoint_cusum, join_bloom_prefilter, ml_cv_fold_assign,
+#:   privacy_l_diversity — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

@@ -390,3 +390,69 @@ def test_binning_no_global_window(spark, sf_dir):
 
     plan = explain.physical_plan(feature_binning_equidepth(spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    # OHLC bars must fold in ONE partial-aggregable groupBy (min_by/max_by
+    # carry the open/close selection) — no Window, no second exchange.
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_resample_ohlc,
+    )
+
+    df = ts_resample_ohlc(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert explain.num_shuffles(df) == 1, plan
+
+
+def test_drawdown_single_exchange_for_stacked_windows(spark, sf_dir):
+    # Cumulative sum + running peak share partitioning AND ordering: the
+    # plan must carry exactly one user_id exchange feeding both windows,
+    # plus the final groupBy reusing the same partitioning (Spark keeps
+    # the hash partitioning, so the aggregate adds no exchange).
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_max_drawdown,
+    )
+
+    assert explain.num_shuffles(ts_max_drawdown(spark, sf_dir)) <= 2
+
+
+def test_rolling_active_users_no_nested_loop(spark, sf_dir):
+    # The 7-day WAU fan-out must be explode-based: every join an equi-join
+    # (spine probe broadcast), never a range nested loop.
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_rolling_active_users,
+    )
+
+    plan = explain.physical_plan(ts_rolling_active_users(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_prefilter_runs_before_join_exchange(spark, sf_dir):
+    # The Bloom membership test must sit in a Filter UNDER the join's
+    # shuffle: the only nested-loop join is the broadcast of the 1-row
+    # bloom summary, and the probe-side filter references the bitmap map
+    # lookup (element_at) so rows drop before any exchange.
+    from recommendation_system_big_data_spark.operators.runtime_filter import (
+        join_bloom_prefilter,
+    )
+
+    plan = explain.physical_plan(join_bloom_prefilter(spark, sf_dir))
+    assert "element_at" in plan, plan
+    # the bloom summary broadcast is the only nested-loop site (formatted
+    # mode prints each node once in the tree and once in the details, so
+    # count the detail headers)
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_mann_whitney_window_runs_on_distinct_value_grain(spark, sf_dir):
+    # The rank window must consume the distinct-value aggregate, not the
+    # fact scan: a HashAggregate must appear below the Window operator.
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_mann_whitney,
+    )
+
+    plan = explain.physical_plan(stat_mann_whitney(spark, sf_dir))
+    win = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert win != -1 and agg != -1, plan
