@@ -1,0 +1,355 @@
+"""Model-evaluation operators: confusion/PRF, exact AUC, ranking metrics,
+calibration, regression error — the offline-eval suite a training pipeline
+runs after every fit.
+
+The reference evaluates its ALS model with a single RMSE
+(model-als.py:118-121, RegressionEvaluator); SURVEY.md §2.7 declares
+evaluation an engine surface. These operators compute the standard metric
+families with pure aggregate algebra — fact-sized data folds to the
+metric's natural grain (class, score, user, bin) in ONE map-side-combined
+aggregation, and every statistic derives from that reduced table. No
+metric here ever collects predictions to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.operators.sampling import portable_bucket
+from recommendation_system_big_data_spark.registry import register
+
+
+from recommendation_system_big_data_spark.functions.text import _SW_SQL
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS (
+    SELECT CASE WHEN CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+                {_SW_SQL})) AS DOUBLE)
+                / greatest(len(list_distinct(string_split(text,' '))), 1) >= 0.05
+           THEN 'en' ELSE 'unk' END AS p,
+           lang AS y
+    FROM documents
+), cells AS (
+    SELECT p, y, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY p, y
+), classes AS (
+    SELECT DISTINCT p AS c FROM cells UNION SELECT DISTINCT y FROM cells
+)
+SELECT c AS class,
+       CAST(COALESCE(SUM(CASE WHEN p = c AND y = c THEN n END), 0) AS BIGINT) AS tp,
+       CAST(COALESCE(SUM(CASE WHEN p = c AND y <> c THEN n END), 0) AS BIGINT) AS fp,
+       CAST(COALESCE(SUM(CASE WHEN p <> c AND y = c THEN n END), 0) AS BIGINT) AS fn,
+       ROUND(COALESCE(SUM(CASE WHEN p = c AND y = c THEN n END), 0)
+             / CAST(greatest(COALESCE(SUM(CASE WHEN p = c THEN n END), 0), 1)
+                    AS DOUBLE), 6) AS precision,
+       ROUND(COALESCE(SUM(CASE WHEN p = c AND y = c THEN n END), 0)
+             / CAST(greatest(COALESCE(SUM(CASE WHEN y = c THEN n END), 0), 1)
+                    AS DOUBLE), 6) AS recall
+FROM classes CROSS JOIN cells
+GROUP BY c
+"""
+
+
+@register("ml_eval_confusion", oracle=_CONFUSION_ORACLE, tags=("ml", "eval"))
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion counts + precision/recall for the language-ID
+    heuristic against the labeled `lang` column — classification eval as
+    a composition: the registered `text_lang_id` query supplies
+    (predicted, labeled) and this operator turns any such pair stream
+    into the metric table.
+
+    Fact rows fold to the |pred|×|label| cell table in one groupBy;
+    per-class tp/fp/fn then come from conditional sums over the CELLS
+    joined against the (broadcast, ≤|classes|-row) class list — the raw
+    predictions are scanned exactly once no matter how many classes or
+    metrics are read off. Cites reference eval:
+    model-als.py:118-121 (single-metric RegressionEvaluator)."""
+    from recommendation_system_big_data_spark.functions.text import text_lang_id
+
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("predicted_lang").alias("p"), F.col("labeled_lang").alias("y")
+    )
+    cells = pred.groupBy("p", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classes = (
+        cells.select(F.col("p").alias("c"))
+        .union(cells.select("y"))
+        .distinct()
+    )
+    j = F.broadcast(classes).crossJoin(cells)
+    tp = F.coalesce(F.sum(F.when((F.col("p") == F.col("c")) & (F.col("y") == F.col("c")), F.col("n"))), F.lit(0))
+    fp = F.coalesce(F.sum(F.when((F.col("p") == F.col("c")) & (F.col("y") != F.col("c")), F.col("n"))), F.lit(0))
+    fn = F.coalesce(F.sum(F.when((F.col("p") != F.col("c")) & (F.col("y") == F.col("c")), F.col("n"))), F.lit(0))
+    return j.groupBy(F.col("c").alias("class")).agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp / F.greatest(tp + fp, F.lit(1)).cast("double"), 6).alias(
+            "precision"
+        ),
+        F.round(tp / F.greatest(tp + fn, F.lit(1)).cast("double"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+_AUC_ORACLE = """
+WITH s AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c_p,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY value
+), r AS (
+    SELECT c_p, c,
+           COALESCE(CAST(SUM(c) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cum_before
+    FROM s
+), t AS (
+    SELECT CAST(SUM(c_p) AS BIGINT) AS n_pos,
+           CAST(SUM(c - c_p) AS BIGINT) AS n_neg,
+           CAST(SUM(c_p * (2 * cum_before + c + 1)) AS BIGINT) AS rank_sum2_p
+    FROM r
+)
+SELECT n_pos, n_neg,
+       ROUND((rank_sum2_p / 2.0 - n_pos * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM t
+"""
+
+
+@register("ml_eval_auc_roc", oracle=_AUC_ORACLE, tags=("ml", "eval"))
+def ml_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a purchase-vs-rest score, via the
+    rank identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midranks for
+    ties — NOT threshold sweeping: the identity gives the exact area in
+    one pass, which is why it's the standard distributed AUC.
+
+    Same scalable machinery as `stat_mann_whitney` (AUC is the
+    normalized U statistic): fold to the distinct-score grain with
+    per-class counts, running count over that grain for midranks
+    (doubled → exact BIGINT arithmetic until the final division), one
+    keyless reduce. The unpartitioned window runs on distinct scores
+    only; the bucketed prefix-sum fallback (ranges.py) applies verbatim
+    if scores outgrow one partition."""
+    s = (
+        load(spark, sf_dir, "events")
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c_p"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "c_p",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    )
+    t = r.agg(
+        F.sum("c_p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("c_p")).cast("long").alias("n_neg"),
+        F.sum(F.col("c_p") * (2 * F.col("cum_before") + F.col("c") + 1))
+        .cast("long")
+        .alias("rank_sum2_p"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rank_sum2_p") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_PATK_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+           ) AS rn
+    FROM events
+), top3 AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS hits
+    FROM ranked WHERE rn <= 3 GROUP BY user_id
+), rel AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nrel
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM top3) AS BIGINT) AS n_users,
+    CAST((SELECT COUNT(*) FROM rel) AS BIGINT) AS n_rel_users,
+    ROUND((SELECT AVG(hits / 3.0) FROM top3), 6) AS mean_p_at_3,
+    ROUND((SELECT AVG(CAST(t.hits AS DOUBLE) / r.nrel)
+           FROM rel r JOIN top3 t ON r.user_id = t.user_id), 6)
+        AS mean_recall_at_3
+"""
+
+
+@register("ml_eval_precision_at_k", oracle=_PATK_ORACLE, tags=("ml", "eval"))
+def ml_eval_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@3 / Recall@3 treating each user's top-3 events by value
+    as the "recommended" slate and purchases as relevance — the ranking
+    eval the reference's top-30 slates (model-als.py:132) never get.
+
+    One user-partitioned window ranks the slate (same shuffle shape as
+    `topk_per_user`), hits fold per user, relevance counts fold per user
+    in a parallel branch of the SAME shuffle key, and the two ≤|users|
+    tables join on their common partitioning before a final keyless
+    reduce. Per-user metric averaging (macro average) keeps whales from
+    dominating — the metric every recsys eval reports."""
+    ev = load(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    )
+    top3 = (
+        ev.select("user_id", "event_type", rn.alias("rn"))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    rel = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nrel"))
+    )
+    joined = rel.join(top3, "user_id")
+    p = top3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg(F.col("hits") / 3.0), 6).alias("mean_p_at_3"),
+    )
+    rc = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_users"),
+        F.round(F.avg(F.col("hits").cast("double") / F.col("nrel")), 6).alias(
+            "mean_recall_at_3"
+        ),
+    )
+    return p.crossJoin(F.broadcast(rc)).select(
+        "n_users", "n_rel_users", "mean_p_at_3", "mean_recall_at_3"
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS vmax FROM events
+), binned AS (
+    SELECT LEAST(CAST(FLOOR(value / vmax * 10) AS BIGINT), 9) AS bin,
+           value / vmax AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events CROSS JOIN mx
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(AVG(CAST(pos AS DOUBLE)), 6) AS pos_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("ml_eval_calibration", oracle=_CALIBRATION_ORACLE, tags=("ml", "eval"))
+def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table: value normalized to [0,1] as a score, cut into
+    10 equal-width bins; per bin the mean score vs the observed purchase
+    rate — the reliability-diagram data behind "is 0.8 really 80%?".
+
+    The global max joins back as a 1-row broadcast (same pattern as
+    `ts_seasonal_index`); binning is a narrow codegen'd expression and
+    the whole metric is one groupBy on 10 keys. Bin edges use the exact
+    double max on both engines, so assignment is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("value") / F.col("vmax") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("value") / F.col("vmax")).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("pos").cast("double")), 6).alias("pos_rate"),
+    )
+
+
+_REG_METRICS_ORACLE = """
+WITH split AS (
+    SELECT event_type, value,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS part
+    FROM events
+), model AS (
+    SELECT event_type, AVG(value) AS yhat
+    FROM split WHERE part = 'train' GROUP BY event_type
+), scored AS (
+    SELECT s.value AS y, m.yhat
+    FROM split s JOIN model m ON s.event_type = m.event_type
+    WHERE s.part = 'test'
+), base AS (
+    SELECT AVG(y) AS ybar FROM scored
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    ROUND(SQRT(AVG(POW(y - yhat, 2))), 4) AS rmse,
+    ROUND(AVG(ABS(y - yhat)), 4) AS mae,
+    ROUND(1 - SUM(POW(y - yhat, 2)) / SUM(POW(y - ybar, 2)), 4) AS r2,
+    ROUND(AVG(ABS(y - yhat) / ABS(y)), 4) AS mape
+FROM scored CROSS JOIN base
+"""
+
+
+@register(
+    "ml_eval_regression_metrics", oracle=_REG_METRICS_ORACLE, tags=("ml", "eval")
+)
+def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe regression eval: fit the simplest model (per-type mean
+    on the 80% hash-split train partition), score the held-out 20%, and
+    report RMSE / MAE / R² / MAPE in one reduce — the metric ladder the
+    reference reports one rung of (RMSE, model-als.py:118-121).
+
+    The split is the portable md5 bucket (stable under re-ingestion —
+    the property split_by_hash pins); the "model" is a ≤|types|-row
+    aggregate that joins back as a broadcast, so scoring is a narrow map
+    over the test scan and every metric folds in the same single
+    aggregation (R²'s baseline mean joins as a second 1-row
+    broadcast)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "part",
+        F.when(portable_bucket(F.col("event_id"), 100) < 80, "train").otherwise(
+            "test"
+        ),
+    )
+    model = (
+        ev.where(F.col("part") == "train")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("yhat"))
+    )
+    scored = (
+        ev.where(F.col("part") == "test")
+        .join(F.broadcast(model), "event_type")
+        .select(F.col("value").alias("y"), "yhat")
+    )
+    base = scored.agg(F.avg("y").alias("ybar"))
+    err = F.col("y") - F.col("yhat")
+    return scored.crossJoin(F.broadcast(base)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.sqrt(F.avg(F.pow(err, 2))), 4).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(
+            1 - F.sum(F.pow(err, 2)) / F.sum(F.pow(F.col("y") - F.col("ybar"), 2)),
+            4,
+        ).alias("r2"),
+        F.round(F.avg(F.abs(err) / F.abs(F.col("y"))), 4).alias("mape"),
+    )

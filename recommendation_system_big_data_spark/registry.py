@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.stats_tests",
     "recommendation_system_big_data_spark.operators.timeseries",
     "recommendation_system_big_data_spark.operators.runtime_filter",
+    "recommendation_system_big_data_spark.operators.ml_eval",
     "recommendation_system_big_data_spark.functions.text",
     "recommendation_system_big_data_spark.functions.quality",
     "recommendation_system_big_data_spark.functions.pandas_fns",
@@ -109,7 +110,9 @@ _loaded = False
 #:   agg_weighted_percentile, ts_resample_ohlc, ts_max_drawdown,
 #:   ts_sma_crossover, ts_seasonal_index, ts_rolling_active_users,
 #:   ts_changepoint_cusum, join_bloom_prefilter, ml_cv_fold_assign,
-#:   privacy_l_diversity — all but the
+#:   privacy_l_diversity, ml_eval_confusion, ml_eval_auc_roc,
+#:   ml_eval_precision_at_k, ml_eval_calibration,
+#:   ml_eval_regression_metrics — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
