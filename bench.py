@@ -89,6 +89,16 @@ HEADLINE = [
     "diff_snapshots",
     "feature_binning_equidepth",
     "sql_recursive_reachability",
+    # round-5b: the new scale-bearing paths — exact AUC on the distinct-
+    # score grain, the dedup-then-explode rolling-actives fan-out, the
+    # Bloom runtime-filter join (probe-side pre-drop), the weighted-
+    # percentile CDF scan, and the stacked-window drawdown. First recorded
+    # run defines each baseline.
+    "ml_eval_auc_roc",
+    "ts_rolling_active_users",
+    "join_bloom_prefilter",
+    "agg_weighted_percentile",
+    "ts_max_drawdown",
 ]
 
 

@@ -50,21 +50,21 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     build keys — the explicit runtime-filter pattern.
 
     Build: the selective orders subset hashes each key into a 2^20-bucket
-    domain, packs buckets into 64-bit words with a `bit_or` aggregate
+    domain and packs buckets into 64-bit words with a `bit_or` aggregate
     (two-level: bucket→word partial-aggregates map-side, same construct
-    as `agg_bitmap_distinct`), and folds the word table into ONE row
-    holding a word→mask map (≤16k entries, ~256 KB — broadcastable at any
-    fact scale because its size tracks the BUILD side only).
+    as `agg_bitmap_distinct`) — a (word, mask) table of ≤16k rows whose
+    size tracks the BUILD side only, broadcastable at any fact scale.
 
-    Probe: each lineitem tests its key's bit via an O(1) `element_at` map
-    lookup + bitwise AND — a narrow, codegen'd filter BEFORE the join
-    exchange, so non-matching fact rows never shuffle. Survivors (matches
-    + Bloom false positives) then run the exact equi-join with the urgent
-    orders; false positives die there, making the result bit-identical to
-    the plain join the oracle runs.
-
-    The crossJoin is a broadcast of the provably-1-row Bloom summary; no
-    nested loop over data×data."""
+    Probe: the fact side computes its key's word and BROADCAST-HASH-joins
+    the word table (inner join — an absent word IS the Bloom "no"), then
+    a codegen'd bitwise-AND filter tests the bit. Both steps run BEFORE
+    the join exchange, so non-matching fact rows never shuffle, and both
+    stay inside whole-stage codegen (an earlier 1-row-map formulation put
+    the membership test in a BroadcastNestedLoopJoin condition, which
+    Spark evaluates interpreted — ~10× slower). Survivors (matches +
+    Bloom false positives) then run the exact equi-join with the urgent
+    orders; false positives die there, making the result bit-identical
+    to the plain join the oracle runs."""
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
@@ -77,25 +77,18 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("b") / 64).cast("long").alias("word"))
         .agg(F.bit_or(F.expr("shiftleft(1L, CAST(b % 64 AS INT))")).alias("mask"))
     )
-    bloom = words.agg(
-        F.map_from_arrays(
-            F.collect_list("word"), F.collect_list("mask")
-        ).alias("bm")
-    )
-
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "pb", bucket(F.col("l_orderkey"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("pb", bucket(F.col("l_orderkey")))
+        .withColumn("pword", (F.col("pb") / 64).cast("long"))
     )
     survived = (
-        li.crossJoin(F.broadcast(bloom))
+        li.join(F.broadcast(words), li.pword == words.word)
         .where(
-            F.coalesce(
-                F.element_at(F.col("bm"), (F.col("pb") / 64).cast("long")),
-                F.lit(0),
-            ).bitwiseAND(F.expr("shiftleft(1L, CAST(pb % 64 AS INT))"))
+            F.col("mask").bitwiseAND(F.expr("shiftleft(1L, CAST(pb % 64 AS INT))"))
             != 0
         )
-        .drop("bm", "pb")
+        .drop("pb", "pword", "word", "mask")
     )
     return (
         survived.join(orders.select("o_orderkey"), survived.l_orderkey == F.col("o_orderkey"))

@@ -438,11 +438,11 @@ def test_bloom_prefilter_runs_before_join_exchange(spark, sf_dir):
     )
 
     plan = explain.physical_plan(join_bloom_prefilter(spark, sf_dir))
-    assert "element_at" in plan, plan
-    # the bloom summary broadcast is the only nested-loop site (formatted
-    # mode prints each node once in the tree and once in the details, so
-    # count the detail headers)
-    assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
+    # membership test = broadcast hash join on the word index + codegen'd
+    # bitwise filter; no nested loop anywhere (the 1-row-map formulation
+    # put the test in an interpreted BNLJ condition — ~10x slower)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count(") BroadcastHashJoin") >= 2, plan  # word index + exact join
 
 
 def test_mann_whitney_window_runs_on_distinct_value_grain(spark, sf_dir):
