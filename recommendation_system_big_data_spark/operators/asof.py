@@ -125,3 +125,126 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'view' THEN value END AS view_value,
+           CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us,
+           CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+           value
+    FROM events WHERE event_type IN ('view', 'purchase')
+), filled AS (
+    SELECT user_id, ts, event_id, purchase_id, value,
+           LAST_VALUE(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS back_value,
+           LAST_VALUE(view_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS back_us,
+           FIRST_VALUE(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS fwd_value,
+           FIRST_VALUE(view_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS fwd_us
+    FROM tagged
+)
+SELECT purchase_id AS event_id, user_id,
+       value AS purchase_value,
+       CASE
+         WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+         WHEN fwd_us IS NULL THEN back_value
+         WHEN back_us IS NULL THEN fwd_value
+         WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN back_value
+         ELSE fwd_value
+       END AS nearest_view_value,
+       CASE
+         WHEN back_us IS NULL AND fwd_us IS NULL THEN 'none'
+         WHEN fwd_us IS NULL THEN 'backward'
+         WHEN back_us IS NULL THEN 'forward'
+         WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN 'backward'
+         ELSE 'forward'
+       END AS direction
+FROM filled WHERE purchase_id IS NOT NULL
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join", "temporal"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase gets the view closest in
+    time — before OR after (ties break backward) — the sensor-fusion /
+    attribution variant that backward-only ASOF (join_asof above, and
+    DuckDB's ASOF JOIN keyword) cannot express.
+
+    Same scalable machinery as join_asof: one scan tags both streams, one
+    (user_id) shuffle feeds FOUR frame windows that share a single sort —
+    last(ignorenulls) over the strictly-preceding frame and
+    first(ignorenulls) over the strictly-following frame, for the value
+    and its epoch — then the nearest pick is a narrow CASE on the time
+    gaps. Still no range predicate and no per-key quadratic work; the
+    exclusive frames keep a purchase from matching itself and pin
+    same-instant semantics to (ts, event_id) order on both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_view, F.col("value")).alias("view_value"),
+        F.when(is_view, epoch_us("ts")).alias("view_us"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+        "value",
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        "value",
+        F.last("view_value", ignorenulls=True).over(back).alias("back_value"),
+        F.last("view_us", ignorenulls=True).over(back).alias("back_us"),
+        F.first("view_value", ignorenulls=True).over(fwd).alias("fwd_value"),
+        F.first("view_us", ignorenulls=True).over(fwd).alias("fwd_us"),
+    )
+    now = epoch_us("ts")
+    back_closer = (now - F.col("back_us")) <= (F.col("fwd_us") - now)
+    return filled.where(F.col("purchase_id").isNotNull()).select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.when(
+            F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit(None)
+        )
+        .when(F.col("fwd_us").isNull(), F.col("back_value"))
+        .when(F.col("back_us").isNull(), F.col("fwd_value"))
+        .when(back_closer, F.col("back_value"))
+        .otherwise(F.col("fwd_value"))
+        .alias("nearest_view_value"),
+        F.when(
+            F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit("none")
+        )
+        .when(F.col("fwd_us").isNull(), F.lit("backward"))
+        .when(F.col("back_us").isNull(), F.lit("forward"))
+        .when(back_closer, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -268,3 +268,47 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem",):
         _view(spark, sf_dir, t)
     return spark.sql(_RECURSIVE_REACH_ORACLE.replace("FROM lineitem", "FROM v_lineitem"))
+
+
+_GROUP_BY_ALL_ORACLE = """
+WITH agg AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue,
+           ROUND(AVG(l_discount), 6) AS avg_discount
+    FROM lineitem
+    GROUP BY ALL
+)
+SELECT * EXCLUDE (avg_discount) FROM agg ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GROUP_BY_ALL_ORACLE, tags=("sql",))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics in one statement: GROUP BY ALL (keys inferred
+    from the non-aggregate select list), ORDER BY ALL, and star-EXCEPT
+    projection — Spark 4 and DuckDB both speak all three, so analyst SQL
+    written in either engine runs unchanged here. Semantically identical
+    to spelling the keys out; Catalyst resolves ALL at analysis time, so
+    the physical plan is the ordinary partial→final hash aggregate.
+
+    (Spark spells column exclusion `* EXCEPT (...)`, DuckDB `* EXCLUDE
+    (...)` — the one dialect seam, pinned here so downstream users know
+    both.) The ORDER BY ALL total sort runs on the |rf|×|ls| aggregate
+    (single digits), not the fact table."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS revenue,
+                   ROUND(AVG(l_discount), 6) AS avg_discount
+            FROM lineitem_gba
+            GROUP BY ALL
+        )
+        SELECT * EXCEPT (avg_discount) FROM agg ORDER BY ALL
+        """
+    )

@@ -430,3 +430,81 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_changepoint"),
     )
+
+
+_SEASONAL_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY 1
+), idx AS (
+    SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+           CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS dow_avg
+    FROM daily GROUP BY 1
+), deseason AS (
+    SELECT d.day, d.rev, i.dow_avg,
+           ROUND(d.rev / i.dow_avg, 6) AS ratio
+    FROM daily d JOIN idx i ON CAST(dayofweek(d.day) + 1 AS INT) = i.dow
+), stats AS (
+    SELECT AVG(ratio) AS mu, STDDEV_POP(ratio) AS sigma FROM deseason
+)
+SELECT day,
+       ROUND(rev, 2) AS daily_rev,
+       ratio AS deseasonalized_ratio,
+       ROUND((ratio - mu) / sigma, 4) AS z_score,
+       CAST(ABS((ratio - mu) / sigma) > 2.0 AS BOOLEAN) AS is_anomaly
+FROM deseason CROSS JOIN stats
+"""
+
+
+@register(
+    "ts_seasonal_anomaly", oracle=_SEASONAL_ANOMALY_ORACLE, tags=("window", "timeseries")
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-corrected revenue anomaly flags: divide each day's revenue
+    by its day-of-week average (the `ts_seasonal_index` factor), z-score
+    the deseasonalized ratios, flag |z| > 2 — so a slow Sunday isn't an
+    incident and a slow Tuesday is. The composition layer over the
+    seasonal-index and rolling-zscore primitives.
+
+    Everything beyond the one fact→daily fold runs on the daily grain:
+    the per-dow averages are a 7-row re-aggregation joined back as a
+    broadcast, the z-stats are a 1-row broadcast. Ratios are rounded
+    before the z-stats so both engines feed identical inputs into the
+    mean/std fold; the z itself rounds at 4 (cross-engine summation
+    order over the day grain)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    idx = daily.groupBy(F.dayofweek("day").cast("int").alias("dow")).agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dow_avg")
+    )
+    deseason = daily.join(
+        F.broadcast(idx), F.dayofweek("day").cast("int") == F.col("dow")
+    ).select(
+        "day", "rev", F.round(F.col("rev") / F.col("dow_avg"), 6).alias("ratio")
+    )
+    stats = deseason.agg(
+        F.avg("ratio").alias("mu"), F.stddev_pop("ratio").alias("sigma")
+    )
+    z = (F.col("ratio") - F.col("mu")) / F.col("sigma")
+    return deseason.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.round("rev", 2).alias("daily_rev"),
+        F.col("ratio").alias("deseasonalized_ratio"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -112,7 +112,8 @@ _loaded = False
 #:   ts_changepoint_cusum, join_bloom_prefilter, ml_cv_fold_assign,
 #:   privacy_l_diversity, ml_eval_confusion, ml_eval_auc_roc,
 #:   ml_eval_precision_at_k, ml_eval_calibration,
-#:   ml_eval_regression_metrics — all but the
+#:   ml_eval_regression_metrics, sql_group_by_all,
+#:   join_asof_nearest, ts_seasonal_anomaly — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
