@@ -551,3 +551,110 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union.groupBy(F.col("id").alias("part_id")).agg(
         F.min("hops").cast("int").alias("hops")
     )
+
+
+_MODULARITY_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY src, dst
+), labeled AS (
+    SELECT e.w, ps.p_brand AS cs, pd.p_brand AS cd
+    FROM e
+    JOIN part ps ON ps.p_partkey = e.src
+    JOIN part pd ON pd.p_partkey = e.dst
+), tot AS (
+    SELECT CAST(SUM(w) AS DOUBLE) AS m FROM labeled
+), intra AS (
+    SELECT cs AS community, CAST(SUM(w) AS BIGINT) AS w_in
+    FROM labeled WHERE cs = cd GROUP BY cs
+), deg AS (
+    SELECT community, CAST(SUM(w) AS BIGINT) AS strength
+    FROM (
+        SELECT cs AS community, w FROM labeled
+        UNION ALL
+        SELECT cd AS community, w FROM labeled
+    ) GROUP BY community
+)
+SELECT d.community,
+       d.strength,
+       CAST(COALESCE(i.w_in, 0) AS BIGINT) AS intra_weight,
+       ROUND(COALESCE(i.w_in, 0) / t.m - POW(d.strength / (2 * t.m), 2), 6)
+           AS q_contribution
+FROM deg d
+LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN tot t
+"""
+
+
+@register("graph_community_modularity", oracle=_MODULARITY_ORACLE, tags=("graph",))
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the part co-purchase
+    graph: per community, Q_c = W_in_c/W − (S_c/2W)² — summing the rows
+    gives the global Q that community-detection methods (Louvain/Leiden)
+    maximize, so this operator is both the quality gauge for ANY labeling
+    and one full Louvain evaluation step.
+
+    The edge list is the capped co-purchase self-join (MAX_BASKET bounds
+    the quadratic fan-out; src<dst keeps each undirected edge once);
+    brand labels attach via two broadcast joins with the part dimension,
+    and every modularity ingredient — total weight, intra-community
+    weight, community strength — is one aggregation of the EDGE table.
+    Edge weights are integer counts, so everything up to the final Q
+    division is exact."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    brands = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = (
+        e.join(
+            F.broadcast(brands.select(F.col("p_partkey").alias("src"),
+                                      F.col("p_brand").alias("cs"))), "src"
+        )
+        .join(
+            F.broadcast(brands.select(F.col("p_partkey").alias("dst"),
+                                      F.col("p_brand").alias("cd"))), "dst"
+        )
+        .select("w", "cs", "cd")
+    )
+    tot = labeled.agg(F.sum("w").cast("double").alias("m"))
+    intra = (
+        labeled.where(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("w").cast("long").alias("w_in"))
+    )
+    deg = (
+        labeled.select(F.col("cs").alias("community"), "w")
+        .unionAll(labeled.select(F.col("cd").alias("community"), "w"))
+        .groupBy("community")
+        .agg(F.sum("w").cast("long").alias("strength"))
+    )
+    return (
+        deg.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "strength",
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("intra_weight"),
+            F.round(
+                F.coalesce(F.col("w_in"), F.lit(0)) / F.col("m")
+                - F.pow(F.col("strength") / (2 * F.col("m")), 2),
+                6,
+            ).alias("q_contribution"),
+        )
+    )

@@ -353,3 +353,44 @@ def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         F.round(F.avg(F.abs(err) / F.abs(F.col("y"))), 4).alias("mape"),
     )
+
+
+_FEATURE_HASH_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bucket
+    FROM toks WHERE tok <> ''
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM hashed GROUP BY doc_id, bucket
+"""
+
+
+@register("ml_feature_hashing", oracle=_FEATURE_HASH_ORACLE, tags=("ml", "text"))
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into a fixed 32-bucket
+    space and the per-(doc, bucket) term frequencies ARE the sparse
+    feature vector — the vocabulary-free vectorizer
+    (HashingTF/FeatureHasher semantics) that needs no fitted dictionary,
+    no broadcast vocab, and therefore no coordination at 100 TB: any
+    executor can featurize any shard independently, and the bucket space
+    is fixed no matter how the corpus grows.
+
+    The hash is the engine's portable md5 bucket rather than a JVM
+    murmur, so the exact same features come out of ANY engine that can
+    md5 — which also makes the op fully oracle-checkable. One explode +
+    one map-side-combined groupBy; output is the sparse COO form
+    downstream trainers consume."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 32
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

@@ -684,3 +684,66 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for comp, name in zip(comps, ("pc1", "pc2"))
     ]
     return emb.select("vec_id", "label", *projections)
+
+
+@register("embedding_mahalanobis_outliers", oracle=None, tags=("similarity", "ml"))
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by PCA-whitened Mahalanobis distance —
+    the covariance-aware outlier score (Euclidean treats a 10σ excursion
+    along a tight axis the same as 1σ along a loose one; Mahalanobis
+    does not). Exact Mahalanobis needs Σ⁻¹, a 64×64 inverse; the
+    production-scale form used here whitens in the top-k eigenbasis:
+    d² ≈ Σ_k proj_k²/λ_k over the top-8 components, which IS the
+    Mahalanobis distance restricted to the directions that carry the
+    variance (the remaining 56 axes contribute noise-floor terms).
+
+    Same three-stage shape as `embedding_pca_project` (this is the
+    sanctioned small-model collect): one mapInPandas pass folds
+    partitions to (n, Σx, X'X) partials; the driver reduces the O(P·d²)
+    partials, eigendecomposes, keeps the top-8 (λ, v) pairs; components
+    broadcast back as array literals and the distance is a JVM-side
+    zip_with/aggregate fold. Top-20 via TakeOrderedAndProject — no global
+    sort. ⊘ rows-only (eigen math isn't SQL); test gates pin invariants
+    (non-negative, descending, deterministic)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim, topk = 64, 8
+    parts = emb.select("embedding").mapInPandas(
+        _gram_partials_fn(dim), "n long, s array<double>, g array<double>"
+    )
+    rows = parts.collect()  # O(P * d²) partition partials, not data rows
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    centered = F.zip_with(
+        as_double_array(F.col("embedding")),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    terms = []
+    for k in range(dim - 1, dim - 1 - topk, -1):
+        v, lam = evecs[:, k], float(evals[k])
+        proj = F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(c)) for c in v]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(proj * proj / F.lit(lam))
+    d2 = terms[0]
+    for t in terms[1:]:
+        d2 = d2 + t
+    return (
+        emb.select(
+            "vec_id", "label", F.round(F.sqrt(d2), 4).alias("mahalanobis_dist")
+        )
+        .orderBy(F.desc("mahalanobis_dist"), F.asc("vec_id"))
+        .limit(20)
+    )

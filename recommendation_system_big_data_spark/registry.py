@@ -113,7 +113,9 @@ _loaded = False
 #:   privacy_l_diversity, ml_eval_confusion, ml_eval_auc_roc,
 #:   ml_eval_precision_at_k, ml_eval_calibration,
 #:   ml_eval_regression_metrics, sql_group_by_all,
-#:   join_asof_nearest, ts_seasonal_anomaly — all but the
+#:   join_asof_nearest, ts_seasonal_anomaly,
+#:   graph_community_modularity, ml_feature_hashing,
+#:   embedding_mahalanobis_outliers (⊘) — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

@@ -156,3 +156,25 @@ def test_pca_projection_invariants(spark, sf_dir):
     # determinism
     again = embedding_pca_project(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mahalanobis_outlier_invariants(spark, sf_dir):
+    """⊘ gates for embedding_mahalanobis_outliers: exactly 20 rows,
+    distances non-negative and non-increasing, deterministic across runs,
+    and the whitened distances must be plausibly standardized (top-8
+    eigen-whitening → d² is a sum of 8 squared z-scores, so the MEAN d
+    over the whole table sits near sqrt(8); the top-20 must exceed it)."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_mahalanobis_outliers,
+    )
+
+    rows = embedding_mahalanobis_outliers(spark, sf_dir).collect()
+    assert len(rows) == 20
+    d = [r["mahalanobis_dist"] for r in rows]
+    assert all(x >= 0 for x in d)
+    assert d == sorted(d, reverse=True)
+    assert d[-1] >= np.sqrt(8) * 0.8, d[-1]  # top-20 above the bulk mean
+    again = embedding_mahalanobis_outliers(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
