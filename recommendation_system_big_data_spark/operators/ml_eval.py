@@ -394,3 +394,135 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+_TARGET_ENC_ORACLE = """
+WITH folded AS (
+    SELECT o_orderpriority AS cat,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 5 AS fold,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS y
+    FROM orders
+), cf AS (
+    SELECT cat, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_cf,
+           CAST(SUM(y) AS DECIMAL(28,2)) AS sum_cf
+    FROM folded GROUP BY cat, fold
+), c AS (
+    SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+           CAST(SUM(sum_cf) AS DECIMAL(28,2)) AS sum_c
+    FROM cf GROUP BY cat
+)
+SELECT cf.cat, cf.fold, cf.n_cf,
+       ROUND(CAST(c.sum_c - cf.sum_cf AS DOUBLE) / (c.n_c - cf.n_cf), 4)
+           AS oof_mean,
+       ROUND(CAST(c.sum_c AS DOUBLE) / c.n_c, 4) AS cat_mean
+FROM cf JOIN c ON cf.cat = c.cat
+"""
+
+
+@register("ml_target_encoding", oracle=_TARGET_ENC_ORACLE, tags=("ml", "feature"))
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding: each (category, fold)
+    cell gets the target mean computed from the OTHER four folds —
+    the feature-engineering staple that naive per-category means get
+    wrong (a row must never see its own target). Folds come from the
+    same portable md5 bucket as `ml_cv_fold_assign`, so encoding and
+    training folds agree by construction.
+
+    The subtraction trick makes it one pass: per-(cat, fold) count/sum
+    partials roll up to per-cat totals, and the out-of-fold mean is
+    (total − own fold)/(n − own n) — no k-fold re-scan, no self-join of
+    the fact table. Sums ride as DECIMAL so both engines divide identical
+    exact numerators. The encode table is |cats|×k rows — broadcast it to
+    score the training set."""
+    folded = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        portable_bucket(F.col("o_orderkey"), 5).alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    cf = folded.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cf"),
+        F.sum("y").cast("decimal(28,2)").alias("sum_cf"),
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("n_cf").cast("long").alias("n_c"),
+        F.sum("sum_cf").cast("decimal(28,2)").alias("sum_c"),
+    )
+    return cf.join(F.broadcast(c), "cat").select(
+        "cat",
+        "fold",
+        "n_cf",
+        F.round(
+            (F.col("sum_c") - F.col("sum_cf")).cast("double")
+            / (F.col("n_c") - F.col("n_cf")),
+            4,
+        ).alias("oof_mean"),
+        F.round(F.col("sum_c").cast("double") / F.col("n_c"), 4).alias("cat_mean"),
+    )
+
+
+_WOE_IV_ORACLE = """
+WITH labeled AS (
+    SELECT c.c_mktsegment AS cat,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+    SELECT cat,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+    FROM labeled GROUP BY cat
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp, CAST(SUM(n_neg) AS DOUBLE) AS tn
+    FROM cells
+)
+SELECT cat, n_pos, n_neg,
+       ROUND(LN((n_pos / tp) / (n_neg / tn)), 6) AS woe,
+       ROUND((n_pos / tp - n_neg / tn) * LN((n_pos / tp) / (n_neg / tn)), 6)
+           AS iv_contribution
+FROM cells CROSS JOIN tot
+"""
+
+
+@register("ml_woe_iv", oracle=_WOE_IV_ORACLE, tags=("ml", "feature"))
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence and information value per category — the
+    credit-scoring/feature-screening measure of how strongly a
+    categorical feature separates a binary target (IV < 0.02: useless;
+    > 0.3: strong; the IV sum over rows is the feature's score).
+    WoE = ln(%pos/%neg) per category against mktsegment vs urgent-order
+    incidence.
+
+    One broadcast dim join + one groupBy on the category; totals join
+    back as a 1-row broadcast. Integer counts make every ratio exact
+    until the final ln, so ROUND(6) is cosmetic, not load-bearing."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("cat")
+    )
+    labeled = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "cat",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+    )
+    cells = labeled.groupBy("cat").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("double").alias("tp"),
+        F.sum("n_neg").cast("double").alias("tn"),
+    )
+    pr = F.col("n_pos") / F.col("tp")
+    nr = F.col("n_neg") / F.col("tn")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(pr / nr), 6).alias("woe"),
+        F.round((pr - nr) * F.log(pr / nr), 6).alias("iv_contribution"),
+    )

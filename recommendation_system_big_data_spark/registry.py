@@ -115,7 +115,8 @@ _loaded = False
 #:   ml_eval_regression_metrics, sql_group_by_all,
 #:   join_asof_nearest, ts_seasonal_anomaly,
 #:   graph_community_modularity, ml_feature_hashing,
-#:   embedding_mahalanobis_outliers (⊘) — all but the
+#:   embedding_mahalanobis_outliers (⊘), ml_target_encoding,
+#:   ml_woe_iv, scan_csv_corrupt_permissive — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

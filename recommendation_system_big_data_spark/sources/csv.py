@@ -83,3 +83,79 @@ def scan_csv_headerless(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     path = _csv_fixture(spark, sf_dir, "region", header=False)
     return read_csv_reference(spark, path, region.schema, header=False)
+
+
+#: Deterministic malformed-CSV fixture: the failure modes a 100 TB CSV
+#: ingest actually meets — type garbage, too many fields, missing fields,
+#: quoted separators, trailing empties. Content is pinned so the oracle
+#: can be literal SQL.
+_CORRUPT_CSV_LINES = (
+    "1,alpha,10",
+    "2,beta,notanint",
+    "3,gamma,30",
+    "garbage-no-separators",
+    "5,delta,50,extra,fields",
+    "6,epsilon,",
+    '7,"zeta,comma",70',
+    "8,eta,42",
+)
+
+
+def _corrupt_csv_fixture() -> str:
+    out_dir = os.path.join(FIXTURE_ROOT, "corrupt_csv")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "part-000.csv")
+    content = "\n".join(_CORRUPT_CSV_LINES) + "\n"
+    if not (os.path.exists(path) and open(path).read() == content):
+        with open(path, "w") as f:
+            f.write(content)
+    return path
+
+
+_CORRUPT_SCAN_ORACLE = """
+SELECT * FROM (VALUES
+    (CAST(1 AS INT), 'alpha',       CAST(10 AS INT),   CAST(NULL AS VARCHAR)),
+    (CAST(2 AS INT), 'beta',        CAST(NULL AS INT), '2,beta,notanint'),
+    (CAST(3 AS INT), 'gamma',       CAST(30 AS INT),   CAST(NULL AS VARCHAR)),
+    (CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+         'garbage-no-separators'),
+    (CAST(5 AS INT), 'delta',       CAST(50 AS INT),   '5,delta,50,extra,fields'),
+    (CAST(6 AS INT), 'epsilon',     CAST(NULL AS INT), CAST(NULL AS VARCHAR)),
+    (CAST(7 AS INT), 'zeta,comma',  CAST(70 AS INT),   CAST(NULL AS VARCHAR)),
+    (CAST(8 AS INT), 'eta',         CAST(42 AS INT),   CAST(NULL AS VARCHAR))
+) AS t(id, name, val, corrupt_record)
+"""
+
+
+@register(
+    "scan_csv_corrupt_permissive",
+    oracle=_CORRUPT_SCAN_ORACLE,
+    tags=("scan", "csv"),
+)
+def scan_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-CSV scan with quarantine column — the ingest
+    contract for dirty data at scale: never fail the job, never silently
+    drop a row; parse what parses and capture the raw line of what
+    doesn't in `columnNameOfCorruptRecord` for a dead-letter sweep
+    (companion to scan_json_corrupt_records, the JSON form, and
+    fn_try_arithmetic, the expression-level form).
+
+    Pinned Spark PERMISSIVE semantics (asserted by the literal oracle):
+    a type-garbage field nulls THAT field, keeps the fields that parsed,
+    and quarantines the raw line; too-many-fields parses the leading
+    fields AND quarantines;
+    too-few-fields pads nulls with NO quarantine (schema tolerance);
+    quoted separators are data. The corrupt column must be materialized
+    alongside a parsed column in one projection (Spark requires
+    selecting more than the corrupt column alone). Narrow scan, no
+    shuffle; the quarantine filter pushes down like any other."""
+    ensure_runtime_conf(spark)
+    path = _corrupt_csv_fixture()
+    df = (
+        spark.read.schema("id int, name string, val int, corrupt_record string")
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+    )
+    return df.select("id", "name", "val", "corrupt_record")
