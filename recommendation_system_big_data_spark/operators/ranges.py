@@ -468,3 +468,101 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlapping_pairs"),
         F.countDistinct("a_user").alias("n_even_users"),
     )
+
+
+_UNION_COVERAGE_ORACLE = """
+WITH iv AS (
+    SELECT user_id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + 1800000000 AS e,
+           event_id
+    FROM events
+), flagged AS (
+    SELECT user_id, s, e, event_id,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), -1) THEN 1 ELSE 0 END AS new_island
+    FROM iv
+), islanded AS (
+    SELECT user_id, s, e,
+           CAST(SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS island
+    FROM flagged
+), islands AS (
+    SELECT user_id, island,
+           MIN(s) AS island_start, MAX(e) AS island_end
+    FROM islanded GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(island_end - island_start) // 1000000 AS BIGINT)
+           AS coverage_seconds
+FROM islands GROUP BY user_id
+"""
+
+
+@register(
+    "ts_interval_union_coverage",
+    oracle=_UNION_COVERAGE_ORACLE,
+    tags=("range", "timeseries"),
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user — each event opens a
+    30-minute activity window; overlapping windows merge, and the answer
+    is total COVERED time (the billing/engagement/SLA-uptime measure that
+    double-counting naive sums get wrong). The set-union complement of
+    `max_concurrent_intervals` (peak overlap) and `window_gaps_islands`
+    (which islands integer days; this islands real intervals).
+
+    Classic sweep in relational form: one (user) shuffle, running MAX of
+    prior interval ends detects island starts (an interval whose start
+    exceeds every earlier end opens a new island), a running SUM of those
+    flags numbers the islands, and coverage is Σ(max end − min start)
+    per island. All epoch-microsecond integer arithmetic — exact on both
+    engines. Both windows share one partitioning+ordering → single
+    exchange + sort feeding the whole chain."""
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + 1_800_000_000).alias("e"),
+        "event_id",
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islanded = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(run).cast("long").alias("island"),
+    )
+    islands = islanded.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.expr("sum(island_end - island_start) div 1000000")
+        .cast("long")
+        .alias("coverage_seconds"),
+    )

@@ -312,3 +312,106 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * EXCEPT (avg_discount) FROM agg ORDER BY ALL
         """
     )
+
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN UPPER(o_orderpriority)
+                ELSE LOWER(o_orderpriority) END AS pri,
+           o_totalprice
+    FROM orders
+)
+SELECT LOWER(pri) AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+FROM mixed
+GROUP BY LOWER(pri)
+"""
+
+
+@register("fn_collation_groupby", oracle=_COLLATION_ORACLE, tags=("sql", "fn"))
+def fn_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group a mixed-case
+    key under UTF8_LCASE so 'URGENT' and 'urgent' are ONE group — the
+    engine-level answer to case-insensitive joins/groupBys that otherwise
+    force a lower() rewrite of every producer. The mixed-case key is
+    synthesized here (alternating upper/lower by key parity) since the
+    testdata arrives canonical.
+
+    The collation rides the comparison, not the data: hashing and
+    equality in the exchange/aggregate respect UTF8_LCASE directly.
+    The output key is re-projected through lower() because a collated
+    group's REPRESENTATIVE is first-seen (nondeterministic under
+    parallel aggregation) — the semantic pin every collation user needs
+    to know. Oracle spells the same semantics as GROUP BY lower()."""
+    mixed = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri"),
+        "o_totalprice",
+    )
+    return (
+        mixed.groupBy(F.expr("collate(pri, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_SQL_PIVOT_ORACLE = """
+SELECT l_linestatus,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+           AS rev_a,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+           AS rev_n,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+           AS rev_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("sql_pivot_syntax", oracle=_SQL_PIVOT_ORACLE, tags=("sql", "reshape"))
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level PIVOT clause (the reshape_pivot DataFrame op's SQL
+    spelling): revenue by linestatus pivoted across the three return
+    flags, with the IN list EXPLICIT — which is the scale-relevant
+    property: a pinned value list removes the extra distinct-discovery
+    job DataFrame pivot runs without one, so the plan is a single
+    Expand-free conditional aggregate on a known schema.
+
+    Catalyst compiles PIVOT to exactly the conditional-aggregation form
+    the oracle spells in portable SQL — same plan, two dialects."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pvt")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               ROUND(CAST(rev_a AS DOUBLE), 2) AS rev_a,
+               ROUND(CAST(rev_n AS DOUBLE), 2) AS rev_n,
+               ROUND(CAST(rev_r AS DOUBLE), 2) AS rev_r
+        FROM (
+            SELECT l_linestatus, l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+            FROM lineitem_pvt
+        )
+        PIVOT (
+            SUM(price) FOR l_returnflag IN ('A' AS rev_a, 'N' AS rev_n,
+                                            'R' AS rev_r)
+        )
+        """
+    )
