@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.queries.tpch import disc_price, dsum
@@ -100,3 +101,69 @@ def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_disc_price")
     )
+
+
+@register(
+    "olap_skyline_pareto",
+    oracle="""
+    WITH best AS (
+        SELECT p_size,
+               MIN(ROW(p_retailprice, p_partkey)) AS r
+        FROM part GROUP BY p_size
+    ), cand AS (
+        SELECT p_size, r[1] AS price, r[2] AS partkey
+        FROM best
+    ), sky AS (
+        SELECT p_size, price, partkey,
+               MIN(price) OVER (
+                   ORDER BY p_size DESC, partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_price_bigger
+        FROM cand
+    )
+    SELECT p_size AS size, price, CAST(partkey AS BIGINT) AS p_partkey
+    FROM sky
+    WHERE best_price_bigger IS NULL OR price < best_price_bigger
+    """,
+    tags=("olap",),
+)
+def olap_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: the parts where no other part is both
+    bigger AND cheaper (maximize size, minimize price) — the
+    multi-objective shortlist ("best tradeoffs only") that a plain ORDER
+    BY cannot express.
+
+    Scalable 2-D skyline: first fold the fact set to ONE candidate per
+    size (its cheapest part — anything else at that size is dominated
+    a priori; min_by keeps the lowest partkey as the deterministic tie
+    representative), then a single running-MIN sweep over sizes in
+    DESCENDING order keeps a candidate iff it is strictly cheaper than
+    every bigger size's best. The expensive step is the map-side-combined
+    groupBy on size; the window runs on the |sizes| grain (bounded
+    domain). Dominance in higher dimensions generalizes via the same
+    fold + block-nested sweep per docstring references in SURVEY §2.6."""
+    cand = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_size").alias("size"))
+        .agg(
+            F.min(F.struct("p_retailprice", "p_partkey")).alias("r")
+        )
+        .select(
+            "size",
+            F.col("r.p_retailprice").alias("price"),
+            F.col("r.p_partkey").cast("long").alias("p_partkey"),
+        )
+    )
+    prior = Window.orderBy(F.desc("size"), F.asc("p_partkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = cand.select(
+        "size",
+        "price",
+        "p_partkey",
+        F.min("price").over(prior).alias("best_price_bigger"),
+    )
+    return sky.where(
+        F.col("best_price_bigger").isNull()
+        | (F.col("price") < F.col("best_price_bigger"))
+    ).select("size", "price", "p_partkey")

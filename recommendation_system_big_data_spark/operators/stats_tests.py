@@ -352,3 +352,112 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wmedian",
         "wp75",
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/k!): a uniform
+#: draw u maps to the weight k whose cumulative bin contains it. Literal
+#: constants so both engines evaluate the identical ladder.
+_POIS_CDF = (
+    0.36787944117144233,  # k=0
+    0.7357588823428847,   # k=1
+    0.9196986029286058,   # k=2
+    0.9810118431238462,   # k=3
+    0.9963401531726563,   # k=4
+    0.9994058151824183,   # k=5
+    0.9999167588507119,   # k=6 — else 7
+)
+
+_N_BOOT = 10
+
+_BOOTSTRAP_ORACLE = f"""
+WITH fanned AS (
+    SELECT e.value, b.b,
+           (CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_'
+                                 || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 + 0.5) / 1000000.0 AS u
+    FROM events e
+    CROSS JOIN (SELECT UNNEST(generate_series(0, {_N_BOOT - 1})) AS b) b
+), weighted AS (
+    SELECT b, value,
+           CASE
+             WHEN u < {_POIS_CDF[0]} THEN 0 WHEN u < {_POIS_CDF[1]} THEN 1
+             WHEN u < {_POIS_CDF[2]} THEN 2 WHEN u < {_POIS_CDF[3]} THEN 3
+             WHEN u < {_POIS_CDF[4]} THEN 4 WHEN u < {_POIS_CDF[5]} THEN 5
+             WHEN u < {_POIS_CDF[6]} THEN 6 ELSE 7
+           END AS w
+    FROM fanned
+), reps AS (
+    SELECT b,
+           ROUND(SUM(w * value) / SUM(w), 6) AS boot_mean
+    FROM weighted GROUP BY b
+), pt AS (
+    SELECT AVG(value) AS point_est FROM events
+)
+SELECT CAST({_N_BOOT} AS BIGINT) AS n_replicates,
+       ROUND(MAX(point_est), 6) AS point_est,
+       ROUND(AVG(boot_mean), 6) AS boot_mean_of_means,
+       ROUND(STDDEV_SAMP(boot_mean), 6) AS boot_se,
+       ROUND(MIN(boot_mean), 6) AS ci_lo,
+       ROUND(MAX(boot_mean), 6) AS ci_hi
+FROM reps CROSS JOIN pt
+"""
+
+
+@register("stat_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE, tags=("profile", "experiment"))
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error / CI for the mean event value —
+    THE bootstrap that works at 100 TB: classical resampling needs n
+    draws from n rows (global coordination); the Poisson bootstrap gives
+    every row an independent Poisson(1) weight per replicate, so each
+    replicate is one weighted aggregate and the whole B-replicate
+    bootstrap is a single scan with a B-way explode (no shuffle of the
+    fact table beyond the replicate groupBy on B keys).
+
+    Determinism: the per-(row, replicate) uniform comes from the
+    portable md5 bucket (same coin as split_by_hash), mapped through a
+    literal Poisson inverse-CDF ladder — identical weights on any
+    engine, which is what makes a *bootstrap* oracle-checkable at all.
+    Replicate means round before the tiny B-row CI fold."""
+    ev = load(spark, sf_dir, "events")
+    fanned = ev.select("event_id", "value").select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b"),
+    )
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    u = (
+        portable_bucket(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("b").cast("string"),
+            ),
+            1_000_000,
+        ).cast("double")
+        + 0.5
+    ) / 1_000_000.0
+    w = F.when(u < _POIS_CDF[0], 0)
+    for k in range(1, 7):
+        w = w.when(u < _POIS_CDF[k], k)
+    w = w.otherwise(7)
+    reps = (
+        fanned.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
+                "boot_mean"
+            )
+        )
+    )
+    pt = ev.agg(F.avg("value").alias("point_est"))
+    return reps.crossJoin(F.broadcast(pt)).agg(
+        F.lit(_N_BOOT).cast("long").alias("n_replicates"),
+        F.round(F.max("point_est"), 6).alias("point_est"),
+        F.round(F.avg("boot_mean"), 6).alias("boot_mean_of_means"),
+        F.round(F.stddev_samp("boot_mean"), 6).alias("boot_se"),
+        F.round(F.min("boot_mean"), 6).alias("ci_lo"),
+        F.round(F.max("boot_mean"), 6).alias("ci_hi"),
+    )

@@ -117,7 +117,9 @@ _loaded = False
 #:   graph_community_modularity, ml_feature_hashing,
 #:   embedding_mahalanobis_outliers (⊘), ml_target_encoding,
 #:   ml_woe_iv, scan_csv_corrupt_permissive, fn_collation_groupby,
-#:   sql_pivot_syntax, ts_interval_union_coverage — all but the
+#:   sql_pivot_syntax, ts_interval_union_coverage,
+#:   olap_skyline_pareto, attribution_linear_multitouch,
+#:   stat_bootstrap_ci — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

@@ -21,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -557,3 +558,76 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state["path"])
+
+
+_LINEAR_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value AS revenue
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.p_id, p.revenue, c.c_id
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_us <= p.p_us
+     AND c.c_us > p.p_us - 43200000000
+), share AS (
+    SELECT c_id,
+           revenue / (COUNT(*) OVER (PARTITION BY p_id)) AS credit
+    FROM pairs
+)
+SELECT c_id AS click_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+       ROUND(SUM(credit), 4) AS attributed_revenue
+FROM share GROUP BY c_id
+"""
+
+
+@register(
+    "attribution_linear_multitouch",
+    oracle=_LINEAR_ATTRIBUTION_ORACLE,
+    tags=("streaming", "join"),
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    EQUALLY across every same-user click in the preceding 12 h, and each
+    click accumulates its credits — the fairer sibling of the last-touch
+    model (`attribution_click_purchase` counts pairs; this one divides
+    money). Marketing's default when no position model is trusted.
+
+    Same scalable join shape as the batch interval join: both thin
+    streams shuffle once on user_id and the 12 h bound is the join
+    residual; the per-purchase touch count is a window on the PAIRS
+    table partitioned by purchase (each purchase's pair group is small —
+    clicks-per-user-per-12h), and the final fold groups by click. The
+    division happens after counting, so credits sum exactly to attributed
+    revenue per purchase. ROUND(4) covers the credit summation order."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        epoch_us("ts").alias("p_us"),
+        F.col("value").alias("revenue"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        epoch_us("ts").alias("c_us"),
+    )
+    pairs = purchases.join(clicks, "user_id").where(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - 43_200_000_000)
+    )
+    share = pairs.select(
+        "c_id",
+        (
+            F.col("revenue")
+            / F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+        ).alias("credit"),
+    )
+    return share.groupBy(F.col("c_id").alias("click_event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+    )
