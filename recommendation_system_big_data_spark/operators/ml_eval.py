@@ -526,3 +526,98 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(pr / nr), 6).alias("woe"),
         F.round((pr - nr) * F.log(pr / nr), 6).alias("iv_contribution"),
     )
+
+
+_LOGREG_LR = 0.1
+
+_LOGREG_ORACLE = f"""
+WITH base AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+           value / 100.0 AS x1
+    FROM events
+), w1 AS (
+    SELECT 0 - {_LOGREG_LR} * AVG(1.0 * (0.5 - y)) AS w0,
+           0 - {_LOGREG_LR} * AVG(x1 * (0.5 - y)) AS w1
+    FROM base
+), w2 AS (
+    SELECT w1.w0 - {_LOGREG_LR} * AVG(
+               1.0 * (1.0 / (1.0 + EXP(-(w1.w0 + w1.w1 * x1))) - y)) AS w0,
+           w1.w1 - {_LOGREG_LR} * AVG(
+               x1 * (1.0 / (1.0 + EXP(-(w1.w0 + w1.w1 * x1))) - y)) AS w1
+    FROM base CROSS JOIN w1
+    GROUP BY w1.w0, w1.w1
+), w3 AS (
+    SELECT w2.w0 - {_LOGREG_LR} * AVG(
+               1.0 * (1.0 / (1.0 + EXP(-(w2.w0 + w2.w1 * x1))) - y)) AS w0,
+           w2.w1 - {_LOGREG_LR} * AVG(
+               x1 * (1.0 / (1.0 + EXP(-(w2.w0 + w2.w1 * x1))) - y)) AS w1
+    FROM base CROSS JOIN w2
+    GROUP BY w2.w0, w2.w1
+)
+SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+       ROUND(w0, 4) AS w0,
+       ROUND(w1, 4) AS w1,
+       ROUND((SELECT AVG(CASE WHEN (w3.w0 + w3.w1 * b.x1 > 0) = (b.y = 1.0)
+                              THEN 1.0 ELSE 0.0 END)
+              FROM base b), 6) AS train_accuracy
+FROM w3
+"""
+
+
+@register("ml_logreg_gd", oracle=_LOGREG_ORACLE, tags=("ml",))
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by batch gradient descent — 3 fixed full-batch
+    steps, lr=0.1, predicting purchase from the scaled event value —
+    iterative ML training expressed entirely as aggregate algebra: each
+    step is ONE keyless reduce (the gradient is an average of per-row
+    σ(w·x)−y terms) and the 2-weight model rides between steps as a
+    broadcast 1-row aggregate, never touching the driver.
+
+    This is the distributed-training shape in miniature: scan-bound,
+    fully partial-aggregable gradients, model state O(d) — exactly how a
+    parameter-server round works, minus the server. Fixed iteration
+    count keeps it oracle-expressible (the DuckDB oracle unrolls the
+    same 3 steps as CTE levels — same trick as graph_pagerank). The
+    closed-form sibling is ml_linreg_normal_eq; the evaluation ladder
+    (AUC/calibration/confusion) consumes this model's scores."""
+    base = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+    )
+    w = base.agg(
+        (F.lit(0) - _LOGREG_LR * F.avg(1.0 * (0.5 - F.col("y")))).alias("w0"),
+        (F.lit(0) - _LOGREG_LR * F.avg(F.col("x1") * (0.5 - F.col("y")))).alias(
+            "w1"
+        ),
+    )
+    for _ in range(2):
+        z = F.col("w0") + F.col("w1") * F.col("x1")
+        sig = 1.0 / (1.0 + F.exp(-z))
+        w = (
+            base.crossJoin(F.broadcast(w))
+            .groupBy("w0", "w1")
+            .agg(
+                F.avg(1.0 * (sig - F.col("y"))).alias("g0"),
+                F.avg(F.col("x1") * (sig - F.col("y"))).alias("g1"),
+            )
+            .select(
+                (F.col("w0") - _LOGREG_LR * F.col("g0")).alias("w0"),
+                (F.col("w1") - _LOGREG_LR * F.col("g1")).alias("w1"),
+            )
+        )
+    scored = base.crossJoin(F.broadcast(w))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.max("w0"), 4).alias("w0"),
+        F.round(F.max("w1"), 4).alias("w1"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("w0") + F.col("w1") * F.col("x1") > 0)
+                    == (F.col("y") == 1.0),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("train_accuracy"),
+    )

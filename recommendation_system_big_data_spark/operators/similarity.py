@@ -747,3 +747,96 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("mahalanobis_dist"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+
+
+def _centroid_literal(vals) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _sq_dist(vec: F.Column, cent: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("ml_kmeans_lloyd", oracle=None, tags=("similarity", "ml"))
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 3 fixed iterations) over the
+    embedding table — unsupervised clustering as pure DataFrame algebra,
+    the capability MLlib's KMeans wraps, re-expressed so every step's
+    scale shape is visible:
+
+    - init: the k lowest vec_ids' vectors (deterministic, no RNG);
+    - assign: squared distance to each of k BROADCAST centroid literals
+      via JVM-side zip_with/aggregate folds, argmin by least() + CASE
+      with lowest-cluster tiebreak — a narrow codegen'd map, no shuffle;
+    - update: posexplode the 64 dims and average per (cluster, dim) —
+      ONE map-side-combined groupBy of k×64 cells per iteration; the new
+      centroids collect to the driver (k×d doubles — the sanctioned
+      small-model collect, same as ALS factors / PCA components) and
+      re-broadcast as literals, ROUND(5)ed so run-to-run partition
+      summation order cannot flip assignments.
+
+    Per-iteration cluster sizes and inertia are exposed so the
+    monotone-descent property is checkable; ⊘ rows-only for the driver
+    (iterative argmin isn't SQL); tests/test_similarity.py gates
+    invariants (inertia non-increasing, k non-empty clusters,
+    determinism)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    init = [
+        [round(float(x), 5) for x in r["v"]]
+        for r in emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    ]
+    centroids = init
+    history = []
+    assigned = None
+    for it in range(_KMEANS_ITERS):
+        dists = [_sq_dist(F.col("v"), _centroid_literal(c)) for c in centroids]
+        best = F.least(*dists)
+        cluster = F.lit(None).cast("int")
+        for ci in range(_KMEANS_K - 1, -1, -1):
+            cluster = F.when(dists[ci] == best, ci).otherwise(cluster)
+        assigned = emb.select(
+            "vec_id", "v", cluster.alias("cluster"), best.alias("d2")
+        ).localCheckpoint()
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("d2"), 4).alias("inertia"),
+            )
+            .collect()
+        )
+        history.append(
+            {
+                "iteration": it,
+                "inertia": float(sum(r["inertia"] for r in stats)),
+            }
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in cells:
+            new_c[r["cluster"]][r["dim"]] = round(float(r["m"]), 5)
+        centroids = new_c
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )

@@ -178,3 +178,23 @@ def test_mahalanobis_outlier_invariants(spark, sf_dir):
     assert d[-1] >= np.sqrt(8) * 0.8, d[-1]  # top-20 above the bulk mean
     again = embedding_mahalanobis_outliers(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    """⊘ gates for ml_kmeans_lloyd: k non-empty clusters partitioning the
+    table, positive inertia, and determinism across runs (ROUND(5)
+    centroid re-broadcast makes assignments partition-order stable)."""
+    from recommendation_system_big_data_spark.operators.similarity import (
+        ml_kmeans_lloyd,
+        _KMEANS_K,
+    )
+
+    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert len(rows) == _KMEANS_K
+    total = sum(r["n_vectors"] for r in rows)
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == n_emb
+    assert all(r["n_vectors"] > 0 for r in rows)
+    assert all(r["inertia"] > 0 for r in rows)
+    again = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
