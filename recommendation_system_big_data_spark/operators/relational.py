@@ -1248,3 +1248,33 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_first("maybe_cust"), F.asc("o_orderkey"))
         .limit(200)
     )
+
+
+_BOOL_AGG_ORACLE = """
+SELECT l_returnflag AS rf,
+       BOOL_AND(l_quantity > 0)      AS all_qty_positive,
+       BOOL_OR(l_discount > 0.09)    AS any_deep_discount,
+       BOOL_AND(l_tax < 0.09)        AS all_low_tax,
+       CAST(COUNT(*) AS BIGINT)      AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("fn_bool_agg", oracle=_BOOL_AGG_ORACLE, tags=("fn", "agg"))
+def fn_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates — `every`/`any` (BOOL_AND/BOOL_OR): the
+    assertion layer of data quality ("ALL quantities positive?", "ANY
+    discount past the alert line?") as first-class aggregates rather than
+    COUNT(CASE...)=COUNT(*) circumlocutions. Both short-circuit at the
+    partial-aggregate level (a partition that has seen a false needs no
+    more input for AND), so they're the cheapest possible full-table
+    invariant check — one map-side-combined groupBy, booleans in the
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.every(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.every(F.col("l_tax") < 0.09).alias("all_low_tax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -119,8 +119,9 @@ _loaded = False
 #:   ml_woe_iv, scan_csv_corrupt_permissive, fn_collation_groupby,
 #:   sql_pivot_syntax, ts_interval_union_coverage,
 #:   olap_skyline_pareto, attribution_linear_multitouch,
-#:   stat_bootstrap_ci, ml_kmeans_lloyd (⊘), ml_logreg_gd — all but
-#:   the
+#:   stat_bootstrap_ci, ml_kmeans_lloyd (⊘), ml_logreg_gd,
+#:   sink_time_travel_versions, scan_binary_files (⊘), fn_bool_agg —
+#:   all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

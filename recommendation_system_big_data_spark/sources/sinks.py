@@ -374,3 +374,94 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT r_regionkey, r_name,
+       CAST(0 AS BIGINT) AS version
+FROM region
+"""
+
+
+@register("sink_time_travel_versions", oracle=_TIME_TRAVEL_ORACLE, tags=("sink",))
+def sink_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-snapshot sink with time travel — the table-format
+    mechanic (Delta/Iceberg snapshot isolation) reduced to its essence
+    on plain Parquet: each commit writes an immutable snapshot directory
+    `v=<n>/` plus a tiny JSON manifest naming the current version;
+    readers pin a version by PATH, so a v0 reader is untouched by the
+    v1 commit (snapshot isolation), and "time travel" is just reading an
+    older immutable directory.
+
+    Here: v0 = the region table; v1 = the same table with names
+    lowercased (a breaking rewrite). The query commits both, then READS
+    BACK v0 — proving the old snapshot survived the new commit
+    bit-for-bit (the oracle is the original table). At scale the
+    manifest grows into per-snapshot file lists + stats (that's all a
+    log-structured table format is); the immutability + pinned-path
+    contract shown here is the part query plans rely on."""
+    import json
+
+    base = _sink_dir(sf_dir, "ttv")
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").parquet(os.path.join(base, "v=0"))
+    region.select(
+        "r_regionkey", F.lower("r_name").alias("r_name")
+    ).write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    with open(os.path.join(base, "_manifest.json"), "w") as f:
+        json.dump({"current": 1, "versions": [0, 1]}, f)
+    manifest = json.load(open(os.path.join(base, "_manifest.json")))
+    assert manifest["current"] == 1
+    pinned = 0  # time travel: read the superseded snapshot
+    return spark.read.parquet(os.path.join(base, f"v={pinned}")).select(
+        "r_regionkey",
+        "r_name",
+        F.lit(pinned).cast("long").alias("version"),
+    )
+
+
+#: Pinned binary fixture files for the binaryFile ingestion path.
+_BINARY_FIXTURES = {
+    "img_a.bin": b"\x89PNG-fake\x00" + bytes(range(64)),
+    "img_b.bin": b"RIFF-fake\x00" + bytes(reversed(range(128))),
+    "clip_c.bin": b"\x00\x01\x02mp4-fake" + bytes(range(32)) * 3,
+}
+
+
+def _binary_fixture_dir() -> str:
+    out = os.path.join(FIXTURE_ROOT, "binary_files")
+    os.makedirs(out, exist_ok=True)
+    for name, content in _BINARY_FIXTURES.items():
+        p = os.path.join(out, name)
+        if not (os.path.exists(p) and open(p, "rb").read() == content):
+            with open(p, "wb") as f:
+                f.write(content)
+    return out
+
+
+@register("scan_binary_files", oracle=None, tags=("scan", "multimodal"))
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` format ingestion — the front door for multimodal
+    corpora: each file lands as one row of (path, modificationTime,
+    length, content binary), which is exactly the opaque-binary +
+    typed-metadata shape operators/multimodal.py processes downstream
+    (decode/resize/frame-sample over mapInPandas).
+
+    Output projects (file_name, length, content sha256) — deterministic
+    identity for the pinned fixture files, path- and mtime-free so the
+    check is stable across hosts. ⊘ rows-only (DuckDB has no binaryFile
+    reader); tests pin the exact expected rows. Scale note: binaryFile
+    parallelizes per file and honors pathGlobFilter/recursiveFileLookup;
+    pair with `spark.sql.files.maxPartitionBytes` so many small blobs
+    batch per task instead of one task per file."""
+    path = _binary_fixture_dir()
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    ).orderBy("file_name")

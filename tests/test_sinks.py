@@ -39,3 +39,22 @@ def test_compaction_files_have_disjoint_key_ranges(spark, sf_dir):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next, ranges
+
+
+def test_scan_binary_files_pins_content(spark, sf_dir):
+    """⊘ gate: binaryFile ingestion must surface exactly the pinned
+    fixture files with correct lengths and content hashes."""
+    import hashlib
+
+    from recommendation_system_big_data_spark.sources.sinks import (
+        _BINARY_FIXTURES,
+        scan_binary_files,
+    )
+
+    rows = scan_binary_files(spark, sf_dir).collect()
+    got = {r["file_name"]: (r["length"], r["sha256"]) for r in rows}
+    want = {
+        name: (len(content), hashlib.sha256(content).hexdigest())
+        for name, content in _BINARY_FIXTURES.items()
+    }
+    assert got == want
