@@ -621,3 +621,113 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("train_accuracy"),
     )
+
+
+_NDCG_ORACLE = """
+WITH ranked AS (
+    SELECT user_id,
+           CASE event_type WHEN 'purchase' THEN 2.0
+                           WHEN 'click' THEN 1.0 ELSE 0.0 END AS gain,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+           ) AS rn
+    FROM events
+), dcg AS (
+    SELECT user_id,
+           SUM(gain / (LN(rn + 1) / LN(2))) AS dcg3
+    FROM ranked WHERE rn <= 3 GROUP BY user_id
+), ideal AS (
+    SELECT user_id,
+           SUM(gain / (LN(irn + 1) / LN(2))) AS idcg3
+    FROM (
+        SELECT user_id, gain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY gain DESC, event_id ASC
+               ) AS irn
+        FROM (
+            SELECT user_id, event_id,
+                   CASE event_type WHEN 'purchase' THEN 2.0
+                                   WHEN 'click' THEN 1.0 ELSE 0.0 END AS gain
+            FROM events
+        )
+    ) WHERE irn <= 3
+    GROUP BY user_id
+), mrr AS (
+    SELECT user_id, MIN(rn) AS first_rel
+    FROM ranked WHERE gain > 0 GROUP BY user_id
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM dcg) AS BIGINT) AS n_users,
+    ROUND((SELECT AVG(CASE WHEN i.idcg3 > 0 THEN d.dcg3 / i.idcg3 ELSE 0 END)
+           FROM dcg d JOIN ideal i ON d.user_id = i.user_id), 6) AS mean_ndcg_3,
+    ROUND((SELECT AVG(1.0 / first_rel) FROM mrr), 6) AS mrr
+"""
+
+
+@register("ml_eval_ndcg_mrr", oracle=_NDCG_ORACLE, tags=("ml", "eval"))
+def ml_eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@3 and MRR — the graded and position-of-first-hit ranking
+    metrics completing the slate-eval ladder (P@k/R@k in
+    ml_eval_precision_at_k are binary and position-blind; NDCG discounts
+    by rank with graded gains purchase=2 > click=1, MRR cares only where
+    the first relevant item sits).
+
+    Two user-partitioned rankings share the same shuffle key (actual
+    order by score, ideal order by gain); DCG/IDCG fold per user, their
+    ratio macro-averages, and MRR is avg(1/min relevant rank). Gains are
+    small exact rationals over log2 — both engines compute identical
+    per-user terms, ROUND(6) covers the macro-average summation order."""
+    ev = load(spark, sf_dir, "events")
+    gain = (
+        F.when(F.col("event_type") == "purchase", 2.0)
+        .when(F.col("event_type") == "click", 1.0)
+        .otherwise(0.0)
+    )
+    ranked = ev.select(
+        "user_id",
+        gain.alias("gain"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("value"), F.asc("event_id")
+            )
+        )
+        .alias("rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                gain.desc(), F.asc("event_id")
+            )
+        )
+        .alias("irn"),
+    )
+    log2 = F.log(F.col("rn") + 1) / F.log(F.lit(2.0))
+    ilog2 = F.log(F.col("irn") + 1) / F.log(F.lit(2.0))
+    dcg = (
+        ranked.where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("gain") / log2).alias("dcg3"))
+    )
+    ideal = (
+        ranked.where(F.col("irn") <= 3)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("gain") / ilog2).alias("idcg3"))
+    )
+    mrr = (
+        ranked.where(F.col("gain") > 0)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("first_rel"))
+    )
+    nd = dcg.join(ideal, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("idcg3") > 0, F.col("dcg3") / F.col("idcg3")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("mean_ndcg_3"),
+    )
+    mr = mrr.agg(F.round(F.avg(1.0 / F.col("first_rel")), 6).alias("mrr"))
+    return nd.crossJoin(F.broadcast(mr))

@@ -1541,3 +1541,44 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_d"),
     )
     return d
+
+
+_PCTL_CONT_ORACLE = """
+SELECT l_returnflag AS rf,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_percentile_cont_interpolated", oracle=_PCTL_CONT_ORACLE, tags=("profile",)
+)
+def agg_percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles per group — pinning the
+    PERCENTILE_CONT linear-interpolation convention both engines share:
+    at quantile q over n sorted values the answer sits at fractional
+    index q·(n−1), interpolating between neighbors (the DISC convention —
+    pick an actual value — is pinned separately by
+    `agg_percentile_by_group` / the CDF path in `agg_summary`). Analysts
+    moving between engines hit this seam constantly; here it's an
+    asserted contract, not a hope.
+
+    Spark's `percentile` buffers the group's values to interpolate —
+    fine per-group at dimension-bounded cardinality (|returnflag| groups
+    here), NOT for keyless whole-table exactness at 100 TB; that regime
+    belongs to `agg_summary`'s CDF aggregation or the approx sketch
+    path. ROUND(4) covers interpolation arithmetic order."""
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D, 0.99D))"
+    )
+    return li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.round(F.element_at(pcts, 1), 4).alias("p25"),
+        F.round(F.element_at(pcts, 2), 4).alias("p50"),
+        F.round(F.element_at(pcts, 3), 4).alias("p90"),
+        F.round(F.element_at(pcts, 4), 4).alias("p99"),
+    )

@@ -415,3 +415,63 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_NOT_IN_NULL_ORACLE = """
+WITH probe AS (
+    SELECT c_custkey FROM customer
+), nullable_keys AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL SELECT NULL
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM probe
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM nullable_keys))
+         AS BIGINT) AS not_in_with_null,
+    CAST((SELECT COUNT(*) FROM probe p
+          WHERE NOT EXISTS (SELECT 1 FROM nullable_keys k
+                            WHERE k.o_custkey = p.c_custkey))
+         AS BIGINT) AS not_exists_with_null,
+    CAST((SELECT COUNT(*) FROM probe
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM nullable_keys
+                                  WHERE o_custkey IS NOT NULL))
+         AS BIGINT) AS not_in_null_filtered
+"""
+
+
+@register("sql_not_in_null_semantics", oracle=_NOT_IN_NULL_ORACLE, tags=("sql",))
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null footgun, pinned as an asserted contract: one NULL
+    in the subquery makes `NOT IN` three-valued-logic UNKNOWN for every
+    probe row — the count silently becomes 0 — while NOT EXISTS (null-
+    rejecting equality) and a null-filtered NOT IN return the real
+    anti-join answer. Standard SQL in both engines; the single most
+    common silent-wrong-answer migration bug, so the engine ships it as
+    a verified behavior, not folklore.
+
+    Plan note: NOT IN compiles to null-aware anti join (Spark:
+    NullAwareAnti, single-column only), strictly costlier than the
+    LeftAnti that NOT EXISTS / null-filtered NOT IN get — filter the
+    nulls and write NOT EXISTS at scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_nin")
+    return spark.sql(
+        """
+        WITH nullable_keys AS (
+            SELECT o_custkey FROM orders_nin WHERE o_orderpriority = '1-URGENT'
+            UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM customer_nin
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM nullable_keys))
+                 AS BIGINT) AS not_in_with_null,
+            CAST((SELECT COUNT(*) FROM customer_nin p
+                  WHERE NOT EXISTS (SELECT 1 FROM nullable_keys k
+                                    WHERE k.o_custkey = p.c_custkey))
+                 AS BIGINT) AS not_exists_with_null,
+            CAST((SELECT COUNT(*) FROM customer_nin
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM nullable_keys
+                                          WHERE o_custkey IS NOT NULL))
+                 AS BIGINT) AS not_in_null_filtered
+        """
+    )
