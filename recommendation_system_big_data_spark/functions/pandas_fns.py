@@ -495,3 +495,37 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > F.col("n_total") / 200.0)
         .select("token", "n")
     )
+
+
+_ARROW_UDF_ORACLE = """
+SELECT event_id,
+       ROUND(SQRT(ABS(value)) * 3.0 + 1.0, 6) AS scored
+FROM events
+"""
+
+
+@register("fn_arrow_python_udf", oracle=_ARROW_UDF_ORACLE, tags=("fn", "python"))
+def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4's `useArrow=True`) —
+    the middle rung of the Python-boundary ladder this package prices
+    end to end: row-at-a-time pickled UDFs (banned repo-wide) →
+    THIS (same scalar call signature, Arrow batch transfer, ~2-5×) →
+    vectorized pandas_udf (whole-series numpy, fn_pandas_udf_vectorized)
+    → built-ins (no boundary at all). Same deliberate-cost contract as
+    the pandas tier: the oracle IS the built-in expression, proving the
+    boundary adds no semantic drift, only transfer cost.
+
+    Defined as a nested closure so cloudpickle ships it by value — the
+    round driver's workers don't share the driver's sys.path
+    (tools/probe_foreign_cwd.py gates this)."""
+    import math
+
+    from pyspark.sql.functions import udf
+
+    def score(v):
+        return None if v is None else round(math.sqrt(abs(v)) * 3.0 + 1.0, 6)
+
+    arrow_score = udf(score, "double", useArrow=True)
+    return load(spark, sf_dir, "events").select(
+        "event_id", arrow_score("value").alias("scored")
+    )

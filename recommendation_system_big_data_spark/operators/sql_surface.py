@@ -475,3 +475,109 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS not_in_null_filtered
         """
     )
+
+
+_LISTAGG_ORACLE = """
+SELECT o_orderpriority AS priority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+           AS first_keys,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT o_orderpriority, o_orderkey,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ) AS rn
+    FROM orders
+) WHERE rn <= 5
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_listagg_within_group", oracle=_LISTAGG_ORACLE, tags=("sql", "agg"))
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4) — ordered string aggregation as
+    the ANSI spelling, vs the collect_list+array_join composition
+    `agg_collect_sorted` pins. The WITHIN GROUP order is part of the
+    result's VALUE, so unordered listagg is a determinism bug by
+    construction; here the order key is explicit and total.
+
+    The top-5-per-group window bounds the aggregated string (unbounded
+    listagg of a 100 TB group is an OOM wearing a function name — cap
+    the group first, always). One window + one groupBy on the same
+    partitioning."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS first_keys,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ) AS rn
+            FROM orders_la
+        ) WHERE rn <= 5
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_IDENTIFIER_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE, tags=("sql",))
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): template table/column NAMES from
+    parameters without string concatenation — the injection-safe half of
+    dynamic SQL that `sql_parameterized` (value parameters) can't cover,
+    because names aren't values. The parser resolves IDENTIFIER(:p) as
+    an identifier token, so `'region; DROP TABLE'` is a name lookup
+    failure, never a statement.
+
+    Templated multi-tenant / per-date table routing is the production
+    use: one statement text, N physical tables, plan cache friendly."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_idf")
+    return spark.sql(
+        "SELECT IDENTIFIER(:keycol) AS r_regionkey, r_name "
+        "FROM IDENTIFIER(:tbl)",
+        args={"tbl": "region_idf", "keycol": "r_regionkey"},
+    )
+
+
+_LATERAL_ALIAS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+       ROUND(ROUND(l_extendedprice * (1 - l_discount), 4) * (1 + l_tax), 4)
+           AS gross,
+       ROUND(ROUND(ROUND(l_extendedprice * (1 - l_discount), 4)
+             * (1 + l_tax), 4)
+             - ROUND(l_extendedprice * (1 - l_discount), 4), 4) AS tax_amount
+FROM lineitem
+WHERE l_quantity >= 49
+"""
+
+
+@register("sql_lateral_column_alias", oracle=_LATERAL_ALIAS_ORACLE, tags=("sql",))
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: a SELECT item referencing an alias defined
+    EARLIER IN THE SAME SELECT (net → gross → tax_amount), instead of
+    nesting three subqueries or repeating the expression tree. Catalyst
+    inlines the chain at analysis — the physical plan is identical to
+    the written-out form (the oracle spells the expansion), so the
+    feature is free; it exists to stop copy-paste drift between repeated
+    subexpressions, which at 3 levels deep is where bugs live."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lca")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+               ROUND(net * (1 + l_tax), 4) AS gross,
+               ROUND(gross - net, 4) AS tax_amount
+        FROM lineitem_lca
+        WHERE l_quantity >= 49
+        """
+    )

@@ -122,7 +122,9 @@ _loaded = False
 #:   stat_bootstrap_ci, ml_kmeans_lloyd (⊘), ml_logreg_gd,
 #:   sink_time_travel_versions, scan_binary_files (⊘), fn_bool_agg,
 #:   ml_eval_ndcg_mrr, agg_percentile_cont_interpolated,
-#:   sql_not_in_null_semantics — all but the
+#:   sql_not_in_null_semantics, agg_listagg_within_group,
+#:   sql_identifier_clause, sql_lateral_column_alias,
+#:   fn_arrow_python_udf — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
