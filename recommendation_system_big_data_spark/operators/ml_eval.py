@@ -731,3 +731,150 @@ def ml_eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mr = mrr.agg(F.round(F.avg(1.0 / F.col("first_rel")), 6).alias("mrr"))
     return nd.crossJoin(F.broadcast(mr))
+
+
+_NB_ORACLE = """
+WITH split AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS part
+    FROM documents
+), toks AS (
+    SELECT doc_id, lang, part, UNNEST(string_split(text, ' ')) AS tok
+    FROM split
+), toks_ne AS (
+    SELECT * FROM toks WHERE tok <> ''
+), class_tok AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks_ne WHERE part = 'train' GROUP BY lang, tok
+), class_tot AS (
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM class_tok GROUP BY lang
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+    FROM toks_ne WHERE part = 'train'
+), priors AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM split WHERE part = 'train' GROUP BY lang
+), prior_tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM priors
+), doc_tok AS (
+    SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks_ne WHERE part = 'test' GROUP BY doc_id, lang, tok
+), scored AS (
+    SELECT d.doc_id, d.true_lang, p.lang AS cand,
+           LN(p.n_docs / CAST(pt.n AS DOUBLE))
+           + SUM(d.tf * LN((COALESCE(ct.c, 0) + 1)
+                           / CAST(t.tot + vocab.v AS DOUBLE))) AS score
+    FROM doc_tok d
+    CROSS JOIN priors p
+    CROSS JOIN prior_tot pt
+    CROSS JOIN vocab
+    JOIN class_tot t ON t.lang = p.lang
+    LEFT JOIN class_tok ct ON ct.lang = p.lang AND ct.tok = d.tok
+    GROUP BY d.doc_id, d.true_lang, p.lang, p.n_docs, pt.n
+), best AS (
+    SELECT doc_id, true_lang,
+           MIN(ROW(-score, cand)) AS r
+    FROM scored GROUP BY doc_id, true_lang
+)
+SELECT true_lang,
+       r[2] AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best
+GROUP BY true_lang, r[2]
+"""
+
+
+@register("ml_naive_bayes_langid", oracle=_NB_ORACLE, tags=("ml", "text"))
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train on the 80% md5
+    hash split, Laplace-smoothed per-class token likelihoods, classify
+    the held-out 20%, output the confusion cells — a full supervised
+    text-classification pipeline (fit → predict → evaluate) in pure
+    relational algebra, end-to-end oracle-checkable.
+
+    Scale shape: the model IS three aggregate tables — (class, token)
+    counts, class totals, priors — produced by one explode + groupBys on
+    the train split; scoring joins each test doc's (token, tf) rows
+    against the likelihood table on TOKEN (equi-join; the class list and
+    scalar totals ride along as broadcasts), folds Σ tf·log p per
+    (doc, class), and argmaxes with a (−score, class) struct-min — the
+    deterministic tiebreak. Nothing iterates; adding classes or tokens
+    changes table sizes, not plan shape. Laplace +1 keeps unseen-token
+    likelihoods finite; the LEFT JOIN supplies the zero-count rows."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "part",
+        F.when(portable_bucket(F.col("doc_id"), 100) < 80, "train").otherwise(
+            "test"
+        ),
+    )
+    toks = docs.select(
+        "doc_id", "lang", "part", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    train = toks.where(F.col("part") == "train")
+    class_tok = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    class_tot = class_tok.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    vocab = train.agg(F.countDistinct("tok").cast("long").alias("v"))
+    priors = (
+        docs.where(F.col("part") == "train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    prior_tot = priors.agg(F.sum("n_docs").cast("long").alias("n"))
+    doc_tok = (
+        toks.where(F.col("part") == "test")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cand = (
+        priors.join(F.broadcast(class_tot), "lang")
+        .crossJoin(F.broadcast(prior_tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand"),
+            "n_docs",
+            "tot",
+            "n",
+            "v",
+        )
+    )
+    likeli = class_tok.select(
+        F.col("lang").alias("cand"), "tok", "c"
+    )
+    scored = (
+        doc_tok.crossJoin(F.broadcast(cand))
+        .join(likeli, ["cand", "tok"], "left")  # vocab-sized: let AQE
+        # choose broadcast vs shuffle by stats — forcing broadcast would
+        # OOM at web-corpus vocabulary
+        .groupBy("doc_id", "true_lang", "cand", "n_docs", "n")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.log(F.col("n_docs") / F.col("n").cast("double")) + F.col("ll")
+            ).alias("score"),
+        )
+    )
+    best = scored.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("cand"))).alias("r")
+    )
+    return best.groupBy(
+        "true_lang", F.col("r.cand").alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -508,3 +508,63 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+_WOW_ORACLE = """
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT week_start,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       n_orders,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(LAG(rev) OVER (ORDER BY week_start) AS DOUBLE) - 1,
+             6) AS wow_growth,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(LAG(rev, 4) OVER (ORDER BY week_start) AS DOUBLE) - 1,
+             6) AS vs_4w_ago
+FROM weekly
+"""
+
+
+@register("ts_wow_growth", oracle=_WOW_ORACLE, tags=("window", "timeseries"))
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week and vs-4-weeks-ago growth rates of order revenue —
+    the exec-dashboard staple, with the week boundary pinned to ISO
+    Monday (`date_trunc('week')` agrees between the engines) so "this
+    week" means the same rows everywhere.
+
+    Fact → weekly grain in one map-side-combined groupBy (exact DECIMAL
+    revenue); both LAG offsets share the single ordered window over the
+    constant-sized weekly series. NULL growth on the first rows is kept
+    (no COALESCE-to-zero — a missing baseline is not 0% growth)."""
+    weekly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("week_start")
+    return weekly.select(
+        "week_start",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        "n_orders",
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1,
+            6,
+        ).alias("wow_growth"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.lag("rev", 4).over(w).cast("double")
+            - 1,
+            6,
+        ).alias("vs_4w_ago"),
+    )
