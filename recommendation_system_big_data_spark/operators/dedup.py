@@ -776,3 +776,55 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+_TEMPLATE_SKELETON_ORACLE = """
+WITH skel AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(text, '[a-zA-Z0-9]+', 'W', 'g')) AS skeleton
+    FROM documents
+), grp AS (
+    SELECT skeleton,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM skel GROUP BY skeleton
+)
+SELECT skeleton, n_docs, n_sources, exemplar_doc
+FROM grp WHERE n_docs > 1
+"""
+
+
+@register(
+    "text_template_skeleton_dedup",
+    oracle=_TEMPLATE_SKELETON_ORACLE,
+    tags=("dedup", "text"),
+)
+def text_template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-template detection: collapse every alphanumeric run to
+    a placeholder token, hash the remaining punctuation/whitespace
+    SKELETON, and group — documents generated from the same template
+    (error pages, product listings, license headers) collide even though
+    their exact-hash and near-dup signatures differ on every filled-in
+    value. The structural rung of the dedup ladder (exact → template →
+    n-gram/MinHash → embedding), and a C4-style crawl-cleanup pass.
+
+    One narrow regexp+md5 map, one map-side-combined groupBy on the
+    16-byte skeleton hash — the same scale shape as dedup_exact; emits
+    only colliding groups with a deterministic exemplar (min doc_id) and
+    the cross-source spread (a template spanning many sources is
+    boilerplate; one source, a crawl loop)."""
+    skel = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace("text", "[a-zA-Z0-9]+", "W")).alias("skeleton"),
+    )
+    return (
+        skel.groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -1582,3 +1582,72 @@ def agg_percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.element_at(pcts, 3), 4).alias("p90"),
         F.round(F.element_at(pcts, 4), 4).alias("p99"),
     )
+
+
+_IQR_ORACLE = """
+WITH q AS (
+    SELECT l_returnflag AS rf,
+           quantile_disc(l_extendedprice, 0.25) AS q1,
+           quantile_disc(l_extendedprice, 0.75) AS q3
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag AS rf,
+       ROUND(q.q1, 2) AS q1,
+       ROUND(q.q3, 2) AS q3,
+       ROUND(q.q3 - q.q1, 2) AS iqr,
+       CAST(COUNT(CASE WHEN li.l_extendedprice
+                            < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 END)
+            AS BIGINT) AS n_low_outliers,
+       CAST(COUNT(CASE WHEN li.l_extendedprice
+                            > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 END)
+            AS BIGINT) AS n_high_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem li JOIN q ON li.l_returnflag = q.rf
+GROUP BY li.l_returnflag, q.q1, q.q3
+"""
+
+
+@register("clean_outlier_iqr", oracle=_IQR_ORACLE, tags=("profile", "clean"))
+def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier census per group — the boxplot rule,
+    complementing the robust-MAD report (`agg_robust_mad_outliers`:
+    resistant to the outliers themselves) and the z-score filter
+    (`clean_outlier_filter`: assumes normality). Quartiles use the
+    DISCRETE convention (actual data values — engine-exact, no
+    interpolation arithmetic to diverge on; the CONT seam is pinned by
+    agg_percentile_cont_interpolated).
+
+    Two passes by necessity (fences depend on the quartiles): a per-group
+    quantile fold, broadcast back onto the scan, one counting aggregate.
+    At 100 TB swap pass one for the approx-sketch quantiles and keep
+    pass two unchanged — the fence census is the same plan either way."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        li.join(F.broadcast(q), li.l_returnflag == q.rf)
+        .groupBy(F.col("rf"), F.col("q1"), F.col("q3"))
+        .agg(
+            F.count(F.when(F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr, 1))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.count(F.when(F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr, 1))
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "rf",
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+            F.round(iqr, 2).alias("iqr"),
+            "n_low_outliers",
+            "n_high_outliers",
+            "n",
+        )
+    )

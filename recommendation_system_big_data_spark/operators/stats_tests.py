@@ -461,3 +461,102 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("boot_mean"), 6).alias("ci_lo"),
         F.round(F.max("boot_mean"), 6).alias("ci_hi"),
     )
+
+
+_KM_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           epoch_us(MAX(ts) - MIN(ts)) // 3600000000 AS duration_hours,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+), horizon AS (
+    SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events
+), labeled AS (
+    SELECT s.duration_hours,
+           CASE WHEN s.last_ts > h.cutoff THEN 0 ELSE 1 END AS died
+    FROM spans s CROSS JOIN horizon h
+), per_t AS (
+    SELECT duration_hours AS t,
+           CAST(SUM(died) AS BIGINT) AS d,
+           CAST(COUNT(*) - SUM(died) AS BIGINT) AS c
+    FROM labeled GROUP BY duration_hours
+), risk AS (
+    SELECT t, d, c,
+           CAST((SELECT COUNT(*) FROM labeled) AS BIGINT)
+           - COALESCE(CAST(SUM(d + c) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS n_at_risk
+    FROM per_t
+)
+SELECT t AS duration_hours, n_at_risk, d AS n_deaths, c AS n_censored,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )), 6) AS survival
+FROM risk
+WHERE n_at_risk > 0
+"""
+
+
+@register("ml_kaplan_meier", oracle=_KM_ORACLE, tags=("profile", "ml"))
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user lifetime (first→last event
+    span in hours), with right-censoring: users still active in the final
+    3 days of the observation window haven't "died", they're censored —
+    the correction every naive churn-duration average silently omits.
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+
+    Relational KM: users fold to (duration, died) in one groupBy (the
+    censoring horizon is a 1-row broadcast); the life table groups by
+    DISTINCT duration; at-risk counts come from a running sum over that
+    distinct-duration grain; and the product-limit estimator is
+    exp(running Σ ln(1−d/n)) — the log-sum trick that turns a running
+    PRODUCT (which neither engine has) into the running sum both have.
+    d, n are exact integers, the ln terms are identical doubles summed
+    in frame order → deterministic. Distinct-duration grain is bounded
+    by the observation window, not the user count."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.expr(
+            "timestampdiff(MICROSECOND, min(ts), max(ts)) div 3600000000"
+        ).alias("duration_hours"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAY")).alias("cutoff")
+    )
+    labeled = spans.crossJoin(F.broadcast(horizon)).select(
+        "duration_hours",
+        F.when(F.col("last_ts") > F.col("cutoff"), 0).otherwise(1).alias("died"),
+    )
+    per_t = labeled.groupBy(F.col("duration_hours").alias("t")).agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("long").alias("c"),
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    return risk.where(F.col("n_at_risk") > 0).select(
+        F.col("t").alias("duration_hours"),
+        "n_at_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+                ).over(run)
+            ),
+            6,
+        ).alias("survival"),
+    )

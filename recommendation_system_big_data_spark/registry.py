@@ -124,8 +124,9 @@ _loaded = False
 #:   ml_eval_ndcg_mrr, agg_percentile_cont_interpolated,
 #:   sql_not_in_null_semantics, agg_listagg_within_group,
 #:   sql_identifier_clause, sql_lateral_column_alias,
-#:   fn_arrow_python_udf, ml_naive_bayes_langid, ts_wow_growth —
-#:   all but the
+#:   fn_arrow_python_udf, ml_naive_bayes_langid, ts_wow_growth,
+#:   ml_kaplan_meier, text_template_skeleton_dedup,
+#:   clean_outlier_iqr — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
