@@ -1651,3 +1651,43 @@ def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_MULTI_DISTINCT_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE))
+            AS BIGINT) AS n_active_days,
+       ROUND(SUM(DISTINCT ROUND(o_totalprice, 0)), 2) AS sum_distinct_rounded
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_multi_distinct_expand", oracle=_MULTI_DISTINCT_ORACLE, tags=("profile", "agg")
+)
+def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates over DIFFERENT columns in one query —
+    the shape that forces Catalyst's Expand rewrite: the input replicates
+    once per distinct-column group (grouping-id tagged), each replica
+    deduplicates on its own key, and a final aggregate stitches the
+    groups back together. One logical query, one pass over the scan, no
+    N separate jobs — but the shuffle carries ~(#distinct-groups)× the
+    rows, which is the documented cost to weigh against approx_distinct
+    sketches (`agg_hll_sketch_merge`) when exactness isn't required.
+
+    COUNT(*) rides along free (it attaches to any replica); SUM(DISTINCT)
+    rounds its operand FIRST so the distinct set itself is engine-exact."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.countDistinct(F.to_date("o_orderdate")).cast("long").alias(
+            "n_active_days"
+        ),
+        F.round(
+            F.sum_distinct(F.round("o_totalprice", 0)), 2
+        ).alias("sum_distinct_rounded"),
+    )

@@ -560,3 +560,62 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+_EFFECT_SIZE_ORACLE = """
+WITH g AS (
+    SELECT
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+        AVG(CASE WHEN event_type = 'click' THEN value END)               AS m_a,
+        VAR_SAMP(CASE WHEN event_type = 'click' THEN value END)          AS v_a,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+        AVG(CASE WHEN event_type = 'purchase' THEN value END)            AS m_b,
+        VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END)       AS v_b
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+)
+SELECT n_a, n_b,
+       ROUND((m_a - m_b)
+             / SQRT(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)),
+             4) AS cohens_d,
+       ROUND(((m_a - m_b)
+              / SQRT(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)))
+             * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 4) AS hedges_g
+FROM g
+"""
+
+
+@register("stat_effect_sizes", oracle=_EFFECT_SIZE_ORACLE, tags=("profile", "experiment"))
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g (small-sample-corrected) for the click vs
+    purchase value gap — the companion `stat_ttest_welch` needs at scale:
+    with 10⁹ rows EVERYTHING is "significant"; the effect size says
+    whether the difference is worth acting on (|d| ≈ 0.2 small / 0.5
+    medium / 0.8 large). Same one-scan conditional-aggregate fold as the
+    t-test (pooled rather than Welch variance, per the d definition);
+    the g correction 1 − 3/(4N−9) is scalar algebra on the same row."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    a = F.when(F.col("event_type") == "click", F.col("value"))
+    b = F.when(F.col("event_type") == "purchase", F.col("value"))
+    g = ev.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.avg(a).alias("m_a"),
+        F.var_samp(a).alias("v_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.avg(b).alias("m_b"),
+        F.var_samp(b).alias("v_b"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (F.col("m_a") - F.col("m_b")) / pooled
+    corr = 1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(d, 4).alias("cohens_d"),
+        F.round(d * corr, 4).alias("hedges_g"),
+    )
