@@ -934,3 +934,275 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(F.broadcast(fit)).select(
         "n_types", "n_tokens", "zipf_slope", "fit_r2"
     )
+
+
+_CODE_DETECT_ORACLE = """
+WITH feats AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           length(regexp_replace(text, '[^{};()=<>\\[\\]]', '', 'g'))
+               AS n_code_chars,
+           len(regexp_extract_all(text, '(def |class |import |return |;$)'))
+               AS n_code_tokens,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(n_code_chars / GREATEST(n_chars, 1), 6) AS symbol_density,
+       CAST(n_code_tokens AS BIGINT) AS code_token_hits,
+       CASE WHEN n_code_chars / GREATEST(n_chars, 1) > 0.02
+              OR n_code_tokens >= 2
+            THEN 'code' ELSE 'prose' END AS detected_kind
+FROM feats
+"""
+
+
+@register("text_code_detection", oracle=_CODE_DETECT_ORACLE, tags=("text",))
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: symbol density ({};()=<>[] per char) plus
+    code-keyword hits — the routing signal a pretraining pipeline uses
+    to send documents down the code or natural-language branch (different
+    dedup thresholds, different quality filters, different tokenizer).
+    A deterministic heuristic like `text_lang_id`, and like it the point
+    is the distributed shape: two regexp folds per row, shuffle-free,
+    classification in a codegen'd CASE.
+
+    The thresholds are conservative (symbol-heavy math prose can cross
+    2%) — production stacks calibrate them per corpus with
+    `ml_eval_confusion` over a labeled sample, which is exactly the
+    composition this engine ships."""
+    t = load(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_code_chars = F.length(
+        F.regexp_replace("text", r"[^{};()=<>\[\]]", "")
+    )
+    n_code_tokens = F.size(
+        F.expr("regexp_extract_all(text, '(def |class |import |return |;$)', 1)")
+    )
+    density = n_code_chars / F.greatest(n_chars, F.lit(1.0))
+    return t.select(
+        "doc_id",
+        F.round(density, 6).alias("symbol_density"),
+        n_code_tokens.cast("long").alias("code_token_hits"),
+        F.when((density > 0.02) | (n_code_tokens >= 2), "code")
+        .otherwise("prose")
+        .alias("detected_kind"),
+    )
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bigrams AS (
+    SELECT LOWER(ts[i]) AS w1, LOWER(ts[i + 1]) AS w2
+    FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    WHERE ts[i] <> '' AND ts[i + 1] <> ''
+), big_counts AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM bigrams GROUP BY w1, w2
+), uni AS (
+    SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams GROUP BY w1
+), tot AS (
+    SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM big_counts
+)
+SELECT b.w1, b.w2, b.c12,
+       ROUND(LN((b.c12 / t.n) / ((u1.c / t.n) * (u2.c / t.n))), 4) AS pmi
+FROM big_counts b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot t
+WHERE b.c12 >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE, tags=("text",))
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information —
+    PMI = ln p(w₁w₂)/(p(w₁)p(w₂)) over the corpus bigram stream: the
+    association score behind multi-word-expression mining, tokenizer
+    merge candidates, and stop-phrase lists (raw bigram FREQUENCY,
+    `text_bigram_freq`, surfaces "of the"; PMI surfaces the pairs that
+    belong together). Min-count 5 kills the low-frequency PMI explosion.
+
+    In-row zip_with pairs the token stream (no self-join — same trick as
+    text_bigram_lm), bigram and unigram marginals are two groupBys of
+    the same stream, the PMI fold joins counts on their keys, and the
+    top-50 is TakeOrderedAndProject with a total tiebreak. Counts are
+    exact integers; one ln at the end, ROUND(4)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ts")
+    )
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                    F.slice(
+                        "ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(
+                        F.lower(a).alias("w1"), F.lower(b).alias("w2")
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    uni = bigrams.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = big_counts.agg(F.sum("c12").cast("double").alias("n"))
+    p12 = F.col("c12") / F.col("n")
+    p1 = F.col("u1c") / F.col("n")
+    p2 = F.col("u2c") / F.col("n")
+    return (
+        big_counts.where(F.col("c12") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("u1c")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("u2c")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.log(p12 / (p1 * p2)), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+#: 4 fixed ±1 hyperplanes over the 16 pseudo-embedding dims (sign-LSH).
+_RAG_PLANES = (
+    (1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1),
+    (-1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1),
+    (1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1),
+    (-1, -1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1),
+)
+
+
+def _rag_dim_sql(i: int) -> str:
+    """DuckDB expression for pseudo-embedding dim i of a chunk string
+    `ch`: portable md5 bucket of (chunk, dim) scaled into [-1, 1)."""
+    return (
+        f"(CAST(('0x' || substr(md5(ch || '_d{i}'), 1, 8)) AS BIGINT)"
+        f" % 2000) / 1000.0 - 1.0"
+    )
+
+
+def _rag_prep_oracle() -> str:
+    dims = ",\n           ".join(f"{_rag_dim_sql(i)} AS e{i}" for i in range(16))
+    bits = []
+    for j, plane in enumerate(_RAG_PLANES):
+        dot = " + ".join(
+            f"({w}) * e{i}" for i, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunked AS (
+    SELECT doc_id, g.i - 1 AS chunk_id,
+           array_to_string(t[(g.i - 1) * 48 + 1 : (g.i - 1) * 48 + 64], ' ')
+               AS ch
+    FROM docs,
+         UNNEST(generate_series(
+             1, CAST(CEIL(GREATEST(len(t) - 16, 1) / 48.0) AS BIGINT)
+         )) AS g(i)
+), embedded AS (
+    SELECT doc_id, chunk_id, ch,
+           {dims}
+    FROM chunked
+), bucketed AS (
+    SELECT doc_id, chunk_id, length(ch) AS chunk_chars,
+           {bucket} AS bucket
+    FROM embedded
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(chunk_chars AS DOUBLE)), 4) AS avg_chunk_chars
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register("pipeline_rag_prep", oracle=_rag_prep_oracle(), tags=("text", "pipeline"))
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus preparation end to end: chunk (64-token windows, stride
+    48 — text_chunk_documents' geometry) → embed → sign-LSH bucket →
+    per-bucket index stats. The retrieval-index build that pairs with
+    the ANN query side (`sim_topk_lsh`): buckets here ARE the posting
+    lists a query probes.
+
+    The embedding step uses a deterministic 16-dim hash embedding
+    (portable md5 bucket per (chunk, dim), scaled to [−1,1)) — a stand-in
+    with the exact schema/partitioning/arithmetic of a model embedding
+    but reproducible in ANY engine, which buys what a real encoder
+    can't: the ENTIRE pipeline, LSH bucketing included, is
+    oracle-checkable (the SQL oracle regenerates all 16 dims and all 4
+    hyperplane dot products from the same literals). Swap the hash dims
+    for a Pandas-UDF encoder batch and nothing downstream changes shape.
+
+    Plan: chunking is an in-row explode (no shuffle); dims and sign bits
+    are codegen'd arithmetic; the only exchange is the final groupBy on
+    the 16-value bucket key."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.size("t") - 16, F.lit(1)).cast("double") / 48.0
+    ).cast("long")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        "t",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(
+            F.slice(F.col("t"), F.col("chunk_id") * 48 + 1, 64), " "
+        ).alias("ch"),
+    )
+    dims = [
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("ch"), F.lit(f"_d{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2000
+            )
+            / 1000.0
+            - 1.0
+        ).alias(f"e{i}")
+        for i in range(16)
+    ]
+    embedded = chunked.select("doc_id", "chunk_id", F.length("ch").alias("chunk_chars"), *dims)
+    bucket = None
+    for j, plane in enumerate(_RAG_PLANES):
+        dot = None
+        for i, w in enumerate(plane):
+            term = F.lit(float(w)) * F.col(f"e{i}")
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        embedded.select(
+            "doc_id", "chunk_chars", bucket.cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("chunk_chars").cast("double")), 4).alias(
+                "avg_chunk_chars"
+            ),
+        )
+    )

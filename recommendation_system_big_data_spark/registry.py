@@ -127,7 +127,8 @@ _loaded = False
 #:   fn_arrow_python_udf, ml_naive_bayes_langid, ts_wow_growth,
 #:   ml_kaplan_meier, text_template_skeleton_dedup,
 #:   clean_outlier_iqr, agg_multi_distinct_expand,
-#:   stat_effect_sizes — all but the
+#:   stat_effect_sizes, text_code_detection, text_collocations_pmi,
+#:   pipeline_rag_prep — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
