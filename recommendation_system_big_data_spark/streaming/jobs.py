@@ -631,3 +631,96 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
         F.round(F.sum("credit"), 4).alias("attributed_revenue"),
     )
+
+
+def _ordered_stream_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Three-file streaming fixture with CONTROLLED arrival order:
+    00_head holds the LAST 20 days of history (its max event time sets
+    the watermark), 01_mid holds the single newest event again (a no-op
+    batch whose only job is to age the watermark one batch — Spark's
+    late-row FILTER uses the watermark with a one-batch lag: batch N
+    filters with the watermark that was operative in batch N-1, while
+    eviction/emission uses the freshly advanced value), and 02_late
+    replays the FIRST ~10 days — by then hopelessly behind the filtering
+    watermark, so every row is dropped (numRowsDroppedByWatermark).
+    File names and mtimes both ascend so FileStreamSource ordering is
+    unambiguous. Returns (dir, n_late_rows)."""
+    import time as _time
+
+    from recommendation_system_big_data_spark.sources.sinks import _sink_dir
+
+    out = _sink_dir(sf_dir, "latefix")
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 20 DAY")).alias("c"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    cutoff, mx = agg["c"], agg["mx"]
+    head = ev.where(F.col("ts") >= F.lit(cutoff))
+    mid = ev.where(F.col("ts") == F.lit(mx))
+    late = ev.where(F.col("ts") < F.lit(cutoff))
+    n_late = late.count()
+    head.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "h"))
+    mid.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "m"))
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "l"))
+    import glob
+    import shutil
+
+    os.makedirs(os.path.join(out, "stream"), exist_ok=True)
+    order = (
+        ("h", "00_head.parquet"),
+        ("m", "01_mid.parquet"),
+        ("l", "02_late.parquet"),
+    )
+    now = _time.time()
+    for i, (sub, name) in enumerate(order):
+        src = glob.glob(os.path.join(out, sub, "part-*.parquet"))[0]
+        dst = os.path.join(out, "stream", name)
+        shutil.copyfile(src, dst)
+        os.utime(dst, (now - 90 + i * 30, now - 90 + i * 30))
+    return os.path.join(out, "stream"), n_late
+
+
+@register("stream_watermark_late_drop", oracle=None, tags=("streaming",))
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics, demonstrated for real: three
+    micro-batches (maxFilesPerTrigger=1 over an order-pinned fixture) —
+    batch 0 carries the newest 20 days (advancing the watermark to
+    max(ts)−1d), batch 1 is a no-op that AGES that watermark one batch,
+    and batch 2 replays the oldest ~10 days, which are then dropped at
+    the stateful operator. The aging batch pins the subtle real
+    contract this build exhibits: the late-row FILTER applies the
+    watermark with a ONE-BATCH LAG (batch N filters with batch N−1's
+    operative watermark), while state eviction/append emission uses the
+    fresh value — so "one batch late" data is still aggregated (and its
+    window late-emitted), and only "two+ batches late" data drops. The
+    eviction half is what bounds state at 100 TB; the lag half is why
+    append-mode consumers must upsert by window key rather than assume
+    exactly-one-emission.
+
+    ⊘ rows-only; tests/test_streaming.py asserts the parity: emitted
+    windows equal the batch aggregation of the head data alone, the
+    dropped rows' early windows never appear, and those windows ARE
+    present in the no-watermark batch answer."""
+    ensure_runtime_conf(spark)
+    path, _ = _ordered_stream_fixture(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    ts = F.col("ts")
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    ev = raw.select(ts.alias("ts"), "event_type", "value").withWatermark(
+        "ts", "1 day"
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(epoch_s(F.col("w.start")).alias("window_start"), "n")
+    )
+    return run_stream_to_memory(
+        agg, spark, "rsbd_stream_late_drop", output_mode="append"
+    )

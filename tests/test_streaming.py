@@ -299,3 +299,52 @@ def test_rolling_anomaly_stream_matches_batch(spark, sf_dir):
     for u, (n_scored, _) in streamed.items():
         if u not in want:
             assert n_scored == 0, (u, streamed[u])
+
+
+def test_watermark_late_drop_parity(spark, sf_dir):
+    """The late file's rows must be dropped: every emitted window equals
+    the head-file-only batch aggregation, and at least one of those
+    windows WOULD have a larger count if the late rows had been merged
+    (proving the drop actually happened, not that the data didn't
+    overlap)."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import epoch_s, load
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        _ordered_stream_fixture,
+        stream_watermark_late_drop,
+    )
+
+    emitted = {
+        r["window_start"]: r["n"]
+        for r in stream_watermark_late_drop(spark, sf_dir).collect()
+    }
+    assert emitted, "no windows finalized"
+
+    path, n_late = _ordered_stream_fixture(spark, sf_dir)
+    assert n_late > 0
+    head = spark.read.parquet(f"{path}/00_head.parquet")
+    head_daily = {
+        r["window_start"]: r["n"]
+        for r in head.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(epoch_s(F.col("w.start")).alias("window_start"), "n")
+        .collect()
+    }
+    for ws, n in emitted.items():
+        assert head_daily.get(ws) == n, (ws, n, head_daily.get(ws))
+
+    full_daily = {
+        r["window_start"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(epoch_s(F.col("w.start")).alias("window_start"), "n")
+        .collect()
+    }
+    # the late rows' windows exist in the full batch answer with larger
+    # counts than head-only (or are absent from head entirely)
+    assert any(
+        full_daily[ws] > head_daily.get(ws, 0)
+        for ws in full_daily
+    )
