@@ -167,3 +167,161 @@ def olap_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_price_bigger").isNull()
         | (F.col("price") < F.col("best_price_bigger"))
     ).select("size", "price", "p_partkey")
+
+
+_MTD_YTD_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+    FROM orders GROUP BY 1
+)
+SELECT day,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(rev) OVER (
+           PARTITION BY date_trunc('month', day) ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS mtd,
+       ROUND(CAST(SUM(rev) OVER (
+           PARTITION BY date_trunc('year', day) ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS ytd,
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY date_trunc('month', day))
+             AS DOUBLE), 2) AS month_total
+FROM daily
+"""
+
+
+@register("olap_mtd_ytd", oracle=_MTD_YTD_ORACLE, tags=("olap", "timeseries"))
+def olap_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date / year-to-date running revenue per day, plus the
+    month's final total on every row — the fiscal-calendar triptych
+    behind every finance dashboard ("where are we vs the month?").
+
+    Fact → daily grain once (exact DECIMAL sums); the MTD and YTD
+    windows PARTITION by the calendar period, so each running sum is
+    bounded by a month/year of days — never a global unpartitioned scan
+    even over decades of history, and Spark plans the three windows over
+    two sort orders on the same daily exchange. DECIMAL accumulation
+    keeps every running value engine-exact; the final ROUND is
+    presentation only."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    mtd = (
+        Window.partitionBy(F.date_trunc("month", "day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ytd = (
+        Window.partitionBy(F.date_trunc("year", "day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mtot = Window.partitionBy(F.date_trunc("month", "day"))
+    return daily.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(mtd).cast("double"), 2).alias("mtd"),
+        F.round(F.sum("rev").over(ytd).cast("double"), 2).alias("ytd"),
+        F.round(F.sum("rev").over(mtot).cast("double"), 2).alias("month_total"),
+    )
+
+
+_PVM_ORACLE = """
+WITH bounds AS (
+    SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS split_at FROM orders
+), labeled AS (
+    SELECT c.c_mktsegment AS segment,
+           CASE WHEN o.o_orderdate >= b.split_at THEN 'cur' ELSE 'prev' END
+               AS period,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN bounds b
+    WHERE o.o_orderdate >= b.split_at - INTERVAL 365 DAY
+), per AS (
+    SELECT segment, period,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DECIMAL(28,2)) AS rev
+    FROM labeled GROUP BY segment, period
+), wide AS (
+    SELECT segment,
+           MAX(CASE WHEN period = 'prev' THEN n END) AS n0,
+           MAX(CASE WHEN period = 'cur' THEN n END) AS n1,
+           CAST(MAX(CASE WHEN period = 'prev' THEN rev END) AS DOUBLE) AS r0,
+           CAST(MAX(CASE WHEN period = 'cur' THEN rev END) AS DOUBLE) AS r1
+    FROM per GROUP BY segment
+)
+SELECT segment, n0, n1,
+       ROUND(r1 - r0, 2) AS delta_rev,
+       ROUND((n1 - n0) * (r0 / n0), 2) AS volume_effect,
+       ROUND(n1 * (r1 / n1 - r0 / n0), 2) AS price_effect
+FROM wide
+"""
+
+
+@register("olap_price_volume_mix", oracle=_PVM_ORACLE, tags=("olap",))
+def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of year-over-year revenue change per
+    segment: ΔRev = (Δn)·p₀ + n₁·(Δp) — the finance bridge that answers
+    "did we sell MORE orders or BIGGER orders?", exactly (the two
+    effects sum to the delta by construction, no residual term).
+
+    One broadcast dim join + one (segment, period) groupBy; the
+    last-365-days window anchors on MAX(o_orderdate) (a 1-row broadcast)
+    so the query is calendar-independent; the pivot to wide and the
+    effect algebra run on |segments| rows. DECIMAL sums → exact deltas
+    before the display rounding."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    bounds = load(spark, sf_dir, "orders").agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAY")).alias("split_at")
+    )
+    labeled = (
+        load(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            F.col("o_orderdate")
+            >= F.col("split_at") - F.expr("INTERVAL 365 DAY")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "segment",
+            F.when(F.col("o_orderdate") >= F.col("split_at"), "cur")
+            .otherwise("prev")
+            .alias("period"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    per = labeled.groupBy("segment", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").cast("decimal(28,2)").alias("rev"),
+    )
+    wide = per.groupBy("segment").agg(
+        F.max(F.when(F.col("period") == "prev", F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("period") == "cur", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("period") == "prev", F.col("rev")))
+        .cast("double")
+        .alias("r0"),
+        F.max(F.when(F.col("period") == "cur", F.col("rev")))
+        .cast("double")
+        .alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("n0")
+    p1 = F.col("r1") / F.col("n1")
+    return wide.select(
+        "segment",
+        "n0",
+        "n1",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
+        F.round((F.col("n1") - F.col("n0")) * p0, 2).alias("volume_effect"),
+        F.round(F.col("n1") * (p1 - p0), 2).alias("price_effect"),
+    )

@@ -1691,3 +1691,50 @@ def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.round("o_totalprice", 0)), 2
         ).alias("sum_distinct_rounded"),
     )
+
+
+_FEATURE_SCALING_ORACLE = """
+WITH stats AS (
+    SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+           quantile_disc(c_acctbal, 0.25) AS q1,
+           quantile_disc(c_acctbal, 0.50) AS med,
+           quantile_disc(c_acctbal, 0.75) AS q3
+    FROM customer
+)
+SELECT c.c_custkey,
+       ROUND((c.c_acctbal - s.mn) / (s.mx - s.mn), 6) AS minmax_scaled,
+       ROUND((c.c_acctbal - s.med) / (s.q3 - s.q1), 6) AS robust_scaled
+FROM customer c CROSS JOIN stats s
+"""
+
+
+@register("ml_feature_scaling", oracle=_FEATURE_SCALING_ORACLE, tags=("ml", "feature"))
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max and robust (median/IQR) feature scaling — the two scalers
+    that complete the normalization kit around the z-score standardizer
+    (`embedding_standardize`): min-max for bounded [0,1] inputs, robust
+    when outliers make mean/std lie. Quantiles use the DISCRETE
+    convention so the scaling constants are actual data values —
+    engine-exact without interpolation arithmetic.
+
+    The stats fold is one keyless reduce (min/max/3 quantiles in a
+    single aggregate); scaling is a narrow codegen'd projection under a
+    1-row broadcast. Same fit-then-transform shape as every sklearn
+    scaler, with the 'model' being one Row."""
+    cust = load(spark, sf_dir, "customer")
+    stats = cust.agg(
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)").alias("med"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").alias("q3"),
+    )
+    return cust.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        F.round(
+            (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+        ).alias("minmax_scaled"),
+        F.round(
+            (F.col("c_acctbal") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+        ).alias("robust_scaled"),
+    )

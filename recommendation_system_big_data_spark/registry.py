@@ -128,7 +128,8 @@ _loaded = False
 #:   ml_kaplan_meier, text_template_skeleton_dedup,
 #:   clean_outlier_iqr, agg_multi_distinct_expand,
 #:   stat_effect_sizes, text_code_detection, text_collocations_pmi,
-#:   pipeline_rag_prep, stream_watermark_late_drop (⊘) — all but the
+#:   pipeline_rag_prep, stream_watermark_late_drop (⊘), olap_mtd_ytd,
+#:   olap_price_volume_mix, ml_feature_scaling — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
