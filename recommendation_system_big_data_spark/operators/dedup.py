@@ -828,3 +828,118 @@ def text_template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH counts AS (
+    SELECT source,
+           md5(lower(array_to_string(string_split(text, ' ')[1:17], ' ')))
+               AS h,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY source,
+             md5(lower(array_to_string(string_split(text, ' ')[1:17], ' ')))
+), sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM counts
+    GROUP BY source
+), cross_pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_hashes
+    FROM counts a JOIN counts b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+), diag AS (
+    SELECT source AS source_a, source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_hashes
+    FROM counts WHERE n >= 2 GROUP BY source
+), allp AS (
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
+)
+SELECT p.source_a, p.source_b, p.shared_hashes,
+       ROUND(p.shared_hashes
+             / CAST(LEAST(sa.n_hashes, sb.n_hashes) AS DOUBLE), 6)
+           AS containment
+FROM allp p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
+@register(
+    "dedup_source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE, tags=("dedup",)
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-duplication matrix over the 16-word-prefix fingerprint
+    (lowercased head hash — the cheap first-pass near-exact key crawl
+    pipelines dedup on before anything expensive runs; this corpus has
+    no FULL-text duplicates, but heads collide): off-diagonal cells
+    count fingerprints shared BETWEEN two sources (which crawls re-crawl each other;
+    where mixture weights double-count), the diagonal counts hashes
+    duplicated WITHIN a source (internal crawl loops) — the
+    corpus-planning view over the dedup machinery, per-pair twin of
+    `dedup_incremental_exact` and coarse preview of `dedup_containment`.
+    Containment = shared / distinct-hash count of the smaller side.
+
+    Equi-join shaped throughout: one (source, hash) groupBy, cross
+    pairs form on the HASH key (fan-out bounded by per-hash source
+    count — the true overlap cardinality, not an all-pairs scan), the
+    diagonal is a filter on the same counts table, and sizes join back
+    on the tiny source dimension."""
+    head = F.md5(
+        F.lower(F.array_join(F.slice(F.split("text", " "), 1, 16), " "))
+    )
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", head.alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sizes = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_hashes"))
+    )
+    diag = (
+        counts.where(F.col("n") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_hashes"))
+        .select("source_a", F.col("source_a").alias("source_b"), "shared_hashes")
+    )
+    allp = cross.unionByName(diag)
+    return (
+        allp.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_hashes").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_hashes").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_hashes",
+            F.round(
+                F.col("shared_hashes") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

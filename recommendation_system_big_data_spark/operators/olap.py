@@ -325,3 +325,106 @@ def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n1") - F.col("n0")) * p0, 2).alias("volume_effect"),
         F.round(F.col("n1") * (p1 - p0), 2).alias("price_effect"),
     )
+
+
+_RANK_MOVERS_ORACLE = """
+WITH bounds AS (
+    SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS split_at FROM orders
+), seg AS (
+    SELECT l.l_partkey AS part,
+           CASE WHEN o.o_orderdate >= b.split_at THEN 'cur' ELSE 'prev' END
+               AS period,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    CROSS JOIN bounds b
+    WHERE o.o_orderdate >= b.split_at - INTERVAL 365 DAY
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT part, period,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY period ORDER BY rev DESC, part ASC
+           ) AS BIGINT) AS rnk
+    FROM seg
+), wide AS (
+    SELECT part,
+           MAX(CASE WHEN period = 'prev' THEN rnk END) AS rank_prev,
+           MAX(CASE WHEN period = 'cur' THEN rnk END) AS rank_cur
+    FROM ranked GROUP BY part
+)
+SELECT CAST(part AS BIGINT) AS part,
+       rank_prev, rank_cur,
+       rank_prev - rank_cur AS rank_gain
+FROM wide
+WHERE rank_prev IS NOT NULL AND rank_cur IS NOT NULL
+ORDER BY ABS(rank_prev - rank_cur) DESC, part ASC
+LIMIT 25
+"""
+
+
+@register("olap_rank_movers", oracle=_RANK_MOVERS_ORACLE, tags=("olap",))
+def olap_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 rank movers: parts whose revenue RANK shifted most between
+    the prior and current 365-day period — the "what changed?" dashboard
+    view that absolute deltas miss (a small SKU jumping 200 ranks is
+    news; the #1 SKU growing 3% isn't). Complements
+    `olap_price_volume_mix` (why the totals moved) with WHO moved.
+
+    Fact joins orders once (the date filter pushes to both scans), folds
+    to the (part, period) grain, and each period's ranking is one
+    Window over the PART dimension partitioned by period. The top-25 by
+    absolute shift is TakeOrderedAndProject with a total tiebreak;
+    parts present in only one period drop out (new/retired SKUs are a
+    different report)."""
+    bounds = load(spark, sf_dir, "orders").agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAY")).alias("split_at")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    seg = (
+        load(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            F.col("o_orderdate")
+            >= F.col("split_at") - F.expr("INTERVAL 365 DAY")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.when(F.col("o_orderdate") >= F.col("split_at"), "cur")
+            .otherwise("prev")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    ranked = seg.select(
+        "part",
+        "period",
+        F.row_number()
+        .over(
+            Window.partitionBy("period").orderBy(F.desc("rev"), F.asc("part"))
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    wide = ranked.groupBy("part").agg(
+        F.max(F.when(F.col("period") == "prev", F.col("rnk"))).alias("rank_prev"),
+        F.max(F.when(F.col("period") == "cur", F.col("rnk"))).alias("rank_cur"),
+    )
+    return (
+        wide.where(
+            F.col("rank_prev").isNotNull() & F.col("rank_cur").isNotNull()
+        )
+        .select(
+            F.col("part").cast("long").alias("part"),
+            "rank_prev",
+            "rank_cur",
+            (F.col("rank_prev") - F.col("rank_cur")).alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), F.asc("part"))
+        .limit(25)
+    )

@@ -619,3 +619,63 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 4).alias("cohens_d"),
         F.round(d * corr, 4).alias("hedges_g"),
     )
+
+
+_POWER_ORACLE = """
+WITH g AS (
+    SELECT
+        AVG(CASE WHEN event_type = 'click' THEN value END)      AS m_a,
+        VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v_a,
+        AVG(CASE WHEN event_type = 'purchase' THEN value END)   AS m_b,
+        VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v_b
+    FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT ROUND(m_a - m_b, 4) AS observed_delta,
+       ROUND(SQRT((v_a + v_b) / 2), 4) AS pooled_sd,
+       CAST(CEIL(2 * ((v_a + v_b) / 2)
+                 * POW(1.959963985 + 0.8416212336, 2)
+                 / POW(m_a - m_b, 2)) AS BIGINT) AS n_per_arm_observed,
+       CAST(CEIL(2 * POW(1.959963985 + 0.8416212336, 2)
+                 / POW(0.2, 2)) AS BIGINT) AS n_per_arm_small_effect
+FROM g
+"""
+
+
+@register("stat_power_sample_size", oracle=_POWER_ORACLE, tags=("profile", "experiment"))
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size calculator: n per arm = 2σ²(z_{α/2}+z_β)²/δ²
+    for 80% power at α=0.05 (z constants 1.96, 0.8416 as literals —
+    neither engine has an inverse normal CDF, and hardcoding the two
+    canonical quantiles is what every power calculator does). σ² comes
+    from the LIVE data (the pooled variance of the two arms) and δ from
+    the observed gap, plus the standardized small-effect (d=0.2)
+    answer — the planning companion to `stat_ttest_welch` (read the
+    result) and `stat_effect_sizes` (judge the size): this one says how
+    long to run the NEXT test.
+
+    One conditional-aggregate reduce; everything after is scalar algebra
+    on a single row."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    a = F.when(F.col("event_type") == "click", F.col("value"))
+    b = F.when(F.col("event_type") == "purchase", F.col("value"))
+    g = ev.agg(
+        F.avg(a).alias("m_a"),
+        F.var_samp(a).alias("v_a"),
+        F.avg(b).alias("m_b"),
+        F.var_samp(b).alias("v_b"),
+    )
+    z2 = (1.959963985 + 0.8416212336) ** 2
+    pooled_var = (F.col("v_a") + F.col("v_b")) / 2
+    delta = F.col("m_a") - F.col("m_b")
+    return g.select(
+        F.round(delta, 4).alias("observed_delta"),
+        F.round(F.sqrt(pooled_var), 4).alias("pooled_sd"),
+        F.ceil(2 * pooled_var * F.lit(z2) / F.pow(delta, 2))
+        .cast("long")
+        .alias("n_per_arm_observed"),
+        F.ceil(2 * F.lit(z2) / F.lit(0.2**2)).cast("long").alias(
+            "n_per_arm_small_effect"
+        ),
+    )

@@ -129,7 +129,9 @@ _loaded = False
 #:   clean_outlier_iqr, agg_multi_distinct_expand,
 #:   stat_effect_sizes, text_code_detection, text_collocations_pmi,
 #:   pipeline_rag_prep, stream_watermark_late_drop (⊘), olap_mtd_ytd,
-#:   olap_price_volume_mix, ml_feature_scaling — all but the
+#:   olap_price_volume_mix, ml_feature_scaling,
+#:   stat_power_sample_size, dedup_source_overlap_matrix,
+#:   olap_rank_movers — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
