@@ -1278,3 +1278,61 @@ def fn_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("l_tax") < 0.09).alias("all_low_tax"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+_CALENDAR_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+           CAST(MAX(o_orderdate) AS DATE) AS mx
+    FROM orders
+), spine AS (
+    SELECT UNNEST(generate_series(bounds.mn, bounds.mx, INTERVAL 1 DAY))::DATE
+               AS d
+    FROM bounds
+)
+SELECT d AS date,
+       CAST(EXTRACT(year FROM d) AS INT) AS year,
+       CAST(EXTRACT(quarter FROM d) AS INT) AS quarter,
+       CAST(EXTRACT(month FROM d) AS INT) AS month,
+       CAST(dayofweek(d) + 1 AS INT) AS dow,
+       CAST(isodow(d) IN (6, 7) AS BOOLEAN) AS is_weekend,
+       CAST(EXTRACT(day FROM d) = 1 AS BOOLEAN) AS is_month_start,
+       CAST(d = last_day(d) AS BOOLEAN) AS is_month_end,
+       CAST(EXTRACT(doy FROM d) AS INT) AS day_of_year
+FROM spine
+"""
+
+
+@register("dim_calendar_build", oracle=_CALENDAR_ORACLE, tags=("fn", "dim"))
+def dim_calendar_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generator: a dense date spine spanning the fact
+    table's observed range, with the derived attributes every warehouse
+    date dimension carries (year/quarter/month, day-of-week, weekend and
+    month-boundary flags, day-of-year) — the join target that turns
+    "group by date_trunc" SQL into conformed-dimension star queries, and
+    the spine `ts_gapfill_ffill` densifies against.
+
+    The spine generates DISTRIBUTIVELY — sequence() between the observed
+    min/max (a 1-row broadcast) exploded into rows, never a driver loop;
+    attributes are narrow codegen'd expressions. A decade is ~3.7k rows:
+    always broadcastable, so at 100 TB this dimension costs nothing and
+    every calendar flag comes off the dim, not a per-row recompute over
+    the fact table."""
+    bounds = load(spark, sf_dir, "orders").agg(
+        F.min(F.to_date("o_orderdate")).alias("mn"),
+        F.max(F.to_date("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d")
+    )
+    return spine.select(
+        F.col("d").alias("date"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofweek("d").cast("int").alias("dow"),
+        F.expr("weekday(d) IN (5, 6)").alias("is_weekend"),
+        (F.dayofmonth("d") == 1).alias("is_month_start"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+        F.dayofyear("d").cast("int").alias("day_of_year"),
+    )

@@ -568,3 +568,51 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vs_4w_ago"),
     )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+), first_seen AS (
+    SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id
+)
+SELECT du.day,
+       CAST(COUNT(CASE WHEN du.day = fs.first_day THEN 1 END) AS BIGINT)
+           AS new_users,
+       CAST(COUNT(CASE WHEN du.day > fs.first_day THEN 1 END) AS BIGINT)
+           AS returning_users,
+       ROUND(COUNT(CASE WHEN du.day > fs.first_day THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS returning_share
+FROM du JOIN first_seen fs ON du.user_id = fs.user_id
+GROUP BY du.day
+"""
+
+
+@register(
+    "ts_new_vs_returning", oracle=_NEW_RETURNING_ORACLE, tags=("window", "timeseries")
+)
+def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning active users — the growth-accounting split
+    (is the DAU line new acquisition or retention?) that pairs with
+    `ts_rolling_active_users` (how many) and `cohort_retention` (how
+    long they stay).
+
+    Same dedup-first discipline as the WAU op: facts collapse to
+    (day, user) once; first-seen dates are one more groupBy of that
+    REDUCED grain; and the classification join runs (day,user)⋈(user) —
+    both sides already user-keyed, so Spark reuses the partitioning.
+    Integer counts throughout; the share division is the only double."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(first_seen, "user_id")
+    new = F.count(F.when(F.col("day") == F.col("first_day"), 1))
+    ret = F.count(F.when(F.col("day") > F.col("first_day"), 1))
+    return j.groupBy("day").agg(
+        new.cast("long").alias("new_users"),
+        ret.cast("long").alias("returning_users"),
+        F.round(ret / F.count(F.lit(1)).cast("double"), 6).alias(
+            "returning_share"
+        ),
+    )
