@@ -878,3 +878,81 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         "true_lang", F.col("r.cand").alias("predicted_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+_IPW_ORACLE = """
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+           o.o_totalprice AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), prop AS (
+    SELECT segment,
+           CAST(SUM(t) AS DOUBLE) / COUNT(*) AS p,
+           CAST(COUNT(*) AS BIGINT) AS n_seg
+    FROM base GROUP BY segment
+), scored AS (
+    SELECT b.t, b.y, p.p FROM base b JOIN prop p ON b.segment = p.segment
+    WHERE p.p > 0 AND p.p < 1
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(t) AS BIGINT) AS n_treated,
+    ROUND(AVG(CASE WHEN t = 1 THEN y END)
+          - AVG(CASE WHEN t = 0 THEN y END), 4) AS naive_diff,
+    ROUND(SUM(t * y / p) / SUM(t / p)
+          - SUM((1 - t) * y / (1 - p)) / SUM((1 - t) / (1 - p)), 4)
+        AS ipw_ate
+FROM scored
+"""
+
+
+@register("ml_ipw_ate", oracle=_IPW_ORACLE, tags=("ml", "experiment"))
+def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek
+    estimator): does urgent priority change order value once segment
+    composition is controlled for? Propensity = per-segment treatment
+    rate; each treated outcome reweights by 1/p, each control by
+    1/(1−p), and normalized weighted means difference out the effect —
+    the observational-causal baseline, with the naive (confounded)
+    difference alongside so the adjustment is visible.
+
+    Two passes by necessity (propensities then reweighting): a |segments|
+    propensity fold joined back as a broadcast, then ONE keyless reduce
+    carrying all four weighted sums. Degenerate propensities (0 or 1 —
+    no overlap) are excluded per positivity; the real-covariate version
+    swaps the segment rate for `ml_logreg_gd`'s scores and changes
+    nothing structurally."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "segment",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("t"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    prop = base.groupBy("segment").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    scored = base.join(F.broadcast(prop), "segment").where(
+        (F.col("p") > 0) & (F.col("p") < 1)
+    )
+    t, y, p = F.col("t"), F.col("y"), F.col("p")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.round(
+            F.avg(F.when(t == 1, y)) - F.avg(F.when(t == 0, y)), 4
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(t * y / p) / F.sum(t / p)
+            - F.sum((1 - t) * y / (1 - p)) / F.sum((1 - t) / (1 - p)),
+            4,
+        ).alias("ipw_ate"),
+    )

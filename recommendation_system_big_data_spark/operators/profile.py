@@ -1738,3 +1738,54 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
         ).alias("robust_scaled"),
     )
+
+
+_WEIGHTED_MOMENTS_ORACLE = """
+WITH w AS (
+    SELECT l_returnflag AS rf,
+           CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+           l_extendedprice AS x
+    FROM lineitem
+)
+SELECT rf,
+       ROUND(CAST(SUM(wt) AS DOUBLE), 2) AS total_weight,
+       ROUND(CAST(SUM(wt * x) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE), 4)
+           AS weighted_mean,
+       ROUND(
+           CAST(SUM(wt * x * x) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
+           - POW(CAST(SUM(wt * x) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE), 2),
+           4
+       ) AS weighted_var
+FROM w GROUP BY rf
+"""
+
+
+@register("agg_weighted_moments", oracle=_WEIGHTED_MOMENTS_ORACLE, tags=("profile", "agg"))
+def agg_weighted_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted mean and variance of price (weight = quantity)
+    per returnflag — "per UNIT shipped" moments, the aggregate
+    counterpart of `agg_weighted_percentile`'s order statistics (and the
+    same question `avg(price)` silently answers wrong: that's per LINE).
+    Var = E_w[x²] − E_w[x]², all three sums (Σw, Σwx, Σwx²) folding in
+    ONE map-side-combined aggregate — the textbook mergeable-moments
+    shape, so 100 TB costs one scan and a |groups|-row shuffle.
+
+    Weights ride as DECIMAL; the wx/wx² products are doubles (x is a
+    double measure), so ROUND(4) covers cross-engine summation order."""
+    li = load(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    x = F.col("l_extendedprice")
+    g = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.sum(wt).cast("double").alias("sw"),
+        F.sum(wt.cast("double") * x).alias("swx"),
+        F.sum(wt.cast("double") * x * x).alias("swx2"),
+    )
+    wmean = F.col("swx") / F.col("sw")
+    return g.select(
+        "rf",
+        F.round("sw", 2).alias("total_weight"),
+        F.round(wmean, 4).alias("weighted_mean"),
+        F.round(F.col("swx2") / F.col("sw") - F.pow(wmean, 2), 4).alias(
+            "weighted_var"
+        ),
+    )

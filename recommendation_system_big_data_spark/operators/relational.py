@@ -1336,3 +1336,85 @@ def dim_calendar_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
         F.dayofyear("d").cast("int").alias("day_of_year"),
     )
+
+
+_ROLE_PLAYING_ORACLE = """
+WITH bounds AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+           MAX(CAST(o_orderdate AS DATE)) AS mx
+    FROM orders
+), li AS (
+    SELECT o.o_orderdate, l.l_shipdate
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    CROSS JOIN bounds b
+    WHERE CAST(l.l_shipdate AS DATE) BETWEEN b.mn AND b.mx
+)
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(CASE WHEN date_trunc('month', l_shipdate)
+                            > date_trunc('month', o_orderdate)
+                  THEN 1 END) AS BIGINT) AS shipped_next_month,
+       CAST(COUNT(CASE WHEN isodow(CAST(l_shipdate AS DATE)) IN (6, 7)
+                  THEN 1 END) AS BIGINT) AS weekend_ships
+FROM li
+GROUP BY 1
+"""
+
+
+@register("join_role_playing_calendar", oracle=_ROLE_PLAYING_ORACLE, tags=("join", "dim"))
+def join_role_playing_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension: the SAME calendar dim (dim_calendar_build)
+    joined twice under two roles — order calendar and ship calendar — to
+    answer cross-role questions ("how many lines slipped past the order
+    month?", "what ships on weekends?"). The star-schema pattern where
+    one conformed dimension serves every date column via aliased joins,
+    instead of re-deriving calendar logic per fact column.
+
+    Both calendar joins are broadcasts of the always-tiny dim (two
+    aliased copies — Spark treats them as independent build sides); the
+    fact side is joined once to orders (AQE's call) and scanned once.
+    The oracle derives the same flags from calendar arithmetic directly,
+    proving the dim's attributes match the inline computation. The inner
+    calendar join scopes the report to ship dates INSIDE the calendar
+    window (a tail of lines ships after the last order date; a dim join
+    is also an implicit domain filter — pinned here, the classic silent
+    row-loss of star joins)."""
+    cal = dim_calendar_build(spark, sf_dir)
+    order_cal = F.broadcast(
+        cal.select(
+            F.col("date").alias("od"),
+            F.col("month").alias("order_month"),
+            F.col("year").alias("order_year"),
+        )
+    )
+    ship_cal = F.broadcast(
+        cal.select(
+            F.col("date").alias("sd"),
+            F.col("month").alias("ship_month"),
+            F.col("year").alias("ship_year"),
+            F.col("is_weekend").alias("ship_weekend"),
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", F.to_date("o_orderdate").alias("od")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(order_cal, "od")
+        .join(ship_cal, "sd")
+    )
+    slipped = (F.col("ship_year") * 12 + F.col("ship_month")) > (
+        F.col("order_year") * 12 + F.col("order_month")
+    )
+    return li.groupBy(F.col("order_month").cast("int").alias("order_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.when(slipped, 1)).cast("long").alias("shipped_next_month"),
+        F.count(F.when(F.col("ship_weekend"), 1)).cast("long").alias(
+            "weekend_ships"
+        ),
+    )
