@@ -956,3 +956,95 @@ def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ipw_ate"),
     )
+
+
+_LINEAR_ATTRIB_ORACLE = """
+WITH s AS (
+    SELECT COVAR_POP(l_quantity, l_quantity)      AS s11,
+           COVAR_POP(l_quantity, l_discount)      AS s12,
+           COVAR_POP(l_discount, l_discount)      AS s22,
+           COVAR_POP(l_extendedprice, l_quantity) AS sy1,
+           COVAR_POP(l_extendedprice, l_discount) AS sy2,
+           AVG(l_quantity)      AS mx1,
+           AVG(l_discount)      AS mx2,
+           AVG(l_extendedprice) AS my
+    FROM lineitem
+), coef AS (
+    SELECT mx1, mx2, my,
+           (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b1,
+           (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS b2
+    FROM s
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       ROUND(c.my, 4) AS baseline,
+       ROUND(c.b1 * (l.l_quantity - c.mx1), 4) AS contrib_quantity,
+       ROUND(c.b2 * (l.l_discount - c.mx2), 4) AS contrib_discount,
+       ROUND(c.my + c.b1 * (l.l_quantity - c.mx1)
+                  + c.b2 * (l.l_discount - c.mx2), 4) AS prediction,
+       ROUND(l.l_extendedprice, 4) AS actual
+FROM lineitem l CROSS JOIN coef c
+ORDER BY c.my + c.b1 * (l.l_quantity - c.mx1)
+           + c.b2 * (l.l_discount - c.mx2) DESC,
+         l.l_orderkey, l.l_linenumber
+LIMIT 20
+"""
+
+
+@register("ml_linear_attribution", oracle=_LINEAR_ATTRIB_ORACLE, tags=("ml", "eval"))
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature prediction attribution for the closed-form linear
+    model (`ml_linreg_normal_eq`'s coefficients): each prediction
+    decomposes EXACTLY as baseline (ȳ) + Σ bⱼ(xⱼ−x̄ⱼ) — the additive
+    explanation SHAP generalizes, exact (not sampled) for linear models
+    because the decomposition IS the model. Emits the top-20 highest
+    predictions with each feature's signed contribution next to the
+    actual — the "why is this forecast so high" view.
+
+    The model is a 1-row aggregate (covariance fold + 2×2 Cramer solve)
+    broadcast over the scoring scan; contributions are narrow codegen'd
+    algebra; top-20 is TakeOrderedAndProject on the unrounded prediction
+    with a total key tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.covar_pop("l_quantity", "l_quantity").alias("s11"),
+        F.covar_pop("l_quantity", "l_discount").alias("s12"),
+        F.covar_pop("l_discount", "l_discount").alias("s22"),
+        F.covar_pop("l_extendedprice", "l_quantity").alias("sy1"),
+        F.covar_pop("l_extendedprice", "l_discount").alias("sy2"),
+        F.avg("l_quantity").alias("mx1"),
+        F.avg("l_discount").alias("mx2"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    coef = s.select(
+        "mx1",
+        "mx2",
+        "my",
+        ((F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det).alias(
+            "b1"
+        ),
+        ((F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det).alias(
+            "b2"
+        ),
+    )
+    scored = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
+    ).crossJoin(F.broadcast(coef))
+    c1 = F.col("b1") * (F.col("l_quantity") - F.col("mx1"))
+    c2 = F.col("b2") * (F.col("l_discount") - F.col("mx2"))
+    pred = F.col("my") + c1 + c2
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("my", 4).alias("baseline"),
+            F.round(c1, 4).alias("contrib_quantity"),
+            F.round(c2, 4).alias("contrib_discount"),
+            F.round(pred, 4).alias("prediction"),
+            F.round("l_extendedprice", 4).alias("actual"),
+            pred.alias("_sort"),
+        )
+        .orderBy(F.desc("_sort"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .drop("_sort")
+    )

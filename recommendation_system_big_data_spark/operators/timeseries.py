@@ -616,3 +616,71 @@ def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_share"
         ),
     )
+
+
+_FORECAST_ORACLE = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS idx,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS rev
+    FROM events GROUP BY 1
+), fit AS (
+    SELECT regr_slope(rev, idx) AS b, regr_intercept(rev, idx) AS a,
+           MAX(idx) AS last_idx
+    FROM daily
+)
+SELECT CAST(DATE '1970-01-01' + INTERVAL (f.last_idx + h.h) DAY AS DATE)
+           AS forecast_day,
+       CAST(h.h AS BIGINT) AS horizon_days,
+       ROUND(f.a + f.b * (f.last_idx + h.h), 4) AS forecast_rev
+FROM fit f CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS h) h
+"""
+
+
+@register("ts_forecast_linear", oracle=_FORECAST_ORACLE, tags=("window", "timeseries"))
+def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day linear-trend revenue forecast: OLS of daily revenue on the
+    day index (regr_slope/regr_intercept — one aggregate fold), then the
+    fitted line extrapolated over a generated horizon — the
+    capacity-planning baseline every fancier forecaster must beat, and
+    the trend leg a seasonal forecast composes with `ts_seasonal_index`.
+
+    Fact → daily grain once (exact DECIMAL revenue); the fit is a 1-row
+    aggregate of that constant-sized series; the horizon is an exploded
+    literal sequence against the broadcast fit — forecasting N days is
+    O(N) rows of scalar algebra, no recursion, no driver loop."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "idx"
+            )
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    fit = daily.agg(
+        F.regr_slope("rev", "idx").alias("b"),
+        F.regr_intercept("rev", "idx").alias("a"),
+        F.max("idx").alias("last_idx"),
+    )
+    horizon = fit.select(
+        "a",
+        "b",
+        "last_idx",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+    )
+    return horizon.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), (F.col("last_idx") + F.col("h")).cast("int")
+        ).alias("forecast_day"),
+        F.col("h").cast("long").alias("horizon_days"),
+        F.round(
+            F.col("a") + F.col("b") * (F.col("last_idx") + F.col("h")), 4
+        ).alias("forecast_rev"),
+    )
