@@ -428,3 +428,113 @@ def olap_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_gain")).desc(), F.asc("part"))
         .limit(25)
     )
+
+
+_ABC_XYZ_ORACLE = """
+WITH weekly AS (
+    SELECT l.l_partkey AS part,
+           date_trunc('week', o.o_orderdate) AS wk,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+), per_part AS (
+    SELECT part,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           AVG(CAST(qty AS DOUBLE)) AS mean_q,
+           COALESCE(STDDEV_POP(CAST(qty AS DOUBLE)), 0) AS sd_q,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks
+    FROM weekly GROUP BY part
+), abc AS (
+    SELECT part, total_rev, mean_q, sd_q, n_weeks,
+           SUM(total_rev) OVER (
+               ORDER BY total_rev DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / SUM(total_rev) OVER () AS cum_share
+    FROM per_part
+), classed AS (
+    SELECT part,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+           CASE WHEN sd_q / mean_q < 0.5 THEN 'X'
+                WHEN sd_q / mean_q < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+           total_rev
+    FROM abc
+)
+SELECT abc, xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(total_rev), 2) AS class_rev
+FROM classed GROUP BY abc, xyz
+"""
+
+
+@register("olap_abc_xyz", oracle=_ABC_XYZ_ORACLE, tags=("olap",))
+def olap_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification: ABC by cumulative revenue share
+    (A = the SKUs carrying the first 80%), XYZ by demand variability
+    (weekly-quantity coefficient of variation: X predictable < 0.5, Z
+    erratic ≥ 1) — the 9-cell matrix that sets safety stock and
+    forecasting method per SKU class. Composes the Pareto machinery
+    (`window_cumulative_share`) with per-part demand moments.
+
+    Fact → (part, week) in one groupBy; per-part stats re-aggregate that
+    grain; the cumulative-share window runs on the PART dimension
+    (post-aggregation, with the bucketed prefix-sum fallback documented
+    there); the 9-cell rollup is constant. DECIMAL sums make cum_share
+    thresholds deterministic; CV's doubles only pick among 3 coarse
+    classes (boundaries at 0.5/1.0 — far from accumulated ε)."""
+    weekly = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev"),
+        )
+    )
+    per_part = weekly.groupBy("part").agg(
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.avg(F.col("qty").cast("double")).alias("mean_q"),
+        F.coalesce(
+            F.stddev_pop(F.col("qty").cast("double")), F.lit(0.0)
+        ).alias("sd_q"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
+    cum = Window.orderBy(F.desc("total_rev"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    abc = per_part.select(
+        "part",
+        "total_rev",
+        "mean_q",
+        "sd_q",
+        (F.sum("total_rev").over(cum) / F.sum("total_rev").over(tot)).alias(
+            "cum_share"
+        ),
+    )
+    cv = F.col("sd_q") / F.col("mean_q")
+    classed = abc.select(
+        "total_rev",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("total_rev"), 2).alias("class_rev"),
+    )

@@ -1418,3 +1418,70 @@ def join_role_playing_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weekend_ships"
         ),
     )
+
+
+_BAG_SET_OPS_ORACLE = """
+WITH a AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), b AS (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+), ea AS (
+    SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b
+), ia AS (
+    SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+    CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+    CAST((SELECT COUNT(*) FROM ea) AS BIGINT) AS except_all_rows,
+    CAST((SELECT COUNT(*) FROM ia) AS BIGINT) AS intersect_all_rows,
+    CAST((SELECT COUNT(DISTINCT o_custkey) FROM ea) AS BIGINT)
+        AS except_all_distinct
+"""
+
+
+@register("set_ops_bag_all", oracle=_BAG_SET_OPS_ORACLE, tags=("set",))
+def set_ops_bag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL
+    (`exceptAll`/`intersectAll`): multiplicity-aware difference and
+    intersection, where a key appearing 5× in A and 2× in B survives
+    EXCEPT ALL 3 times — reconciliation semantics (ledger vs ledger)
+    that the DISTINCT set ops (`set_except`/`set_intersect`) silently
+    collapse. Spark plans both as a count-compare aggregate + generate
+    (per-key min/difference of multiplicities), NOT an anti/semi join —
+    one shuffle per side on the key, replication by arithmetic.
+
+    Output folds both results to counts so the multiplicity arithmetic
+    (n_a − intersect_all = except_all) is visible and hash-stable."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    ea = a.exceptAll(b)
+    ia = a.intersectAll(b)
+    return (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(
+            F.broadcast(b.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                ea.agg(
+                    F.count(F.lit(1)).cast("long").alias("except_all_rows"),
+                    F.countDistinct("o_custkey")
+                    .cast("long")
+                    .alias("except_all_distinct"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ia.agg(
+                    F.count(F.lit(1)).cast("long").alias("intersect_all_rows")
+                )
+            )
+        )
+        .select(
+            "n_a", "n_b", "except_all_rows", "intersect_all_rows",
+            "except_all_distinct",
+        )
+    )

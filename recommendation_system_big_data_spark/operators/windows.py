@@ -1195,3 +1195,54 @@ def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("decile_rev").over(cum) / F.sum("decile_rev").over(tot), 6
         ).alias("cum_rev_share"),
     )
+
+
+_TIME_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS events_last_hour,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS value_last_hour
+FROM events
+"""
+
+
+@register(
+    "window_time_range_frame", oracle=_TIME_RANGE_FRAME_ORACLE, tags=("window",)
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frames: per event, the count and value-sum of
+    that user's events in the TRAILING HOUR — frames bounded by event
+    TIME, not row position, which is the semantics rate-limiters,
+    velocity features, and fraud scores actually need (a ROWS 20
+    PRECEDING frame spans wildly different durations per user;
+    `window_rolling_zscore` is that row-counted cousin).
+
+    One (user) shuffle + one sort serves both interval aggregates; the
+    frame scan is incremental within the partition (each row extends the
+    previous frame's bounds — O(n) per partition, not O(n·frame)).
+    DECIMAL value sums keep identical frame contents summing to
+    identical results on both engines. RANGE requires a single ORDER BY
+    key; ties (same user, same microsecond) share a frame by definition,
+    which is exactly the time semantics — no tiebreaker wanted."""
+    # INTERVAL frame bounds have no DataFrame-API spelling
+    # (rangeBetween takes longs) — SQL is the canonical form.
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_trf")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS events_last_hour,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS value_last_hour
+        FROM events_trf
+        """
+    )

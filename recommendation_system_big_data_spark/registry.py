@@ -133,7 +133,9 @@ _loaded = False
 #:   stat_power_sample_size, dedup_source_overlap_matrix,
 #:   olap_rank_movers, dim_calendar_build, ts_new_vs_returning,
 #:   join_role_playing_calendar, agg_weighted_moments, ml_ipw_ate,
-#:   ts_forecast_linear, ml_linear_attribution — all but the
+#:   ts_forecast_linear, ml_linear_attribution,
+#:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz — all
+#:   but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
