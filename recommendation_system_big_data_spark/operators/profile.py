@@ -1789,3 +1789,60 @@ def agg_weighted_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_var"
         ),
     )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH fences AS (
+    SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+           quantile_disc(o_totalprice, 0.95) AS hi
+    FROM orders
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(AVG(o.o_totalprice), 4) AS raw_mean,
+    ROUND(AVG(CASE WHEN o.o_totalprice BETWEEN f.lo AND f.hi
+                   THEN o.o_totalprice END), 4) AS trimmed_mean,
+    ROUND(AVG(LEAST(GREATEST(o.o_totalprice, f.lo), f.hi)), 4)
+        AS winsorized_mean,
+    CAST(COUNT(CASE WHEN o.o_totalprice NOT BETWEEN f.lo AND f.hi THEN 1 END)
+         AS BIGINT) AS n_outside
+FROM orders o CROSS JOIN fences f
+"""
+
+
+@register("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE, tags=("profile", "agg"))
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% trimmed and winsorized means of order value next to the raw
+    mean — the robust-location ladder: trimming DROPS the tails,
+    winsorizing CLAMPS them to the fences, and the gap between the
+    three numbers is itself the tail-heaviness diagnostic (all equal ⇒
+    clean; raw ≫ trimmed ⇒ a whale problem). Fences are DISCRETE 5/95
+    quantiles (actual data values — engine-exact, the same convention
+    as `clean_outlier_iqr`).
+
+    Two passes by necessity (fences, then one conditional-aggregate
+    reduce under the 1-row broadcast); at 100 TB pass one swaps to the
+    approx sketch and pass two is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    fences = o.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi"),
+    )
+    j = o.crossJoin(F.broadcast(fences))
+    inside = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+        F.round(F.avg(F.when(inside, F.col("o_totalprice"))), 4).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            F.avg(
+                F.least(
+                    F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+                )
+            ),
+            4,
+        ).alias("winsorized_mean"),
+        F.count(F.when(~inside, 1)).cast("long").alias("n_outside"),
+    )

@@ -679,3 +679,68 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_per_arm_small_effect"
         ),
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH pairs AS (
+    SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+), rx AS (
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+           COALESCE(CAST(SUM(COUNT(*)) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cb
+    FROM pairs GROUP BY x
+), ry AS (
+    SELECT y, CAST(COUNT(*) AS BIGINT) AS c,
+           COALESCE(CAST(SUM(COUNT(*)) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cb
+    FROM pairs GROUP BY y
+), ranked AS (
+    SELECT (rx.cb + (rx.c + 1) / 2.0) AS r_x,
+           (ry.cb + (ry.c + 1) / 2.0) AS r_y
+    FROM pairs p JOIN rx ON p.x = rx.x JOIN ry ON p.y = ry.y
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(r_x, r_y), 6) AS spearman_rho
+FROM ranked
+"""
+
+
+@register("stat_spearman_corr", oracle=_SPEARMAN_ORACLE, tags=("profile",))
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs price — Pearson on
+    MIDRANKS: monotone-association strength that ignores the marginal
+    shapes, robust where `agg_corr_matrix`'s Pearson is dragged by
+    outliers and curvature. ρ close to Pearson ⇒ the relationship is
+    linear; far apart ⇒ monotone-but-curved (use ranks downstream).
+
+    Same no-global-row-sort discipline as `stat_mann_whitney`: each
+    variable's midranks come from a distinct-VALUE fold + running count
+    on that reduced grain, then join back to the pair stream on the
+    value (broadcast-sized here; at scale both are hash equi-joins) and
+    one CORR fold finishes it. Midranks are exact halves of integers, so
+    the only doubles are CORR's own sums — ROUND(6)."""
+    pairs = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            pairs.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                col,
+                (
+                    F.coalesce(F.sum("c").over(w), F.lit(0))
+                    + (F.col("c") + 1) / 2.0
+                ).alias(f"r_{col}"),
+            )
+        )
+
+    ranked = pairs.join(midranks("x"), "x").join(midranks("y"), "y")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+    )

@@ -134,8 +134,8 @@ _loaded = False
 #:   olap_rank_movers, dim_calendar_build, ts_new_vs_returning,
 #:   join_role_playing_calendar, agg_weighted_moments, ml_ipw_ate,
 #:   ts_forecast_linear, ml_linear_attribution,
-#:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz — all
-#:   but the
+#:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz,
+#:   stat_spearman_corr, agg_trimmed_mean — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
