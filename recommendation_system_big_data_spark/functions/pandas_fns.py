@@ -529,3 +529,74 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", arrow_score("value").alias("scored")
     )
+
+
+_UDTF_TABLE_ORACLE = """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("fn_udtf_table_arg", oracle=_UDTF_TABLE_ORACLE, tags=("fn", "python"))
+def fn_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4):
+    `FROM udtf(TABLE(events) PARTITION BY user_id ORDER BY ...)` streams
+    each user's rows through a stateful Python class in event order —
+    the SQL-surface twin of applyInPandasWithState for BATCH, and the
+    shape for per-key sequential logic (here: longest inter-event gap)
+    when the caller lives in SQL, not the DataFrame API. The engine
+    handles the shuffle/sort from the PARTITION BY/ORDER BY clause; the
+    UDTF sees one ordered partition per key and may yield any number of
+    rows.
+
+    The class is defined INSIDE this function so cloudpickle ships it by
+    value (module-level classes pickle by reference and die on the round
+    driver's workers — same rule as every pandas fn here, gated by
+    tools/probe_foreign_cwd.py). The gap math uses integer microseconds;
+    the oracle is the LAG-window formulation — proving the sequential
+    Python and the relational spelling agree exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class UserGaps:
+        def __init__(self):
+            self.user = None
+            self.prev_us = None
+            self.n = 0
+            self.max_gap = None
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            us = row["us"]
+            if self.prev_us is not None:
+                gap = us - self.prev_us
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_us = us
+            self.n += 1
+
+        def terminate(self):
+            if self.user is not None and self.max_gap is not None:
+                yield self.user, self.n, self.max_gap
+
+    spark.udtf.register("rsbd_user_gaps", UserGaps)
+    load(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    ).createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        """
+        SELECT * FROM rsbd_user_gaps(
+            TABLE(events_udtf_src) PARTITION BY user_id ORDER BY (us, event_id)
+        )
+        """
+    )

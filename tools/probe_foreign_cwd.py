@@ -14,7 +14,7 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              "stream_stateful_user_stats", "fn_pandas_udf_vectorized", "grouped_pandas_slope",
              "fn_map_in_arrow", "fn_pandas_udf_iterator", "cogrouped_pandas_ratio",
              "fn_python_udtf", "scan_python_datasource", "fn_pandas_udaf_grouped",
-             "fn_arrow_python_udf",
+             "fn_arrow_python_udf", "fn_udtf_table_arg",
              "stream_rolling_anomaly"]:
     try:
         n = qs[name](spark, SF).count()
