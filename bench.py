@@ -99,6 +99,14 @@ HEADLINE = [
     "join_bloom_prefilter",
     "agg_weighted_percentile",
     "ts_max_drawdown",
+    # round-5c: the composed RAG index build (chunk→embed→LSH), the
+    # relational Naive Bayes fit/predict, the Poisson bootstrap's B-way
+    # explode, and the interval union sweep. First recorded run defines
+    # each baseline.
+    "pipeline_rag_prep",
+    "ml_naive_bayes_langid",
+    "stat_bootstrap_ci",
+    "ts_interval_union_coverage",
 ]
 
 
