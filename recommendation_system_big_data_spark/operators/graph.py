@@ -658,3 +658,70 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contribution"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_MAX_ITERS = 20
+
+
+@register("graph_kcore", oracle=None, tags=("graph",))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the part co-purchase graph: iterated
+    peeling — drop every node with degree < k, recompute degrees, repeat
+    to fixpoint — leaving the maximal subgraph where every node keeps ≥k
+    neighbors. The density filter community detection and fraud-ring
+    mining run first (PageRank finds IMPORTANT nodes; k-core finds
+    COHESIVE regions).
+
+    Same driver-looped fixpoint discipline as the connected-components
+    clustering (dedup.py): each peel is one degree aggregate + one semi
+    join on the edge list, `localCheckpoint` cuts lineage per round, and
+    the loop exits when the node count stops shrinking — the driver sees
+    only per-round COUNTS (scalars), never data. Peeling is monotone, so
+    rounds are bounded by the graph's degeneracy ordering depth, not
+    |V|. ⊘ rows-only (fixpoint iteration isn't SQL); test gates pin the
+    invariants: every surviving node has degree ≥ k within the core,
+    node counts shrink monotonically, deterministic."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = -1
+    for _ in range(_KCORE_MAX_ITERS):
+        deg = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("id").localCheckpoint()
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("id", "src"), "src", "semi"
+            )
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    core_deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return core_deg.orderBy(F.desc("core_degree"), F.asc("id")).limit(100)

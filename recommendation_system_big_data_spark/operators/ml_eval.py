@@ -1048,3 +1048,90 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_sort")
     )
+
+
+_LIFT_GAINS_ORACLE = """
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS score,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS n_pos
+    FROM events GROUP BY user_id
+), tiled AS (
+    SELECT n_pos,
+           NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+    FROM users
+), per AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_pos) AS BIGINT) AS n_purchases
+    FROM tiled GROUP BY decile
+)
+SELECT decile, n_users, n_purchases,
+       ROUND(CAST(SUM(n_purchases) OVER (
+                 ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / SUM(n_purchases) OVER (), 6) AS cum_gain,
+       ROUND((n_purchases / CAST(n_users AS DOUBLE))
+             / (SUM(n_purchases) OVER () / CAST(SUM(n_users) OVER () AS DOUBLE)),
+             6) AS lift
+FROM per
+"""
+
+
+@register("ml_eval_lift_gains", oracle=_LIFT_GAINS_ORACLE, tags=("ml", "eval"))
+def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative gains: users ranked by total event value
+    (the targeting score), cut into score deciles, and each decile's
+    purchase lift over the base rate plus the cumulative share of all
+    purchases captured — the campaign-targeting readout ("mail the top 3
+    deciles, get X% of buyers"). The threshold-free cousins of AUC: AUC
+    summarizes ONE number, the gains curve says where to cut.
+
+    Users fold from the fact stream in one groupBy (DECIMAL scores →
+    deterministic decile boundaries); NTILE runs on the user grain
+    (post-aggregation; same note as `window_cumulative_share`); the
+    final windows run on 10 rows. Counts exact; only the two ratios are
+    doubles."""
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("score"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    tiled = users.select(
+        "n_pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_pos").cast("long").alias("n_purchases"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_users",
+        "n_purchases",
+        F.round(
+            F.sum("n_purchases").over(cum).cast("double")
+            / F.sum("n_purchases").over(tot),
+            6,
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("n_purchases") / F.col("n_users").cast("double"))
+            / (
+                F.sum("n_purchases").over(tot)
+                / F.sum("n_users").over(tot).cast("double")
+            ),
+            6,
+        ).alias("lift"),
+    )

@@ -1846,3 +1846,79 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsorized_mean"),
         F.count(F.when(~inside, 1)).cast("long").alias("n_outside"),
     )
+
+
+_MONOTONIC_REPAIR_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - 2 * CASE WHEN event_type = 'error' THEN value ELSE 0 END
+               AS reading
+    FROM events
+), repaired AS (
+    SELECT user_id, reading,
+           MAX(reading) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS fixed
+    FROM c
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(COUNT(CASE WHEN reading < fixed THEN 1 END) AS BIGINT)
+           AS n_violations,
+       ROUND(MAX(fixed), 6) AS final_reading
+FROM repaired GROUP BY user_id
+"""
+
+
+@register("clean_monotonic_repair", oracle=_MONOTONIC_REPAIR_ORACLE, tags=("profile", "clean"))
+def clean_monotonic_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter repair: a cumulative meter (odometer, lifetime
+    spend, bytes-sent counter) must never decrease, but glitches and
+    resets make it dip; the standard repair is the running MAX, and the
+    dip count is the data-quality signal. The synthetic meter here is
+    the per-user cumulative value with 'error' events flipped negative —
+    a deterministic glitch injection both engines reproduce exactly.
+
+    Two stacked windows on one (user) partitioning+ordering — the same
+    single-exchange shape as `ts_max_drawdown` (drawdown measures the
+    dips; this op erases them) — then one per-user fold counting
+    violations. Fixed-order running sums/maxes ⇒ bit-identical doubles
+    across engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.sum("value").over(w)
+            - 2
+            * F.when(F.col("event_type") == "error", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("reading"),
+    )
+    repaired = c.select(
+        "user_id",
+        "reading",
+        F.max("reading")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("fixed"),
+    )
+    return repaired.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_readings"),
+        F.count(F.when(F.col("reading") < F.col("fixed"), 1))
+        .cast("long")
+        .alias("n_violations"),
+        F.round(F.max("fixed"), 6).alias("final_reading"),
+    )

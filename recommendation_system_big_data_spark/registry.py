@@ -135,8 +135,9 @@ _loaded = False
 #:   join_role_playing_calendar, agg_weighted_moments, ml_ipw_ate,
 #:   ts_forecast_linear, ml_linear_attribution,
 #:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz,
-#:   stat_spearman_corr, agg_trimmed_mean, fn_udtf_table_arg — all
-#:   but the
+#:   stat_spearman_corr, agg_trimmed_mean, fn_udtf_table_arg,
+#:   graph_kcore (⊘), clean_monotonic_repair, ml_eval_lift_gains —
+#:   all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

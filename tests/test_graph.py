@@ -55,3 +55,18 @@ def test_basket_cap_inert_at_test_scale(spark, sf_dir):
         .collect()[0]["mx"]
     )
     assert mx <= MAX_BASKET
+
+
+def test_kcore_invariants(spark, sf_dir):
+    """⊘ gates for graph_kcore: every reported node's in-core degree ≥ k,
+    determinism, and the core is non-trivial on the co-purchase graph."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        _KCORE_K,
+        graph_kcore,
+    )
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    assert rows, "empty 2-core"
+    assert all(r["core_degree"] >= _KCORE_K for r in rows)
+    again = graph_kcore(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
