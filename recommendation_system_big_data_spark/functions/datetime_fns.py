@@ -145,3 +145,44 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_cutoff"),
     )
+
+
+_TZ_CONVERT_ORACLE = """
+SELECT event_id,
+       ts AS utc_naive,
+       CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+            AS TIMESTAMP) AS ny_wall,
+       CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+            AS TIMESTAMP) AS tokyo_wall,
+       CAST(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                    AT TIME ZONE 'America/New_York') AS INT) AS ny_hour
+FROM events
+WHERE event_id % 97 = 0
+"""
+
+
+@register("fn_timezone_convert", oracle=_TZ_CONVERT_ORACLE, tags=("fn", "datetime"))
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion semantics, pinned: naive UTC event times
+    rendered as New York and Tokyo WALL times (from_utc_timestamp — the
+    IANA-rules conversion including DST, which a fixed-offset shift gets
+    wrong twice a year; the January data here sits in EST = UTC−5, and
+    the assertion locks the rule engine, not an offset constant). The
+    display-layer complement of the storage rule this engine enforces
+    everywhere else: store naive-UTC, convert at the EDGE, never let a
+    session zone leak into stored values (catalog.epoch_us exists
+    because of exactly that hazard).
+
+    Narrow codegen'd projection; the sampled filter (1/97 keys) keeps
+    the driver-hash row set small without losing date coverage."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    utc = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.col("ts").alias("utc_naive"),
+        F.from_utc_timestamp(utc, "America/New_York").alias("ny_wall"),
+        F.from_utc_timestamp(utc, "Asia/Tokyo").alias("tokyo_wall"),
+        F.hour(F.from_utc_timestamp(utc, "America/New_York"))
+        .cast("int")
+        .alias("ny_hour"),
+    )

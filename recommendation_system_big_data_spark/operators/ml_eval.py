@@ -1135,3 +1135,82 @@ def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+_PINBALL_ORACLE = """
+WITH split AS (
+    SELECT event_type, value,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS part
+    FROM events
+), model AS (
+    SELECT event_type,
+           quantile_disc(value, 0.50) AS q50,
+           quantile_disc(value, 0.90) AS q90
+    FROM split WHERE part = 'train' GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(AVG(CASE WHEN s.value >= m.q50
+                      THEN 0.5 * (s.value - m.q50)
+                      ELSE 0.5 * (m.q50 - s.value) END), 4) AS pinball_p50,
+       ROUND(AVG(CASE WHEN s.value >= m.q90
+                      THEN 0.9 * (s.value - m.q90)
+                      ELSE 0.1 * (m.q90 - s.value) END), 4) AS pinball_p90,
+       ROUND(AVG(CASE WHEN s.value <= m.q90 THEN 1.0 ELSE 0.0 END), 6)
+           AS p90_coverage
+FROM split s JOIN model m ON s.event_type = m.event_type
+WHERE s.part = 'test'
+GROUP BY s.event_type
+"""
+
+
+@register("ml_eval_pinball_loss", oracle=_PINBALL_ORACLE, tags=("ml", "eval"))
+def ml_eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation: pinball (quantile) loss of per-type
+    P50/P90 predictions fit on the train split and scored on held-out
+    rows, plus empirical P90 coverage (should sit near 0.9; far off ⇒
+    the quantile model is mis-calibrated). RMSE grades POINT forecasts;
+    probabilistic forecasts — the kind capacity planning actually needs —
+    are graded exactly this way.
+
+    Same leakage-safe shape as `ml_eval_regression_metrics`: the md5
+    hash split, a ≤|types|-row quantile model (DISC — actual train
+    values) joined back as a broadcast, and ONE conditional-aggregate
+    reduce for both losses and the coverage. The asymmetric loss is
+    plain CASE algebra — identical on both engines."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "part",
+        F.when(portable_bucket(F.col("event_id"), 100) < 80, "train").otherwise(
+            "test"
+        ),
+    )
+    model = (
+        ev.where(F.col("part") == "train")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("q50"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY value)").alias("q90"),
+        )
+    )
+    test = ev.where(F.col("part") == "test").join(F.broadcast(model), "event_type")
+    v, q50, q90 = F.col("value"), F.col("q50"), F.col("q90")
+    return test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.avg(
+                F.when(v >= q50, 0.5 * (v - q50)).otherwise(0.5 * (q50 - v))
+            ),
+            4,
+        ).alias("pinball_p50"),
+        F.round(
+            F.avg(
+                F.when(v >= q90, 0.9 * (v - q90)).otherwise(0.1 * (q90 - v))
+            ),
+            4,
+        ).alias("pinball_p90"),
+        F.round(F.avg(F.when(v <= q90, 1.0).otherwise(0.0)), 6).alias(
+            "p90_coverage"
+        ),
+    )

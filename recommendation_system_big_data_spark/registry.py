@@ -136,8 +136,8 @@ _loaded = False
 #:   ts_forecast_linear, ml_linear_attribution,
 #:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz,
 #:   stat_spearman_corr, agg_trimmed_mean, fn_udtf_table_arg,
-#:   graph_kcore (⊘), clean_monotonic_repair, ml_eval_lift_gains —
-#:   all but the
+#:   graph_kcore (⊘), clean_monotonic_repair, ml_eval_lift_gains,
+#:   fn_timezone_convert, ml_eval_pinball_loss — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
