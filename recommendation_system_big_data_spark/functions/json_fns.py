@@ -146,3 +146,41 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.cast("string").alias("name_roundtripped"),
         "c_mktsegment",
     )
+
+
+_CSV_STRING_ORACLE = """
+SELECT r_regionkey, r_name,
+       r_regionkey AS back_key, r_name AS back_name
+FROM region
+"""
+
+
+@register("fn_csv_string_roundtrip", oracle=_CSV_STRING_ORACLE, tags=("fn",))
+def fn_csv_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CSV functions — `to_csv` packs a struct into one CSV
+    STRING column, `from_csv` parses it back with an explicit schema:
+    the embedded-CSV path (CSV inside a message envelope, Kafka values,
+    audit columns) that file-level CSV readers never touch. The oracle
+    asserts round-trip identity: parse(serialize(row)) must equal the
+    row, which pins quoting/escaping symmetry between the two functions.
+
+    Narrow projections both ways; the parse carries the same
+    explicit-schema discipline as every scan in this engine (inference
+    on a per-row function would be per-row schema chaos)."""
+    r = load(spark, sf_dir, "region")
+    packed = r.select(
+        "r_regionkey",
+        "r_name",
+        F.to_csv(F.struct("r_regionkey", "r_name")).alias("csv_line"),
+    )
+    parsed = packed.select(
+        "r_regionkey",
+        "r_name",
+        F.from_csv(
+            F.col("csv_line"), F.lit("back_key BIGINT, back_name STRING")
+        ).alias("back"),
+    )
+    return parsed.select(
+        "r_regionkey", "r_name", F.col("back.back_key").alias("back_key"),
+        F.col("back.back_name").alias("back_name"),
+    )

@@ -943,3 +943,77 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+_SIM_HISTOGRAM_ORACLE = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+), pairs AS (
+    SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+)
+SELECT CAST(LEAST(FLOOR(j * 20), 19) AS BIGINT) AS sim_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@register(
+    "dedup_similarity_histogram", oracle=_SIM_HISTOGRAM_ORACLE, tags=("dedup",)
+)
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair similarity histogram: the full Jaccard distribution
+    (0.05-wide bins) of every size-banded pair sharing ≥1 shingle — the
+    tuning artifact behind every near-dup threshold choice: a bimodal
+    histogram (noise hump near 0, duplicate hump near 1) says where to
+    cut; a flat one says shingling is too weak. `dedup_ngram_jaccard`
+    reports the pairs ABOVE the chosen cut; this op is how the cut gets
+    chosen, and what the MinHash-LSH band/row configuration is solved
+    against (the S-curve must straddle the valley).
+
+    Same inverted-index machinery (shared-shingle COUNTS via one
+    equi-join, hot-shingle df-cap, size band) with the threshold removed
+    and a constant-size binning fold on top — the histogram costs no
+    more than the thresholded query."""
+    ex = _drop_hot_shingles(
+        _exploded_index(spark, sf_dir), SHINGLE_DF_CAP,
+        hot_shingle_set(spark, sf_dir),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+            & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.select(
+            F.least(F.floor(j * 20), F.lit(19)).cast("long").alias("sim_bin")
+        )
+        .groupBy("sim_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

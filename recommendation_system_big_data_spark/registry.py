@@ -137,7 +137,9 @@ _loaded = False
 #:   window_time_range_frame, set_ops_bag_all, olap_abc_xyz,
 #:   stat_spearman_corr, agg_trimmed_mean, fn_udtf_table_arg,
 #:   graph_kcore (⊘), clean_monotonic_repair, ml_eval_lift_gains,
-#:   fn_timezone_convert, ml_eval_pinball_loss — all but the
+#:   fn_timezone_convert, ml_eval_pinball_loss,
+#:   dedup_similarity_histogram, sink_text_roundtrip,
+#:   fn_csv_string_roundtrip — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

@@ -465,3 +465,35 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("length"),
         F.sha2(F.col("content"), 256).alias("sha256"),
     ).orderBy("file_name")
+
+
+_TEXT_ROUNDTRIP_ORACLE = """
+SELECT md5(text) AS line_hash, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE NOT contains(text, chr(10))
+"""
+
+
+@register("sink_text_roundtrip", oracle=_TEXT_ROUNDTRIP_ORACLE, tags=("sink", "text"))
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text` format round-trip: one document per line out, one line per
+    row back — the rawest interchange format (log shippers, classic NLP
+    corpora, line-delimited exports), where the ONLY schema is "a string
+    column named value" and the newline is the record separator (so
+    embedded newlines are the format's failure mode — the writer path
+    must pre-filter or escape them; pinned here by scoping to
+    newline-free docs, which this corpus is).
+
+    Round-trip identity is checked content-first: the read-back lines'
+    md5 + length multiset must equal the source docs' (order-free — text
+    files have no row order contract). Writers parallelize per partition
+    like any file sink."""
+    docs = load(spark, sf_dir, "documents").where(
+        ~F.col("text").contains("\n")
+    )
+    out = _sink_dir(sf_dir, "text")
+    docs.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.select(
+        F.md5("value").alias("line_hash"),
+        F.length("value").cast("long").alias("n_chars"),
+    )
