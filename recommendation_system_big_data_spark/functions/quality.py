@@ -558,3 +558,64 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.round(F.avg("entropy"), 4).alias("avg_entropy"),
     )
+
+
+_LUHN_ORACLE = """
+WITH cand AS (
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR), 16, '4')
+               AS pan
+    FROM orders
+), checked AS (
+    SELECT o_orderkey, pan,
+           list_sum(list_transform(generate_series(1, length(pan)),
+               i -> CASE WHEN i % 2 = 1
+                    THEN CAST(substr(reverse(pan), i, 1) AS INT)
+                    ELSE CASE
+                      WHEN CAST(substr(reverse(pan), i, 1) AS INT) * 2 > 9
+                      THEN CAST(substr(reverse(pan), i, 1) AS INT) * 2 - 9
+                      ELSE CAST(substr(reverse(pan), i, 1) AS INT) * 2
+                    END END)) % 10 = 0 AS luhn_ok
+    FROM cand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(CASE WHEN luhn_ok THEN 1 END) AS BIGINT) AS n_luhn_valid,
+       ROUND(COUNT(CASE WHEN luhn_ok THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS valid_rate
+FROM checked
+"""
+
+
+@register("fn_luhn_check", oracle=_LUHN_ORACLE, tags=("quality", "fn"))
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (Spark 4 `luhn_check`) over synthetic
+    16-digit PAN-shaped strings — the disambiguator a PII scanner runs
+    after the 16-digit regex fires: random digit runs pass the regex
+    constantly but pass Luhn only ~10% of the time, so the checksum cuts
+    candidate alert volume ~10× before a human looks
+    (`pii_scan_redact`'s regex tier is the stage before this one).
+
+    The oracle hand-rolls the double-every-second-digit checksum in SQL
+    (verified equivalent to the builtin on known valid/invalid vectors),
+    so the builtin's exact semantics are pinned, not trusted. The
+    ~10% valid rate over hash-derived candidates is itself the assert
+    that the checksum is doing real work. Narrow map + one reduce."""
+    cand = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 1_000_000_000_000_000).cast(
+                "string"
+            ),
+            16,
+            "4",
+        ).alias("pan"),
+    )
+    checked = cand.select(F.expr("luhn_check(pan)").alias("luhn_ok"))
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("luhn_ok"), 1)).cast("long").alias("n_luhn_valid"),
+        F.round(
+            F.count(F.when(F.col("luhn_ok"), 1)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("valid_rate"),
+    )

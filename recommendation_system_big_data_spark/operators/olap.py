@@ -538,3 +538,73 @@ def olap_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.round(F.sum("total_rev"), 2).alias("class_rev"),
     )
+
+
+_PCT_OF_PARENT_ORACLE = """
+WITH cust_rev AS (
+    SELECT c.c_nationkey, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+           AS DECIMAL(28,2)) AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+), nation_rev AS (
+    SELECT n.n_regionkey, n.n_name, cr.rev
+    FROM cust_rev cr JOIN nation n ON n.n_nationkey = cr.c_nationkey
+)
+SELECT r.r_name AS region, nr.n_name AS nation,
+       ROUND(CAST(nr.rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(nr.rev AS DOUBLE)
+             / CAST(SUM(nr.rev) OVER (PARTITION BY nr.n_regionkey) AS DOUBLE),
+             6) AS pct_of_region,
+       ROUND(CAST(SUM(nr.rev) OVER (PARTITION BY nr.n_regionkey) AS DOUBLE)
+             / CAST(SUM(nr.rev) OVER () AS DOUBLE), 6) AS region_pct_of_total
+FROM nation_rev nr JOIN region r ON r.r_regionkey = nr.n_regionkey
+"""
+
+
+@register("olap_pct_of_parent", oracle=_PCT_OF_PARENT_ORACLE, tags=("olap",))
+def olap_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent drill-down: each nation's share of its REGION's
+    revenue, and each region's share of the total, on one row — the
+    hierarchy-relative metric every drill-down UI shows next to the
+    absolute number (`agg_rollup_hierarchy` gives the level SUBTOTALS;
+    this gives the RATIOS between adjacent levels).
+
+    Fact folds to the nation grain once (exact DECIMAL); both parent
+    shares are windows PARTITIONED at the parent level over that
+    ≤|nations|-row aggregate — no second fact scan, no self-join of
+    subtotals. Dimension attachments are broadcasts."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation_rev = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    reg = Window.partitionBy("n_regionkey")
+    tot = Window.partitionBy()
+    return nation_rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(reg).cast("double"),
+            6,
+        ).alias("pct_of_region"),
+        F.round(
+            F.sum("rev").over(reg).cast("double")
+            / F.sum("rev").over(tot).cast("double"),
+            6,
+        ).alias("region_pct_of_total"),
+    )
