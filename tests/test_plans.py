@@ -456,3 +456,60 @@ def test_mann_whitney_window_runs_on_distinct_value_grain(spark, sf_dir):
     win = plan.find("Window")
     agg = plan.find("HashAggregate")
     assert win != -1 and agg != -1, plan
+
+
+def test_modularity_brands_broadcast_no_nlj(spark, sf_dir):
+    # Community labels must attach via broadcast hash joins on the edge
+    # table; no nested loop anywhere in the modularity plan.
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_community_modularity,
+    )
+
+    plan = explain.physical_plan(graph_community_modularity(spark, sf_dir))
+    # the single allowed nested-loop site is the broadcast of the 1-row
+    # total-weight aggregate; label joins must be hash joins.
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count(") BroadcastHashJoin") >= 2, plan
+
+
+def test_monotonic_repair_single_exchange(spark, sf_dir):
+    # Stacked running-sum + running-max share one (user) partitioning and
+    # ordering; the groupBy reuses it — at most 2 exchanges end to end.
+    from recommendation_system_big_data_spark.operators.profile import (
+        clean_monotonic_repair,
+    )
+
+    assert explain.num_shuffles(clean_monotonic_repair(spark, sf_dir)) <= 2
+
+
+def test_rag_prep_chunking_is_shuffle_free_map(spark, sf_dir):
+    # chunk → embed → bucket is all narrow; the only exchanges belong to
+    # the final bucket aggregate (countDistinct(doc_id) adds its own
+    # partial-aggregation exchange on (bucket, doc_id)).
+    from recommendation_system_big_data_spark.functions.text import (
+        pipeline_rag_prep,
+    )
+
+    assert explain.num_shuffles(pipeline_rag_prep(spark, sf_dir)) <= 2
+
+
+def test_time_range_frame_single_window_exchange(spark, sf_dir):
+    # Both interval-frame aggregates share one user shuffle + sort.
+    from recommendation_system_big_data_spark.operators.windows import (
+        window_time_range_frame,
+    )
+
+    assert explain.num_shuffles(window_time_range_frame(spark, sf_dir)) == 1
+
+
+def test_naive_bayes_no_nested_loop_on_tokens(spark, sf_dir):
+    # Scoring joins the likelihood table on (class, token) — an equi-join;
+    # the class/prior/vocab attachments are broadcasts of tiny aggregates.
+    # No nested loop over doc-tokens × vocabulary.
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_naive_bayes_langid,
+    )
+
+    plan = explain.physical_plan(ml_naive_bayes_langid(spark, sf_dir))
+    assert plan.count(") BroadcastNestedLoopJoin") <= 3, plan  # 1-row sides only
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
