@@ -1922,3 +1922,77 @@ def clean_monotonic_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violations"),
         F.round(F.max("fixed"), 6).alias("final_reading"),
     )
+
+
+_BITMAP_OVERLAP_ORACLE = """
+WITH seg AS (
+    SELECT DISTINCT o_orderpriority AS p, o_custkey AS k FROM orders
+)
+SELECT a.p AS seg_a, b.p AS seg_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM seg a JOIN seg b ON a.k = b.k AND a.p < b.p
+GROUP BY a.p, b.p
+"""
+
+
+@register(
+    "agg_bitmap_intersection", oracle=_BITMAP_OVERLAP_ORACLE, tags=("profile", "sketch")
+)
+def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every segment pair, computed on MERGEABLE
+    BITMAPS by inclusion-exclusion: |A∩B| = |A| + |B| − |A∪B|, with the
+    union coming from `bitmap_or_agg` over the two segments' per-bucket
+    bitmaps — so pairwise overlaps of ANY number of segments come from
+    the stored per-(segment, bucket) bitmap rollup alone, never
+    re-shuffling raw keys (the ad-tech / cohort question
+    `agg_bitmap_distinct` stores the currency for; Spark ships OR but
+    no AND aggregate, and inclusion-exclusion makes AND unnecessary).
+
+    Shape: the segment×bucket bitmap table fans out through a broadcast
+    pair-membership map (|segments|² rows), per-(pair, bucket) unions
+    OR-merge in partials, and the final fold sums popcount differences.
+    The oracle is the raw distinct-key overlap — bitmaps are exact, so
+    equality is definitional."""
+    orders = load(spark, sf_dir, "orders")
+    seg_bm = (
+        orders.select(
+            F.col("o_orderpriority").alias("p"),
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("p", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("cnt", F.bitmap_count("bm"))
+    )
+    prios = seg_bm.select("p").distinct()
+    a, b = prios.alias("pa"), prios.alias("pb")
+    pair_members = (
+        a.join(b, F.col("pa.p") < F.col("pb.p"))
+        .select(
+            F.concat_ws("|", F.col("pa.p"), F.col("pb.p")).alias("pair"),
+            F.col("pa.p").alias("seg_a"),
+            F.col("pb.p").alias("seg_b"),
+        )
+        .select(
+            "pair",
+            "seg_a",
+            "seg_b",
+            F.explode(F.array("seg_a", "seg_b")).alias("member"),
+        )
+    )
+    fanned = seg_bm.join(
+        F.broadcast(pair_members), seg_bm.p == pair_members.member
+    )
+    per_bucket = fanned.groupBy("pair", "seg_a", "seg_b", "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("union_cnt"),
+        F.sum("cnt").alias("sum_cnt"),
+    )
+    return (
+        per_bucket.groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.col("sum_cnt") - F.col("union_cnt"))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .where(F.col("n_overlap") > 0)  # match the oracle: disjoint pairs absent
+    )

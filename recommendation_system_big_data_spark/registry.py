@@ -139,8 +139,8 @@ _loaded = False
 #:   graph_kcore (⊘), clean_monotonic_repair, ml_eval_lift_gains,
 #:   fn_timezone_convert, ml_eval_pinball_loss,
 #:   dedup_similarity_histogram, sink_text_roundtrip,
-#:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check —
-#:   all but the
+#:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check,
+#:   agg_bitmap_intersection — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
