@@ -744,3 +744,103 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
     )
+
+
+_THEIL_ORACLE = """
+WITH cust AS (
+    SELECT o.o_custkey, c.c_nationkey AS nat,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_nationkey
+), gstat AS (
+    SELECT nat, CAST(COUNT(*) AS BIGINT) AS ng, SUM(x) AS sumg, AVG(x) AS mug
+    FROM cust GROUP BY nat
+), tot AS (
+    SELECT SUM(x) AS xt, AVG(x) AS mu FROM cust
+), within AS (
+    SELECT c.nat,
+           SUM((c.x / g.mug) * LN(c.x / g.mug)) / g.ng AS t_within
+    FROM cust c JOIN gstat g ON c.nat = g.nat
+    GROUP BY c.nat, g.ng
+)
+SELECT CAST(g.nat AS INT) AS nation,
+       g.ng AS n_customers,
+       ROUND(g.sumg / t.xt, 6) AS revenue_share,
+       ROUND(w.t_within, 6) AS t_within,
+       ROUND((g.sumg / t.xt) * LN(g.mug / t.mu), 6) AS between_contribution
+FROM gstat g
+JOIN within w ON w.nat = g.nat
+CROSS JOIN tot t
+"""
+
+
+@register("stat_theil_decomposition", oracle=_THEIL_ORACLE, tags=("profile",))
+def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by nation:
+    total inequality splits EXACTLY into within-group and between-group
+    parts — T = Σ sᵍ·Tᵍ + Σ sᵍ·ln(μᵍ/μ) — answering what Gini
+    (`stat_gini_coefficient`) cannot: is concentration driven by whales
+    INSIDE markets or by rich-vs-poor MARKETS? Each nation's row carries
+    its share-weighted within term and its between contribution; the
+    column sums reassemble global T.
+
+    Fact → customer grain once (exact DECIMAL); group stats are a
+    |nations|-row re-aggregation broadcast back; the within fold is one
+    more pass over the customer grain. All shuffles keyed on nation —
+    no global sort anywhere (the rank-based Gini needs one; Theil is
+    the decomposable, sort-free inequality index, which is exactly why
+    economists use it at scale)."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select(
+                    "c_custkey", F.col("c_nationkey").alias("nat")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "nat")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    gstat = cust.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").alias("sumg"),
+        F.avg("x").alias("mug"),
+    )
+    tot = cust.agg(F.sum("x").alias("xt"), F.avg("x").alias("mu"))
+    within = (
+        cust.join(F.broadcast(gstat), "nat")
+        .groupBy("nat", "ng")
+        .agg(
+            (
+                F.sum(
+                    (F.col("x") / F.col("mug"))
+                    * F.log(F.col("x") / F.col("mug"))
+                )
+                / F.col("ng")
+            ).alias("t_within")
+        )
+        .select("nat", "t_within")
+    )
+    return (
+        gstat.join(within, "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nat").cast("int").alias("nation"),
+            F.col("ng").alias("n_customers"),
+            F.round(F.col("sumg") / F.col("xt"), 6).alias("revenue_share"),
+            F.round("t_within", 6).alias("t_within"),
+            F.round(
+                (F.col("sumg") / F.col("xt"))
+                * F.log(F.col("mug") / F.col("mu")),
+                6,
+            ).alias("between_contribution"),
+        )
+    )
