@@ -140,8 +140,8 @@ _loaded = False
 #:   fn_timezone_convert, ml_eval_pinball_loss,
 #:   dedup_similarity_histogram, sink_text_roundtrip,
 #:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check,
-#:   agg_bitmap_intersection, stat_theil_decomposition — all but
-#:   the
+#:   agg_bitmap_intersection, stat_theil_decomposition,
+#:   embedding_pq_compress (⊘) — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.

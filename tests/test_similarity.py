@@ -198,3 +198,36 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     assert all(r["inertia"] > 0 for r in rows)
     again = ml_kmeans_lloyd(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_pq_compress_invariants(spark, sf_dir):
+    """⊘ gates for embedding_pq_compress: full coverage, a plausible
+    reconstruction error (positive, and far below the per-dim variance a
+    code-of-zero baseline would leave), healthy codebook usage, and
+    determinism."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_pq_compress,
+    )
+
+    row = embedding_pq_compress(spark, sf_dir).collect()[0]
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert row["n_vectors"] == n_emb
+    assert 0 < row["reconstruction_mse"]
+    emb = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    per_dim_var = emb.var(axis=0).mean()
+    assert row["reconstruction_mse"] < per_dim_var, (
+        row["reconstruction_mse"],
+        per_dim_var,
+    )
+    assert row["codes_used_sub0"] >= 8  # at least half the codebook works
+    again = embedding_pq_compress(spark, sf_dir).collect()[0]
+    assert tuple(row) == tuple(again)
