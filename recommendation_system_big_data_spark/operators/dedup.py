@@ -1017,3 +1017,81 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_bin")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+_INCR_NEAR_ORACLE = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80
+                THEN 'corpus' ELSE 'batch' END AS part,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+)
+SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+       ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+FROM sh b JOIN sh c
+  ON b.part = 'batch' AND c.part = 'corpus'
+ AND b.lang = c.lang
+ AND len(b.sh) <= 2 * len(c.sh) AND len(c.sh) <= 2 * len(b.sh)
+WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+"""
+
+
+@register("dedup_incremental_near", oracle=_INCR_NEAR_ORACLE, tags=("dedup",))
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: which documents of an incoming batch (the
+    20% md5 split) are ≥0.5-Jaccard near-duplicates of the EXISTING
+    corpus (the 80%) — the nightly-ingest twin of
+    `dedup_incremental_exact` (which catches only verbatim repeats) and
+    the cross-split restriction of `dedup_ngram_jaccard`. This is the
+    gate that keeps a crawl pipeline from slowly re-accumulating
+    paraphrased boilerplate.
+
+    Inverted-index shape with the probe restricted to batch×corpus:
+    shared-shingle counts via one (shingle, lang) equi-join where side A
+    carries only BATCH postings (20× smaller probe than the full
+    self-join) — incremental cost scales with the BATCH, not the corpus.
+    At n≫10⁶ swap candidates to the banded MinHash join
+    (dedup_minhash_lsh's path) and keep the exact verify — the plan
+    shape is unchanged."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    ex = _exploded_index(spark, sf_dir).withColumn(
+        "part",
+        F.when(portable_bucket(F.col("doc_id"), 100) < 80, "corpus").otherwise(
+            "batch"
+        ),
+    )
+    b = ex.where(F.col("part") == "batch").alias("b")
+    c = ex.where(F.col("part") == "corpus").alias("c")
+    shared = (
+        b.join(
+            c,
+            (F.col("b.shingle") == F.col("c.shingle"))
+            & (F.col("b.lang") == F.col("c.lang"))
+            & (F.col("b.n_sh") <= 2 * F.col("c.n_sh"))
+            & (F.col("c.n_sh") <= 2 * F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.n_sh").alias("n_a"),
+            F.col("c.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.where(j >= 0.5).select(
+        "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
+    )
