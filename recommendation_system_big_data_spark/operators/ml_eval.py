@@ -1214,3 +1214,79 @@ def ml_eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_coverage"
         ),
     )
+
+
+_LEARNING_CURVE_ORACLE = """
+WITH base AS (
+    SELECT event_type, value,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS bucket
+    FROM events
+), test AS (
+    SELECT event_type, value FROM base WHERE bucket >= 80
+), fracs AS (
+    SELECT UNNEST([20, 40, 60, 80]) AS train_pct
+), models AS (
+    SELECT f.train_pct, b.event_type, AVG(b.value) AS yhat,
+           CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM base b JOIN fracs f ON b.bucket < f.train_pct
+    GROUP BY f.train_pct, b.event_type
+)
+, sizes AS (
+    SELECT train_pct, CAST(SUM(n_train) AS BIGINT) AS n_train_rows
+    FROM models GROUP BY train_pct
+)
+SELECT m.train_pct,
+       MAX(s.n_train_rows) AS n_train_rows,
+       ROUND(SQRT(AVG(POW(t.value - m.yhat, 2))), 4) AS test_rmse
+FROM test t
+JOIN models m ON t.event_type = m.event_type
+JOIN sizes s ON s.train_pct = m.train_pct
+GROUP BY m.train_pct
+"""
+
+
+@register("ml_learning_curve", oracle=_LEARNING_CURVE_ORACLE, tags=("ml", "eval"))
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: held-out RMSE of the per-type-mean model fit on
+    nested 20/40/60/80% training fractions — the is-more-data-still-
+    helping diagnostic that decides between collecting data and changing
+    models (flat curve ⇒ model-bound; falling ⇒ data-bound). Fractions
+    NEST by construction (bucket < pct), so each point sees a superset
+    of the previous — the property that makes the curve monotone-ish and
+    which independent random subsamples break.
+
+    One scan builds all four models: the bucket column joins a 4-row
+    broadcast fraction table (each row lands in every fraction it
+    belongs to — fan-out ≤4×), folds per (fraction, type), and the fixed
+    20% test set evaluates every model in one more broadcast-join
+    reduce. Adding curve points changes the fraction literal, not the
+    plan."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type", "value", portable_bucket(F.col("event_id"), 100).alias("bucket")
+    )
+    test = base.where(F.col("bucket") >= 80).select("event_type", "value")
+    fracs = spark.range(1, 5).select((F.col("id") * 20).cast("int").alias("train_pct"))
+    models = (
+        base.crossJoin(F.broadcast(fracs))
+        .where(F.col("bucket") < F.col("train_pct"))
+        .groupBy("train_pct", "event_type")
+        .agg(
+            F.avg("value").alias("yhat"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+    )
+    sizes = models.groupBy("train_pct").agg(
+        F.sum("n_train").cast("long").alias("n_train_rows")
+    )
+    return (
+        test.join(F.broadcast(models), "event_type")
+        .join(F.broadcast(sizes), "train_pct")
+        .groupBy("train_pct")
+        .agg(
+            F.max("n_train_rows").alias("n_train_rows"),
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("value") - F.col("yhat"), 2))), 4
+            ).alias("test_rmse"),
+        )
+    )

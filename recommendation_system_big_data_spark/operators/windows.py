@@ -1246,3 +1246,77 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_trf
         """
     )
+
+
+_CONVERSION_LAG_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_buy
+    FROM events GROUP BY user_id
+), lags AS (
+    SELECT (t_buy - t_view) // 1000000 AS lag_s
+    FROM firsts
+    WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_converters,
+    ROUND(AVG(CASE WHEN lag_s <= 3600 THEN 1.0 ELSE 0.0 END), 6)
+        AS within_1h,
+    ROUND(AVG(CASE WHEN lag_s <= 21600 THEN 1.0 ELSE 0.0 END), 6)
+        AS within_6h,
+    ROUND(AVG(CASE WHEN lag_s <= 86400 THEN 1.0 ELSE 0.0 END), 6)
+        AS within_24h,
+    ROUND(AVG(CASE WHEN lag_s <= 604800 THEN 1.0 ELSE 0.0 END), 6)
+        AS within_7d,
+    CAST(CAST(quantile_disc(lag_s, 0.5) AS BIGINT) AS BIGINT) AS median_lag_s
+FROM lags
+"""
+
+
+@register("funnel_conversion_lag_curve", oracle=_CONVERSION_LAG_ORACLE, tags=("window",))
+def funnel_conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag curve: of users whose first purchase follows their
+    first view, what share converts within 1h / 6h / 24h / 7d, plus the
+    median lag — the latency distribution behind attribution-window
+    choices (the 12 h window `attribution_click_purchase` hardcodes
+    should come FROM this curve) and remarketing timing.
+
+    One conditional-min fold per user (both firsts in a single groupBy),
+    a lag projection in exact integer seconds, and one keyless reduce
+    for every curve point — adding thresholds adds expressions, not
+    passes. Median uses the DISC convention on integer lags."""
+    firsts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", epoch_us("ts"))
+            ).alias("t_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", epoch_us("ts"))
+            ).alias("t_buy"),
+        )
+    )
+    lags = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(F.expr("(t_buy - t_view) div 1000000").alias("lag_s"))
+
+    def within(sec: int):
+        return F.round(
+            F.avg(F.when(F.col("lag_s") <= sec, 1.0).otherwise(0.0)), 6
+        )
+
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        within(3600).alias("within_1h"),
+        within(21600).alias("within_6h"),
+        within(86400).alias("within_24h"),
+        within(604800).alias("within_7d"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s)")
+        .cast("long")
+        .alias("median_lag_s"),
+    )
