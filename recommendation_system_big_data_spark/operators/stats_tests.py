@@ -844,3 +844,71 @@ def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_contribution"),
         )
     )
+
+
+_WILSON_ORACLE = """
+WITH g AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END)
+                AS BIGINT) AS k
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT segment, n, k,
+       ROUND(k / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND((k / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (2 * n)
+              - 1.959963985 * SQRT((k / CAST(n AS DOUBLE))
+                    * (1 - k / CAST(n AS DOUBLE)) / n
+                    + 1.959963985 * 1.959963985 / (4.0 * n * n)))
+             / (1 + 1.959963985 * 1.959963985 / n), 6) AS wilson_lo,
+       ROUND((k / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (2 * n)
+              + 1.959963985 * SQRT((k / CAST(n AS DOUBLE))
+                    * (1 - k / CAST(n AS DOUBLE)) / n
+                    + 1.959963985 * 1.959963985 / (4.0 * n * n)))
+             / (1 + 1.959963985 * 1.959963985 / n), 6) AS wilson_hi
+FROM g
+"""
+
+
+@register("stat_wilson_ci", oracle=_WILSON_ORACLE, tags=("profile", "experiment"))
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% intervals for per-segment urgent-order rates —
+    the proportion CI that behaves at the extremes where the naive
+    normal (Wald) interval fails (k=0 gives Wald a width of exactly
+    zero — absurd confidence — where Wilson correctly spreads; Wilson
+    also never leaves [0,1]). The rate-reporting companion of
+    `ab_test_report` (which compares two rates) and
+    `stat_power_sample_size` (which plans for them).
+
+    One broadcast dim join + one conditional-count fold per segment;
+    the interval is closed-form scalar algebra on exact integer (n, k)
+    with the z constant as a literal — identical on both engines."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    g = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    z = 1.959963985
+    p = F.col("k") / F.col("n").cast("double")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return g.select(
+        "segment",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -684,3 +684,58 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a") + F.col("b") * (F.col("last_idx") + F.col("h")), 4
         ).alias("forecast_rev"),
     )
+
+
+_XCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+               AS clicks,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+               AS buys
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT l.l AS lag_days, a.clicks AS x, b.buys AS y
+    FROM daily a
+    JOIN (SELECT UNNEST(generate_series(-3, 3)) AS l) l ON TRUE
+    JOIN daily b ON b.day = a.day + CAST(l.l AS INT)
+)
+SELECT CAST(lag_days AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CORR(x, y), 6) AS xcorr
+FROM lagged GROUP BY lag_days
+"""
+
+
+@register("ts_cross_correlation", oracle=_XCORR_ORACLE, tags=("window", "timeseries"))
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of daily clicks vs purchases (lags −3..+3
+    days): does click volume LEAD purchase volume, and by how many days?
+    The lead-lag scan behind marketing-mix timing and metric causality
+    triage (`ts_autocorrelation` asks the same of a series against
+    itself).
+
+    Fact → daily grain once; the lag alignment is a 7-row lag spine
+    fanned against the constant-sized daily table and an equi-join on
+    the shifted day — all tiny after the single fact fold. Counts are
+    exact; CORR's sums are the only doubles (ROUND 6)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double")
+        .alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("buys"),
+    )
+    spine = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag_days"))
+    b = daily.select(F.col("day").alias("bday"), F.col("buys").alias("y"))
+    lagged = (
+        daily.select("day", "clicks")
+        .crossJoin(F.broadcast(spine))
+        .join(b, F.col("bday") == F.expr("date_add(day, lag_days)"))
+    )
+    return lagged.groupBy(F.col("lag_days").cast("long").alias("lag_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.corr("clicks", "y"), 6).alias("xcorr"),
+    )

@@ -142,7 +142,8 @@ _loaded = False
 #:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check,
 #:   agg_bitmap_intersection, stat_theil_decomposition,
 #:   embedding_pq_compress (⊘), dedup_incremental_near,
-#:   ml_learning_curve, funnel_conversion_lag_curve — all but the
+#:   ml_learning_curve, funnel_conversion_lag_curve,
+#:   ts_cross_correlation, stat_wilson_ci — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
