@@ -504,6 +504,57 @@ FROM islands GROUP BY user_id
 """
 
 
+def interval_union_per_key(
+    iv: DataFrame, key: str = "user_id", s: str = "s", e: str = "e",
+    ordcol: str = "event_id",
+) -> DataFrame:
+    """Library kernel: per-key union of [s, e) integer intervals via the
+    running-max sweep (island detection → island extents → summed
+    lengths). Input columns: key, s, e, ordcol (a per-key tiebreaker
+    making the sort total). Output: key, n_islands, coverage_units
+    (Σ island lengths, in the input's integer units).
+
+    Property-tested against a brute-force interval merge on random
+    inputs in tests/test_property_ranges.py — the relational sweep and
+    the sequential merge must agree exactly on every generated case."""
+    prior = (
+        Window.partitionBy(key)
+        .orderBy(s, ordcol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(key)
+        .orderBy(s, ordcol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        key,
+        s,
+        e,
+        ordcol,
+        F.when(
+            F.col(s) > F.coalesce(F.max(e).over(prior), F.lit(None)), 1
+        )
+        .otherwise(F.when(F.max(e).over(prior).isNull(), 1).otherwise(0))
+        .alias("new_island"),
+    )
+    islanded = flagged.select(
+        key,
+        s,
+        e,
+        F.sum("new_island").over(run).cast("long").alias("island"),
+    )
+    islands = islanded.groupBy(key, "island").agg(
+        F.min(s).alias("island_start"), F.max(e).alias("island_end")
+    )
+    return islands.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("coverage_units"),
+    )
+
+
 @register(
     "ts_interval_union_coverage",
     oracle=_UNION_COVERAGE_ORACLE,
@@ -517,52 +568,24 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     `max_concurrent_intervals` (peak overlap) and `window_gaps_islands`
     (which islands integer days; this islands real intervals).
 
-    Classic sweep in relational form: one (user) shuffle, running MAX of
-    prior interval ends detects island starts (an interval whose start
-    exceeds every earlier end opens a new island), a running SUM of those
-    flags numbers the islands, and coverage is Σ(max end − min start)
-    per island. All epoch-microsecond integer arithmetic — exact on both
-    engines. Both windows share one partitioning+ordering → single
-    exchange + sort feeding the whole chain."""
+    Classic sweep in relational form (the `interval_union_per_key`
+    kernel, property-tested against a brute-force merge): one (user)
+    shuffle, running MAX of prior interval ends detects island starts,
+    a running SUM of those flags numbers the islands, and coverage is
+    Σ(max end − min start) per island. All epoch-microsecond integer
+    arithmetic — exact on both engines. Both windows share one
+    partitioning+ordering → single exchange + sort."""
     iv = load(spark, sf_dir, "events").select(
         "user_id",
         epoch_us("ts").alias("s"),
         (epoch_us("ts") + 1_800_000_000).alias("e"),
         "event_id",
     )
-    prior = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    flagged = iv.select(
+    per_key = interval_union_per_key(iv)
+    return per_key.select(
         "user_id",
-        "s",
-        "e",
-        "event_id",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)), 1
-        )
-        .otherwise(0)
-        .alias("new_island"),
-    )
-    islanded = flagged.select(
-        "user_id",
-        "s",
-        "e",
-        F.sum("new_island").over(run).cast("long").alias("island"),
-    )
-    islands = islanded.groupBy("user_id", "island").agg(
-        F.min("s").alias("island_start"), F.max("e").alias("island_end")
-    )
-    return islands.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_islands"),
-        F.expr("sum(island_end - island_start) div 1000000")
-        .cast("long")
-        .alias("coverage_seconds"),
+        "n_islands",
+        F.expr("coverage_units div 1000000").cast("long").alias(
+            "coverage_seconds"
+        ),
     )

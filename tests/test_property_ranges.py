@@ -103,3 +103,48 @@ def test_peak_concurrency_touching_intervals_do_not_overlap(spark):
     df = spark.createDataFrame([(0, 10), (10, 20)], "s_us long, e_us long")
     row = interval_peak_concurrency(df).collect()[0]
     assert row["peak_concurrency"] == 1
+
+
+def test_interval_union_matches_bruteforce_merge(spark):
+    """interval_union_per_key (relational running-max sweep) must agree
+    exactly with a sequential interval merge on randomized inputs —
+    overlapping, nested, touching, and duplicate intervals included."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        interval_union_per_key,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(8):
+        rows = []
+        for i in range(rng.randrange(4, 60)):
+            k = rng.randrange(0, 4)
+            s0 = rng.randrange(0, 500)
+            rows.append((k, s0, s0 + rng.randrange(1, 120), i))
+        # touching intervals: end == next start must merge ([s, e) union)
+        rows.append((0, 600, 650, 9000))
+        rows.append((0, 650, 700, 9001))
+        # exact duplicate interval
+        rows.append((1, 100, 150, 9002))
+        rows.append((1, 100, 150, 9003))
+        df = spark.createDataFrame(
+            rows, "user_id int, s long, e long, event_id int"
+        )
+        got = {
+            r["user_id"]: (r["n_islands"], r["coverage_units"])
+            for r in interval_union_per_key(df).collect()
+        }
+
+        expected = {}
+        by_key = {}
+        for k, s0, e0, _ in rows:
+            by_key.setdefault(k, []).append((s0, e0))
+        for k, spans in by_key.items():
+            spans.sort()
+            merged = []
+            for s0, e0 in spans:
+                if merged and s0 <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e0))
+                else:
+                    merged.append((s0, e0))
+            expected[k] = (len(merged), sum(e0 - s0 for s0, e0 in merged))
+        assert got == expected, (trial, got, expected)
