@@ -121,29 +121,18 @@ FROM t
 """
 
 
-@register("ml_eval_auc_roc", oracle=_AUC_ORACLE, tags=("ml", "eval"))
-def ml_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ROC AUC of `value` as a purchase-vs-rest score, via the
-    rank identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midranks for
-    ties — NOT threshold sweeping: the identity gives the exact area in
-    one pass, which is why it's the standard distributed AUC.
-
-    Same scalable machinery as `stat_mann_whitney` (AUC is the
-    normalized U statistic): fold to the distinct-score grain with
-    per-class counts, running count over that grain for midranks
-    (doubled → exact BIGINT arithmetic until the final division), one
-    keyless reduce. The unpartitioned window runs on distinct scores
-    only; the bucketed prefix-sum fallback (ranges.py) applies verbatim
-    if scores outgrow one partition."""
-    s = (
-        load(spark, sf_dir, "events")
-        .groupBy("value")
-        .agg(
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c_p"),
-            F.count(F.lit(1)).alias("c"),
-        )
+def auc_exact(scored: DataFrame, score: str = "value",
+              is_pos: str = "is_pos") -> DataFrame:
+    """Library kernel: exact ROC AUC of any (score, is_pos) frame via the
+    midrank identity — fold to the distinct-score grain, running count
+    for midranks (2× arithmetic keeps everything BIGINT), one keyless
+    reduce. Returns (n_pos, n_neg, auc). Property-tested against the
+    O(n²) pairwise definition in tests/test_property_stats.py."""
+    s = scored.groupBy(score).agg(
+        F.count(F.when(F.col(is_pos), 1)).alias("c_p"),
+        F.count(F.lit(1)).alias("c"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.orderBy(score).rowsBetween(Window.unboundedPreceding, -1)
     r = s.select(
         "c_p",
         "c",
@@ -165,6 +154,26 @@ def ml_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register("ml_eval_auc_roc", oracle=_AUC_ORACLE, tags=("ml", "eval"))
+def ml_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a purchase-vs-rest score, via the
+    rank identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midranks for
+    ties — NOT threshold sweeping: the identity gives the exact area in
+    one pass, which is why it's the standard distributed AUC.
+
+    Same scalable machinery as `stat_mann_whitney` (AUC is the
+    normalized U statistic): fold to the distinct-score grain with
+    per-class counts, running count over that grain for midranks
+    (doubled → exact BIGINT arithmetic until the final division), one
+    keyless reduce. The unpartitioned window runs on distinct scores
+    only; the bucketed prefix-sum fallback (ranges.py) applies verbatim
+    if scores outgrow one partition."""
+    scored = load(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("is_pos")
+    )
+    return auc_exact(scored)
 
 
 _PATK_ORACLE = """

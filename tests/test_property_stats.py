@@ -1,0 +1,60 @@
+"""Differential property tests for the statistical kernels: pure-Python
+reference implementations checked against the relational machinery on
+randomized inputs — tie-heavy, skewed, and degenerate cases the fixed
+testdata can't exercise."""
+
+from __future__ import annotations
+
+import random
+
+from recommendation_system_big_data_spark.operators.ml_eval import auc_exact
+
+
+def _brute_auc(pairs):
+    """O(n²) pairwise AUC: P(score_pos > score_neg) + 0.5·P(tie)."""
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    if not pos or not neg:
+        return None
+    wins = ties = 0
+    for a in pos:
+        for b in neg:
+            if a > b:
+                wins += 1
+            elif a == b:
+                ties += 1
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_auc_kernel_matches_pairwise_definition(spark):
+    """auc_exact's midrank identity must equal the O(n²) pairwise AUC on
+    randomized score sets — including heavy ties (integer scores from a
+    small domain), perfect separation, and anti-separation."""
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(6):
+        n = rng.randrange(5, 80)
+        # small integer domain → guaranteed cross-class ties
+        cases.append(
+            [(float(rng.randrange(0, 10)), rng.random() < 0.4) for _ in range(n)]
+        )
+    # perfect separation → AUC exactly 1
+    cases.append([(float(i), i >= 5) for i in range(10)])
+    # anti-separation → AUC exactly 0
+    cases.append([(float(i), i < 5) for i in range(10)])
+    # all scores identical → AUC exactly 0.5
+    cases.append([(7.0, i % 3 == 0) for i in range(12)])
+
+    for trial, pairs in enumerate(cases):
+        expected = _brute_auc(pairs)
+        if expected is None:
+            continue
+        df = spark.createDataFrame(pairs, "value double, is_pos boolean")
+        row = auc_exact(df).collect()[0]
+        assert row["n_pos"] == sum(1 for _, p in pairs if p)
+        assert row["n_neg"] == sum(1 for _, p in pairs if not p)
+        assert abs(row["auc"] - round(expected, 6)) <= 1e-6, (
+            trial,
+            row["auc"],
+            expected,
+        )
