@@ -296,6 +296,41 @@ GROUP BY rf, totw
 """
 
 
+def weighted_quantiles(
+    pw: DataFrame, group: str = "rf", value: str = "price", weight: str = "w"
+) -> DataFrame:
+    """Library kernel: exact weighted quartiles of a pre-aggregated
+    (group, distinct value, DECIMAL weight) frame via the cumulative-
+    weight scan — min value whose running weight reaches q·total, per
+    quantile. Property-tested against a sequential reference in
+    tests/test_property_stats.py (boundary-exact thanks to DECIMAL
+    weights)."""
+    cum = (
+        Window.partitionBy(group)
+        .orderBy(F.asc(value))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = pw.select(
+        group,
+        value,
+        F.sum(weight).over(cum).cast("decimal(18,2)").alias("cumw"),
+        F.sum(weight)
+        .over(Window.partitionBy(group))
+        .cast("decimal(18,2)")
+        .alias("totw"),
+    )
+
+    def pick(frac: str):
+        thresh = F.lit(frac).cast("decimal(3,2)") * F.col("totw")
+        return F.min(F.when(F.col("cumw") >= thresh, F.col(value)))
+
+    return c.groupBy(group, "totw").agg(
+        pick("0.25").alias("wp25"),
+        pick("0.50").alias("wmedian"),
+        pick("0.75").alias("wp75"),
+    )
+
+
 @register(
     "agg_weighted_percentile", oracle=_WEIGHTED_PCTL_ORACLE, tags=("profile", "agg")
 )
@@ -325,27 +360,7 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w")
         )
     )
-    cum = (
-        Window.partitionBy("rf")
-        .orderBy(F.asc("price"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = pw.select(
-        "rf",
-        "price",
-        F.sum("w").over(cum).cast("decimal(18,2)").alias("cumw"),
-        F.sum("w").over(Window.partitionBy("rf")).cast("decimal(18,2)").alias("totw"),
-    )
-
-    def pick(frac: str):
-        thresh = F.lit(frac).cast("decimal(3,2)") * F.col("totw")
-        return F.min(F.when(F.col("cumw") >= thresh, F.col("price")))
-
-    return c.groupBy("rf", "totw").agg(
-        pick("0.25").alias("wp25"),
-        pick("0.50").alias("wmedian"),
-        pick("0.75").alias("wp75"),
-    ).select(
+    return weighted_quantiles(pw).select(
         "rf",
         F.col("totw").cast("double").alias("total_weight"),
         "wp25",

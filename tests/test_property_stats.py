@@ -58,3 +58,63 @@ def test_auc_kernel_matches_pairwise_definition(spark):
             row["auc"],
             expected,
         )
+
+
+def _brute_weighted_quantiles(rows, fracs=(0.25, 0.5, 0.75)):
+    """Sequential reference: per group, sorted values, integer cum weights,
+    first value whose cumulative weight reaches frac·total."""
+    out = {}
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, {}).setdefault(v, 0)
+        by_g[g][v] += w
+    for g, vw in by_g.items():
+        items = sorted(vw.items())
+        total = sum(w for _, w in items)
+        picks = []
+        for q in fracs:
+            cum = 0
+            for v, w in items:
+                cum += w
+                # DECIMAL comparison: cum >= q*total with exact arithmetic
+                if cum * 100 >= int(q * 100) * total:
+                    picks.append(v)
+                    break
+        out[g] = tuple(picks)
+    return out
+
+
+def test_weighted_quantiles_match_sequential_reference(spark):
+    """weighted_quantiles (DECIMAL cumulative scan) must agree with the
+    sequential pick on random integer-weighted values, including
+    single-value groups and weight-boundary exact hits."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        weighted_quantiles,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        rows = []
+        for _ in range(rng.randrange(3, 50)):
+            rows.append(
+                (
+                    rng.randrange(0, 3),
+                    float(rng.randrange(1, 25)),
+                    rng.randrange(1, 9),
+                )
+            )
+        # boundary case: weights 1,1,2 → cum 2 == 0.5*4 exactly at 2nd value
+        rows += [(9, 1.0, 1), (9, 2.0, 1), (9, 3.0, 2)]
+        df = (
+            spark.createDataFrame(rows, "rf int, price double, wi int")
+            .groupBy("rf", "price")
+            .agg(F.sum(F.col("wi").cast("decimal(18,2)")).cast("decimal(18,2)").alias("w"))
+        )
+        got = {
+            r["rf"]: (r["wp25"], r["wmedian"], r["wp75"])
+            for r in weighted_quantiles(df).collect()
+        }
+        expected = _brute_weighted_quantiles(rows)
+        assert got == expected, (trial, got, expected)
