@@ -108,6 +108,43 @@ GROUP BY user_id
 """
 
 
+def max_drawdown_per_key(
+    ev: DataFrame, key: str = "user_id", value: str = "value",
+    ts: str = "ts", ordcol: str = "event_id",
+) -> DataFrame:
+    """Library kernel: per-key max drawdown of the cumulative value
+    series — stacked running-sum + running-max windows on one
+    partitioning/ordering, then a per-key fold. Output: key, n_events,
+    peak_value, final_value, max_drawdown. Property-tested against a
+    sequential accumulator in tests/test_property_stats.py."""
+    w = Window.partitionBy(key).orderBy(ts, ordcol).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = ev.select(
+        key,
+        F.struct(ts, ordcol).alias("ord"),
+        F.sum(value).over(w).alias("cum"),
+    )
+    d = c.select(
+        key,
+        "ord",
+        "cum",
+        F.max("cum")
+        .over(
+            Window.partitionBy(key)
+            .orderBy("ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("peak"),
+    )
+    return d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("cum"), 6).alias("peak_value"),
+        F.round(F.max_by("cum", "ord"), 6).alias("final_value"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown"),
+    )
+
+
 @register("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("window", "timeseries"))
 def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user maximum drawdown of the cumulative value series: largest
@@ -121,33 +158,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     in frame order, so the doubles are bit-identical across engines (same
     class as the oracle-green `window_running_sum`); the final-value pick
     uses the total (ts, event_id) orderkey via max_by/arg_max."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c = ev.select(
-        "user_id",
-        F.struct("ts", "event_id").alias("ord"),
-        F.sum("value").over(w).alias("cum"),
-    )
-    d = c.select(
-        "user_id",
-        "ord",
-        "cum",
-        F.max("cum")
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ord")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        .alias("peak"),
-    )
-    return d.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.max("cum"), 6).alias("peak_value"),
-        F.round(F.max_by("cum", "ord"), 6).alias("final_value"),
-        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown"),
-    )
+    return max_drawdown_per_key(load(spark, sf_dir, "events"))
 
 
 _SMA_ORACLE = """

@@ -118,3 +118,55 @@ def test_weighted_quantiles_match_sequential_reference(spark):
         }
         expected = _brute_weighted_quantiles(rows)
         assert got == expected, (trial, got, expected)
+
+
+def test_max_drawdown_matches_sequential_accumulator(spark):
+    """max_drawdown_per_key must match a python running accumulator on
+    random signed series — including all-positive (drawdown 0 only if
+    never dips) and monotonically-falling series."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        max_drawdown_per_key,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    i = 0
+    for k in range(4):
+        for _ in range(rng.randrange(3, 40)):
+            rows.append((k, i, float(rng.randrange(-50, 60))))
+            i += 1
+    # monotone falling series: drawdown = total fall
+    for v in (10.0, -5.0, -5.0, -5.0):
+        rows.append((8, i, v))
+        i += 1
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    df = df.withColumn("event_id", df.ts)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["peak_value"],
+            r["final_value"],
+            r["max_drawdown"],
+        )
+        for r in max_drawdown_per_key(df).collect()
+    }
+
+    expected = {}
+    by_k = {}
+    for k, t, v in rows:
+        by_k.setdefault(k, []).append((t, v))
+    for k, seq in by_k.items():
+        seq.sort()
+        cum = dd = 0.0
+        peak_seen = float("-inf")
+        for _, v in seq:
+            cum += v
+            peak_seen = max(peak_seen, cum)
+            dd = max(dd, peak_seen - cum)
+        expected[k] = (
+            len(seq),
+            round(peak_seen, 6),
+            round(cum, 6),
+            round(dd, 6),
+        )
+    assert got == expected, (got, expected)
