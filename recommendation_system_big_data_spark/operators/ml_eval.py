@@ -1299,3 +1299,109 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_rmse"),
         )
     )
+
+
+_THRESHOLD_OPT_ORACLE = """
+WITH users AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS score,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY user_id
+), cuts AS (
+    SELECT DISTINCT UNNEST(quantile_disc(score,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS thr
+    FROM users
+), scored AS (
+    SELECT c.thr,
+           CAST(SUM(CASE WHEN u.score >= c.thr AND u.y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN u.score >= c.thr AND u.y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN u.score < c.thr AND u.y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM users u CROSS JOIN cuts c
+    GROUP BY c.thr
+)
+SELECT ROUND(thr, 4) AS threshold, tp, fp, fn,
+       ROUND(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+       ROUND(tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall,
+       ROUND(2.0 * tp / CAST(GREATEST(2 * tp + fp + fn, 1) AS DOUBLE), 6)
+           AS f1
+FROM scored
+"""
+
+
+@register("ml_threshold_optimization", oracle=_THRESHOLD_OPT_ORACLE, tags=("ml", "eval"))
+def ml_threshold_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep: precision/recall/F1 of "flag users with
+    score ≥ t" at each score-decile cut — the operating-point table that
+    turns a ranked score into a DECISION (AUC says the ranking is good;
+    this says where to draw the line, and what each choice of line costs
+    in precision vs recall). Read with `ml_eval_lift_gains` (same score,
+    population view).
+
+    Users fold once; candidate thresholds are the 9 DISC decile
+    boundaries (a ≤9-row broadcast — thresholds from the data, not a
+    hardcoded grid); each user×threshold cell is a broadcast fan-out of
+    the REDUCED user grain (9×|users|, narrow), folding straight into
+    per-threshold confusion counts. Exact integer counts; ratios are
+    the only doubles."""
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("score"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    cuts = users.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY score)"
+            ).alias(f"t{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).select(F.explode(F.array(*[F.col(f"t{i}") for i in range(len(qs))])).alias("thr")).distinct()
+    scored = users.crossJoin(F.broadcast(cuts))
+    flagged = F.col("score") >= F.col("thr")
+    per = scored.groupBy("thr").agg(
+        F.sum(F.when(flagged & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(flagged & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~flagged & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return per.select(
+        F.round("thr", 4).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+    )
