@@ -1405,3 +1405,183 @@ def ml_threshold_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+_DID_ORACLE = """
+WITH bounds AS (
+    SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS split_at FROM orders
+), labeled AS (
+    SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+           CASE WHEN o.o_orderdate >= b.split_at THEN 1 ELSE 0 END AS post,
+           o.o_totalprice AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN bounds b
+), cells AS (
+    SELECT treated, post,
+           CAST(COUNT(*) AS BIGINT) AS n, AVG(y) AS m
+    FROM labeled GROUP BY treated, post
+), wide AS (
+    SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_total
+    FROM cells
+)
+SELECT n_total,
+       ROUND(t_post - t_pre, 4) AS treated_change,
+       ROUND(c_post - c_pre, 4) AS control_change,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+FROM wide
+"""
+
+
+@register("ml_diff_in_diff", oracle=_DID_ORACLE, tags=("ml", "experiment"))
+def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the BUILDING segment's order-value change
+    across the last-365-day boundary, minus the other segments' change
+    over the same boundary — the quasi-experimental estimator for
+    rollouts without randomization (the control's change absorbs the
+    common time trend; what's left is attributable to whatever happened
+    to the treated group). Completes the causal ladder: naive diff →
+    IPW (`ml_ipw_ate`, composition control) → DiD (time control).
+
+    The entire estimator is the 2×2 cell-mean table — one broadcast dim
+    join, one (treated, post) groupBy, closed-form algebra on 4 rows.
+    The parallel-trends assumption is the analyst's burden; the engine's
+    burden is exact cells, pinned here."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treated"),
+    )
+    bounds = load(spark, sf_dir, "orders").agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAY")).alias("split_at")
+    )
+    labeled = (
+        load(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "treated",
+            (F.col("o_orderdate") >= F.col("split_at")).cast("int").alias("post"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    cells = labeled.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("y").alias("m")
+    )
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("m"))).alias("t_post"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("m"))).alias("t_pre"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("m"))).alias("c_post"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("m"))).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round(F.col("t_post") - F.col("t_pre"), 4).alias("treated_change"),
+        F.round(F.col("c_post") - F.col("c_pre"), 4).alias("control_change"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            4,
+        ).alias("did_estimate"),
+    )
+
+
+_CUPED_ORACLE = """
+WITH bounds AS (
+    SELECT MAX(ts) - INTERVAL 15 DAY AS split_at FROM events
+), per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN e.ts < b.split_at
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS x_pre,
+           CAST(SUM(CASE WHEN e.ts >= b.split_at
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS y_post
+    FROM events e CROSS JOIN bounds b
+    GROUP BY user_id
+), complete AS (
+    SELECT COALESCE(x_pre, 0) AS x, COALESCE(y_post, 0) AS y FROM per_user
+), theta AS (
+    SELECT COVAR_POP(y, x) / VAR_POP(x) AS th, AVG(x) AS mx FROM complete
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    ROUND(t.th, 6) AS theta,
+    ROUND(VAR_POP(c.y), 4) AS var_raw,
+    ROUND(VAR_POP(c.y - t.th * (c.x - t.mx)), 4) AS var_cuped,
+    ROUND(1 - VAR_POP(c.y - t.th * (c.x - t.mx)) / VAR_POP(c.y), 6)
+        AS variance_reduction
+FROM complete c CROSS JOIN theta t
+GROUP BY t.th, t.mx
+"""
+
+
+@register("stat_cuped_adjustment", oracle=_CUPED_ORACLE, tags=("profile", "experiment"))
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: adjust each user's post-period value by
+    θ·(pre-period value − mean), θ = cov(y,x)/var(x) — the pre-experiment
+    covariate trick that shrinks metric variance (and hence experiment
+    duration) by exactly the R² between periods; the reported
+    variance_reduction IS the fraction of runtime a CUPED'd experiment
+    saves. The modern A/B platform staple closing the experimentation
+    kit (readout → effect size → power → CUPED).
+
+    Users fold once over a 15-day pre/post split (DECIMAL sums; absent
+    periods are 0-imputed, the standard new-user convention); θ is a
+    1-row covariance fold broadcast back; both variances come from ONE
+    final reduce. ROUND before comparison covers the double folds."""
+    bounds = load(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 15 DAY")).alias("split_at")
+    )
+    per_user = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") < F.col("split_at"),
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= F.col("split_at"),
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_pop("y", "x") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("th", "mx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.var_pop("y"), 4).alias("var_raw"),
+            F.round(F.var_pop(adj), 4).alias("var_cuped"),
+            F.round(1 - F.var_pop(adj) / F.var_pop("y"), 6).alias(
+                "variance_reduction"
+            ),
+        )
+        .select(
+            "n_users",
+            F.round("th", 6).alias("theta"),
+            "var_raw",
+            "var_cuped",
+            "variance_reduction",
+        )
+    )

@@ -144,7 +144,8 @@ _loaded = False
 #:   embedding_pq_compress (⊘), dedup_incremental_near,
 #:   ml_learning_curve, funnel_conversion_lag_curve,
 #:   ts_cross_correlation, stat_wilson_ci,
-#:   ml_threshold_optimization — all but the
+#:   ml_threshold_optimization, ml_diff_in_diff,
+#:   stat_cuped_adjustment — all but the
 #:   two ⊘ oracle-bearing, locally green (test_oracles +
 #:   vanilla driver sim at sf0.01 + dtype sweep); fill remaining slots
 #:   with spot-checks of earlier rounds.
