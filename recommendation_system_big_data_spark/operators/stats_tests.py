@@ -225,6 +225,34 @@ FROM ranked
 """
 
 
+def gini_from_values(rev: DataFrame, value: str = "x",
+                     ordcol: str = "o_custkey") -> DataFrame:
+    """Library kernel: Gini coefficient of a (value, tiebreak) frame via
+    the rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over ascending
+    values. Output: (n, total, gini). Property-tested against the
+    mean-absolute-difference definition in tests/test_property_stats.py.
+    The global rank runs on whatever grain the caller pre-aggregated
+    to — keep it post-aggregation (see stat_gini_coefficient)."""
+    ranked = rev.select(
+        value,
+        F.row_number()
+        .over(Window.orderBy(F.asc(value), F.asc(ordcol)))
+        .cast("long")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum(value).cast("double")
+    return ranked.agg(
+        n.cast("long").alias("n"),
+        F.round(sx, 2).alias("total"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col(value)).cast("double") - (n + 1) * sx)
+            / (n * sx),
+            6,
+        ).alias("gini"),
+    )
+
+
 @register("stat_gini_coefficient", oracle=_GINI_ORACLE, tags=("profile",))
 def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration — the scalar
@@ -248,23 +276,10 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    ranked = rev.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("i"),
-    )
-    n = F.count(F.lit(1))
-    sx = F.sum("x").cast("double")
-    return ranked.agg(
-        n.cast("long").alias("n_customers"),
-        F.round(sx, 2).alias("total_rev"),
-        F.round(
-            (2.0 * F.sum(F.col("i") * F.col("x")).cast("double") - (n + 1) * sx)
-            / (n * sx),
-            6,
-        ).alias("gini"),
+    return gini_from_values(rev).select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_rev"),
+        "gini",
     )
 
 

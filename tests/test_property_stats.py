@@ -170,3 +170,29 @@ def test_max_drawdown_matches_sequential_accumulator(spark):
             round(dd, 6),
         )
     assert got == expected, (got, expected)
+
+
+def test_gini_matches_mean_absolute_difference(spark):
+    """gini_from_values' rank identity must equal the definitional form
+    G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·μ) on random value sets — including heavy
+    ties, a uniform set (G=0), and extreme concentration."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        gini_from_values,
+    )
+
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(5):
+        n = rng.randrange(3, 60)
+        cases.append([float(rng.randrange(1, 40)) for _ in range(n)])
+    cases.append([7.0] * 12)                  # perfectly equal → 0
+    cases.append([0.0] * 9 + [100.0])         # one whale → (n-1)/n
+    for trial, xs in enumerate(cases):
+        rows = [(x, i) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "x double, o_custkey int")
+        got = gini_from_values(df).collect()[0]["gini"]
+        n = len(xs)
+        mu = sum(xs) / n
+        mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+        expected = mad / (2 * mu) if mu else 0.0
+        assert abs(got - round(expected, 6)) <= 1e-6, (trial, got, expected)
