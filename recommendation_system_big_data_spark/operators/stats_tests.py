@@ -527,6 +527,57 @@ WHERE n_at_risk > 0
 """
 
 
+def kaplan_meier_curve(labeled: DataFrame, t: str = "duration_hours",
+                       died: str = "died") -> DataFrame:
+    """Library kernel: product-limit survival curve from a (duration,
+    died 0/1) frame — life table on the distinct-duration grain,
+    at-risk counts from a running sum, S(t) = exp(Σ ln(1−d/n)).
+    Output: (t, n_at_risk, n_deaths, n_censored, survival).
+    Property-tested against a sequential KM in
+    tests/test_property_stats.py."""
+    per_t = labeled.groupBy(F.col(t).alias("t")).agg(
+        F.sum(died).cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum(died)).cast("long").alias("c"),
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    factor = 1.0 - F.col("d").cast("double") / F.col("n_at_risk")
+    # Spark's log(0) is NULL and window SUM skips nulls — a time where
+    # EVERYONE at risk dies (factor 0) would silently vanish from the
+    # product instead of zeroing the curve (caught by the differential
+    # test; DuckDB's LN(0) = -inf does the right thing by accident).
+    # Track zero factors explicitly.
+    logged = risk.where(F.col("n_at_risk") > 0).select(
+        "t",
+        "n_at_risk",
+        "d",
+        "c",
+        F.when(factor > 0, F.log(factor)).alias("log_factor"),
+        F.when(factor <= 0, 1).otherwise(0).alias("zero_factor"),
+    )
+    return logged.select(
+        "t",
+        "n_at_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.when(F.sum("zero_factor").over(run) > 0, 0.0)
+        .otherwise(F.round(F.exp(F.sum("log_factor").over(run)), 6))
+        .alias("survival"),
+    )
+
+
 @register("ml_kaplan_meier", oracle=_KM_ORACLE, tags=("profile", "ml"))
 def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for user lifetime (first→last event
@@ -558,37 +609,12 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_hours",
         F.when(F.col("last_ts") > F.col("cutoff"), 0).otherwise(1).alias("died"),
     )
-    per_t = labeled.groupBy(F.col("duration_hours").alias("t")).agg(
-        F.sum("died").cast("long").alias("d"),
-        (F.count(F.lit(1)) - F.sum("died")).cast("long").alias("c"),
-    )
-    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    risk = per_t.crossJoin(F.broadcast(total)).select(
-        "t",
-        "d",
-        "c",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
-        )
-        .cast("long")
-        .alias("n_at_risk"),
-    )
-    return risk.where(F.col("n_at_risk") > 0).select(
+    return kaplan_meier_curve(labeled).select(
         F.col("t").alias("duration_hours"),
         "n_at_risk",
-        F.col("d").alias("n_deaths"),
-        F.col("c").alias("n_censored"),
-        F.round(
-            F.exp(
-                F.sum(
-                    F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
-                ).over(run)
-            ),
-            6,
-        ).alias("survival"),
+        "n_deaths",
+        "n_censored",
+        "survival",
     )
 
 

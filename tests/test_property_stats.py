@@ -196,3 +196,40 @@ def test_gini_matches_mean_absolute_difference(spark):
         mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
         expected = mad / (2 * mu) if mu else 0.0
         assert abs(got - round(expected, 6)) <= 1e-6, (trial, got, expected)
+
+
+def test_kaplan_meier_matches_sequential_life_table(spark):
+    """kaplan_meier_curve must match the textbook sequential estimator on
+    random censored samples — ties between deaths and censorings at the
+    same time included (both leave risk AFTER the time point)."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        kaplan_meier_curve,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        rows = [
+            (rng.randrange(0, 12), 1 if rng.random() < 0.7 else 0)
+            for _ in range(rng.randrange(5, 80))
+        ]
+        df = spark.createDataFrame(rows, "duration_hours long, died int")
+        got = {
+            r["t"]: (r["n_at_risk"], r["n_deaths"], r["survival"])
+            for r in kaplan_meier_curve(df).collect()
+        }
+
+        by_t = {}
+        for t, d in rows:
+            dd, cc = by_t.get(t, (0, 0))
+            by_t[t] = (dd + d, cc + (1 - d))
+        n_risk = len(rows)
+        surv = 1.0
+        expected = {}
+        for t in sorted(by_t):
+            d, c = by_t[t]
+            if n_risk <= 0:
+                break
+            surv *= 1.0 - d / n_risk
+            expected[t] = (n_risk, d, round(surv, 6))
+            n_risk -= d + c
+        assert got == expected, (trial, got, expected)
