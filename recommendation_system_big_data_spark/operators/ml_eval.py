@@ -481,15 +481,17 @@ WITH labeled AS (
            CAST(SUM(pos) AS BIGINT) AS n_pos,
            CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
     FROM labeled GROUP BY cat
+), kept AS (
+    SELECT * FROM cells WHERE n_pos > 0 AND n_neg > 0
 ), tot AS (
     SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp, CAST(SUM(n_neg) AS DOUBLE) AS tn
-    FROM cells
+    FROM kept
 )
 SELECT cat, n_pos, n_neg,
        ROUND(LN((n_pos / tp) / (n_neg / tn)), 6) AS woe,
        ROUND((n_pos / tp - n_neg / tn) * LN((n_pos / tp) / (n_neg / tn)), 6)
            AS iv_contribution
-FROM cells CROSS JOIN tot
+FROM kept CROSS JOIN tot
 """
 
 
@@ -503,8 +505,12 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence.
 
     One broadcast dim join + one groupBy on the category; totals join
-    back as a 1-row broadcast. Integer counts make every ratio exact
-    until the final ln, so ROUND(6) is cosmetic, not load-bearing."""
+    back as a 1-row broadcast. Categories missing either class are
+    excluded BEFORE the totals (WoE is ±∞ there — and Spark's ln(0) is
+    NULL where DuckDB's is -inf, a cross-engine divergence this guard
+    removes; the standard fix when such cells matter is Laplace
+    smoothing). Integer counts make every ratio exact until the final
+    ln, so ROUND(6) is cosmetic, not load-bearing."""
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("cat")
     )
@@ -522,13 +528,14 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
     )
-    tot = cells.agg(
+    kept = cells.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    tot = kept.agg(
         F.sum("n_pos").cast("double").alias("tp"),
         F.sum("n_neg").cast("double").alias("tn"),
     )
     pr = F.col("n_pos") / F.col("tp")
     nr = F.col("n_neg") / F.col("tn")
-    return cells.crossJoin(F.broadcast(tot)).select(
+    return kept.crossJoin(F.broadcast(tot)).select(
         "cat",
         "n_pos",
         "n_neg",
