@@ -523,7 +523,13 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udf
 
     def score(v):
-        return None if v is None else round(math.sqrt(abs(v)) * 3.0 + 1.0, 6)
+        if v is None:
+            return None
+        # Half-AWAY-FROM-ZERO to 6 places, matching Spark/DuckDB ROUND.
+        # Python's round() is half-to-even, a latent tie divergence; the
+        # score is always >= 1.0 so floor(x*1e6 + 0.5) is the half-up tie
+        # convention for this domain.
+        return math.floor((math.sqrt(abs(v)) * 3.0 + 1.0) * 1e6 + 0.5) / 1e6
 
     arrow_score = udf(score, "double", useArrow=True)
     return load(spark, sf_dir, "events").select(

@@ -833,12 +833,14 @@ def text_template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_OVERLAP_ORACLE = """
 WITH counts AS (
     SELECT source,
-           md5(lower(array_to_string(string_split(text, ' ')[1:17], ' ')))
+           -- DuckDB bracket slicing is 1-based INCLUSIVE: [1:16] is the
+           -- 16-word head, matching Spark's F.slice(split, 1, 16).
+           md5(lower(array_to_string(string_split(text, ' ')[1:16], ' ')))
                AS h,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM documents
     GROUP BY source,
-             md5(lower(array_to_string(string_split(text, ' ')[1:17], ' ')))
+             md5(lower(array_to_string(string_split(text, ' ')[1:16], ' ')))
 ), sizes AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM counts
     GROUP BY source

@@ -661,7 +661,11 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 2
-_KCORE_MAX_ITERS = 20
+#: Defensive backstop only — peeling strictly shrinks the node count every
+#: non-fixpoint round, so rounds are bounded by |V|; hitting this means a
+#: checkpoint/caching bug, and the loop RAISES rather than returning a
+#: non-converged (contract-violating) core.
+_KCORE_MAX_ITERS = 10_000
 
 
 @register("graph_kcore", oracle=None, tags=("graph",))
@@ -699,7 +703,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_n = -1
-    for _ in range(_KCORE_MAX_ITERS):
+    for it in range(_KCORE_MAX_ITERS + 1):
+        if it == _KCORE_MAX_ITERS:
+            raise RuntimeError(
+                f"graph_kcore: no fixpoint after {_KCORE_MAX_ITERS} peel "
+                "rounds — monotone peeling cannot do this; checkpointing bug"
+            )
         deg = (
             edges.select(F.col("src").alias("id"))
             .unionAll(edges.select(F.col("dst").alias("id")))

@@ -479,12 +479,18 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate in tests/test_profile.py asserts containment of the true frequent
     set, not equality. ⊘ rows-only: counter eviction order is partitioning-
     dependent, so the spurious tail is not cross-engine stable. Output:
-    one row, sorted arrays for hash stability at fixed partitioning."""
+    one row; the sorted item sets are serialized with array_join ('|')
+    because the driver canonicalizer (pandas sort/hash) cannot handle
+    array cells even in rows-only mode — same fix as agg_collect_sorted."""
     df = load(spark, sf_dir, "orders")
     fi = df.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
     return fi.select(
-        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
-        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+        F.array_join(
+            F.sort_array("o_orderpriority_freqItems"), "|"
+        ).alias("frequent_priorities"),
+        F.array_join(
+            F.sort_array("o_orderstatus_freqItems"), "|"
+        ).alias("frequent_statuses"),
     )
 
 

@@ -783,11 +783,21 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-broadcast as literals, ROUND(5)ed so run-to-run partition
       summation order cannot flip assignments.
 
-    Per-iteration cluster sizes and inertia are exposed so the
-    monotone-descent property is checkable; ⊘ rows-only for the driver
-    (iterative argmin isn't SQL); tests/test_similarity.py gates
-    invariants (inertia non-increasing, k non-empty clusters,
-    determinism)."""
+    Per-iteration inertia is returned by _kmeans_lloyd_run so the
+    monotone-descent property IS asserted (tests/test_similarity.py
+    checks history[i+1] <= history[i]); ⊘ rows-only for the driver
+    (iterative argmin isn't SQL); tests also gate k non-empty clusters
+    and determinism."""
+    df, _ = _kmeans_lloyd_run(spark, sf_dir)
+    return df
+
+
+def _kmeans_lloyd_run(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[dict]]:
+    """Lloyd loop; returns (final cluster summary, per-iteration inertia
+    history) — the history channel exists so the monotone-descent
+    invariant is test-assertable, not just claimed."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
@@ -831,7 +841,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cells:
             new_c[r["cluster"]][r["dim"]] = round(float(r["m"]), 5)
         centroids = new_c
-    return (
+    summary = (
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -840,6 +850,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+    return summary, history
 
 
 _PQ_M = 8   # subvectors

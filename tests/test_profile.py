@@ -84,9 +84,9 @@ def test_freq_items_contains_true_frequent_values(spark, sf_dir):
 
     row = stat_freq_items(spark, sf_dir).collect()[0]
     assert {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"} <= set(
-        row["frequent_priorities"]
+        row["frequent_priorities"].split("|")
     )
-    assert {"F", "O", "P"} <= set(row["frequent_statuses"])
+    assert {"F", "O", "P"} <= set(row["frequent_statuses"].split("|"))
 
 
 def test_eda_render_stub_raises_without_matplotlib(spark, sf_dir):

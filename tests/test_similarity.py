@@ -182,14 +182,22 @@ def test_mahalanobis_outlier_invariants(spark, sf_dir):
 
 def test_kmeans_lloyd_invariants(spark, sf_dir):
     """⊘ gates for ml_kmeans_lloyd: k non-empty clusters partitioning the
-    table, positive inertia, and determinism across runs (ROUND(5)
-    centroid re-broadcast makes assignments partition-order stable)."""
+    table, positive inertia, monotone inertia descent across iterations
+    (Lloyd's convergence property; small epsilon for the ROUND(5)
+    centroid quantization), and determinism across runs."""
     from recommendation_system_big_data_spark.operators.similarity import (
         ml_kmeans_lloyd,
+        _kmeans_lloyd_run,
         _KMEANS_K,
     )
 
-    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    df, history = _kmeans_lloyd_run(spark, sf_dir)
+    inertias = [h["inertia"] for h in history]
+    assert len(inertias) >= 2
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev * (1 + 1e-6), inertias
+
+    rows = df.collect()
     assert len(rows) == _KMEANS_K
     total = sum(r["n_vectors"] for r in rows)
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()

@@ -98,6 +98,20 @@ def main() -> int:
             continue
         oracle = getattr(entry, "oracle", None)
         if oracle is None:
+            # ⊘ rows-only entries still go through the driver canonicalizer
+            # (pandas sort/hash) — unhashable array/map cells crash it even
+            # without an oracle (the r5 stat_freq_items failure class), so
+            # sweep the Spark output alone.
+            checked += 1
+            try:
+                spdf = entry.fn(spark, sf_dir).toPandas()
+            except Exception as e:
+                hazards.append(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+                continue
+            for c in _unhashable_cols(spdf):
+                hazards.append(
+                    f"{name}.{c}: UNHASHABLE spark cells (rows-only query)"
+                )
             continue
         checked += 1
         try:
@@ -134,7 +148,7 @@ def main() -> int:
         if len(opdf) == 0 and not name.endswith(_empty_ok):
             hazards.append(f"{name}: EMPTY oracle result at {os.path.basename(sf_dir)}")
 
-    print(f"checked {checked} oracle-bearing queries")
+    print(f"checked {checked} queries (oracle-bearing + rows-only)")
     if hazards:
         print(f"{len(hazards)} hazard(s):")
         for h in hazards:
