@@ -192,18 +192,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering/cohesion primitive behind community detection and spam
     topology checks.
 
-    The compact-forward algorithm: orient each undirected edge from the
-    endpoint with the smaller (degree, id) to the larger, self-join the
-    oriented edges on the shared middle node to enumerate wedges, and keep
-    wedges whose closing (a, c) edge exists (a third equi-join). Each
-    unordered triangle survives exactly once. Degree ordering is the scale
-    guarantee: a hub of degree d generates wedges only toward
-    HIGHER-degree neighbors, bounding total wedges at O(m^1.5) instead of
-    the Σd² blow-up a fixed id ordering suffers on skewed graphs — the
-    oracle uses the simple id orientation, which counts the identical
-    triangle set, because per-node membership is orientation-invariant.
-    All three joins are key-partitioned shuffles; the degree table
-    (|nodes| rows) broadcasts. No driver materialization.
+    Compact-forward, edge-iterator formulation: orient each undirected
+    edge from the endpoint with the smaller (degree, id) to the larger,
+    build each node's sorted out-neighbor array, and for every oriented
+    edge (u, v) emit adj⁺(u) ∩ adj⁺(v) — each triangle {u,v,w} surfaces
+    exactly once, at the unique edge whose two endpoints both point at w.
+    Degree ordering is the scale guarantee: a hub of degree d keeps only
+    its HIGHER-degree neighbors in adj⁺, so max |adj⁺| is O(√m), total
+    intersection work is O(m^1.5), and the intersection replaces the
+    explicit wedge self-join — the 49M wedge rows the r5 plan shuffled
+    into the closing join (measured: the whole-query bottleneck) are now
+    enumerated inside a codegen'd array_intersect and never materialized.
+    Everything is key-partitioned shuffle joins on node ids (adjacency
+    arrays ride along, each ≤ O(√m) longs); the degree table (|nodes|
+    rows) broadcasts; no edge-scale broadcast, no driver
+    materialization. The oracle keeps the wedge-join spelling with the
+    simple id orientation — same triangle set, since per-node membership
+    is orientation-invariant.
 
     Scale regime: O(m^1.5) wedge volume grows ~1000x at 100x edges — when
     exact counting stops being affordable, switch to the DOULION
@@ -225,6 +230,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
         )
         .distinct()
+        # The fact self-join is the most expensive subtree and feeds THREE
+        # consumers below (edges itself + the two degree broadcasts);
+        # without a cut Spark re-evaluates it per consumer (measured ~2s
+        # each at sf0.1). Same persist-the-edge-list discipline as the
+        # oriented checkpoint.
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -253,28 +264,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
     )
-    # The edge pipeline (fact self-join → distinct → degree orientation)
-    # feeds all three legs of the wedge join; without a lineage cut Spark
-    # re-evaluates it once per leg. Materializing the oriented edge list —
-    # tiny next to the fact table — is exactly what a 100 TB deployment
-    # does (persist the edge list, then enumerate).
+    # The oriented edge list feeds both the adjacency build and the
+    # per-edge probe; materializing it — tiny next to the fact table — is
+    # exactly what a 100 TB deployment does (persist the edge list, then
+    # enumerate).
     oriented = oriented.localCheckpoint()
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    # Inner joins are lossless here: an endpoint missing from adj has no
+    # out-neighbors, so its intersection is empty — the edge closes no
+    # triangle either way.
+    tri_w = (
+        oriented.join(
+            adj.select(
+                F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")
+            ),
+            F.col("src") == F.col("u_key"),
+        )
         .join(
-            e3,
-            (F.col("e1.src") == F.col("e3.src"))
-            & (F.col("e2.dst") == F.col("e3.dst")),
+            adj.select(
+                F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")
+            ),
+            F.col("dst") == F.col("v_key"),
         )
         .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+            "src", "dst", F.array_intersect("nbrs_u", "nbrs_v").alias("ws")
         )
     )
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        tri_w.select("src", "dst", F.explode("ws").alias("w"))
+        .select(F.explode(F.array("src", "dst", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

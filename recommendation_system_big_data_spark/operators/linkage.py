@@ -2,13 +2,25 @@
 
 The unblocked spelling is a cartesian product with a levenshtein
 predicate — O(n²) comparisons and a nested-loop plan. Production entity
-resolution always blocks first: an equality key (brand) bounds each
-comparison group, and a cheap length-band predicate prunes pairs the
-edit-distance threshold already excludes, so the expensive metric runs
-only on survivors. Candidate count is Σ(block size²), controlled by
-blocking-key cardinality — the same inverted-index discipline as
-dedup.py's shingle joins, with equality blocks instead of shingle
-buckets.
+resolution blocks first. Round 5 blocked on the brand equality key alone,
+but brand has fixed cardinality (25), so Σ(block size²) grows
+quadratically with data — fine for a demo, a scale-killer at 100×. This
+round replaces it with the standard *partition-based* signature scheme
+(PassJoin, Li/Deng/Feng, VLDB'11 — public algorithm): lossless blocking
+whose candidate count tracks true near-duplicate density, not corpus
+size.
+
+Pigeonhole guarantee: split a string into τ+1 = 3 disjoint segments; any
+edit script of ≤ τ = 2 edits leaves at least one segment untouched, and
+that segment appears EXACTLY in the other string, start position shifted
+by at most τ (each insert/delete moves downstream offsets by 1). So
+candidates = equi-join of index-side segments against probe-side
+substrings enumerated at the segment's expected position ± τ, for every
+index length L ≤ probe length in the ± τ band (the shorter string of a
+pair is always the indexed one, so each L band is enumerated once) — all
+other pairs are provably beyond the threshold and never compared.
+Blocking cannot change the answer; the oracle stays the brute-force
+within-brand formulation, and it hash-matches.
 """
 
 from __future__ import annotations
@@ -19,8 +31,11 @@ from pyspark.sql import functions as F
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.registry import register
 
-#: Maximum edit distance for a pair to link.
+#: Maximum edit distance for a pair to link (τ).
 _MAX_DIST = 2
+
+#: τ+1 segments: at least one survives any τ-edit script untouched.
+_N_SEGS = _MAX_DIST + 1
 
 _FUZZY_ORACLE = f"""
 SELECT a.p_partkey AS p1_key,
@@ -34,44 +49,163 @@ FROM part a JOIN part b
  AND levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
 """
 
+#: Index side: the 3 even segments of each name (positions by integer
+#: division so both sides compute identical boundaries). Only rows with
+#: len >= 3 are indexed (shorter strings have empty segments, which
+#: would match everything); pairs where BOTH sides are shorter go down
+#: the short-residual brute path instead.
+_SEG_EXPR = """
+transform(sequence(0, 2), i -> named_struct(
+    'seg_i', i,
+    'src_len', len,
+    'seg', substring(name, ((i * len) div 3) + 1,
+                     ((i + 1) * len) div 3 - ((i * len) div 3))))
+"""
+
+
+def _probe_candidates(src: DataFrame) -> DataFrame:
+    """Enumerate, per row, every substring that could equal segment i of
+    an indexable source of length L ≤ len (shorter-side-indexed; short
+    probes with len < 3 keep the full +τ band because they are never
+    indexed themselves), at the segment's position shifted −τ..+τ.
+
+    Spelled as three flat integer explodes with the substring computed
+    in plain (whole-stage-codegen) expressions — measured 5× faster than
+    the equivalent nested transform/filter/flatten higher-order
+    functions, which evaluate interpreted. ≤ 45 keys per row after
+    clipping: linear fan-out instead of quadratic block growth."""
+    return (
+        src.withColumn(
+            "L",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(3), F.col("len") - _MAX_DIST),
+                    F.greatest(
+                        F.lit(3),
+                        F.when(F.col("len") >= _N_SEGS, F.col("len")).otherwise(
+                            F.col("len") + _MAX_DIST
+                        ),
+                    ),
+                )
+            ),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_N_SEGS - 1))))
+        .withColumn(
+            "d", F.explode(F.sequence(F.lit(-_MAX_DIST), F.lit(_MAX_DIST)))
+        )
+        .withColumn("l_seg", F.expr("((i + 1) * L) div 3 - ((i * L) div 3)"))
+        .withColumn("q", F.expr("((i * L) div 3) + d"))
+        .where("q >= 0 AND q + l_seg <= len")
+        .select(
+            "brand",
+            F.col("key").alias("q_key"),
+            F.col("name").alias("q_name"),
+            F.col("i").alias("seg_i"),
+            F.col("L").alias("src_len"),
+            F.expr("substring(name, q + 1, l_seg)").alias("seg"),
+        )
+    )
+
 
 @register("fuzzy_join_levenshtein", oracle=_FUZZY_ORACLE, tags=("linkage",))
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate part names within a brand: pairs at edit distance
-    ≤ 2, keyed a<b so each pair reports once.
+    ≤ 2, keyed a<b so each pair reports once. Same answer as the brute
+    within-brand join (the oracle); the plan is PassJoin segment
+    blocking — see module docstring for the pigeonhole argument.
 
-    Plan shape: shuffle hash join on the p_brand blocking key (the ONLY
-    equality conjunct — the rest are post-join filters), then the
-    length-band prune |len(a)−len(b)| ≤ 2 (any pair violating it has edit
-    distance > 2 by the length lower bound, so the filter is free
-    correctness-wise and skips the O(len²) DP for most pairs), then exact
-    levenshtein. At 100 TB the block key must keep Σ(block²) sane — brand
-    (25 values) is the demo; a real corpus blocks on a composite
-    (brand, soundex/prefix) key, same plan."""
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = p.select(
-        F.col("p_partkey").alias("p1_key"),
-        F.col("p_name").alias("p1_name"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("p2_key"),
-        F.col("p_name").alias("p2_name"),
-        F.col("p_brand").alias("brand"),
-    )
-    return (
-        a.join(b, "brand")
-        .filter(F.col("p1_key") < F.col("p2_key"))
-        .filter(
-            F.abs(F.length("p1_name") - F.length("p2_name")) <= _MAX_DIST
+    Plan shape (all equi-joins, no NLJ):
+      1. round-robin repartition of the scan to defaultParallelism —
+         part is a single file at bench SF, and a 45× explode does NOT
+         add partitions, so without this the entire join+verify ran on
+         ONE core (measured 6.2s → 1.2s at sf0.1);
+      2. index: 3 segment rows per name; probe: ≤45 candidate-substring
+         rows per name (flat codegen explodes, not interpreted HOFs);
+      3. hash join on (brand, seg_i, src_len, seg) — segment strings
+         are high-cardinality, so candidates track true near-dup
+         density (AQE skew-join absorbs hot segments);
+      4. verify INLINE in the join stage — length-band prune, then the
+         thresholded levenshtein(.., 2) DP (abandons at running-min >
+         τ: O(len·τ)) — so only true pairs (plus direction duplicates)
+         reach the final distinct. Deduplicating candidates BEFORE the
+         verify was measured slower: at 10% candidate precision the
+         distinct shuffles 10× more rows than it saves the DP.
+    Residual: pairs where both strings have len < 3 (un-indexable) take
+    a brute within-brand join — structurally empty on real part names,
+    kept so the operator is correct on arbitrary inputs."""
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
+            F.length("p_name").alias("len"),
         )
-        # threshold form: the DP abandons a row pair as soon as the running
-        # minimum exceeds the bound (returns -1), turning the O(len²) table
-        # into an O(len·k) band — the dominant cost at Σ(block²) pairs
+        .repartition(par)
+    )
+
+    idx = (
+        base.where(F.col("len") >= _N_SEGS)
+        .select(
+            "brand",
+            F.col("key").alias("i_key"),
+            F.col("name").alias("i_name"),
+            F.explode(F.expr(_SEG_EXPR)).alias("sg"),
+        )
+        .select(
+            "brand",
+            "i_key",
+            "i_name",
+            F.col("sg.seg_i").alias("seg_i"),
+            F.col("sg.src_len").alias("src_len"),
+            F.col("sg.seg").alias("seg"),
+        )
+    )
+    verified = (
+        idx.join(_probe_candidates(base), ["brand", "seg_i", "src_len", "seg"])
+        .where(F.col("i_key") != F.col("q_key"))
+        .where(F.abs(F.length("i_name") - F.length("q_name")) <= _MAX_DIST)
+        .withColumn(
+            "dist", F.levenshtein("i_name", "q_name", _MAX_DIST).cast("long")
+        )
+        .where(F.col("dist") >= 0)
+        .select(
+            F.least("i_key", "q_key").alias("p1_key"),
+            F.greatest("i_key", "q_key").alias("p2_key"),
+            F.when(F.col("i_key") < F.col("q_key"), F.col("i_name"))
+            .otherwise(F.col("q_name"))
+            .alias("p1_name"),
+            F.when(F.col("i_key") < F.col("q_key"), F.col("q_name"))
+            .otherwise(F.col("i_name"))
+            .alias("p2_name"),
+            "dist",
+        )
+    )
+
+    # Residual: both sides too short to index — brute within brand.
+    short = base.where(F.col("len") < _N_SEGS)
+    sa, sb = short.alias("sa"), short.alias("sb")
+    short_verified = (
+        sa.join(
+            sb,
+            (F.col("sa.brand") == F.col("sb.brand"))
+            & (F.col("sa.key") < F.col("sb.key")),
+        )
         .withColumn(
             "dist",
-            F.levenshtein("p1_name", "p2_name", _MAX_DIST).cast("long"),
+            F.levenshtein(F.col("sa.name"), F.col("sb.name"), _MAX_DIST).cast(
+                "long"
+            ),
         )
-        .filter(F.col("dist") >= 0)
-        .select("p1_key", "p2_key", "p1_name", "p2_name", "dist")
+        .where(F.col("dist") >= 0)
+        .select(
+            F.col("sa.key").alias("p1_key"),
+            F.col("sb.key").alias("p2_key"),
+            F.col("sa.name").alias("p1_name"),
+            F.col("sb.name").alias("p2_name"),
+            "dist",
+        )
     )
+
+    return verified.unionByName(short_verified).distinct()
