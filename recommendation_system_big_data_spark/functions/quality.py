@@ -203,8 +203,14 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id, which is the explode's partitioning). At scale the join key
     becomes xxhash64(gram) — fixed width, no long-string comparisons; raw
     text is kept here so the oracle sees identical values."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("l")
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("l"))
+        # One round-robin shuffle of the (small) pre-explode rows: the
+        # documents file is a single split at bench SF, and explode does
+        # not add partitions, so the gram fan-out would otherwise run on
+        # one core. Both consumers below reuse the same exchange.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     grams = toks.select("doc_id", F.explode(_ngrams(8)).alias("gram"))
     holdout = (

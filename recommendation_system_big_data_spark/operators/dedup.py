@@ -1097,3 +1097,79 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.where(j >= 0.5).select(
         "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
     )
+
+
+@register("dedup_incremental_near_minhash", oracle=None, tags=("dedup",))
+def dedup_incremental_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n≫10⁶ path `dedup_incremental_near`'s docstring prescribes,
+    as an executable variant instead of prose: candidate generation via
+    the banded-MinHash equi-join (dedup_minhash_lsh's deterministic
+    signature machinery) with the probe side restricted to the incoming
+    BATCH, then the SAME exact-Jaccard verify and ≥0.5 threshold, so any
+    emitted pair is a true near-duplicate.
+
+    Scale shape: the corpus's banded signatures are a fixed-size index
+    (16 band keys per doc, independent of document length — vs one
+    posting per distinct shingle in the inverted-index variant); the
+    batch probes it with one (band_idx, band_key, lang) equi-join whose
+    cost scales with the batch, and the verify join explodes only
+    candidate docs. ⊘ rows-only (banding can miss pairs near the
+    threshold — recall, not precision, is probabilistic);
+    tests/test_dedup.py gates recall against the exact incremental
+    query and asserts the output is a subset of it."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    part = F.when(portable_bucket(F.col("doc_id"), 100) < 80, "corpus").otherwise(
+        "batch"
+    )
+    sig = (
+        shingle_index(spark, sf_dir)
+        .select("doc_id", "lang", base_hashes(F.col("sh")).alias("h0s"))
+        .select(
+            "doc_id", "lang", minhash_from_hashes(F.col("h0s")).alias("sig")
+        )
+    )
+    banded = sig.select(
+        "doc_id",
+        "lang",
+        part.alias("part"),
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    bb = banded.where(F.col("part") == "batch").alias("bb")
+    cb = banded.where(F.col("part") == "corpus").alias("cb")
+    cand = (
+        bb.join(
+            cb,
+            (F.col("bb.band_idx") == F.col("cb.band_idx"))
+            & (F.col("bb.band_key") == F.col("cb.band_key"))
+            & (F.col("bb.lang") == F.col("cb.lang")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("new_doc"),
+            F.col("cb.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    ex = _exploded_index(spark, sf_dir)
+    ea = ex.select(
+        F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    eb = ex.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("n_sh").alias("n_b"),
+        "shingle",
+    )
+    shared = (
+        cand.join(ea, "new_doc")
+        .join(eb, ["corpus_doc", "shingle"])
+        .groupBy("new_doc", "corpus_doc", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.where(j >= 0.5).select(
+        "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
+    )

@@ -77,9 +77,12 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
                 F.struct(
                     F.lit(c).alias("col_name"),
                     F.count(col).alias("n"),
-                    F.round(
-                        F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col), 6
-                    ).alias("mean"),
+                    # Plain double mean: this is the ⊘ rows-only scale path
+                    # (no cross-engine hash), so it skips the exact path's
+                    # decimal accumulator — measured ~0.6s of the fused agg
+                    # at sf0.1 for zero benefit here; the tolerance gate vs
+                    # the exact path is unaffected by last-ulp sum order.
+                    F.round(F.avg(col), 6).alias("mean"),
                     F.round(F.stddev_samp(col), 4).alias("stddev"),
                     F.round(F.min(col), 6).alias("min_v"),
                     # ONE GK sketch per column: the 3-quantile array aggregates

@@ -31,6 +31,28 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
 
 
+def test_incremental_minhash_subset_and_recall(spark, sf_dir):
+    """The MinHash-banded incremental variant must emit only true pairs
+    (exact verify ⇒ subset of the exact incremental query) with
+    near-total recall at J>=0.5 (16 bands × 4 rows)."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_incremental_near,
+        dedup_incremental_near_minhash,
+    )
+
+    def pairs(df):
+        return {
+            (r["new_doc"], r["corpus_doc"])
+            for r in df.select("new_doc", "corpus_doc").collect()
+        }
+
+    exact = pairs(dedup_incremental_near(spark, sf_dir))
+    approx = pairs(dedup_incremental_near_minhash(spark, sf_dir))
+    assert approx <= exact or not exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
 def test_minhash_signature_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(50).select(
         "doc_id", shingles(F.col("text")).alias("sh")
