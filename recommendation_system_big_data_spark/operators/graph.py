@@ -134,10 +134,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") != F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    e0 = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    e0 = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # e0 feeds three consumers (out-weight agg, edge join, node list);
+        # an eager cut materializes the expensive pair shuffle once
+        # (measured ~2s/consumer at sf0.1) — same discipline as the
+        # triangle kernel's edge checkpoint.
+        .localCheckpoint()
+    )
     outw = e0.groupBy("src").agg(F.sum("w").alias("tot"))
-    edges = e0.join(outw, "src").localCheckpoint(eager=False)
-    nodes = e0.select(F.col("src").alias("id")).distinct()
+    # Hash-partition the edge list on src ONCE; every iteration's
+    # contribution join then reuses this partitioning and shuffles only
+    # the |nodes|-sized rank table — the standard Pregel layout.
+    edges = e0.join(outw, "src").repartition("src").localCheckpoint()
+    nodes = e0.select(F.col("src").alias("id")).distinct().localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("r")

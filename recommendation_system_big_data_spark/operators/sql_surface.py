@@ -264,10 +264,54 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth or iterate with a visited-set fixpoint (dedup_cluster_components
     for the unbounded case). Min-depth per node is taken AFTER the walk:
     UNION ALL + final MIN keeps both engines' recursion semantics
-    identical rather than leaning on engine-specific cycle handling."""
-    for t in ("lineitem",):
-        _view(spark, sf_dir, t)
-    return spark.sql(_RECURSIVE_REACH_ORACLE.replace("FROM lineitem", "FROM v_lineitem"))
+    identical rather than leaning on engine-specific cycle handling.
+
+    The edge list is materialized (checkpoint + temp view) BEFORE the
+    recursive plan: a CTE referenced from the recursive leg is re-derived
+    from the fact table on every frontier step (measured ~3× the edge
+    build at sf0.1) — walking a materialized edge table is both the fix
+    and what a real deployment does. Seed note: dense_rank keeps each
+    order's smallest partkey, so MIN over the capped set equals MIN over
+    lineitem, which the seed leg computes in-plan (no driver scalar)."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        _capped_items,
+    )
+
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("v_reach_edges")
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+WITH RECURSIVE seed AS (
+    SELECT MIN(l_partkey) AS node FROM v_lineitem
+), reach(node, depth) AS (
+    SELECT node, 0 FROM seed
+    UNION ALL
+    SELECT DISTINCT e.v, r.depth + 1
+    FROM reach r JOIN v_reach_edges e ON e.u = r.node
+    WHERE r.depth < 2
+)
+SELECT CAST(min_depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, MIN(depth) AS min_depth FROM reach GROUP BY node)
+GROUP BY min_depth
+"""
+    )
 
 
 _GROUP_BY_ALL_ORACLE = """
