@@ -107,6 +107,12 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "stat_bootstrap_ci",
     "ts_interval_union_coverage",
+    # round-6: the new scale-bearing paths — PQ asymmetric-distance ANN
+    # (code-table scan + ADC fold + exact re-rank) and the MinHash-banded
+    # incremental near-dedup (batch probes a fixed-size signature index).
+    # First recorded run defines each baseline.
+    "sim_topk_pq_adc",
+    "dedup_incremental_near_minhash",
 ]
 
 
