@@ -108,11 +108,15 @@ HEADLINE = [
     "stat_bootstrap_ci",
     "ts_interval_union_coverage",
     # round-6: the new scale-bearing paths — PQ asymmetric-distance ANN
-    # (code-table scan + ADC fold + exact re-rank) and the MinHash-banded
-    # incremental near-dedup (batch probes a fixed-size signature index).
-    # First recorded run defines each baseline.
+    # (code-table scan + ADC fold + exact re-rank), the MinHash-banded
+    # incremental near-dedup (batch probes a fixed-size signature index),
+    # substring-span duplication profiling (windowed inverted index, no
+    # pair materialization), and concat-and-chunk sequence packing (the
+    # running-sum offset index). First recorded run defines each baseline.
     "sim_topk_pq_adc",
     "dedup_incremental_near_minhash",
+    "dedup_substring_span",
+    "pipeline_sequence_packing",
 ]
 
 

@@ -1206,3 +1206,102 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Training-sequence token budget for pipeline_sequence_packing. Chosen
+#: near the corpus mean doc length so sequences typically span document
+#: boundaries — the case the packing accounting exists to get right.
+_PACK_SEQ_LEN = 64
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), o AS (
+    SELECT doc_id, source, n_tok,
+           CAST(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS BIGINT) AS strt
+    FROM t
+), s AS (
+    SELECT source, doc_id, n_tok, strt,
+           unnest(generate_series(strt // {_PACK_SEQ_LEN},
+                                  (strt + n_tok - 1) // {_PACK_SEQ_LEN}))
+               AS seq_id
+    FROM o
+)
+SELECT source,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(strt + n_tok, (seq_id + 1) * {_PACK_SEQ_LEN})
+                - GREATEST(strt, seq_id * {_PACK_SEQ_LEN})) AS BIGINT)
+           AS n_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM s
+GROUP BY source, seq_id
+"""
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=_PACKING_ORACLE,
+    tags=("text", "pipeline"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between a curated
+    corpus and a training run: documents are concatenated in a
+    deterministic shard order (per source, by doc_id — re-ingestion
+    stable) and the token stream is cut into fixed 64-token training
+    sequences. Output is the packing ACCOUNTING per (source, seq_id):
+    how many documents contribute, how many tokens land in the sequence
+    (= budget except each source's final remainder), and the first/last
+    contributing doc — what a data loader needs to seek any sequence
+    without materializing the token stream.
+
+    Plan: one running-sum window per source gives each doc its stream
+    offset; a doc then spans sequences floor(start/L)..floor((end-1)/L),
+    emitted by an explode over that (usually 1-2 element) range; one
+    aggregate on (source, seq_id) with the per-sequence overlap length
+    computed in codegen. Two keyed shuffles total, no token
+    materialization — the packed sequences themselves are a downstream
+    gather; this operator is the index that makes the gather
+    partition-local. At 100 TB the window partitions by (source, shard)
+    instead of source alone so no single source serializes a window
+    scan; the seq_id arithmetic is unchanged because shard offsets are
+    additive."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = docs.withColumn("strt", F.sum("n_tok").over(w) - F.col("n_tok"))
+    L = _PACK_SEQ_LEN
+    spans = off.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        "strt",
+        F.explode(
+            F.sequence(
+                F.expr(f"strt DIV {L}"),
+                F.expr(f"(strt + n_tok - 1) DIV {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("strt") + F.col("n_tok"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("strt"), F.col("seq_id") * L)
+    return spans.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(overlap).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.functions.vectors import as_double_array, cosine
@@ -1172,4 +1173,97 @@ def dedup_incremental_near_minhash(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return shared.where(j >= 0.5).select(
         "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
+    )
+
+
+#: Substring-dedup window width: 8 whitespace tokens, stride 1. Narrower
+#: than the 16-token paragraph blocks (dedup_paragraph_exact) — span
+#: analysis wants to FIND partial overlap, not just identical blocks.
+_SPAN_W = 8
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), w0 AS (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, len(tk) - {_SPAN_W - 1})) AS i
+    FROM t WHERE len(tk) >= {_SPAN_W}
+), w AS (
+    SELECT doc_id,
+           md5(array_to_string(tk[i:i + {_SPAN_W - 1}], ' ')) AS wkey
+    FROM w0
+), k AS (
+    SELECT wkey, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wkey
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows,
+       ROUND(CAST(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM w JOIN k USING (wkey)
+GROUP BY w.doc_id
+"""
+
+
+@register("dedup_substring_span", oracle=_SPAN_ORACLE, tags=("dedup", "text"))
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): document-level
+    dedup misses the long shared SPANS inside otherwise-distinct pages
+    (boilerplate, quotations, templated passages). Per document: the
+    fraction of its 8-token sliding windows (stride 1) whose exact text
+    also occurs in at least one OTHER document — the signal substring
+    dedup cuts on.
+
+    Plan: windows are a flatMap-shaped explode (~n_tok rows/doc, all JVM
+    higher-order functions), window identity is md5 of the joined token
+    slice. Cross-doc occurrence needs NO join: one aggregate to the
+    (wkey, doc_id) grain, then `count(*) over (partition by wkey)` IS
+    the distinct-doc count of the key — the key stats ride the same
+    wkey partitioning the aggregate just produced, replacing the
+    windows⋈key-stats self-join (which re-scanned documents and cost 6
+    exchanges; this shape is 1 scan + 3 keyed shuffles). Boilerplate
+    hot keys are partial-aggregated, never materialized as pairs —
+    unlike pair-based near-dup, span profiling never builds a candidate
+    pair. Docs shorter than 8 tokens have no windows and are absent by
+    definition (both engines)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    wins = (
+        docs.filter(F.size("tk") >= _SPAN_W)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - (_SPAN_W - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("tk"), F.col("i"), _SPAN_W), " "
+                ).cast("binary")
+            ).alias("wkey"),
+        )
+    )
+    per_doc_key = wins.groupBy("wkey", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+    dup = F.sum(
+        F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        per_doc_key.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_windows"),
+            dup.alias("dup_windows"),
+            F.round(
+                dup.cast("double") / F.sum("n_occ"), 6
+            ).alias("dup_frac"),
+        )
     )

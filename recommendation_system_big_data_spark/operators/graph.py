@@ -765,3 +765,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
     return core_deg.orderBy(F.desc("core_degree"), F.asc("id")).limit(100)
+
+
+#: Synchronous LPA rounds. Fixed (not run-to-stability) because
+#: synchronous label propagation can 2-cycle on bipartite-ish regions;
+#: a fixed round count keeps the output well-defined AND lets the oracle
+#: unroll the exact same computation.
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-iteration oracle, same discipline as _PAGERANK_ORACLE:
+    every round is one join + one weighted count + one deterministic
+    arg-max (score DESC, label ASC), so the SQL is mechanical."""
+    sql = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), e AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY src, dst
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS lab FROM e
+)"""
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        sql += f""", s{i} AS (
+    SELECT e.dst AS node, l.lab, SUM(e.w) AS sc
+    FROM e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.lab
+), l{i} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY sc DESC, lab ASC
+               ) AS rn
+        FROM s{i}
+    ) WHERE rn = 1
+)"""
+        prev = f"l{i}"
+    return sql + f"""
+SELECT node AS part_id, lab AS community FROM {prev}
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph",))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community DETECTION via weighted synchronous label propagation
+    (Raghavan et al. 2007) over the part co-purchase graph — the
+    companion to graph_community_modularity, which only EVALUATES a
+    given partition. Each node starts as its own community; each round
+    every node adopts the label with the highest incident edge weight
+    among its neighbors (tie → smallest label, so the whole run is
+    deterministic); 4 fixed synchronous rounds.
+
+    Exactness: edge weights are integer co-occurrence counts and the
+    argmax compares integer sums — no float anywhere, so the oracle
+    match is bit-exact by construction. Scale shape: per round, ONE
+    |edges| join against the |nodes|-sized label table (edge list
+    hash-partitioned on src once, same Pregel layout as pagerank) + one
+    (node, label) weighted count + one per-node top-1 window; labels are
+    localCheckpoint'ed per round to cut lineage. Pair generation is the
+    dominant shuffle, bounded by the MAX_BASKET cap exactly as in the
+    other co-purchase kernels."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    pick = Window.partitionBy("node").orderBy(F.desc("sc"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").alias("sc"))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("lab").alias("community")
+    )

@@ -131,8 +131,10 @@ _loaded = False
 #:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check,
 #:   agg_bitmap_intersection, stat_theil_decomposition, ml_learning_curve,
 #:   funnel_conversion_lag_curve, ml_cv_fold_assign, privacy_l_diversity,
-#:   join_bloom_prefilter, stat_cuped_adjustment, and the ⊘ round-6
-#:   additions (sim_topk_pq_adc, plus any later round-6 session work)
+#:   join_bloom_prefilter, stat_cuped_adjustment, and the round-6
+#:   session additions: sim_topk_pq_adc ⊘, sim_topk_ivfpq ⊘,
+#:   dedup_substring_span, pipeline_sequence_packing,
+#:   graph_label_propagation
 #:   — r7 takes 50, r8 the remainder plus spot-check re-runs.
 _DRIVER_WINDOW_ALIASES = (
     # changed or fixed in round 6 — (re-)verify

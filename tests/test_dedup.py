@@ -166,3 +166,21 @@ def test_connected_components_converges_on_long_chains(spark):
     want |= {(n, 20) for n in range(20, 30)}
     want |= {(100, 100), (101, 100)}
     assert got == want
+
+
+def test_substring_span_bounds_and_symmetry(spark, sf_dir):
+    """Span-profile invariants: dup_frac ∈ [0, 1] and consistent with
+    its own counts; a duplicated window implies ≥ 2 docs carry it, so
+    the corpus-wide dup_windows total is never 1."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_substring_span,
+    )
+
+    rows = dedup_substring_span(spark, sf_dir).collect()
+    assert rows
+    total_dup = 0
+    for r in rows:
+        assert 0 <= r["dup_windows"] <= r["n_windows"]
+        assert abs(r["dup_frac"] - round(r["dup_windows"] / r["n_windows"], 6)) < 1e-9
+        total_dup += r["dup_windows"]
+    assert total_dup != 1

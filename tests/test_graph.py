@@ -70,3 +70,21 @@ def test_kcore_invariants(spark, sf_dir):
     assert all(r["core_degree"] >= _KCORE_K for r in rows)
     again = graph_kcore(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """LPA invariants beyond the oracle match: propagation actually
+    merges communities (fewer labels than nodes), every community label
+    IS a member node's id (labels only ever propagate from nodes), and
+    the labeling is deterministic across runs."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    nodes = {r["part_id"] for r in rows}
+    comms = {r["community"] for r in rows}
+    assert len(comms) < len(nodes)
+    assert comms <= nodes
+    again = graph_label_propagation(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

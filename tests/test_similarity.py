@@ -243,6 +243,42 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """⊘ gates for sim_topk_ivfpq: mean recall@10 vs the exact L2 answer
+    ≥ 0.5 (IVF cell pruning can evict true neighbors on top of the PQ
+    quantization loss — the documented trade), full k rows per query,
+    determinism across runs."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        sim_topk_ivfpq,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = sim_topk_ivfpq(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(per_q) == N_QUERIES
+    assert all(len(s) == TOP_K for s in per_q.values())
+
+    erows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in erows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in erows])
+    recalls = []
+    for qid in range(N_QUERIES):
+        qv = X[ids == qid][0]
+        d = ((X - qv) ** 2).sum(1)
+        d[ids == qid] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:TOP_K]].tolist())
+        recalls.append(len(per_q[qid] & exact) / TOP_K)
+    assert np.mean(recalls) >= 0.5, recalls
+
+    again = sim_topk_ivfpq(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_pq_compress_invariants(spark, sf_dir):
     """⊘ gates for embedding_pq_compress: full coverage, a plausible
     reconstruction error (positive, and far below the per-dim variance a

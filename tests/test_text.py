@@ -42,3 +42,34 @@ def test_canonical_fingerprint_order_insensitive(spark):
     )
     fps = [r["fp"] for r in df.select(canon.alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Packing invariants the oracle can't see on its own: per source,
+    the packed sequences partition the token stream exactly — token
+    totals conserved, every sequence except the last is exactly full,
+    and seq_ids are gapless from 0."""
+    from recommendation_system_big_data_spark.functions.text import (
+        _PACK_SEQ_LEN,
+        pipeline_sequence_packing,
+    )
+
+    rows = pipeline_sequence_packing(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "size(split(text, ' ')) AS n")
+        .groupBy("source")
+        .sum("n")
+        .collect()
+    )
+    totals = {r["source"]: r["sum(n)"] for r in docs}
+    assert set(per_src) == set(totals)
+    for src, seqs in per_src.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [s["seq_id"] for s in seqs] == list(range(len(seqs)))
+        assert sum(s["n_tokens"] for s in seqs) == totals[src]
+        assert all(s["n_tokens"] == _PACK_SEQ_LEN for s in seqs[:-1])
+        assert 0 < seqs[-1]["n_tokens"] <= _PACK_SEQ_LEN
