@@ -117,6 +117,9 @@ HEADLINE = [
     "dedup_incremental_near_minhash",
     "dedup_substring_span",
     "pipeline_sequence_packing",
+    # round-6b: the grid-blocked spatial join — cell + neighbor-probe +
+    # haversine verify, the equi-join layout that replaces a cross join.
+    "geo_proximity_join_blocked",
 ]
 
 

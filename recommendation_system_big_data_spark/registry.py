@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "recommendation_system_big_data_spark.operators.skew",
     "recommendation_system_big_data_spark.operators.linkage",
     "recommendation_system_big_data_spark.operators.graph",
+    "recommendation_system_big_data_spark.operators.geo",
     "recommendation_system_big_data_spark.operators.stats_tests",
     "recommendation_system_big_data_spark.operators.timeseries",
     "recommendation_system_big_data_spark.operators.runtime_filter",
@@ -134,7 +135,8 @@ _loaded = False
 #:   join_bloom_prefilter, stat_cuped_adjustment, and the round-6
 #:   session additions: sim_topk_pq_adc ⊘, sim_topk_ivfpq ⊘,
 #:   dedup_substring_span, pipeline_sequence_packing,
-#:   graph_label_propagation
+#:   graph_label_propagation, geo_proximity_join_blocked,
+#:   geo_nearest_hub
 #:   — r7 takes 50, r8 the remainder plus spot-check re-runs.
 _DRIVER_WINDOW_ALIASES = (
     # changed or fixed in round 6 — (re-)verify
