@@ -29,3 +29,4 @@ def test_nearest_hub_broadcasts_hubs(spark, sf_dir):
     rows = df.collect()
     custs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert len(rows) == custs
+
