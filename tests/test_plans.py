@@ -513,3 +513,16 @@ def test_naive_bayes_no_nested_loop_on_tokens(spark, sf_dir):
     plan = explain.physical_plan(ml_naive_bayes_langid(spark, sf_dir))
     assert plan.count(") BroadcastNestedLoopJoin") <= 3, plan  # 1-row sides only
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_per_user_window_group_limit_pushdown(spark, sf_dir):
+    # The rank-filter (rn <= k) must push a partial WindowGroupLimit
+    # BELOW the shuffle: per-partition top-k before the exchange is the
+    # difference between shuffling k rows/key and shuffling everything.
+    from recommendation_system_big_data_spark.operators.windows import (
+        topk_per_user,
+    )
+
+    plan = explain.physical_plan(topk_per_user(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
