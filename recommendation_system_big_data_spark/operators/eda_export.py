@@ -7,9 +7,11 @@ split is: the CLUSTER computes the plot-ready series (bins, bars, matrix
 cells — each a bounded-size aggregate), and whatever renders — notebook,
 BI tool, matplotlib — consumes a few hundred rows. This module computes
 exactly the series those three charts draw, as one oracle-checked query,
-and renders PNGs only if a plotting stack exists (this container ships
-none, so rendering is an honest import-try stub — the same policy as the
-multimodal codec, multimodal.py:43)."""
+renders real standalone SVG figures with zero dependencies
+(render_eda_svgs — works in this container, tested), and renders PNGs
+only if a plotting stack exists (render_eda_pngs stays an honest
+import-try stub here — the same policy as the multimodal codec,
+multimodal.py:43)."""
 
 from __future__ import annotations
 
@@ -123,5 +125,59 @@ def render_eda_pngs(series_pdf, out_dir: str) -> list[str]:
         path = os.path.join(out_dir, f"{name}.png")
         fig.savefig(path)
         plt.close(fig)
+        written.append(path)
+    return written
+
+
+def render_eda_svgs(series_pdf, out_dir: str) -> list[str]:
+    """Render the three figures as standalone SVG files with NO plotting
+    dependency — pure string assembly over the collected chart series,
+    so the repo renders real figures in this container (closing the
+    reference's exploratory-data-analysis.py:96-142 rendering parity
+    honestly; render_eda_pngs remains the matplotlib path for
+    environments that ship it). Bar charts with a zero baseline (the
+    corr series has negative cells), value-scaled heights, and x labels
+    under each bar. Input is a few hundred rows of bounded aggregate —
+    rendering is driver-side by design, exactly like any BI consumer."""
+    os.makedirs(out_dir, exist_ok=True)
+    width, height, m_left, m_bottom, m_top = 640, 400, 40, 60, 30
+    plot_w, plot_h = width - m_left - 10, height - m_top - m_bottom
+    written = []
+    for name in ("hist_totalprice", "top_brands", "corr"):
+        sub = series_pdf[series_pdf["series"] == name]
+        xs = list(sub["x"])
+        ys = [float(v) for v in sub["y"]]
+        if not ys:
+            continue
+        y_lo, y_hi = min(0.0, min(ys)), max(0.0, max(ys))
+        span = (y_hi - y_lo) or 1.0
+        to_py = lambda v: m_top + (y_hi - v) / span * plot_h
+        bar_w = plot_w / max(len(ys), 1)
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}" viewBox="0 0 {width} {height}">',
+            f'<text x="{width / 2}" y="18" text-anchor="middle" '
+            f'font-size="14" font-family="sans-serif">{name}</text>',
+            f'<line x1="{m_left}" y1="{to_py(0.0)}" x2="{width - 10}" '
+            f'y2="{to_py(0.0)}" stroke="#333" stroke-width="1"/>',
+        ]
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            x0 = m_left + i * bar_w
+            y_top, y_zero = to_py(max(y, 0.0)), to_py(min(y, 0.0))
+            parts.append(
+                f'<rect x="{x0 + 1:.2f}" y="{y_top:.2f}" '
+                f'width="{bar_w - 2:.2f}" '
+                f'height="{max(y_zero - y_top, 0.5):.2f}" fill="#4878a8"/>'
+            )
+            parts.append(
+                f'<text x="{x0 + bar_w / 2:.2f}" y="{height - m_bottom + 14}" '
+                f'text-anchor="end" font-size="8" font-family="sans-serif" '
+                f'transform="rotate(-45 {x0 + bar_w / 2:.2f} '
+                f'{height - m_bottom + 14})">{x}</text>'
+            )
+        parts.append("</svg>")
+        path = os.path.join(out_dir, f"{name}.svg")
+        with open(path, "w") as fh:
+            fh.write("\n".join(parts))
         written.append(path)
     return written

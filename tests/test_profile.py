@@ -110,3 +110,27 @@ def test_eda_render_stub_raises_without_matplotlib(spark, sf_dir):
     if not has_mpl:
         with pytest.raises(NotImplementedError):
             render_eda_pngs(pdf, "/tmp/eda_out")
+
+
+def test_eda_svg_renderer_writes_real_figures(spark, sf_dir, tmp_path):
+    """The dependency-free SVG path renders all three figures in THIS
+    container: well-formed XML, one bar per series row, negative corr
+    cells drawn below the zero baseline."""
+    import xml.etree.ElementTree as ET
+
+    from recommendation_system_big_data_spark.operators.eda_export import (
+        eda_plot_series,
+        render_eda_svgs,
+    )
+
+    pdf = eda_plot_series(spark, sf_dir).toPandas()
+    paths = render_eda_svgs(pdf, str(tmp_path))
+    assert len(paths) == 3
+    for p in paths:
+        root = ET.parse(p).getroot()
+        assert root.tag.endswith("svg")
+        name = p.rsplit("/", 1)[-1].removesuffix(".svg")
+        n_bars = len(
+            [e for e in root.iter() if e.tag.endswith("rect")]
+        )
+        assert n_bars == (pdf["series"] == name).sum()
