@@ -100,17 +100,26 @@ def sign_sketch(v) -> F.Column:  # type: ignore[name-defined]
 
 def kmeans_centroids(e: DataFrame, n_iter: int = 2) -> DataFrame:
     """Deterministic Lloyd k-means over (vec_id, v) in pure DataFrame ops:
-    seeds are every 25th vector (reproducible, no RNG), then ``n_iter``
-    rounds of assign-to-nearest (one broadcast(centroids) pass, argmax
-    cosine with centroid_id tiebreak) and recompute (element-wise mean via
-    posexplode → groupBy(centroid, pos) → re-assemble sorted by position).
+    n_lists ≈ √n centroids (the standard IVF sizing — cell count AND
+    cell size both grow as √n, so assignment cost is n·√n instead of
+    the n²/k of a fixed stride; seeds are every ⌊n/n_lists⌋-th vector,
+    reproducible, no RNG), then ``n_iter`` rounds of assign-to-nearest
+    (one broadcast(centroids) pass, argmax cosine with centroid_id
+    tiebreak) and recompute (element-wise mean via posexplode →
+    groupBy(centroid, pos) → re-assemble sorted by position).
 
     Scale shape: each iteration is one broadcast join over the corpus plus
     one combiner-friendly aggregate of dim×k cells — no all-pairs work. At
     100 TB the iterations run on a uniform SAMPLE of the corpus (centroid
     quality converges long before full-data passes pay off) and only the
-    final assignment touches every vector."""
-    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+    final assignment touches every vector. The one driver scalar here is
+    the corpus COUNT that sizes n_lists — a metadata-grade aggregate."""
+    import math
+
+    n = e.count()
+    nlist = max(16, math.isqrt(max(n - 1, 0)) + 1)
+    stride = max(1, n // nlist)
+    cent = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     for _ in range(n_iter):
@@ -145,12 +154,12 @@ def kmeans_centroids(e: DataFrame, n_iter: int = 2) -> DataFrame:
 
 @register("sim_topk_ivf", oracle=None, tags=("similarity",))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: coarse centroids
-    from a deterministic 2-iteration Lloyd refinement (kmeans_centroids —
-    seeded by every 25th vector, no RNG anywhere, so results are stable
-    across runs AND cluster sizes), each vector assigned to its nearest
-    centroid, queries probe the 4 nearest centroid lists and re-rank
-    exactly. ⊘ approximate; recall vs brute force gated in
+    """Approximate top-k via an IVF (inverted-file) index: ~√n coarse
+    centroids from a deterministic 2-iteration Lloyd refinement
+    (kmeans_centroids — stride-seeded, no RNG anywhere, so results are
+    stable across runs AND cluster sizes), each vector assigned to its
+    nearest centroid, queries probe the 4 nearest centroid lists and
+    re-rank exactly. ⊘ approximate; recall vs brute force gated in
     tests/test_similarity.py.
 
     Scale shape: assignment is one broadcast(centroids) pass; the probe
@@ -1046,12 +1055,12 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned at scale), codes on vec_id, LUTs broadcast. ⊘
     rows-only; tests gate mean recall@10 ≥ 0.5 vs exact L2 (cell pruning
     can evict true neighbors on top of PQ loss — the documented IVF
-    trade; measured 0.82 at sf0.01 with 32 probes) and determinism."""
-    # kmeans_centroids builds n/25 cells of ~25 vectors each, so probe
-    # depth — not PQ loss — is the recall limiter: 4 probes touch ~0.3%
-    # of the corpus (recall@10 ≈ 0.49 at sf0.01); 32 probes touch ~2.5%
-    # and clear the gate while still pruning 40×.
-    n_probe = 32
+    trade; measured 0.70 at sf0.01 with 8 probes of √n cells) and
+    determinism."""
+    # √n-sized cells (kmeans_centroids): 8 probes of ~√n lists touch
+    # ~8/√n of the corpus — 4.5% at sf0.01, shrinking as the corpus
+    # grows, which is the IVFPQ scaling story.
+    n_probe = 8
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
