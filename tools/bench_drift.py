@@ -1,0 +1,96 @@
+"""Per-query drift report against first-recorded baselines.
+
+BASELINE.md's policy: each headline query's FIRST driver-recorded run
+(BENCH_r{N}.json, field `parsed.queries`) is its baseline; the gate is
+2× at sf0.1/local[32]. This tool automates the round-end audit that was
+previously done by hand: for every query it finds the first recorded
+value, the latest value, and the ratio — normalized by the
+`sentinel_fixed_cost` control when both rounds carry it (the sentinel's
+code never changes, so its drift measures host contention, not
+regressions).
+
+Usage:
+    python tools/bench_drift.py                 # driver-recorded rounds
+    python tools/bench_drift.py current.json    # + a local bench run
+                                                # (one bench.py JSON line)
+
+Exit code 1 if any query's (sentinel-normalized when available) ratio
+exceeds the 2× gate; the WATCH list marks > 1.5×.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+GATE = 2.0
+WATCH = 1.5
+SENTINEL = "sentinel_fixed_cost"
+
+
+def _rounds() -> list[tuple[str, dict]]:
+    out = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(f)).get("parsed") or {}
+        except (ValueError, OSError):
+            continue
+        qs = parsed.get("queries")
+        if qs:
+            out.append((os.path.basename(f), qs))
+    return out
+
+
+def main() -> int:
+    rounds = _rounds()
+    for extra in sys.argv[1:]:
+        qs = json.load(open(extra)).get("queries")
+        if qs:
+            rounds.append((os.path.basename(extra), qs))
+    if not rounds:
+        print("no bench rounds found")
+        return 0
+
+    first: dict[str, tuple[str, float]] = {}
+    for rname, qs in rounds:
+        for q, v in qs.items():
+            first.setdefault(q, (rname, v))
+    latest_name, latest = rounds[-1]
+
+    # Host-contention control: scale the gate by the sentinel's own
+    # drift when both the baseline round and the latest round have it.
+    def norm_ratio(q: str, v: float) -> float:
+        base_round, base = first[q]
+        r = v / base if base else float("inf")
+        sent_base = dict(rounds).get(base_round, {}).get(SENTINEL)
+        sent_now = latest.get(SENTINEL)
+        if sent_base and sent_now:
+            r /= sent_now / sent_base
+        return r
+
+    bad, watch = [], []
+    print(f"latest round: {latest_name} ({len(latest)} queries)")
+    for q in sorted(latest):
+        if q == SENTINEL:
+            continue
+        r = norm_ratio(q, latest[q])
+        base_round, base = first[q]
+        line = f"{r:5.2f}x  {q}  ({base:.2f}s {base_round} -> {latest[q]:.2f}s)"
+        if r > GATE:
+            bad.append(line)
+        elif r > WATCH:
+            watch.append(line)
+    print(f"\nqueries over the {GATE}x gate: {len(bad)}")
+    for line in bad:
+        print("  GATE ", line)
+    print(f"queries on the {WATCH}x watch list: {len(watch)}")
+    for line in watch:
+        print("  WATCH", line)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
