@@ -625,3 +625,50 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity >= 49
         """
     )
+
+
+_SESSION_VAR_ORACLE = """
+WITH t AS (
+    SELECT ROUND(AVG(o_totalprice), 2) AS thresh FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(AVG(o_totalprice), 2) AS avg_above
+FROM orders, t
+WHERE o_totalprice > t.thresh
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_session_variables", oracle=_SESSION_VAR_ORACLE, tags=("sql",))
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4): DECLARE OR
+    REPLACE a typed variable, SET it from a scalar subquery (the
+    corpus-average threshold), then run a statement that binds it with
+    `USING` — the scripting surface warehouse SQL users migrate with
+    (Snowflake/BigQuery session variables, T-SQL DECLARE). The variable
+    binds as a literal in the parsed plan, so Catalyst constant-folds
+    and pushes it down exactly like sql_parameterized's markers; the
+    DECLARE OR REPLACE form keeps the query idempotent per session.
+
+    The oracle inlines the same threshold as a CTE — variables are a
+    SESSION surface, not a semantics change, which is exactly what the
+    hash-match proves."""
+    v = _view(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_thresh DOUBLE")
+    spark.sql(
+        f"SET VAR price_thresh = "
+        f"(SELECT ROUND(AVG(o_totalprice), 2) FROM {v})"
+    )
+    return spark.sql(
+        f"""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                COUNT(*) AS n_above,
+                ROUND(AVG(o_totalprice), 2) AS avg_above
+         FROM {v}
+         WHERE o_totalprice > ?
+         GROUP BY o_orderpriority'
+        USING price_thresh
+        """
+    )

@@ -136,7 +136,8 @@ _loaded = False
 #:   session additions: sim_topk_pq_adc ⊘, sim_topk_ivfpq ⊘,
 #:   dedup_substring_span, pipeline_sequence_packing,
 #:   graph_label_propagation, geo_proximity_join_blocked,
-#:   geo_nearest_hub, pipeline_entity_resolution
+#:   geo_nearest_hub, pipeline_entity_resolution,
+#:   sql_session_variables
 #:   — r7 takes 50, r8 the remainder plus spot-check re-runs.
 _DRIVER_WINDOW_ALIASES = (
     # changed or fixed in round 6 — (re-)verify
