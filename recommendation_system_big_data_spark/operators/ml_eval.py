@@ -1592,3 +1592,86 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction",
         )
     )
+
+
+def _pav_fn():
+    """Factory for the PAV (pool-adjacent-violators) grouped-map — built
+    as a nested closure so cloudpickle ships it by VALUE and workers
+    never import this package (the probe_foreign_cwd contract)."""
+
+    def pav(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # blocks: [lo, hi, n, pos] merged while means violate monotonicity
+        blocks = []
+        for r in pdf.itertuples(index=False):
+            blocks.append([r.score, r.score, int(r.n), int(r.pos)])
+            while (
+                len(blocks) > 1
+                and blocks[-2][3] * blocks[-1][2]
+                >= blocks[-1][3] * blocks[-2][2]
+            ):
+                # integer cross-multiplied mean comparison: exact, no
+                # float ties; >= merges equal means so blocks are
+                # strictly increasing (canonical minimal solution)
+                hi = blocks.pop()
+                blocks[-1][1] = hi[1]
+                blocks[-1][2] += hi[2]
+                blocks[-1][3] += hi[3]
+        return pd.DataFrame(
+            {
+                "score_lo": [b[0] for b in blocks],
+                "score_hi": [b[1] for b in blocks],
+                "n": [b[2] for b in blocks],
+                "pos": [b[3] for b in blocks],
+                "p_cal": [round(b[3] / b[2], 6) for b in blocks],
+            }
+        )
+
+    return pav
+
+
+def isotonic_fit(scored: DataFrame, score: str, label: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a binary label
+    against a score, via PAV on the DISTINCT-SCORE grain: the corpus
+    folds to (score, n, pos) sufficient statistics first (one shuffle,
+    map-side combined — the same compression auc_exact rides), then the
+    sequential pool-adjacent-violators pass runs over that compressed
+    table in ONE Arrow batch. PAV is inherently order-sequential; the
+    scalable form is exactly this reduce-then-solve split, and the
+    solve input is |distinct scores| rows regardless of corpus size.
+    Means compare by integer cross-multiplication — bit-exact, no
+    float-tie drift. Returns the fitted step function: (score_lo,
+    score_hi, n, pos, p_cal) with p_cal strictly increasing."""
+    grain = (
+        scored.groupBy(F.col(score).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label).cast("long")).cast("long").alias("pos"),
+        )
+        .withColumn("g", F.lit(1))
+    )
+    return grain.groupBy("g").applyInPandas(
+        _pav_fn(),
+        "score_lo double, score_hi double, n long, pos long, p_cal double",
+    )
+
+
+@register("ml_isotonic_calibration", oracle=None, tags=("ml",))
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic score calibration (PAV) of `value` against the
+    purchase-vs-rest label — the nonparametric counterpart of
+    ml_eval_calibration's fixed-bin reliability table: instead of
+    presuming decile bins, PAV finds the coarsest monotone step
+    function whose block means ARE the calibrated probabilities (the
+    standard post-hoc calibrator next to Platt scaling). ⊘ rows-only
+    (PAV is not SQL-expressible); tests/test_property_roundsix.py
+    replays the exact algorithm sequentially in Python on the same
+    grain and requires cell-exact agreement, plus monotonicity and
+    mass-conservation invariants on randomized seeded inputs."""
+    scored = load(spark, sf_dir, "events").select(
+        "value",
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return isotonic_fit(scored, "value", "is_pos")

@@ -101,3 +101,71 @@ def test_label_propagation_matches_sequential_reference(spark, sf_dir):
         for r in graph_label_propagation(spark, sf_dir).collect()
     }
     assert got == labels
+
+
+def _pav_reference(points):
+    """Sequential weighted PAV over (score, n, pos) points, integer
+    cross-multiplied mean comparisons — the textbook algorithm."""
+    blocks = []
+    for score, n, pos in sorted(points):
+        blocks.append([score, score, n, pos])
+        while len(blocks) > 1 and blocks[-2][3] * blocks[-1][2] >= blocks[-1][3] * blocks[-2][2]:
+            hi = blocks.pop()
+            blocks[-1][1] = hi[1]
+            blocks[-1][2] += hi[2]
+            blocks[-1][3] += hi[3]
+    return [
+        (lo, hi, n, pos, round(pos / n, 6)) for lo, hi, n, pos in blocks
+    ]
+
+
+def test_isotonic_calibration_matches_reference_and_invariants(spark, sf_dir):
+    """The distributed PAV must equal the sequential reference
+    cell-exactly on the fixture grain AND on randomized tie-heavy
+    inputs; fitted means strictly increase and conserve total mass."""
+    import random
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        isotonic_fit,
+        ml_isotonic_calibration,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("value", "event_type = 'purchase' AS is_pos")
+        .collect()
+    )
+    grain = {}
+    for r in ev:
+        n, p = grain.get(r["value"], (0, 0))
+        grain[r["value"]] = (n + 1, p + bool(r["is_pos"]))
+    expect = _pav_reference([(s, n, p) for s, (n, p) in grain.items()])
+    got = [
+        (r["score_lo"], r["score_hi"], r["n"], r["pos"], r["p_cal"])
+        for r in ml_isotonic_calibration(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == expect
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        rows = [
+            (float(rng.randrange(0, 12)), rng.random() < 0.5)
+            for _ in range(rng.randrange(10, 120))
+        ]
+        df = spark.createDataFrame(rows, "value double, is_pos boolean")
+        fit = sorted(
+            (r["score_lo"], r["score_hi"], r["n"], r["pos"], r["p_cal"])
+            for r in isotonic_fit(df, "value", "is_pos").collect()
+        )
+        pts = {}
+        for v, p in rows:
+            n, s = pts.get(v, (0, 0))
+            pts[v] = (n + 1, s + bool(p))
+        assert fit == _pav_reference(
+            [(s, n, p) for s, (n, p) in pts.items()]
+        ), trial
+        # invariants: strictly increasing means, conserved mass
+        means = [b[4] for b in fit]
+        assert all(a < b for a, b in zip(means, means[1:]))
+        assert sum(b[2] for b in fit) == len(rows)
+        assert sum(b[3] for b in fit) == sum(1 for _, p in rows if p)

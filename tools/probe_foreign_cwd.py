@@ -15,7 +15,11 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              "fn_map_in_arrow", "fn_pandas_udf_iterator", "cogrouped_pandas_ratio",
              "fn_python_udtf", "scan_python_datasource", "fn_pandas_udaf_grouped",
              "fn_arrow_python_udf", "fn_udtf_table_arg",
-             "stream_rolling_anomaly"]:
+             "stream_rolling_anomaly",
+             # round-6 Python paths: the PQ assignment mapInPandas factory
+             # (three consumers) and the PAV applyInPandas factory
+             "embedding_pq_compress", "sim_topk_pq_adc", "sim_topk_ivfpq",
+             "ml_isotonic_calibration"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
