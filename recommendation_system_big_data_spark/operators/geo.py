@@ -226,3 +226,120 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dk", 3).alias("dist_km"),
         )
     )
+
+
+#: Region rectangles for the containment join: centered on the nation
+#: 'hub' points with deterministic half-extents (3-7° lat, 6-12° lon).
+_RLAT_SQL = "3.0 + (n_nationkey % 5)"
+_RLON_SQL = "6.0 + ((n_nationkey * 3) % 7)"
+
+#: Longitude wrap to (-180, 180]: containment must hold across the
+#: antimeridian, so deltas are compared after modular recentering.
+_WRAP_SQL = "((({x}) % 360.0 + 540.0) % 360.0 - 180.0)"
+
+
+def _pir_oracle() -> str:
+    wrap = _WRAP_SQL.format(x="c.lon - r.clon")
+    return f"""
+WITH c AS (
+    SELECT c_custkey, {_LAT_SQL.format(k='c_custkey')} AS lat,
+           {_LON_SQL.format(k='c_custkey')} AS lon
+    FROM customer
+), r AS (
+    SELECT n_nationkey, {_LAT_SQL.format(k='n_nationkey')} AS clat,
+           {_LON_SQL.format(k='n_nationkey')} AS clon,
+           {_RLAT_SQL} AS dlat, {_RLON_SQL} AS dlon
+    FROM nation
+)
+SELECT c.c_custkey,
+       MIN(r.n_nationkey) AS region_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_regions
+FROM c JOIN r
+  ON ABS(c.lat - r.clat) <= r.dlat
+ AND ABS({wrap}) <= r.dlon
+GROUP BY c.c_custkey
+"""
+
+
+@register("geo_point_in_region", oracle=_pir_oracle(), tags=("geo",))
+def geo_point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join: each customer point assigned to the
+    lowest-id nation rectangle containing it (rectangles overlap; the
+    min-id rule is the deterministic tiebreak), plus the count of
+    containing regions. Points inside no rectangle are absent — both
+    engines agree by construction.
+
+    The plan is the MILLIONS-OF-REGIONS layout, not the 25-region
+    shortcut: every region explodes to the grid cells its rectangle
+    overlaps (≤ ~16 cells at these extents), points key to their single
+    cell, candidates meet in an EQUI-join on the cell id, and the exact
+    containment predicate (latitude band + modularly-recentered
+    longitude delta, so rectangles straddling the antimeridian still
+    contain correctly) filters in codegen. With 25 regions Spark
+    broadcasts the exploded side automatically; with millions the same
+    plan becomes a shuffle-partitioned equi-join on cell — that
+    continuity is why the cell explode is the right shape. Latitude
+    cells use a +90 basis here (region rectangles can dip below the
+    ±60° point band; indexes stay non-negative)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_expr("c_custkey").alias("lat"),
+        _lon_expr("c_custkey").alias("lon"),
+    )
+    points = cust.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90.0) / _CELL_LAT).alias("cell_lat"),
+        F.floor((F.col("lon") + 180.0) / _CELL_LON).alias("cell_lon"),
+    )
+    regions = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        _lat_expr("n_nationkey").alias("clat"),
+        _lon_expr("n_nationkey").alias("clon"),
+        F.expr(_RLAT_SQL).alias("dlat"),
+        F.expr(_RLON_SQL).alias("dlon"),
+    )
+    r_cells = (
+        regions.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("clat") - F.col("dlat") + 90.0) / _CELL_LAT),
+                    F.floor((F.col("clat") + F.col("dlat") + 90.0) / _CELL_LAT),
+                )
+            ).alias("cell_lat"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.col("clon") - F.col("dlon") + 180.0) / _CELL_LON
+                    ),
+                    F.floor(
+                        (F.col("clon") + F.col("dlon") + 180.0) / _CELL_LON
+                    ),
+                )
+            ).alias("raw_lon"),
+        )
+        .withColumn(
+            "cell_lon",
+            (F.col("raw_lon") + _N_LON_CELLS) % _N_LON_CELLS,
+        )
+        .drop("raw_lon")
+    )
+    wrapped = (F.col("lon") - F.col("clon")) % 360.0
+    lon_delta = (wrapped + 540.0) % 360.0 - 180.0
+    return (
+        points.join(r_cells, ["cell_lat", "cell_lon"])
+        .filter(
+            (F.abs(F.col("lat") - F.col("clat")) <= F.col("dlat"))
+            & (F.abs(lon_delta) <= F.col("dlon"))
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.min("n_nationkey").alias("region_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_regions"),
+        )
+    )

@@ -30,3 +30,17 @@ def test_nearest_hub_broadcasts_hubs(spark, sf_dir):
     custs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert len(rows) == custs
 
+
+
+def test_point_in_region_blocked_no_cartesian(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.geo import (
+        geo_point_in_region,
+    )
+
+    df = geo_point_in_region(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert all(r["n_regions"] >= 1 for r in rows)
+    assert all(r["region_nation"] <= 24 for r in rows)
