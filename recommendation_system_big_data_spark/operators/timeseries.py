@@ -750,3 +750,83 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.round(F.corr("clicks", "y"), 6).alias("xcorr"),
     )
+
+
+def _holt_fn(alpha: float, beta: float, horizon: int):
+    """Factory for the per-key Holt linear-trend solve — nested closure
+    so cloudpickle ships it by value (the probe_foreign_cwd contract)."""
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        key = pdf["event_type"].iloc[0]
+        y = [float(v) for v in pdf["y"]]
+        if len(y) < 2:
+            return pd.DataFrame(
+                {"event_type": [], "h": [], "forecast": []}
+            ).astype({"event_type": "str", "h": "int64", "forecast": "float64"})
+        level, trend = y[0], y[1] - y[0]
+        for x in y[1:]:
+            prev_level = level
+            level = alpha * x + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev_level) + (1.0 - beta) * trend
+        return pd.DataFrame(
+            {
+                "event_type": [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": [
+                    round(level + h * trend, 6) for h in range(1, horizon + 1)
+                ],
+            }
+        )
+
+    return holt
+
+
+#: Holt smoothing constants + horizon: fixed (not fitted) so the solve
+#: is a single deterministic pass both here and in the reference replay.
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_H = 7
+
+
+@register("ts_holt_linear", oracle=None, tags=("timeseries", "ml"))
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt linear-trend (double exponential smoothing) forecast
+    of daily value per event_type — the adaptive-trend sibling of
+    ts_forecast_linear's global OLS line: Holt re-estimates level and
+    trend at every step, so regime changes decay into the forecast at
+    rate α/β instead of being averaged over the whole history.
+
+    The recurrence is inherently order-sequential, so the shape is the
+    same reduce-then-solve split as ml_isotonic_calibration: the fact
+    table folds to the per-(event_type, day) grain FIRST (one
+    map-combined shuffle; the solve input is |keys|·|days| rows
+    regardless of corpus size), then one Arrow batch per key runs the
+    textbook recurrence. ⊘ rows-only (sequential recurrences are not
+    SQL-expressible); tests/test_property_roundsix.py replays the
+    identical recurrence on independently recomputed daily sums and
+    requires cell-exact agreement."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        # DECIMAL accumulation: `value` is a 2-dp quantity, so the daily
+        # sum in cents is exact and associative — summation order (which
+        # differs between partitionings and engines) cannot move the
+        # Holt input by an ulp. Cast back to double AFTER the exact sum.
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_fn(_HOLT_ALPHA, _HOLT_BETA, _HOLT_H),
+        "event_type string, h long, forecast double",
+    )

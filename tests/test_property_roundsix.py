@@ -169,3 +169,49 @@ def test_isotonic_calibration_matches_reference_and_invariants(spark, sf_dir):
         assert all(a < b for a, b in zip(means, means[1:]))
         assert sum(b[2] for b in fit) == len(rows)
         assert sum(b[3] for b in fit) == sum(1 for _, p in rows if p)
+
+
+def test_holt_linear_matches_sequential_reference(spark, sf_dir):
+    """Recompute the daily grain independently and replay the Holt
+    recurrence — identical IEEE operation order, so agreement is
+    cell-exact, not tolerance-based."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _HOLT_H,
+        ts_holt_linear,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "datediff(to_date(ts), date'1970-01-01') AS idx",
+            "value",
+        )
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], {}).setdefault(r["idx"], 0)
+        # integer cents: exact association-free sum, matching the
+        # engine's DECIMAL(18,2) accumulator bit-for-bit
+        daily[r["event_type"]][r["idx"]] += round(r["value"] * 100)
+    expect = {}
+    for key, series in daily.items():
+        y = [series[i] / 100.0 for i in sorted(series)]
+        if len(y) < 2:
+            continue
+        level, trend = y[0], y[1] - y[0]
+        for x in y[1:]:
+            prev = level
+            level = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (level - prev) + (1.0 - _HOLT_BETA) * trend
+        for h in range(1, _HOLT_H + 1):
+            expect[(key, h)] = round(level + h * trend, 6)
+
+    got = {
+        (r["event_type"], r["h"]): r["forecast"]
+        for r in ts_holt_linear(spark, sf_dir).collect()
+    }
+    assert got == expect
