@@ -497,3 +497,53 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("value").alias("line_hash"),
         F.length("value").cast("long").alias("n_chars"),
     )
+
+
+_XML_ORACLE = """
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("sink_xml_roundtrip", oracle=_XML_ORACLE, tags=("sink",))
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML round-trip (Spark 4 integrated the spark-xml reader and
+    writer): the nation dimension is written as <nation> row elements and
+    read back through rowTag with an explicit schema, then aggregated —
+    the hash match against plain `nation` proves the XML codec preserves
+    every row and value. XML is the interchange format of the enterprise
+    feeds (SAP, banking, EDI) a warehouse migration ingests; the explicit
+    read schema is the production form (inference re-scans the data).
+    Same pid-scoped fixture discipline as the other sinks."""
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _sink_dir(sf_dir, "xml")
+    (
+        nat.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .option("rootTag", "nations")
+        .save(out)
+    )
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
