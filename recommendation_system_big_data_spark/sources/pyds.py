@@ -162,3 +162,88 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(name)
+
+
+_PYDS_SINK_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("sink_python_datasource", oracle=_PYDS_SINK_ORACLE, tags=("sink",))
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE through a custom Python DataSource (the writer half of the
+    Spark 4 Python DataSource API — scan_python_datasource covers the
+    read half): each executor task serializes its partition to one
+    JSON-lines file via DataSourceWriter.write, Spark collects the
+    commit messages, and the round-trip read-back + aggregate must
+    hash-match the source table — proving the custom sink lost nothing.
+    Classes are defined INSIDE the function (by-value pickling, same
+    rule as the readers); output is pid-scoped like every other sink.
+    The per-task file layout is exactly how real custom sinks (feature
+    stores, search indexes) shard their output."""
+    import json
+    import os
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.sources.sinks import _sink_dir
+
+    ensure_runtime_conf(spark)
+    out = _sink_dir(sf_dir, "pyds")
+    os.makedirs(out, exist_ok=True)
+
+    class LineFileWriter(DataSourceWriter):
+        def __init__(self, options):
+            self._path = options.get("path")
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+
+            ctx = TaskContext.get()
+            part = ctx.partitionId() if ctx is not None else 0
+            tmp = _os.path.join(self._path, f"part-{part:05d}.jsonl")
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+    class LineFileSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "rsbd_line_sink"
+
+        def writer(self, schema, overwrite):
+            return LineFileWriter(self.options)
+
+    spark.dataSource.register(LineFileSink)
+    rows = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double"))
+    )
+    (
+        rows.write.format("rsbd_line_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(rows.schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
