@@ -606,3 +606,66 @@ def fn_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+def _split_k_udtf():
+    """Dynamic-schema UDTF factory: `analyze()` computes the OUTPUT
+    SCHEMA from the constant k argument at plan time — the Spark 4 UDTF
+    surface a fixed returnType cannot express (here: k segment columns
+    from one string). Class nested for by-value pickling, same rule as
+    every Python-row-path factory in this package."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"seg_{i + 1}", StringType())
+                        for i in range(k.value)
+                    ]
+                )
+            )
+
+        def eval(self, text, k):
+            parts = (text or "").split(" ")
+            yield tuple(
+                parts[i] if i < len(parts) else None for i in range(k)
+            )
+
+    return udtf(SplitK)
+
+
+_UDTF_DYN_ORACLE = """
+WITH t AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS w
+    FROM part WHERE p_partkey % 50 = 0
+)
+SELECT p_partkey, w[1] AS seg_1, w[2] AS seg_2, w[3] AS seg_3
+FROM t
+"""
+
+
+@register("fn_udtf_dynamic_schema", oracle=_UDTF_DYN_ORACLE, tags=("fn",))
+def fn_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a plan-time computed schema: `analyze()` reads the
+    foldable k argument and emits k typed output columns — the dynamic
+    half of the Python UDTF API (fn_python_udtf pins the static
+    returnType form, fn_udtf_table_arg the TABLE-argument form). The
+    planner sees real per-column types, so downstream pruning and
+    codegen treat the UDTF output like any relation — this, not
+    convenience, is why analyze() exists. Lateral-joined per part row,
+    splitting p_name's first 3 words into columns."""
+    load(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 50 == 0
+    ).createOrReplaceTempView("part_udtf_dyn")
+    spark.udtf.register("rsbd_split_k", _split_k_udtf())
+    return spark.sql(
+        """
+        SELECT t.p_partkey, s.*
+        FROM part_udtf_dyn t, LATERAL rsbd_split_k(t.p_name, 3) s
+        """
+    )

@@ -139,7 +139,7 @@ _loaded = False
 #:   geo_nearest_hub, pipeline_entity_resolution,
 #:   sql_session_variables, ml_isotonic_calibration ⊘,
 #:   geo_point_in_region, ts_holt_linear ⊘, sink_xml_roundtrip,
-#:   sink_python_datasource
+#:   sink_python_datasource, fn_udtf_dynamic_schema
 #:   — r7 takes 50, r8 the remainder plus spot-check re-runs.
 _DRIVER_WINDOW_ALIASES = (
     # changed or fixed in round 6 — (re-)verify
