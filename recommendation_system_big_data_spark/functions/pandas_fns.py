@@ -518,6 +518,7 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Defined as a nested closure so cloudpickle ships it by value — the
     round driver's workers don't share the driver's sys.path
     (tools/probe_foreign_cwd.py gates this)."""
+    import decimal
     import math
 
     from pyspark.sql.functions import udf
@@ -526,10 +527,16 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if v is None:
             return None
         # Half-AWAY-FROM-ZERO to 6 places, matching Spark/DuckDB ROUND.
-        # Python's round() is half-to-even, a latent tie divergence; the
-        # score is always >= 1.0 so floor(x*1e6 + 0.5) is the half-up tie
-        # convention for this domain.
-        return math.floor((math.sqrt(abs(v)) * 3.0 + 1.0) * 1e6 + 0.5) / 1e6
+        # Python's round() is half-to-even, and floor(x*1e6 + 0.5) can
+        # disagree within an ulp of a .5 boundary (and overflows 2^53);
+        # quantizing the shortest repr via Decimal matches BigDecimal /
+        # DuckDB ROUND(double, 6) semantics exactly.
+        x = math.sqrt(abs(v)) * 3.0 + 1.0
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     arrow_score = udf(score, "double", useArrow=True)
     return load(spark, sf_dir, "events").select(

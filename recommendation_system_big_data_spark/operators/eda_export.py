@@ -139,6 +139,8 @@ def render_eda_svgs(series_pdf, out_dir: str) -> list[str]:
     corr series has negative cells), value-scaled heights, and x labels
     under each bar. Input is a few hundred rows of bounded aggregate —
     rendering is driver-side by design, exactly like any BI consumer."""
+    from xml.sax.saxutils import escape
+
     os.makedirs(out_dir, exist_ok=True)
     width, height, m_left, m_bottom, m_top = 640, 400, 40, 60, 30
     plot_w, plot_h = width - m_left - 10, height - m_top - m_bottom
@@ -157,7 +159,7 @@ def render_eda_svgs(series_pdf, out_dir: str) -> list[str]:
             f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
             f'height="{height}" viewBox="0 0 {width} {height}">',
             f'<text x="{width / 2}" y="18" text-anchor="middle" '
-            f'font-size="14" font-family="sans-serif">{name}</text>',
+            f'font-size="14" font-family="sans-serif">{escape(str(name))}</text>',
             f'<line x1="{m_left}" y1="{to_py(0.0)}" x2="{width - 10}" '
             f'y2="{to_py(0.0)}" stroke="#333" stroke-width="1"/>',
         ]
@@ -173,7 +175,7 @@ def render_eda_svgs(series_pdf, out_dir: str) -> list[str]:
                 f'<text x="{x0 + bar_w / 2:.2f}" y="{height - m_bottom + 14}" '
                 f'text-anchor="end" font-size="8" font-family="sans-serif" '
                 f'transform="rotate(-45 {x0 + bar_w / 2:.2f} '
-                f'{height - m_bottom + 14})">{x}</text>'
+                f'{height - m_bottom + 14})">{escape(str(x))}</text>'
             )
         parts.append("</svg>")
         path = os.path.join(out_dir, f"{name}.svg")

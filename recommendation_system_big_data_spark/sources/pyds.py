@@ -202,6 +202,12 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_conf(spark)
     out = _sink_dir(sf_dir, "pyds")
+    # The writer appends partition-id-named files; a rerun with fewer
+    # partitions (AQE / conf change) would otherwise leave stale parts
+    # that the read-back double-counts. Clear first = overwrite semantics.
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     class LineFileWriter(DataSourceWriter):

@@ -49,11 +49,17 @@ def main() -> int:
     for extra in sys.argv[1:]:
         qs = json.load(open(extra)).get("queries")
         if qs:
-            rounds.append((os.path.basename(extra), qs))
+            name = os.path.basename(extra)
+            if any(rname == name for rname, _ in rounds):
+                print(f"refusing extra round {extra}: basename {name!r} "
+                      "collides with a recorded BENCH round")
+                return 2
+            rounds.append((name, qs))
     if not rounds:
         print("no bench rounds found")
         return 0
 
+    by_name = dict(rounds)
     first: dict[str, tuple[str, float]] = {}
     for rname, qs in rounds:
         for q, v in qs.items():
@@ -65,7 +71,7 @@ def main() -> int:
     def norm_ratio(q: str, v: float) -> float:
         base_round, base = first[q]
         r = v / base if base else float("inf")
-        sent_base = dict(rounds).get(base_round, {}).get(SENTINEL)
+        sent_base = by_name.get(base_round, {}).get(SENTINEL)
         sent_now = latest.get(SENTINEL)
         if sent_base and sent_now:
             r /= sent_now / sent_base
