@@ -315,10 +315,22 @@ def minhash_from_hashes(h0s: Column) -> Column:
     fixed 8-byte operation, so the 64-pass family costs far less than
     re-hashing strings. xxhash64 is a fixed JVM builtin — signatures are
     deterministic across runs, partitionings, and clusters (unlike MLlib's
-    MinHashLSH, whose hash family is RNG-seeded at fit time)."""
+    MinHashLSH, whose hash family is RNG-seeded at fit time).
+
+    The seed MUST be bound through a one-parameter lambda: a two-parameter
+    lambda (the old ``lambda h, i=i`` form) makes pyspark's ``transform``
+    pass the array ELEMENT INDEX as the second argument, silently
+    shadowing the seed default — every slot collapses to the same
+    position-dependent hash, which is not MinHash at all (shifting a
+    document's shingles by one position zeroed all 64 agreements; caught
+    by the planted-probe variant, round 7)."""
+
+    def _seeded(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
     return F.array(
         *[
-            F.array_min(F.transform(h0s, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(h0s, _seeded(i)))
             for i in range(NUM_HASHES)
         ]
     )
@@ -1172,6 +1184,190 @@ def dedup_incremental_near_minhash(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return shared.where(j >= 0.5).select(
+        "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
+    )
+
+
+#: Planted-probe batch definition (VERDICT r6 #2): the md5-split
+#: incremental queries above are the PRODUCTION shape, but at sf0.01 the
+#: fixture's six ≥0.95-Jaccard pairs all land inside the 80% corpus side,
+#: so their driver rows are vacuously green (0 = 0). The probe variants
+#: below plant KNOWN near-duplicates instead: every stride-10 document
+#: with ≥ 24 tokens is "re-crawled" with its first 3 tokens dropped (a
+#: boilerplate-header change — the classic crawl perturbation), giving a
+#: planted Jaccard of ≈ (n−5)/(n−2) ≥ 0.86, guaranteed non-empty at every
+#: scale factor. Same join + verify machinery, same 0.5 threshold.
+_PROBE_STRIDE = 10
+_PROBE_RESIDUE = 3
+_PROBE_MIN_TOKENS = 24
+_PROBE_ID_OFFSET = 10_000_000
+
+
+def _probe_batch_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, sh) for the planted re-crawl batch: stride-selected
+    documents, first 3 tokens dropped, ids offset out of the real range."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _PROBE_STRIDE == _PROBE_RESIDUE)
+        .select("doc_id", "lang", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= _PROBE_MIN_TOKENS)
+        .select(
+            (F.col("doc_id") + _PROBE_ID_OFFSET).alias("doc_id"),
+            "lang",
+            F.slice(
+                F.col("tk"), 4, F.greatest(F.size("tk") - 3, F.lit(0))
+            ).alias("tk"),
+        )
+        .select("doc_id", "lang", token_shingles(F.col("tk")).alias("sh"))
+    )
+
+
+def _incremental_pairs(batch_ex: DataFrame, corpus_ex: DataFrame) -> DataFrame:
+    """Shared core of the incremental near-dedup queries: inverted-index
+    (shingle, lang) equi-join of an exploded batch against an exploded
+    corpus, size-band pruned, counted into exact Jaccard, thresholded."""
+    b, c = batch_ex.alias("b"), corpus_ex.alias("c")
+    shared = (
+        b.join(
+            c,
+            (F.col("b.shingle") == F.col("c.shingle"))
+            & (F.col("b.lang") == F.col("c.lang"))
+            & (F.col("b.n_sh") <= 2 * F.col("c.n_sh"))
+            & (F.col("c.n_sh") <= 2 * F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.n_sh").alias("n_a"),
+            F.col("c.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.where(j >= JACCARD_THRESHOLD).select(
+        "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
+    )
+
+
+_INCR_PROBE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+), corpus AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+    FROM t
+), b0 AS (
+    SELECT doc_id + {_PROBE_ID_OFFSET} AS doc_id, lang, tk[4:] AS tk
+    FROM t
+    WHERE doc_id % {_PROBE_STRIDE} = {_PROBE_RESIDUE}
+      AND len(tk) >= {_PROBE_MIN_TOKENS}
+), batch AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+    FROM b0
+)
+SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+       ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(b.sh, c.sh))), 6) AS jaccard
+FROM batch b JOIN corpus c
+  ON b.lang = c.lang
+ AND len(b.sh) <= 2 * len(c.sh) AND len(c.sh) <= 2 * len(b.sh)
+WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(b.sh, c.sh))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_incremental_near_probe", oracle=_INCR_PROBE_ORACLE, tags=("dedup",))
+def dedup_incremental_near_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_incremental_near` with a PLANTED batch: stride-10 documents
+    re-ingested with their first 3 tokens dropped. By construction every
+    batch document is a ≥0.5-Jaccard near-duplicate of its source, so
+    this query exercises the inverted-index probe join and the exact
+    verify on NON-EMPTY data at every scale factor — the evidence the
+    md5-split production query cannot provide when the fixture's near-dup
+    pairs happen to co-locate in one split (VERDICT r6 #2).
+
+    Plan shape is identical to the production query: the corpus index is
+    the session-cached `shingle_index`; only the (tiny) batch side is
+    shingled fresh. Incremental cost scales with the batch."""
+    batch_ex = _probe_batch_shingled(spark, sf_dir).select(
+        "doc_id", "lang", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    return _incremental_pairs(batch_ex, _exploded_index(spark, sf_dir))
+
+
+@register("dedup_incremental_near_probe_minhash", oracle=None, tags=("dedup",))
+def dedup_incremental_near_probe_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banded-MinHash candidate path of `dedup_incremental_near_minhash`
+    over the same PLANTED batch — non-empty by construction, so the band
+    join + exact-verify machinery finally has driver evidence with rows
+    (VERDICT r6 #2). ⊘ rows-only (banding recall is probabilistic near
+    the threshold); tests/test_dedup.py asserts the output is a subset of
+    the exact probe result and that recall over the planted pairs clears
+    the LSH s-curve expectation."""
+    batch_sig = (
+        _probe_batch_shingled(spark, sf_dir)
+        .select("doc_id", "lang", "sh", base_hashes(F.col("sh")).alias("h0s"))
+        .select(
+            "doc_id", "lang", "sh", minhash_from_hashes(F.col("h0s")).alias("sig")
+        )
+    )
+    corpus_sig = (
+        shingle_index(spark, sf_dir)
+        .select("doc_id", "lang", base_hashes(F.col("sh")).alias("h0s"))
+        .select("doc_id", "lang", minhash_from_hashes(F.col("h0s")).alias("sig"))
+    )
+    bb = batch_sig.select(
+        "doc_id",
+        "lang",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    ).alias("bb")
+    cb = corpus_sig.select(
+        "doc_id",
+        "lang",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    ).alias("cb")
+    cand = (
+        bb.join(
+            cb,
+            (F.col("bb.band_idx") == F.col("cb.band_idx"))
+            & (F.col("bb.band_key") == F.col("cb.band_key"))
+            & (F.col("bb.lang") == F.col("cb.lang")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("new_doc"),
+            F.col("cb.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    batch_ex = batch_sig.select(
+        F.col("doc_id").alias("new_doc"),
+        F.size("sh").alias("n_a"),
+        F.explode("sh").alias("shingle"),
+    )
+    corpus_ex = _exploded_index(spark, sf_dir).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("n_sh").alias("n_b"),
+        "shingle",
+    )
+    shared = (
+        cand.join(batch_ex, "new_doc")
+        .join(corpus_ex, ["corpus_doc", "shingle"])
+        .groupBy("new_doc", "corpus_doc", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.where(j >= JACCARD_THRESHOLD).select(
         "new_doc", "corpus_doc", F.round(j, 6).alias("jaccard")
     )
 

@@ -53,6 +53,49 @@ def test_incremental_minhash_subset_and_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
 
 
+def test_planted_probe_nonvacuous_and_minhash_recall(spark, sf_dir):
+    """The planted-batch probe variants (VERDICT r6 #2): non-empty BY
+    CONSTRUCTION at every scale factor, every planted document finds its
+    own source at >= 0.5, and the banded-MinHash path is a subset of the
+    exact probe with near-total recall. This fixture also pins the true
+    position-independent MinHash semantics — the round-7 seed-binding fix
+    (minhash_from_hashes) is exactly what a shifted-shingle batch
+    exercises and the md5-split fixtures could not."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        _PROBE_ID_OFFSET,
+        dedup_incremental_near_probe,
+        dedup_incremental_near_probe_minhash,
+    )
+
+    def pairs(df):
+        return {
+            (r["new_doc"], r["corpus_doc"])
+            for r in df.select("new_doc", "corpus_doc").collect()
+        }
+
+    exact = pairs(dedup_incremental_near_probe(spark, sf_dir))
+    assert exact, "planted probe must be non-empty at any SF"
+    # every planted doc matches its own source
+    planted = {d for d, _ in exact}
+    assert all((d, d - _PROBE_ID_OFFSET) in exact for d in planted)
+    approx = pairs(dedup_incremental_near_probe_minhash(spark, sf_dir))
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_minhash_signature_varies_by_seed(spark, sf_dir):
+    """True MinHash: the 64 signature slots are DIFFERENT hash functions —
+    a multi-shingle doc's slots cannot all collapse to one value (the
+    failure mode of the pre-r7 element-index seed shadowing)."""
+    docs = load(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    for row in docs.select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    ).collect():
+        assert len(set(row["sig"])) > 1, row["doc_id"]
+
+
 def test_minhash_signature_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(50).select(
         "doc_id", shingles(F.col("text")).alias("sh")
