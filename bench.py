@@ -120,6 +120,11 @@ HEADLINE = [
     # round-6b: the grid-blocked spatial join — cell + neighbor-probe +
     # haversine verify, the equi-join layout that replaces a cross join.
     "geo_proximity_join_blocked",
+    # round-7: the full IVFPQ composition enters the headline bench now
+    # that the quantizer fit is sampled (kmeans_centroids train_per_list)
+    # — the billion-scale ANN layout's end-to-end cost gets a recorded
+    # baseline (VERDICT r6 #5). First recorded run defines its baseline.
+    "sim_topk_ivfpq",
 ]
 
 
