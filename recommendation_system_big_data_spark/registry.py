@@ -74,131 +74,120 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 _loaded = False
 
-#: Driver-verification window aliases (round 6 rotation).
+#: Driver-verification window aliases (round 7 rotation).
 #:
 #: The correctness driver records at most 50 queries per round, taken in
 #: alphabetical order of the registry names. ``a0_``-prefixed aliases (same
 #: callable, same oracle as the canonical entry) sort before every canonical
-#: name and therefore fill the round's checked window. Rounds 1-5 covered
-#: 236 distinct canonical queries (CORRECTNESS_r01-r05; 235 green, 1
-#: canonicalizer crash fixed this round). This round-6 window holds:
-#:   - every query whose code or oracle changed in round 6
-#:     (stat_freq_items array serialization — the r5 failure;
-#:     fuzzy_join_levenshtein PassJoin rewrite; graph_triangle_count
-#:     edge-iterator rewrite; agg_summary_approx double-mean;
-#:     contamination_ngram_check repartition; dedup_source_overlap_matrix
-#:     oracle slice fix; fn_arrow_python_udf tie rounding; graph_kcore
-#:     fixpoint loop; ml_kmeans_lloyd history channel),
-#:   - the new round-6 query (dedup_incremental_near_minhash ⊘),
-#:   - ALL remaining never-driver-verified ⊘ rows-only ops
-#:     (VERDICT r5 #6), and
-#:   - the never-driver-verified oracle-bearing round-5 additions the
-#:     r5 VERDICT prioritized: the stats, ML-eval, and time-series
-#:     families plus agg_weighted_percentile / dedup_incremental_near /
-#:     pipeline_rag_prep and the dedup analytics pair.
+#: name and therefore fill the round's checked window. Rounds 1-6 covered
+#: 281 distinct canonical queries (CORRECTNESS_r01-r06, all currently
+#: green). This round-7 window holds (VERDICT r6 #1):
+#:   - the new round-7 planted-probe queries that make the incremental
+#:     near-dedup evidence non-vacuous (VERDICT r6 #2),
+#:   - every query whose OUTPUT changed with the round-7
+#:     minhash_from_hashes seed-binding fix (dedup_minhash_lsh,
+#:     dedup_incremental_near_minhash — true position-independent MinHash
+#:     signatures now; re-verify),
+#:   - the 4 never-driver-verified ⊘ rows-only ops (ml_isotonic_calibration,
+#:     sim_topk_ivfpq — now with the sampled quantizer fit, sim_topk_pq_adc,
+#:     ts_holt_linear), and
+#:   - 42 of the 91 never-driver-verified oracle-bearing queries,
+#:     prioritizing the families the r6 VERDICT named: the full ml_* and
+#:     olap_* families, sql_recursive_reachability, window_gaps_islands,
+#:     join_asof_nearest, the r6 session additions (dedup_substring_span,
+#:     pipeline_sequence_packing, pipeline_entity_resolution,
+#:     sql_session_variables, sink_xml_roundtrip, sink_python_datasource,
+#:     fn_udtf_dynamic_schema, geo_* trio, graph_label_propagation), the
+#:     text analysis family, the window family, and the
+#:     ts_interval_union_coverage watch item.
 #: Canonical names remain the public API; aliases are tagged ``alias`` so
 #: bench/docs can skip them.
 #:
-#: ROUND-7 QUEUE (the ~80 never-driver-verified oracle-bearing queries
-#: left after this window; all locally green — test_oracles + full driver
-#: sim at sf0.01 + dtype sweep):
-#:   feature_binning_equidepth, ts_lag_features (in window below),
-#:   agg_robust_mad_outliers, stat_chi_square (in window below),
-#:   sql_recursive_reachability, audit_fact_consistency,
-#:   fn_date_arithmetic, text_bigram_lm, sort_nulls_ordering,
-#:   agg_moments_shape, pipeline_quality_dashboard, window_rolling_median,
-#:   window_gaps_islands, sequence_transition_matrix,
-#:   window_running_distinct, ts_autocorrelation (in window below),
-#:   stat_benford (in window below), ml_linreg_normal_eq,
-#:   privacy_k_anonymity, graph_bfs_hops, embedding_covariance,
-#:   text_zipf_fit, window_cumulative_share, drift_ks_test,
-#:   agg_heavy_hitters_mg, sql_group_by_all, join_asof_nearest,
-#:   ts_seasonal_anomaly, graph_community_modularity, ml_feature_hashing,
-#:   ml_target_encoding, ml_woe_iv, scan_csv_corrupt_permissive,
-#:   fn_collation_groupby, sql_pivot_syntax, ts_interval_union_coverage,
-#:   olap_skyline_pareto, attribution_linear_multitouch, ml_logreg_gd,
-#:   sink_time_travel_versions, fn_bool_agg,
-#:   agg_percentile_cont_interpolated, sql_not_in_null_semantics,
-#:   agg_listagg_within_group, sql_identifier_clause,
-#:   sql_lateral_column_alias, ml_naive_bayes_langid, ml_kaplan_meier,
-#:   clean_outlier_iqr, agg_multi_distinct_expand, text_code_detection,
-#:   text_collocations_pmi, olap_mtd_ytd, olap_price_volume_mix,
-#:   ml_feature_scaling, stat_power_sample_size, olap_rank_movers,
-#:   dim_calendar_build, ts_new_vs_returning, join_role_playing_calendar,
-#:   agg_weighted_moments, ml_ipw_ate, ts_forecast_linear,
-#:   ml_linear_attribution, window_time_range_frame, set_ops_bag_all,
-#:   olap_abc_xyz, stat_spearman_corr, agg_trimmed_mean, fn_udtf_table_arg,
-#:   clean_monotonic_repair, fn_timezone_convert, sink_text_roundtrip,
-#:   fn_csv_string_roundtrip, olap_pct_of_parent, fn_luhn_check,
-#:   agg_bitmap_intersection, stat_theil_decomposition, ml_learning_curve,
-#:   funnel_conversion_lag_curve, ml_cv_fold_assign, privacy_l_diversity,
-#:   join_bloom_prefilter, stat_cuped_adjustment, and the round-6
-#:   session additions: sim_topk_pq_adc ⊘, sim_topk_ivfpq ⊘,
-#:   dedup_substring_span, pipeline_sequence_packing,
-#:   graph_label_propagation, geo_proximity_join_blocked,
-#:   geo_nearest_hub, pipeline_entity_resolution,
-#:   sql_session_variables, ml_isotonic_calibration ⊘,
-#:   geo_point_in_region, ts_holt_linear ⊘, sink_xml_roundtrip,
-#:   sink_python_datasource, fn_udtf_dynamic_schema
-#:   — r7 takes 50, r8 the remainder plus spot-check re-runs.
+#: ROUND-8 QUEUE (the 49 never-driver-verified oracle-bearing queries
+#: left after this window; all locally green — full driver sim at sf0.01):
+#:   agg_bitmap_intersection, agg_heavy_hitters_mg,
+#:   agg_listagg_within_group, agg_moments_shape,
+#:   agg_multi_distinct_expand, agg_percentile_cont_interpolated,
+#:   agg_robust_mad_outliers, agg_trimmed_mean, agg_weighted_moments,
+#:   attribution_linear_multitouch, audit_fact_consistency,
+#:   clean_monotonic_repair, clean_outlier_iqr, dim_calendar_build,
+#:   drift_ks_test, embedding_covariance, feature_binning_equidepth,
+#:   fn_bool_agg, fn_collation_groupby, fn_csv_string_roundtrip,
+#:   fn_date_arithmetic, fn_luhn_check, fn_timezone_convert,
+#:   fn_udtf_table_arg, funnel_conversion_lag_curve, graph_bfs_hops,
+#:   graph_community_modularity, join_bloom_prefilter,
+#:   join_role_playing_calendar, pipeline_quality_dashboard,
+#:   privacy_k_anonymity, privacy_l_diversity,
+#:   scan_csv_corrupt_permissive, sequence_transition_matrix,
+#:   set_ops_bag_all, sink_text_roundtrip, sink_time_travel_versions,
+#:   sort_nulls_ordering, sql_identifier_clause,
+#:   sql_lateral_column_alias, sql_not_in_null_semantics,
+#:   sql_pivot_syntax, stat_cuped_adjustment, stat_power_sample_size,
+#:   stat_spearman_corr, stat_theil_decomposition, ts_forecast_linear,
+#:   ts_new_vs_returning, ts_seasonal_anomaly
+#:   — plus any round-7 session additions and spot-RE-verification of the
+#:   oldest green rows (r1-r2 vintage; VERDICT r6 #7). r8 takes the
+#:   remainder; after r8 every canonical query has a driver row.
 _DRIVER_WINDOW_ALIASES = (
-    # changed or fixed in round 6 — (re-)verify
-    "stat_freq_items",
-    "fuzzy_join_levenshtein",
-    "graph_triangle_count",
-    "agg_summary_approx",
-    "contamination_ngram_check",
-    "dedup_source_overlap_matrix",
-    "fn_arrow_python_udf",
-    "graph_kcore",
-    "ml_kmeans_lloyd",
-    # new in round 6
+    # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
+    "dedup_incremental_near_probe",
+    "dedup_incremental_near_probe_minhash",
+    # output changed by the round-7 MinHash seed-binding fix — re-verify
+    "dedup_minhash_lsh",
     "dedup_incremental_near_minhash",
-    # remaining never-driver-verified ⊘ rows-only ops (VERDICT r5 #6)
-    "als_item_similarity",
-    "embedding_mahalanobis_outliers",
-    "embedding_pca_project",
-    "embedding_pq_compress",
-    "scan_binary_files",
-    "stream_rolling_anomaly",
-    "stream_watermark_late_drop",
-    # never-driver-verified stats family
-    "stat_ttest_welch",
-    "stat_mann_whitney",
-    "stat_gini_coefficient",
-    "stat_chi_square",
-    "stat_benford",
-    "stat_wilson_ci",
-    "stat_effect_sizes",
-    "stat_bootstrap_ci",
-    # never-driver-verified ML-eval family
-    "ml_eval_auc_roc",
-    "ml_eval_confusion",
-    "ml_eval_precision_at_k",
-    "ml_eval_calibration",
-    "ml_eval_regression_metrics",
-    "ml_eval_ndcg_mrr",
-    "ml_eval_lift_gains",
-    "ml_eval_pinball_loss",
-    "ml_threshold_optimization",
-    "ml_diff_in_diff",
-    # never-driver-verified time-series family
-    "ts_max_drawdown",
-    "ts_resample_ohlc",
-    "ts_sma_crossover",
-    "ts_seasonal_index",
-    "ts_rolling_active_users",
-    "ts_changepoint_cusum",
-    "ts_autocorrelation",
-    "ts_lag_features",
-    "ts_wow_growth",
-    "ts_cross_correlation",
-    # never-driver-verified dedup / pipeline / percentile priorities
-    "agg_weighted_percentile",
-    "dedup_incremental_near",
-    "pipeline_rag_prep",
-    "dedup_similarity_histogram",
-    "text_template_skeleton_dedup",
+    # never-driver-verified ⊘ rows-only ops
+    "ml_isotonic_calibration",
+    "sim_topk_ivfpq",
+    "sim_topk_pq_adc",
+    "ts_holt_linear",
+    # never-driver-verified ml_* family (oracle-bearing)
+    "ml_cv_fold_assign",
+    "ml_feature_hashing",
+    "ml_feature_scaling",
+    "ml_ipw_ate",
+    "ml_kaplan_meier",
+    "ml_learning_curve",
+    "ml_linear_attribution",
+    "ml_linreg_normal_eq",
+    "ml_logreg_gd",
+    "ml_naive_bayes_langid",
+    "ml_target_encoding",
+    "ml_woe_iv",
+    # never-driver-verified olap_* family
+    "olap_abc_xyz",
+    "olap_mtd_ytd",
+    "olap_pct_of_parent",
+    "olap_price_volume_mix",
+    "olap_rank_movers",
+    "olap_skyline_pareto",
+    # VERDICT-named priorities and r6 session additions
+    "sql_recursive_reachability",
+    "window_gaps_islands",
+    "join_asof_nearest",
+    "dedup_substring_span",
+    "pipeline_sequence_packing",
+    "pipeline_entity_resolution",
+    "sql_session_variables",
+    "sink_xml_roundtrip",
+    "sink_python_datasource",
+    "fn_udtf_dynamic_schema",
+    "graph_label_propagation",
+    "geo_proximity_join_blocked",
+    "geo_nearest_hub",
+    "geo_point_in_region",
+    # watch item — bench drift burn-down wants a fresh correctness row too
+    "ts_interval_union_coverage",
+    # text analysis family
+    "text_bigram_lm",
+    "text_code_detection",
+    "text_collocations_pmi",
+    "text_zipf_fit",
+    # window family
+    "window_rolling_median",
+    "window_running_distinct",
+    "window_cumulative_share",
+    "window_time_range_frame",
+    "sql_group_by_all",
 )
 
 

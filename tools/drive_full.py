@@ -47,5 +47,24 @@ for name, fn in qs.items():
         fails.append(name)
     print(f"{status} {name} {detail} {time.time()-t0:.1f}s", flush=True)
 print(f"TOTAL {time.time()-t_start:.0f}s FAILS: {fails or 'none'}")
+# Recorded evidence that the local gate ran at the DRIVER's scale factor
+# (VERDICT r6 #4): one JSON line per completed sweep, committed with the
+# round's work so scale-dependent seams can't hide between local sf0.001
+# tests and the driver's sf0.01 window.
+import json, subprocess
+try:
+    head = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
+except Exception:
+    head = "unknown"
+with open("/root/repo/SWEEPS.jsonl", "a") as fh:
+    fh.write(json.dumps({
+        "ts": time.time(), "sf": SF, "n_queries": len(qs),
+        "n_oracle": sum(1 for n in qs if n in oracles),
+        "fails": fails, "wall_s": round(time.time() - t_start, 1),
+        "head": head,
+    }) + "\n")
 spark.stop()
 sys.exit(1 if fails else 0)
