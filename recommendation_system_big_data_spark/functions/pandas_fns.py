@@ -123,6 +123,39 @@ def grouped_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(_slope_fn(), schema=_SLOPE_SCHEMA)
 
 
+@register(
+    "agg_slope_builtin",
+    oracle=_SLOPE_ORACLE,
+    tags=("agg",),
+)
+def agg_slope_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM twin of `grouped_pandas_slope`: identical per-user OLS
+    slope computed with built-in aggregates — covar_pop/var_pop is
+    exactly regr_slope's closed form, one map-side-combined groupBy, no
+    Python anywhere. Same oracle as the pandas version, so the pair
+    PROVES semantic equivalence while the bench prices the boundary:
+    this is the path the engine convention prescribes whenever the
+    per-group model is expressible as aggregates; applyInPandas is for
+    models that are not (see grouped_pandas_slope's docstring).
+
+    Numerical note: covar_pop/var_pop accumulate co-moments in one pass
+    (Welford-style), which for this centered-x arithmetic agrees with
+    the two-pass pandas computation within an ulp — ROUND(,4) absorbs
+    it on both engines, as it already does for DuckDB's regr_slope."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (epoch_us("ts") / F.lit(3.6e9)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.when(
+            F.var_pop("x") > 0,
+            F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4),
+        ).alias("slope"),
+    )
+
+
 def _arrow_stats_fn():
     """mapInArrow batch function, nested for by-value pickling (see
     _slope_fn). Consumes pyarrow RecordBatches directly — no pandas

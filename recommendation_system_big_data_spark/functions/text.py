@@ -266,6 +266,138 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 (Okapi, Lucene idf form): the ranked-retrieval layer a RAG corpus
+#: serves between exact dedup and embedding ANN. Standard constants.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: Deterministic query workload: every stride-50 document's first 5 tokens
+#: form one ad-hoc query (query_id = source doc_id; the source doc itself
+#: is excluded from its results).
+_BM25_STRIDE = 50
+_BM25_RESIDUE = 7
+_BM25_QLEN = 5
+_BM25_TOP_K = 10
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tok2 AS (
+    SELECT doc_id, token FROM tok WHERE token <> ''
+), postings AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, token
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), dfreq AS (
+    SELECT token, COUNT(*) AS df FROM postings GROUP BY token
+), qt AS (
+    SELECT DISTINCT doc_id AS query_id,
+           unnest(string_split(text, ' ')[1:{_BM25_QLEN}]) AS token
+    FROM documents WHERE doc_id % {_BM25_STRIDE} = {_BM25_RESIDUE}
+), qt2 AS (
+    SELECT query_id, token FROM qt WHERE token <> ''
+), scored AS (
+    SELECT q.query_id, p.doc_id,
+           ROUND(SUM(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+               * p.tf * ({_BM25_K1} + 1)
+               / (p.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+           ), 6) AS score
+    FROM qt2 q
+    JOIN postings p USING (token)
+    JOIN dfreq f USING (token)
+    JOIN dl d ON p.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE p.doc_id <> q.query_id
+    GROUP BY q.query_id, p.doc_id
+), ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_BM25_TOP_K}
+"""
+
+
+@register("text_bm25_retrieval", oracle=_BM25_ORACLE, tags=("text", "similarity"))
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over an inverted index — the lexical
+    search layer of a RAG stack (between exact dedup and embedding ANN;
+    text_tfidf weighs terms, this RANKS documents for queries). The query
+    workload is deterministic: each stride-50 document's first 5 tokens
+    become one ad-hoc query; its own source doc is excluded.
+
+    Scale shape: scoring is one (token) equi-join of the query-term list
+    against the postings table — per-query cost is Σ df over its terms,
+    never a corpus scan. The df table is vocabulary-sized and broadcast;
+    corpus stats (N, avgdl) are a 1-row broadcast; doc lengths join on
+    doc_id. The final top-k is a rank-filtered window
+    (WindowGroupLimit pushes the k=10 limit into the sort, so only 10
+    rows per query survive each partial sort at scale). Lucene's
+    +1-inside-the-log idf keeps scores positive for df > n/2 terms."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    postings = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qtok = (
+        docs.where(F.col("doc_id") % _BM25_STRIDE == _BM25_RESIDUE)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(tokens(F.col("text")), 1, _BM25_QLEN)).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qtok.join(postings, "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rn")
+    )
+
+
 @register(
     "text_bigram_freq",
     oracle="""

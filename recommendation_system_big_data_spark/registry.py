@@ -125,9 +125,11 @@ _loaded = False
 #:   sql_pivot_syntax, stat_cuped_adjustment, stat_power_sample_size,
 #:   stat_spearman_corr, stat_theil_decomposition, ts_forecast_linear,
 #:   ts_new_vs_returning, ts_seasonal_anomaly
-#:   — plus any round-7 session additions and spot-RE-verification of the
-#:   oldest green rows (r1-r2 vintage; VERDICT r6 #7). r8 takes the
-#:   remainder; after r8 every canonical query has a driver row.
+#:   — plus the round-7 session additions (text_bm25_retrieval,
+#:   agg_slope_builtin — both oracle-green at sf0.001 AND sf0.01 via
+#:   check_queries) and spot-RE-verification of the oldest green rows
+#:   (r1-r2 vintage; VERDICT r6 #7). r8 takes the remainder; after r8
+#:   every canonical query has a driver row.
 _DRIVER_WINDOW_ALIASES = (
     # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
     "dedup_incremental_near_probe",
