@@ -124,10 +124,18 @@ def kmeans_centroids(
 
     Scale shape: each iteration is one broadcast join over the sample plus
     one combiner-friendly aggregate of dim×k cells — no all-pairs work.
-    The one driver scalar here is the corpus COUNT that sizes n_lists —
-    a metadata-grade aggregate."""
+    The k×d centroid model is MATERIALIZED to the driver after every
+    iteration (the sanctioned small-model collect — MLlib's
+    broadcast-centroid loop has the same shape): without it, iteration
+    i+1's broadcast carries iteration i's entire lineage, so every
+    DOWNSTREAM consumer of the returned frame (cell assignment, query
+    probing) re-executes the whole Lloyd fit per use (sim_topk_ivfpq
+    warm-min 7.7s → 6.6s at sf0.1; the win grows with consumers and
+    with n_iter). The driver scalars here are that k×d model and the
+    corpus COUNT that sizes n_lists."""
     import math
 
+    spark = e.sparkSession
     n = e.count()
     nlist = max(16, math.isqrt(max(n - 1, 0)) + 1)
     stride = max(1, n // nlist)
@@ -166,6 +174,9 @@ def kmeans_centroids(
                     lambda s: s["m"],
                 ).alias("cv")
             )
+        )
+        cent = spark.createDataFrame(
+            cent.collect(), schema="centroid_id long, cv array<double>"
         )
     return cent
 
