@@ -134,3 +134,33 @@ def test_eda_svg_renderer_writes_real_figures(spark, sf_dir, tmp_path):
             [e for e in root.iter() if e.tag.endswith("rect")]
         )
         assert n_bars == (pdf["series"] == name).sum()
+
+
+def test_slope_pandas_and_builtin_twins_agree(spark, sf_dir):
+    """The applyInPandas yardstick and its JVM twin must emit identical
+    results cell-for-cell — the pair's whole point is pricing the Python
+    boundary at PROVABLY equal semantics (both already hash-match the
+    same DuckDB regr_slope oracle; this pins them to each other without
+    an engine in between)."""
+    from recommendation_system_big_data_spark.functions.pandas_fns import (
+        agg_slope_builtin,
+        grouped_pandas_slope,
+    )
+
+    a = {
+        r["user_id"]: (r["n"], r["slope"])
+        for r in grouped_pandas_slope(spark, sf_dir).collect()
+    }
+    b = {
+        r["user_id"]: (r["n"], r["slope"])
+        for r in agg_slope_builtin(spark, sf_dir).collect()
+    }
+    assert set(a) == set(b)
+    mism = {
+        u: (a[u], b[u])
+        for u in a
+        if a[u][0] != b[u][0]
+        or (a[u][1] is None) != (b[u][1] is None)
+        or (a[u][1] is not None and abs(a[u][1] - b[u][1]) > 1e-9)
+    }
+    assert not mism, list(mism.items())[:5]
