@@ -125,6 +125,11 @@ HEADLINE = [
     # — the billion-scale ANN layout's end-to-end cost gets a recorded
     # baseline (VERDICT r6 #5). First recorded run defines its baseline.
     "sim_topk_ivfpq",
+    # round-7b: inverted-index BM25 ranked retrieval — the lexical
+    # search probe plan (token equi-join against postings, broadcast
+    # df/stats, partial+final WindowGroupLimit top-k). First recorded
+    # run defines its baseline.
+    "text_bm25_retrieval",
 ]
 
 
