@@ -227,3 +227,44 @@ def test_substring_span_bounds_and_symmetry(spark, sf_dir):
         assert abs(r["dup_frac"] - round(r["dup_windows"] / r["n_windows"], 6)) < 1e-9
         total_dup += r["dup_windows"]
     assert total_dup != 1
+
+
+def test_simhash_perturbation_sensitivity(spark, sf_dir):
+    """Adversarial-perturbation gate (the probe style that exposed the
+    round-7 MinHash seed bug): a 2-token edit of a ~long document must
+    move the fingerprint only a few bits, while an unrelated document
+    sits near the 32-bit random-distance floor. Catches any future
+    regression that makes the fingerprint position- or doc-global (both
+    would blow up the perturbation distance or zero the unrelated one)."""
+    from pyspark.sql import functions as F
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.size(F.split("text", " ")) >= 60)
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(base) == 2
+    toks_a = base[0]["text"].split(" ")
+    toks_b = base[1]["text"].split(" ")
+    perturbed = list(toks_a)
+    perturbed[3] = "zzz_perturbed_token_1"
+    perturbed[17] = "zzz_perturbed_token_2"
+    rows = (
+        [(1, t) for t in toks_a]
+        + [(2, t) for t in perturbed]
+        + [(3, t) for t in toks_b]
+    )
+    toks = (
+        spark.createDataFrame(rows, "doc_id long, token string")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(toks).collect()}
+    ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+    d_pert = ham(fp[1], fp[2])
+    d_unrel = ham(fp[1], fp[3])
+    assert d_pert < 16, d_pert
+    assert d_unrel > d_pert, (d_unrel, d_pert)
+    assert d_unrel >= 16, d_unrel
