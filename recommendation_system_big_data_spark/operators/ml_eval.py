@@ -831,41 +831,36 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "part", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     train = toks.where(F.col("part") == "train")
-    # The fitted model is ONE aggregate table enriched by window functions:
-    # class totals (per-lang window sum), vocabulary size (global window
-    # collect_set — the table is vocab-sized, so the unbounded window is a
-    # few KB of state), instead of separate class_tot / vocab aggregate
-    # subtrees each costing their own stage chain + broadcast exchange.
-    # On a tiny model table the query's cost IS the stage count; this
-    # collapse removed a third of it (round-7 drift burn-down).
-    w_all = Window.partitionBy()
-    w_lang = Window.partitionBy("lang")
-    class_tok = (
-        train.groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .withColumn("tot", F.sum("c").over(w_lang).cast("long"))
-        .withColumn(
-            "v", F.size(F.collect_set("tok").over(w_all)).cast("long")
-        )
+    class_tok = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
+    # Model scalars derive from the ALREADY-AGGREGATED (lang, tok) table —
+    # map-side-combined aggregates, never windows: a global or per-lang
+    # unbounded window here would funnel the whole vocabulary through one
+    # partition (an OOM + straggler at web-corpus vocabulary), which is
+    # exactly the state-bound mistake agg_summary's rewrite removed. The
+    # one round-7 change kept: vocabulary size counts the model table
+    # (|vocab|·|langs| rows), not a second explode+distinct pass over the
+    # raw train corpus.
+    class_tot = class_tok.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    vocab = class_tok.agg(F.countDistinct("tok").cast("long").alias("v"))
     priors = (
         docs.where(F.col("part") == "train")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .withColumn("n", F.sum("n_docs").over(Window.partitionBy()).cast("long"))
     )
+    prior_tot = priors.agg(F.sum("n_docs").cast("long").alias("n"))
     doc_tok = (
         toks.where(F.col("part") == "test")
         .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     cand = (
-        priors.join(
-            F.broadcast(
-                class_tok.select("lang", "tot", "v").dropDuplicates(["lang"])
-            ),
-            "lang",
-        )
+        priors.join(F.broadcast(class_tot), "lang")
+        .crossJoin(F.broadcast(prior_tot))
+        .crossJoin(F.broadcast(vocab))
         .select(
             F.col("lang").alias("cand"),
             "n_docs",
