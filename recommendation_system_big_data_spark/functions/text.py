@@ -334,7 +334,8 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scoring is one (token) equi-join of the query-term list
     against the postings table — per-query cost is Σ df over its terms,
-    never a corpus scan. The df table is vocabulary-sized and broadcast;
+    never a corpus scan. The df table is vocabulary-sized, so its join
+    is left to AQE (broadcast locally, shuffle at web-corpus vocabulary);
     corpus stats (N, avgdl) are a 1-row broadcast; doc lengths join on
     doc_id. The final top-k is a rank-filtered window
     (WindowGroupLimit pushes the k=10 limit into the sort, so only 10
@@ -382,7 +383,11 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         qtok.join(postings, "token")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfreq), "token")
+        # vocabulary-sized: let AQE choose broadcast vs shuffle by stats
+        # (forcing broadcast would OOM at web-corpus vocabulary — the
+        # same rule as the Naive Bayes likelihood join); only the 1-row
+        # corpus stats get the explicit hint
+        .join(dfreq, "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
