@@ -1442,3 +1442,126 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH s AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+), t AS (
+    SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+           SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS denom
+    FROM s
+)
+SELECT s.source,
+       s.n_docs,
+       s.n_tokens,
+       ROUND(s.n_tokens / t.tot, 6) AS token_share,
+       ROUND(sqrt(CAST(s.n_tokens AS DOUBLE)) / t.denom, 6) AS sample_weight,
+       CAST(ROUND(sqrt(CAST(s.n_tokens AS DOUBLE)) / t.denom * 1000000, 0) AS BIGINT)
+           AS expected_tokens_at_1m,
+       ROUND(sqrt(CAST(s.n_tokens AS DOUBLE)) / t.denom / (s.n_tokens / t.tot), 6)
+           AS oversample_factor
+FROM s, t
+"""
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=_TEMPERATURE_MIX_ORACLE,
+    tags=("text", "pipeline"),
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixing step (α = 0.5, the standard T=2 rescaling):
+    w_i ∝ p_i^α with p_i each source's token share. Emits, per source,
+    the natural share, the rescaled sampling weight, the expected token
+    allocation at a 1M-token budget, and the oversampling factor
+    (w_i / p_i — how many epochs of a low-resource source a training
+    run revisits).
+
+    Plan: one map-side-combined aggregate over the corpus (the only
+    data-scale stage) down to a source-count-sized model table, then a
+    1-row broadcast of the two normalization scalars — the same
+    corpus-stats shape as text_bm25_retrieval. At 100 TB nothing else
+    changes: the agg shuffles |sources| rows."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("denom"),
+    )
+    share = F.col("n_tokens") / F.col("tot")
+    weight = F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom")
+    return s.join(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("sample_weight"),
+        F.round(weight * 1000000, 0).cast("long").alias("expected_tokens_at_1m"),
+        F.round(weight / share, 6).alias("oversample_factor"),
+    )
+
+
+_BPE_PAIR_ORACLE = """
+WITH words AS (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    WHERE length(w) >= 2
+    GROUP BY w
+), pairs AS (
+    SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, freq
+    FROM words, UNNEST(range(1, length(word))) AS r(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+@register("text_bpe_pair_stats", oracle=_BPE_PAIR_ORACLE, tags=("text",))
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics pass of a BPE merge round: corpus-weighted adjacent
+    symbol-pair counts, top-20 (count DESC, pair ASC — a total order, so
+    the cut is deterministic). Real BPE training repeats exactly this
+    aggregate after each merge; the expensive part — pair counting over a
+    weighted word table, NOT the raw corpus — is what this plans.
+
+    Plan: explode to words → word-frequency aggregate (the corpus-scale
+    shuffle; vocabulary-sized output) → per-word adjacent-pair explode
+    (len(word)-1 rows per DISTINCT word, weighted by freq — corpus
+    repetition is already collapsed) → pair aggregate →
+    TakeOrderedAndProject top-k. At 100 TB the word table is the
+    materialized artifact; each merge round re-runs only the
+    vocabulary-scale stages."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )

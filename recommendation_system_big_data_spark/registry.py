@@ -126,10 +126,12 @@ _loaded = False
 #:   stat_spearman_corr, stat_theil_decomposition, ts_forecast_linear,
 #:   ts_new_vs_returning, ts_seasonal_anomaly
 #:   — plus the round-7 session additions (text_bm25_retrieval,
-#:   agg_slope_builtin — both oracle-green at sf0.001 AND sf0.01 via
-#:   check_queries) and spot-RE-verification of the oldest green rows
-#:   (r1-r2 vintage; VERDICT r6 #7). r8 takes the remainder; after r8
-#:   every canonical query has a driver row.
+#:   agg_slope_builtin, pipeline_temperature_mix, text_bpe_pair_stats —
+#:   all oracle-green at sf0.001 AND sf0.01 via check_queries;
+#:   dedup_semantic_semdedup ⊘ with precision/recall pytest gates and
+#:   non-empty rows at both SFs) and spot-RE-verification of the oldest
+#:   green rows (r1-r2 vintage; VERDICT r6 #7). r8 takes the remainder;
+#:   after r8 every canonical query has a driver row.
 _DRIVER_WINDOW_ALIASES = (
     # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
     "dedup_incremental_near_probe",

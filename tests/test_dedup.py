@@ -271,3 +271,44 @@ def test_simhash_perturbation_sensitivity(spark, sf_dir):
     # 2-token edit stays MUCH closer than a different document
     assert d_pert < 12, d_pert
     assert d_unrel >= d_pert + 8, (d_unrel, d_pert)
+
+
+def test_semdedup_precision_and_recall(spark, sf_dir):
+    """SemDeDup (cluster-blocked semantic dedup): every reported
+    (keeper, vec_id) must be a true >=threshold cosine pair with
+    keeper < vec_id (precision exact by construction — candidates are
+    verified with true cosine), and the drop set must cover >= 0.75 of
+    the brute-force all-pairs truth (0.87-0.90 measured at both SFs
+    with 3-probe assignment)."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        SEMANTIC_THRESHOLD,
+        dedup_semantic_semdedup,
+    )
+    from recommendation_system_big_data_spark.functions.vectors import (
+        as_double_array,
+        cosine,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    truth = {
+        (r["va"], r["vb"])
+        for r in (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(cos >= SEMANTIC_THRESHOLD)
+            .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+            .collect()
+        )
+    }
+    res = dedup_semantic_semdedup(spark, sf_dir).collect()
+    reported = {(r["keeper"], r["vec_id"]) for r in res}
+    assert reported <= truth, reported - truth
+    truth_drop = {b for _, b in truth}
+    res_drop = {r["vec_id"] for r in res}
+    assert res_drop <= truth_drop
+    if truth_drop:
+        recall = len(res_drop & truth_drop) / len(truth_drop)
+        assert recall >= 0.75, (len(res_drop), len(truth_drop), recall)
