@@ -1501,8 +1501,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fit is kmeans_centroids' sampled Lloyd pass; the
     assignment is one broadcast(k×d) scan; the candidate pairing is a
     self-join ON centroid_id — at 100 TB the probed table is written
-    bucketed by centroid_id so the pairing is partition-local, and
-    cluster count grows as √n keeping per-cluster pair counts flat."""
+    bucketed by centroid_id so the pairing is partition-local. With the
+    IVF sizing (k = √n) cluster size is √n, so total verified pairs are
+    O(n^1.5·n_probe²) — the same exponent class as exact triangle
+    counting, and like it the declared escape at extreme n is a
+    two-level quantizer: cluster the centroids so k can grow ∝ n
+    (constant cluster size → linear pairing) while assignment stays
+    n·√k via coarse-then-fine probing."""
     from recommendation_system_big_data_spark.operators.similarity import (
         kmeans_centroids,
     )
