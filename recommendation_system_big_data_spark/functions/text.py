@@ -1484,9 +1484,12 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     run revisits).
 
     Plan: one map-side-combined aggregate over the corpus (the only
-    data-scale stage) down to a source-count-sized model table, then a
-    1-row broadcast of the two normalization scalars — the same
-    corpus-stats shape as text_bm25_retrieval. At 100 TB nothing else
+    data-scale stage — ONE FileScan; tokenizing 100 TB twice is the
+    cost that matters) down to a source-count-sized model table, then
+    the two normalization scalars as unbounded window sums OVER that
+    model table: the SinglePartition exchange moves |sources| rows, the
+    legitimate small-model funnel (unlike the reverted langid collapse,
+    whose window state was vocabulary-sized). At 100 TB nothing else
     changes: the agg shuffles |sources| rows."""
     s = (
         load(spark, sf_dir, "documents")
@@ -1496,13 +1499,15 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
         )
     )
-    t = s.agg(
-        F.sum("n_tokens").cast("double").alias("tot"),
-        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("denom"),
+    w = Window.partitionBy()
+    t = s.select(
+        "*",
+        F.sum("n_tokens").over(w).cast("double").alias("tot"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w).alias("denom"),
     )
     share = F.col("n_tokens") / F.col("tot")
     weight = F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom")
-    return s.join(F.broadcast(t)).select(
+    return t.select(
         "source",
         "n_docs",
         "n_tokens",
