@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.functions.text import STOPWORDS, _SW_SQL
 from recommendation_system_big_data_spark.registry import register
 
@@ -546,7 +546,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("nat", "seg", F.col("o_orderpriority").alias("sens"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

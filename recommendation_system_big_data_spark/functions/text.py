@@ -250,10 +250,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # The document-frequency table is VOCABULARY-sized: no forced
+    # broadcast (it OOMs at web-corpus vocabulary) — AQE picks the
+    # strategy from runtime stats, same rule as text_bm25_retrieval's
+    # df join and the Naive Bayes likelihood join.
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.registry import register
 
 DAMPING = 0.85
@@ -216,7 +216,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated inside a codegen'd array_intersect and never materialized.
     Everything is key-partitioned shuffle joins on node ids (adjacency
     arrays ride along, each ≤ O(√m) longs); the degree table (|nodes|
-    rows) broadcasts; no edge-scale broadcast, no driver
+    rows) carries a size-GATED broadcast hint (catalog.maybe_broadcast —
+    nodes are part keys, which scale with the corpus, so above the gate
+    the strategy is AQE's call); no edge-scale broadcast, no driver
     materialization. The oracle keeps the wedge-join spelling with the
     simple id orientation — same triangle set, since per-node membership
     is orientation-invariant.
@@ -254,10 +256,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    du = F.broadcast(deg).select(
+    du = maybe_broadcast(deg, sf_dir, "part").select(
         F.col("node").alias("u"), F.col("deg").alias("du")
     )
-    dv = F.broadcast(deg).select(
+    dv = maybe_broadcast(deg, sf_dir, "part").select(
         F.col("node").alias("v"), F.col("deg").alias("dv")
     )
     # Orient by (degree, id): src is the endpoint earlier in that order.
@@ -374,8 +376,8 @@ def graph_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    du = F.broadcast(deg).select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = F.broadcast(deg).select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    du = maybe_broadcast(deg, sf_dir, "part").select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = maybe_broadcast(deg, sf_dir, "part").select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
         kept.join(du, "u")
         .join(dv, "v")
@@ -481,10 +483,10 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
         .filter(F.col("n_pair") >= _RULE_MIN_SUPPORT)
     )
-    sa = F.broadcast(item_supp).select(
+    sa = maybe_broadcast(item_supp, sf_dir, "part").select(
         F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("supp_a")
     )
-    sc = F.broadcast(item_supp).select(
+    sc = maybe_broadcast(item_supp, sf_dir, "part").select(
         F.col("l_partkey").alias("consequent"), F.col("n_item").alias("supp_c")
     )
     return (

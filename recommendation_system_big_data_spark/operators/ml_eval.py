@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.operators.sampling import portable_bucket
 from recommendation_system_big_data_spark.registry import register
 
@@ -516,7 +516,7 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "cat",
             F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -952,7 +952,7 @@ def ml_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "segment",
             F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -1477,7 +1477,7 @@ def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = (
         load(spark, sf_dir, "orders")
         .crossJoin(F.broadcast(bounds))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "treated",
             (F.col("o_orderdate") >= F.col("split_at")).cast("int").alias("post"),

@@ -292,7 +292,7 @@ def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate")
             >= F.col("split_at") - F.expr("INTERVAL 365 DAY")
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "segment",
             F.when(F.col("o_orderdate") >= F.col("split_at"), "cur")
@@ -580,7 +580,7 @@ def olap_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     nation_rev = (
         load(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

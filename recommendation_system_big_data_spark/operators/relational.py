@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.queries.tpch import davg, dsum
 from recommendation_system_big_data_spark.registry import register
 
@@ -167,7 +167,7 @@ def drop_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(maybe_broadcast(cust, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"])
         .drop(cust["c_custkey"])
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
     )
@@ -253,7 +253,7 @@ def join_left_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left")
+        orders.join(maybe_broadcast(cust, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"], "left")
         .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
     )
 
@@ -299,7 +299,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join (op #18; capability extension per SURVEY.md §2.3)."""
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     cust = load(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+    return orders.join(maybe_broadcast(cust, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"]).select(
         "o_orderkey", "c_custkey", "c_name", "o_totalprice"
     )
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -132,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB — hinting broadcast on the orders side would OOM a real cluster.
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            orders.join(maybe_broadcast(cust, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -586,7 +586,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "cust_nation")
     )
     return (
-        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(maybe_broadcast(supp, sf_dir, "supplier"), li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders_c, li["l_orderkey"] == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -671,7 +671,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     sales = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp_nation, sf_dir, "supplier"), li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
