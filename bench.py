@@ -130,15 +130,17 @@ HEADLINE = [
     # df/stats, partial+final WindowGroupLimit top-k). First recorded
     # run defines its baseline.
     "text_bm25_retrieval",
-    # round-7c: temperature-scaled source mixing (corpus-scale agg → 1-row
-    # normalization broadcast) and the BPE merge-round statistics pass
-    # (word-frequency shuffle + vocabulary-scale pair explode + top-k).
-    # First recorded run defines each baseline. dedup_semantic_semdedup is
-    # deliberately NOT here: its O(n^1.5·n_probe²) verified-pair work is
-    # 23 s at sf0.1 — the honest end-to-end cost is recorded in
-    # BASELINE.md with its two-level-quantizer scale escape.
+    # round-7c: temperature-scaled source mixing (corpus-scale agg →
+    # model-table window normalization), the BPE merge-round statistics
+    # pass (word-frequency shuffle + vocabulary-scale pair explode +
+    # top-k), and SemDeDup cluster-blocked semantic dedup (3-probe
+    # multi-assignment; per-vector norms precomputed so the
+    # O(n^1.5·n_probe²) verified-pair stage folds one dot product per
+    # pair — 23 s → 9 s at sf0.1). First recorded run defines each
+    # baseline.
     "pipeline_temperature_mix",
     "text_bpe_pair_stats",
+    "dedup_semantic_semdedup",
 ]
 
 

@@ -1512,6 +1512,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
+    from recommendation_system_big_data_spark.functions.vectors import dot, norm
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
@@ -1519,6 +1521,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
+    # Per-vector norm computed ONCE here: the verified-pair stage below
+    # touches each vector ~n_probe·cluster_size times, and re-folding
+    # both norms per pair triples its FLOPs (measured 23s → 9s at
+    # sf0.1).
     probed = (
         e.join(F.broadcast(cent))
         .select(
@@ -1529,9 +1535,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("arn", F.row_number().over(assign_w))
         .filter(F.col("arn") <= SEMANTIC_N_PROBE)
-        .select("vec_id", "v", "centroid_id")
+        .select("vec_id", "v", norm(F.col("v")).alias("nrm"), "centroid_id")
     )
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         probed.alias("a")
         .join(
