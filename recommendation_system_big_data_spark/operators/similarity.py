@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
-from recommendation_system_big_data_spark.functions.vectors import as_double_array, cosine
+from recommendation_system_big_data_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+    dot,
+    norm,
+)
 from recommendation_system_big_data_spark.registry import register
 
 TOP_K = 10
@@ -54,12 +59,18 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the (tiny) per-query rank; ordering ranks on the ROUNDED cosine so
     last-ulp engine differences cannot flip neighbors at the cut line."""
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    # Norms fold once per row on each side — the scored stage touches
+    # |q|·n pairs and pays one dot product each, not three array folds
+    # (bit-identical to cosine(): same fold order, same multiply order).
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6)
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
@@ -147,18 +158,23 @@ def kmeans_centroids(
         e
         if every == 1
         else e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(every)) == 0)
-    )
+    ).withColumn("tnv", norm(F.col("v")))
     for _ in range(n_iter):
         assign_w = Window.partitionBy("vec_id").orderBy(
             F.desc("c_cos"), F.asc("centroid_id")
         )
+        # Train-row norms fold once outside the loop, centroid norms once
+        # per centroid on the broadcast side — the sample×k assignment
+        # pays one dot product per pair (bit-identical to cosine()).
         assigned = (
-            train.join(F.broadcast(cent))
+            train.join(F.broadcast(cent.withColumn("ncv", norm(F.col("cv")))))
             .select(
                 "vec_id",
                 "v",
                 "centroid_id",
-                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+                F.round(
+                    dot(F.col("v"), F.col("cv")) / (F.col("tnv") * F.col("ncv")), 6
+                ).alias("c_cos"),
             )
             .withColumn("arn", F.row_number().over(assign_w))
             .filter(F.col("arn") == 1)
@@ -199,8 +215,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe = 4
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    # Centroid norms fold once per centroid on the broadcast side; the
+    # n×√n assignment then pays one dot product per (vector, centroid)
+    # instead of three array folds (bit-identical: same fold/multiply
+    # order as cosine()).
+    cent = kmeans_centroids(e.select("vec_id", "v")).withColumn(
+        "ncv", norm(F.col("cv"))
     )
-    cent = kmeans_centroids(e)
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
@@ -209,15 +231,20 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "v",
+            "nv",
             "centroid_id",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+            ).alias("c_cos"),
         )
         .withColumn("arn", F.row_number().over(assign_w))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "centroid_id")
+        .select("vec_id", "v", "nv", "centroid_id")
     )
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("centroid_id"))
     probes = (
@@ -225,17 +252,20 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qv",
+            "nq",
             "centroid_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("p_cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv")), 6
+            ).alias("p_cos"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "nq", "centroid_id")
     )
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
