@@ -1541,6 +1541,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arn", F.row_number().over(assign_w))
         .filter(F.col("arn") <= SEMANTIC_N_PROBE)
         .select("vec_id", "v", "nrm", "centroid_id")
+        # Materialized ONCE, pre-partitioned on the pairing key: the
+        # self-join below references this subtree twice and Spark plans
+        # two full n×√n windowed assignments without it (no
+        # ReusedExchange across the a/b aliases — verified in the
+        # executed plan). The checkpoint halves the dominant stage and
+        # the repartition makes both join sides partition-local on
+        # centroid_id, the executable form of the docstring's
+        # "bucketed by centroid_id" 100 TB story.
+        .repartition("centroid_id")
+        .localCheckpoint(eager=False)
     )
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
