@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load
-from recommendation_system_big_data_spark.functions.vectors import as_double_array, cosine
+from recommendation_system_big_data_spark.functions.vectors import (
+    as_double_array,
+    dot,
+    norm,
+)
 from recommendation_system_big_data_spark.registry import register
 
 #: MinHash configuration: 64 hashes in 16 bands of 4 rows → LSH s-curve
@@ -501,8 +505,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 5 == 0)
         .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+        # Norm folds once per row; each block pair below then pays one
+        # dot product, not three array folds (bit-identical to
+        # cosine(): same fold/multiply order, so the sequential oracle
+        # still matches exactly).
+        .withColumn("nrm", norm(F.col("v")))
     )
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         e.alias("a")
         .join(
@@ -1511,8 +1520,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommendation_system_big_data_spark.operators.similarity import (
         kmeans_centroids,
     )
-
-    from recommendation_system_big_data_spark.functions.vectors import dot, norm
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")

@@ -24,7 +24,6 @@ from pyspark.sql.window import Window
 from recommendation_system_big_data_spark.catalog import load
 from recommendation_system_big_data_spark.functions.vectors import (
     as_double_array,
-    cosine,
     dot,
     norm,
 )
@@ -353,15 +352,24 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("nq"),
     )
+    # Norms fold once per corpus row / query row; the candidate re-rank
+    # (the bucket-join fan-out, the query's widest stage) then pays one
+    # dot product per pair instead of three array folds (bit-identical
+    # to cosine(): same fold/multiply order).
     scored = (
-        e.join(cand, "vec_id")
+        e.withColumn("nv", norm(F.col("v")))
+        .join(cand, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -524,11 +532,16 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    # Norms fold once per row on each side; the n×q scoring stage pays
+    # one dot product per pair, not three array folds (bit-identical to
+    # cosine(): same fold/multiply order).
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
     neighbors = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
