@@ -1518,13 +1518,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant cluster size → linear pairing) while assignment stays
     n·√k via coarse-then-fine probing."""
     from recommendation_system_big_data_spark.operators.similarity import (
-        kmeans_centroids,
+        corpus_centroids,
     )
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    cent = kmeans_centroids(e)
+    cent = corpus_centroids(spark, sf_dir)
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
