@@ -364,3 +364,32 @@ def test_pq_compress_invariants(spark, sf_dir):
     assert row["codes_used_sub0"] >= 8  # at least half the codebook works
     again = embedding_pq_compress(spark, sf_dir).collect()[0]
     assert tuple(row) == tuple(again)
+
+
+def test_session_model_cache_matches_fresh_fit(spark, sf_dir):
+    """The session-scoped ANN model cache must be a pure memo: a cached
+    corpus_centroids / corpus_pq_codebooks hit is bit-identical to a
+    fresh fit of the same corpus (the determinism that makes the
+    index-once/probe-many posture safe), and repeated calls hit the
+    cache (same driver-side object)."""
+    from recommendation_system_big_data_spark.operators.similarity import (
+        _FITTED_MODELS,
+        _pq_fit_codebooks,
+        corpus_centroids,
+        corpus_pq_codebooks,
+        corpus_vectors,
+        kmeans_centroids,
+    )
+
+    cached = sorted(map(str, corpus_centroids(spark, sf_dir).collect()))
+    fresh = sorted(
+        map(str, kmeans_centroids(corpus_vectors(spark, sf_dir)).collect())
+    )
+    assert cached == fresh and len(cached) > 1
+
+    cb_cached = corpus_pq_codebooks(spark, sf_dir)
+    assert cb_cached == _pq_fit_codebooks(corpus_vectors(spark, sf_dir))
+    # second call returns the memoized object, not a refit
+    assert corpus_pq_codebooks(spark, sf_dir) is cb_cached
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, sf_dir, "ivf_centroids") in _FITTED_MODELS
