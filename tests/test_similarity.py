@@ -393,3 +393,27 @@ def test_session_model_cache_matches_fresh_fit(spark, sf_dir):
     assert corpus_pq_codebooks(spark, sf_dir) is cb_cached
     app_id = spark.sparkContext.applicationId
     assert (app_id, sf_dir, "ivf_centroids") in _FITTED_MODELS
+
+
+def test_session_model_cache_eviction_bounded(spark, sf_dir):
+    """The model cache must stay bounded (LRU-ish eviction at
+    _FITTED_MODELS_MAX) and rebuild evicted entries rather than serving
+    stale objects from unbounded growth."""
+    from recommendation_system_big_data_spark.operators import similarity as S
+
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return builds["n"]
+
+    S._FITTED_MODELS.clear()
+    for i in range(S._FITTED_MODELS_MAX + 2):
+        S._session_model(spark, (f"dir{i}", "kind"), build)
+    assert len(S._FITTED_MODELS) <= S._FITTED_MODELS_MAX
+    assert builds["n"] == S._FITTED_MODELS_MAX + 2
+    # the oldest entry was evicted; re-requesting it rebuilds
+    before = builds["n"]
+    S._session_model(spark, ("dir0", "kind"), build)
+    assert builds["n"] == before + 1
+    S._FITTED_MODELS.clear()
