@@ -142,7 +142,10 @@ def kmeans_centroids(
     probing) re-executes the whole Lloyd fit per use (sim_topk_ivfpq
     warm-min 7.7s → 6.6s at sf0.1; the win grows with consumers and
     with n_iter). The driver scalars here are that k×d model and the
-    corpus COUNT that sizes n_lists."""
+    corpus COUNT that sizes n_lists. Corpus-level consumers should go
+    through ``corpus_centroids`` below, which memoizes the fitted model
+    per (session, corpus); this function is the raw fit API (tests,
+    non-corpus frames)."""
     import math
 
     spark = e.sparkSession
