@@ -132,7 +132,9 @@ _loaded = False
 #:   non-empty rows at both SFs; sim_topk_ivf_hier ⊘ — the executable
 #:   two-level quantizer, recall measured EQUAL to single-level IVF at
 #:   both SFs with 100% assignment agreement, gated in
-#:   tests/test_similarity.py) and spot-RE-verification of the oldest
+#:   tests/test_similarity.py; stream_approx_distinct_users ⊘ —
+#:   streaming HLL cardinality per tumbling window, every window gated
+#:   within tolerance of batch exact in tests/test_streaming.py) and spot-RE-verification of the oldest
 #:   green rows (VERDICT r6 #7) — ALREADY DONE locally in the round-7
 #:   session: all 170 r1-r4 vintage oracle-green canonical queries were
 #:   re-run through check_queries at sf0.01 (the driver's scale), 170/170

@@ -348,3 +348,39 @@ def test_watermark_late_drop_parity(spark, sf_dir):
         full_daily[ws] > head_daily.get(ws, 0)
         for ws in full_daily
     )
+
+
+def test_stream_approx_distinct_within_tolerance(spark, sf_dir):
+    """Every streaming HLL window estimate must land within rsd-scaled
+    tolerance of the batch exact distinct count for the same (window,
+    event_type) — and cover exactly the same window set."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import epoch_s
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        events_stream,
+        stream_approx_distinct_users,
+    )
+    from recommendation_system_big_data_spark.catalog import load
+
+    stream = {
+        (r["window_start"], r["event_type"]): r["approx_users"]
+        for r in stream_approx_distinct_users(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["window_start"], r["event_type"]): r["n_users"]
+        for r in (
+            load(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(
+                epoch_s(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n_users",
+            )
+            .collect()
+        )
+    }
+    assert set(stream) == set(exact)
+    for k, est in stream.items():
+        assert abs(est - exact[k]) <= max(3, 0.1 * exact[k]), (k, est, exact[k])
