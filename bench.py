@@ -24,6 +24,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from recommendation_system_big_data_spark.registry import registry  # noqa: E402
 from recommendation_system_big_data_spark.session import get_spark  # noqa: E402
 
+#: Retired from the headline stdout line (round 8): the driver records only
+#: the last 2000 chars of bench.py's stdout, and the r7 JSON line outgrew
+#: that cap (2013 chars — BENCH_r07.json came back ``parsed: null``). These
+#: queries earned retirement: every one is a sub-0.5 s plan-trivial query
+#: whose value was stable across ≥3 recorded rounds (steady states recorded
+#: in BASELINE.md §retired); none is on the drift watch list. They still run
+#: with SPARK_GRAFT_BENCH_FULL=1. New scale-bearing queries take their
+#: budget; a guard below fails loudly before the line can overflow again.
+RETIRED = [
+    "topk_per_user",
+    "tumbling_window_agg",
+    "dedup_exact",
+    "dedup_incremental_exact",
+    "window_running_sum",
+    "json_extract",
+    "q13_customer_distribution",
+    "q22_sales_opportunity",
+    "ts_max_drawdown",
+    "ml_eval_auc_roc",
+    "ts_rolling_active_users",
+    "ts_lag_features",
+    "window_rolling_zscore",
+]
+
 #: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
 #: text + dedup + similarity extensions, streaming window math.
 HEADLINE = [
@@ -178,7 +202,10 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["sentinel_fixed_cost"] = round(best, 3)
 
-    for name in HEADLINE:
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    to_run = HEADLINE if full else [q for q in HEADLINE if q not in RETIRED]
+
+    for name in to_run:
         fn = defs[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         # best of two timed runs: the container shares its host, and a
@@ -198,17 +225,27 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k != "sentinel_fixed_cost"), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    # The driver records only the last 2000 chars of stdout; a longer line
+    # is silently truncated and the round's bench becomes unparseable
+    # (BENCH_r07.json: 2013 chars → "parsed": null). Fail loudly here so
+    # the overflow is caught locally, before a driver round is wasted.
+    # The full-run mode is exempt — it's a local-only diagnostic.
+    if not full and len(line) > 1900:
+        raise SystemExit(
+            f"bench JSON line is {len(line)} chars (> 1900 budget): retire "
+            "or remove queries before the driver's 2000-char stdout cap "
+            "truncates the line again"
+        )
+    print(line)
     spark.stop()
 
 

@@ -30,14 +30,35 @@ WATCH = 1.5
 SENTINEL = "sentinel_fixed_cost"
 
 
+def _reconstruct_from_tail(rec: dict) -> dict:
+    """Recover the bench JSON line from the driver's 2000-char stdout tail.
+
+    The driver stores only the tail of bench.py's stdout; if the JSON line
+    outgrew that cap (r7: 2013 chars) the front of the line is cut and
+    ``parsed`` is null. The line's shape is fixed
+    (``{"metric": ..., ..., "queries": {...}, "sf": ...}``), so a cut that
+    spares the ``"queries"`` object can be repaired by re-wrapping it.
+    """
+    tail = (rec.get("tail") or "").replace("\\n", "\n").strip()
+    line = tail.rsplit("\n", 1)[-1] if tail else ""
+    i = line.find('"queries"')
+    if i < 0:
+        return {}
+    try:
+        return json.loads("{" + line[i:].rstrip() + ("" if line.rstrip().endswith("}") else "}"))
+    except ValueError:
+        return {}
+
+
 def _rounds() -> list[tuple[str, dict]]:
     out = []
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
         try:
-            parsed = json.load(open(f)).get("parsed") or {}
+            rec = json.load(open(f))
         except (ValueError, OSError):
             continue
+        parsed = rec.get("parsed") or _reconstruct_from_tail(rec)
         qs = parsed.get("queries")
         if qs:
             out.append((os.path.basename(f), qs))
