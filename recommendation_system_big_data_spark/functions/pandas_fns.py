@@ -84,9 +84,13 @@ def _slope_fn():
     def slope(pdf):
         import pandas as pd_local
 
-        x = pdf["ts_hours"].to_numpy(dtype="float64")
-        y = pdf["value"].to_numpy(dtype="float64")
-        xc = x - x.mean()
+        # regr_slope pair semantics: a NULL on either side drops the
+        # pair (NaN would otherwise poison the sums); n stays the full
+        # group row count to match the oracle's COUNT(*).
+        pairs = pdf[["ts_hours", "value"]].dropna()
+        x = pairs["ts_hours"].to_numpy(dtype="float64")
+        y = pairs["value"].to_numpy(dtype="float64")
+        xc = x - x.mean() if len(x) else x
         denom = (xc * xc).sum()
         s = float((xc * y).sum() / denom) if denom > 0 else None
         return pd_local.DataFrame(
@@ -149,10 +153,21 @@ def agg_slope_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.when(
-            F.var_pop("x") > 0,
-            F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4),
-        ).alias("slope"),
+        slope_agg_expr("x", "y").alias("slope"),
+    )
+
+
+def slope_agg_expr(x: str, y: str):
+    """regr_slope as built-in co-moments, with regr_slope's PAIR
+    semantics: a NULL on either side drops the pair. covar_pop already
+    does, but a bare var_pop(x) would keep an x whose y is NULL and
+    silently diverge — masking x through y's nullness gives both
+    co-moments the same pair set (pinned by
+    tests/test_property_stats.py::test_slope_builtin_null_pair_semantics)."""
+    xp = F.when(F.col(y).isNotNull(), F.col(x))
+    return F.when(
+        F.var_pop(xp) > 0,
+        F.round(F.covar_pop(xp, F.col(y)) / F.var_pop(xp), 4),
     )
 
 

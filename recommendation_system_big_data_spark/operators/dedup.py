@@ -1209,6 +1209,13 @@ def dedup_incremental_near_minhash(spark: SparkSession, sf_dir: str) -> DataFram
 _PROBE_STRIDE = 10
 _PROBE_RESIDUE = 3
 _PROBE_MIN_TOKENS = 24
+#: Planted batch ids must not collide with real corpus ids. The offset is
+#: a FIXED constant (not max(doc_id)+1) because the DuckDB oracle must
+#: compute the identical ids; the bound it assumes — max corpus doc_id <
+#: 10M, i.e. documents rows < 10M ≈ sf 16 at the fixture's 600k-docs/sf
+#: density — is asserted against the live fixture by
+#: tests/test_dedup.py::test_probe_id_offset_clears_corpus_ids. At a
+#: scale factor that breaks it, raise the constant in BOTH places here.
 _PROBE_ID_OFFSET = 10_000_000
 
 

@@ -210,8 +210,12 @@ def kmeans_centroids(
 #: documented in BASELINE.md). Models are k×d / M·K·d_sub driver values
 #: (a few hundred KB), so eviction needs no unpersist; entries from
 #: stopped sessions drop on the next call.
+#: Cap = model kinds (ivf_centroids, coarse_centroids, pq_codebooks) ×
+#: corpora a session realistically interleaves (the test suite alternates
+#: sf0.001/sf0.01, bench adds sf0.1) — 3×3 rounded up. A cap of 4 caused
+#: evict-and-refit thrash on every sf_dir interleave.
 _FITTED_MODELS: dict[tuple, object] = {}
-_FITTED_MODELS_MAX = 4
+_FITTED_MODELS_MAX = 12
 
 
 def _session_model(spark: SparkSession, key_tail: tuple, build):
@@ -219,11 +223,16 @@ def _session_model(spark: SparkSession, key_tail: tuple, build):
     key = (app_id,) + key_tail
     for k in [k for k in _FITTED_MODELS if k[0] != app_id]:
         _FITTED_MODELS.pop(k)
-    if key not in _FITTED_MODELS:
-        while len(_FITTED_MODELS) >= _FITTED_MODELS_MAX:
-            _FITTED_MODELS.pop(next(iter(_FITTED_MODELS)))
-        _FITTED_MODELS[key] = build()
-    return _FITTED_MODELS[key]
+    if key in _FITTED_MODELS:
+        # true LRU: a hit moves to the back so interleaved corpora don't
+        # evict each other's hot models
+        _FITTED_MODELS[key] = _FITTED_MODELS.pop(key)
+        return _FITTED_MODELS[key]
+    model = build()  # may recursively insert (hier IVF builds coarse first)
+    _FITTED_MODELS[key] = model
+    while len(_FITTED_MODELS) > _FITTED_MODELS_MAX:
+        _FITTED_MODELS.pop(next(iter(_FITTED_MODELS)))
+    return model
 
 
 def corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

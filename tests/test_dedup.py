@@ -83,6 +83,28 @@ def test_planted_probe_nonvacuous_and_minhash_recall(spark, sf_dir):
     assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
 
 
+def test_probe_id_offset_clears_corpus_ids(spark, sf_dir):
+    """_PROBE_ID_OFFSET is a fixed constant (the DuckDB oracle must
+    compute identical planted ids), so the no-collision guarantee is an
+    assumption about the fixture: max corpus doc_id must stay below it.
+    If a larger scale factor ever breaks this, the constant must be
+    raised in dedup.py (operator + oracle together)."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        _PROBE_ID_OFFSET,
+    )
+
+    max_id = (
+        load(spark, sf_dir, "documents")
+        .agg(F.max("doc_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_id < _PROBE_ID_OFFSET, (
+        f"corpus doc_id {max_id} collides with the planted-probe id "
+        f"space (offset {_PROBE_ID_OFFSET}); raise _PROBE_ID_OFFSET in "
+        "dedup.py and its oracle"
+    )
+
+
 def test_minhash_signature_varies_by_seed(spark, sf_dir):
     """True MinHash: the 64 signature slots are DIFFERENT hash functions —
     a multi-shingle doc's slots cannot all collapse to one value (the

@@ -233,3 +233,43 @@ def test_kaplan_meier_matches_sequential_life_table(spark):
             expected[t] = (n_risk, d, round(surv, 6))
             n_risk -= d + c
         assert got == expected, (trial, got, expected)
+
+
+def test_slope_builtin_null_pair_semantics(spark):
+    """slope_agg_expr must reproduce regr_slope's pair semantics on data
+    with NULL ys: the pair is dropped from BOTH co-moments (a bare
+    var_pop(x) would keep the row and bias the denominator). Compared
+    against a sequential OLS reference over the non-null pairs only —
+    the divergence class the fixtures (null-free value) cannot expose."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.functions.pandas_fns import (
+        slope_agg_expr,
+    )
+
+    rng = random.Random(82)
+    rows, expected = [], {}
+    for g in range(6):
+        xs = [float(i) for i in range(12)]
+        ys = [rng.uniform(-5, 5) for _ in xs]
+        # punch 0..4 holes in y (group 0 keeps none null as the control)
+        holes = set(rng.sample(range(len(xs)), k=g % 5))
+        pairs = [(x, y) for i, (x, y) in enumerate(zip(xs, ys)) if i not in holes]
+        px = [p[0] for p in pairs]
+        py = [p[1] for p in pairs]
+        mx = sum(px) / len(px)
+        denom = sum((x - mx) ** 2 for x in px)
+        expected[g] = round(
+            sum((x - mx) * y for x, y in zip(px, py)) / denom, 4
+        )
+        rows += [
+            (g, x, None if i in holes else y)
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = {
+        r["g"]: r["slope"]
+        for r in df.groupBy("g").agg(slope_agg_expr("x", "y").alias("slope")).collect()
+    }
+    assert got == expected

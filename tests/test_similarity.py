@@ -419,6 +419,52 @@ def test_session_model_cache_eviction_bounded(spark, sf_dir):
     S._FITTED_MODELS.clear()
 
 
+def test_session_model_cache_true_lru(spark, sf_dir):
+    """A cache HIT must refresh recency (true LRU): interleaving two
+    corpora's three model kinds — the test suite's actual access
+    pattern — must never evict-and-refit a hot entry, and a build that
+    itself inserts (the hierarchical IVF builds the coarse model inside
+    the fine model's build()) must not push the cache past its cap."""
+    from recommendation_system_big_data_spark.operators import similarity as S
+
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return builds["n"]
+
+    S._FITTED_MODELS.clear()
+    kinds = ("ivf_centroids", "coarse_centroids", "pq_codebooks")
+    for _ in range(3):  # three interleaved passes over 2 corpora × 3 kinds
+        for d in ("dirA", "dirB"):
+            for k in kinds:
+                S._session_model(spark, (d, k), build)
+    assert builds["n"] == 6, "interleaved hot set must fit with zero refits"
+
+    # nested insert during build() must respect the cap
+    def nested_build():
+        S._session_model(spark, ("dirC", "coarse"), build)
+        builds["n"] += 1
+        return builds["n"]
+
+    S._session_model(spark, ("dirC", "fine"), nested_build)
+    assert len(S._FITTED_MODELS) <= S._FITTED_MODELS_MAX
+    # LRU order: touch the oldest entry, fill to the cap, and the
+    # refreshed entry must survive while a non-touched one is evicted
+    S._session_model(spark, ("dirA", "ivf_centroids"), build)  # hit
+    n_before = builds["n"]
+    i = 0
+    while len(S._FITTED_MODELS) < S._FITTED_MODELS_MAX:
+        S._session_model(spark, (f"fill{i}", "k"), build)
+        i += 1
+    S._session_model(spark, ("overflow", "k"), build)  # forces one eviction
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, "dirA", "ivf_centroids") in S._FITTED_MODELS
+    S._session_model(spark, ("dirA", "ivf_centroids"), build)
+    assert builds["n"] == n_before + (i + 1), "refreshed entry was refit"
+    S._FITTED_MODELS.clear()
+
+
 def test_ivf_hier_recall_agreement_determinism(spark, sf_dir):
     """The two-level quantizer must (a) keep recall@10 in the same band as
     single-level IVF (coarse routing adds only boundary loss), (b) route

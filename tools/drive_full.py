@@ -3,7 +3,8 @@ SparkSession at sf0.01 — oracle-diffed when oracle_sql has it, rows-only
 otherwise. This is exactly the driver's t2 pass."""
 import os, sys, math, time
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 import duckdb
 
@@ -54,12 +55,12 @@ print(f"TOTAL {time.time()-t_start:.0f}s FAILS: {fails or 'none'}")
 import json, subprocess
 try:
     head = subprocess.run(
-        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, timeout=10,
     ).stdout.strip()
 except Exception:
     head = "unknown"
-with open("/root/repo/SWEEPS.jsonl", "a") as fh:
+with open(os.path.join(REPO, "SWEEPS.jsonl"), "a") as fh:
     fh.write(json.dumps({
         "ts": time.time(), "sf": SF, "n_queries": len(qs),
         "n_oracle": sum(1 for n in qs if n in oracles),
