@@ -712,6 +712,75 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCNET_BUCKETS_ORACLE = f"""
+WITH scored AS (
+{_PERPLEXITY_ORACLE}
+), lbl AS (
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_neg_logp,
+           NTILE(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.avg_neg_logp, s.doc_id) AS q
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(avg_neg_logp), 6) AS avg_surprisal,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM lbl
+GROUP BY lang, q
+"""
+
+
+@register(
+    "text_ccnet_quality_buckets",
+    oracle=_CCNET_BUCKETS_ORACLE,
+    tags=("text", "pipeline"),
+)
+def text_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partition: per language, split documents into
+    head / middle / tail terciles of LM surprisal (CCNet routes crawl
+    text by in-language perplexity; head = most fluent third, the slice
+    pre-training pipelines keep or upsample). Emits the routing table —
+    per (lang, bucket) doc counts, mean surprisal, token mass — the
+    artifact a mixing stage consumes.
+
+    Built ON the engine's own surprisal operator (text_unigram_surprisal:
+    two shuffles, vocabulary broadcast size-gated), then ONE ntile window
+    per language and one aggregate on the same (lang) grain — the window
+    partitioning clusters by lang, and groupBy(lang, q) is a superset
+    key, so Spark plans no exchange between them. Ordering ties are
+    broken by doc_id on BOTH engines, and the ordering key is the
+    ROUND(,6) score the oracle already hash-matches, so tercile
+    boundaries are bit-stable across engines."""
+    scored = text_unigram_surprisal(spark, sf_dir)
+    lang = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    lbl = scored.join(lang, "doc_id").withColumn(
+        "q",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+        ),
+    )
+    return (
+        lbl.groupBy("lang", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_neg_logp"), 6).alias("avg_surprisal"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("q") == 1, "head")
+            .when(F.col("q") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_surprisal",
+            "total_tokens",
+        )
+    )
+
+
 _CHUNK_ORACLE = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

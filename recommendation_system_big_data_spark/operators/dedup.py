@@ -658,6 +658,72 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_REP_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_ORACLE}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+    SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+), ranked AS (
+    SELECT c.component, c.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component, doc_id AS kept_doc,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_cluster_representatives", oracle=_CLUSTER_REP_ORACLE, tags=("dedup",)
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final election: per near-dup cluster
+    (connected components over the 3-gram-Jaccard pair graph), keep ONE
+    representative — the longest document, doc_id as the tiebreaker —
+    and account for what was dropped. This is the step that turns a
+    cluster labeling into the kept corpus + an audit row per cluster
+    (pipeline_training_mix keeps min-doc_id for split stability; a
+    quality-first pipeline keeps the longest member, the convention
+    here).
+
+    Plan shape at 100 TB: the component labeling is the bounded CC
+    fixpoint (see connected_components); the election itself is one
+    broadcast-or-shuffle join onto documents (components ≪ corpus) plus
+    ONE window partitioned by component — rank and size share the same
+    partitioning, so one exchange. No driver-side anything. Oracle: the
+    identical election over the recursive-CTE closure."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component")
+    ranked = member.select(
+        "component",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+
+
 _CONTAINMENT_ORACLE = """
 WITH sh AS (
     SELECT doc_id, lang,

@@ -101,7 +101,12 @@ _loaded = False
 #:     assignment agreement, gated in tests/test_similarity.py),
 #:     stream_approx_distinct_users (every window within tolerance of
 #:     batch exact, gated in tests/test_streaming.py).
-#:   - any round-8 session additions (list them here as they land).
+#:   - round-8 session additions: dedup_cluster_representatives (the
+#:     per-cluster keeper election — longest member, doc_id tiebreak —
+#:     oracle over the recursive-CTE closure), text_ccnet_quality_buckets
+#:     (CCNet head/middle/tail routing table per language, oracle-checked
+#:     ntile over the ROUND(,6) surprisal score). Both oracle-green at
+#:     sf0.001 AND sf0.01 via check_queries on the day they landed.
 #:   The remaining ~44 r9 slots go to spot-RE-verification of the
 #:   OLDEST green rows (VERDICT r6 #7 discipline): r1-r2 vintage rows
 #:   first — locally these were re-run at sf0.01 in the r7 session
