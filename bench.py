@@ -165,6 +165,12 @@ HEADLINE = [
     "pipeline_temperature_mix",
     "text_bpe_pair_stats",
     "dedup_semantic_semdedup",
+    # round-8: the cluster-keeper election (CC fixpoint + one window on
+    # the component grain) and the CCNet surprisal routing table (the
+    # corpus-LM scan + ntile window riding the lang partitioning). First
+    # recorded run defines each baseline.
+    "dedup_cluster_representatives",
+    "text_ccnet_quality_buckets",
 ]
 
 

@@ -257,43 +257,39 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan, so the SQL surface now covers hierarchy/graph walks
     (org rollups, BOM explosions, referral chains) without a driver loop.
 
-    The recursive leg is a per-iteration DISTINCT frontier expansion on an
-    equi-join against the (deduplicated, basket-capped) edge list; depth
-    is bounded at 2 because an unbounded walk of a dense co-purchase
-    graph is the path-explosion anti-pattern — real deployments bound
-    depth or iterate with a visited-set fixpoint (dedup_cluster_components
-    for the unbounded case). Min-depth per node is taken AFTER the walk:
-    UNION ALL + final MIN keeps both engines' recursion semantics
-    identical rather than leaning on engine-specific cycle handling.
+    The recursive leg is a per-iteration DISTINCT frontier expansion;
+    depth is bounded at 2 because an unbounded walk of a dense
+    co-purchase graph is the path-explosion anti-pattern — real
+    deployments bound depth or iterate with a visited-set fixpoint
+    (dedup_cluster_components for the unbounded case). Min-depth per
+    node is taken AFTER the walk: UNION ALL + final MIN keeps both
+    engines' recursion semantics identical rather than leaning on
+    engine-specific cycle handling.
 
-    The edge list is materialized (checkpoint + temp view) BEFORE the
-    recursive plan: a CTE referenced from the recursive leg is re-derived
-    from the fact table on every frontier step (measured ~3× the edge
-    build at sf0.1) — walking a materialized edge table is both the fix
-    and what a real deployment does. Seed note: dense_rank keeps each
-    order's smallest partkey, so MIN over the capped set equals MIN over
-    lineitem, which the seed leg computes in-plan (no driver scalar)."""
+    The walk traverses the ORDER-ITEM INCIDENCE table directly (two
+    equi-joins per step: frontier→items on part, items→items on order)
+    instead of materializing the co-purchase edge list first. The edge
+    list is O(Σ basket²) pairs and was the query's dominant cost
+    (1.6s of 3.3s at sf0.1 — measured round 8; at 100 TB it's the
+    difference between a full pair shuffle and per-step work
+    proportional to frontier × order fanout). The capped incidence
+    table is checkpointed BEFORE the recursive plan because a CTE
+    referenced from the recursive leg is re-derived per frontier step
+    (the round-6 lesson, still true on the incidence spelling — here
+    it would recompute the dense_rank cap window 2× per step). The
+    basket cap itself is kept: reachability is defined over the same
+    capped co-purchase graph the oracle and the graph operators use.
+    Seed note: dense_rank keeps each order's smallest partkey, so MIN
+    over the capped set equals MIN over lineitem, which the seed leg
+    computes in-plan (no driver scalar)."""
     from recommendation_system_big_data_spark.operators.graph import (
         _capped_items,
     )
 
     li = _capped_items(
         load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    edges.createOrReplaceTempView("v_reach_edges")
+    ).localCheckpoint()
+    li.createOrReplaceTempView("v_reach_items")
     _view(spark, sf_dir, "lineitem")
     return spark.sql(
         """
@@ -302,8 +298,11 @@ WITH RECURSIVE seed AS (
 ), reach(node, depth) AS (
     SELECT node, 0 FROM seed
     UNION ALL
-    SELECT DISTINCT e.v, r.depth + 1
-    FROM reach r JOIN v_reach_edges e ON e.u = r.node
+    SELECT DISTINCT i2.l_partkey, r.depth + 1
+    FROM reach r
+    JOIN v_reach_items i1 ON i1.l_partkey = r.node
+    JOIN v_reach_items i2 ON i2.l_orderkey = i1.l_orderkey
+                         AND i2.l_partkey != r.node
     WHERE r.depth < 2
 )
 SELECT CAST(min_depth AS BIGINT) AS depth,
