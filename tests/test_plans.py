@@ -526,3 +526,42 @@ def test_topk_per_user_window_group_limit_pushdown(spark, sf_dir):
     plan = explain.physical_plan(topk_per_user(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_cluster_representatives_single_window_exchange(spark, sf_dir):
+    # The keeper election's rank and cluster size share the component
+    # partitioning: ONE Window-over-one-Exchange pair must serve both,
+    # or the election would shuffle the labeled membership twice.
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_cluster_representatives,
+    )
+
+    plan = explain.physical_plan(dedup_cluster_representatives(spark, sf_dir))
+    tail = plan.split("localCheckpoint")[0]  # post-CC election plan only
+    assert tail.count("Window") >= 1, plan
+    # the election after the checkpointed CC labels: doc join + 1 window
+    # exchange (+1 if the join shuffles) — never more
+    assert explain.num_shuffles(
+        dedup_cluster_representatives(spark, sf_dir)
+    ) <= 3, plan
+
+
+def test_ccnet_buckets_window_feeds_agg_without_exchange(spark, sf_dir):
+    # groupBy(lang, q) is a superset of the ntile window's partition key
+    # (lang), so the aggregate must reuse the window's exchange: no
+    # Exchange node may sit between the Window and the partial
+    # HashAggregate above it.
+    from recommendation_system_big_data_spark.functions.text import (
+        text_ccnet_quality_buckets,
+    )
+
+    plan = explain.physical_plan(text_ccnet_quality_buckets(spark, sf_dir))
+    win = plan.find("Window")
+    assert win >= 0, plan
+    # walk upward from the Window: the text BEFORE it in explain output
+    # is the operators above; the nearest enclosing aggregate must come
+    # before any further Exchange
+    above = plan[:win]
+    agg = above.rfind("HashAggregate")
+    exch = above.rfind("Exchange")
+    assert agg >= 0 and agg > exch, plan
