@@ -171,6 +171,10 @@ HEADLINE = [
     # recorded run defines each baseline.
     "dedup_cluster_representatives",
     "text_ccnet_quality_buckets",
+    # round-8b: the n-gram repetition signals (single-scan dual-n
+    # explode + wordcount skeleton + conditional-sum pivot). First
+    # recorded run defines its baseline.
+    "text_repetition_signals",
 ]
 
 

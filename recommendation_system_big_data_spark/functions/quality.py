@@ -93,6 +93,119 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REPETITION_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g2 AS (
+    SELECT doc_id, 2 AS n, concat_ws(' ', t[i], t[i+1]) AS gram
+    FROM tk, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS s(i)
+), g3 AS (
+    SELECT doc_id, 3 AS n, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+    FROM tk, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS s(i)
+), counts AS (
+    SELECT doc_id, n, gram, COUNT(*) AS cnt, len(gram) AS glen
+    FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+    GROUP BY doc_id, n, gram
+), agg AS (
+    SELECT doc_id, n,
+           SUM(cnt * glen) AS total_chars,
+           SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup_chars,
+           MAX(cnt * glen) AS top_chars
+    FROM counts GROUP BY doc_id, n
+)
+SELECT doc_id,
+       ROUND(SUM(CASE WHEN n = 2
+                      THEN CAST(dup_chars AS DOUBLE) / total_chars END), 6)
+           AS dup_2gram_char_frac,
+       ROUND(SUM(CASE WHEN n = 2
+                      THEN CAST(top_chars AS DOUBLE) / total_chars END), 6)
+           AS top_2gram_char_frac,
+       ROUND(SUM(CASE WHEN n = 3
+                      THEN CAST(dup_chars AS DOUBLE) / total_chars END), 6)
+           AS dup_3gram_char_frac,
+       ROUND(SUM(CASE WHEN n = 3
+                      THEN CAST(top_chars AS DOUBLE) / total_chars END), 6)
+           AS top_3gram_char_frac
+FROM agg GROUP BY doc_id
+"""
+
+
+@register(
+    "text_repetition_signals", oracle=_REPETITION_ORACLE, tags=("text", "quality")
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of the Gopher repetition filters (Rae et al. 2021
+    §A1.1; also FineWeb's filter set): per document, the fraction of
+    characters inside DUPLICATED word n-grams and inside the single
+    heaviest n-gram, for n ∈ {2, 3} — catching loops and boilerplate
+    that word-level dup_word_ratio (text_gopher_quality) cannot see
+    (a repeated 3-gram of common words leaves per-word stats normal).
+
+    One scan: both n-gram streams are built in a single projection
+    (two transform(sequence(...)) higher-order calls, concatenated and
+    exploded once — no second pass over text), then the wordcount
+    skeleton on the (doc, n, gram) grain and a conditional-sum pivot
+    back to one row per doc. All ratios are exact-integer/exact-integer
+    in double, so thresholds are engine-exact. At 100 TB: same
+    two-shuffle explode/aggregate shape as TF-IDF, keyed on doc_id —
+    no corpus-global state. 'Character mass' counts the joining spaces
+    (length of the space-joined gram), identically on both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  case when size(t) >= 2 then
+                    transform(sequence(0, size(t) - 2),
+                              i -> struct(2 as n,
+                                          concat_ws(' ', t[i], t[i+1]) as gram))
+                  else cast(array() as array<struct<n:int,gram:string>>) end,
+                  case when size(t) >= 3 then
+                    transform(sequence(0, size(t) - 3),
+                              i -> struct(3 as n,
+                                          concat_ws(' ', t[i], t[i+1], t[i+2]) as gram))
+                  else cast(array() as array<struct<n:int,gram:string>>) end
+                )
+                """
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.col("cnt") * F.length("gram"))
+    )
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("chars").alias("total_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("chars")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+        F.max("chars").alias("top_chars"),
+    )
+
+    def _frac(n: int, num: str):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.col("n") == n,
+                    F.col(num).cast("double") / F.col("total_chars"),
+                )
+            ),
+            6,
+        )
+
+    return per_n.groupBy("doc_id").agg(
+        _frac(2, "dup_chars").alias("dup_2gram_char_frac"),
+        _frac(2, "top_chars").alias("top_2gram_char_frac"),
+        _frac(3, "dup_chars").alias("dup_3gram_char_frac"),
+        _frac(3, "top_chars").alias("top_3gram_char_frac"),
+    )
+
+
+_REPETITION_ORACLE = """
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ), bg AS (

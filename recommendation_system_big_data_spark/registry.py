@@ -105,8 +105,11 @@ _loaded = False
 #:     per-cluster keeper election — longest member, doc_id tiebreak —
 #:     oracle over the recursive-CTE closure), text_ccnet_quality_buckets
 #:     (CCNet head/middle/tail routing table per language, oracle-checked
-#:     ntile over the ROUND(,6) surprisal score). Both oracle-green at
-#:     sf0.001 AND sf0.01 via check_queries on the day they landed.
+#:     ntile over the ROUND(,6) surprisal score), text_repetition_signals
+#:     (the n-gram half of the Gopher repetition filters — dup/top 2- and
+#:     3-gram character fractions, single-scan dual-n explode). All
+#:     oracle-green at sf0.001 AND sf0.01 via check_queries on the day
+#:     they landed.
 #:   The remaining ~44 r9 slots go to spot-RE-verification of the
 #:   OLDEST green rows (VERDICT r6 #7 discipline): r1-r2 vintage rows
 #:   first — locally these were re-run at sf0.01 in the r7 session
