@@ -273,3 +273,48 @@ def test_slope_builtin_null_pair_semantics(spark):
         for r in df.groupBy("g").agg(slope_agg_expr("x", "y").alias("slope")).collect()
     }
     assert got == expected
+
+
+def test_pandas_slope_udf_matches_builtin_on_nulls(spark):
+    """The applyInPandas slope and the built-in slope_agg_expr must agree
+    on data WITH NULL ys (the fixtures are null-free, so only a synthetic
+    frame exercises the UDF's NaN-mask path). Also pins n = full group
+    row count (the oracle's COUNT(*)), not the pair count."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.functions.pandas_fns import (
+        _SLOPE_SCHEMA,
+        _slope_fn,
+        slope_agg_expr,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(8):
+        for i in range(20):
+            y = None if rng.random() < 0.2 and g > 0 else rng.uniform(-3, 3)
+            rows.append((g, float(i) * 0.25, y))
+    df = spark.createDataFrame(rows, "user_id long, ts_hours double, value double")
+
+    udf_out = {
+        (r["user_id"]): (r["n"], r["slope"])
+        for r in df.groupBy("user_id")
+        .applyInPandas(_slope_fn(), schema=_SLOPE_SCHEMA)
+        .collect()
+    }
+    builtin_out = {
+        r["user_id"]: (r["n"], r["slope"])
+        for r in df.select(
+            "user_id",
+            F.col("ts_hours").alias("x"),
+            F.col("value").alias("y"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            slope_agg_expr("x", "y").alias("slope"),
+        )
+        .collect()
+    }
+    assert udf_out == builtin_out
+    assert all(n == 20 for n, _ in udf_out.values())
