@@ -1,0 +1,88 @@
+"""Empirical scaling audit: warm-min timings of representative headline
+queries at sf0.01 and sf0.1 (a 10x data step for every table except
+embeddings, which steps 4x), and the effective scaling exponent
+
+    eps = log(T_hi / T_lo) / log(step)
+
+eps ~ 0   -> fixed-cost dominated at fixture scale (planning/JIT/shuffle
+             setup, not data) — says nothing about the asymptote yet;
+eps ~ 1   -> linear in data (scan/aggregate-bound) — the 100 TB shape;
+eps ~ 1.5 -> the documented intrinsic superlinear ops (exact triangle
+             counting, SemDeDup's sqrt(n)-cluster pair verify).
+
+Usage: python tools/scaling_probe.py [out_md]
+Prints a markdown table; optionally appends to the given file.
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recommendation_system_big_data_spark.registry import registry  # noqa: E402
+from recommendation_system_big_data_spark.session import get_spark  # noqa: E402
+
+#: (query, data step between sf0.01 and sf0.1 for its driving table)
+PROBES = [
+    ("q1_pricing_summary", 10.0),
+    ("q18_large_volume_customers", 10.0),
+    ("flagship_top_customers", 10.0),
+    ("pipeline_training_mix", 10.0),
+    ("dedup_ngram_jaccard", 10.0),
+    ("dedup_minhash_lsh", 10.0),
+    ("dedup_substring_span", 10.0),
+    ("text_tfidf", 10.0),
+    ("text_gopher_quality", 10.0),
+    ("text_repetition_signals", 10.0),
+    ("contamination_ngram_check", 10.0),
+    ("agg_summary", 10.0),
+    ("graph_triangle_count", 10.0),
+    ("sim_topk_bruteforce", 4.0),
+    ("sim_topk_lsh", 4.0),
+    ("sim_topk_ivfpq", 4.0),
+    ("dedup_semantic_semdedup", 4.0),
+]
+
+SF_LO = "/root/testdata/sf0.01"
+SF_HI = "/root/testdata/sf0.1"
+
+
+def warm_min(fn, spark, sf_dir, n=2):
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    spark = get_spark(app_name="scaling-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    defs = registry()
+    lines = [
+        "| query | sf0.01 s | sf0.1 s | step | eps |",
+        "|---|---|---|---|---|",
+    ]
+    for name, step in PROBES:
+        fn = defs[name].fn
+        lo = warm_min(fn, spark, SF_LO)
+        hi = warm_min(fn, spark, SF_HI)
+        eps = math.log(hi / lo) / math.log(step)
+        lines.append(
+            f"| `{name}` | {lo:.2f} | {hi:.2f} | {step:g}x | {eps:.2f} |"
+        )
+        print(lines[-1], flush=True)
+    spark.stop()
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
