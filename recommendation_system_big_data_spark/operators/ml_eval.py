@@ -127,16 +127,22 @@ def auc_exact(scored: DataFrame, score: str = "value",
     midrank identity — fold to the distinct-score grain, running count
     for midranks (2× arithmetic keeps everything BIGINT), one keyless
     reduce. Returns (n_pos, n_neg, auc). Property-tested against the
-    O(n²) pairwise definition in tests/test_property_stats.py."""
+    O(n²) pairwise definition in tests/test_property_stats.py.
+
+    The running count uses the two-phase distributed prefix sum
+    (ranges.running_sums): the distinct-score grid grows with the data
+    (real-valued scores ⇒ ~n distinct), so a bare Window.orderBy(score)
+    would funnel the whole grid through one task at 100 TB."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
     s = scored.groupBy(score).agg(
         F.count(F.when(F.col(is_pos), 1)).alias("c_p"),
         F.count(F.lit(1)).alias("c"),
     )
-    w = Window.orderBy(score).rowsBetween(Window.unboundedPreceding, -1)
-    r = s.select(
-        "c_p",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    r = running_sums(s, [score], {"cum_before": ("c", False)}).select(
+        "c_p", "c", "cum_before"
     )
     t = r.agg(
         F.sum("c_p").cast("long").alias("n_pos"),
@@ -1113,10 +1119,14 @@ def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarizes ONE number, the gains curve says where to cut.
 
     Users fold from the fact stream in one groupBy (DECIMAL scores →
-    deterministic decile boundaries); NTILE runs on the user grain
-    (post-aggregation; same note as `window_cumulative_share`); the
-    final windows run on 10 rows. Counts exact; only the two ratios are
-    doubles."""
+    deterministic decile boundaries); NTILE runs on the user grain —
+    post-aggregation but data-scaled, so at 100 TB the decile CUT
+    decomposes like every global order here: exclusive running count of
+    ones via ranges.running_sums gives each user's exact rank, and
+    decile = the ntile remainder formula over (rank, n_total) — the
+    window form is kept because NTILE itself is the §2.5 surface being
+    demonstrated. The final windows run on 10 rows. Counts exact; only
+    the two ratios are doubles."""
     users = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")

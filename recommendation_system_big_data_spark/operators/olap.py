@@ -442,6 +442,7 @@ WITH weekly AS (
     GROUP BY 1, 2
 ), per_part AS (
     SELECT part,
+           CAST(SUM(rev) AS DECIMAL(38,2)) AS total_rev_dec,
            CAST(SUM(rev) AS DOUBLE) AS total_rev,
            AVG(CAST(qty AS DOUBLE)) AS mean_q,
            COALESCE(STDDEV_POP(CAST(qty AS DOUBLE)), 0) AS sd_q,
@@ -449,10 +450,11 @@ WITH weekly AS (
     FROM weekly GROUP BY part
 ), abc AS (
     SELECT part, total_rev, mean_q, sd_q, n_weeks,
-           SUM(total_rev) OVER (
-               ORDER BY total_rev DESC, part
+           CAST(SUM(total_rev_dec) OVER (
+               ORDER BY total_rev_dec DESC, part
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) / SUM(total_rev) OVER () AS cum_share
+           ) AS DOUBLE) / CAST(SUM(total_rev_dec) OVER () AS DOUBLE)
+               AS cum_share
     FROM per_part
 ), classed AS (
     SELECT part,
@@ -480,11 +482,18 @@ def olap_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`window_cumulative_share`) with per-part demand moments.
 
     Fact → (part, week) in one groupBy; per-part stats re-aggregate that
-    grain; the cumulative-share window runs on the PART dimension
-    (post-aggregation, with the bucketed prefix-sum fallback documented
-    there); the 9-cell rollup is constant. DECIMAL sums make cum_share
-    thresholds deterministic; CV's doubles only pick among 3 coarse
-    classes (boundaries at 0.5/1.0 — far from accumulated ε)."""
+    grain; the cumulative revenue share runs through
+    ranges.running_sums — parts scale with the catalog, so the Pareto
+    prefix sum is range-partitioned like every other data-scaled global
+    order in the engine (round 8) — and it accumulates the exact
+    DECIMAL revenue, so cum_share and the A/B/C thresholds are
+    partitioning- and engine-exact (one double division at the end,
+    identical on both sides). The 9-cell rollup is constant. CV's
+    doubles only pick among 3 coarse classes (boundaries at 0.5/1.0 —
+    far from accumulated ε)."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
     weekly = (
         load(spark, sf_dir, "lineitem")
         .join(
@@ -505,25 +514,32 @@ def olap_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = weekly.groupBy("part").agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total_rev_dec"),
         F.sum("rev").cast("double").alias("total_rev"),
         F.avg(F.col("qty").cast("double")).alias("mean_q"),
         F.coalesce(
             F.stddev_pop(F.col("qty").cast("double")), F.lit(0.0)
         ).alias("sd_q"),
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    ).withColumn("_negrev", -F.col("total_rev_dec"))
+    tot = per_part.agg(
+        F.sum("total_rev_dec").cast("decimal(38,2)").alias("_tot_dec")
     )
-    cum = Window.orderBy(F.desc("total_rev"), F.asc("part")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = Window.partitionBy()
-    abc = per_part.select(
-        "part",
-        "total_rev",
-        "mean_q",
-        "sd_q",
-        (F.sum("total_rev").over(cum) / F.sum("total_rev").over(tot)).alias(
-            "cum_share"
-        ),
+    abc = (
+        running_sums(
+            per_part, ["_negrev", "part"], {"_cum_dec": ("total_rev_dec", True)}
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "total_rev",
+            "mean_q",
+            "sd_q",
+            (
+                F.col("_cum_dec").cast("double")
+                / F.col("_tot_dec").cast("double")
+            ).alias("cum_share"),
+        )
     )
     cv = F.col("sd_q") / F.col("mean_q")
     classed = abc.select(

@@ -303,6 +303,77 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_peak_concurrency(intervals)
 
 
+def running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: dict[str, tuple[str, bool]],
+    n_parts: int = 16,
+) -> DataFrame:
+    """Distributed running sums over ONE global order — the two-phase
+    prefix-sum pattern: range-partition on the order columns, running
+    sums within each partition, then a per-partition-totals cumulative
+    offset (the only sequential window, ≤ n_parts rows) broadcast back.
+    Each task scans only its slice; the sequential step is O(n_parts),
+    never O(rows). This is the scale-correct replacement for a bare
+    ``Window.orderBy(...)`` whenever the ordered grain grows with data
+    (the statistical kernels' distinct-score/value grids, cumulative
+    shares over dimension tables, boundary sweeps).
+
+    ``sums`` maps output column → (value column, inclusive?); exclusive
+    sums (inclusive=False) are the "strictly before this row" shape the
+    midrank kernels need, 0 for the first row. Contract: ``order_cols``
+    must be ASCENDING-comparable and must uniquely identify rows (every
+    caller here folds to a distinct grain first — a range boundary may
+    split ties otherwise), and value columns must be exact types
+    (integral/decimal): float running sums would vary with the sampled
+    partition boundaries. Values are partitioning-invariant by
+    construction, so oracle hashes are unaffected by where the cuts
+    land. repartitionByRange samples boundaries per execution, and the
+    within/offsets branches are only consistent if they see the SAME
+    cuts — the localCheckpoint is REQUIRED, not an optimization (AQE
+    replan / disabled exchange reuse would silently corrupt the sum).
+    Property-tested against a sequential reference in
+    tests/test_property_ranges.py."""
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = parts
+    tot_aggs = []
+    for out_col, (val, inclusive) in sums.items():
+        hi = Window.currentRow if inclusive else -1
+        out = out.withColumn(
+            f"_run_{out_col}",
+            F.coalesce(
+                F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, hi)),
+                F.lit(0),
+            ),
+        )
+        tot_aggs.append(F.sum(val).alias(f"_tot_{out_col}"))
+    offsets = parts.groupBy("_pid").agg(*tot_aggs)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    for out_col in sums:
+        offsets = offsets.withColumn(
+            f"_off_{out_col}",
+            F.coalesce(F.sum(f"_tot_{out_col}").over(w_off), F.lit(0)),
+        )
+    joined = out.join(
+        F.broadcast(offsets.select("_pid", *[f"_off_{c}" for c in sums])),
+        "_pid",
+    )
+    for out_col in sums:
+        joined = joined.withColumn(
+            out_col, F.col(f"_run_{out_col}") + F.col(f"_off_{out_col}")
+        )
+    return joined.drop(
+        "_pid",
+        *[f"_run_{c}" for c in sums],
+        *[f"_off_{c}" for c in sums],
+    )
+
+
 def interval_peak_concurrency(
     intervals: DataFrame,
     start_col: str = "s_us",
@@ -311,7 +382,7 @@ def interval_peak_concurrency(
 ) -> DataFrame:
     """Peak overlap of half-open intervals [start, end) → 1 row
     (peak_concurrency, peak_at_us). The +1/−1 boundary sweep with the
-    two-phase distributed prefix sum described in the op docstring.
+    two-phase distributed prefix sum (running_sums above).
     Property-tested against a brute-force sweep in
     tests/test_property_ranges.py."""
     boundaries = intervals.select(
@@ -320,44 +391,8 @@ def interval_peak_concurrency(
         intervals.select(F.col(end_col).alias("us"), F.lit(-1).alias("delta"))
     )
     net = boundaries.groupBy("us").agg(F.sum("delta").alias("net"))
-
-    # Two-phase distributed prefix sum over the global `us` order.
-    # `within` and `offsets` both branch off `parts`; the pid→offset
-    # mapping is only correct if both branches see the SAME range
-    # boundaries. repartitionByRange samples boundaries per execution, so
-    # cut lineage here rather than relying on Spark reusing the exchange
-    # (AQE replan / disabled reuse would silently corrupt the prefix sum).
-    parts = (
-        net.repartitionByRange(n_parts, "us")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    within = parts.withColumn(
-        "run",
-        F.sum("net").over(
-            Window.partitionBy("pid")
-            .orderBy("us")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    offsets = (
-        parts.groupBy("pid")
-        .agg(F.sum("net").alias("tot"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("tot").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "off")
-    )
-    conc = within.join(F.broadcast(offsets), "pid").select(
-        "us", (F.col("run") + F.col("off")).alias("n")
+    conc = running_sums(net, ["us"], {"n": ("net", True)}, n_parts).select(
+        "us", "n"
     )
     # Peak, then first instant reaching it — two passes over the curve.
     # The curve is |distinct boundary timestamps| rows (≪ events), so a

@@ -155,12 +155,16 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to the final U/z fold is a BIGINT and hash-exact across engines).
     The tie correction Σ(t³−t) falls out of the same per-value counts.
 
-    Scale note: the unpartitioned window runs on the distinct-value grain,
-    not the fact grain. Where distinct values themselves outgrow one
-    partition, the same running count decomposes into the bucketed
-    two-phase prefix sum used by `interval_peak_concurrency`
-    (ranges.py) — per-bucket partials, broadcast bucket offsets; the
-    statistic's algebra is unchanged."""
+    Scale note (closed round 8): the running count over the distinct-
+    value grain — which grows with the data for real-valued metrics —
+    runs through ranges.running_sums, the two-phase distributed prefix
+    sum (range-partition, per-partition partials, O(partitions) offset
+    window). No single task ever sees the whole grid; the statistic's
+    algebra is unchanged and stays BIGINT-exact."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
@@ -168,11 +172,8 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c_a"),
         F.count(F.lit(1)).alias("c"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.select(
-        "c_a",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    r = running_sums(v, ["value"], {"cum_before": ("c", False)}).select(
+        "c_a", "c", "cum_before"
     )
     s = r.agg(
         F.sum("c_a").cast("long").alias("n_a"),
@@ -231,15 +232,19 @@ def gini_from_values(rev: DataFrame, value: str = "x",
     the rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over ascending
     values. Output: (n, total, gini). Property-tested against the
     mean-absolute-difference definition in tests/test_property_stats.py.
-    The global rank runs on whatever grain the caller pre-aggregated
-    to — keep it post-aggregation (see stat_gini_coefficient)."""
-    ranked = rev.select(
-        value,
-        F.row_number()
-        .over(Window.orderBy(F.asc(value), F.asc(ordcol)))
-        .cast("long")
-        .alias("i"),
+    The global rank decomposes through ranges.running_sums (rank =
+    exclusive running count of ones + 1 on the unique (value, tiebreak)
+    grain), so no single task ever sorts the whole frame — the caller's
+    pre-aggregated grain (customers here) scales with the data."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
     )
+
+    ranked = running_sums(
+        rev.select(value, ordcol).withColumn("_one", F.lit(1)),
+        [value, ordcol],
+        {"_i0": ("_one", False)},
+    ).select(value, (F.col("_i0") + 1).cast("long").alias("i"))
     n = F.count(F.lit(1))
     sx = F.sum(value).cast("double")
     return ranked.agg(
@@ -532,6 +537,10 @@ def kaplan_meier_curve(labeled: DataFrame, t: str = "duration_hours",
     """Library kernel: product-limit survival curve from a (duration,
     died 0/1) frame — life table on the distinct-duration grain,
     at-risk counts from a running sum, S(t) = exp(Σ ln(1−d/n)).
+    The unpartitioned windows run on the distinct-duration grain, which
+    is bounded by the observation window (durations are bucketed time
+    units), not by subject count — the registered caller documents this;
+    a caller with an unbounded grain should pre-bucket durations.
     Output: (t, n_at_risk, n_deaths, n_censored, survival).
     Property-tested against a sequential KM in
     tests/test_property_stats.py."""
@@ -782,17 +791,16 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def midranks(col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return (
-            pairs.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                col,
-                (
-                    F.coalesce(F.sum("c").over(w), F.lit(0))
-                    + (F.col("c") + 1) / 2.0
-                ).alias(f"r_{col}"),
-            )
+        from recommendation_system_big_data_spark.operators.ranges import (
+            running_sums,
+        )
+
+        counts = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return running_sums(
+            counts, [col], {"cum_before": ("c", False)}
+        ).select(
+            col,
+            (F.col("cum_before") + (F.col("c") + 1) / 2.0).alias(f"r_{col}"),
         )
 
     ranked = pairs.join(midranks("x"), "x").join(midranks("y"), "y")

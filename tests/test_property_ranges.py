@@ -148,3 +148,33 @@ def test_interval_union_matches_bruteforce_merge(spark):
                     merged.append((s0, e0))
             expected[k] = (len(merged), sum(e0 - s0 for s0, e0 in merged))
         assert got == expected, (trial, got, expected)
+
+
+def test_running_sums_matches_sequential_reference(spark):
+    """ranges.running_sums must equal a sequential prefix sum for both
+    inclusive and exclusive modes, across partition counts that force
+    the order grid to span many range partitions (the decomposition
+    must be invisible in the values)."""
+    import random
+
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    rng = random.Random(19)
+    for trial, n_parts in ((0, 1), (1, 4), (2, 16), (3, 64)):
+        keys = rng.sample(range(10_000), 300)
+        rows = [(k, rng.randint(-5, 50)) for k in keys]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: (r["inc"], r["exc"])
+            for r in running_sums(
+                df, ["k"], {"inc": ("v", True), "exc": ("v", False)}, n_parts
+            ).collect()
+        }
+        acc = 0
+        expected = {}
+        for k, v in sorted(rows):
+            expected[k] = (acc + v, acc)
+            acc += v
+        assert got == expected, (trial, n_parts)
