@@ -1119,14 +1119,17 @@ def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarizes ONE number, the gains curve says where to cut.
 
     Users fold from the fact stream in one groupBy (DECIMAL scores →
-    deterministic decile boundaries); NTILE runs on the user grain —
-    post-aggregation but data-scaled, so at 100 TB the decile CUT
-    decomposes like every global order here: exclusive running count of
-    ones via ranges.running_sums gives each user's exact rank, and
-    decile = the ntile remainder formula over (rank, n_total) — the
-    window form is kept because NTILE itself is the §2.5 surface being
-    demonstrated. The final windows run on 10 rows. Counts exact; only
-    the two ratios are doubles."""
+    deterministic decile boundaries); the decile cut runs through
+    ranges.ntile_distributed — the user grain scales with the data, so
+    the global rank is range-partitioned (exclusive running count + SQL
+    NTILE's remainder split, hash-identical to F.ntile; the window-form
+    NTILE surface itself is demonstrated by window_ntile_dist). The
+    final windows run on 10 rows. Counts exact; only the two ratios are
+    doubles."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        ntile_distributed,
+    )
+
     users = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1139,12 +1142,12 @@ def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pos"),
         )
     )
-    tiled = users.select(
-        "n_pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
-        .alias("decile"),
-    )
+    tiled = ntile_distributed(
+        users.withColumn("_negscore", -F.col("score")),
+        ["_negscore", "user_id"],
+        10,
+        "decile",
+    ).select("n_pos", "decile")
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n_pos").cast("long").alias("n_purchases"),

@@ -374,6 +374,42 @@ def running_sums(
     )
 
 
+def ntile_distributed(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str,
+    n_parts: int = 16,
+) -> DataFrame:
+    """Exact SQL NTILE(k) over a global order WITHOUT a single-task sort:
+    rank = exclusive running count of ones + 1 (running_sums), n = one
+    broadcast scalar, bucket = the standard remainder split (the first
+    n % k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — SQL NTILE's exact
+    distribution, so this is hash-identical to F.ntile on the same
+    tie-broken order). Same contract as running_sums: order_cols must
+    uniquely identify rows (pre-negate numerics for descending order).
+    Property-tested against F.ntile in tests/test_property_ranges.py."""
+    ranked = running_sums(
+        df.withColumn("_one", F.lit(1)),
+        order_cols,
+        {"_r0": ("_one", False)},
+        n_parts,
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    r = F.col("_r0") + 1
+    q = F.floor(F.col("_n") / k).cast("long")
+    rem = F.col("_n") % k
+    thr = rem * (q + 1)
+    bucket = F.when(r <= thr, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - thr - 1) / q) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_one", "_r0", "_n")
+    )
+
+
 def interval_peak_concurrency(
     intervals: DataFrame,
     start_col: str = "s_us",

@@ -1164,22 +1164,26 @@ def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew_key_report, which measures the same concentration on join keys).
 
     The fact table reduces via one map-side-combined groupBy before
-    anything global happens; NTILE's unpartitioned sort runs on the PART
-    dimension (|parts| rows, ~1/30th of lineitem here and post-aggregation
-    always), and the share windows run on exactly 10 rows. At larger
-    dimensions swap NTILE for a percent_rank cutoff on the same sorted
-    aggregate — same single dimension-table sort, no new shape."""
+    anything global happens; the decile cut runs through
+    ranges.ntile_distributed — the PART dimension scales with the
+    catalog, so the global rank is range-partitioned (exclusive running
+    count + SQL NTILE's remainder split, hash-identical to F.ntile) —
+    and the share windows run on exactly 10 rows."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        ntile_distributed,
+    )
+
     rev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_rev"))
     )
-    tiled = rev.select(
-        "part_rev",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("part_rev"), F.asc("l_partkey")))
-        .alias("decile"),
-    )
+    tiled = ntile_distributed(
+        rev.withColumn("_negrev", -F.col("part_rev")),
+        ["_negrev", "l_partkey"],
+        10,
+        "decile",
+    ).select("part_rev", "decile")
     by_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_parts"), F.sum("part_rev").alias("decile_rev")
     )

@@ -178,3 +178,33 @@ def test_running_sums_matches_sequential_reference(spark):
             expected[k] = (acc + v, acc)
             acc += v
         assert got == expected, (trial, n_parts)
+
+
+def test_ntile_distributed_matches_builtin(spark):
+    """ntile_distributed must be hash-identical to F.ntile over the same
+    tie-broken order, across n/k shapes that hit every remainder case
+    (n % k == 0, n % k > 0, n < k) and partition counts."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from recommendation_system_big_data_spark.operators.ranges import (
+        ntile_distributed,
+    )
+
+    rng = random.Random(31)
+    for n, k, n_parts in ((40, 4, 1), (41, 4, 8), (7, 10, 16), (100, 7, 64)):
+        keys = rng.sample(range(100_000), n)
+        df = spark.createDataFrame([(x,) for x in keys], "x long")
+        got = {
+            r["x"]: r["b"]
+            for r in ntile_distributed(df, ["x"], k, "b", n_parts).collect()
+        }
+        want = {
+            r["x"]: r["b"]
+            for r in df.select(
+                "x", F.ntile(k).over(Window.orderBy("x")).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, k, n_parts)
