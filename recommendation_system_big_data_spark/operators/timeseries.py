@@ -790,8 +790,51 @@ _HOLT_ALPHA = 0.5
 _HOLT_BETA = 0.3
 _HOLT_H = 7
 
+#: The Holt recurrence as a recursive CTE: one state row per
+#: (event_type, step), advanced by joining the next daily observation.
+#: Literals are the repr of the SAME Python-computed smoothing factors
+#: the pandas solve uses (1-α, 1-β round to identical doubles), and the
+#: level' expression is written once per term exactly as the Python
+#: loop computes it, so every step is the same IEEE arithmetic DAG on
+#: both engines — bit-identical states, ROUND(,6) at the very end only.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), rec(event_type, rn, n, level, trend) AS (
+    SELECT s1.event_type, 2, s1.n,
+           {_HOLT_ALPHA!r} * s2.y
+               + {1.0 - _HOLT_ALPHA!r} * (s1.y + (s2.y - s1.y)),
+           {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * s2.y
+               + {1.0 - _HOLT_ALPHA!r} * (s1.y + (s2.y - s1.y))) - s1.y)
+               + {1.0 - _HOLT_BETA!r} * (s2.y - s1.y)
+    FROM seq s1 JOIN seq s2
+      ON s2.event_type = s1.event_type AND s1.rn = 1 AND s2.rn = 2
+    UNION ALL
+    SELECT r.event_type, r.rn + 1, r.n,
+           {_HOLT_ALPHA!r} * s.y
+               + {1.0 - _HOLT_ALPHA!r} * (r.level + r.trend),
+           {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * s.y
+               + {1.0 - _HOLT_ALPHA!r} * (r.level + r.trend)) - r.level)
+               + {1.0 - _HOLT_BETA!r} * r.trend
+    FROM rec r JOIN seq s
+      ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    WHERE r.rn < r.n
+)
+SELECT r.event_type, g.h, ROUND(r.level + g.h * r.trend, 6) AS forecast
+FROM rec r, UNNEST(generate_series(1, {_HOLT_H})) AS g(h)
+WHERE r.rn = r.n
+"""
 
-@register("ts_holt_linear", oracle=None, tags=("timeseries", "ml"))
+
+@register("ts_holt_linear", oracle=_HOLT_ORACLE, tags=("timeseries", "ml"))
 def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day Holt linear-trend (double exponential smoothing) forecast
     of daily value per event_type — the adaptive-trend sibling of
@@ -804,10 +847,13 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     table folds to the per-(event_type, day) grain FIRST (one
     map-combined shuffle; the solve input is |keys|·|days| rows
     regardless of corpus size), then one Arrow batch per key runs the
-    textbook recurrence. ⊘ rows-only (sequential recurrences are not
-    SQL-expressible); tests/test_property_roundsix.py replays the
-    identical recurrence on independently recomputed daily sums and
-    requires cell-exact agreement."""
+    textbook recurrence. Oracled since round 8: the recurrence IS
+    SQL-expressible as a recursive CTE advancing one (level, trend)
+    state row per step — both engines execute the identical IEEE
+    arithmetic DAG (the DECIMAL daily fold makes the inputs
+    bit-identical first), so the forecasts hash-match exactly.
+    tests/test_property_roundsix.py additionally replays the recurrence
+    in plain Python and requires cell-exact agreement."""
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(
