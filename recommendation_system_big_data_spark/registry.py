@@ -109,7 +109,10 @@ _loaded = False
 #:     (the n-gram half of the Gopher repetition filters — dup/top 2- and
 #:     3-gram character fractions, single-scan dual-n explode). All
 #:     oracle-green at sf0.001 AND sf0.01 via check_queries on the day
-#:     they landed.
+#:     they landed. ts_holt_linear GAINED an oracle in round 8 (the
+#:     Holt recurrence as a recursive CTE — hash-exact at both SFs);
+#:     its r7 driver row was rows-only, so it deserves an r9 re-row
+#:     under the stronger check.
 #:   The remaining ~44 r9 slots go to spot-RE-verification of the
 #:   OLDEST green rows (VERDICT r6 #7 discipline): r1-r2 vintage rows
 #:   first — locally these were re-run at sf0.01 in the r7 session
