@@ -113,10 +113,35 @@ _loaded = False
 #:     Holt recurrence as a recursive CTE — hash-exact at both SFs);
 #:     its r7 driver row was rows-only, so it deserves an r9 re-row
 #:     under the stronger check.
-#:   The remaining ~44 r9 slots go to spot-RE-verification of the
-#:   OLDEST green rows (VERDICT r6 #7 discipline): r1-r2 vintage rows
-#:   first — locally these were re-run at sf0.01 in the r7 session
-#:   (170/170 hash-match), but a driver re-row ages best.
+#:   The remaining 43 r9 slots go to spot-RE-verification of the
+#:   OLDEST green rows (VERDICT r6 #7 discipline). 83 oracle-bearing
+#:   canonical queries still carry r1/r2-vintage driver rows (computed
+#:   from CORRECTNESS_r01-r07 at the end of the r8 session; locally all
+#:   re-ran green at sf0.01 many times since, latest SWEEPS.jsonl row).
+#:   r9 takes the first 43 alphabetically, r10 the remaining 40:
+#:   R9: agg_avg_by_key agg_conditional_count agg_corr_matrix
+#:   agg_count_distinct agg_count_rows agg_cube agg_grouping_sets
+#:   agg_null_pct agg_pivot agg_rollup agg_topk_categories alias_expr
+#:   clean_fill_replace dedup_embedding_cosine dedup_exact
+#:   dedup_ngram_jaccard dedup_subset distinct_rows drop_col
+#:   dropna_after_join filter_compound filter_eq flagship_top_customers
+#:   fn_array_ops fn_contains fn_date_trunc fn_extract_parts
+#:   fn_isnull_isnan fn_split_explode fn_string_funcs fn_unix_epoch
+#:   fn_when_case from_local join_anti join_asof join_bucketed
+#:   join_inner join_left_agg join_left_dim join_range_band
+#:   join_salted_skew join_semi json_extract
+#:   R10: json_from_json multimodal_decode multimodal_frame_sample
+#:   multimodal_meta multimodal_resize pipeline_corpus_prep
+#:   project_computed project_named q10_returned_items
+#:   q3_shipping_priority q5_local_supplier_volume rename_col
+#:   roundtrip_pandas scan_csv_headerless scan_csv_schema scan_parquet
+#:   schema_introspection session_window_agg set_except set_intersect
+#:   sim_topk_bruteforce sink_csv_roundtrip sink_parquet_partitioned
+#:   sliding_window_agg sort_limit_topk sql_backtick_names
+#:   sql_surface_agg text_fingerprint text_lang_id text_quality_score
+#:   text_tfidf text_token_count topk_per_user tumbling_window_agg
+#:   union_pos unnest_recs window_lag_lead window_ntile_dist
+#:   window_rank_dense window_running_sum
 _DRIVER_WINDOW_ALIASES = (
     # ROUND-8 window: the 49 remaining never-driver-verified
     # oracle-bearing canonical queries (the ROUND-8 QUEUE above,
