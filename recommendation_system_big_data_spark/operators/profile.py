@@ -142,15 +142,51 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
         ).alias("s")
     ).select("s.*")
     counts = unpivoted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
-    w_ord = Window.partitionBy("col_name").orderBy("v")
-    w_all = Window.partitionBy("col_name")
-    ranked = counts.select(
+    # The CDF runs per column over the DISTINCT-VALUE grain, which grows
+    # with the data (l_extendedprice is near-unique) — a bare
+    # Window.partitionBy(col_name).orderBy(v) funnels each column's whole
+    # grid through one task. Route it through the grouped two-phase
+    # prefix sum instead (round 8); the inter-partition lead (next_v)
+    # hands off through each (column, pid)'s first value — a
+    # ≤columns×n_parts-row table — so the interpolation straddle works
+    # across the range cuts. n_tot comes from a broadcast per-column
+    # aggregate, not a whole-column window.
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    cdf = running_sums(
+        counts,
+        ["v"],
+        {"cum": ("c", True)},  # 0-based positions [cum-c, cum-1]
+        group_cols=("col_name",),
+        keep_pid=True,
+    )
+    firsts = cdf.groupBy("col_name", "_pid").agg(F.min("v").alias("_first_v"))
+    handoff = firsts.select(
         "col_name",
-        "v",
-        "c",
-        F.sum("c").over(w_ord).alias("cum"),  # 0-based positions [cum-c, cum-1]
-        F.lead("v").over(w_ord).alias("next_v"),
-        F.sum("c").over(w_all).alias("n_tot"),
+        "_pid",
+        F.lead("_first_v")
+        .over(Window.partitionBy("col_name").orderBy("_pid"))
+        .alias("_next_first"),
+    )
+    # fold n_tot from the CHECKPOINTED grid — a branch off `counts`
+    # would re-run the unpivot + aggregate scan a second time
+    n_tot = cdf.groupBy("col_name").agg(F.sum("c").alias("n_tot"))
+    w_gp = Window.partitionBy("col_name", "_pid").orderBy("v")
+    ranked = (
+        cdf.join(F.broadcast(handoff), ["col_name", "_pid"])
+        .join(F.broadcast(n_tot), "col_name")
+        .select(
+            "col_name",
+            "v",
+            "c",
+            "cum",
+            F.coalesce(F.lead("v").over(w_gp), F.col("_next_first")).alias(
+                "next_v"
+            ),
+            "n_tot",
+        )
     )
     q_exprs = []
     for q, qname in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):

@@ -308,6 +308,8 @@ def running_sums(
     order_cols: list[str],
     sums: dict[str, tuple[str, bool]],
     n_parts: int = 16,
+    group_cols: tuple = (),
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Distributed running sums over ONE global order — the two-phase
     prefix-sum pattern: range-partition on the order columns, running
@@ -332,14 +334,24 @@ def running_sums(
     within/offsets branches are only consistent if they see the SAME
     cuts — the localCheckpoint is REQUIRED, not an optimization (AQE
     replan / disabled exchange reuse would silently corrupt the sum).
-    Property-tested against a sequential reference in
+    ``group_cols`` generalizes to one independent running sum PER GROUP
+    (the order restarts in every group): the range partitioning leads
+    with the group key so each group's rows span a contiguous pid
+    range, the within-partition window adds the group to its partition
+    key, and the offsets fold runs per (group, pid) — still ≤
+    groups×n_parts rows through the only ordered windows.
+    ``keep_pid=True`` preserves the ``_pid`` column so callers can
+    derive partition-boundary handoffs (e.g. a grouped lead) from the
+    SAME checkpointed cuts — pid values are range-ordered by
+    construction. Property-tested against a sequential reference in
     tests/test_property_ranges.py."""
+    gcols = list(group_cols)
     parts = (
-        df.repartitionByRange(n_parts, *order_cols)
+        df.repartitionByRange(n_parts, *gcols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    w_in = Window.partitionBy(*gcols, "_pid").orderBy(*order_cols)
     out = parts
     tot_aggs = []
     for out_col, (val, inclusive) in sums.items():
@@ -352,23 +364,29 @@ def running_sums(
             ),
         )
         tot_aggs.append(F.sum(val).alias(f"_tot_{out_col}"))
-    offsets = parts.groupBy("_pid").agg(*tot_aggs)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = parts.groupBy(*gcols, "_pid").agg(*tot_aggs)
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     for out_col in sums:
         offsets = offsets.withColumn(
             f"_off_{out_col}",
             F.coalesce(F.sum(f"_tot_{out_col}").over(w_off), F.lit(0)),
         )
     joined = out.join(
-        F.broadcast(offsets.select("_pid", *[f"_off_{c}" for c in sums])),
-        "_pid",
+        F.broadcast(
+            offsets.select(*gcols, "_pid", *[f"_off_{c}" for c in sums])
+        ),
+        gcols + ["_pid"],
     )
     for out_col in sums:
         joined = joined.withColumn(
             out_col, F.col(f"_run_{out_col}") + F.col(f"_off_{out_col}")
         )
     return joined.drop(
-        "_pid",
+        *([] if keep_pid else ["_pid"]),
         *[f"_run_{c}" for c in sums],
         *[f"_off_{c}" for c in sums],
     )

@@ -208,3 +208,39 @@ def test_ntile_distributed_matches_builtin(spark):
             ).collect()
         }
         assert got == want, (n, k, n_parts)
+
+
+def test_running_sums_grouped_matches_sequential_reference(spark):
+    """Grouped mode: each group's running sum restarts and matches a
+    per-group sequential reference, with groups interleaved across the
+    range partitions."""
+    import random
+
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    rng = random.Random(47)
+    rows = []
+    for g in ("a", "b", "c"):
+        for k in rng.sample(range(5000), 200):
+            rows.append((g, k, rng.randint(1, 9)))
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    for n_parts in (1, 8, 32):
+        got = {
+            (r["g"], r["k"]): (r["inc"], r["exc"])
+            for r in running_sums(
+                df,
+                ["k"],
+                {"inc": ("v", True), "exc": ("v", False)},
+                n_parts,
+                group_cols=("g",),
+            ).collect()
+        }
+        expected = {}
+        for g in ("a", "b", "c"):
+            acc = 0
+            for gg, k, v in sorted(r for r in rows if r[0] == g):
+                expected[(g, k)] = (acc + v, acc)
+                acc += v
+        assert got == expected, n_parts
