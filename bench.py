@@ -255,6 +255,36 @@ def main() -> None:
             "or remove queries before the driver's 2000-char stdout cap "
             "truncates the line again"
         )
+    # Persist the COMPLETE record to disk (r8 VERDICT #7): the driver keeps
+    # only the last 2000 chars of stdout, and r7's parsed block was lost to
+    # exactly that. One appended line per run, stamped with HEAD + wall
+    # time, so round-over-round comparison never depends on stdout again.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        head = ""
+    record = json.dumps(
+        {
+            "ts": int(time.time()),
+            "head": head,
+            "sf": float(sf),
+            "full": full,
+            "value": total,
+            "queries": timings,
+        }
+    )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.jsonl"),
+        "a",
+    ) as fh:
+        fh.write(record + "\n")
     print(line)
     spark.stop()
 

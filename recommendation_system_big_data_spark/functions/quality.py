@@ -92,7 +92,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPETITION_ORACLE = """
+_REPETITION_SIGNALS_ORACLE = """
 WITH tk AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), g2 AS (
@@ -130,7 +130,7 @@ FROM agg GROUP BY doc_id
 
 
 @register(
-    "text_repetition_signals", oracle=_REPETITION_ORACLE, tags=("text", "quality")
+    "text_repetition_signals", oracle=_REPETITION_SIGNALS_ORACLE, tags=("text", "quality")
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of the Gopher repetition filters (Rae et al. 2021

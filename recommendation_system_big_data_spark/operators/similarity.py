@@ -370,6 +370,77 @@ def corpus_coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("centroid_id").alias("coarse_id"), F.col("cv").alias("ccv"))
 
 
+def route_fine_cells(
+    e: DataFrame, fine: DataFrame, coarse: DataFrame, n_fine: int, n_coarse: int
+) -> DataFrame:
+    """Two-level routed fine-cell assignment — the reusable core of the
+    hierarchical quantizer (sim_topk_ivf_hier's level-1/level-2 sandwich,
+    consumed by dedup_semantic_semdedup's large-corpus path): each vector
+    in ``e`` (vec_id, v, nv) scores the √k coarse cells, routes into its
+    ``n_coarse`` nearest, scores only the fine centroids living there
+    (~n_coarse·√k instead of all k), and keeps its ``n_fine`` nearest —
+    O(n·√k) total, so k may grow ∝ n. ``fine`` is (centroid_id, cv, ncv),
+    ``coarse`` is (coarse_id, ccv, nccv), both broadcast model tables.
+    Tiebreaks (desc cos, asc id) match the direct assignment everywhere
+    else, so where routing finds the true nearest cells the output is
+    row-identical to the flat argmax."""
+    f2c_w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("fc_cos"), F.asc("coarse_id")
+    )
+    fine2coarse = (
+        fine.join(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "cv",
+            "ncv",
+            "coarse_id",
+            F.round(
+                dot(F.col("cv"), F.col("ccv")) / (F.col("ncv") * F.col("nccv")),
+                6,
+            ).alias("fc_cos"),
+        )
+        .withColumn("rn", F.row_number().over(f2c_w))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "cv", "ncv", "coarse_id")
+    )
+    route_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("vc_cos"), F.asc("coarse_id")
+    )
+    routed = (
+        e.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "coarse_id",
+            F.round(
+                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
+            ).alias("vc_cos"),
+        )
+        .withColumn("crn", F.row_number().over(route_w))
+        .filter(F.col("crn") <= n_coarse)
+        .select("vec_id", "v", "nv", "coarse_id")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        routed.join(F.broadcast(fine2coarse), "coarse_id")
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "centroid_id",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+            ).alias("c_cos"),
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") <= n_fine)
+        .select("vec_id", "v", "nv", "centroid_id")
+    )
+
+
 @register("sim_topk_ivf_hier", oracle=None, tags=("similarity",))
 def sim_topk_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (hierarchical) IVF — the EXECUTABLE form of the extreme-n
@@ -876,11 +947,23 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_COV_DIMS = 16
 
 _COV_ORACLE = f"""
-SELECT gi.i, gj.j,
-       ROUND(COVAR_POP(e.embedding[gi.i], e.embedding[gj.j]), 6) AS cov
-FROM embeddings e, range(1, {N_COV_DIMS + 1}) gi(i), range(1, {N_COV_DIMS + 1}) gj(j)
-WHERE gj.j >= gi.i
-GROUP BY gi.i, gj.j
+WITH pairs AS (
+    SELECT gi.i, gj.j,
+           CAST(e.embedding[gi.i] AS DOUBLE) AS x,
+           CAST(e.embedding[gj.j] AS DOUBLE) AS y
+    FROM embeddings e,
+         range(1, {N_COV_DIMS + 1}) gi(i),
+         range(1, {N_COV_DIMS + 1}) gj(j)
+    WHERE gj.j >= gi.i
+)
+SELECT i, j,
+       ROUND(
+           CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)),
+           6) AS cov
+FROM pairs
+GROUP BY i, j
 """
 
 
@@ -899,12 +982,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, flip to per-partition Gram accumulation in mapInPandas (one
     d×d numpy matrix per partition, summed on a single reducer) — the
     pair-explosion factor d²/2 stops being free around d≈64; the
-    aggregation algebra is identical. DuckDB oracle indexes the same
-    1-based list positions, COVAR_POP matching covar_pop's population
-    estimator exactly."""
+    aggregation algebra is identical.
+
+    Cross-engine + cross-partitioning determinism (r8 VERDICT: the only
+    red driver row was this query, one covar_pop value landing on a
+    ROUND(,6) half-ulp knife edge that partial-aggregation summation
+    order could tip): covariance is computed as E[xy] − E[x]·E[y] over
+    exact-decimal(38,20) sums divided once — decimal addition is exact
+    and associative, so the shuffled partials produce bit-identical sums
+    at any partition count — and the DuckDB oracle mirrors the identical
+    algebra instead of COVAR_POP. Same convention as
+    embedding_standardize one function up."""
     dims = spark.range(1, N_COV_DIMS + 1).select(F.col("id").cast("int"))
     gi = F.broadcast(dims.select(F.col("id").alias("i")))
     gj = F.broadcast(dims.select(F.col("id").alias("j")))
+    x = F.element_at("embedding", F.col("i")).cast("double")
+    y = F.element_at("embedding", F.col("j")).cast("double")
+    n = F.count(F.lit(1))
+    exy = F.sum((x * y).cast("decimal(38,20)")).cast("double") / n
+    ex = F.sum(x.cast("decimal(38,20)")).cast("double") / n
+    ey = F.sum(y.cast("decimal(38,20)")).cast("double") / n
     return (
         load(spark, sf_dir, "embeddings")
         .select("embedding")
@@ -912,15 +1009,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(gj)
         .filter(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
-        .agg(
-            F.round(
-                F.covar_pop(
-                    F.element_at("embedding", F.col("i")).cast("double"),
-                    F.element_at("embedding", F.col("j")).cast("double"),
-                ),
-                6,
-            ).alias("cov")
-        )
+        .agg(F.round(exy - ex * ey, 6).alias("cov"))
     )
 
 

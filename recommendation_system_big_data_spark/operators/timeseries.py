@@ -775,8 +775,12 @@ def _holt_fn(alpha: float, beta: float, horizon: int):
             {
                 "event_type": [key] * horizon,
                 "h": list(range(1, horizon + 1)),
+                # no rounding here: Python round() is half-even while the
+                # oracle's ROUND is half-away-from-zero — the caller
+                # applies F.round (HALF_UP, the repo-wide convention that
+                # hash-matches DuckDB ROUND) on the raw double.
                 "forecast": [
-                    round(level + h * trend, 6) for h in range(1, horizon + 1)
+                    level + h * trend for h in range(1, horizon + 1)
                 ],
             }
         )
@@ -872,7 +876,13 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    return daily.groupBy("event_type").applyInPandas(
-        _holt_fn(_HOLT_ALPHA, _HOLT_BETA, _HOLT_H),
-        "event_type string, h long, forecast double",
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            _holt_fn(_HOLT_ALPHA, _HOLT_BETA, _HOLT_H),
+            "event_type string, h long, forecast double",
+        )
+        # HALF_UP like DuckDB ROUND; the UDF's Python round() would be
+        # half-even and could diverge on an exact 6-dp midpoint (r8 ADVICE).
+        .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
     )

@@ -85,118 +85,93 @@ _loaded = False
 #: Canonical names remain the public API; aliases are tagged ``alias`` so
 #: bench/docs can skip them.
 #:
-#: ROUND-8 QUEUE — TAKEN by this round's window (see
-#: _DRIVER_WINDOW_ALIASES below): all 49 remaining never-driver-verified
-#: oracle-bearing canonical queries + agg_slope_builtin (NULL-pair
-#: semantics fixed this round, r7 ADVICE). After the r8 driver run,
-#: every oracle-bearing canonical query has a driver CORRECTNESS row.
+#: ROUND-8 QUEUE — TAKEN by the r8 window: the 49 then-remaining
+#: never-driver-verified oracle-bearing canonical queries +
+#: agg_slope_builtin. After the r8 driver run, every oracle-bearing
+#: canonical query registered BEFORE the r8 session had a driver
+#: CORRECTNESS row (the r8-session additions + 3 older stragglers did
+#: not — r8 ADVICE flagged the unqualified claim; they are exactly the
+#: never-windowed block of the ROUND-9 window below).
 #:
-#: ROUND-9 QUEUE (what still lacks a driver row after r8):
-#:   - oracle-bearing, never windowed (3): text_bm25_retrieval,
-#:     pipeline_temperature_mix, text_bpe_pair_stats — all oracle-green
-#:     at sf0.001 AND sf0.01 via check_queries every round since added.
-#:   - rows-only ⊘, never windowed (3): dedup_semantic_semdedup
-#:     (precision/recall pytest gates, non-empty at both SFs),
-#:     sim_topk_ivf_hier (recall equal to single-level IVF, 100%
-#:     assignment agreement, gated in tests/test_similarity.py),
-#:     stream_approx_distinct_users (every window within tolerance of
-#:     batch exact, gated in tests/test_streaming.py).
-#:   - round-8 session additions: dedup_cluster_representatives (the
-#:     per-cluster keeper election — longest member, doc_id tiebreak —
-#:     oracle over the recursive-CTE closure), text_ccnet_quality_buckets
-#:     (CCNet head/middle/tail routing table per language, oracle-checked
-#:     ntile over the ROUND(,6) surprisal score), text_repetition_signals
-#:     (the n-gram half of the Gopher repetition filters — dup/top 2- and
-#:     3-gram character fractions, single-scan dual-n explode). All
-#:     oracle-green at sf0.001 AND sf0.01 via check_queries on the day
-#:     they landed. ts_holt_linear GAINED an oracle in round 8 (the
-#:     Holt recurrence as a recursive CTE — hash-exact at both SFs);
-#:     its r7 driver row was rows-only, so it deserves an r9 re-row
-#:     under the stronger check.
-#:   The remaining 43 r9 slots go to spot-RE-verification of the
-#:   OLDEST green rows (VERDICT r6 #7 discipline). 83 oracle-bearing
-#:   canonical queries still carry r1/r2-vintage driver rows (computed
-#:   from CORRECTNESS_r01-r07 at the end of the r8 session; locally all
-#:   re-ran green at sf0.01 many times since, latest SWEEPS.jsonl row).
-#:   r9 takes the first 43 alphabetically, r10 the remaining 40:
-#:   R9: agg_avg_by_key agg_conditional_count agg_corr_matrix
-#:   agg_count_distinct agg_count_rows agg_cube agg_grouping_sets
-#:   agg_null_pct agg_pivot agg_rollup agg_topk_categories alias_expr
-#:   clean_fill_replace dedup_embedding_cosine dedup_exact
-#:   dedup_ngram_jaccard dedup_subset distinct_rows drop_col
-#:   dropna_after_join filter_compound filter_eq flagship_top_customers
-#:   fn_array_ops fn_contains fn_date_trunc fn_extract_parts
-#:   fn_isnull_isnan fn_split_explode fn_string_funcs fn_unix_epoch
-#:   fn_when_case from_local join_anti join_asof join_bucketed
-#:   join_inner join_left_agg join_left_dim join_range_band
-#:   join_salted_skew join_semi json_extract
-#:   R10: json_from_json multimodal_decode multimodal_frame_sample
+#: ROUND-9 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (r8 VERDICT
+#: "Next round" #1): the 9 never-driver-verified queries
+#: (dedup_cluster_representatives dedup_semantic_semdedup
+#: pipeline_temperature_mix sim_topk_ivf_hier stream_approx_distinct_users
+#: text_bm25_retrieval text_bpe_pair_stats text_ccnet_quality_buckets
+#: text_repetition_signals),
+#: 4 re-rows earned by this round's fixes (ts_holt_linear — new
+#: recursive-CTE oracle + HALF_UP rounding; embedding_covariance —
+#: decimal E[xy]-E[x]E[y] partition-order-proof rewrite, the only red
+#: r8 row; dedup_incremental_near + _minhash — salted split de-vacuates
+#: the 0-row evidence), and the first 37 of the r1/r2-vintage
+#: re-verification backlog (alphabetical).
+#:
+#: ROUND-10 QUEUE (46 names — the remaining r1/r2-vintage green rows;
+#: flip these into the window at the START of the r10 session):
+#:   join_left_agg join_left_dim join_range_band join_salted_skew join_semi
+#:   json_extract json_from_json multimodal_decode multimodal_frame_sample
 #:   multimodal_meta multimodal_resize pipeline_corpus_prep
-#:   project_computed project_named q10_returned_items
-#:   q3_shipping_priority q5_local_supplier_volume rename_col
-#:   roundtrip_pandas scan_csv_headerless scan_csv_schema scan_parquet
-#:   schema_introspection session_window_agg set_except set_intersect
-#:   sim_topk_bruteforce sink_csv_roundtrip sink_parquet_partitioned
-#:   sliding_window_agg sort_limit_topk sql_backtick_names
-#:   sql_surface_agg text_fingerprint text_lang_id text_quality_score
-#:   text_tfidf text_token_count topk_per_user tumbling_window_agg
-#:   union_pos unnest_recs window_lag_lead window_ntile_dist
-#:   window_rank_dense window_running_sum
+#:   project_computed project_named q10_returned_items q3_shipping_priority
+#:   q5_local_supplier_volume rename_col roundtrip_pandas
+#:   scan_csv_headerless scan_csv_schema scan_parquet schema_introspection
+#:   session_window_agg set_except set_intersect sim_topk_bruteforce
+#:   sink_csv_roundtrip sink_parquet_partitioned sliding_window_agg
+#:   sort_limit_topk sql_backtick_names sql_surface_agg text_fingerprint
+#:   text_lang_id text_quality_score text_tfidf text_token_count
+#:   topk_per_user tumbling_window_agg union_pos unnest_recs
+#:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-8 window: the 49 remaining never-driver-verified
-    # oracle-bearing canonical queries (the ROUND-8 QUEUE above,
-    # verbatim) + agg_slope_builtin, whose NULL-pair semantics were
-    # fixed this round (r7 ADVICE) and so earns a fresh driver row.
-    "agg_bitmap_intersection",
-    "agg_heavy_hitters_mg",
-    "agg_listagg_within_group",
-    "agg_moments_shape",
-    "agg_multi_distinct_expand",
-    "agg_percentile_cont_interpolated",
-    "agg_robust_mad_outliers",
-    "agg_slope_builtin",
-    "agg_trimmed_mean",
-    "agg_weighted_moments",
-    "attribution_linear_multitouch",
-    "audit_fact_consistency",
-    "clean_monotonic_repair",
-    "clean_outlier_iqr",
-    "dim_calendar_build",
-    "drift_ks_test",
+    # ROUND-9 window: see the ROUND-9 WINDOW note above.
+    "agg_avg_by_key",
+    "agg_conditional_count",
+    "agg_corr_matrix",
+    "agg_count_distinct",
+    "agg_count_rows",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_null_pct",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_topk_categories",
+    "alias_expr",
+    "clean_fill_replace",
+    "dedup_cluster_representatives",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_near",
+    "dedup_incremental_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_semdedup",
+    "dedup_subset",
+    "distinct_rows",
+    "drop_col",
+    "dropna_after_join",
     "embedding_covariance",
-    "feature_binning_equidepth",
-    "fn_bool_agg",
-    "fn_collation_groupby",
-    "fn_csv_string_roundtrip",
-    "fn_date_arithmetic",
-    "fn_luhn_check",
-    "fn_timezone_convert",
-    "fn_udtf_table_arg",
-    "funnel_conversion_lag_curve",
-    "graph_bfs_hops",
-    "graph_community_modularity",
-    "join_bloom_prefilter",
-    "join_role_playing_calendar",
-    "pipeline_quality_dashboard",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "scan_csv_corrupt_permissive",
-    "sequence_transition_matrix",
-    "set_ops_bag_all",
-    "sink_text_roundtrip",
-    "sink_time_travel_versions",
-    "sort_nulls_ordering",
-    "sql_identifier_clause",
-    "sql_lateral_column_alias",
-    "sql_not_in_null_semantics",
-    "sql_pivot_syntax",
-    "stat_cuped_adjustment",
-    "stat_power_sample_size",
-    "stat_spearman_corr",
-    "stat_theil_decomposition",
-    "ts_forecast_linear",
-    "ts_new_vs_returning",
-    "ts_seasonal_anomaly",
+    "filter_compound",
+    "filter_eq",
+    "flagship_top_customers",
+    "fn_array_ops",
+    "fn_contains",
+    "fn_date_trunc",
+    "fn_extract_parts",
+    "fn_isnull_isnan",
+    "fn_split_explode",
+    "fn_string_funcs",
+    "fn_unix_epoch",
+    "fn_when_case",
+    "from_local",
+    "join_anti",
+    "join_asof",
+    "join_bucketed",
+    "join_inner",
+    "pipeline_temperature_mix",
+    "sim_topk_ivf_hier",
+    "stream_approx_distinct_users",
+    "text_bm25_retrieval",
+    "text_bpe_pair_stats",
+    "text_ccnet_quality_buckets",
+    "text_repetition_signals",
+    "ts_holt_linear",
 )
 
 

@@ -208,7 +208,16 @@ def test_holt_linear_matches_sequential_reference(spark, sf_dir):
             level = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (level + trend)
             trend = _HOLT_BETA * (level - prev) + (1.0 - _HOLT_BETA) * trend
         for h in range(1, _HOLT_H + 1):
-            expect[(key, h)] = round(level + h * trend, 6)
+            # Spark F.round on a double is BigDecimal(double).setScale(6,
+            # HALF_UP) — replicate exactly (Decimal(x) is the exact binary
+            # value, not repr); Python round() would be half-even.
+            from decimal import ROUND_HALF_UP, Decimal
+
+            expect[(key, h)] = float(
+                Decimal(level + h * trend).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
 
     got = {
         (r["event_type"], r["h"]): r["forecast"]

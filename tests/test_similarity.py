@@ -585,3 +585,28 @@ def test_ivf_hier_recall_agreement_determinism(spark, sf_dir):
     a = sorted(map(str, sim_topk_ivf_hier(spark, sf_dir).collect()))
     b = sorted(map(str, sim_topk_ivf_hier(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_covariance_partition_order_invariant(spark, sf_dir):
+    """embedding_covariance's r8 driver row went red on a one-ulp ROUND(,6)
+    knife edge tipped by partial-aggregation summation order. The fix
+    computes E[xy] − E[x]·E[y] over exact decimal(38,20) sums (associative,
+    order-free); this gate asserts bit-identical output across partition
+    counts so a future regression to float accumulation is caught here."""
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("1", "8", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = sorted(
+                (r["i"], r["j"], repr(r["cov"]))
+                for r in embedding_covariance(spark, sf_dir).collect()
+            )
+            results.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert results[0] == results[1] == results[2]

@@ -110,10 +110,14 @@ def main() -> int:
             ]
             m = statistics.median(common) if common else 1.0
             # Host contention on one container plausibly drifts within
-            # ~±40%; a median outside that band is a protocol or engine
-            # change (r1→r2's 0.405 was the warm-run protocol landing),
-            # which must NOT be attributed to the host.
-            if not 0.8 <= m <= 1.4:
+            # a symmetric multiplicative ×1.4 band (1/1.4 ≈ 0.714 .. 1.4);
+            # a median outside it is a protocol or engine change (r1→r2's
+            # 0.405 was the warm-run protocol landing), which must NOT be
+            # attributed to the host. Symmetric because a genuine ~0.75×
+            # host SPEEDUP is as plausible as a 1.35× slowdown (r8 ADVICE:
+            # the old 0.8 floor clamped real speedups to 1.0, reading as
+            # engine regression).
+            if not 1.0 / 1.4 <= m <= 1.4:
                 m = 1.0
         H[aname] = H[bname] / m
 
