@@ -175,6 +175,12 @@ HEADLINE = [
     # explode + wordcount skeleton + conditional-sum pivot). First
     # recorded run defines its baseline.
     "text_repetition_signals",
+    # round-9: DSIR importance scoring (hashed-unigram model build +
+    # broadcast-model per-doc fold) and the truncated-prefix two-stage
+    # retrieval (cheap 16-dim prefilter, exact rerank of the 5x
+    # shortlist). First recorded run defines each baseline.
+    "text_dsir_importance",
+    "sim_topk_truncated_rerank",
 ]
 
 
@@ -212,6 +218,26 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["sentinel_fixed_cost"] = round(best, 3)
 
+    # Second host axis (round 9): the CPU sentinel above diverged from the
+    # fleet this round — it read 0.79x of r8 while the median real query
+    # read 1.13x, i.e. the host was burst-CPU-fast but shuffle/memory-slow,
+    # and a single-axis correction then AMPLIFIES apparent regressions.
+    # This sentinel is shuffle- and memory-bound (20M rows hashed into 1M
+    # groups and exchanged), data-independent and plan-stable, so the two
+    # sentinels bracket both host axes for bench_drift.
+    def _sentinel_shuffle():
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "id % 400000 as k"
+        ).groupBy("k").count().write.format("noop").mode("overwrite").save()
+
+    _sentinel_shuffle()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sentinel_shuffle()
+        best = min(best, time.perf_counter() - t0)
+    timings["sentinel_shuffle_cost"] = round(best, 3)
+
     full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
     to_run = HEADLINE if full else [q for q in HEADLINE if q not in RETIRED]
 
@@ -230,10 +256,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # The sentinel measures the host, not the engine — keep it out of the
+    # The sentinels measure the host, not the engine — keep them out of the
     # headline total so round-over-round totals stay comparable.
     total = round(
-        sum(v for k, v in timings.items() if k != "sentinel_fixed_cost"), 3
+        sum(v for k, v in timings.items() if not k.startswith("sentinel_")), 3
     )
     line = json.dumps(
         {

@@ -738,3 +738,122 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("valid_rate"),
     )
+
+
+#: DSIR hashed-feature bucket count. 64 buckets is deliberately coarse for
+#: the fixture vocabulary (~hundreds of distinct words); the production
+#: sizing is 10k-100k buckets — the plan shape (a B-row broadcast model)
+#: is identical at any B, which is the point of hashing: model size is
+#: fixed by B, never by vocabulary.
+DSIR_BUCKETS = 64
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % {DSIR_BUCKETS}
+               AS bkt
+    FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+          FROM documents) t
+), model AS (
+    SELECT bkt,
+           CAST(COUNT(*) AS BIGINT) AS cnt_r,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS cnt_t
+    FROM w GROUP BY bkt
+), tot AS (
+    SELECT CAST(SUM(cnt_r) AS BIGINT) AS tr, CAST(SUM(cnt_t) AS BIGINT) AS tt
+    FROM model
+), lr AS (
+    SELECT bkt,
+           ln(CAST(cnt_t + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+           - ln(CAST(cnt_r + 1 AS DOUBLE) / (tr + {DSIR_BUCKETS})) AS logratio
+    FROM model, tot
+), d AS (
+    SELECT doc_id, lang, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM w GROUP BY 1, 2, 3
+), scored AS (
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(CAST(cnt AS DOUBLE) * logratio AS DECIMAL(38,20)))
+                AS DOUBLE) AS raw
+    FROM d JOIN lr USING (bkt) GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_words, ROUND(raw, 6) AS dsir_logratio,
+       raw > 0 AS keep
+FROM scored
+"""
+
+
+@register("text_dsir_importance", oracle=_DSIR_ORACLE, tags=("text", "quality"))
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language Models
+    via Importance Resampling", NeurIPS 2023): score every raw document by
+    the log importance ratio log p_target(x) - log p_raw(x) under hashed
+    n-gram bag-of-words models, so a web-scale crawl can be resampled
+    toward a target domain without training a classifier. Features are
+    md5-hashed unigram buckets (engine-portable, fixed B=DSIR_BUCKETS —
+    model size never grows with vocabulary); the target distribution is
+    fitted on the lang='en' slice (the stand-in for "looks like my target
+    corpus"), the raw distribution on everything; both add-1 smoothed.
+    `keep` marks docs more target-like than raw (ratio > 0) — the
+    deterministic analogue of DSIR's Gumbel resampling step.
+
+    Shape: two passes over the exploded word stream (one builds the
+    B-row model — a map-side-combined aggregate whose state is O(B);
+    one folds (doc, bucket) counts), then the B-row model broadcasts
+    back onto the per-doc grain. No corpus-sized state anywhere; at
+    100 TB both shuffles are keyed on doc_id/bucket and the model stays
+    a broadcast. Cross-engine determinism: bucket probabilities are
+    exact-integer ratios, the per-doc fold sums cnt·logratio through
+    decimal(38,20) (associative — partition order cannot move the
+    ROUND(,6) hash), and both engines evaluate the identical ln
+    expressions (the text_unigram_surprisal convention)."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    model = w.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("cnt_t"),
+    )
+    tot = model.agg(
+        F.sum("cnt_r").cast("long").alias("tr"),
+        F.sum("cnt_t").cast("long").alias("tt"),
+    )
+    lr = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.col("cnt_t") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cnt_r") + 1).cast("double")
+                    / (F.col("tr") + DSIR_BUCKETS)
+                )
+            ).alias("logratio"),
+        )
+    )
+    d = w.groupBy("doc_id", "lang", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    raw = F.sum(
+        (F.col("cnt").cast("double") * F.col("logratio")).cast("decimal(38,20)")
+    ).cast("double")
+    return (
+        d.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.round(raw, 6).alias("dsir_logratio"),
+            (raw > 0).alias("keep"),
+        )
+    )

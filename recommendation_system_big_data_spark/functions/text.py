@@ -1643,3 +1643,63 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(20)
     )
+
+
+_FERTILITY_ORACLE = """
+WITH per_doc AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS toks,
+           CAST(strlen(text) AS BIGINT) AS bytes
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+       ROUND(CAST(SUM(toks) AS DOUBLE) / SUM(words), 6) AS fertility,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / SUM(toks), 6) AS bytes_per_token
+FROM per_doc GROUP BY lang
+"""
+
+
+@register("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE, tags=("text",))
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: subword tokens per
+    whitespace word (fertility) and bytes per subword token — the two
+    numbers that decide whether a tokenizer under-serves a language
+    (high fertility ⇒ the same text costs more sequence length ⇒ less
+    effective context and higher training cost per byte; the metric
+    multilingual tokenizer papers report per language). The "tokenizer"
+    is the repo's BPE-ish regex segmentation (alnum runs + each
+    remaining non-space char its own token — text_token_count's
+    convention extended with the punctuation fallback every real BPE
+    has via byte-fallback).
+
+    One scan, all three counts fold in a single projection (regexp
+    count + split size + octet length, whole-stage codegen, no
+    explode), one map-side-combined aggregate keyed on lang (|langs|
+    rows). Ratios are exact-integer/exact-integer in double — no
+    summation-order hazard at any partitioning."""
+    per_doc = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("toks"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("bytes").cast("double") / F.sum("toks"), 6
+        ).alias("bytes_per_token"),
+    )

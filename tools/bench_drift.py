@@ -28,6 +28,15 @@ import sys
 GATE = 2.0
 WATCH = 1.5
 SENTINEL = "sentinel_fixed_cost"
+#: Second host axis (round 9): the CPU sentinel read 0.79x of r8 while
+#: the median real query read 1.13x in the same session — burst-CPU
+#: speed and shuffle/memory throughput drift independently. When BOTH
+#: rounds of an adjacent pair carry the shuffle sentinel, the host
+#: factor is the GEOMETRIC MEAN of the two sentinel ratios (each axis
+#: weighs equally); otherwise the CPU sentinel alone, then the median
+#: fallback.
+SENTINEL2 = "sentinel_shuffle_cost"
+SENTINELS = (SENTINEL, SENTINEL2)
 
 
 def _reconstruct_from_tail(rec: dict) -> dict:
@@ -100,13 +109,16 @@ def main() -> int:
     H: dict[str, float] = {latest_name: 1.0}
     for (aname, aqs), (bname, bqs) in zip(rounds[-2::-1], rounds[::-1]):
         sa, sb = aqs.get(SENTINEL), bqs.get(SENTINEL)
-        if sa and sb:
+        s2a, s2b = aqs.get(SENTINEL2), bqs.get(SENTINEL2)
+        if sa and sb and s2a and s2b:
+            m = ((sb / sa) * (s2b / s2a)) ** 0.5
+        elif sa and sb:
             m = sb / sa
         else:
             common = [
                 bqs[q] / aqs[q]
                 for q in aqs
-                if q in bqs and q != SENTINEL and aqs[q]
+                if q in bqs and q not in SENTINELS and aqs[q]
             ]
             m = statistics.median(common) if common else 1.0
             # Host contention on one container plausibly drifts within
@@ -131,7 +143,7 @@ def main() -> int:
     bad, watch = [], []
     print(f"latest round: {latest_name} ({len(latest)} queries)")
     for q in sorted(latest):
-        if q == SENTINEL:
+        if q in SENTINELS:
             continue
         r = norm_ratio(q, latest[q])
         base_round, base = first[q]

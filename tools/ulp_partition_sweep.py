@@ -16,11 +16,10 @@ and diff the final (rounded) outputs cell-exactly. Any difference means a
 float path accumulates in layout-dependent order close enough to a
 ROUND(,6) boundary to flip — the fix is exact-decimal accumulation
 (embedding_standardize / embedding_covariance pattern), not tolerance.
-
-Additionally flags KNIFE-EDGE cells: float values whose unrounded distance
-to the nearest .5e-6 rounding midpoint is < 1e-12 (detectable post-round
-when a value lands exactly on a 1e-6 grid point adjacent to a midpoint we
-cannot see; heuristic, reported as 'edge' not 'fail').
+(A layout sweep can only prove sensitivity, not its absence — the r8
+embedding_covariance flip survived two local partition counts and still
+tipped in the driver env; queries whose floats ride exact-decimal sums
+are immune by construction and this sweep is their regression guard.)
 
 Usage:
     python tools/ulp_partition_sweep.py [--sf DIR] [name ...]
@@ -28,7 +27,6 @@ Writes one JSON line to SWEEPS.jsonl (tag: ulp_partition_sweep) and exits
 non-zero on any A≠B diff.
 """
 import json
-import math
 import os
 import sys
 import time
@@ -69,25 +67,6 @@ def run(name, shuffle, split_bytes):
     return sorted(
         [tuple(repr(v) for v in row) for row in df.collect()], key=repr
     )
-
-
-def knife_edges(rows):
-    """Heuristic: rounded floats sitting exactly on the 1e-6 grid adjacent
-    to a representable midpoint — candidates for env-dependent rounding."""
-    edges = 0
-    for row in rows:
-        for cell in row:
-            try:
-                v = float(cell)
-            except ValueError:
-                continue
-            if not math.isfinite(v):
-                continue
-            scaled = v * 1e6
-            if abs(scaled - round(scaled)) < 1e-9 and abs(v) > 1e-9:
-                # on-grid (expected post-ROUND); nothing more visible here
-                continue
-    return edges
 
 
 fails, t0 = [], time.time()
