@@ -33,6 +33,15 @@ from recommendation_system_big_data_spark.session import get_spark  # noqa: E402
 #: with SPARK_GRAFT_BENCH_FULL=1. New scale-bearing queries take their
 #: budget; a guard below fails loudly before the line can overflow again.
 RETIRED = [
+    # round-9 retirements (same criteria; steady states in BASELINE.md
+    # §retired): pipeline_sequence_packing 0.305/0.246/0.279 and
+    # geo_proximity_join_blocked 0.444/0.464/0.449 across r6/r8/r9-local
+    # (r7's parsed block was the truncation casualty) — both sub-0.5s,
+    # plan-trivial at sf0.1, never on a watch list; retired to keep the
+    # stdout line comfortably under the driver's 2000-char cap after
+    # pipeline_dedup_cascade and the shuffle sentinel joined the line.
+    "pipeline_sequence_packing",
+    "geo_proximity_join_blocked",
     "topk_per_user",
     "tumbling_window_agg",
     "dedup_exact",
@@ -181,6 +190,11 @@ HEADLINE = [
     # shortlist). First recorded run defines each baseline.
     "text_dsir_importance",
     "sim_topk_truncated_rerank",
+    # round-9b: the staged dedup funnel (exact md5 keeper stage feeding
+    # the inverted-index near-dup stage) — the composed per-snapshot
+    # report a corpus pipeline runs. First recorded run defines its
+    # baseline.
+    "pipeline_dedup_cascade",
 ]
 
 

@@ -384,3 +384,44 @@ def test_semdedup_hier_routed_path(spark, sf_dir):
     if direct_drop:
         overlap = len(hier_drop & direct_drop) / len(direct_drop)
         assert overlap >= 0.9, (len(hier_drop), len(direct_drop), overlap)
+
+
+def test_dedup_cascade_planted_funnel(spark):
+    """The staged funnel over a PLANTED corpus: 3 exact copies of one doc
+    (stage 1 must drop 2), one near-dup pair ~0.9 Jaccard (stage 2 must
+    drop the higher id), one unrelated doc. Exercises both stages'
+    drop paths, which the fixture corpus cannot below sf0.1 (it has no
+    exact-duplicate texts there)."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_cascade_report,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(3, 40))  # drop 3 leading tokens
+    other = " ".join(f"x{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [
+            (0, "en", base),
+            (1, "en", base),
+            (2, "en", base),
+            (3, "en", near),
+            (4, "en", other),
+            (5, "fr", other),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        (r["stage_id"], r["lang"]): (r["n_in"], r["n_dropped"], r["n_out"])
+        for r in dedup_cascade_report(d).collect()
+    }
+    # stage 1: en 5 docs -> 2 exact copies of `base` dropped. Exact groups
+    # span languages (text identity only), so fr's sole doc (5, same text
+    # as en doc 4, keeper = min id 4) is ALSO dropped — fr must still
+    # report (1, 1, 0), not vanish from the funnel (regression pin: the
+    # first cut inner-joined the rollups and lost the row).
+    assert rows[(1, "en")] == (5, 2, 3)
+    assert rows[(1, "fr")] == (1, 1, 0)
+    # stage 2: the near-dup (doc 3 vs keeper 0) drops; fr has no
+    # surviving docs so it has no stage-2 row (documented semantics).
+    assert rows[(2, "en")] == (3, 1, 2)
+    assert (2, "fr") not in rows
