@@ -318,3 +318,47 @@ def test_pandas_slope_udf_matches_builtin_on_nulls(spark):
     }
     assert udf_out == builtin_out
     assert all(n == 20 for n, _ in udf_out.values())
+
+
+def test_mann_kendall_matches_sequential_reference(spark, sf_dir):
+    """Replay the Mann-Kendall statistic sequentially in plain Python over
+    the same exact-decimal daily series and require cell-exact agreement
+    (integer S/n/ties; one shared IEEE expression for z)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_trend_mann_kendall,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        .collect()
+    )
+    series = [Decimal(r["rev"]) for r in sorted(daily, key=lambda r: r["day"])]
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(series).values()
+    )
+    var_s = float(n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / var_s**0.5
+    elif s < 0:
+        z = (s + 1) / var_s**0.5
+    else:
+        z = 0.0
+    row = stat_trend_mann_kendall(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["s_stat"] == s
+    assert row["var_s"] == round(var_s, 6)
+    assert row["z_stat"] == round(z, 4)
