@@ -236,9 +236,10 @@ def main() -> None:
     # fleet this round — it read 0.79x of r8 while the median real query
     # read 1.13x, i.e. the host was burst-CPU-fast but shuffle/memory-slow,
     # and a single-axis correction then AMPLIFIES apparent regressions.
-    # This sentinel is shuffle- and memory-bound (20M rows hashed into 1M
-    # groups and exchanged), data-independent and plan-stable, so the two
-    # sentinels bracket both host axes for bench_drift.
+    # This sentinel is shuffle- and memory-bound (8M rows hashed into 400k
+    # groups and exchanged — sized to ~0.75s so three runs cost the bench
+    # ~2s), data-independent and plan-stable, so the two sentinels bracket
+    # both host axes for bench_drift.
     def _sentinel_shuffle():
         spark.range(0, 8_000_000, 1, 32).selectExpr(
             "id % 400000 as k"
@@ -284,21 +285,12 @@ def main() -> None:
             "sf": float(sf),
         }
     )
-    # The driver records only the last 2000 chars of stdout; a longer line
-    # is silently truncated and the round's bench becomes unparseable
-    # (BENCH_r07.json: 2013 chars → "parsed": null). Fail loudly here so
-    # the overflow is caught locally, before a driver round is wasted.
-    # The full-run mode is exempt — it's a local-only diagnostic.
-    if not full and len(line) > 1900:
-        raise SystemExit(
-            f"bench JSON line is {len(line)} chars (> 1900 budget): retire "
-            "or remove queries before the driver's 2000-char stdout cap "
-            "truncates the line again"
-        )
-    # Persist the COMPLETE record to disk (r8 VERDICT #7): the driver keeps
-    # only the last 2000 chars of stdout, and r7's parsed block was lost to
-    # exactly that. One appended line per run, stamped with HEAD + wall
-    # time, so round-over-round comparison never depends on stdout again.
+    # Persist the COMPLETE record to disk FIRST (r8 VERDICT #7): the driver
+    # keeps only the last 2000 chars of stdout, and r7's parsed block was
+    # lost to exactly that. One appended line per run, stamped with HEAD +
+    # wall time, so round-over-round comparison never depends on stdout
+    # again. This runs BEFORE the overflow guard below — an overflowing
+    # run must still keep its ~40-80s of measured timings on disk.
     try:
         import subprocess
 
@@ -325,6 +317,18 @@ def main() -> None:
         "a",
     ) as fh:
         fh.write(record + "\n")
+    # The driver records only the last 2000 chars of stdout; a longer line
+    # is silently truncated and the round's bench becomes unparseable
+    # (BENCH_r07.json: 2013 chars → "parsed": null). Fail loudly here so
+    # the overflow is caught locally, before a driver round is wasted —
+    # the full per-query record is already safe on disk above. The
+    # full-run mode is exempt: it's a local-only diagnostic.
+    if not full and len(line) > 1900:
+        raise SystemExit(
+            f"bench JSON line is {len(line)} chars (> 1900 budget): retire "
+            "or remove queries before the driver's 2000-char stdout cap "
+            "truncates the line again"
+        )
     print(line)
     spark.stop()
 

@@ -370,24 +370,15 @@ def corpus_coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("centroid_id").alias("coarse_id"), F.col("cv").alias("ccv"))
 
 
-def route_fine_cells(
-    e: DataFrame, fine: DataFrame, coarse: DataFrame, n_fine: int, n_coarse: int
-) -> DataFrame:
-    """Two-level routed fine-cell assignment — the reusable core of the
-    hierarchical quantizer (sim_topk_ivf_hier's level-1/level-2 sandwich,
-    consumed by dedup_semantic_semdedup's large-corpus path): each vector
-    in ``e`` (vec_id, v, nv) scores the √k coarse cells, routes into its
-    ``n_coarse`` nearest, scores only the fine centroids living there
-    (~n_coarse·√k instead of all k), and keeps its ``n_fine`` nearest —
-    O(n·√k) total, so k may grow ∝ n. ``fine`` is (centroid_id, cv, ncv),
-    ``coarse`` is (coarse_id, ccv, nccv), both broadcast model tables.
-    Tiebreaks (desc cos, asc id) match the direct assignment everywhere
-    else, so where routing finds the true nearest cells the output is
-    row-identical to the flat argmax."""
+def fine_to_coarse(fine: DataFrame, coarse: DataFrame) -> DataFrame:
+    """Route each FINE centroid to its nearest coarse cell (k×√k dots,
+    in-plan) — the "cluster the centroids" step shared by every consumer
+    of the two-level quantizer. ``fine`` is (centroid_id, cv, ncv),
+    ``coarse`` is (coarse_id, ccv, nccv)."""
     f2c_w = Window.partitionBy("centroid_id").orderBy(
         F.desc("fc_cos"), F.asc("coarse_id")
     )
-    fine2coarse = (
+    return (
         fine.join(F.broadcast(coarse))
         .select(
             "centroid_id",
@@ -403,6 +394,31 @@ def route_fine_cells(
         .filter(F.col("rn") == 1)
         .select("centroid_id", "cv", "ncv", "coarse_id")
     )
+
+
+def route_fine_cells(
+    e: DataFrame,
+    fine: DataFrame,
+    coarse: DataFrame,
+    n_fine: int,
+    n_coarse: int,
+    fine2coarse: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level routed fine-cell assignment — THE core of the
+    hierarchical quantizer, consumed by sim_topk_ivf_hier (build side
+    n_fine=1, query side n_fine=n_probe) and dedup_semantic_semdedup's
+    large-corpus path: each vector in ``e`` (vec_id, v, nv) scores the
+    √k coarse cells, routes into its ``n_coarse`` nearest, scores only
+    the fine centroids living there (~n_coarse·√k instead of all k), and
+    keeps its ``n_fine`` nearest — O(n·√k) total, so k may grow ∝ n.
+    ``fine`` is (centroid_id, cv, ncv), ``coarse`` is (coarse_id, ccv,
+    nccv), both broadcast model tables; pass ``fine2coarse`` to share
+    one routing table across several calls. Tiebreaks (desc cos, asc id)
+    match the direct assignment everywhere else, so where routing finds
+    the true nearest cells the output is row-identical to the flat
+    argmax."""
+    if fine2coarse is None:
+        fine2coarse = fine_to_coarse(fine, coarse)
     route_w = Window.partitionBy("vec_id").orderBy(
         F.desc("vc_cos"), F.asc("coarse_id")
     )
@@ -480,65 +496,17 @@ def sim_topk_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = corpus_coarse_centroids(spark, sf_dir).withColumn(
         "nccv", norm(F.col("ccv"))
     )
-    # Fine centroids route to their nearest coarse cell once (k×√k dots,
-    # in-plan — this IS the "cluster the centroids" step).
-    f2c_w = Window.partitionBy("centroid_id").orderBy(
-        F.desc("fc_cos"), F.asc("coarse_id")
-    )
-    fine2coarse = (
-        fine.join(F.broadcast(coarse))
-        .select(
-            "centroid_id",
-            "cv",
-            "ncv",
-            "coarse_id",
-            F.round(
-                dot(F.col("cv"), F.col("ccv")) / (F.col("ncv") * F.col("nccv")),
-                6,
-            ).alias("fc_cos"),
-        )
-        .withColumn("rn", F.row_number().over(f2c_w))
-        .filter(F.col("rn") == 1)
-        .select("centroid_id", "cv", "ncv", "coarse_id")
-    )
-    # Level 1: every vector scores the √k coarse cells and keeps its
-    # N_COARSE_PROBE nearest — the only corpus-wide scoring pass.
-    route_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("vc_cos"), F.asc("coarse_id")
-    )
-    routed = (
-        e.join(F.broadcast(coarse))
-        .select(
-            "vec_id",
-            "v",
-            "nv",
-            "coarse_id",
-            F.round(
-                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
-            ).alias("vc_cos"),
-        )
-        .withColumn("crn", F.row_number().over(route_w))
-        .filter(F.col("crn") <= N_COARSE_PROBE)
-        .select("vec_id", "v", "nv", "coarse_id")
-    )
-    # Level 2: score only the fine centroids inside the routed coarse
-    # cells (~N_COARSE_PROBE·k/√k per vector instead of all k).
-    scored_fine = routed.join(F.broadcast(fine2coarse), "coarse_id").select(
-        "vec_id",
-        "v",
-        "nv",
-        "centroid_id",
-        F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
-        ).alias("c_cos"),
-    )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    assigned = (
-        scored_fine.withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "nv", "centroid_id")
+    # Fine centroids route to their nearest coarse cell once (the
+    # "cluster the centroids" step), shared by the build- and query-side
+    # routing below (round-9 refactor: both sides now call the SAME
+    # route_fine_cells helper that dedup_semantic_semdedup's large-corpus
+    # path uses, so a tiebreak or rounding tweak cannot desynchronize the
+    # consumers).
+    fine2coarse = fine_to_coarse(fine, coarse)
+    # Build side: every vector routes through N_COARSE_PROBE coarse cells
+    # and keeps its single nearest fine cell — the only corpus-wide pass.
+    assigned = route_fine_cells(
+        e, fine, coarse, n_fine=1, n_coarse=N_COARSE_PROBE, fine2coarse=fine2coarse
     )
     # Queries re-route with a WIDER coarse probe (standard IVF practice:
     # search-side probing ≫ build-side — queries are few, so the extra
@@ -547,39 +515,18 @@ def sim_topk_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # route capped recall@10 at 0.37 because globally 3rd/4th-best fine
     # cells often live in a third coarse cell; 2·n_probe coarse cells
     # recover the single-level probe set almost exactly.
-    q_routed = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(coarse))
-        .select(
-            "vec_id",
-            "v",
-            "nv",
-            "coarse_id",
-            F.round(
-                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
-            ).alias("vc_cos"),
-        )
-        .withColumn("crn", F.row_number().over(route_w))
-        .filter(F.col("crn") <= 2 * n_probe)
-        .select("vec_id", "v", "nv", "coarse_id")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    probes = (
-        q_routed.join(F.broadcast(fine2coarse), "coarse_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nv").alias("nq"),
-            "centroid_id",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
-            ).alias("c_cos"),
-        )
-        .withColumn("prn", F.row_number().over(probe_w))
-        .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "nq", "centroid_id")
+    probes = route_fine_cells(
+        e.filter(F.col("vec_id") < N_QUERIES),
+        fine,
+        coarse,
+        n_fine=n_probe,
+        n_coarse=2 * n_probe,
+        fine2coarse=fine2coarse,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        "centroid_id",
     )
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
@@ -1846,9 +1793,10 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = trunc_rank.join(
         full_rank.withColumnRenamed("neighbor_id", "hit_id"), ["query_id"]
     ).filter(F.col("neighbor_id") == F.col("hit_id"))
-    per_q = trunc_rank.groupBy("trunc_dim", "query_id").agg(
-        F.count(F.lit(1)).alias("n_ret")
-    )
+    # recall is normalized by the CONSTANT TOP_K (both rankings always
+    # return exactly TOP_K rows per query here), so per-query state is
+    # just group existence — no per-group count is needed.
+    per_q = trunc_rank.select("trunc_dim", "query_id").distinct()
     hit_counts = hits.groupBy("trunc_dim", "query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

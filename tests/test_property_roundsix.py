@@ -208,13 +208,18 @@ def test_holt_linear_matches_sequential_reference(spark, sf_dir):
             level = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (level + trend)
             trend = _HOLT_BETA * (level - prev) + (1.0 - _HOLT_BETA) * trend
         for h in range(1, _HOLT_H + 1):
-            # Spark F.round on a double is BigDecimal(double).setScale(6,
-            # HALF_UP) — replicate exactly (Decimal(x) is the exact binary
-            # value, not repr); Python round() would be half-even.
+            # Spark F.round on a double goes through Scala
+            # BigDecimal.decimal(d) = valueOf(Double.toString(d)), i.e. it
+            # rounds the SHORTEST-REPR decimal value HALF_UP — verified
+            # empirically on this Spark (F.round(0.1234565, 6) → 0.123457,
+            # where the exact binary value 0.12345649999... would give
+            # 0.123456). Decimal(repr(x)) replicates that; Decimal(x) or
+            # Python round() would diverge on exactly the midpoint class
+            # this test pins.
             from decimal import ROUND_HALF_UP, Decimal
 
             expect[(key, h)] = float(
-                Decimal(level + h * trend).quantize(
+                Decimal(repr(level + h * trend)).quantize(
                     Decimal("0.000001"), rounding=ROUND_HALF_UP
                 )
             )

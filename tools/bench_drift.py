@@ -111,7 +111,17 @@ def main() -> int:
         sa, sb = aqs.get(SENTINEL), bqs.get(SENTINEL)
         s2a, s2b = aqs.get(SENTINEL2), bqs.get(SENTINEL2)
         if sa and sb and s2a and s2b:
-            m = ((sb / sa) * (s2b / s2a)) ** 0.5
+            # The shuffle sentinel's own ratio is clamped to the same
+            # symmetric band as the median fallback before combining: it
+            # is a single shuffle-bound job on a shared container, and a
+            # one-off IO spike in either round would otherwise skew H by
+            # sqrt(spike) and let a real regression normalize to green.
+            # The CPU sentinel stays unclamped (its recorded range across
+            # all rounds is 0.18-0.27s — well inside the band).
+            m2 = s2b / s2a
+            if not 1.0 / 1.4 <= m2 <= 1.4:
+                m2 = 1.0
+            m = ((sb / sa) * m2) ** 0.5
         elif sa and sb:
             m = sb / sa
         else:

@@ -60,7 +60,27 @@ spark = (
 )
 
 
+def _clear_session_caches():
+    """Drop the session-scoped PERSISTED frames and fitted models between
+    layout runs. Without this, layout B reads the shingle index (and any
+    k-means model) materialized under layout A's partitioning, and every
+    cached-index consumer compares A against A — a vacuous zero-diff
+    (found by round-9 review; the first sweep's dedup-family evidence was
+    overstated exactly this way)."""
+    from recommendation_system_big_data_spark.operators import dedup as _dedup
+    from recommendation_system_big_data_spark.operators import (
+        similarity as _similarity,
+    )
+
+    for cache in (_dedup._SHINGLE_INDEX, _dedup._HOT_SHINGLES):
+        for df in cache.values():
+            df.unpersist(blocking=False)
+        cache.clear()
+    _similarity._FITTED_MODELS.clear()
+
+
 def run(name, shuffle, split_bytes):
+    _clear_session_caches()
     spark.conf.set("spark.sql.shuffle.partitions", shuffle)
     spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
     df = R[name].fn(spark, SF)
