@@ -886,3 +886,112 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-even and could diverge on an exact 6-dp midpoint (r8 ADVICE).
         .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
     )
+
+
+#: Holdout length for the forecast backtest — the last week of each
+#: event_type's daily series is scored against a fit on everything before.
+BACKTEST_HOLDOUT_DAYS = 7
+
+_BACKTEST_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM events GROUP BY 1, 2
+), cut AS (
+    SELECT event_type, MAX(idx) - {BACKTEST_HOLDOUT_DAYS} AS cutoff
+    FROM daily GROUP BY 1
+), d2 AS (
+    SELECT daily.*, cut.cutoff FROM daily JOIN cut USING (event_type)
+), fit AS (
+    SELECT event_type,
+           regr_slope(rev, idx) AS b,
+           regr_intercept(rev, idx) AS a,
+           CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM d2 WHERE idx <= cutoff GROUP BY 1
+), scored AS (
+    SELECT d2.event_type, fit.n_train,
+           d2.rev - (fit.a + fit.b * d2.idx) AS err,
+           d2.rev AS rev
+    FROM d2 JOIN fit USING (event_type) WHERE d2.idx > d2.cutoff
+)
+SELECT event_type,
+       MAX(n_train) AS n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(CAST(abs(err) AS DECIMAL(38,20))) AS DOUBLE)
+             / CAST(SUM(CAST(abs(rev) AS DECIMAL(38,20))) AS DOUBLE), 6)
+           AS wape,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(38,20))) AS DOUBLE)
+             / CAST(SUM(CAST(abs(rev) AS DECIMAL(38,20))) AS DOUBLE), 6)
+           AS bias,
+       ROUND(sqrt(CAST(SUM(CAST(err * err AS DECIMAL(38,20))) AS DOUBLE)
+                  / COUNT(*)), 6) AS rmse
+FROM scored GROUP BY event_type
+"""
+
+
+@register(
+    "ml_backtest_forecast", oracle=_BACKTEST_ORACLE, tags=("timeseries", "ml")
+)
+def ml_backtest_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting — the evaluation loop ts_forecast_linear's
+    docstring promises ("the baseline every fancier forecaster must
+    beat") made executable: per event_type, fit the OLS trend on all but
+    the last BACKTEST_HOLDOUT_DAYS of the daily series, score the
+    holdout, and report WAPE (weighted absolute percentage error — the
+    scale-free number forecast teams actually compare), signed bias
+    (over- vs under-forecasting), and RMSE, plus train/test sizes.
+
+    Shape: one map-combined fold to the (event_type, day) grain is the
+    only data-scaled stage; the per-type cutoffs and fits are |types|-row
+    broadcast model tables; the error rollup aggregates the ≤holdout-
+    sized test slice per type. Cross-engine determinism: the daily fold
+    is DECIMAL-exact, both engines run the same regr_slope/intercept
+    over identical inputs (the ts_forecast_linear convention), and every
+    error sum accumulates through decimal(38,20) so partition order
+    cannot move the ROUND(,6) hash."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    cut = daily.groupBy("event_type").agg(
+        (F.max("idx") - BACKTEST_HOLDOUT_DAYS).alias("cutoff")
+    )
+    d2 = daily.join(F.broadcast(cut), "event_type")
+    fit = (
+        d2.filter(F.col("idx") <= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.regr_slope("rev", "idx").alias("b"),
+            F.regr_intercept("rev", "idx").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+    )
+    err = F.col("rev") - (F.col("a") + F.col("b") * F.col("idx"))
+    scored = (
+        d2.filter(F.col("idx") > F.col("cutoff"))
+        .join(F.broadcast(fit), "event_type")
+        .select("event_type", "n_train", err.alias("err"), "rev")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(38,20)")).cast("double")  # noqa: E731
+    return scored.groupBy("event_type").agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(dsum(F.abs(F.col("err"))) / dsum(F.abs(F.col("rev"))), 6).alias(
+            "wape"
+        ),
+        F.round(dsum(F.col("err")) / dsum(F.abs(F.col("rev"))), 6).alias("bias"),
+        F.round(
+            F.sqrt(dsum(F.col("err") * F.col("err")) / F.count(F.lit(1))), 6
+        ).alias("rmse"),
+    )
