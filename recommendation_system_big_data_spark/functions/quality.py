@@ -857,3 +857,109 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (raw > 0).alias("keep"),
         )
     )
+
+
+#: Quality-funnel stage thresholds, chosen against the fixture metric
+#: distributions (sf0.01 quantiles: n_words p5=16/p25=32; dup_word_ratio
+#: p75=0.64/p95=0.69; top_word_share p75=0.11/p95=0.16) so EVERY stage
+#: both drops and keeps documents at test scale — a funnel whose stages
+#: are vacuous at the driver's SF proves nothing (the r8 VERDICT's
+#: 0-rows-green lesson). All three metrics are exact-integer ratios, so
+#: the comparisons are engine-exact.
+QF_MIN_WORDS = 24
+QF_MAX_DUP_RATIO = 0.65
+QF_MAX_TOP_SHARE = 0.12
+
+_QFUNNEL_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang, word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+          FROM documents) t
+    GROUP BY 1, 2, 3
+), g AS (
+    SELECT doc_id, lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ratio,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_share
+    FROM w GROUP BY 1, 2
+), flags AS (
+    SELECT lang,
+           (n_words >= {QF_MIN_WORDS}) AS p1,
+           (n_words >= {QF_MIN_WORDS}
+            AND dup_ratio <= {QF_MAX_DUP_RATIO}) AS p2,
+           (n_words >= {QF_MIN_WORDS}
+            AND dup_ratio <= {QF_MAX_DUP_RATIO}
+            AND top_share <= {QF_MAX_TOP_SHARE}) AS p3
+    FROM g
+), c AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(COUNT(CASE WHEN p1 THEN 1 END) AS BIGINT) AS n1,
+           CAST(COUNT(CASE WHEN p2 THEN 1 END) AS BIGINT) AS n2,
+           CAST(COUNT(CASE WHEN p3 THEN 1 END) AS BIGINT) AS n3
+    FROM flags GROUP BY lang
+)
+SELECT CAST(1 AS BIGINT) AS stage_id, 'min_length' AS stage, lang,
+       n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'dup_word_ratio', lang, n1, n1 - n2, n2 FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'top_word_share', lang, n2, n2 - n3, n3 FROM c
+"""
+
+
+@register(
+    "pipeline_quality_funnel", oracle=_QFUNNEL_ORACLE, tags=("text", "quality")
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality half of the corpus-prep funnel (pipeline_dedup_cascade
+    is the dedup half): Gopher-class filters applied as ORDERED stages —
+    minimum length, duplicate-word mass, top-word dominance — reported
+    per (stage, lang) as in/dropped/out counts, the panel a data-quality
+    dashboard plots per crawl snapshot to see WHERE documents die (a
+    combined pass flag, text_gopher_quality's output, can't tell
+    'too short' from 'boilerplate-dominated').
+
+    Cheaper than the dedup half by construction: ONE wordcount-skeleton
+    pass computes all three per-doc metrics, stage membership is three
+    nested boolean flags in the same projection (no joins, no second
+    scan), and the funnel rows are one |langs|-row aggregate unioned
+    three ways. All metrics are exact-integer ratios in double, so the
+    threshold comparisons cannot flip between engines. At 100 TB: the
+    standard two-shuffle wordcount shape keyed on doc_id, then
+    |langs|-sized tables."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_words = F.sum("cnt")
+    g = w.groupBy("doc_id", "lang").agg(
+        n_words.cast("long").alias("n_words"),
+        (1 - F.count(F.lit(1)).cast("double") / n_words).alias("dup_ratio"),
+        (F.max("cnt").cast("double") / n_words).alias("top_share"),
+    )
+    p1 = F.col("n_words") >= QF_MIN_WORDS
+    p2 = p1 & (F.col("dup_ratio") <= QF_MAX_DUP_RATIO)
+    p3 = p2 & (F.col("top_share") <= QF_MAX_TOP_SHARE)
+    c = g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count(F.when(p1, 1)).cast("long").alias("n1"),
+        F.count(F.when(p2, 1)).cast("long").alias("n2"),
+        F.count(F.when(p3, 1)).cast("long").alias("n3"),
+    )
+    def stage(sid: int, name: str, n_in, n_out):
+        return c.select(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "lang",
+            F.col(n_in).alias("n_in"),
+            (F.col(n_in) - F.col(n_out)).cast("long").alias("n_dropped"),
+            F.col(n_out).alias("n_out"),
+        )
+    return (
+        stage(1, "min_length", "n0", "n1")
+        .unionByName(stage(2, "dup_word_ratio", "n1", "n2"))
+        .unionByName(stage(3, "top_word_share", "n2", "n3"))
+    )
