@@ -1863,3 +1863,98 @@ def dedup_cascade_report(d: DataFrame) -> DataFrame:
         )
     )
     return stage1.unionByName(stage2)
+
+
+#: Documents per synthetic crawl snapshot for the novelty profile: doc_id
+#: integer-divided into contiguous blocks, a stand-in for the crawl-date
+#: partition a real corpus carries. 100 docs/snapshot gives 5 snapshots at
+#: the sf0.001/sf0.01 fixtures and 50 at sf0.1 — enough rows to see the
+#: novelty curve fall as the shingle universe saturates.
+NOVELTY_SNAPSHOT_DOCS = 100
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id // {NOVELTY_SNAPSHOT_DOCS} AS snapshot_id, s AS shingle
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                   i -> concat_ws(' ', string_split(text,' ')[i],
+                                       string_split(text,' ')[i+1],
+                                       string_split(text,' ')[i+2])))) AS s
+        FROM documents
+    ) t
+), first_seen AS (
+    SELECT shingle, MIN(snapshot_id) AS first_snap FROM sh GROUP BY shingle
+), docs AS (
+    SELECT doc_id // {NOVELTY_SNAPSHOT_DOCS} AS snapshot_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+)
+SELECT CAST(sh.snapshot_id AS BIGINT) AS snapshot_id,
+       CAST(MAX(docs.n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN f.first_snap = sh.snapshot_id THEN 1 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(COUNT(CASE WHEN f.first_snap = sh.snapshot_id THEN 1 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh
+JOIN first_seen f USING (shingle)
+JOIN docs ON docs.snapshot_id = sh.snapshot_id
+GROUP BY sh.snapshot_id
+"""
+
+
+@register("dedup_snapshot_novelty", oracle=_NOVELTY_ORACLE, tags=("dedup", "text"))
+def dedup_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot novelty profile: for each snapshot (contiguous
+    doc_id block standing in for a crawl date), the fraction of its
+    DISTINCT 3-gram shingles never seen in any EARLIER snapshot — the
+    curve a crawl operator watches to decide when re-crawling stops
+    paying (novelty → 0 means the pipeline is re-ingesting what dedup
+    will delete anyway; the aggregate view of what
+    dedup_incremental_near decides per document).
+
+    Shape: the (snapshot, distinct-shingle) stream is one explode +
+    distinct; first-seen is a min aggregate keyed on shingle (map-side
+    combined); the join back is shingle-keyed — the wordcount skeleton
+    twice, no pair materialization anywhere, so the cost class is
+    TF-IDF's, not the near-dup join's. Counts and the novelty ratio are
+    exact integers / exact ratio — engine-exact at any partitioning."""
+    sh = (
+        _exploded_index(spark, sf_dir)
+        .select(
+            (F.col("doc_id") / NOVELTY_SNAPSHOT_DOCS)
+            .cast("long")
+            .alias("snapshot_id"),
+            "shingle",
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("shingle").agg(
+        F.min("snapshot_id").alias("first_snap")
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            (F.col("doc_id") / NOVELTY_SNAPSHOT_DOCS)
+            .cast("long")
+            .alias("snapshot_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    novel = F.count(F.when(F.col("first_snap") == F.col("snapshot_id"), 1))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("snapshot_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+        .join(F.broadcast(docs), "snapshot_id")
+        .select(
+            "snapshot_id", "n_docs", "n_shingles", "n_novel", "novelty"
+        )
+    )
