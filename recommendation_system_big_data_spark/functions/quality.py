@@ -45,43 +45,62 @@ FROM g
 """
 
 
+def doc_word_stats(
+    docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """The per-document word-statistics skeleton BOTH text_gopher_quality
+    and pipeline_quality_funnel consume (factored in r9 so their metric
+    expressions cannot desynchronize — the cross-engine exactness of both
+    queries rests on these exact-integer-ratio formulas being identical):
+    one explode to (keys, word), a (keys, word) count aggregate, a
+    per-keys rollup — both aggregates map-side combined. Ratios are RAW
+    (unrounded) doubles; callers round for display and flag on the
+    convention they document."""
+    w = (
+        docs.select(*keys, F.explode(F.split("text", " ")).alias("word"))
+        .groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_words = F.sum("cnt")
+    return w.groupBy(*keys).agg(
+        n_words.cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        (1 - F.count(F.lit(1)).cast("double") / n_words).alias(
+            "dup_word_ratio_raw"
+        ),
+        (
+            F.sum(F.length("word") * F.col("cnt")).cast("double") / n_words
+        ).alias("mean_word_len_raw"),
+        (F.max("cnt").cast("double") / n_words).alias("top_word_share_raw"),
+        (
+            F.sum(
+                F.when(F.col("word").isin(*STOPWORDS), F.col("cnt")).otherwise(0)
+            ).cast("double")
+            / n_words
+        ).alias("stopword_ratio_raw"),
+    )
+
+
 @register("text_gopher_quality", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document quality report (Rae et al. 2021 §A1.1 class of
     filters): word count bounds, mean word length band, top-word dominance,
     duplicate-word mass, stopword ratio, and the combined pass flag.
 
-    Plan: one explode to (doc, word), a (doc, word) count aggregate, a
-    per-doc rollup — both aggregates map-side combined, keyed on doc_id so
-    the second shuffle is narrow. Every ratio is exact-integer / exact-
-    integer in double, so the comparison thresholds are engine-exact and
-    the pass flag cannot flip between engines. At 100 TB this is the
-    standard two-shuffle wordcount skeleton; no state grows with corpus
-    size beyond the (doc, distinct-word) stream."""
-    words = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    n_words = F.sum("cnt")
-    per_doc = words.groupBy("doc_id").agg(
-        n_words.cast("long").alias("n_words"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
-        F.round(1 - F.count(F.lit(1)).cast("double") / n_words, 6).alias(
-            "dup_word_ratio"
-        ),
-        F.round(
-            F.sum(F.length("word") * F.col("cnt")).cast("double") / n_words, 6
-        ).alias("mean_word_len"),
-        F.round(F.max("cnt").cast("double") / n_words, 6).alias("top_word_share"),
-        F.round(
-            F.sum(
-                F.when(F.col("word").isin(*STOPWORDS), F.col("cnt")).otherwise(0)
-            ).cast("double")
-            / n_words,
-            6,
-        ).alias("stopword_ratio"),
+    Plan: doc_word_stats' two-shuffle wordcount skeleton keyed on doc_id.
+    Every ratio is exact-integer / exact-integer in double, so the
+    comparison thresholds are engine-exact and the pass flag cannot flip
+    between engines (the flag evaluates the ROUNDED values, matching the
+    oracle). At 100 TB no state grows with corpus size beyond the
+    (doc, distinct-word) stream."""
+    per_doc = doc_word_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round("dup_word_ratio_raw", 6).alias("dup_word_ratio"),
+        F.round("mean_word_len_raw", 6).alias("mean_word_len"),
+        F.round("top_word_share_raw", 6).alias("top_word_share"),
+        F.round("stopword_ratio_raw", 6).alias("stopword_ratio"),
     )
     return per_doc.withColumn(
         "gopher_pass",
@@ -920,29 +939,22 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined pass flag, text_gopher_quality's output, can't tell
     'too short' from 'boilerplate-dominated').
 
-    Cheaper than the dedup half by construction: ONE wordcount-skeleton
-    pass computes all three per-doc metrics, stage membership is three
-    nested boolean flags in the same projection (no joins, no second
-    scan), and the funnel rows are one |langs|-row aggregate unioned
-    three ways. All metrics are exact-integer ratios in double, so the
-    threshold comparisons cannot flip between engines. At 100 TB: the
-    standard two-shuffle wordcount shape keyed on doc_id, then
-    |langs|-sized tables."""
-    w = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    n_words = F.sum("cnt")
-    g = w.groupBy("doc_id", "lang").agg(
-        n_words.cast("long").alias("n_words"),
-        (1 - F.count(F.lit(1)).cast("double") / n_words).alias("dup_ratio"),
-        (F.max("cnt").cast("double") / n_words).alias("top_share"),
+    Cheaper than the dedup half by construction: doc_word_stats' ONE
+    wordcount-skeleton pass (shared with text_gopher_quality, so the
+    metric expressions are identical by construction) computes all
+    per-doc metrics, stage membership is three nested boolean flags in
+    the same projection (no joins, no second scan), and the funnel rows
+    are one |langs|-row aggregate unioned three ways. All metrics are
+    exact-integer ratios in double, so the threshold comparisons cannot
+    flip between engines (flags evaluate the RAW ratios, matching the
+    oracle). At 100 TB: the standard two-shuffle wordcount shape keyed
+    on doc_id, then |langs|-sized tables."""
+    g = doc_word_stats(
+        load(spark, sf_dir, "documents"), keys=("doc_id", "lang")
     )
     p1 = F.col("n_words") >= QF_MIN_WORDS
-    p2 = p1 & (F.col("dup_ratio") <= QF_MAX_DUP_RATIO)
-    p3 = p2 & (F.col("top_share") <= QF_MAX_TOP_SHARE)
+    p2 = p1 & (F.col("dup_word_ratio_raw") <= QF_MAX_DUP_RATIO)
+    p3 = p2 & (F.col("top_word_share_raw") <= QF_MAX_TOP_SHARE)
     c = g.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
         F.count(F.when(p1, 1)).cast("long").alias("n1"),

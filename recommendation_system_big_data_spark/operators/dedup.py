@@ -1920,14 +1920,13 @@ def dedup_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice, no pair materialization anywhere, so the cost class is
     TF-IDF's, not the near-dup join's. Counts and the novelty ratio are
     exact integers / exact ratio — engine-exact at any partitioning."""
+    # floor division, matching the oracle's DuckDB `//` for ANY sign —
+    # (x / N).cast("long") would truncate toward zero and diverge on a
+    # negative sentinel/backfill doc_id (r9 review).
+    snap = F.floor(F.col("doc_id") / NOVELTY_SNAPSHOT_DOCS).cast("long")
     sh = (
         _exploded_index(spark, sf_dir)
-        .select(
-            (F.col("doc_id") / NOVELTY_SNAPSHOT_DOCS)
-            .cast("long")
-            .alias("snapshot_id"),
-            "shingle",
-        )
+        .select(snap.alias("snapshot_id"), "shingle")
         .distinct()
     )
     first_seen = sh.groupBy("shingle").agg(
@@ -1935,11 +1934,7 @@ def dedup_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = (
         load(spark, sf_dir, "documents")
-        .groupBy(
-            (F.col("doc_id") / NOVELTY_SNAPSHOT_DOCS)
-            .cast("long")
-            .alias("snapshot_id")
-        )
+        .groupBy(snap.alias("snapshot_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     novel = F.count(F.when(F.col("first_snap") == F.col("snapshot_id"), 1))

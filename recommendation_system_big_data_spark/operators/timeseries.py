@@ -905,10 +905,18 @@ WITH daily AS (
     SELECT daily.*, cut.cutoff FROM daily JOIN cut USING (event_type)
 ), fit AS (
     SELECT event_type,
-           regr_slope(rev, idx) AS b,
-           regr_intercept(rev, idx) AS a,
-           CAST(COUNT(*) AS BIGINT) AS n_train
-    FROM d2 WHERE idx <= cutoff GROUP BY 1
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a,
+           CAST(n AS BIGINT) AS n_train
+    FROM (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(CAST(idx AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(rev AS DECIMAL(38,20))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(idx AS DOUBLE) * rev AS DECIMAL(38,20))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(idx AS DOUBLE) * CAST(idx AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS sxx
+        FROM d2 WHERE idx <= cutoff GROUP BY 1
+    )
 ), scored AS (
     SELECT d2.event_type, fit.n_train,
            d2.rev - (fit.a + fit.b * d2.idx) AS err,
@@ -946,10 +954,13 @@ def ml_backtest_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     only data-scaled stage; the per-type cutoffs and fits are |types|-row
     broadcast model tables; the error rollup aggregates the ≤holdout-
     sized test slice per type. Cross-engine determinism: the daily fold
-    is DECIMAL-exact, both engines run the same regr_slope/intercept
-    over identical inputs (the ts_forecast_linear convention), and every
-    error sum accumulates through decimal(38,20) so partition order
-    cannot move the ROUND(,6) hash."""
+    is DECIMAL-exact, the OLS coefficients come from exact-decimal
+    moment sums divided once — NOT regr_slope/intercept, whose double
+    accumulation is partition-order-dependent and gets amplified by
+    idx ≈ 2·10⁴ before the error metrics (the embedding_covariance
+    knife-edge class) — and every error sum accumulates through
+    decimal(38,20), so partition order cannot move the ROUND(,6) hash
+    at any layout."""
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(
@@ -968,14 +979,33 @@ def ml_backtest_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("idx") - BACKTEST_HOLDOUT_DAYS).alias("cutoff")
     )
     d2 = daily.join(F.broadcast(cut), "event_type")
-    fit = (
+    # OLS coefficients from exact-decimal moment sums divided once, NOT
+    # regr_slope/regr_intercept: the builtin accumulates doubles in
+    # partition order, which is the embedding_covariance knife-edge class
+    # (r8) — an ulp shift in b is amplified by idx ≈ 2·10⁴ before the
+    # ROUND(,6) error metrics. With decimal Σx/Σy/Σxy/Σx² both engines
+    # evaluate one identical IEEE expression for (b, a).
+    xd = F.col("idx").cast("double")
+    dsum = lambda c: F.sum(c.cast("decimal(38,20)")).cast("double")  # noqa: E731
+    moments = (
         d2.filter(F.col("idx") <= F.col("cutoff"))
         .groupBy("event_type")
         .agg(
-            F.regr_slope("rev", "idx").alias("b"),
-            F.regr_intercept("rev", "idx").alias("a"),
-            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum(xd).alias("sx"),
+            dsum(F.col("rev")).alias("sy"),
+            dsum(xd * F.col("rev")).alias("sxy"),
+            dsum(xd * xd).alias("sxx"),
         )
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = moments.select(
+        "event_type",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+        F.col("n").cast("long").alias("n_train"),
     )
     err = F.col("rev") - (F.col("a") + F.col("b") * F.col("idx"))
     scored = (
