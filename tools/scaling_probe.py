@@ -45,6 +45,16 @@ PROBES = [
     ("sim_topk_lsh", 4.0),
     ("sim_topk_ivfpq", 4.0),
     ("dedup_semantic_semdedup", 4.0),
+    # round-9 additions (documents/events step 10x, embeddings 4x)
+    ("pipeline_dedup_cascade", 10.0),
+    ("pipeline_quality_funnel", 10.0),
+    ("text_dsir_importance", 10.0),
+    ("text_tokenizer_fertility", 10.0),
+    ("dedup_snapshot_novelty", 10.0),
+    ("ml_backtest_forecast", 10.0),
+    ("stat_trend_mann_kendall", 10.0),
+    ("sim_topk_truncated_rerank", 4.0),
+    ("embedding_matryoshka_eval", 4.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
