@@ -1084,3 +1084,96 @@ def stat_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+#: SPRT hypotheses and error rates: simple H0 p=0.48 vs H1 p=0.52 on the
+#: daily purchase share of purchase+click traffic (fixture mix ≈ 0.5, so
+#: the LLR genuinely wanders instead of saturating on day one), with
+#: alpha = beta = 0.05 giving the classic symmetric ln(19) boundaries.
+SPRT_P0 = 0.48
+SPRT_P1 = 0.52
+SPRT_BOUND = 19.0  # (1-beta)/alpha = 0.95/0.05
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS conversions,
+           CAST(COUNT(CASE WHEN event_type IN ('purchase', 'click') THEN 1 END)
+                AS BIGINT) AS trials
+    FROM events GROUP BY 1
+), llr AS (
+    SELECT day, conversions, trials,
+           conversions * ln({SPRT_P1} / {SPRT_P0})
+             + (trials - conversions)
+               * ln((1 - {SPRT_P1}) / (1 - {SPRT_P0})) AS llr
+    FROM daily
+), cum AS (
+    SELECT day, conversions, trials, llr,
+           SUM(llr) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_llr
+    FROM llr
+)
+SELECT day, conversions, trials,
+       ROUND(llr, 6) AS llr,
+       ROUND(cum_llr, 6) AS cum_llr,
+       CASE WHEN cum_llr >= ln({SPRT_BOUND}) THEN 'accept_h1'
+            WHEN cum_llr <= -ln({SPRT_BOUND}) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+@register(
+    "stat_sprt_sequential", oracle=_SPRT_ORACLE, tags=("profile", "experiment")
+)
+def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the daily purchase
+    share of purchase+click traffic — the peek-as-you-go experimentation
+    primitive (fixed-horizon tests like stat_ttest_welch forbid early
+    stopping; SPRT's cumulative log-likelihood ratio with ±ln((1-β)/α)
+    boundaries is the classic always-valid alternative). Per day: the
+    day's LLR contribution, the running total, and the decision state
+    the experimenter would have seen that evening.
+
+    Shape: one map-combined fold of the fact table to the bounded daily
+    grain is the only data-scaled stage; the cumulative sum is a window
+    over ≤ retention-period days (the module's documented bounded-grain
+    convention). Determinism: counts are exact integers, both engines
+    evaluate the identical LLR expression over them (the shared ln
+    convention), and the running sum accumulates in frame order — so
+    the boundary comparisons cannot flip between engines."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("conversions"),
+            F.count(
+                F.when(F.col("event_type").isin("purchase", "click"), 1)
+            )
+            .cast("long")
+            .alias("trials"),
+        )
+    )
+    c1 = F.log(F.lit(SPRT_P1) / F.lit(SPRT_P0))
+    c2 = F.log((1 - F.lit(SPRT_P1)) / (1 - F.lit(SPRT_P0)))
+    llr = F.col("conversions") * c1 + (F.col("trials") - F.col("conversions")) * c2
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", "conversions", "trials", llr.alias("llr")
+    ).withColumn("cum_llr", F.sum("llr").over(w))
+    bound = F.log(F.lit(SPRT_BOUND))
+    return cum.select(
+        "day",
+        "conversions",
+        "trials",
+        F.round("llr", 6).alias("llr"),
+        F.round("cum_llr", 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= bound, "accept_h1")
+        .when(F.col("cum_llr") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -106,19 +106,19 @@ _loaded = False
 #: the 0-row evidence), and the first 37 of the r1/r2-vintage
 #: re-verification backlog (alphabetical).
 #:
-#: ROUND-10 QUEUE, part A — round-9 SESSION ADDITIONS (9 names, all
+#: ROUND-10 QUEUE, part A — round-9 SESSION ADDITIONS (10 names, all
 #: oracle-bearing, added AFTER this round's window was frozen, so none
 #: has a driver row yet; every one is oracle-green at sf0.001 AND
 #: sf0.01 via check_queries plus the two-layout ulp sweep on the day it
 #: landed — these take window priority in r10):
 #:   dedup_snapshot_novelty embedding_matryoshka_eval
 #:   ml_backtest_forecast pipeline_dedup_cascade pipeline_quality_funnel
-#:   sim_topk_truncated_rerank stat_trend_mann_kendall
-#:   text_dsir_importance text_tokenizer_fertility
+#:   sim_topk_truncated_rerank stat_sprt_sequential
+#:   stat_trend_mann_kendall text_dsir_importance text_tokenizer_fertility
 #:
 #: ROUND-10 QUEUE, part B (46 names — the remaining r1/r2-vintage green
-#: rows; part A + the first 41 of these fill the 50-slot window; the
-#: last 5 roll to r11):
+#: rows; part A + the first 40 of these fill the 50-slot window; the
+#: last 6 roll to r11):
 #:   join_left_agg join_left_dim join_range_band join_salted_skew join_semi
 #:   json_extract json_from_json multimodal_decode multimodal_frame_sample
 #:   multimodal_meta multimodal_resize pipeline_corpus_prep
