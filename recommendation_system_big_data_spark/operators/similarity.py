@@ -893,24 +893,47 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_COV_DIMS = 16
 
+#: Per-element quantization: nano-units via FLOOR on the double product of
+#: an exact float32→double cast and the exact literal 1e9. FLOOR of a double
+#: is a pure function of its bits — no rounding MODE exists to diverge.
+COV_QUANT = 1_000_000_000  # 1e9 — element nano-units
+#: cov_micros = round_half_away(num / (n² · 1e12)) where num is in units of
+#: 1e-18 (nano × nano) and the output is micro-units (1e-6).
+COV_OUT_DIV = 1_000_000_000_000  # 1e12 = 1e18 / 1e6
+
 _COV_ORACLE = f"""
 WITH pairs AS (
     SELECT gi.i, gj.j,
-           CAST(e.embedding[gi.i] AS DOUBLE) AS x,
-           CAST(e.embedding[gj.j] AS DOUBLE) AS y
+           CAST(FLOOR(CAST(e.embedding[gi.i] AS DOUBLE) * 1000000000.0)
+                AS BIGINT) AS xq,
+           CAST(FLOOR(CAST(e.embedding[gj.j] AS DOUBLE) * 1000000000.0)
+                AS BIGINT) AS yq
     FROM embeddings e,
          range(1, {N_COV_DIMS + 1}) gi(i),
          range(1, {N_COV_DIMS + 1}) gj(j)
     WHERE gj.j >= gi.i
+),
+sums AS (
+    SELECT i, j,
+           CAST(COUNT(*) AS HUGEINT)        AS n,
+           SUM(CAST(xq AS HUGEINT) * yq)    AS sxy,
+           SUM(CAST(xq AS HUGEINT))         AS sx,
+           SUM(CAST(yq AS HUGEINT))         AS sy
+    FROM pairs
+    GROUP BY i, j
+),
+nums AS (
+    SELECT i, j,
+           n * sxy - sx * sy                 AS num,
+           n * n * {COV_OUT_DIV}::HUGEINT    AS d
+    FROM sums
 )
 SELECT i, j,
-       ROUND(
-           CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)
-           - (CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(y AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)),
-           6) AS cov
-FROM pairs
-GROUP BY i, j
+       CAST(CASE WHEN num < 0
+                 THEN -((-num - num + d) // (d + d))
+                 ELSE ((num + num + d) // (d + d))
+            END AS BIGINT) AS cov_micros
+FROM nums
 """
 
 
@@ -931,24 +954,48 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-explosion factor d²/2 stops being free around d≈64; the
     aggregation algebra is identical.
 
-    Cross-engine + cross-partitioning determinism (r8 VERDICT: the only
-    red driver row was this query, one covar_pop value landing on a
-    ROUND(,6) half-ulp knife edge that partial-aggregation summation
-    order could tip): covariance is computed as E[xy] − E[x]·E[y] over
-    exact-decimal(38,20) sums divided once — decimal addition is exact
-    and associative, so the shuffled partials produce bit-identical sums
-    at any partition count — and the DuckDB oracle mirrors the identical
-    algebra instead of COVAR_POP. Same convention as
-    embedding_standardize one function up."""
+    Cross-engine + cross-partitioning determinism (r8+r9 VERDICT: this
+    query was the only red driver row two rounds running — first a
+    COVAR_POP ROUND(,6) half-ulp knife edge that partial-aggregation
+    order could tip, then, after the exact-decimal-sums rewrite, a
+    residual divergence in the double-exit path: Spark rounds doubles
+    via exact BigDecimal HALF_UP while DuckDB scales-and-rounds the
+    binary double, so ANY rounded-double output carries cross-version
+    risk). r10 per the r9 verdict: NO float is ever rounded or hashed.
+    Each element is quantized to integer nano-units with
+    FLOOR(x·1e9) — the float32→double cast and the ×1e9 double multiply
+    are IEEE-identical in both engines and FLOOR is a pure function of
+    the double's bits, with no rounding mode to diverge — then every
+    subsequent op is exact integer arithmetic: per-term xq·yq products
+    fit a BIGINT (|xq|<6e8), sums are exact decimals / HUGEINTs,
+    num = n·Σxy − Σx·Σy is the exact scaled covariance numerator, and
+    the output cov_micros BIGINT is round-half-away-from-zero integer
+    division (|num|·2 + d) div (d·2) with d = n²·1e12, mirrored
+    verbatim in the DuckDB oracle. Integers hash identically on every
+    engine and every version. Decimal widths are budgeted so every
+    multiply is exact in BOTH engines (Spark p1+p2+1 ≤ 38, DuckDB
+    w1+w2 ≤ 38): magnitudes at sf1 stay ≤ ~1e26 ≪ 1e38."""
     dims = spark.range(1, N_COV_DIMS + 1).select(F.col("id").cast("int"))
     gi = F.broadcast(dims.select(F.col("id").alias("i")))
     gj = F.broadcast(dims.select(F.col("id").alias("j")))
-    x = F.element_at("embedding", F.col("i")).cast("double")
-    y = F.element_at("embedding", F.col("j")).cast("double")
-    n = F.count(F.lit(1))
-    exy = F.sum((x * y).cast("decimal(38,20)")).cast("double") / n
-    ex = F.sum(x.cast("decimal(38,20)")).cast("double") / n
-    ey = F.sum(y.cast("decimal(38,20)")).cast("double") / n
+    xq = F.floor(
+        F.element_at("embedding", F.col("i")).cast("double") * F.lit(1000000000.0)
+    ).cast("long")
+    yq = F.floor(
+        F.element_at("embedding", F.col("j")).cast("double") * F.lit(1000000000.0)
+    ).cast("long")
+    n_dec = F.count(F.lit(1)).cast("decimal(8,0)")
+    # Per-term xq·yq < 4e17 fits a BIGINT; the SUM accumulates in decimal
+    # (exact, no long overflow at any n — sum(decimal(19,0)) → decimal(29,0)).
+    sxy = F.sum((xq * yq).cast("decimal(19,0)")).cast("decimal(26,0)")
+    sx = F.sum(xq.cast("decimal(19,0)")).cast("decimal(16,0)")
+    sy = F.sum(yq.cast("decimal(19,0)")).cast("decimal(16,0)")
+    num = (n_dec * sxy - sx * sy).alias("num")
+    d = (n_dec * n_dec * F.lit(COV_OUT_DIV).cast("decimal(13,0)")).alias("d")
+    half_up = F.expr(
+        "CASE WHEN num < 0 THEN -((-num - num + d) div (d + d)) "
+        "ELSE ((num + num + d) div (d + d)) END"
+    )
     return (
         load(spark, sf_dir, "embeddings")
         .select("embedding")
@@ -956,7 +1003,8 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(gj)
         .filter(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
-        .agg(F.round(exy - ex * ey, 6).alias("cov"))
+        .agg(num, d)
+        .select("i", "j", half_up.cast("long").alias("cov_micros"))
     )
 
 

@@ -117,8 +117,8 @@ _loaded = False
 #:   stat_trend_mann_kendall text_dsir_importance text_tokenizer_fertility
 #:
 #: ROUND-10 QUEUE, part B (46 names — the remaining r1/r2-vintage green
-#: rows; part A + the first 40 of these fill the 50-slot window; the
-#: last 6 roll to r11):
+#: rows; part A + embedding_covariance + the first 39 of these fill the
+#: 50-slot window; the last 7 roll to r11):
 #:   join_left_agg join_left_dim join_range_band join_salted_skew join_semi
 #:   json_extract json_from_json multimodal_decode multimodal_frame_sample
 #:   multimodal_meta multimodal_resize pipeline_corpus_prep
@@ -131,58 +131,68 @@ _loaded = False
 #:   text_lang_id text_quality_score text_tfidf text_token_count
 #:   topk_per_user tumbling_window_agg union_pos unnest_recs
 #:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
+#:
+#: ROUND-11 QUEUE (committed now so the r11 flip stays a one-line edit,
+#: per the r9 VERDICT "Next round" #6): the 7 part-B rollovers
+#:   tumbling_window_agg union_pos unnest_recs window_lag_lead
+#:   window_ntile_dist window_rank_dense window_running_sum
+#: + any r10 session additions (take priority, same rule as r10 part A)
+#: + the next-oldest unrefreshed vintage rows (r2/r3 scan/sink/roundtrip
+#: family and the r3 olap/reshape block) to fill 50.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-9 window: see the ROUND-9 WINDOW note above.
-    "agg_avg_by_key",
-    "agg_conditional_count",
-    "agg_corr_matrix",
-    "agg_count_distinct",
-    "agg_count_rows",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_null_pct",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_topk_categories",
-    "alias_expr",
-    "clean_fill_replace",
-    "dedup_cluster_representatives",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_near",
-    "dedup_incremental_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_semdedup",
-    "dedup_subset",
-    "distinct_rows",
-    "drop_col",
-    "dropna_after_join",
+    # ROUND-10 window: part A (the 10 r9 session additions — first driver
+    # rows), the embedding_covariance re-row (integer-hash rewrite, the
+    # only red r9 row), then part B vintage re-rows (alphabetical, 39 fit).
+    "dedup_snapshot_novelty",
     "embedding_covariance",
-    "filter_compound",
-    "filter_eq",
-    "flagship_top_customers",
-    "fn_array_ops",
-    "fn_contains",
-    "fn_date_trunc",
-    "fn_extract_parts",
-    "fn_isnull_isnan",
-    "fn_split_explode",
-    "fn_string_funcs",
-    "fn_unix_epoch",
-    "fn_when_case",
-    "from_local",
-    "join_anti",
-    "join_asof",
-    "join_bucketed",
-    "join_inner",
-    "pipeline_temperature_mix",
-    "sim_topk_ivf_hier",
-    "stream_approx_distinct_users",
-    "text_bm25_retrieval",
-    "text_bpe_pair_stats",
-    "text_ccnet_quality_buckets",
-    "text_repetition_signals",
-    "ts_holt_linear",
+    "embedding_matryoshka_eval",
+    "join_left_agg",
+    "join_left_dim",
+    "join_range_band",
+    "join_salted_skew",
+    "join_semi",
+    "json_extract",
+    "json_from_json",
+    "ml_backtest_forecast",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "pipeline_corpus_prep",
+    "pipeline_dedup_cascade",
+    "pipeline_quality_funnel",
+    "project_computed",
+    "project_named",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rename_col",
+    "roundtrip_pandas",
+    "scan_csv_headerless",
+    "scan_csv_schema",
+    "scan_parquet",
+    "schema_introspection",
+    "session_window_agg",
+    "set_except",
+    "set_intersect",
+    "sim_topk_bruteforce",
+    "sim_topk_truncated_rerank",
+    "sink_csv_roundtrip",
+    "sink_parquet_partitioned",
+    "sliding_window_agg",
+    "sort_limit_topk",
+    "sql_backtick_names",
+    "sql_surface_agg",
+    "stat_sprt_sequential",
+    "stat_trend_mann_kendall",
+    "text_dsir_importance",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_tfidf",
+    "text_token_count",
+    "text_tokenizer_fertility",
+    "topk_per_user",
 )
 
 

@@ -589,10 +589,14 @@ def test_ivf_hier_recall_agreement_determinism(spark, sf_dir):
 
 def test_covariance_partition_order_invariant(spark, sf_dir):
     """embedding_covariance's r8 driver row went red on a one-ulp ROUND(,6)
-    knife edge tipped by partial-aggregation summation order. The fix
-    computes E[xy] − E[x]·E[y] over exact decimal(38,20) sums (associative,
-    order-free); this gate asserts bit-identical output across partition
-    counts so a future regression to float accumulation is caught here."""
+    knife edge tipped by partial-aggregation summation order; the r9 row
+    stayed red through the exact-decimal-sums rewrite because the pipeline
+    still EXITED through a double ROUND (engine round algorithms differ on
+    binary doubles). The r10 fix hashes no float at all: FLOOR-quantized
+    integer nano-units in, exact integer algebra, cov_micros BIGINT out.
+    This gate asserts bit-identical integer output across partition counts
+    AND that the output really is integral (a regression back to float
+    output is caught by the dtype check)."""
     from recommendation_system_big_data_spark.operators.similarity import (
         embedding_covariance,
     )
@@ -602,10 +606,12 @@ def test_covariance_partition_order_invariant(spark, sf_dir):
     try:
         for parts in ("1", "8", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = embedding_covariance(spark, sf_dir)
+            assert dict(df.dtypes)["cov_micros"] == "bigint"
             rows = sorted(
-                (r["i"], r["j"], repr(r["cov"]))
-                for r in embedding_covariance(spark, sf_dir).collect()
+                (r["i"], r["j"], r["cov_micros"]) for r in df.collect()
             )
+            assert all(isinstance(r[2], int) for r in rows)
             results.append(rows)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
