@@ -243,7 +243,8 @@ def _tail_share_udf():
     "fn_pandas_udf_iterator",
     oracle="""
     SELECT event_id,
-           CASE WHEN value >= 75.0 THEN 1.0 ELSE 0.0 END AS is_tail
+           CAST(CASE WHEN value >= 75.0 THEN 1.0 ELSE 0.0 END
+                AS DOUBLE) AS is_tail
     FROM events
     """,
     tags=("scalar", "udf"),

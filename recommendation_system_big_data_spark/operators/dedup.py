@@ -101,8 +101,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_ORACLE = """
-WITH sh AS (
+#: The oracle mirrors the SHINGLE_DF_CAP semantics exactly (r9 ADVICE:
+#: the previous uncapped list_intersect formulation silently diverged on
+#: any corpus with a shingle df > cap — a no-op on these fixtures, max df
+#: 25 at sf0.1, but the oracle should pin the IMPLEMENTED semantics, not
+#: the fixture): hot shingles are removed from the intersection count
+#: while each document keeps its FULL shingle-set size, and the union is
+#: estimated as n_a + n_b − shared_capped, exactly as _count_jaccard does.
+_NGRAM_ORACLE = f"""
+WITH sh0 AS (
     SELECT doc_id, lang,
            list_distinct(list_transform(
                generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
@@ -110,15 +117,26 @@ WITH sh AS (
                                    string_split(text,' ')[i+1],
                                    string_split(text,' ')[i+2]))) AS sh
     FROM documents
+), hotl AS (
+    SELECT COALESCE(LIST(shingle), []) AS hs FROM (
+        SELECT s AS shingle FROM (SELECT UNNEST(sh) AS s FROM sh0)
+        GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}
+    )
+), sh AS (
+    SELECT doc_id, lang, len(sh) AS n_sh,
+           list_filter(sh, s -> NOT list_contains(hotl.hs, s)) AS shc
+    FROM sh0, hotl
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.doc_id < b.doc_id
- AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+SELECT doc_a, doc_b, ROUND(shared / (n_a + n_b - shared), 6) AS jaccard
+FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(len(list_intersect(a.shc, b.shc)) AS DOUBLE) AS shared
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.n_sh <= 2 * b.n_sh AND b.n_sh <= 2 * a.n_sh
+)
+WHERE shared / (n_a + n_b - shared) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -1732,14 +1750,18 @@ def semantic_semdedup_frame(
     )
 
 
-_CASCADE_ORACLE = """
+#: Stage 2 mirrors the SHINGLE_DF_CAP semantics exactly as _NGRAM_ORACLE
+#: does (r9 ADVICE — the cap was previously applied only on the Spark
+#: side); here the hot set is computed among the stage-1 SURVIVORS, which
+#: is the index ngram_jaccard_pairs sees inside the cascade.
+_CASCADE_ORACLE = f"""
 WITH d AS (
     SELECT doc_id, lang, text FROM documents
 ), k1 AS (
     SELECT MIN(doc_id) AS doc_id FROM d GROUP BY md5(text)
 ), s1 AS (
     SELECT d.* FROM d JOIN k1 USING (doc_id)
-), sh AS (
+), sh0 AS (
     SELECT doc_id, lang,
            list_distinct(list_transform(
                generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
@@ -1747,13 +1769,25 @@ WITH d AS (
                                    string_split(text,' ')[i+1],
                                    string_split(text,' ')[i+2]))) AS sh
     FROM s1
+), hotl AS (
+    SELECT COALESCE(LIST(shingle), []) AS hs FROM (
+        SELECT s AS shingle FROM (SELECT UNNEST(sh) AS s FROM sh0)
+        GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}
+    )
+), sh AS (
+    SELECT doc_id, lang, len(sh) AS n_sh,
+           list_filter(sh, s -> NOT list_contains(hotl.hs, s)) AS shc
+    FROM sh0, hotl
 ), drop2 AS (
-    SELECT DISTINCT b.doc_id, b.lang
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    SELECT DISTINCT doc_id, lang FROM (
+        SELECT b.doc_id, b.lang,
+               a.n_sh AS n_a, b.n_sh AS n_b,
+               CAST(len(list_intersect(a.shc, b.shc)) AS DOUBLE) AS shared
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND a.n_sh <= 2 * b.n_sh AND b.n_sh <= 2 * a.n_sh
+    )
+    WHERE shared / (n_a + n_b - shared) >= {JACCARD_THRESHOLD}
 ), n0 AS (
     SELECT lang, COUNT(*) AS c FROM d GROUP BY lang
 ), n1 AS (

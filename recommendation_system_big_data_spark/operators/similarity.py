@@ -1631,9 +1631,13 @@ WITH e AS (
     SELECT query_id, vec_id AS neighbor_id, v,
            ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(list_dot_product(qvp, vp)
-                   / (sqrt(list_dot_product(qvp, qvp))
-                      * sqrt(list_dot_product(vp, vp))), 6) DESC,
+               ORDER BY CASE WHEN sqrt(list_dot_product(qvp, qvp))
+                                  * sqrt(list_dot_product(vp, vp)) = 0
+                             THEN -2.0
+                             ELSE ROUND(list_dot_product(qvp, vp)
+                                 / (sqrt(list_dot_product(qvp, qvp))
+                                    * sqrt(list_dot_product(vp, vp))), 6)
+                        END DESC,
                    vec_id ASC) AS prn,
            qv
     FROM q JOIN e ON e.vec_id != q.query_id
@@ -1690,8 +1694,15 @@ def sim_topk_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("nq"),
         F.col("nvp").alias("nqp"),
     )
-    pre_cos = F.round(
-        dot(F.col("qvp"), F.col("vp")) / (F.col("nqp") * F.col("nvp")), 6
+    # Zero-norm-prefix guard (r9 ADVICE): an embedding whose first MRL_DIM
+    # dims are all zero would make the prefix cosine NULL in Spark (0/0)
+    # but NaN/inf under DuckDB's IEEE division, silently diverging the
+    # prefilter ranking cross-engine. Emit a fixed sentinel BELOW any real
+    # cosine instead — such a vector carries no prefix signal, so it ranks
+    # last deterministically (vec_id tiebreak) on both engines. Theoretical
+    # on the dense random fixtures; guarded because nothing enforces it.
+    pre_cos = F.when(F.col("nqp") * F.col("nvp") == 0, F.lit(-2.0)).otherwise(
+        F.round(dot(F.col("qvp"), F.col("vp")) / (F.col("nqp") * F.col("nvp")), 6)
     )
     pre_w = Window.partitionBy("query_id").orderBy(
         F.desc("pre_cos"), F.asc("neighbor_id")
@@ -1747,10 +1758,15 @@ WITH dims AS (
         SELECT d.trunc_dim, q.query_id, e.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
                    PARTITION BY d.trunc_dim, q.query_id
-                   ORDER BY ROUND(
+                   ORDER BY CASE
+                       WHEN sqrt(list_dot_product(qv[1:d.trunc_dim], qv[1:d.trunc_dim]))
+                            * sqrt(list_dot_product(v[1:d.trunc_dim], v[1:d.trunc_dim])) = 0
+                       THEN -2.0
+                       ELSE ROUND(
                        list_dot_product(qv[1:d.trunc_dim], v[1:d.trunc_dim])
                        / (sqrt(list_dot_product(qv[1:d.trunc_dim], qv[1:d.trunc_dim]))
-                          * sqrt(list_dot_product(v[1:d.trunc_dim], v[1:d.trunc_dim]))), 6) DESC,
+                          * sqrt(list_dot_product(v[1:d.trunc_dim], v[1:d.trunc_dim]))), 6)
+                       END DESC,
                        e.vec_id ASC) AS rn
         FROM dims d, q JOIN e ON e.vec_id != q.query_id
     ) WHERE rn <= {TOP_K}
@@ -1819,8 +1835,12 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vp = F.slice(F.col("v"), 1, F.col("trunc_dim"))
     qvp = F.slice(F.col("qv"), 1, F.col("trunc_dim"))
-    trunc_cos = F.round(
-        dot(qvp, vp) / (norm(qvp) * norm(vp)), 6
+    # Same zero-norm-prefix sentinel as sim_topk_truncated_rerank's
+    # prefilter (r9 ADVICE): a truncated prefix can be all-zero even when
+    # the full vector is not, and 0/0 diverges cross-engine (Spark NULL vs
+    # DuckDB IEEE NaN); -2.0 ranks it last deterministically on both.
+    trunc_cos = F.when(norm(qvp) * norm(vp) == 0, F.lit(-2.0)).otherwise(
+        F.round(dot(qvp, vp) / (norm(qvp) * norm(vp)), 6)
     )
     tw = Window.partitionBy("trunc_dim", "query_id").orderBy(
         F.desc("c"), F.asc("neighbor_id")

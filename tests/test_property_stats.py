@@ -357,8 +357,18 @@ def test_mann_kendall_matches_sequential_reference(spark, sf_dir):
         z = (s + 1) / var_s**0.5
     else:
         z = 0.0
+    # Reference rounding must replicate Spark's F.round convention —
+    # HALF_UP on the shortest-repr decimal (r9 ADVICE: Python round()
+    # rounds half-even and diverges on exact 4/6-dp midpoints; same
+    # helper convention as test_property_roundsix.py).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round(x: float, nd: int) -> float:
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
     row = stat_trend_mann_kendall(spark, sf_dir).collect()[0]
     assert row["n_days"] == n
     assert row["s_stat"] == s
-    assert row["var_s"] == round(var_s, 6)
-    assert row["z_stat"] == round(z, 4)
+    assert row["var_s"] == spark_round(var_s, 6)
+    assert row["z_stat"] == spark_round(z, 4)

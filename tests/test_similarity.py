@@ -667,3 +667,61 @@ def test_matryoshka_eval_monotone(spark, sf_dir):
     # weak monotonicity with a small tolerance: more dims, better recall
     assert rows[16] >= rows[8] - 0.05, rows
     assert rows[32] >= rows[16] - 0.05, rows
+
+
+def test_zero_norm_prefix_guard_cross_engine(spark, tmp_path):
+    """r9 ADVICE: a vector whose first MRL_DIM dims are all zero made the
+    truncated-prefix cosine 0/0 — NULL in Spark (sorts last under DESC)
+    but NaN/inf under DuckDB's IEEE float division, so the prefilter
+    ranking could diverge cross-engine. Both queries now emit a fixed
+    sentinel (-2.0, below any real cosine) for zero-norm prefixes. This
+    plants exactly that vector (zero 16-dim prefix, nonzero tail) in a
+    temp embeddings table and asserts (a) the Spark rankings contain no
+    NULL scores and include the planted vector, and (b) the Spark result
+    equals the DuckDB oracle CELL-EXACTLY on the planted corpus — the
+    divergence the advice predicted, reproduced and pinned."""
+    import duckdb
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        MRL_DIM,
+        embedding_matryoshka_eval,
+        sim_topk_truncated_rerank,
+    )
+    from recommendation_system_big_data_spark.registry import registry
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for vid in range(30):
+        v = rng.randn(64).astype("float32")
+        if vid == 25:  # planted: zero prefix, nonzero tail
+            v[:MRL_DIM] = 0.0
+        rows.append((vid, [float(x) for x in v], vid % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    R = registry()
+    for name, fn in (
+        ("sim_topk_truncated_rerank", sim_topk_truncated_rerank),
+        ("embedding_matryoshka_eval", embedding_matryoshka_eval),
+    ):
+        sdf = fn(spark, str(tmp_path))
+        srows = sorted(
+            tuple(repr(v) for v in r) for r in sdf.collect()
+        )
+        assert all("None" not in r for r in srows), (name, srows[:3])
+        res = con.execute(R[name].oracle)
+        dcols = [d[0] for d in res.description]
+        idx = [dcols.index(c) for c in sdf.columns]
+        orows = sorted(
+            tuple(repr(float(r[i]) if isinstance(r[i], float) else r[i]) for i in idx)
+            for r in res.fetchall()
+        )
+        assert srows == orows, (name, srows[:3], orows[:3])

@@ -111,17 +111,22 @@ def main() -> int:
         sa, sb = aqs.get(SENTINEL), bqs.get(SENTINEL)
         s2a, s2b = aqs.get(SENTINEL2), bqs.get(SENTINEL2)
         if sa and sb and s2a and s2b:
-            # The shuffle sentinel's own ratio is clamped to the same
-            # symmetric band as the median fallback before combining: it
-            # is a single shuffle-bound job on a shared container, and a
-            # one-off IO spike in either round would otherwise skew H by
-            # sqrt(spike) and let a real regression normalize to green.
-            # The CPU sentinel stays unclamped (its recorded range across
-            # all rounds is 0.18-0.27s — well inside the band).
+            # BOTH sentinel ratios are clamped to the same symmetric band
+            # as the median fallback before combining (r9 ADVICE: the
+            # first cut clamped only the shuffle sentinel; a one-off CPU
+            # burst in either round would then skew H by sqrt(spike) and
+            # could normalize a real regression to green — the exact
+            # failure mode the m2 clamp was added to prevent). Each
+            # sentinel is a single job on a shared container; a ratio
+            # outside 1/1.4..1.4 is a spike, not a host state, and
+            # contributes 1.0 (no correction) instead.
+            m1 = sb / sa
+            if not 1.0 / 1.4 <= m1 <= 1.4:
+                m1 = 1.0
             m2 = s2b / s2a
             if not 1.0 / 1.4 <= m2 <= 1.4:
                 m2 = 1.0
-            m = ((sb / sa) * m2) ** 0.5
+            m = (m1 * m2) ** 0.5
         elif sa and sb:
             m = sb / sa
         else:
