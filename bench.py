@@ -195,6 +195,10 @@ HEADLINE = [
     # report a corpus pipeline runs. First recorded run defines its
     # baseline.
     "pipeline_dedup_cascade",
+    # round-10 additions: the two scale-bearing new paths (global-window
+    # prefix sums; broadcast-scored single-aggregate mining).
+    "ml_eval_pr_auc",
+    "embedding_hard_negative_mining",
 ]
 
 

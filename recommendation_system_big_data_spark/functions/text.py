@@ -1703,3 +1703,153 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").cast("double") / F.sum("toks"), 6
         ).alias("bytes_per_token"),
     )
+
+
+#: Per-language token budget for the greedy quality-ranked selection: small
+#: enough to BIND for every language at sf0.01 (smallest language carries
+#: ~3.3k tokens there) and for the largest language even at sf0.001, so the
+#: driver row exercises the cutoff path, never the take-everything path.
+TOKEN_BUDGET_PER_LANG = 1000
+
+_BUDGET_SELECT_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 1000000) // len(string_split(text, ' ')) AS ttr_micros
+    FROM documents
+), ranked AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ttr_micros DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS tokens_before
+    FROM scored
+)
+SELECT lang,
+       CAST(COUNT(CASE WHEN tokens_before < {TOKEN_BUDGET_PER_LANG}
+                       THEN 1 END) AS BIGINT) AS n_selected,
+       CAST(COALESCE(SUM(CASE WHEN tokens_before < {TOKEN_BUDGET_PER_LANG}
+                              THEN n_tokens END), 0) AS BIGINT)
+           AS tokens_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(MIN(CASE WHEN tokens_before < {TOKEN_BUDGET_PER_LANG}
+                     THEN ttr_micros END) AS BIGINT) AS cutoff_ttr_micros
+FROM ranked
+GROUP BY lang
+"""
+
+
+@register(
+    "pipeline_token_budget_select",
+    oracle=_BUDGET_SELECT_ORACLE,
+    tags=("text", "pipeline"),
+)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked corpus selection under a per-language token
+    budget — the step that turns 'we scored every document' into 'this is
+    the training mix': within each language, admit documents best-first
+    (type-token ratio here; any score column slots in) until the budget
+    is spent, letting the last admitted document overflow it (the
+    standard greedy-prefix convention — a budget is a target, not a hard
+    wall, and skipping the straddling doc would bias against long
+    documents). Reports, per language, how many documents and tokens got
+    in, the language's total supply, and the quality cutoff the budget
+    implied — the number a data-mix owner actually negotiates over.
+
+    Integer exit throughout: the quality score is the truncating integer
+    division (10⁶·distinct_tokens) div n_tokens and every output is a
+    BIGINT. Deterministic admission via the (score DESC, doc_id ASC)
+    total order and an EXCLUSIVE running prefix (tokens_before < budget).
+
+    Scale shape: one scan computes per-doc token stats (no shuffle), one
+    window per (lang) partition does the ranked prefix sum — languages
+    are few and independent, so this parallelizes as |langs| sorted
+    streams (the 100 TB form range-partitions within language by the
+    score key, the ranges.py bucketed-prefix-sum pattern); the rollup is
+    a |langs|-row aggregate."""
+    toks = F.split(F.col("text"), " ")
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 div size(split(text, ' '))"
+        ).alias("ttr_micros"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("ttr_micros"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = scored.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    sel = F.col("tokens_before") < TOKEN_BUDGET_PER_LANG
+    return ranked.groupBy("lang").agg(
+        F.count(F.when(sel, 1)).cast("long").alias("n_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.min(F.when(sel, F.col("ttr_micros"))).cast("long").alias(
+            "cutoff_ttr_micros"
+        ),
+    )
+
+
+_COLLAPSE_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), kept AS (
+    SELECT doc_id, toks,
+           list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS keep
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_in,
+       CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+       md5(array_to_string(keep, ' ')) AS cleaned_md5
+FROM kept
+"""
+
+
+@register("text_collapse_repeats", oracle=_COLLAPSE_ORACLE, tags=("text",))
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document stutter cleanup: collapse runs of consecutive
+    identical tokens to one occurrence ('a a the' → 'a the') — the
+    token-level normalization every crawl pipeline runs before counting
+    anything (OCR stutter, copy-paste doubling, markup-stripping
+    artifacts all surface as immediate repeats; corpus-level dedup ops
+    deliberately ignore them, this TRANSFORM removes them). Emits per
+    document the input size, how many tokens the collapse removed, and
+    the md5 of the cleaned text — so the oracle pins the exact cleaned
+    CONTENT, not just the counts, without hashing a megabyte column
+    through the driver.
+
+    Pure per-row array kernel: one projection, no shuffle, no UDF — the
+    keep-mask is an indexed array filter (token i survives iff i is
+    first or differs from token i−1), identical lambda semantics in both
+    engines (Spark 0-based filter index with 1-based element_at; DuckDB
+    1-based lambda index). Scales as a map-only pass at any corpus
+    size."""
+    toks = F.split(F.col("text"), " ")
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    kept = t.withColumn(
+        "keep",
+        F.filter(
+            F.col("toks"),
+            lambda x, i: (i == 0) | (x != F.element_at(F.col("toks"), i)),
+        ),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens_in"),
+        (F.size("toks") - F.size("keep")).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("keep")).cast("binary")).alias(
+            "cleaned_md5"
+        ),
+    )

@@ -1696,3 +1696,76 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("is_pos"),
     )
     return isotonic_fit(scored, "value", "is_pos")
+
+
+_PR_AUC_ORACLE = """
+WITH ranked AS (
+    SELECT CAST(event_type = 'purchase' AS INT) AS is_pos,
+           ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS i,
+           SUM(CAST(event_type = 'purchase' AS INT))
+               OVER (ORDER BY value DESC, event_id ASC) AS cp
+    FROM events
+), terms AS (
+    SELECT CAST(cp AS BIGINT) AS cp, i,
+           (CAST(cp AS BIGINT) * 1000000000) // i AS term_nanos
+    FROM ranked WHERE is_pos = 1
+)
+SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST((SUM(term_nanos) * 2 + 1000 * COUNT(*))
+            // (2000 * COUNT(*)) AS BIGINT) AS ap_micros
+FROM terms
+"""
+
+
+@register("ml_eval_pr_auc", oracle=_PR_AUC_ORACLE, tags=("ml", "experiment"))
+def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve in
+    its standard step form): AP = (1/n₊)·Σ_{positives} precision@rank —
+    the class-imbalance-honest companion of ml_eval_auc_roc (ROC AUC
+    stays optimistic when positives are rare; PR-AUC is what a filtering
+    / retrieval pipeline actually tunes against).
+
+    Determinism + integer exit (COVERAGE.md r10): ranking is the total
+    order (value DESC, event_id ASC) — the bruteforce tiebreak
+    convention — so ties have one defined AP; each positive's
+    precision@i enters as the TRUNCATING integer division
+    (10⁹·cum_pos) div i (Spark `div` ≡ DuckDB `//` on non-negatives),
+    making every term an identical BIGINT on both engines (per-positive
+    error < 1e-9, deterministic and mirrored), and AP exits as a
+    round-half-away micro-unit BIGINT. No float anywhere.
+
+    Scale shape: one global-ordered window over the fact rows computes
+    rank + cumulative positives in a single pass (at fixture scale one
+    partition; at 100 TB the identical statistic falls out of the
+    bucketed prefix-sum pattern in ranges.py — rank and cum_pos are both
+    prefix sums over (value, id) order), then a keyless fold of the
+    positive rows only."""
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    is_pos = (F.col("event_type") == "purchase").cast("int")
+    ranked = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value", is_pos.alias("is_pos"))
+        .select(
+            "is_pos",
+            F.row_number().over(w).alias("i"),
+            F.sum("is_pos").over(w).cast("long").alias("cp"),
+        )
+    )
+    # One fold over ALL ranked rows (no separate count job / driver
+    # scalar): positives contribute their term, negatives contribute 0
+    # to the sum and 0 to n_pos.
+    terms = ranked.select(
+        "is_pos",
+        F.expr(
+            "CASE WHEN is_pos = 1 THEN (cp * 1000000000) div i ELSE 0 END"
+        ).alias("term_nanos"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST((SUM(term_nanos) * 2 + 1000 * SUM(is_pos))"
+            " div (2000 * SUM(is_pos)) AS LONG)"
+        ).alias("ap_micros"),
+    )

@@ -2041,3 +2041,65 @@ def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_overlap") > 0)  # match the oracle: disjoint pairs absent
     )
+
+
+#: Count-min sketch shape: eps bounds overestimation at eps·N, confidence
+#: is the probability the bound holds per query. 0.001/0.99 gives a
+#: ~2.7k-counter sketch — constant-size regardless of corpus scale.
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+CMS_TOP = 20
+
+
+@register("agg_count_min_sketch", oracle=None, tags=("profile", "sketch"))
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (df.stat.countMinSketch —
+    Spark's built-in mergeable CMS aggregate) for the exactly-heaviest
+    CMS_TOP users: exact count next to the sketch estimate and the
+    overestimation the eps·N bound promises to cap. The CMS completes the
+    sketch shelf next to HLL (distinct counts, agg_hll_sketch_merge) and
+    MG heavy hitters (agg_heavy_hitters_mg): it answers point frequency
+    queries from constant memory, the structure a 100 TB stream keeps
+    per-partition and merges — the aggregation is distributed; only the
+    FIXED-SIZE sketch (~2.7k counters at eps=0.001) ever reaches the
+    driver, which is the entire point of a sketch and the documented
+    exception to the no-driver-materialization rule (same class as the
+    k-row model tables).
+
+    ⊘ rows-only: the sketch's hash family is engine-specific so DuckDB
+    cannot replay the estimates; determinism comes from the fixed seed,
+    and tests/test_profile.py gates estimate ≥ exact (CMS never
+    underestimates) and estimate ≤ exact + eps·N."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    # Distributed sketch build: the count_min_sketch AGGREGATE computes
+    # per-partition sketches and merges them map-side — one fixed-size
+    # blob crosses to the driver, deserialized via the JVM sketch class.
+    blob = ev.agg(
+        F.expr(
+            f"count_min_sketch(user_id, {CMS_EPS}d, {CMS_CONFIDENCE}d,"
+            f" {CMS_SEED})"
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(CMS_TOP)
+        .collect()
+    )
+    rows = [
+        (
+            int(r["user_id"]),
+            int(r["exact_count"]),
+            int(cms.estimateCount(int(r["user_id"]))),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        [(u, e, est, est - e) for u, e, est in rows],
+        "user_id long, exact_count long, cms_estimate long, overcount long",
+    )

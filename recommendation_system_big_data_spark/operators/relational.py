@@ -1485,3 +1485,38 @@ def set_ops_bag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "except_all_distinct",
         )
     )
+
+
+_TRY_CAST_ORACLE = """
+SELECT event_id,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+           AS k_or_default
+FROM events
+"""
+
+
+@register("fn_try_cast_json", oracle=_TRY_CAST_ORACLE, tags=("scalar", "json"))
+def fn_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast — the casting half of the ANSI escape hatch family
+    (fn_try_arithmetic covers try_divide): with Spark 4 running ANSI SQL
+    by default, a malformed cast THROWS and kills the job, so every cast
+    over crawl-grade data goes through try_cast's NULL-and-continue.
+    Exercises the always-fails shape (a word to BIGINT) and the
+    load-bearing one — pulling a numeric field out of a JSON props
+    string, where one junk row in a trillion must quarantine (NULL →
+    COALESCE default), not abort the pipeline. Map-only, codegen'd, one
+    scan."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_num"),
+        F.coalesce(
+            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
+            F.lit(-1),
+        ).alias("k_or_default"),
+    )

@@ -1879,3 +1879,130 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+_HARD_NEG_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS anchor_id, label AS alabel, v AS qv FROM e
+    WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.anchor_id, q.alabel, e.vec_id AS cand_id, e.label AS clabel,
+           CAST(FLOOR(list_dot_product(qv, v)
+                / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(v, v))) * 1000000.0)
+                AS BIGINT) AS cos_micros
+    FROM q JOIN e ON e.vec_id != q.anchor_id
+), hard_neg AS (
+    SELECT anchor_id, cand_id AS hard_neg_id, cos_micros AS neg_cos_micros
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos_micros DESC, cand_id ASC
+        ) AS rn
+        FROM scored WHERE clabel != alabel
+    ) WHERE rn = 1
+), hard_pos AS (
+    SELECT anchor_id, cand_id AS hard_pos_id, cos_micros AS pos_cos_micros
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos_micros ASC, cand_id ASC
+        ) AS rn
+        FROM scored WHERE clabel = alabel
+    ) WHERE rn = 1
+)
+SELECT n.anchor_id, hard_pos_id, pos_cos_micros, hard_neg_id, neg_cos_micros,
+       CAST(neg_cos_micros > pos_cos_micros AS BIGINT) AS triplet_violation
+FROM hard_neg n JOIN hard_pos p ON p.anchor_id = n.anchor_id
+"""
+
+
+@register(
+    "embedding_hard_negative_mining",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("similarity", "ml"),
+)
+def embedding_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining over the labeled embedding corpus: for
+    each anchor, the hardest NEGATIVE (most-similar vector with a
+    different label — the one a contrastive loss most needs in the batch)
+    and the hardest POSITIVE (least-similar vector sharing the label),
+    plus whether the triplet is violated (negative closer than positive)
+    — the mining pass an embedding-training pipeline runs between epochs,
+    and the labeled sibling of sim_topk_bruteforce.
+
+    Integer exit (COVERAGE.md r10): cosines are emitted and RANKED as
+    FLOOR(cos·10⁶) BIGINTs — the underlying doubles are bit-identical
+    cross-engine (array-order sequential dot-product fold on both sides,
+    the bruteforce-family property) and FLOOR has no rounding mode, so
+    nothing can knife-edge; ranking on the quantized integer also makes
+    the tiebreak grain explicit.
+
+    Scale shape: the fixed anchor set broadcasts (bruteforce-class scope
+    — mining runs over a sampled anchor batch, not all-pairs); ONE
+    corpus scan scores all candidates, and both extrema come from a
+    single groupBy(anchor_id) using lexicographic struct min/max
+    (max(struct(cos, −id)) is 'highest cosine, then lowest id' — the
+    tie-deterministic form of max_by, whose own tie behavior is
+    unspecified), so the whole query is one aggregate with map-side
+    partials: no windows, no self-join, one exchange of ≤|anchors|
+    partial rows per partition. At 100 TB with non-fixed anchors the
+    prefilter is an ANN shortlist (sim_topk_ivf*) feeding this exact
+    rerank."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos_micros = F.floor(
+        dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("clabel"),
+            cos_micros.alias("cos_micros"),
+        )
+    )
+    diff = F.col("clabel") != F.col("alabel")
+    same = F.col("clabel") == F.col("alabel")
+    hn = F.max(
+        F.when(
+            diff,
+            F.struct(
+                F.col("cos_micros").alias("c"),
+                (-F.col("cand_id")).alias("nid"),
+            ),
+        )
+    ).alias("hn")
+    hp = F.min(
+        F.when(
+            same,
+            F.struct(
+                F.col("cos_micros").alias("c"),
+                F.col("cand_id").alias("pid"),
+            ),
+        )
+    ).alias("hp")
+    return (
+        scored.groupBy("anchor_id")
+        .agg(hn, hp)
+        .select(
+            "anchor_id",
+            F.col("hp.pid").alias("hard_pos_id"),
+            F.col("hp.c").alias("pos_cos_micros"),
+            (-F.col("hn.nid")).alias("hard_neg_id"),
+            F.col("hn.c").alias("neg_cos_micros"),
+            (F.col("hn.c") > F.col("hp.c")).cast("long").alias(
+                "triplet_violation"
+            ),
+        )
+    )

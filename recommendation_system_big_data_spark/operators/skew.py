@@ -66,3 +66,70 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum(F.col("c_acctbal")).alias("sum_acctbal"),
     )
+
+
+_NULL_BYPASS_ORACLE = """
+WITH ev AS (
+    SELECT CASE WHEN event_type IN ('view', 'error') THEN NULL
+                ELSE user_id END AS uid,
+           value
+    FROM events
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS sum_value_cents
+FROM ev LEFT JOIN customer c ON ev.uid = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_null_skew_bypass", oracle=_NULL_BYPASS_ORACLE, tags=("skew",))
+def join_null_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join with a heavily-NULL join key (anonymous traffic: view and
+    error events carry no user), written the way it must be at scale:
+    NULL keys can never match, yet a naive left join still SHUFFLES every
+    NULL row — and they all hash to the SAME partition, the one skew
+    shape AQE's splitter cannot fix (splitting a partition of non-matching
+    rows still replays them through the join). The bypass splits the fact
+    stream on key nullability: the NULL branch skips the join entirely
+    (dimension columns stamped NULL), only the matched-key branch
+    shuffles, and the two branches union ahead of the rollup. Semantics
+    are EXACTLY the naive left join's — the oracle is the one-line naive
+    form — while the plan's join input carries zero NULL keys by
+    construction.
+
+    ~40% of fixture events route through the bypass. Integer exit: event
+    values are exact 2-decimal quantities, summed as DECIMAL(12,2) and
+    emitted as cent BIGINTs.
+
+    Scale shape: the split is a predicate on an already-scanned column
+    (both branches prune to the same scan; Catalyst plans one scan per
+    branch of the union but each reads only its filtered rows); the
+    joined branch shuffles |non-null| rows instead of |all| rows — at a
+    70%-anonymous clickstream that is a 3× shuffle cut before skew even
+    enters it."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_type").isin("view", "error"), F.lit(None)
+        )
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "value",
+    )
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.filter(F.col("uid").isNotNull()).join(
+        dim, F.col("uid") == F.col("c_custkey"), "left"
+    )
+    bypass = ev.filter(F.col("uid").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    both = joined.select("c_mktsegment", "value").unionByName(
+        bypass.select("c_mktsegment", "value")
+    )
+    return both.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("long")
+        .alias("sum_value_cents"),
+    )

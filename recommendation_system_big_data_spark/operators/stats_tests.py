@@ -1177,3 +1177,137 @@ def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+#: One-way ANOVA quantization: event values carry 2 decimals, so
+#: FLOOR(value·1e4) loses nothing real and makes every downstream op exact
+#: integer arithmetic — the integer-hash exit convention (COVERAGE.md r10,
+#: the embedding_covariance pattern). Sum-of-squares outputs are in units
+#: of 1e-8·value²; F is emitted in milli-units, eta² in micro-units.
+ANOVA_QUANT = 10_000
+
+_ANOVA_ORACLE = f"""
+WITH vq AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}.0) AS HUGEINT) AS vq
+    FROM events
+), per AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+           SUM(vq) AS s_g, SUM(vq * vq) AS q_g
+    FROM vq GROUP BY g
+), per2 AS (
+    SELECT *, (s_g * s_g) // n_g AS ssq_g FROM per
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n,
+           SUM(s_g) AS s, SUM(q_g) AS q, SUM(ssq_g) AS ssq
+    FROM per2
+), fin AS (
+    SELECT k, n,
+           ssq - (s * s) // n AS ssb,
+           q - ssq            AS ssw,
+           q - (s * s) // n   AS sst
+    FROM tot
+)
+SELECT CAST(k AS BIGINT)   AS k_groups,
+       CAST(n AS BIGINT)   AS n_total,
+       CAST(ssb AS BIGINT) AS ssb_q,
+       CAST(ssw AS BIGINT) AS ssw_q,
+       CAST(CASE WHEN ssb < 0
+            THEN -(((-ssb) * (n - k) * 1000 * 2 + ssw * (k - 1))
+                   // (2 * ssw * (k - 1)))
+            ELSE (ssb * (n - k) * 1000 * 2 + ssw * (k - 1))
+                 // (2 * ssw * (k - 1))
+            END AS BIGINT) AS f_milli,
+       CAST(CASE WHEN ssb < 0
+            THEN -(((-ssb) * 1000000 * 2 + sst) // (2 * sst))
+            ELSE (ssb * 1000000 * 2 + sst) // (2 * sst)
+            END AS BIGINT) AS eta_sq_micros
+FROM fin
+"""
+
+
+@register("stat_anova_oneway", oracle=_ANOVA_ORACLE, tags=("profile", "experiment"))
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types on event value: the
+    k-group generalization of `stat_ttest_welch` (equal-variance form) —
+    F = (SSB/(k−1))/(SSW/(n−k)) plus the effect size η² = SSB/SST, the
+    pair every experiment readout with >2 arms needs before any pairwise
+    test is allowed.
+
+    Integer-exit convention (COVERAGE.md r10): values are FLOOR-quantized
+    to 1e-4 units (they carry 2 decimals, so nothing real is lost), all
+    sums/squares are exact integer/decimal arithmetic, each group's
+    S²/n uses truncating integer division (Spark `div` and DuckDB `//`
+    both truncate toward zero — verified, including negatives), and F/η²
+    exit as round-half-away milli/micro BIGINTs — no float is ever
+    rounded or hashed, so the driver row cannot knife-edge.
+
+    Scale shape: ONE map-side-combined aggregate of the fact table to k
+    rows (count/sum/sum-of-squares per group — the same sufficient
+    statistics a sequential scan would keep), then a keyless fold of the
+    k rows; nothing downstream of the first reduce depends on n. The
+    quantized squares accumulate in decimal (per-term vq² < 1e12 fits a
+    BIGINT; the sum is decimal(29,0) — exact at any n)."""
+    vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    per = (
+        load(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("g"), vq.alias("vq"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("vq").alias("s_g"),
+            F.sum((F.col("vq") * F.col("vq")).cast("decimal(19,0)")).alias("q_g"),
+        )
+        .withColumn(
+            "ssq_g",
+            F.expr(
+                "CAST(CAST(s_g AS DECIMAL(16,0)) * CAST(s_g AS DECIMAL(16,0))"
+                " div n_g AS LONG)"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum("ssq_g").alias("ssq"),
+    )
+    fin = tot.select(
+        "k",
+        "n",
+        F.expr(
+            "ssq - CAST(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))"
+            " div n AS LONG)"
+        ).alias("ssb"),
+        F.expr("CAST(q - ssq AS LONG)").alias("ssw"),
+        F.expr(
+            "CAST(q AS DECIMAL(27,0)) - CAST(CAST(s AS DECIMAL(18,0))"
+            " * CAST(s AS DECIMAL(18,0)) div n AS LONG)"
+        )
+        .cast("decimal(27,0)")
+        .alias("sst"),
+    )
+    f_milli = F.expr(
+        "CASE WHEN ssb < 0 THEN "
+        " -((CAST(-ssb AS DECIMAL(20,0)) * (n - k) * 1000 * 2"
+        "    + CAST(ssw AS DECIMAL(20,0)) * (k - 1))"
+        "   div (2 * CAST(ssw AS DECIMAL(20,0)) * (k - 1)))"
+        "ELSE "
+        " (CAST(ssb AS DECIMAL(20,0)) * (n - k) * 1000 * 2"
+        "  + CAST(ssw AS DECIMAL(20,0)) * (k - 1))"
+        " div (2 * CAST(ssw AS DECIMAL(20,0)) * (k - 1)) END"
+    )
+    eta = F.expr(
+        "CASE WHEN ssb < 0 THEN "
+        " -((CAST(-ssb AS DECIMAL(20,0)) * 1000000 * 2 + sst) div (2 * sst)) "
+        "ELSE (CAST(ssb AS DECIMAL(20,0)) * 1000000 * 2 + sst) div (2 * sst) END"
+    )
+    return fin.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("ssb").cast("long").alias("ssb_q"),
+        F.col("ssw").cast("long").alias("ssw_q"),
+        f_milli.cast("long").alias("f_milli"),
+        eta.cast("long").alias("eta_sq_micros"),
+    )

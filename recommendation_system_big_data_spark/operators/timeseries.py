@@ -1025,3 +1025,179 @@ def ml_backtest_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(dsum(F.col("err") * F.col("err")) / F.count(F.lit(1))), 6
         ).alias("rmse"),
     )
+
+
+#: Holt-Winters additive-seasonal constants: weekly period over the daily
+#: grain, fixed (not fitted) smoothing so the solve is one deterministic
+#: pass; the complements (1−α etc.) are computed ONCE in Python and
+#: interpolated into the oracle via repr, so both engines run the exact
+#: same double constants (1.0−0.4 is NOT the double 0.6 — never recompute
+#: complements independently per engine).
+_HW_ALPHA = 0.5
+_HW_BETA = 0.3
+_HW_GAMMA = 0.4
+_HW_M = 7  # season length (day-of-week)
+_HW_H = 7  # forecast horizon
+
+_HW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, cents, CAST(cents AS DOUBLE) / 100.0 AS y,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), c1 AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn <= {_HW_M} THEN cents END) AS DOUBLE)
+               / 100.0 / {_HW_M} AS a0,
+           (CAST(SUM(CASE WHEN rn > {_HW_M} AND rn <= {2 * _HW_M}
+                          THEN cents END) AS DOUBLE) / 100.0 / {_HW_M}
+            - CAST(SUM(CASE WHEN rn <= {_HW_M} THEN cents END) AS DOUBLE)
+              / 100.0 / {_HW_M}) / {_HW_M} AS b0,
+           MAX(n) AS n
+    FROM seq
+    WHERE n >= {2 * _HW_M}
+    GROUP BY event_type
+), s0 AS (
+    SELECT seq.event_type,
+           list(seq.y - c1.a0 ORDER BY seq.rn) AS s, MAX(c1.a0) AS a0,
+           MAX(c1.b0) AS b0, MAX(c1.n) AS n
+    FROM seq JOIN c1 USING (event_type)
+    WHERE seq.rn <= {_HW_M}
+    GROUP BY seq.event_type
+), rec(event_type, rn, n, lvl, tr, s) AS (
+    SELECT s0.event_type, {_HW_M + 1}, s0.n,
+           {_HW_ALPHA!r} * (q.y - s0.s[1])
+               + {1.0 - _HW_ALPHA!r} * (s0.a0 + s0.b0),
+           {_HW_BETA!r} * (({_HW_ALPHA!r} * (q.y - s0.s[1])
+               + {1.0 - _HW_ALPHA!r} * (s0.a0 + s0.b0)) - s0.a0)
+               + {1.0 - _HW_BETA!r} * s0.b0,
+           s0.s[2:] || [{_HW_GAMMA!r} * (q.y - ({_HW_ALPHA!r} * (q.y - s0.s[1])
+               + {1.0 - _HW_ALPHA!r} * (s0.a0 + s0.b0)))
+               + {1.0 - _HW_GAMMA!r} * s0.s[1]]
+    FROM s0 JOIN seq q
+      ON q.event_type = s0.event_type AND q.rn = {_HW_M + 1}
+    UNION ALL
+    SELECT r.event_type, r.rn + 1, r.n,
+           {_HW_ALPHA!r} * (q.y - r.s[1])
+               + {1.0 - _HW_ALPHA!r} * (r.lvl + r.tr),
+           {_HW_BETA!r} * (({_HW_ALPHA!r} * (q.y - r.s[1])
+               + {1.0 - _HW_ALPHA!r} * (r.lvl + r.tr)) - r.lvl)
+               + {1.0 - _HW_BETA!r} * r.tr,
+           r.s[2:] || [{_HW_GAMMA!r} * (q.y - ({_HW_ALPHA!r} * (q.y - r.s[1])
+               + {1.0 - _HW_ALPHA!r} * (r.lvl + r.tr)))
+               + {1.0 - _HW_GAMMA!r} * r.s[1]]
+    FROM rec r JOIN seq q
+      ON q.event_type = r.event_type AND q.rn = r.rn + 1
+    WHERE r.rn < r.n
+)
+SELECT r.event_type, g.h,
+       ROUND(r.lvl + g.h * r.tr + r.s[((g.h - 1) % {_HW_M}) + 1], 6)
+           AS forecast
+FROM rec r, UNNEST(generate_series(1, {_HW_H})) AS g(h)
+WHERE r.rn = r.n
+"""
+
+
+def _holt_winters_fn(alpha: float, beta: float, gamma: float, m: int, horizon: int):
+    """Factory for the per-key Holt-Winters additive solve (nested closure,
+    by-value pickling). Complements are bound HERE so the UDF and the
+    oracle share the identical double constants."""
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        key = pdf["event_type"].iloc[0]
+        # cents → double division replicates both engines'
+        # decimal(18,2)→double cast (correctly rounded) bit-for-bit.
+        y = [int(v) / 100.0 for v in pdf["cents"]]
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                {"event_type": [], "h": [], "forecast": []}
+            ).astype({"event_type": "str", "h": "int64", "forecast": "float64"})
+        a0 = float(sum(int(v) for v in pdf["cents"][:m])) / 100.0 / m
+        a1 = float(sum(int(v) for v in pdf["cents"][m : 2 * m])) / 100.0 / m
+        level, trend = a0, (a1 - a0) / m
+        season = [y[j] - a0 for j in range(m)]
+        for x in y[m:]:
+            s_old = season[0]
+            prev = level
+            level = alpha * (x - s_old) + oma * (prev + trend)
+            trend = beta * (level - prev) + omb * trend
+            season = season[1:] + [gamma * (x - level) + omg * s_old]
+        return pd.DataFrame(
+            {
+                "event_type": [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                # raw doubles out; the caller applies F.round (HALF_UP —
+                # matches DuckDB ROUND; Python round() is half-even).
+                "forecast": [
+                    level + h * trend + season[(h - 1) % m]
+                    for h in range(1, horizon + 1)
+                ],
+            }
+        )
+
+    return hw
+
+
+@register(
+    "ts_holt_winters_seasonal", oracle=_HW_ORACLE, tags=("timeseries", "ml")
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL forecast (level + trend + weekly
+    day-of-week component) of daily value per event_type — the seasonal
+    upgrade of ts_holt_linear, and the model a traffic/revenue series
+    with a weekly rhythm actually needs (a linear-trend forecaster
+    systematically overshoots Sundays and undershoots Mondays; the
+    seasonal state absorbs exactly that).
+
+    Convention (fixed, documented, mirrored in the oracle): classical
+    NIST initialization — level₀ = mean of the first m days, trend₀ =
+    (mean of the second m − mean of the first m)/m, seasonal₀ = first
+    cycle's deviations from level₀ — then the standard coupled
+    recurrences from day m+1 with fixed α/β/γ; keys shorter than 2m
+    days emit nothing. Forecast ŷ(h) = level + h·trend + s[(h−1) mod m].
+
+    Cross-engine exactness: the daily fold is exact integer CENTS (so
+    the recurrence inputs are bit-identical doubles on both engines),
+    the smoothing complements are single shared double constants, and
+    the oracle's recursive CTE carries the m-slot seasonal state as a
+    LIST, advancing the identical IEEE expression DAG one day per step
+    — so the 6-dp forecasts hash-match exactly, same contract as
+    ts_holt_linear. The sequential replay test in
+    tests/test_round10_ops.py re-runs the recurrence in plain Python
+    and requires cell-exact agreement.
+
+    Scale shape: reduce-then-solve — one map-combined shuffle folds the
+    fact table to |keys|·|days| rows; one Arrow batch per key runs the
+    O(days) recurrence; state is (2 + m) floats per key regardless of
+    history length."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            _holt_winters_fn(_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M, _HW_H),
+            "event_type string, h long, forecast double",
+        )
+        .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
+    )

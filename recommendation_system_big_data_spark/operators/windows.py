@@ -1324,3 +1324,41 @@ def funnel_conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_lag_s"),
     )
+
+
+_PCTRANK_ORACLE = """
+SELECT event_id,
+       event_type,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
+@register("window_percent_rank_cume", oracle=_PCTRANK_ORACLE, tags=("window",))
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST per event-type partition — the two
+    normalized rank functions (completing the rank family next to
+    rank/dense_rank/ntile): where does each event's value sit within its
+    type, as a [0,1] position. Ordering carries the event_id tiebreak so
+    the ranks are a total order.
+
+    Float-exit note (COVERAGE.md r10): the outputs are emitted RAW, not
+    ROUND()ed — percent_rank is (rank−1)/(n−1) and cume_dist is
+    peer_count/n, single IEEE divisions of identical integers on both
+    engines, so the doubles are bit-identical by construction; it is
+    ROUNDING a double that knife-edges, never computing one. Verified by
+    the repr-exact cross-engine sweep gate.
+
+    Scale: one shuffle on the partition key; ranks are streaming within
+    each sorted partition."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )

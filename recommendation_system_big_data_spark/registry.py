@@ -133,12 +133,21 @@ _loaded = False
 #:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
 #:
 #: ROUND-11 QUEUE (committed now so the r11 flip stays a one-line edit,
-#: per the r9 VERDICT "Next round" #6): the 7 part-B rollovers
-#:   tumbling_window_agg union_pos unnest_recs window_lag_lead
-#:   window_ntile_dist window_rank_dense window_running_sum
-#: + any r10 session additions (take priority, same rule as r10 part A)
-#: + the next-oldest unrefreshed vintage rows (r2/r3 scan/sink/roundtrip
-#: family and the r3 olap/reshape block) to fill 50.
+#: per the r9 VERDICT "Next round" #6), priority order:
+#: 1. the 10 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
+#:    so none has a driver row yet; each was oracle-checked at sf0.001 AND
+#:    sf0.01 — most also sf0.1 — plus the repr-exact ulp gate on the day
+#:    it landed):
+#:      agg_count_min_sketch embedding_hard_negative_mining
+#:      fn_try_cast_json join_null_skew_bypass ml_eval_pr_auc
+#:      pipeline_token_budget_select stat_anova_oneway
+#:      text_collapse_repeats ts_holt_winters_seasonal
+#:      window_percent_rank_cume
+#: 2. the 7 part-B rollovers:
+#:      tumbling_window_agg union_pos unnest_recs window_lag_lead
+#:      window_ntile_dist window_rank_dense window_running_sum
+#: 3. the next-oldest unrefreshed vintage rows (r2/r3 scan/sink/roundtrip
+#:    family and the r3 olap/reshape block) to fill 50.
 _DRIVER_WINDOW_ALIASES = (
     # ROUND-10 window: part A (the 10 r9 session additions — first driver
     # rows), the embedding_covariance re-row (integer-hash rewrite, the

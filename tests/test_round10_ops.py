@@ -1,0 +1,323 @@
+"""Round-10 session additions: differential references, planted corpora,
+and bound gates for the operators the oracles can't fully pin (CMS bounds)
+or where a sequential Python replay catches shared-bug classes the
+cross-engine oracle structurally cannot (both engines computing the same
+wrong thing)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_anova_matches_sequential_reference(spark, sf_dir):
+    """Replay one-way ANOVA sequentially in Python with the SAME integer
+    quantization and truncating divisions, and require cell-exact
+    agreement — the differential-kernel pattern from
+    test_property_stats.py."""
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ANOVA_QUANT,
+        stat_anova_oneway,
+    )
+
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * ANOVA_QUANT)
+        )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    ssq = sum(_trunc_div(sum(v) * sum(v), len(v)) for v in groups.values())
+    ssb = ssq - _trunc_div(s * s, n)
+    ssw = q - ssq
+    sst = q - _trunc_div(s * s, n)
+    f_milli = _half_away(ssb * (n - k) * 1000, ssw * (k - 1))
+    eta = _half_away(ssb * 1000000, sst)
+
+    row = stat_anova_oneway(spark, sf_dir).collect()[0]
+    assert row["k_groups"] == k and row["n_total"] == n
+    assert row["ssb_q"] == ssb and row["ssw_q"] == ssw
+    assert row["f_milli"] == f_milli
+    assert row["eta_sq_micros"] == eta
+    # the fixture's five event types have near-identical value
+    # distributions, so F should exist and be small-ish but positive
+    assert row["f_milli"] >= 0
+
+
+def _trunc_div(a: int, b: int) -> int:
+    qq = abs(a) // abs(b)
+    return qq if (a >= 0) == (b >= 0) else -qq
+
+
+def _half_away(num: int, den: int) -> int:
+    if num < 0:
+        return -((-num * 2 + den) // (2 * den))
+    return (num * 2 + den) // (2 * den)
+
+
+def test_pr_auc_matches_sequential_reference(spark, sf_dir):
+    """Sequential AP replay with the identical per-term truncating
+    division; also sanity: AP must beat the positive prevalence (value
+    is a genuinely informative score for purchases in the fixture is NOT
+    guaranteed — so gate only the exact agreement and range)."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_pr_auc,
+    )
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    ).collect()
+    ordered = sorted(rows, key=lambda r: (-r["value"], r["event_id"]))
+    cp, s, n_pos = 0, 0, 0
+    for i, r in enumerate(ordered, start=1):
+        if r["event_type"] == "purchase":
+            cp += 1
+            n_pos += 1
+            s += (cp * 1_000_000_000) // i
+    ap_micros = (s * 2 + 1000 * n_pos) // (2000 * n_pos)
+
+    row = ml_eval_pr_auc(spark, sf_dir).collect()[0]
+    assert row["n_total"] == len(rows)
+    assert row["n_pos"] == n_pos
+    assert row["ap_micros"] == ap_micros
+    assert 0 <= row["ap_micros"] <= 1_000_000
+
+
+def test_token_budget_select_planted(spark, tmp_path):
+    """Planted corpus where the greedy arithmetic is checkable by hand:
+    one language, budget 1000, docs engineered so doc order by TTR is
+    known and the straddling document overflows the budget."""
+    from recommendation_system_big_data_spark.functions.text import (
+        TOKEN_BUDGET_PER_LANG,
+        pipeline_token_budget_select,
+    )
+
+    assert TOKEN_BUDGET_PER_LANG == 1000
+    # doc 0: 400 tokens, all distinct (ttr 1e6) -> admitted (0 before)
+    # doc 1: 500 tokens, all distinct (ttr 1e6) -> admitted (400 before)
+    # doc 2: 300 tokens, all distinct (ttr 1e6) -> admitted (900 before;
+    #         straddles: total becomes 1200)
+    # doc 3: 100 tokens, half distinct (ttr 5e5) -> rejected (1200 >= 1000)
+    docs = [
+        (0, " ".join(f"a{i}" for i in range(400)), "en", "s", 0),
+        (1, " ".join(f"b{i}" for i in range(500)), "en", "s", 0),
+        (2, " ".join(f"c{i}" for i in range(300)), "en", "s", 0),
+        (3, " ".join(f"d{i % 50}" for i in range(100)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = pipeline_token_budget_select(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_selected"] == 3
+    assert r["tokens_selected"] == 1200
+    assert r["tokens_total"] == 1300
+    assert r["cutoff_ttr_micros"] == 1_000_000
+
+
+def test_hard_negative_mining_against_numpy(spark, sf_dir):
+    """Brute-force numpy replay of the triplet mining (same FLOOR
+    quantization, same tiebreaks) must agree exactly; plus determinism."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.similarity import (
+        N_QUERIES,
+        embedding_hard_negative_mining,
+    )
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    X = np.vstack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+
+    got = {
+        r["anchor_id"]: r
+        for r in embedding_hard_negative_mining(spark, sf_dir).collect()
+    }
+    assert set(got) == set(int(i) for i in ids if i < N_QUERIES)
+
+    for a_idx in np.where(ids < N_QUERIES)[0]:
+        cos = (X @ X[a_idx]) / (nrm * nrm[a_idx])
+        cm = np.floor(cos * 1_000_000).astype(np.int64)
+        mask = ids != ids[a_idx]
+        neg = [
+            (int(-cm[j]), int(ids[j]))
+            for j in np.where(mask & (labels != labels[a_idx]))[0]
+        ]
+        pos = [
+            (int(cm[j]), int(ids[j]))
+            for j in np.where(mask & (labels == labels[a_idx]))[0]
+        ]
+        bn = min(neg)
+        bp = min(pos)
+        r = got[int(ids[a_idx])]
+        assert (r["hard_neg_id"], r["neg_cos_micros"]) == (bn[1], -bn[0])
+        assert (r["hard_pos_id"], r["pos_cos_micros"]) == (bp[1], bp[0])
+        assert r["triplet_violation"] == int(-bn[0] > bp[0])
+
+    a = sorted(map(str, embedding_hard_negative_mining(spark, sf_dir).collect()))
+    b = sorted(map(str, embedding_hard_negative_mining(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_null_bypass_equals_naive_left_join(spark, sf_dir):
+    """The bypass plan must be semantically IDENTICAL to the naive left
+    join it optimizes — cell-exact on the fixture."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.skew import (
+        join_null_skew_bypass,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type").isin("view", "error"), F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "value",
+    )
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    naive = (
+        ev.join(dim, F.col("uid") == F.col("c_custkey"), "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
+    a = sorted(map(str, naive.collect()))
+    b = sorted(map(str, join_null_skew_bypass(spark, sf_dir).collect()))
+    assert a == b
+    # the bypass branch is real: a NULL-segment row exists with mass
+    nulls = [r for r in join_null_skew_bypass(spark, sf_dir).collect()
+             if r["segment"] is None]
+    assert len(nulls) == 1 and nulls[0]["n_events"] > 0
+
+
+def test_collapse_repeats_planted_and_nonvacuous(spark, sf_dir, tmp_path):
+    """Planted doc with known runs; and the fixture corpus must actually
+    exercise removals (388/500 docs at sf0.01 — guard against a fixture
+    regen making the evidence vacuous)."""
+    from recommendation_system_big_data_spark.functions.text import (
+        text_collapse_repeats,
+    )
+
+    docs = [(0, "a a a b b a c c c c", "en", "s", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = text_collapse_repeats(spark, str(tmp_path)).collect()[0]
+    assert r["n_tokens_in"] == 10
+    assert r["n_removed"] == 6  # -> "a b a c"
+    import hashlib
+
+    assert r["cleaned_md5"] == hashlib.md5(b"a b a c").hexdigest()
+
+    fixture = text_collapse_repeats(spark, sf_dir).collect()
+    assert sum(1 for x in fixture if x["n_removed"] > 0) > 0
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS contract: never underestimates; overestimates by at most
+    eps·N with probability `confidence` — gate the hard lower bound
+    exactly and the upper bound with the full eps·N slack. Plus
+    determinism (fixed seed)."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.profile import (
+        CMS_EPS,
+        agg_count_min_sketch,
+    )
+
+    n = load(spark, sf_dir, "events").count()
+    rows = agg_count_min_sketch(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["cms_estimate"] <= r["exact_count"] + CMS_EPS * n
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+    a = sorted(map(str, agg_count_min_sketch(spark, sf_dir).collect()))
+    assert a == sorted(map(str, rows))
+
+
+def test_holt_winters_matches_sequential_reference(spark, sf_dir):
+    """Plain-Python replay of the Holt-Winters additive recurrence with
+    the identical constants, init, and expression order — cell-exact
+    agreement (HALF_UP reference rounding, the F.round convention)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_H,
+        _HW_M,
+        ts_holt_winters_seasonal,
+    )
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["idx"], r["cents"]))
+
+    A, B, G, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    oma, omb, omg = 1.0 - A, 1.0 - B, 1.0 - G
+    expect = {}
+    for key, pts in series.items():
+        pts.sort()
+        cents = [c for _, c in pts]
+        if len(cents) < 2 * m:
+            continue
+        y = [c / 100.0 for c in cents]
+        a0 = float(sum(cents[:m])) / 100.0 / m
+        a1 = float(sum(cents[m : 2 * m])) / 100.0 / m
+        level, trend = a0, (a1 - a0) / m
+        season = [y[j] - a0 for j in range(m)]
+        for x in y[m:]:
+            s_old = season[0]
+            prev = level
+            level = A * (x - s_old) + oma * (prev + trend)
+            trend = B * (level - prev) + omb * trend
+            season = season[1:] + [G * (x - level) + omg * s_old]
+        for h in range(1, _HW_H + 1):
+            raw = level + h * trend + season[(h - 1) % m]
+            expect[(key, h)] = float(
+                Decimal(repr(raw)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+    got = {
+        (r["event_type"], r["h"]): r["forecast"]
+        for r in ts_holt_winters_seasonal(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) == 5 * _HW_H  # every fixture key has 30 >= 14 days

@@ -19,7 +19,9 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              # round-6 Python paths: the PQ assignment mapInPandas factory
              # (three consumers) and the PAV applyInPandas factory
              "embedding_pq_compress", "sim_topk_pq_adc", "sim_topk_ivfpq",
-             "ml_isotonic_calibration", "ts_holt_linear", "sink_python_datasource", "fn_udtf_dynamic_schema"]:
+             "ml_isotonic_calibration", "ts_holt_linear", "sink_python_datasource", "fn_udtf_dynamic_schema",
+             # round-10 Python path: the Holt-Winters applyInPandas factory
+             "ts_holt_winters_seasonal"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
