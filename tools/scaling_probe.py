@@ -55,6 +55,15 @@ PROBES = [
     ("stat_trend_mann_kendall", 10.0),
     ("sim_topk_truncated_rerank", 4.0),
     ("embedding_matryoshka_eval", 4.0),
+    # round-10 additions (events/documents step 10x, embeddings 4x)
+    ("stat_anova_oneway", 10.0),
+    ("ml_eval_pr_auc", 10.0),
+    ("ts_holt_winters_seasonal", 10.0),
+    ("pipeline_token_budget_select", 10.0),
+    ("text_collapse_repeats", 10.0),
+    ("join_null_skew_bypass", 10.0),
+    ("window_percent_rank_cume", 10.0),
+    ("embedding_hard_negative_mining", 4.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
