@@ -184,3 +184,57 @@ def fn_csv_string_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", "r_name", F.col("back.back_key").alias("back_key"),
         F.col("back.back_name").alias("back_name"),
     )
+
+
+_VARIANT_ORACLE = """
+WITH ex AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       'OBJECT<k: BIGINT>' AS discovered_schema
+FROM ex
+GROUP BY event_type
+"""
+
+
+@register("fn_variant_extract", oracle=_VARIANT_ORACLE, tags=("json", "scalar"))
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type end-to-end: parse_json the semi-structured
+    props column ONCE into a variant (a binary-encoded tree — repeated
+    extractions skip re-tokenizing the JSON string, the reason VARIANT
+    exists), pull a typed field out with variant_get, and let
+    schema_of_variant_agg DISCOVER the merged schema across every row —
+    the schema-on-read primitive a 100 TB landing zone uses before
+    anyone writes a DDL. The oracle pins the extraction semantics via
+    plain JSON path (engines must agree on values) AND the expected
+    discovered schema literal ('OBJECT<k: BIGINT>' — if the fixture's
+    props shape ever drifts, the discovery column goes red first).
+
+    Scale shape: parse + extract are per-row codegen'd kernels; the
+    rollup is one map-side-combined aggregate to |event_type| rows. At
+    100 TB the win is storage-side: a VARIANT column in parquet keeps
+    shredded binary instead of strings, so the parse cost is paid at
+    ingest once, not per query."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    ex = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        "v",
+    )
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.expr("schema_of_variant_agg(v)").alias("discovered_schema"),
+    )

@@ -1769,3 +1769,112 @@ def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2000 * SUM(is_pos)) AS LONG)"
         ).alias("ap_micros"),
     )
+
+
+_STUMP_ORACLE = """
+WITH grain AS (
+    SELECT value,
+           CAST(COUNT(*) AS BIGINT) AS n_v,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS p_v
+    FROM events GROUP BY value
+), tot AS (
+    SELECT SUM(n_v) AS n, SUM(p_v) AS p FROM grain
+), pre AS (
+    SELECT value,
+           SUM(n_v) OVER (ORDER BY value ASC) AS nl,
+           SUM(p_v) OVER (ORDER BY value ASC) AS pl
+    FROM grain
+), cand AS (
+    SELECT value AS split_value,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(t.n - nl AS BIGINT) AS n_right,
+           CAST(t.p - pl AS BIGINT) AS pos_right,
+           CAST(((pl * (nl - pl) * (t.n - nl)
+                  + (t.p - pl) * ((t.n - nl) - (t.p - pl)) * nl)
+                 * 1000000000::HUGEINT)
+                // (nl * (t.n - nl)) AS BIGINT) AS g_nanos,
+           CAST((t.p * (t.n - t.p) * 1000000000::HUGEINT) // t.n
+                AS BIGINT) AS g0_nanos
+    FROM pre, tot t
+    WHERE nl > 0 AND t.n - nl > 0
+)
+SELECT split_value, n_left, pos_left, n_right, pos_right, g_nanos,
+       g0_nanos - g_nanos AS gain_nanos
+FROM cand
+ORDER BY g_nanos ASC, split_value ASC
+LIMIT 1
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_ORACLE, tags=("ml",))
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split finding for a depth-1 decision tree (stump) on
+    `value` against the purchase-vs-rest label — the inner loop of every
+    tree-ensemble trainer, distributed the way XGBoost/LightGBM's exact
+    mode does it: fold the facts to the DISTINCT-VALUE grain with
+    per-value (count, positives), prefix-sum that grain once, and score
+    every candidate threshold from the prefix sums alone. The winning
+    split minimizes the weighted Gini impurity.
+
+    Integer exit (COVERAGE.md r10): with integer counts, weighted Gini
+    ordering reduces to the rational [pL(nL−pL)nR + pR(nR−pR)nL]/(nL·nR)
+    (the 2/n factor is constant across candidates and dropped); each
+    candidate is scored as that rational's TRUNCATING nano-division —
+    identical BIGINTs both engines — and the argmin carries a
+    split_value tiebreak. The threshold itself is a raw data double
+    (never computed with), and the root impurity enters the reported
+    gain through the same nano convention.
+
+    Scale shape: one map-combined aggregate to the distinct-value grain,
+    one window prefix-sum over that grain (values fit one partition at
+    fixture scale; the ranges.py bucketed prefix-sum is the big-grain
+    form — same note as ml_eval_auc_roc), one TakeOrderedAndProject for
+    the argmin. The fact table is scanned exactly once."""
+    ev = load(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("long").alias("y")
+    )
+    grain = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("p_v")
+    )
+    w = Window.orderBy(F.asc("value"))
+    pre = grain.select(
+        "value",
+        F.sum("n_v").over(w).alias("nl"),
+        F.sum("p_v").over(w).alias("pl"),
+        F.sum("n_v").over(
+            Window.orderBy(F.asc("value")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        F.sum("p_v").over(
+            Window.orderBy(F.asc("value")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("p"),
+    )
+    cand = pre.filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0)).select(
+        F.col("value").alias("split_value"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+        (F.col("p") - F.col("pl")).cast("long").alias("pos_right"),
+        F.expr(
+            "CAST((CAST(pl * (nl - pl) AS DECIMAL(24,0)) * (n - nl)"
+            " + CAST((p - pl) * ((n - nl) - (p - pl)) AS DECIMAL(24,0)) * nl)"
+            " * 1000000000 div (CAST(nl AS DECIMAL(16,0)) * (n - nl)) AS LONG)"
+        ).alias("g_nanos"),
+        F.expr(
+            "CAST(CAST(p * (n - p) AS DECIMAL(26,0)) * 1000000000 div n"
+            " AS LONG)"
+        ).alias("g0_nanos"),
+    )
+    return (
+        cand.select(
+            "split_value", "n_left", "pos_left", "n_right", "pos_right",
+            "g_nanos",
+            (F.col("g0_nanos") - F.col("g_nanos")).alias("gain_nanos"),
+        )
+        .orderBy(F.asc("g_nanos"), F.asc("split_value"))
+        .limit(1)
+    )

@@ -321,3 +321,50 @@ def test_holt_winters_matches_sequential_reference(spark, sf_dir):
     }
     assert got == expect
     assert len(got) == 5 * _HW_H  # every fixture key has 30 >= 14 days
+
+
+def test_decision_stump_matches_sequential_reference(spark, sf_dir):
+    """Sequential replay of the exact split search (same nano-truncation,
+    same tiebreak); also the invariants: the winner is a real data value
+    and gain is non-negative (a stump can always do no worse than the
+    root by splitting off one value... NOT true in general for Gini —
+    gain can be ~0 on uninformative features — so gate gain >= 0 only
+    via g0 >= g for the CHOSEN split, which the search guarantees iff
+    some split helps; assert the replay agreement instead)."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_decision_stump,
+    )
+
+    rows = load(spark, sf_dir, "events").select("value", "event_type").collect()
+    from collections import defaultdict
+
+    grain = defaultdict(lambda: [0, 0])
+    for r in rows:
+        g = grain[r["value"]]
+        g[0] += 1
+        g[1] += r["event_type"] == "purchase"
+    n = sum(v[0] for v in grain.values())
+    p = sum(v[1] for v in grain.values())
+    nl = pl = 0
+    best = None
+    for v in sorted(grain):
+        nl += grain[v][0]
+        pl += grain[v][1]
+        nr, pr = n - nl, p - pl
+        if nl == 0 or nr == 0:
+            continue
+        g_nanos = (
+            (pl * (nl - pl) * nr + pr * (nr - pr) * nl) * 1_000_000_000
+        ) // (nl * nr)
+        key = (g_nanos, v)
+        if best is None or key < best[0]:
+            best = (key, nl, pl, nr, pr)
+    g0 = (p * (n - p) * 1_000_000_000) // n
+
+    r = ml_decision_stump(spark, sf_dir).collect()[0]
+    assert r["split_value"] == best[0][1]
+    assert r["g_nanos"] == best[0][0]
+    assert (r["n_left"], r["pos_left"]) == (best[1], best[2])
+    assert (r["n_right"], r["pos_right"]) == (best[3], best[4])
+    assert r["gain_nanos"] == g0 - best[0][0]
