@@ -671,3 +671,48 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING price_thresh
         """
     )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT)
+           AS qty_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql",))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>`): the q1 pricing-summary shape
+    written as a top-to-bottom dataflow — FROM, then each clause as a
+    pipe stage in EXECUTION order (filter |> aggregate |> filter-on-agg
+    |> order) instead of the inside-out SELECT nesting. Same Catalyst
+    plan as the classic form; the oracle is the classic form, which IS
+    the semantics claim — pipe syntax is sugar, not a new engine.
+
+    The aggregate stage's GROUP BY columns flow through implicitly, and
+    the post-AGGREGATE WHERE plays HAVING without the keyword — the two
+    spots where the sugar could plausibly diverge from the classic
+    reading, so exactly what the oracle pins. Quantities accumulate as
+    exact DECIMAL before the BIGINT exit (l_quantity is stored DOUBLE;
+    a bare double-sum cast would sit on the truncate-vs-round engine
+    seam)."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        FROM {li}
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT)
+                         AS qty_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_lines > 10
+        |> SELECT l_returnflag, l_linestatus, qty_cents, n_lines
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

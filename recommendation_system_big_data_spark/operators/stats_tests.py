@@ -1311,3 +1311,136 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_milli.cast("long").alias("f_milli"),
         eta.cast("long").alias("eta_sq_micros"),
     )
+
+
+#: Permutation count for the exact-resampling test. 200 keeps the window
+#: work at B·n rows (~2M at sf0.1) while giving p-value resolution 1/201.
+PERM_B = 200
+
+_PERM_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id,
+           event_type = 'click' AS is_a,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('click', 'purchase')
+), tot AS (
+    SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN is_a THEN cents ELSE 0 END) AS s_a,
+           SUM(CASE WHEN is_a THEN 0 ELSE cents END) AS s_b
+    FROM ev
+), obs AS (
+    SELECT n_a, n_b, ABS(s_a * n_b - s_b * n_a) AS t_obs FROM tot
+), perms AS (
+    SELECT b.b, ev.cents, tot.n_a, tot.n_b,
+           ROW_NUMBER() OVER (
+               PARTITION BY b.b
+               ORDER BY md5(CAST(b.b AS VARCHAR) || ':'
+                            || CAST(ev.event_id AS VARCHAR)),
+                        ev.event_id
+           ) AS rnk
+    FROM ev, range(1, {PERM_B + 1}) b(b), tot
+), tstats AS (
+    SELECT b,
+           ABS(SUM(CASE WHEN rnk <= n_a THEN cents ELSE 0 END) * MAX(n_b)
+               - SUM(CASE WHEN rnk > n_a THEN cents ELSE 0 END) * MAX(n_a))
+               AS t_b
+    FROM perms GROUP BY b
+)
+SELECT obs.n_a, obs.n_b,
+       CAST(obs.t_obs AS BIGINT) AS t_obs_scaled,
+       CAST({PERM_B} AS BIGINT) AS n_perms,
+       CAST((SELECT COUNT(*) FROM tstats WHERE t_b >= obs.t_obs)
+            AS BIGINT) AS n_exceed
+FROM obs
+"""
+
+
+@register(
+    "stat_permutation_test", oracle=_PERM_ORACLE, tags=("profile", "experiment")
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test of mean event value, click vs purchase
+    — the assumption-free companion of `stat_ttest_welch` (no normality,
+    no variance model: under H₀ the labels are exchangeable, so the
+    observed mean gap is ranked against the gap under PERM_B relabelings
+    that preserve the group sizes). Reports the exceedance count; the
+    Monte-Carlo p-value is (n_exceed + 1)/(n_perms + 1).
+
+    The resampling itself is ORACLE-EXACT — rare for a permutation test:
+    permutation b orders the pooled rows by md5(b || ':' || event_id)
+    (both engines produce the identical lowercase-hex md5, so the
+    pseudo-random total order is engine-independent and seeded by b) and
+    assigns the first n_a ranks to group A. Every statistic is integer:
+    values enter as exact cents, and mean gaps compare via the
+    cross-multiplied |S_A·n_B − S_B·n_A| — no division, no float,
+    nothing to knife-edge (COVERAGE.md r10 convention).
+
+    Scale shape: one scan folds the facts; the B-fold expansion is a
+    crossJoin with a broadcast PERM_B-row spine (rows·B total, B
+    independent window partitions — embarrassingly parallel, one
+    shuffle on b); each permutation reduces map-side to one row. B is
+    a constant: the expansion is linear in data, and at 100 TB the
+    per-b ordering falls out of the same bucketed prefix-sum pattern
+    as the other global-order statistics (ranges.py)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            (F.col("event_type") == "click").alias("is_a"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    tot = ev.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(F.col("cents"))).alias("s_b"),
+    )
+    spine = F.broadcast(spark.range(1, PERM_B + 1).select(F.col("id").alias("b")))
+    w = Window.partitionBy("b").orderBy(
+        F.md5(
+            F.concat(
+                F.col("b").cast("string"), F.lit(":"), F.col("event_id").cast("string")
+            ).cast("binary")
+        ),
+        F.asc("event_id"),
+    )
+    perms = (
+        ev.crossJoin(spine)
+        .crossJoin(F.broadcast(tot.select("n_a", "n_b")))
+        .select("b", "cents", "n_a", "n_b", F.row_number().over(w).alias("rnk"))
+    )
+    tstats = perms.groupBy("b").agg(
+        F.abs(
+            F.sum(F.when(F.col("rnk") <= F.col("n_a"), F.col("cents")).otherwise(0))
+            * F.max("n_b")
+            - F.sum(F.when(F.col("rnk") > F.col("n_a"), F.col("cents")).otherwise(0))
+            * F.max("n_a")
+        ).alias("t_b")
+    )
+    obs = tot.select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).alias(
+            "t_obs"
+        ),
+    )
+    exceed = (
+        tstats.crossJoin(F.broadcast(obs.select(F.col("t_obs").alias("t0"))))
+        .agg(
+            F.sum(F.when(F.col("t_b") >= F.col("t0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exceed")
+        )
+    )
+    return obs.crossJoin(F.broadcast(exceed)).select(
+        "n_a",
+        "n_b",
+        F.col("t_obs").cast("long").alias("t_obs_scaled"),
+        F.lit(PERM_B).cast("long").alias("n_perms"),
+        "n_exceed",
+    )

@@ -368,3 +368,55 @@ def test_decision_stump_matches_sequential_reference(spark, sf_dir):
     assert (r["n_left"], r["pos_left"]) == (best[1], best[2])
     assert (r["n_right"], r["pos_right"]) == (best[3], best[4])
     assert r["gain_nanos"] == g0 - best[0][0]
+
+
+def test_permutation_test_matches_sequential_reference(spark, sf_dir):
+    """Python replay of the md5-seeded permutation scheme (hashlib md5
+    hex == both engines' md5) — exceedance count must agree exactly."""
+    import hashlib
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        PERM_B,
+        stat_permutation_test,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    ids = [(r["event_id"], r["cents"]) for r in rows]
+    n_a = sum(1 for r in rows if r["event_type"] == "click")
+    n_b = len(rows) - n_a
+    s_a = sum(r["cents"] for r in rows if r["event_type"] == "click")
+    s_b = sum(r["cents"] for r in rows if r["event_type"] != "click")
+    t_obs = abs(s_a * n_b - s_b * n_a)
+    n_exceed = 0
+    for b in range(1, PERM_B + 1):
+        order = sorted(
+            ids,
+            key=lambda t: (
+                hashlib.md5(f"{b}:{t[0]}".encode()).hexdigest(),
+                t[0],
+            ),
+        )
+        sa = sum(c for _, c in order[:n_a])
+        sb = sum(c for _, c in order[n_a:])
+        if abs(sa * n_b - sb * n_a) >= t_obs:
+            n_exceed += 1
+
+    r = stat_permutation_test(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["t_obs_scaled"] == t_obs
+    assert r["n_perms"] == PERM_B
+    assert r["n_exceed"] == n_exceed
+    assert 0 <= r["n_exceed"] <= PERM_B
