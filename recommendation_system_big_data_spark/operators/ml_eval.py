@@ -1878,3 +1878,147 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("g_nanos"), F.asc("split_value"))
         .limit(1)
     )
+
+
+_SILHOUETTE_ORACLE = """
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                                    AS BIGINT)) AS arr
+    FROM embeddings
+), ex AS (
+    SELECT vec_id, label AS own, CAST(t.i AS BIGINT) AS pos,
+           arr[t.i + 1] AS xq
+    FROM base, UNNEST(range(len(arr))) AS t(i)
+), q AS (
+    SELECT vec_id, SUM(CAST(xq AS HUGEINT) * xq) AS qq FROM ex GROUP BY vec_id
+), cent AS (
+    SELECT own AS clabel, pos, SUM(CAST(xq AS HUGEINT)) AS s,
+           CAST(COUNT(*) AS HUGEINT) AS n_l
+    FROM ex GROUP BY own, pos
+), ss AS (
+    SELECT clabel, SUM(s * s) AS ss, MAX(n_l) AS n_l FROM cent GROUP BY clabel
+), dots AS (
+    SELECT e.vec_id, e.own, c.clabel, SUM(CAST(e.xq AS HUGEINT) * c.s) AS dot
+    FROM ex e JOIN cent c ON c.pos = e.pos
+    GROUP BY e.vec_id, e.own, c.clabel
+), dist AS (
+    SELECT d.vec_id, d.own, d.clabel,
+           (ss.n_l * ss.n_l * q.qq - 2 * ss.n_l * d.dot + ss.ss)
+               // (ss.n_l * ss.n_l) AS dist_q
+    FROM dots d JOIN ss USING (clabel) JOIN q ON q.vec_id = d.vec_id
+), ab AS (
+    SELECT vec_id, own,
+           MAX(CASE WHEN clabel = own THEN dist_q END) AS a,
+           MIN(CASE WHEN clabel != own THEN dist_q END) AS b
+    FROM dist GROUP BY vec_id, own
+), s AS (
+    SELECT own,
+           CASE WHEN GREATEST(a, b) = 0 THEN 0
+                ELSE ((b - a) * 1000000::HUGEINT) // GREATEST(a, b)
+           END AS s_micros
+    FROM ab
+)
+SELECT CAST(own AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(s_micros) AS BIGINT) AS sum_s_micros,
+       CAST(CASE WHEN SUM(s_micros) < 0
+                 THEN -((-SUM(s_micros)) // COUNT(*))
+                 ELSE SUM(s_micros) // COUNT(*) END AS BIGINT)
+           AS mean_s_micros
+FROM s GROUP BY own
+"""
+
+
+@register("ml_silhouette_labels", oracle=_SILHOUETTE_ORACLE, tags=("ml",))
+def ml_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based, squared-distance) silhouette score of
+    the embedding corpus against its labels — the cluster-quality
+    readout: a(i) = squared distance to the OWN label's centroid,
+    b(i) = to the nearest OTHER centroid, s(i) = (b−a)/max(a,b) in
+    [−1, 1]; per-label means localize which classes bleed together.
+    Simplified silhouette (vs all-pairs) is the form that scales — it
+    needs centroids, not the n² distance matrix — and squared distances
+    (documented convention) keep it radical-free.
+
+    Exact integer algebra end-to-end (COVERAGE.md r10): elements
+    quantize to micro-units; d²(x, c_l) = Σ_p(n_l·x_p − S_{l,p})²/n_l²
+    expands to (n_l²·Σx² − 2n_l·⟨x,S_l⟩ + ΣS_l²)/n_l², all exact
+    integer sums; distances land as truncating-division BIGINTs (≤1
+    micro² error, identical both engines), the min/argmin over labels
+    is an integer min, and s exits in micro-units via truncating
+    division with a zero-distance guard.
+
+    Scale shape: one explode to the (vector, dim) grain; label
+    centroids are one (labels × dims)-row aggregate; the vector×label
+    scoring joins the exploded grain to the TINY centroid table on pos
+    (broadcast — labels·dims rows) and folds back per (vector, label):
+    state O(classes·dims), data touched once, no n² anywhere."""
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").alias("own"),
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                        "long"
+                    ),
+                )
+            ).alias("pos", "xq"),
+        )
+    )
+    q = ex.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("xq")).alias("qq")
+    )
+    cent = ex.groupBy(F.col("own").alias("clabel"), "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n_l")
+    )
+    ss = cent.groupBy("clabel").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("ss"),
+        F.max("n_l").alias("n_l"),
+    )
+    dots = (
+        ex.join(F.broadcast(cent.select("clabel", "pos", "s")), "pos")
+        .groupBy("vec_id", "own", "clabel")
+        .agg(F.sum(F.col("xq") * F.col("s")).alias("dot"))
+    )
+    dist = (
+        dots.join(F.broadcast(ss), "clabel")
+        .join(q, "vec_id")
+        .select(
+            "vec_id",
+            "own",
+            "clabel",
+            F.expr(
+                "CAST((CAST(n_l AS DECIMAL(12,0)) * n_l * CAST(qq AS DECIMAL(16,0))"
+                " - 2 * CAST(n_l AS DECIMAL(12,0)) * dot + ss)"
+                " div (CAST(n_l AS DECIMAL(12,0)) * n_l) AS LONG)"
+            ).alias("dist_q"),
+        )
+    )
+    ab = dist.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("dist_q"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("dist_q"))).alias("b"),
+    )
+    s = ab.select(
+        "own",
+        F.expr(
+            "CASE WHEN GREATEST(a, b) = 0 THEN 0"
+            " ELSE CAST((b - a) AS DECIMAL(20,0)) * 1000000"
+            "      div GREATEST(a, b) END"
+        )
+        .cast("long")
+        .alias("s_micros"),
+    )
+    return s.groupBy(F.col("own").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("s_micros").cast("long").alias("sum_s_micros"),
+        F.expr(
+            "CAST(CASE WHEN SUM(s_micros) < 0"
+            " THEN -((-SUM(s_micros)) div COUNT(1))"
+            " ELSE SUM(s_micros) div COUNT(1) END AS LONG)"
+        ).alias("mean_s_micros"),
+    )

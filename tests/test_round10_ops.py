@@ -420,3 +420,119 @@ def test_permutation_test_matches_sequential_reference(spark, sf_dir):
     assert r["n_perms"] == PERM_B
     assert r["n_exceed"] == n_exceed
     assert 0 <= r["n_exceed"] <= PERM_B
+
+
+def test_silhouette_matches_numpy_reference(spark, sf_dir):
+    """Numpy replay of the simplified squared-distance silhouette with
+    the identical micro-quantization and truncating divisions — the
+    per-label sums must agree exactly; range sanity on the means."""
+    import numpy as np
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_silhouette_labels,
+    )
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    labels = np.array([r["label"] for r in rows])
+    Xq = np.vstack(
+        [
+            np.floor(np.array(r["embedding"], dtype=np.float64) * 1_000_000.0)
+            for r in rows
+        ]
+    ).astype(object)  # python ints -> exact big-int arithmetic
+    sums = {}
+    for lab in set(labels.tolist()):
+        m = labels == lab
+        sums[lab] = (Xq[m].sum(axis=0), int(m.sum()))
+
+    per_label = {}
+    for i in range(len(rows)):
+        dq = {}
+        qq = int((Xq[i] * Xq[i]).sum())
+        for lab, (S, n) in sums.items():
+            dot = int((Xq[i] * S).sum())
+            ssl = int((S * S).sum())
+            num = n * n * qq - 2 * n * dot + ssl
+            dq[lab] = num // (n * n)
+        own = int(labels[i])
+        a = dq[own]
+        b = min(v for lab, v in dq.items() if lab != own)
+        g = max(a, b)
+        if g == 0:
+            s = 0
+        else:
+            num = (b - a) * 1_000_000
+            s = -((-num) // g) if num < 0 else num // g
+        st = per_label.setdefault(own, [0, 0])
+        st[0] += 1
+        st[1] += s
+
+    got = {
+        r["label"]: (r["n_vectors"], r["sum_s_micros"], r["mean_s_micros"])
+        for r in ml_silhouette_labels(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_label)
+    for lab, (n, ssum) in per_label.items():
+        mean = -((-ssum) // n) if ssum < 0 else ssum // n
+        assert got[lab] == (n, ssum, mean), lab
+        assert -1_000_000 <= got[lab][2] <= 1_000_000
+
+
+def test_ngram_jaccard_df_cap_semantics_planted(spark):
+    """r9 ADVICE follow-through, semantic half: the oracles now MIRROR the
+    hot-shingle df-cap, so pin what that capped semantics actually is on
+    a corpus where the cap BINDS (fixtures never bind it): with df_cap=2
+    a shingle shared by 3 docs is excluded from intersections while
+    n_sh keeps full sizes, so Jaccard is UNDERestimated exactly as
+    documented — computed here by hand for a 3-doc planted corpus."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # docs: A and B near-dups; the shingle 'w1 w2 w3' appears in A, B, C
+    # (df 3 > cap 2) and must not count toward any intersection.
+    texts = {
+        0: "w1 w2 w3 w4 w5 w6",          # shingles: 123 234 345 456
+        1: "w1 w2 w3 w4 w5 w7",          # shingles: 123 234 345 457
+        2: "w1 w2 w3 x1 x2 x3",          # carries 123 -> df(123)=3
+    }
+    d = spark.createDataFrame(
+        [(i, "en", t) for i, t in texts.items()],
+        "doc_id long, lang string, text string",
+    )
+    ex = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+            ).alias("sh"),
+        )
+        .select(
+            "doc_id", "lang", F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("shingle"),
+        )
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(ex, df_cap=2).collect()
+    }
+    # A-B: full shingle sets {123,234,345,456} vs {123,234,345,457}:
+    # uncapped J = 3/5 = 0.6; capped intersection drops 123 -> shared=2,
+    # union estimate = 4 + 4 - 2 = 6 -> J = 2/6 = 0.333333 < 0.5 threshold
+    # -> the pair must NOT be reported (underestimation drops it).
+    assert (0, 1) not in rows
+    # sanity: with the cap not binding (df_cap=3) the pair IS reported
+    # at the uncapped 0.6.
+    rows_uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(ex, df_cap=3).collect()
+    }
+    assert rows_uncapped.get((0, 1)) == 0.6
