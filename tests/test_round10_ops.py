@@ -6,8 +6,6 @@ wrong thing)."""
 
 from __future__ import annotations
 
-import pytest
-
 
 def test_anova_matches_sequential_reference(spark, sf_dir):
     """Replay one-way ANOVA sequentially in Python with the SAME integer
