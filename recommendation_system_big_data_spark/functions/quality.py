@@ -975,3 +975,100 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, "dup_word_ratio", "n1", "n2"))
         .unionByName(stage(3, "top_word_share", "n2", "n3"))
     )
+
+
+#: Rare-token threshold as a document-frequency FRACTION: a token is rare
+#: iff df·10 < n_docs (i.e. df < 10% of documents). Production pipelines
+#: use an absolute df floor; the fraction form is the same one-parameter
+#: filter and stays non-vacuous on the dense-vocabulary fixtures at every
+#: SF (exactly the low-df token 'dup' redacts at sf0.001/0.01/0.1).
+RARE_TOKEN_DF_DECILE = 10
+
+_RARE_REDACT_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), df AS (
+    SELECT t, COUNT(DISTINCT doc_id) AS df FROM (
+        SELECT doc_id, UNNEST(toks) AS t FROM tok
+    ) GROUP BY t
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), rarel AS (
+    SELECT COALESCE(LIST(t), []) AS rare
+    FROM df, n WHERE df.df * {RARE_TOKEN_DF_DECILE} < n.n_docs
+), red AS (
+    SELECT doc_id, toks,
+           list_transform(toks,
+               x -> CASE WHEN list_contains(rarel.rare, x)
+                         THEN '<unk>' ELSE x END) AS clean
+    FROM tok, rarel
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(len(toks)),
+                            i -> clean[i + 1] != toks[i + 1]))
+            AS BIGINT) AS n_redacted,
+       md5(array_to_string(clean, ' ')) AS cleaned_md5
+FROM red
+"""
+
+
+@register(
+    "privacy_rare_token_redaction",
+    oracle=_RARE_REDACT_ORACLE,
+    tags=("quality", "privacy", "text"),
+)
+def privacy_rare_token_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token suppression — the vocabulary-level memorization
+    mitigation: any token whose document frequency falls below the rare
+    threshold is replaced by '<unk>' corpus-wide (names, ids, and other
+    quasi-identifiers are exactly the low-df tail; suppressing them is
+    the token-level analogue of privacy_k_anonymity's row-level
+    generalization, and a standard pre-training privacy filter). Emits
+    per document the token count, how many positions were redacted, and
+    the md5 of the REDACTED text so the oracle pins the exact output
+    content.
+
+    Scale shape: one distinct-(doc, token) aggregate builds the df
+    table; the rare set joins the exploded corpus on token (a LEFT join
+    against a table that is small when the threshold is low but can be
+    vocabulary-sized — so it is a real join, broadcast here by AQE, NOT
+    an in-filter literal); the per-document rebuild regroups by doc_id
+    with a position-sorted collect. Data is touched twice (df pass +
+    redact pass), each linear."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    df = tok.select("doc_id", "t").distinct().groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * RARE_TOKEN_DF_DECILE < F.col("n_docs"))
+        .select("t", F.lit(1).alias("is_rare"))
+    )
+    marked = tok.join(rare, "t", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("is_rare").isNotNull(), F.lit("<unk>"))
+        .otherwise(F.col("t"))
+        .alias("out_t"),
+        F.col("is_rare").isNotNull().cast("long").alias("red"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("red").cast("long").alias("n_redacted"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "out_t"))
+                    ),
+                    lambda s: s.getField("out_t"),
+                ),
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )

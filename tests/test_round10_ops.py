@@ -534,3 +534,35 @@ def test_ngram_jaccard_df_cap_semantics_planted(spark):
         for r in ngram_jaccard_pairs(ex, df_cap=3).collect()
     }
     assert rows_uncapped.get((0, 1)) == 0.6
+
+
+def test_rare_token_redaction_nonvacuous_and_planted(spark, sf_dir, tmp_path):
+    """The fixture must actually exercise redaction (the 'dup' token sits
+    below the 10%-df threshold at every SF — guard against a fixture
+    regen silently making the evidence vacuous), and a planted corpus
+    pins the exact replacement arithmetic."""
+    import hashlib
+
+    from recommendation_system_big_data_spark.functions.quality import (
+        privacy_rare_token_redaction,
+    )
+
+    fixture = privacy_rare_token_redaction(spark, sf_dir).collect()
+    assert sum(r["n_redacted"] for r in fixture) > 0
+
+    # planted: 10 docs; token 'zzz' appears in 1 doc (df 1 -> 1*10 < 10
+    # is NOT < 10... use 20 docs: df 1, 1*10 < 20 -> rare); 'aaa'
+    # appears in all docs (common).
+    docs = [(i, "aaa bbb", "en", "s", 0) for i in range(19)]
+    docs.append((19, "aaa zzz aaa", "en", "s", 0))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in privacy_rare_token_redaction(spark, str(tmp_path)).collect()
+    }
+    # 'bbb' df=19 -> common; 'zzz' df=1 -> rare (10 < 20)
+    assert rows[0]["n_redacted"] == 0
+    assert rows[19]["n_redacted"] == 1
+    assert rows[19]["cleaned_md5"] == hashlib.md5(b"aaa <unk> aaa").hexdigest()
