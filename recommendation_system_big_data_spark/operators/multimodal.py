@@ -238,3 +238,78 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("payload_md5", "keeper_doc_id", "n_copies", "n_bytes")
     )
+
+
+_BYTESTATS_ORACLE = """
+WITH media AS (
+    SELECT doc_id, ENCODE(text) AS payload FROM documents
+), hx AS (
+    SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM media
+), bytes AS (
+    SELECT doc_id, n, substring(h, CAST(t.i AS INT) * 2 + 1, 2) AS b
+    FROM hx, UNNEST(range(n)) AS t(i)
+), cnt AS (
+    SELECT doc_id, MAX(n) AS n, b, COUNT(*) AS c FROM bytes
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+       CAST(MAX(c) AS BIGINT) AS modal_byte_freq,
+       CAST((256 * SUM(c * c) * 1000) // MAX(n) - 1000 * MAX(n)
+            AS BIGINT) AS chi2_uniform_milli
+FROM cnt GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_payload_bytestats",
+    oracle=_BYTESTATS_ORACLE,
+    tags=("multimodal", "quality"),
+)
+def multimodal_payload_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free byte-level triage of opaque media payloads — the ingest
+    QA every blob passes BEFORE any decode is attempted: distinct byte
+    values, the modal byte's frequency, and a chi²-against-uniform
+    statistic. A plausibly-compressed/encrypted asset reads near-uniform
+    (chi² small, distinct ≈ 256); a truncated, zero-padded, or
+    text-masquerading payload spikes the modal frequency — so this one
+    cheap pass routes blobs to decode / quarantine / re-fetch without
+    any codec in the loop (exactly the gap the decode stub leaves open
+    in this container).
+
+    Integer exit: chi² = Σ(c_b − n/256)²/(n/256) algebraically equals
+    (256·Σc²)/n − n, emitted in milli-units via truncating integer
+    division — no float anywhere. The byte stream is produced WITHOUT a
+    Python row path: hex(payload) sliced into 2-char chunks by a
+    sequence transform, exploded, and counted — all codegen'd built-ins,
+    so the pass runs at scan speed and the shuffle carries (doc, byte)
+    counters, never payloads."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    hx = media.select(
+        "doc_id",
+        F.hex("payload").alias("h"),
+        F.length("payload").cast("long").alias("n"),
+    )
+    bytes_ = hx.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - 1).cast("int")),
+                lambda i: F.substring(F.col("h"), F.lit(1) + i * 2, 2),
+            )
+        ).alias("b"),
+    )
+    cnt = bytes_.groupBy("doc_id", "b").agg(
+        F.max("n").alias("n"), F.count(F.lit(1)).alias("c")
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bytes"),
+        F.max("c").cast("long").alias("modal_byte_freq"),
+        F.expr(
+            "CAST((256 * SUM(c * c) * 1000) div MAX(n) - 1000 * MAX(n)"
+            " AS LONG)"
+        ).alias("chi2_uniform_milli"),
+    )

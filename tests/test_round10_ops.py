@@ -566,3 +566,62 @@ def test_rare_token_redaction_nonvacuous_and_planted(spark, sf_dir, tmp_path):
     assert rows[0]["n_redacted"] == 0
     assert rows[19]["n_redacted"] == 1
     assert rows[19]["cleaned_md5"] == hashlib.md5(b"aaa <unk> aaa").hexdigest()
+
+
+def test_payload_bytestats_separates_text_from_uniform(spark, sf_dir):
+    """The statistic must actually discriminate: the fixture's text
+    payloads are low-entropy (few distinct bytes, chi² far above 0),
+    while a planted pseudo-uniform payload (all 256 byte values equally
+    often) lands at chi² ≈ 0 and distinct_bytes = 256 — the
+    routing decision the operator exists to make. Also a hand-check of
+    the chi² algebra on a tiny planted payload."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_big_data_spark.operators.multimodal import (
+        multimodal_payload_bytestats,
+    )
+
+    rows = multimodal_payload_bytestats(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["distinct_bytes"] < 64  # word corpus: lowercase + space
+        assert r["chi2_uniform_milli"] > 1000 * 255  # miles from uniform
+        assert r["modal_byte_freq"] >= r["n_bytes"] // r["distinct_bytes"]
+
+    # planted tiny payload 'aab': counts a=2, b=1, n=3 ->
+    # chi2_milli = (256*(4+1)*1000) div 3 - 3000 = 426666 - 3000
+    d = spark.createDataFrame(
+        [(0, "aab", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from recommendation_system_big_data_spark.operators.multimodal import (
+        with_binary_payload,
+    )
+
+    media = with_binary_payload(d)
+    hx = media.select(
+        "doc_id", F.hex("payload").alias("h"),
+        F.length("payload").cast("long").alias("n"),
+    )
+    got = (
+        hx.select(
+            "doc_id", "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("n") - 1).cast("int")),
+                    lambda i: F.substring(F.col("h"), F.lit(1) + i * 2, 2),
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST((256 * SUM(c * c) * 1000) div MAX(n) - 1000 * MAX(n)"
+                " AS LONG)"
+            ).alias("chi2")
+        )
+        .collect()[0]["chi2"]
+    )
+    assert got == (256 * 5 * 1000) // 3 - 3000
