@@ -2022,3 +2022,139 @@ def ml_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE SUM(s_micros) div COUNT(1) END AS LONG)"
         ).alias("mean_s_micros"),
     )
+
+
+_BRIER_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS mv FROM events
+), scored AS (
+    SELECT CAST(FLOOR(value / mx.mv * 1000000.0) AS BIGINT) AS q,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mx
+), binned AS (
+    SELECT LEAST((q * 10) // 1000000, 9) AS bin, q, y FROM scored
+), per_bin AS (
+    SELECT bin, CAST(COUNT(*) AS HUGEINT) AS n_k,
+           SUM(CAST(q AS HUGEINT)) AS q_k, SUM(CAST(y AS HUGEINT)) AS y_k
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT SUM(n_k) AS n, SUM(y_k) AS y FROM per_bin
+), raw AS (
+    SELECT SUM((CAST(q AS HUGEINT) - 1000000 * y)
+               * (CAST(q AS HUGEINT) - 1000000 * y)) AS sq
+    FROM scored
+), terms AS (
+    SELECT SUM((((q_k - 1000000 * y_k) * (q_k - 1000000 * y_k)) // n_k)
+               // (1000 * t.n)) AS rel_nanos,
+           SUM(((((y_k * t.n - t.y * n_k) * (y_k * t.n - t.y * n_k)) // n_k)
+                * 1000000000) // (t.n * t.n * t.n)) AS res_nanos
+    FROM per_bin, tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n_total,
+       CAST(t.y AS BIGINT) AS n_pos,
+       CAST(raw.sq // (1000 * t.n) AS BIGINT) AS brier_nanos,
+       CAST((((t.y * (t.n - t.y)) // t.n) * 1000000000) // t.n AS BIGINT)
+           AS uncertainty_nanos,
+       CAST(terms.rel_nanos AS BIGINT) AS reliability_nanos,
+       CAST(terms.res_nanos AS BIGINT) AS resolution_nanos
+FROM tot t, raw, terms
+"""
+
+
+@register("ml_eval_brier_decomposition", oracle=_BRIER_ORACLE, tags=("ml",))
+def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over decile bins —
+    Brier = uncertainty − resolution + reliability (up to within-bin
+    variance when forecasts aren't bin-constant): UNCERTAINTY ȳ(1−ȳ) is
+    the no-skill floor, RELIABILITY penalizes miscalibration (bin mean
+    forecast vs bin positive rate — what ml_eval_calibration tabulates),
+    RESOLUTION rewards bins that separate outcomes. The raw Brier score
+    is reported alongside. The forecast proxy is value max-normalized to
+    [0,1], the same score family as the other eval queries.
+
+    All-integer exit (COVERAGE.md r10): probabilities quantize to
+    micro-units through ONE shared double division (value/max — IEEE-
+    identical both engines) and FLOOR; every component is exact integer
+    algebra over per-bin (n_k, Σq, Σy) sufficient statistics with
+    mirrored truncating divisions, emitted in nano-units. Nothing
+    floats, nothing knife-edges.
+
+    Scale shape: one pass folds the facts to 10 bin rows (map-side
+    combine); the raw-Brier sum rides the same scan; everything after
+    the first reduce is constant-size. The global max is a 1-row
+    broadcast (same scalar class as the corpus stats elsewhere)."""
+    mx = load(spark, sf_dir, "events").agg(F.max("value").alias("mv"))
+    scored = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("value") / F.col("mv") * F.lit(1000000.0))
+            .cast("long")
+            .alias("q"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    binned = scored.select(
+        F.least(F.expr("(q * 10) div 1000000"), F.lit(9)).alias("bin"), "q", "y"
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("q").alias("q_k"),
+        F.sum("y").alias("y_k"),
+    )
+    raw = scored.agg(
+        F.sum(
+            ((F.col("q") - 1000000 * F.col("y")) * (F.col("q") - 1000000 * F.col("y")))
+            .cast("decimal(24,0)")
+        ).alias("sq")
+    )
+    tot = per_bin.agg(
+        F.sum("n_k").cast("long").alias("n"), F.sum("y_k").cast("long").alias("y")
+    )
+    # Every multiply below is width-BUDGETED so Spark never caps the
+    # result precision: a capped decimal multiply whose true value
+    # exceeds the long range silently WRAPS at 2^63 (found here — bin 3
+    # at sf0.1 produced a negative square; minimal repro:
+    # decimal(29,0)·decimal(10,0) → p=40 → capped 38 → 2.28e22 wrapped
+    # to −8.7e18). Per-term two-stage truncating divisions keep each
+    # intermediate inside long/decimal range at any SF, mirrored
+    # verbatim in the oracle.
+    n3 = (
+        "CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))"
+        " * CAST(n AS DECIMAL(12,0))"
+    )
+    terms = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(CAST((q_k - 1000000 * y_k) AS DECIMAL(16,0))"
+                " * CAST((q_k - 1000000 * y_k) AS DECIMAL(16,0))"
+                " div n_k AS LONG) div (1000 * n)"
+            ).alias("rel_k"),
+            F.expr(
+                "CAST(CAST(CAST((y_k * n - y * n_k) AS DECIMAL(15,0))"
+                " * CAST((y_k * n - y * n_k) AS DECIMAL(15,0))"
+                " div n_k AS DECIMAL(20,0)) * 1000000000"
+                f" div ({n3}) AS LONG)"
+            ).alias("res_k"),
+        )
+        .agg(
+            F.sum("rel_k").alias("rel_nanos"),
+            F.sum("res_k").alias("res_nanos"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(raw))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("y").alias("n_pos"),
+            F.expr("CAST(sq div (1000 * n) AS LONG)").alias("brier_nanos"),
+            F.expr(
+                "CAST(CAST(CAST(y AS DECIMAL(14,0)) * (n - y) div n"
+                " AS DECIMAL(18,0)) * 1000000000 div n AS LONG)"
+            ).alias("uncertainty_nanos"),
+            F.col("rel_nanos").cast("long").alias("reliability_nanos"),
+            F.col("res_nanos").cast("long").alias("resolution_nanos"),
+        )
+    )

@@ -134,13 +134,14 @@ _loaded = False
 #:
 #: ROUND-11 QUEUE (committed now so the r11 flip stays a one-line edit,
 #: per the r9 VERDICT "Next round" #6), priority order:
-#: 1. the 17 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
+#: 1. the 18 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
 #:    so none has a driver row yet; each was oracle-checked at sf0.001 AND
 #:    sf0.01 — most also sf0.1 — plus the repr-exact ulp gate on the day
 #:    it landed):
 #:      agg_count_min_sketch embedding_hard_negative_mining
 #:      fn_try_cast_json fn_variant_extract join_null_skew_bypass
-#:      ml_decision_stump ml_eval_pr_auc ml_silhouette_labels
+#:      ml_decision_stump ml_eval_brier_decomposition ml_eval_pr_auc
+#:      ml_silhouette_labels
 #:      multimodal_payload_bytestats
 #:      pipeline_token_budget_select privacy_rare_token_redaction
 #:      sql_pipe_syntax stat_anova_oneway stat_permutation_test

@@ -625,3 +625,52 @@ def test_payload_bytestats_separates_text_from_uniform(spark, sf_dir):
         .collect()[0]["chi2"]
     )
     assert got == (256 * 5 * 1000) // 3 - 3000
+
+
+def test_brier_decomposition_matches_sequential_reference(spark, sf_dir):
+    """Python big-int replay of the Murphy decomposition with identical
+    quantization, binning, and two-stage truncating divisions."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_brier_decomposition,
+    )
+    import math
+
+    rows = load(spark, sf_dir, "events").select("value", "event_type").collect()
+    mv = max(r["value"] for r in rows)
+    scored = [
+        (
+            math.floor(r["value"] / mv * 1000000.0),
+            1 if r["event_type"] == "purchase" else 0,
+        )
+        for r in rows
+    ]
+    bins: dict[int, list[int]] = {}
+    for q, y in scored:
+        b = min((q * 10) // 1000000, 9)
+        st = bins.setdefault(b, [0, 0, 0])
+        st[0] += 1
+        st[1] += q
+        st[2] += y
+    n = sum(s[0] for s in bins.values())
+    y = sum(s[2] for s in bins.values())
+    sq = sum((q - 1000000 * yy) ** 2 for q, yy in scored)
+    brier = sq // (1000 * n)
+    unc = (((y * (n - y)) // n) * 1000000000) // n
+    rel = sum(
+        (((s[1] - 1000000 * s[2]) ** 2) // s[0]) // (1000 * n)
+        for s in bins.values()
+    )
+    res = sum(
+        ((((s[2] * n - y * s[0]) ** 2) // s[0]) * 1000000000) // (n**3)
+        for s in bins.values()
+    )
+    r = ml_eval_brier_decomposition(spark, sf_dir).collect()[0]
+    assert (r["n_total"], r["n_pos"]) == (n, y)
+    assert r["brier_nanos"] == brier
+    assert r["uncertainty_nanos"] == unc
+    assert r["reliability_nanos"] == rel
+    assert r["resolution_nanos"] == res
+    # decomposition sanity: brier ~ unc + rel - res up to within-bin
+    # variance (which is nonnegative), so brier >= unc + rel - res - eps
+    assert r["brier_nanos"] >= unc + rel - res - 2_000_000
