@@ -2111,14 +2111,15 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_bin.agg(
         F.sum("n_k").cast("long").alias("n"), F.sum("y_k").cast("long").alias("y")
     )
-    # Every multiply below is width-BUDGETED so Spark never caps the
-    # result precision: a capped decimal multiply whose true value
-    # exceeds the long range silently WRAPS at 2^63 (found here — bin 3
-    # at sf0.1 produced a negative square; minimal repro:
-    # decimal(29,0)·decimal(10,0) → p=40 → capped 38 → 2.28e22 wrapped
-    # to −8.7e18). Per-term two-stage truncating divisions keep each
-    # intermediate inside long/decimal range at any SF, mirrored
-    # verbatim in the oracle.
+    # Spark `div` returns LONG and silently WRAPS at 2^63 when the
+    # quotient overflows — even under ANSI (found here: bin 3 at sf0.1
+    # computed (d²·1e9) div n_k with quotient 9.7e18 > long max and came
+    # back negative; verified repro in the verify skill notes). Every
+    # div below therefore produces an OUTPUT-SCALE quotient (a bounded
+    # statistic in nano units, or a per-bin mean-square), never
+    # 'huge div small', and each multiply is width-budgeted so the
+    # decimal intermediates stay exact at any SF. Mirrored verbatim in
+    # the oracle.
     n3 = (
         "CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))"
         " * CAST(n AS DECIMAL(12,0))"
