@@ -1072,3 +1072,62 @@ def privacy_rare_token_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("cleaned_md5"),
     )
+
+
+def _compress_stats_fn():
+    """Factory (nested closure → by-value pickling, the probe_foreign_cwd
+    contract) for the per-batch zlib compressibility pass."""
+
+    def stats(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": raw.map(len).astype("int64"),
+                    "compressed_bytes": comp.astype("int64"),
+                }
+            )
+            out["ratio_micros"] = (
+                out["compressed_bytes"] * 1_000_000 // out["n_bytes"]
+            ).astype("int64")
+            yield out
+
+    return stats
+
+
+@register(
+    "text_compression_ratio", oracle=None, tags=("text", "quality")
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document — the deflate-ratio quality
+    signal (MassiveText/Gopher-era filter): templated, repetitive, or
+    machine-generated text compresses far below prose, so
+    compressed/raw is a one-number boilerplate detector that needs no
+    model. Emitted as truncated micro-units next to both byte counts.
+
+    ⊘ rows-only: no SQL engine exposes deflate, so there is no DuckDB
+    oracle; determinism comes from fixed zlib level 6 on fixed bytes,
+    and tests/test_round10_ops.py replays the exact stdlib call
+    sequentially and requires cell-exact agreement (plus the
+    discrimination property: a planted repetitive doc must compress
+    far below the fixture's prose-like median).
+
+    Scale shape: one mapInPandas pass (Arrow batches, C-speed deflate
+    per row, no shuffle at all) — the same map-only profile as the
+    multimodal decode path, and the standard way a 100 TB corpus pays
+    exactly one linear scan for this signal."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            _compress_stats_fn(),
+            "doc_id long, n_bytes long, compressed_bytes long,"
+            " ratio_micros long",
+        )
+    )

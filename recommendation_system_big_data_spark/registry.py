@@ -134,7 +134,7 @@ _loaded = False
 #:
 #: ROUND-11 QUEUE (committed now so the r11 flip stays a one-line edit,
 #: per the r9 VERDICT "Next round" #6), priority order:
-#: 1. the 18 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
+#: 1. the 19 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
 #:    so none has a driver row yet; each was oracle-checked at sf0.001 AND
 #:    sf0.01 — most also sf0.1 — plus the repr-exact ulp gate on the day
 #:    it landed):
@@ -145,8 +145,8 @@ _loaded = False
 #:      multimodal_payload_bytestats
 #:      pipeline_token_budget_select privacy_rare_token_redaction
 #:      sql_pipe_syntax stat_anova_oneway stat_permutation_test
-#:      text_collapse_repeats ts_holt_winters_seasonal
-#:      window_percent_rank_cume
+#:      text_collapse_repeats text_compression_ratio
+#:      ts_holt_winters_seasonal window_percent_rank_cume
 #: 2. the 7 part-B rollovers:
 #:      tumbling_window_agg union_pos unnest_recs window_lag_lead
 #:      window_ntile_dist window_rank_dense window_running_sum

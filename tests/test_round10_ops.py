@@ -674,3 +674,39 @@ def test_brier_decomposition_matches_sequential_reference(spark, sf_dir):
     # decomposition sanity: brier ~ unc + rel - res up to within-bin
     # variance (which is nonnegative), so brier >= unc + rel - res - eps
     assert r["brier_nanos"] >= unc + rel - res - 2_000_000
+
+
+def test_compression_ratio_replay_and_discrimination(spark, sf_dir, tmp_path):
+    """Exact stdlib replay (same zlib, same level → identical byte counts)
+    over the fixture, and the discrimination property on a planted pair:
+    a highly repetitive doc must compress far below a high-entropy one."""
+    import zlib
+
+    from recommendation_system_big_data_spark.functions.quality import (
+        text_compression_ratio,
+    )
+    from recommendation_system_big_data_spark.catalog import load
+
+    expect = {}
+    for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        expect[r["doc_id"]] = (len(raw), c, c * 1_000_000 // len(raw))
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["compressed_bytes"], r["ratio_micros"])
+        for r in text_compression_ratio(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    docs = [
+        (0, "spam " * 200, "en", "s", 0),
+        (1, " ".join(f"w{i * 7919 % 104729}" for i in range(200)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r["ratio_micros"]
+        for r in text_compression_ratio(spark, str(tmp_path)).collect()
+    }
+    assert rows[0] < rows[1] / 3, rows

@@ -20,8 +20,9 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              # (three consumers) and the PAV applyInPandas factory
              "embedding_pq_compress", "sim_topk_pq_adc", "sim_topk_ivfpq",
              "ml_isotonic_calibration", "ts_holt_linear", "sink_python_datasource", "fn_udtf_dynamic_schema",
-             # round-10 Python path: the Holt-Winters applyInPandas factory
-             "ts_holt_winters_seasonal"]:
+             # round-10 Python paths: the Holt-Winters applyInPandas
+             # factory and the zlib compressibility mapInPandas factory
+             "ts_holt_winters_seasonal", "text_compression_ratio"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
