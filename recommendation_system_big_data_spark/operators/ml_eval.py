@@ -2043,12 +2043,15 @@ WITH mx AS (
     SELECT SUM((CAST(q AS HUGEINT) - 1000000 * y)
                * (CAST(q AS HUGEINT) - 1000000 * y)) AS sq
     FROM scored
+), m AS (
+    SELECT p.n_k, p.q_k, p.y_k, t.n, t.y,
+           ((p.y_k * t.n - t.y * p.n_k) * 1000000) // (t.n * p.n_k) AS m_k
+    FROM per_bin p, tot t
 ), terms AS (
-    SELECT SUM((((q_k - 1000000 * y_k) * (q_k - 1000000 * y_k)) // n_k)
-               // (1000 * t.n)) AS rel_nanos,
-           SUM(((((y_k * t.n - t.y * n_k) * (y_k * t.n - t.y * n_k)) // n_k)
-                * 1000000000) // (t.n * t.n * t.n)) AS res_nanos
-    FROM per_bin, tot t
+    SELECT SUM(((q_k - 1000000 * y_k) * (q_k - 1000000 * y_k))
+               // (n_k * 1000 * n)) AS rel_nanos,
+           SUM((n_k * m_k * m_k) // (1000 * n)) AS res_nanos
+    FROM m
 )
 SELECT CAST(t.n AS BIGINT) AS n_total,
        CAST(t.y AS BIGINT) AS n_pos,
@@ -2098,9 +2101,9 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.expr("(q * 10) div 1000000"), F.lit(9)).alias("bin"), "q", "y"
     )
     per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_k"),
-        F.sum("q").alias("q_k"),
-        F.sum("y").alias("y_k"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_k"),
+        F.sum(F.col("q").cast("decimal(19,0)")).alias("q_k"),
+        F.sum(F.col("y").cast("decimal(20,0)")).alias("y_k"),
     )
     raw = scored.agg(
         F.sum(
@@ -2115,28 +2118,37 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quotient overflows — even under ANSI (found here: bin 3 at sf0.1
     # computed (d²·1e9) div n_k with quotient 9.7e18 > long max and came
     # back negative; verified repro in the verify skill notes). Every
-    # div below therefore produces an OUTPUT-SCALE quotient (a bounded
-    # statistic in nano units, or a per-bin mean-square), never
-    # 'huge div small', and each multiply is width-budgeted so the
-    # decimal intermediates stay exact at any SF. Mirrored verbatim in
-    # the oracle.
-    n3 = (
-        "CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))"
-        " * CAST(n AS DECIMAL(12,0))"
-    )
+    # div below therefore produces an OUTPUT-SCALE quotient — never
+    # 'huge div small' (ADVICE r10 caught the two that still were):
+    #   rel: d² div (n_k·1000·n) is ONE division (≡ the former
+    #     (d² div n_k) div (1000n) by the nested-floor identity on a
+    #     nonnegative numerator — same values, same hash) with quotient
+    #     ≤ 1e9·n_k/n, bounded at any SF.
+    #   res: the bin's outcome-rate deviation is quantized to micro-
+    #     units FIRST (m_k ∈ [−1e6,1e6], one bounded-quotient division),
+    #     then scored as n_k·m_k² div (1000n) ≤ 1e9 — a deterministic
+    #     micro-grid statistic, mirrored exactly in the oracle (its
+    #     sub-micro truncation is the documented semantics, not error).
+    # Each multiply is width-budgeted: exact to ~1e12 rows per bin,
+    # and past that decimal overflow is a LOUD null, never a wrap.
     terms = (
         per_bin.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "m_k",
+            F.expr(
+                "CAST((y_k * n - y * n_k) * 1000000"
+                " div (CAST(n AS DECIMAL(20,0)) * n_k) AS LONG)"
+            ),
+        )
         .select(
             F.expr(
-                "CAST(CAST((q_k - 1000000 * y_k) AS DECIMAL(16,0))"
-                " * CAST((q_k - 1000000 * y_k) AS DECIMAL(16,0))"
-                " div n_k AS LONG) div (1000 * n)"
+                "CAST(CAST((q_k - 1000000 * y_k) AS DECIMAL(19,0))"
+                " * CAST((q_k - 1000000 * y_k) AS DECIMAL(19,0))"
+                " div (n_k * 1000 * CAST(n AS DECIMAL(20,0))) AS LONG)"
             ).alias("rel_k"),
             F.expr(
-                "CAST(CAST(CAST((y_k * n - y * n_k) AS DECIMAL(15,0))"
-                " * CAST((y_k * n - y * n_k) AS DECIMAL(15,0))"
-                " div n_k AS DECIMAL(20,0)) * 1000000000"
-                f" div ({n3}) AS LONG)"
+                "CAST(n_k * m_k * m_k"
+                " div (1000 * CAST(n AS DECIMAL(20,0))) AS LONG)"
             ).alias("res_k"),
         )
         .agg(
@@ -2151,9 +2163,12 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_total"),
             F.col("y").alias("n_pos"),
             F.expr("CAST(sq div (1000 * n) AS LONG)").alias("brier_nanos"),
+            # y·(n−y) ≤ n²/4 needs decimal; the first quotient ≤ n/4
+            # fits LONG to n≈3.6e19, re-widened to decimal(30,0) before
+            # the ·1e9 so the second numerator can't wrap either.
             F.expr(
-                "CAST(CAST(CAST(y AS DECIMAL(14,0)) * (n - y) div n"
-                " AS DECIMAL(18,0)) * 1000000000 div n AS LONG)"
+                "CAST(CAST(CAST(y AS DECIMAL(19,0)) * (n - y) div n"
+                " AS DECIMAL(30,0)) * 1000000000 div n AS LONG)"
             ).alias("uncertainty_nanos"),
             F.col("rel_nanos").cast("long").alias("reliability_nanos"),
             F.col("res_nanos").cast("long").alias("resolution_nanos"),

@@ -245,6 +245,7 @@ WITH media AS (
     SELECT doc_id, ENCODE(text) AS payload FROM documents
 ), hx AS (
     SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM media
+    WHERE octet_length(payload) > 0
 ), bytes AS (
     SELECT doc_id, n, substring(h, CAST(t.i AS INT) * 2 + 1, 2) AS b
     FROM hx, UNNEST(range(n)) AS t(i)
@@ -290,7 +291,13 @@ def multimodal_payload_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.hex("payload").alias("h"),
         F.length("payload").cast("long").alias("n"),
-    )
+    ).filter(F.col("n") > 0)
+    # Empty payloads emit NO row — decided explicitly (ADVICE r10): an
+    # unguarded sequence(0, n-1) at n=0 DESCENDS to [0,-1], fabricating
+    # two phantom byte rows and then dividing by MAX(n)=0 in the chi²
+    # exit; the oracle's range(0) is empty and would silently drop the
+    # doc anyway, so "no row" is the one semantics both engines share.
+    # Mirrored with WHERE n > 0 in the oracle.
     bytes_ = hx.select(
         "doc_id",
         "n",

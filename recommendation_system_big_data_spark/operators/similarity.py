@@ -1995,6 +1995,15 @@ def embedding_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         scored.groupBy("anchor_id")
         .agg(hn, hp)
+        # An anchor whose label is unique in the corpus has no positive
+        # candidate (and a single-label corpus would leave no negative):
+        # the conditional min/max comes back NULL for that side. Drop
+        # such anchors — the defined semantics is "anchors with BOTH a
+        # positive and a negative", which is exactly what the oracle's
+        # inner hard_neg⋈hard_pos join produces for ANY label
+        # distribution (ADVICE r10: the two sides previously diverged
+        # here — Spark kept a NULL-field row, the oracle dropped it).
+        .filter(F.col("hn").isNotNull() & F.col("hp").isNotNull())
         .select(
             "anchor_id",
             F.col("hp.pid").alias("hard_pos_id"),

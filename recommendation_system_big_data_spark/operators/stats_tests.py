@@ -1182,9 +1182,16 @@ def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: One-way ANOVA quantization: event values carry 2 decimals, so
 #: FLOOR(value·1e4) loses nothing real and makes every downstream op exact
 #: integer arithmetic — the integer-hash exit convention (COVERAGE.md r10,
-#: the embedding_covariance pattern). Sum-of-squares outputs are in units
-#: of 1e-8·value²; F is emitted in milli-units, eta² in micro-units.
+#: the embedding_covariance pattern). Variance outputs are in units of
+#: 1e-8·value²; F is emitted in milli-units, eta² in micro-units.
 ANOVA_QUANT = 10_000
+
+#: F saturation: f_milli is reported as min(round(1000·F), 1e15) — i.e. F
+#: caps at 1e12. Degenerate inputs (within-variance ≈ 0 with any real
+#: between-group spread) would otherwise push the truncating division's
+#: quotient past 2^63, where Spark's IntegralDivide silently wraps (the
+#: r10 Brier lesson, ADVICE r10). Mirrored in the oracle via LEAST.
+ANOVA_F_CAP = 10**15
 
 _ANOVA_ORACLE = f"""
 WITH vq AS (
@@ -1207,22 +1214,27 @@ WITH vq AS (
            q - ssq            AS ssw,
            q - (s * s) // n   AS sst
     FROM tot
+), fin2 AS (
+    SELECT *, ssw // (n - k) AS vw FROM fin
 )
 SELECT CAST(k AS BIGINT)   AS k_groups,
        CAST(n AS BIGINT)   AS n_total,
-       CAST(ssb AS BIGINT) AS ssb_q,
-       CAST(ssw AS BIGINT) AS ssw_q,
-       CAST(CASE WHEN ssb < 0
-            THEN -(((-ssb) * (n - k) * 1000 * 2 + ssw * (k - 1))
-                   // (2 * ssw * (k - 1)))
-            ELSE (ssb * (n - k) * 1000 * 2 + ssw * (k - 1))
-                 // (2 * ssw * (k - 1))
+       CAST(CASE WHEN ssb < 0 THEN -((-ssb) // n) ELSE ssb // n END
+            AS BIGINT) AS var_between_q,
+       CAST(vw AS BIGINT)  AS var_within_q,
+       CAST(CASE WHEN vw = 0 THEN NULL
+            WHEN ssb < 0
+            THEN -LEAST(((-ssb) * 2000 + vw * (k - 1))
+                        // (2 * vw * (k - 1)), {ANOVA_F_CAP})
+            ELSE LEAST((ssb * 2000 + vw * (k - 1))
+                       // (2 * vw * (k - 1)), {ANOVA_F_CAP})
             END AS BIGINT) AS f_milli,
-       CAST(CASE WHEN ssb < 0
-            THEN -(((-ssb) * 1000000 * 2 + sst) // (2 * sst))
-            ELSE (ssb * 1000000 * 2 + sst) // (2 * sst)
+       CAST(CASE WHEN sst = 0 THEN NULL
+            WHEN ssb < 0
+            THEN -(((-ssb) * 2000000 + sst) // (2 * sst))
+            ELSE (ssb * 2000000 + sst) // (2 * sst)
             END AS BIGINT) AS eta_sq_micros
-FROM fin
+FROM fin2
 """
 
 
@@ -1230,40 +1242,47 @@ FROM fin
 def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA across the five event types on event value: the
     k-group generalization of `stat_ttest_welch` (equal-variance form) —
-    F = (SSB/(k−1))/(SSW/(n−k)) plus the effect size η² = SSB/SST, the
-    pair every experiment readout with >2 arms needs before any pairwise
+    F = (SSB/(k−1))/MSW plus the effect size η² = SSB/SST, the pair
+    every experiment readout with >2 arms needs before any pairwise
     test is allowed.
 
     Integer-exit convention (COVERAGE.md r10): values are FLOOR-quantized
-    to 1e-4 units (they carry 2 decimals, so nothing real is lost), all
-    sums/squares are exact integer/decimal arithmetic, each group's
-    S²/n uses truncating integer division (Spark `div` and DuckDB `//`
-    both truncate toward zero — verified, including negatives), and F/η²
-    exit as round-half-away milli/micro BIGINTs — no float is ever
-    rounded or hashed, so the driver row cannot knife-edge.
+    to 1e-4 units (they carry 2 decimals, so nothing real is lost) and
+    every intermediate stays in DECIMAL. Spark's `div` is exact on
+    decimals but RETURNS LONG, so a quotient past 2^63 silently wraps
+    (ADVICE r10, the "never big div small" trap) — therefore every
+    unbounded quotient (per-group S²/n, total S²/n, which are Θ(n·1e8))
+    is computed with the exact remainder identity
+    ``(a - a % b) / b`` (decimal in, decimal out, exact because the
+    numerator is made divisible first; a ≥ 0 so floor = trunc), and
+    `div` is only ever used where the quotient is output-scale:
+    var_between = SSB div n and MSW = SSW div (n−k) are bounded by the
+    value range squared (~1e14 in quant² units), η² ≤ 1e6 micro-units,
+    and F saturates at ANOVA_F_CAP milli-units via LEAST. Exactness
+    bound: group sums fit DECIMAL(30,0) and their squares DECIMAL(38,0)
+    — exact to ~3e12 rows per group (beyond 100 TB of events), and past
+    that Spark's decimal overflow is a LOUD null, never a wrong number.
 
     Scale shape: ONE map-side-combined aggregate of the fact table to k
     rows (count/sum/sum-of-squares per group — the same sufficient
     statistics a sequential scan would keep), then a keyless fold of the
-    k rows; nothing downstream of the first reduce depends on n. The
-    quantized squares accumulate in decimal (per-term vq² < 1e12 fits a
-    BIGINT; the sum is decimal(29,0) — exact at any n)."""
+    k rows; nothing downstream of the first reduce depends on n."""
     vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
     per = (
         load(spark, sf_dir, "events")
         .select(F.col("event_type").alias("g"), vq.alias("vq"))
         .groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n_g"),
-            F.sum("vq").alias("s_g"),
-            F.sum((F.col("vq") * F.col("vq")).cast("decimal(19,0)")).alias("q_g"),
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n_g"),
+            F.sum(F.col("vq").cast("decimal(20,0)")).alias("s_g"),
+            F.sum(F.col("vq").cast("decimal(19,0)") * F.col("vq")).alias("q_g"),
         )
+        # Exact trunc(s_g²/n_g) without a LONG quotient: make the
+        # numerator divisible, then decimal-divide (exact, no rounding).
+        .withColumn("s2_g", F.expr("CAST(s_g * s_g AS DECIMAL(38,0))"))
         .withColumn(
             "ssq_g",
-            F.expr(
-                "CAST(CAST(s_g AS DECIMAL(16,0)) * CAST(s_g AS DECIMAL(16,0))"
-                " div n_g AS LONG)"
-            ),
+            F.expr("CAST((s2_g - s2_g % n_g) / n_g AS DECIMAL(32,0))"),
         )
     )
     tot = per.agg(
@@ -1273,43 +1292,54 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_g").alias("q"),
         F.sum("ssq_g").alias("ssq"),
     )
-    fin = tot.select(
-        "k",
-        "n",
-        F.expr(
-            "ssq - CAST(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))"
-            " div n AS LONG)"
-        ).alias("ssb"),
-        F.expr("CAST(q - ssq AS LONG)").alias("ssw"),
-        F.expr(
-            "CAST(q AS DECIMAL(27,0)) - CAST(CAST(s AS DECIMAL(18,0))"
-            " * CAST(s AS DECIMAL(18,0)) div n AS LONG)"
+    fin = (
+        tot.withColumn("s2", F.expr("CAST(s * s AS DECIMAL(38,0))"))
+        .withColumn("sn", F.expr("CAST((s2 - s2 % n) / n AS DECIMAL(32,0))"))
+        .select(
+            "k",
+            "n",
+            F.expr("CAST(ssq - sn AS DECIMAL(33,0))").alias("ssb"),
+            F.expr("CAST(q - ssq AS DECIMAL(33,0))").alias("ssw"),
+            F.expr("CAST(q - sn AS DECIMAL(33,0))").alias("sst"),
         )
-        .cast("decimal(27,0)")
-        .alias("sst"),
+        .withColumn("vw", F.expr("ssw div (n - k)"))
+        .withColumn("absb", F.expr("CAST(abs(ssb) AS DECIMAL(33,0))"))
     )
+    # F in milli-units, saturated: numerator absb·2000 ≤ ~2e30 fits
+    # decimal(38,0); the remainder identity keeps the quotient decimal
+    # (it can legitimately exceed 2^63 when vw is tiny), then LEAST caps
+    # it at output scale. fb=0 is dodged with a sentinel divisor because
+    # ANSI evaluates the remainder before the CASE guard would.
     f_milli = F.expr(
-        "CASE WHEN ssb < 0 THEN "
-        " -((CAST(-ssb AS DECIMAL(20,0)) * (n - k) * 1000 * 2"
-        "    + CAST(ssw AS DECIMAL(20,0)) * (k - 1))"
-        "   div (2 * CAST(ssw AS DECIMAL(20,0)) * (k - 1)))"
-        "ELSE "
-        " (CAST(ssb AS DECIMAL(20,0)) * (n - k) * 1000 * 2"
-        "  + CAST(ssw AS DECIMAL(20,0)) * (k - 1))"
-        " div (2 * CAST(ssw AS DECIMAL(20,0)) * (k - 1)) END"
+        f"""CASE WHEN vw = 0 THEN NULL ELSE
+        (CASE WHEN ssb < 0 THEN -1 ELSE 1 END) * CAST(LEAST(
+            CAST((fa - fa % fb) / fb AS DECIMAL(38,0)),
+            CAST({ANOVA_F_CAP} AS DECIMAL(38,0))) AS LONG) END"""
     )
     eta = F.expr(
-        "CASE WHEN ssb < 0 THEN "
-        " -((CAST(-ssb AS DECIMAL(20,0)) * 1000000 * 2 + sst) div (2 * sst)) "
-        "ELSE (CAST(ssb AS DECIMAL(20,0)) * 1000000 * 2 + sst) div (2 * sst) END"
+        "CASE WHEN sst = 0 THEN NULL ELSE"
+        " (CASE WHEN ssb < 0 THEN -1 ELSE 1 END)"
+        " * ((absb * 2000000 + sst) div (2 * sst)) END"
     )
-    return fin.select(
-        F.col("k").alias("k_groups"),
-        F.col("n").cast("long").alias("n_total"),
-        F.col("ssb").cast("long").alias("ssb_q"),
-        F.col("ssw").cast("long").alias("ssw_q"),
-        f_milli.cast("long").alias("f_milli"),
-        eta.cast("long").alias("eta_sq_micros"),
+    return (
+        fin.withColumn(
+            "fa", F.expr("CAST(absb * 2000 + vw * (k - 1) AS DECIMAL(38,0))")
+        )
+        .withColumn(
+            "fb",
+            F.expr(
+                "CAST(CASE WHEN vw = 0 THEN 1 ELSE 2 * vw * (k - 1) END"
+                " AS DECIMAL(20,0))"
+            ),
+        )
+        .select(
+            F.col("k").alias("k_groups"),
+            F.col("n").cast("long").alias("n_total"),
+            F.expr("ssb div n").cast("long").alias("var_between_q"),
+            F.col("vw").cast("long").alias("var_within_q"),
+            f_milli.cast("long").alias("f_milli"),
+            eta.cast("long").alias("eta_sq_micros"),
+        )
     )
 
 

@@ -34,12 +34,26 @@ def test_anova_matches_sequential_reference(spark, sf_dir):
     ssb = ssq - _trunc_div(s * s, n)
     ssw = q - ssq
     sst = q - _trunc_div(s * s, n)
-    f_milli = _half_away(ssb * (n - k) * 1000, ssw * (k - 1))
-    eta = _half_away(ssb * 1000000, sst)
+    vw = _trunc_div(ssw, n - k)
+    # F from the integer MSW, saturated (the r11 overflow-proof form):
+    # f_milli = sign(ssb)·min(round_half_away(1000·|ssb|/((k−1)·vw)), cap)
+    sign = -1 if ssb < 0 else 1
+    f_milli = (
+        None
+        if vw == 0
+        else sign * min((abs(ssb) * 2000 + vw * (k - 1)) // (2 * vw * (k - 1)),
+                        10**15)
+    )
+    eta = (
+        None
+        if sst == 0
+        else sign * ((abs(ssb) * 2000000 + sst) // (2 * sst))
+    )
 
     row = stat_anova_oneway(spark, sf_dir).collect()[0]
     assert row["k_groups"] == k and row["n_total"] == n
-    assert row["ssb_q"] == ssb and row["ssw_q"] == ssw
+    assert row["var_between_q"] == _trunc_div(ssb, n)
+    assert row["var_within_q"] == vw
     assert row["f_milli"] == f_milli
     assert row["eta_sq_micros"] == eta
     # the fixture's five event types have near-identical value
@@ -658,13 +672,16 @@ def test_brier_decomposition_matches_sequential_reference(spark, sf_dir):
     brier = sq // (1000 * n)
     unc = (((y * (n - y)) // n) * 1000000000) // n
     rel = sum(
-        (((s[1] - 1000000 * s[2]) ** 2) // s[0]) // (1000 * n)
+        ((s[1] - 1000000 * s[2]) ** 2) // (s[0] * 1000 * n)
         for s in bins.values()
     )
-    res = sum(
-        ((((s[2] * n - y * s[0]) ** 2) // s[0]) * 1000000000) // (n**3)
-        for s in bins.values()
-    )
+    # res: micro-quantized deviation first (truncating toward zero),
+    # then the bounded-quotient score — the r11 overflow-proof form.
+    res = 0
+    for s in bins.values():
+        res += (s[0] * _trunc_div((s[2] * n - y * s[0]) * 1000000, n * s[0]) ** 2) // (
+            1000 * n
+        )
     r = ml_eval_brier_decomposition(spark, sf_dir).collect()[0]
     assert (r["n_total"], r["n_pos"]) == (n, y)
     assert r["brier_nanos"] == brier
@@ -710,3 +727,86 @@ def test_compression_ratio_replay_and_discrimination(spark, sf_dir, tmp_path):
         for r in text_compression_ratio(spark, str(tmp_path)).collect()
     }
     assert rows[0] < rows[1] / 3, rows
+
+
+def test_payload_bytestats_empty_payload_cross_engine(spark, tmp_path):
+    """ADVICE r10: an empty payload used to fabricate two phantom byte
+    rows from the descending sequence(0,-1) and then divide by zero in
+    the chi² exit, while the oracle silently dropped the doc. Plant one
+    empty and one normal doc and require BOTH engines to agree on the
+    decided semantics: empty payloads emit no row."""
+    import duckdb
+
+    from recommendation_system_big_data_spark.operators.multimodal import (
+        multimodal_payload_bytestats,
+    )
+    from recommendation_system_big_data_spark.registry import registry
+
+    docs = [(0, "", "en", "s", 0), (1, "aab", "en", "s", 3)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           multimodal_payload_bytestats(spark, str(tmp_path)).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_bytes"] == 3 and got[1]["distinct_bytes"] == 2
+    assert got[1]["modal_byte_freq"] == 2
+    assert got[1]["chi2_uniform_milli"] == (256 * 5 * 1000) // 3 - 3000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle_rows = con.execute(
+        registry()["multimodal_payload_bytestats"].oracle
+    ).fetchall()
+    assert sorted(oracle_rows) == sorted(
+        (r["doc_id"], r["n_bytes"], r["distinct_bytes"], r["modal_byte_freq"],
+         r["chi2_uniform_milli"]) for r in got.values()
+    )
+
+
+def test_hard_negative_mining_unique_label_anchor_cross_engine(spark, tmp_path):
+    """ADVICE r10: an anchor whose label is unique in the corpus has no
+    positive candidate — Spark used to keep a NULL-field row where the
+    oracle's inner join dropped the anchor. Plant that distribution and
+    require both engines to agree: the anchor emits no row."""
+    import duckdb
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_hard_negative_mining,
+    )
+    from recommendation_system_big_data_spark.registry import registry
+
+    # anchor 0 has label 7 shared with vec 21 (a positive exists);
+    # anchor 1 has the corpus-unique label 9 (NO positive -> no row).
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.0, 1.0, 0.0], 9),
+        (21, [1.0, 0.5, 0.0], 7),
+        (22, [0.2, 1.0, 0.3], 8),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        tuple(r) for r in
+        embedding_hard_negative_mining(spark, str(tmp_path)).collect()
+    )
+    assert [r[0] for r in got] == [0], got
+    assert all(v is not None for r in got for v in r)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    oracle_rows = sorted(
+        tuple(r) for r in con.execute(
+            registry()["embedding_hard_negative_mining"].oracle
+        ).fetchall()
+    )
+    assert oracle_rows == got
