@@ -1735,23 +1735,31 @@ def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     error < 1e-9, deterministic and mirrored), and AP exits as a
     round-half-away micro-unit BIGINT. No float anywhere.
 
-    Scale shape: one global-ordered window over the fact rows computes
-    rank + cumulative positives in a single pass (at fixture scale one
-    partition; at 100 TB the identical statistic falls out of the
-    bucketed prefix-sum pattern in ranges.py — rank and cum_pos are both
-    prefix sums over (value, id) order), then a keyless fold of the
-    positive rows only."""
-    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
-    is_pos = (F.col("event_type") == "purchase").cast("int")
-    ranked = (
-        load(spark, sf_dir, "events")
-        .select("event_id", "value", is_pos.alias("is_pos"))
-        .select(
-            "is_pos",
-            F.row_number().over(w).alias("i"),
-            F.sum("is_pos").over(w).cast("long").alias("cp"),
-        )
+    Scale shape (r11, VERDICT r10 #2): rank and cum_pos are BOTH prefix
+    sums over the unique (−value, event_id) order, so they run through
+    ranges.running_sums — the two-phase distributed prefix sum (range-
+    partition, per-slice window, ≤ n_parts-row offset fold) — instead of
+    a bare Window.orderBy, which would funnel every fact row through ONE
+    task. AP needs ROW grain (the event_id tiebreak gives tied-value
+    positives distinct ranks), so unlike the AUC kernel there is no
+    distinct-value fold first; the localCheckpoint inside running_sums
+    therefore materializes the (is_pos, value, id) projection once —
+    the honest cost of an exactly-tiebroken global rank at scale."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
     )
+
+    is_pos = (F.col("event_type") == "purchase").cast("int")
+    base = (
+        load(spark, sf_dir, "events")
+        .select("event_id", is_pos.alias("is_pos"), (-F.col("value")).alias("_nv"))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = running_sums(
+        base,
+        ["_nv", "event_id"],
+        {"i": ("_one", True), "cp": ("is_pos", True)},
+    ).select("is_pos", "i", F.col("cp").cast("long").alias("cp"))
     # One fold over ALL ranked rows (no separate count job / driver
     # scalar): positives contribute their term, negatives contribute 0
     # to the sum and 0 to n_pos.
@@ -1826,33 +1834,30 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never computed with), and the root impurity enters the reported
     gain through the same nano convention.
 
-    Scale shape: one map-combined aggregate to the distinct-value grain,
-    one window prefix-sum over that grain (values fit one partition at
-    fixture scale; the ranges.py bucketed prefix-sum is the big-grain
-    form — same note as ml_eval_auc_roc), one TakeOrderedAndProject for
-    the argmin. The fact table is scanned exactly once."""
+    Scale shape (r11, VERDICT r10 #2): one map-combined aggregate to the
+    distinct-value grain, then the prefix sums run through
+    ranges.running_sums — the distinct-value grid is fact-scaled
+    (real-valued scores ⇒ ~n distinct), so a bare Window.orderBy(value)
+    would be a single-reducer sort at 100 TB; the grand totals come from
+    a 1-row broadcast aggregate instead of an unbounded window. One
+    TakeOrderedAndProject for the argmin. The fact table is scanned
+    exactly once."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
     ev = load(spark, sf_dir, "events").select(
         "value", (F.col("event_type") == "purchase").cast("long").alias("y")
     )
     grain = ev.groupBy("value").agg(
         F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("p_v")
     )
-    w = Window.orderBy(F.asc("value"))
-    pre = grain.select(
-        "value",
-        F.sum("n_v").over(w).alias("nl"),
-        F.sum("p_v").over(w).alias("pl"),
-        F.sum("n_v").over(
-            Window.orderBy(F.asc("value")).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-        F.sum("p_v").over(
-            Window.orderBy(F.asc("value")).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("p"),
+    tot = grain.agg(
+        F.sum("n_v").cast("long").alias("n"), F.sum("p_v").cast("long").alias("p")
     )
+    pre = running_sums(
+        grain, ["value"], {"nl": ("n_v", True), "pl": ("p_v", True)}
+    ).crossJoin(F.broadcast(tot)).select("value", "nl", "pl", "n", "p")
     cand = pre.filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0)).select(
         F.col("value").alias("split_value"),
         F.col("nl").cast("long").alias("n_left"),

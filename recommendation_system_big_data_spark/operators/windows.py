@@ -111,15 +111,45 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: ntile quartiles, percent_rank, cume_dist over a
-    fully-tiebroken global order (SURVEY.md §2.5). A global window is a
-    single-reducer stage — fine for driver-scale ranking; partition it by a
-    key at 100 TB."""
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    fully-tiebroken global order (SURVEY.md §2.5).
+
+    r11 (VERDICT r10 #3): `orders` is fact-scaled, so the global order no
+    longer runs as a bare Window.orderBy (a single-reducer sort at 100 TB)
+    — the rank comes from ranges.running_sums' two-phase distributed
+    prefix count, and all three distribution statistics derive from it
+    exactly: the order is unique (o_orderkey tiebreak), so rank ≡
+    row_number, NTILE(4) is the remainder split on that rank
+    (hash-identical to F.ntile — property-tested in
+    tests/test_property_ranges.py), percent_rank = (rank−1)/(n−1) and
+    cume_dist = rank/n with n one broadcast scalar. The §2.5
+    window-function FORM itself stays demonstrated on bounded grain by
+    rfm_segmentation (per-customer) and window_percent_rank_cume."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", (-F.col("o_totalprice")).alias("_np"))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = running_sums(base, ["_np", "o_orderkey"], {"_r0": ("_one", False)})
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    r = F.col("_r0") + 1
+    q = F.floor(F.col("_n") / 4).cast("long")
+    rem = F.col("_n") % 4
+    thr = rem * (q + 1)
+    quartile = F.when(r <= thr, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - thr - 1) / q) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            quartile.cast("int").alias("quartile"),
+            F.round((r - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
+            F.round(r / F.col("_n"), 6).alias("cume"),
+        )
     )
 
 
