@@ -132,8 +132,16 @@ _loaded = False
 #:   topk_per_user tumbling_window_agg union_pos unnest_recs
 #:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
 #:
-#: ROUND-11 QUEUE (committed now so the r11 flip stays a one-line edit,
-#: per the r9 VERDICT "Next round" #6), priority order:
+#: ROUND-12 QUEUE (committed now so the r12 flip stays a one-line edit):
+#: 1. any ROUND-11 SESSION ADDITIONS (added after this window froze),
+#: 2. the remaining r3-vintage rows alphabetical from fn_map_in_arrow
+#:    (fn_map_in_arrow fn_null_safe_eq fn_pandas_udf_iterator
+#:    fn_pandas_udf_vectorized funnel_conversion grouped_pandas_slope
+#:    join_full_outer json_variant_extract ...), then r4-vintage, to 50.
+#:
+#: ROUND-11 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (exactly the
+#: r10-committed queue, VERDICT r10 #1, plus the #5 ALS refresh and the
+#: #7 streaming rotation in the fill block), priority order:
 #: 1. the 19 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
 #:    so none has a driver row yet; each was oracle-checked at sf0.001 AND
 #:    sf0.01 — most also sf0.1 — plus the repr-exact ulp gate on the day
@@ -153,59 +161,63 @@ _loaded = False
 #: 3. the next-oldest unrefreshed vintage rows (r2/r3 scan/sink/roundtrip
 #:    family and the r3 olap/reshape block) to fill 50.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-10 window: part A (the 10 r9 session additions — first driver
-    # rows), the embedding_covariance re-row (integer-hash rewrite, the
-    # only red r9 row), then part B vintage re-rows (alphabetical, 39 fit).
-    "dedup_snapshot_novelty",
-    "embedding_covariance",
-    "embedding_matryoshka_eval",
-    "join_left_agg",
-    "join_left_dim",
-    "join_range_band",
-    "join_salted_skew",
-    "join_semi",
-    "json_extract",
-    "json_from_json",
-    "ml_backtest_forecast",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pipeline_corpus_prep",
-    "pipeline_dedup_cascade",
-    "pipeline_quality_funnel",
-    "project_computed",
-    "project_named",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rename_col",
-    "roundtrip_pandas",
-    "scan_csv_headerless",
-    "scan_csv_schema",
-    "scan_parquet",
-    "schema_introspection",
-    "session_window_agg",
-    "set_except",
-    "set_intersect",
-    "sim_topk_bruteforce",
-    "sim_topk_truncated_rerank",
-    "sink_csv_roundtrip",
-    "sink_parquet_partitioned",
-    "sliding_window_agg",
-    "sort_limit_topk",
-    "sql_backtick_names",
-    "sql_surface_agg",
-    "stat_sprt_sequential",
-    "stat_trend_mann_kendall",
-    "text_dsir_importance",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_tfidf",
-    "text_token_count",
-    "text_tokenizer_fertility",
-    "topk_per_user",
+    # ROUND-11 window (the committed r10 queue, VERDICT r10 #1):
+    # 1. the 19 round-10 session additions - first driver rows
+    "agg_count_min_sketch",
+    "embedding_hard_negative_mining",
+    "fn_try_cast_json",
+    "fn_variant_extract",
+    "join_null_skew_bypass",
+    "ml_decision_stump",
+    "ml_eval_brier_decomposition",
+    "ml_eval_pr_auc",
+    "ml_silhouette_labels",
+    "multimodal_payload_bytestats",
+    "pipeline_token_budget_select",
+    "privacy_rare_token_redaction",
+    "sql_pipe_syntax",
+    "stat_anova_oneway",
+    "stat_permutation_test",
+    "text_collapse_repeats",
+    "text_compression_ratio",
+    "ts_holt_winters_seasonal",
+    "window_percent_rank_cume",
+    # 2. the 7 part-B rollovers (r1/r2-vintage driver rows)
+    "tumbling_window_agg",
+    "union_pos",
+    "unnest_recs",
+    "window_lag_lead",
+    "window_ntile_dist",
+    "window_rank_dense",
+    "window_running_sum",
+    # 3. r1-vintage refresh: the ALS rows-only family (VERDICT r10
+    #    #5) plus the two other remaining r1 rows
+    "agg_approx_count_distinct",
+    "als_enriched_recs",
+    "als_predict",
+    "als_recommend_topk",
+    "als_rmse",
+    "dedup_simhash",
+    # 4. r2-vintage refresh incl. 4 streaming rows (VERDICT r10 #7)
+    "sample_frac",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stateful_user_stats",
+    "stream_tumbling_counts",
+    "text_rolling_hash",
+    # 5. oldest r3-vintage rows, alphabetical, filling 50
+    "agg_histogram",
+    "agg_median_mode",
+    "agg_percentile_by_group",
+    "agg_regression_stats",
+    "clean_outlier_filter",
+    "cohort_retention",
+    "dedup_cluster_components",
+    "dedup_containment",
+    "dedup_incremental_exact",
+    "embedding_centroids",
 )
 
 
