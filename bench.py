@@ -55,6 +55,17 @@ RETIRED = [
     "ts_rolling_active_users",
     "ts_lag_features",
     "window_rolling_zscore",
+    # round-11 retirements funding the three r10-family additions (same
+    # criteria; steady states recorded in BENCH_r*.json): reshape_pivot
+    # 0.25-0.36 across 7 rounds (the r10 3.24 was the disposed host
+    # stall), pipeline_temperature_mix 0.24-0.29 and text_bpe_pair_stats
+    # 0.25-0.32 across r8-r10, ts_interval_union_coverage 0.32-0.48
+    # across 5 rounds (its r7 watch entry was disposed as JIT-context,
+    # BASELINE.md) — all sub-0.5s, stable, off every watch list.
+    "reshape_pivot",
+    "pipeline_temperature_mix",
+    "text_bpe_pair_stats",
+    "ts_interval_union_coverage",
 ]
 
 #: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
@@ -199,6 +210,13 @@ HEADLINE = [
     # prefix sums; broadcast-scored single-aggregate mining).
     "ml_eval_pr_auc",
     "embedding_hard_negative_mining",
+    # round-11 (VERDICT r10 #8): the three most expensive r10 additions
+    # get headline baselines so the new families can't drift unbenched —
+    # Holt-Winters' per-series sequential fold, the B=200 permutation
+    # explode, and the rare-token redaction's vocabulary anti-join.
+    "ts_holt_winters_seasonal",
+    "stat_permutation_test",
+    "privacy_rare_token_redaction",
 ]
 
 

@@ -38,6 +38,28 @@ SENTINEL = "sentinel_fixed_cost"
 SENTINEL2 = "sentinel_shuffle_cost"
 SENTINELS = (SENTINEL, SENTINEL2)
 
+#: Deliberate plan changes re-baseline EXPLICITLY — never silently.
+#: When a query's physical strategy is intentionally replaced (e.g. a
+#: VERDICT-ordered scale fix that trades single-host seconds for
+#: distributed correctness), its first-recorded number measures the OLD
+#: plan and gating against it would punish the ordered fix. Each entry
+#: names the first round whose recording measures the NEW plan; until
+#: that round exists the query is reported but not gated. Entries are
+#: part of the audit trail: the report prints every re-baseline applied,
+#: and the rationale lives in BASELINE.md (§re-baselines).
+REBASELINED: dict[str, tuple[str, str]] = {
+    # r11: VERDICT r10 #2 replaced the bare global-order window (a
+    # single-reducer sort over fact grain) with ranges.running_sums'
+    # two-phase distributed prefix sum. Hash-identical output; the
+    # 0.31s r10 number priced the non-scalable plan. Quiet isolated
+    # steady state under the new plan: ~0.72s at sf0.1 (BASELINE.md).
+    "ml_eval_pr_auc": (
+        "BENCH_r11.json",
+        "VERDICT r10 #2: distributed prefix-sum rank replaces the "
+        "single-reducer global window",
+    ),
+}
+
 
 def _reconstruct_from_tail(rec: dict) -> dict:
     """Recover the bench JSON line from the driver's 2000-char stdout tail.
@@ -94,6 +116,24 @@ def main() -> int:
         for q, v in qs.items():
             first.setdefault(q, (rname, v))
     latest_name, latest = rounds[-1]
+
+    # Apply explicit re-baselines (plan changes): baseline becomes the
+    # first recording at-or-after the named round; if that round has no
+    # recording yet, the query is reported at ratio 1.0 (ungated) until
+    # one lands. Every application is printed — this is audit surface,
+    # not a mute button.
+    for q, (from_round, why) in REBASELINED.items():
+        newbase = None
+        for rname, qs in rounds:
+            if rname >= from_round and q in qs:
+                newbase = (rname, qs[q])
+                break
+        if newbase is None and q in latest:
+            newbase = (latest_name, latest[q])
+        if newbase is not None and q in first and first[q] != newbase:
+            print(f"re-baselined {q}: {first[q][1]:.2f}s {first[q][0]} -> "
+                  f"{newbase[1]:.2f}s {newbase[0]} ({why})")
+            first[q] = newbase
 
     # Host-contention control, chained across rounds. For each adjacent
     # round pair the host factor is the sentinel's ratio when both rounds
