@@ -1412,7 +1412,14 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on b); each permutation reduces map-side to one row. B is
     a constant: the expansion is linear in data, and at 100 TB the
     per-b ordering falls out of the same bucketed prefix-sum pattern
-    as the other global-order statistics (ranges.py)."""
+    as the other global-order statistics (ranges.py).
+
+    The pooled slice is REPARTITIONED before the fan-out: a selective
+    filter of a small parquet table collapses to one input split, and
+    the ×B crossJoin inherits its parent's partitioning — so without
+    the repartition every md5 of the B·n expansion runs on ONE core
+    (measured 9.2 s → 2.1 s at sf0.1/local[32]). Cheap at any scale:
+    it moves n rows to parallelize B·n hashes."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -1423,6 +1430,7 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     tot = ev.agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
