@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_big_data_spark.catalog import load, maybe_broadcast
+from recommendation_system_big_data_spark.catalog import load, maybe_broadcast, min_parallelism
 from recommendation_system_big_data_spark.functions.text import STOPWORDS, _SW_SQL
 from recommendation_system_big_data_spark.registry import register
 
@@ -168,9 +168,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-shuffle explode/aggregate shape as TF-IDF, keyed on doc_id —
     no corpus-global state. 'Character mass' counts the joining spaces
     (length of the space-joined gram), identically on both engines."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
+    docs = min_parallelism(
+        load(spark, sf_dir, "documents"), spark
+    ).select("doc_id", F.split("text", " ").alias("t"))
     grams = docs.select(
         "doc_id",
         F.explode(
