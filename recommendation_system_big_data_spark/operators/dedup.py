@@ -1987,3 +1987,187 @@ def dedup_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshot_id", "n_docs", "n_shingles", "n_novel", "novelty"
         )
     )
+
+
+#: Prefix-filter threshold in micro-units (τ = 0.5, the family's shared
+#: JACCARD_THRESHOLD) — kept integral so every filter below is an exact
+#: integer comparison, never a float threshold.
+PREFIX_TAU_MICROS = 500_000
+
+_PREFIX_FILTER_ORACLE = f"""
+WITH sh0 AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+), ex AS (
+    SELECT doc_id, lang, len(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh0
+), dfreq AS (
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY shingle
+), ordered AS (
+    SELECT e.doc_id, e.lang, e.n_sh,
+           ARRAY_AGG(e.shingle ORDER BY d.df, e.shingle) AS osh
+    FROM ex e JOIN dfreq d USING (shingle)
+    GROUP BY e.doc_id, e.lang, e.n_sh
+), pre AS (
+    SELECT doc_id, lang, n_sh,
+           UNNEST(osh[1:CAST(
+               n_sh - (({PREFIX_TAU_MICROS} * n_sh + 999999) // 1000000) + 1
+               AS BIGINT)]) AS shingle
+    FROM ordered
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b
+      ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.n_sh * 1000000 >= {PREFIX_TAU_MICROS} * b.n_sh
+     AND b.n_sh * 1000000 >= {PREFIX_TAU_MICROS} * a.n_sh
+), verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+           sa.n_sh + sb.n_sh
+               - CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+    FROM cand c
+    JOIN (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0) sa ON sa.doc_id = c.doc_a
+    JOIN (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0) sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST((1000000 * inter) // uni AS BIGINT) AS jacc_micros
+FROM verified
+WHERE 1000000 * inter >= {PREFIX_TAU_MICROS} * uni
+"""
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=_PREFIX_FILTER_ORACLE,
+    tags=("dedup",),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via AllPairs/PPJoin-style prefix
+    filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08) — the third
+    point on this engine's set-similarity cost curve: dedup_ngram_jaccard
+    posts EVERY (df-capped) shingle into the candidate self-join;
+    dedup_minhash_lsh posts NUM_BANDS hashed keys but is approximate;
+    prefix filtering posts only each document's |A| − ⌈τ|A|⌉ + 1 RAREST
+    shingles and remains exact: under any global token order, two sets
+    with J ≥ τ must share a token inside those prefixes (if the prefixes
+    were disjoint, even a perfect overlap of every remaining element
+    leaves |A∩B| < the τ-required minimum — the pigeonhole bound of the
+    AllPairs paper), so candidate generation touches only rare-token
+    posting lists and no df-cap heuristic is needed. Differentially
+    tested against an unfiltered all-pairs computation on the fixture
+    (tests/test_round11_ops.py) — the filter provably loses nothing.
+
+    The global order is (df ASC, shingle ASC): rarest-first minimizes
+    posting-list sizes (the canonical choice), with the lexicographic
+    tiebreak making the order — and therefore the candidate set —
+    deterministic and engine-independent. True Jaccard (no df-cap, unlike
+    the ngram query's capped variant), emitted as floor micro-units with
+    the exact integral threshold test 1e6·|A∩B| ≥ τ_micros·|A∪B| — no
+    float anywhere (COVERAGE.md r10/r11 convention).
+
+    Scale shape: one map-combined df aggregate; one shuffle on shingle to
+    attach df; one bounded per-doc sort (each doc's OWN shingle list —
+    array_sort on the row, no window); prefix explode → equi-join on
+    (shingle, lang) whose posting lists are rare tokens by construction
+    (the heaviest df≈boilerplate keys never enter); exact verify joins
+    fetch the two full sets for CANDIDATE pairs only. At 100 TB this is
+    the published exact-join layout: the prefix index is a fraction of
+    the full inverted index, and skew is structurally bounded because
+    high-df tokens are exactly the ones prefixes exclude."""
+    idx = shingle_index(spark, sf_dir)  # (doc_id, lang, sh) persisted
+    full = idx.select("doc_id", "lang", "sh", F.size("sh").alias("n_sh"))
+    ex = full.select("doc_id", "lang", "n_sh", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # Rarest-first prefix: order each doc's shingles by (df, shingle) —
+    # a per-row array sort over struct keys, not a window — then keep
+    # the first n_sh − ceil(τ·n_sh) + 1.
+    plen = (
+        F.col("n_sh")
+        - F.expr(
+            f"({PREFIX_TAU_MICROS} * n_sh + 999999) div 1000000"
+        )
+        + 1
+    ).cast("int")
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id", "lang", "n_sh")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+                    ),
+                    lambda s: s["shingle"],
+                ),
+                F.lit(1),
+                plen,
+            ).alias("prefix")
+        )
+    )
+    pre = ordered.select(
+        "doc_id", "lang", "n_sh", F.explode("prefix").alias("shingle")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.n_sh") * 1000000
+                >= PREFIX_TAU_MICROS * F.col("b.n_sh")
+            )
+            & (
+                F.col("b.n_sh") * 1000000
+                >= PREFIX_TAU_MICROS * F.col("a.n_sh")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = full.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = full.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("n_ab") - F.col("inter")).alias("uni"),
+        )
+    )
+    return (
+        verified.filter(
+            F.col("inter") * 1000000 >= PREFIX_TAU_MICROS * F.col("uni")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((1000000 * inter) div uni AS LONG)").alias(
+                "jacc_micros"
+            ),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Round-11 session additions: differential references and planted
+corpora for the new operators."""
+
+from __future__ import annotations
+
+
+def _py_shingles(text: str) -> set[str]:
+    """Sequential replica of dedup.token_shingles: split on single
+    spaces (keeping empties), 3-gram windows over positions
+    0..max(n-3, 0), concat_ws skipping out-of-range (None) accesses."""
+    toks = text.split(" ")
+    n = len(toks)
+    out = set()
+    for i in range(0, max(n - 3, 0) + 1):
+        parts = [toks[j] for j in range(i, min(i + 3, n))]
+        out.add(" ".join(parts))
+    return out
+
+
+def test_prefix_filter_join_equals_unfiltered_all_pairs(spark, sf_dir):
+    """The prefix filter must lose NOTHING: brute-force all same-lang
+    pairs in Python (true Jaccard, no df-cap, no filter of any kind)
+    and require exact pair-set and micro-value agreement."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.dedup import (
+        PREFIX_TAU_MICROS,
+        dedup_prefix_filter_join,
+    )
+
+    rows = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    docs = [(r["doc_id"], r["lang"], _py_shingles(r["text"])) for r in rows]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(len(docs)):
+            da, la, sa = docs[i]
+            db, lb, sb = docs[j]
+            if da >= db or la != lb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if 1000000 * inter >= PREFIX_TAU_MICROS * uni:
+                want[(da, db)] = (1000000 * inter) // uni
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jacc_micros"]
+        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert got == want, (
+        set(got) - set(want), set(want) - set(got),
+        {k: (got.get(k), want.get(k)) for k in got if got.get(k) != want.get(k)},
+    )
+
+
+def test_prefix_filter_join_planted_near_dups(spark, tmp_path):
+    """Planted corpus: an exact duplicate pair (J=1), a near-dup pair
+    above the τ=0.5 line, and an unrelated doc that must not pair."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_prefix_filter_join,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(35)) + " x1 x2 x3 x4 x5"
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = [
+        (1, base, "en", "s", 0),
+        (2, base, "en", "s", 0),
+        (3, near, "en", "s", 0),
+        (4, other, "en", "s", 0),
+        (5, base, "fr", "s", 0),  # same text, other lang: blocked
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jacc_micros"]
+        for r in dedup_prefix_filter_join(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == 1_000_000
+    assert (1, 3) in got and 500_000 <= got[(1, 3)] < 1_000_000
+    assert (2, 3) in got
+    assert not any(4 in k or 5 in k for k in got)
