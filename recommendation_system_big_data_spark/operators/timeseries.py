@@ -1201,3 +1201,106 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
     )
+
+
+_STL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+), win AS (
+    SELECT day, rev_cents,
+           SUM(rev_cents) OVER w AS s7,
+           COUNT(*) OVER w AS c7,
+           dayofweek(day) AS dow0
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), tr AS (
+    SELECT day, rev_cents, dow0,
+           (s7 * 1000) // 7 AS trend_milli,
+           rev_cents * 1000 - (s7 * 1000) // 7 AS detr_milli
+    FROM win WHERE c7 = 7
+), sdow AS (
+    SELECT dow0, SUM(detr_milli) // COUNT(*) AS s_raw FROM tr GROUP BY dow0
+), smean AS (
+    SELECT SUM(s_raw) // COUNT(*) AS m FROM sdow
+)
+SELECT t.day, t.rev_cents,
+       CAST(t.trend_milli AS BIGINT) AS trend_milli,
+       CAST(s.s_raw - sm.m AS BIGINT) AS seasonal_milli,
+       CAST(t.detr_milli - (s.s_raw - sm.m) AS BIGINT) AS remainder_milli
+FROM tr t JOIN sdow s USING (dow0) CROSS JOIN smean sm
+"""
+
+
+@register(
+    "ts_stl_classical_decompose", oracle=_STL_ORACLE, tags=("timeseries",)
+)
+def ts_stl_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order revenue
+    (period 7): value = trend + seasonal + remainder — the moving-average
+    decomposition underlying STL's initialization and every dashboard's
+    "seasonally adjusted" series. Complements the family: ts_seasonal_index
+    reads off ONE multiplicative factor; ts_holt_winters_seasonal FORECASTS
+    with recursive smoothing; this one EXPLAINS each observed day.
+
+    Method (Hyndman & Athanasopoulos, FPP3 §3.4, classical decomposition):
+    trend = centered 7-term moving average (odd period, so no double MA
+    needed); seasonal = per-weekday mean of the detrended series, centered
+    so the seven components sum to ~0; remainder = residual. Rows without
+    a full ±3-day window (the series' first/last 3 days) carry no trend
+    and are excluded — the textbook convention.
+
+    Integer exit: revenue in exact cents; trend/seasonal/remainder in
+    milli-cents via truncating division (both engines truncate toward
+    zero, verified incl. negatives — the detrended means are signed); no
+    float anywhere.
+
+    Scale shape: facts fold to the DAY grain once (map-side combined
+    decimal sums); the centered-MA window runs on that CALENDAR-bounded
+    grain (rows = days of history — a few thousand for decades; it grows
+    with time, never with data volume, so the global ROWS window is not a
+    fact-grain scale hazard); the 7-row seasonal table and its 1-row mean
+    broadcast back."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+        F.dayofweek("day").alias("dow0"),
+    )
+    tr = win.filter(F.col("c7") == 7).select(
+        "day",
+        "rev_cents",
+        "dow0",
+        F.expr("(s7 * 1000) div 7").alias("trend_milli"),
+        F.expr("rev_cents * 1000 - (s7 * 1000) div 7").alias("detr_milli"),
+    )
+    sdow = tr.groupBy("dow0").agg(
+        F.expr("SUM(detr_milli) div COUNT(1)").alias("s_raw")
+    )
+    smean = sdow.agg(F.expr("SUM(s_raw) div COUNT(1)").alias("m"))
+    return (
+        tr.join(F.broadcast(sdow), "dow0")
+        .crossJoin(F.broadcast(smean))
+        .select(
+            "day",
+            "rev_cents",
+            F.col("trend_milli").cast("long").alias("trend_milli"),
+            (F.col("s_raw") - F.col("m")).cast("long").alias("seasonal_milli"),
+            (F.col("detr_milli") - (F.col("s_raw") - F.col("m")))
+            .cast("long")
+            .alias("remainder_milli"),
+        )
+    )

@@ -82,3 +82,47 @@ def test_prefix_filter_join_planted_near_dups(spark, tmp_path):
     assert (1, 3) in got and 500_000 <= got[(1, 3)] < 1_000_000
     assert (2, 3) in got
     assert not any(4 in k or 5 in k for k in got)
+
+
+def test_stl_decomposition_identity_and_centering(spark, sf_dir):
+    """Invariants the oracle cannot see (both engines could share a bug):
+    (1) exact additive identity trend + seasonal + remainder = 1000*value
+    on every row; (2) the seven seasonal components sum to ~0 after
+    centering (within 7 milli-cents of truncation slack); (3) trend is a
+    genuine 7-term centered mean — replayed sequentially in Python."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_stl_classical_decompose,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ts_stl_classical_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["trend_milli"] + r["seasonal_milli"] + r["remainder_milli"]
+            == 1000 * r["rev_cents"]
+        )
+    seasonals = {}
+    for r in rows:
+        seasonals[r["seasonal_milli"]] = None
+    assert len(seasonals) <= 7
+    assert abs(sum(seasonals)) <= 7 * 1000  # centered to < 1 cent/dow
+
+    daily = sorted(
+        (r["day"], r["rev_cents"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .collect()
+    )
+    got = {r["day"]: r["trend_milli"] for r in rows}
+    assert len(got) == len(daily) - 6
+    for i in range(3, len(daily) - 3):
+        day = daily[i][0]
+        s7 = sum(v for _, v in daily[i - 3 : i + 4])
+        assert got[day] == (s7 * 1000) // 7, day
