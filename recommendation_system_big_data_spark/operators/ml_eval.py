@@ -2179,3 +2179,87 @@ def ml_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("res_nanos").cast("long").alias("resolution_nanos"),
         )
     )
+
+
+_ECE_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS mv FROM events
+), scored AS (
+    SELECT CAST(FLOOR(value / mx.mv * 1000000.0) AS BIGINT) AS q,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mx
+), per_bin AS (
+    SELECT LEAST((q * 10) // 1000000, 9) AS bin,
+           CAST(COUNT(*) AS HUGEINT) AS n_k,
+           SUM(CAST(q AS HUGEINT)) AS q_k, SUM(CAST(y AS HUGEINT)) AS y_k
+    FROM scored GROUP BY 1
+), tot AS (
+    SELECT SUM(n_k) AS n FROM per_bin
+), gaps AS (
+    SELECT bin, n_k, ABS(q_k - 1000000 * y_k) AS d_k,
+           ABS(q_k - 1000000 * y_k) // n_k AS gap_micros
+    FROM per_bin
+)
+SELECT CAST(t.n AS BIGINT) AS n_total,
+       CAST((SELECT SUM(d_k) FROM gaps) * 1000 // t.n AS BIGINT) AS ece_nanos,
+       CAST((SELECT MAX(gap_micros) FROM gaps) AS BIGINT) AS mce_micros,
+       CAST((SELECT bin FROM gaps
+             ORDER BY gap_micros DESC, bin ASC LIMIT 1) AS BIGINT) AS worst_bin
+FROM tot t
+"""
+
+
+@register("ml_eval_ece", oracle=_ECE_ORACLE, tags=("ml", "eval"))
+def ml_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error over decile bins — the scalar the
+    calibration family was missing: ml_eval_calibration TABULATES the
+    reliability diagram, ml_eval_brier_decomposition prices
+    miscalibration inside the Brier score; ECE = Σ (n_k/n)·|p̄_k − ȳ_k|
+    is the one number model cards report (Guo et al., ICML'17), and MCE
+    (the worst bin's gap) is its tail companion.
+
+    Same forecast proxy and binning as the Brier query (value
+    max-normalized through one shared IEEE-identical double division,
+    FLOOR to micro-units, decile bins). All-integer algebra: the
+    weighted sum telescopes to ece_nanos = (Σ|q_k − 1e6·y_k|)·1000 div n
+    — one bounded truncating division (quotient ≤ 1e9); per-bin
+    gap_micros = |d_k| div n_k ≤ 1e6. The worst bin ties break to the
+    lowest bin id, pinned on both engines.
+
+    Scale shape: one map-combined fold of the facts to ≤10 bin rows
+    (the max is a 1-row broadcast, same scalar class as Brier's);
+    everything after the first reduce is constant-size."""
+    mx = load(spark, sf_dir, "events").agg(F.max("value").alias("mv"))
+    scored = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("value") / F.col("mv") * F.lit(1000000.0))
+            .cast("long")
+            .alias("q"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    per_bin = scored.groupBy(
+        F.least(F.expr("(q * 10) div 1000000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_k"),
+        F.sum(F.col("q").cast("decimal(19,0)")).alias("q_k"),
+        F.sum(F.col("y").cast("decimal(20,0)")).alias("y_k"),
+    )
+    gaps = per_bin.select(
+        "bin",
+        "n_k",
+        F.expr("ABS(q_k - 1000000 * y_k)").alias("d_k"),
+        F.expr("ABS(q_k - 1000000 * y_k) div n_k").alias("gap_micros"),
+    )
+    return gaps.agg(
+        F.sum("n_k").cast("long").alias("n_total"),
+        F.expr("CAST(SUM(d_k) * 1000 div SUM(n_k) AS LONG)").alias(
+            "ece_nanos"
+        ),
+        F.max("gap_micros").cast("long").alias("mce_micros"),
+        F.expr(
+            "CAST(min_by(bin, struct(-gap_micros, bin)) AS LONG)"
+        ).alias("worst_bin"),
+    )
