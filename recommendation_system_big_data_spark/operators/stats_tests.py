@@ -1268,10 +1268,19 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics a sequential scan would keep), then a keyless fold of the
     k rows; nothing downstream of the first reduce depends on n."""
     vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    grouped = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), vq.alias("vq")
+    )
+    return anova_fold(grouped)
+
+
+def anova_fold(grouped: DataFrame) -> DataFrame:
+    """Library kernel: one-way ANOVA over a ``(g, vq)`` frame of integer-
+    quantized observations, with the full decimal overflow-proof algebra
+    documented at stat_anova_oneway (its sole caller until
+    stat_levene_variance reused it on |x − m̂_g| deviations)."""
     per = (
-        load(spark, sf_dir, "events")
-        .select(F.col("event_type").alias("g"), vq.alias("vq"))
-        .groupBy("g")
+        grouped.groupBy("g")
         .agg(
             F.count(F.lit(1)).cast("decimal(20,0)").alias("n_g"),
             F.sum(F.col("vq").cast("decimal(20,0)")).alias("s_g"),
@@ -1481,4 +1490,89 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_obs").cast("long").alias("t_obs_scaled"),
         F.lit(PERM_B).cast("long").alias("n_perms"),
         "n_exceed",
+    )
+
+
+_LEVENE_ORACLE = f"""
+WITH vq AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}.0) AS HUGEINT) AS vq
+    FROM events
+), m AS (
+    SELECT g, SUM(vq) // CAST(COUNT(*) AS HUGEINT) AS m_g FROM vq GROUP BY g
+), z AS (
+    SELECT vq.g, ABS(vq.vq - m.m_g) AS vq2 FROM vq JOIN m USING (g)
+), per AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+           SUM(vq2) AS s_g, SUM(vq2 * vq2) AS q_g
+    FROM z GROUP BY g
+), per2 AS (
+    SELECT *, (s_g * s_g) // n_g AS ssq_g FROM per
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n,
+           SUM(s_g) AS s, SUM(q_g) AS q, SUM(ssq_g) AS ssq
+    FROM per2
+), fin AS (
+    SELECT k, n,
+           ssq - (s * s) // n AS ssb,
+           q - ssq            AS ssw
+    FROM tot
+), fin2 AS (
+    SELECT *, ssw // (n - k) AS vw FROM fin
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CAST(CASE WHEN vw = 0 THEN NULL
+            WHEN ssb < 0
+            THEN -LEAST(((-ssb) * 2000 + vw * (k - 1))
+                        // (2 * vw * (k - 1)), {ANOVA_F_CAP})
+            ELSE LEAST((ssb * 2000 + vw * (k - 1))
+                       // (2 * vw * (k - 1)), {ANOVA_F_CAP})
+            END AS BIGINT) AS w_milli
+FROM fin2
+"""
+
+
+@register(
+    "stat_levene_variance", oracle=_LEVENE_ORACLE, tags=("profile", "experiment")
+)
+def stat_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for equality of variances across the five event
+    types — the gate every equal-variance procedure (the classic-F ANOVA
+    above, pooled t-tests) should pass through first: W is simply the
+    one-way ANOVA F statistic computed on the absolute deviations
+    z = |x − x̄_g|, so heavy spread differences show up as mean
+    differences of z.
+
+    Deterministic integer variant: deviations are taken from the
+    TRUNCATED integer group mean m̂_g = S_g div n_g in 1e-4 quant units
+    (< 1 quant unit from the real mean; both engines truncate
+    identically, so the statistic is exactly mirrored — the documented
+    micro-grid convention, same class as the Brier res quantization).
+    The fold reuses anova_fold, inheriting the r11 overflow-proof
+    decimal algebra and the W saturation at ANOVA_F_CAP.
+
+    Scale shape: TWO map-combined passes over the facts (one k-row mean
+    table broadcast back, one deviation fold) — the price of a centered
+    statistic without materializing deviations; everything after the
+    second reduce is k rows."""
+    vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    obs = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), vq.alias("vq")
+    )
+    # Group sums accumulate in decimal (a LONG sum wraps near 1e13 rows
+    # of 1e6-unit values); the mean quotient itself is bounded by the
+    # value range, so the exit back to LONG is safe at any n.
+    m = obs.groupBy("g").agg(
+        F.expr(
+            "CAST(SUM(CAST(vq AS DECIMAL(30,0))) div COUNT(1) AS LONG)"
+        ).alias("m_g")
+    )
+    z = obs.join(F.broadcast(m), "g").select(
+        "g", F.abs(F.col("vq") - F.col("m_g")).alias("vq")
+    )
+    return anova_fold(z).select(
+        "k_groups",
+        "n_total",
+        F.col("f_milli").alias("w_milli"),
     )
