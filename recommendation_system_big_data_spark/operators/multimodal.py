@@ -320,3 +320,161 @@ def multimodal_payload_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS LONG)"
         ).alias("chi2_uniform_milli"),
     )
+
+
+#: Byte-histogram near-dup: cosine² threshold in micro-units (0.95 →
+#: cos ≈ 0.9747). Squared so the verify is ONE exact integer comparison
+#: dot²·1e6 ≥ τ²·‖a‖²‖b‖² — no square root anywhere.
+BYTEHIST_TAU_SQ_MICROS = 950_000
+
+
+_BYTEHIST_ORACLE = f"""
+WITH media AS (
+    SELECT doc_id, ENCODE(text) AS payload FROM documents
+), hx AS (
+    SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM media
+    WHERE octet_length(payload) > 0
+), bytes AS (
+    SELECT doc_id, n, substring(h, CAST(t.i AS INT) * 2 + 1, 2) AS b
+    FROM hx, UNNEST(range(n)) AS t(i)
+), hist AS (
+    SELECT doc_id, MAX(n) AS n, b, CAST(COUNT(*) AS HUGEINT) AS c
+    FROM bytes GROUP BY doc_id, b
+), feat AS (
+    SELECT doc_id, MAX(n) AS n, SUM(c * c) AS norm2,
+           MIN(CASE WHEN c = mx THEN b END) AS modal_b
+    FROM (SELECT *, MAX(c) OVER (PARTITION BY doc_id) AS mx FROM hist)
+    GROUP BY doc_id
+), blk AS (
+    SELECT doc_id, norm2,
+           modal_b || ':' || CAST(CAST(FLOOR(LOG2(n)) AS BIGINT) AS VARCHAR)
+               AS bkey
+    FROM feat
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.norm2 AS na2, b.norm2 AS nb2
+    FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), dots AS (
+    SELECT c.doc_a, c.doc_b, MAX(c.na2) AS na2, MAX(c.nb2) AS nb2,
+           SUM(ha.c * hb.c) AS dot
+    FROM cand c
+    JOIN hist ha ON ha.doc_id = c.doc_a
+    JOIN hist hb ON hb.doc_id = c.doc_b AND hb.b = ha.b
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST((dot * dot * 1000000) // (na2 * nb2) AS BIGINT) AS cos_sq_micros
+FROM dots
+WHERE dot * dot * 1000000 >= {BYTEHIST_TAU_SQ_MICROS} * na2 * nb2
+"""
+
+
+@register(
+    "multimodal_near_dedup_bytehist",
+    oracle=_BYTEHIST_ORACLE,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_near_dedup_bytehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free NEAR-dup detection for opaque media payloads: byte-value
+    histograms as 256-dim integer vectors, cosine²-thresholded within
+    deterministic blocks — the middle rung between multimodal_dedup_payload
+    (exact md5: one flipped byte escapes) and a real perceptual hash
+    (needs the decode this container stubs). A re-encoded or
+    header-patched asset keeps ~the same byte distribution, so histogram
+    cosine catches it at scan speed with no codec in the loop.
+
+    BLOCKED semantics, mirrored exactly in the oracle (the fuzzy-join
+    convention: the oracle pins the implemented blocking, not an
+    all-pairs ideal): candidates share (modal byte, ⌊log₂ n⌋ length
+    bucket) — re-encodes preserve both to first order, and the block key
+    is one GROUP BY away from the histogram. Verify is exact integer
+    algebra end-to-end: dot = Σ c_a·c_b over shared byte values,
+    dot²·1e6 ≥ τ²·‖a‖²‖b‖² (squares, so no sqrt and no float), emitted
+    as floor cos²-micro-units.
+
+    Scale shape: histograms are ≤256 rows per doc built from the same
+    hex-slice explode as the bytestats triage (shuffle carries (doc,
+    byte) counters, never payloads); blocking is an equi-join on the
+    block key; the dot-product join touches candidate pairs × shared
+    byte values only (≤256 rows per pair). The histogram table would be
+    written bucketed by block key at rest; all-pairs never happens."""
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    hx = media.select(
+        "doc_id",
+        F.hex("payload").alias("h"),
+        F.length("payload").cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    bytes_ = hx.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - 1).cast("int")),
+                lambda i: F.substring(F.col("h"), F.lit(1) + i * 2, 2),
+            )
+        ).alias("b"),
+    )
+    hist = bytes_.groupBy("doc_id", "b").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c"),
+    )
+    feat = hist.groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("c * c")).alias("norm2"),
+        F.expr("CAST(min_by(b, struct(-c, b)) AS STRING)").alias("modal_b"),
+    )
+    blk = feat.select(
+        "doc_id",
+        "norm2",
+        F.concat(
+            F.col("modal_b"),
+            F.lit(":"),
+            F.floor(F.log2("n")).cast("long").cast("string"),
+        ).alias("bkey"),
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.norm2").alias("na2"),
+        F.col("b.norm2").alias("nb2"),
+    )
+    ha = hist.select(
+        F.col("doc_id").alias("doc_a"), F.col("b").alias("byte"),
+        F.col("c").alias("ca"),
+    )
+    hb = hist.select(
+        F.col("doc_id").alias("doc_b"), F.col("b").alias("byte"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "byte"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("na2").alias("na2"),
+            F.max("nb2").alias("nb2"),
+            F.sum(F.expr("ca * cb")).alias("dot"),
+        )
+    )
+    return (
+        dots.filter(
+            F.expr(
+                "CAST(dot AS DECIMAL(25,0)) * dot * 1000000"
+                f" >= {BYTEHIST_TAU_SQ_MICROS} * (CAST(na2 AS DECIMAL(25,0))"
+                " * nb2)"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(CAST(dot AS DECIMAL(25,0)) * dot * 1000000"
+                " div (CAST(na2 AS DECIMAL(25,0)) * nb2) AS LONG)"
+            ).alias("cos_sq_micros"),
+        )
+    )

@@ -126,3 +126,31 @@ def test_stl_decomposition_identity_and_centering(spark, sf_dir):
         day = daily[i][0]
         s7 = sum(v for _, v in daily[i - 3 : i + 4])
         assert got[day] == (s7 * 1000) // 7, day
+
+
+def test_bytehist_near_dedup_planted_discrimination(spark, tmp_path):
+    """Planted payloads: a byte-permuted pair (identical histograms,
+    cos²=1e6) must pair; a same-length doc over a disjoint alphabet must
+    not appear in any pair; histogram cosine must be permutation-
+    invariant but content-sensitive."""
+    from recommendation_system_big_data_spark.operators.multimodal import (
+        multimodal_near_dedup_bytehist,
+    )
+
+    base = "abcabcabcabc" * 10  # modal bytes a/b/c equal -> min tiebreak
+    perm = "cbacbacbacba" * 10  # same multiset of bytes, permuted
+    other = "xyzxyzxyzxyz" * 10  # same length/shape, disjoint alphabet
+    docs = [
+        (1, base, "en", "s", 0),
+        (2, perm, "en", "s", 0),
+        (3, other, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sq_micros"]
+        for r in multimodal_near_dedup_bytehist(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 1_000_000}, got
