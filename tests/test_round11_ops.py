@@ -128,16 +128,15 @@ def test_stl_decomposition_identity_and_centering(spark, sf_dir):
         assert got[day] == (s7 * 1000) // 7, day
 
 
-def test_bytehist_near_dedup_planted_discrimination(spark, tmp_path):
-    """Planted payloads: a byte-permuted pair (identical histograms,
-    cos²=1e6) must pair; a same-length doc over a disjoint alphabet must
-    not appear in any pair; histogram cosine must be permutation-
-    invariant but content-sensitive."""
+def test_hist_fingerprint_planted_discrimination(spark, tmp_path):
+    """Planted payloads: a byte-permuted pair (identical histograms)
+    must share a fingerprint; a same-length doc over a disjoint
+    alphabet must not; and the groups partition the corpus."""
     from recommendation_system_big_data_spark.operators.multimodal import (
-        multimodal_near_dedup_bytehist,
+        multimodal_dedup_hist_fingerprint,
     )
 
-    base = "abcabcabcabc" * 10  # modal bytes a/b/c equal -> min tiebreak
+    base = "abcabcabcabc" * 10
     perm = "cbacbacbacba" * 10  # same multiset of bytes, permuted
     other = "xyzxyzxyzxyz" * 10  # same length/shape, disjoint alphabet
     docs = [
@@ -149,8 +148,7 @@ def test_bytehist_near_dedup_planted_discrimination(spark, tmp_path):
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
 
-    got = {
-        (r["doc_a"], r["doc_b"]): r["cos_sq_micros"]
-        for r in multimodal_near_dedup_bytehist(spark, str(tmp_path)).collect()
-    }
-    assert got == {(1, 2): 1_000_000}, got
+    rows = multimodal_dedup_hist_fingerprint(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    groups = sorted((r["n_docs"], r["keeper_doc_id"]) for r in rows)
+    assert groups == [(1, 3), (2, 1)], groups
