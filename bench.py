@@ -66,6 +66,9 @@ RETIRED = [
     "pipeline_temperature_mix",
     "text_bpe_pair_stats",
     "ts_interval_union_coverage",
+    # funds the r11 prefix-filter addition: 0.32-0.50s across 7 rounds,
+    # never on a watch list (steady states in BENCH_r*.json).
+    "text_gopher_quality",
 ]
 
 #: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
@@ -217,6 +220,10 @@ HEADLINE = [
     "ts_holt_winters_seasonal",
     "stat_permutation_test",
     "privacy_rare_token_redaction",
+    # round-11 session addition: the exact prefix-filtered set-similarity
+    # join is the round's scale-bearing new path (quiet isolated steady
+    # state 1.4-1.5 s at sf0.1); first recorded run defines its baseline.
+    "dedup_prefix_filter_join",
 ]
 
 

@@ -133,7 +133,12 @@ _loaded = False
 #:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
 #:
 #: ROUND-12 QUEUE (committed now so the r12 flip stays a one-line edit):
-#: 1. any ROUND-11 SESSION ADDITIONS (added after this window froze),
+#: 1. the ROUND-11 SESSION ADDITIONS (added after this window froze; each
+#:    oracle-checked at sf0.001 AND sf0.01 plus the repr-exact ulp gate
+#:    on the day it landed):
+#:      dedup_prefix_filter_join ml_eval_ece
+#:      multimodal_dedup_hist_fingerprint stat_levene_variance
+#:      ts_stl_classical_decompose
 #: 2. the remaining r3-vintage rows alphabetical from fn_map_in_arrow
 #:    (fn_map_in_arrow fn_null_safe_eq fn_pandas_udf_iterator
 #:    fn_pandas_udf_vectorized funnel_conversion grouped_pandas_slope
