@@ -2171,3 +2171,64 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_NOVELTY_ORACLE = """
+WITH sh0 AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2]))) AS sh
+    FROM documents
+), ex AS (
+    SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS shingle FROM sh0
+), dfreq AS (
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY shingle
+)
+SELECT e.doc_id,
+       CAST(MAX(e.n_sh) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000)
+            // MAX(e.n_sh) AS BIGINT) AS novelty_micros
+FROM ex e JOIN dfreq d USING (shingle)
+GROUP BY e.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "quality"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    3-gram shingles that appear NOWHERE else in the corpus (df = 1) — the
+    inverse signal of the dedup family. High novelty marks genuinely
+    original content worth keeping through a dedup funnel; near-zero
+    novelty marks boilerplate/template documents whose every phrase is
+    shared, the ones the training-mix selectors should down-weight even
+    when no single pair crosses a Jaccard threshold.
+
+    Integer exit: novelty = (unique-shingle count · 1e6) div n_sh — one
+    bounded truncating division per doc, no float.
+
+    Scale shape: reuses the session's persisted shingle index; one
+    map-combined df aggregate over the exploded index, one equi-join
+    back on shingle (the same shuffle key as the dedup queries — on a
+    production corpus the postings table serves both), one fold to the
+    doc grain. Linear end-to-end; no pairwise anything."""
+    ex = _exploded_index(spark, sf_dir)
+    dfreq = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_sh").cast("long").alias("n_sh"),
+            uniq.cast("long").alias("n_unique"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000"
+                " div MAX(n_sh) AS LONG)"
+            ).alias("novelty_micros"),
+        )
+    )

@@ -2263,3 +2263,102 @@ def ml_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(min_by(bin, struct(-gap_micros, bin)) AS LONG)"
         ).alias("worst_bin"),
     )
+
+
+_KAPPA_ORACLE = f"""
+WITH pairs AS (
+    SELECT CASE WHEN CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+                {_SW_SQL})) AS DOUBLE)
+                / greatest(len(list_distinct(string_split(text,' '))), 1) >= 0.05
+           THEN 'en' ELSE 'unk' END AS pred,
+           lang AS label
+    FROM documents
+), cells AS (
+    SELECT pred, label, CAST(COUNT(*) AS HUGEINT) AS c FROM pairs
+    GROUP BY pred, label
+), tot AS (
+    SELECT SUM(c) AS n,
+           SUM(CASE WHEN pred = label THEN c ELSE 0 END) AS diag
+    FROM cells
+), marg AS (
+    SELECT SUM(p.rp * l.cl) AS e FROM
+        (SELECT pred AS k, SUM(c) AS rp FROM cells GROUP BY pred) p
+        JOIN (SELECT label AS k, SUM(c) AS cl FROM cells GROUP BY label) l
+        USING (k)
+)
+SELECT CAST(t.n AS BIGINT) AS n_total,
+       CAST(t.diag AS BIGINT) AS n_agree,
+       CAST((t.diag * 1000000) // t.n AS BIGINT) AS po_micros,
+       CAST((m.e * 1000000) // (t.n * t.n) AS BIGINT) AS pe_micros,
+       CAST(CASE WHEN t.n * t.n = m.e THEN NULL
+            WHEN t.n * t.diag < m.e THEN
+              -((( m.e - t.n * t.diag) * 2000000 + (t.n * t.n - m.e))
+                // (2 * (t.n * t.n - m.e)))
+            ELSE
+              (((t.n * t.diag - m.e) * 2000000 + (t.n * t.n - m.e))
+               // (2 * (t.n * t.n - m.e)))
+            END AS BIGINT) AS kappa_micros
+FROM tot t, marg m
+"""
+
+
+@register("ml_eval_cohen_kappa", oracle=_KAPPA_ORACLE, tags=("ml", "eval"))
+def ml_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ for the language-ID heuristic against the labeled lang
+    column — the chance-corrected agreement scalar the confusion table
+    (ml_eval_confusion, same prediction stream) doesn't report: raw
+    accuracy flatters any skewed label distribution; κ subtracts the
+    agreement two independent raters with these marginals would reach by
+    luck (κ=0 ⇒ no better than chance).
+
+    Exact integer rational: with integer cell counts,
+    κ = (n·Σdiag − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c) — one
+    round-half-away micro-unit division with the sign handled explicitly
+    and the degenerate pe=1 marginal emitting NULL; po/pe are reported
+    alongside in floor micro-units. No float anywhere.
+
+    Scale shape: predictions fold to the |classes|² cell table in one
+    map-combined groupBy; everything after is constant-size algebra on
+    the cells (marginal products via one tiny self-join on class)."""
+    from recommendation_system_big_data_spark.functions.text import text_lang_id
+
+    pairs = text_lang_id(spark, sf_dir).select(
+        F.col("predicted_lang").alias("pred"),
+        F.col("labeled_lang").alias("label"),
+    )
+    cells = pairs.groupBy("pred", "label").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("label"), F.col("c")).otherwise(0))
+        .alias("diag"),
+    )
+    rp = cells.groupBy(F.col("pred").alias("k")).agg(F.sum("c").alias("rp"))
+    cl = cells.groupBy(F.col("label").alias("k")).agg(F.sum("c").alias("cl"))
+    marg = rp.join(cl, "k").agg(F.sum(F.expr("rp * cl")).alias("e"))
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_total"),
+            F.col("diag").cast("long").alias("n_agree"),
+            F.expr("CAST(diag * 1000000 div n AS LONG)").alias("po_micros"),
+            F.expr(
+                "CAST(e * 1000000 div (n * CAST(n AS DECIMAL(20,0)))"
+                " AS LONG)"
+            ).alias("pe_micros"),
+            F.expr(
+                """CAST(CASE
+                  WHEN n * CAST(n AS DECIMAL(20,0)) = e THEN NULL
+                  WHEN n * diag < e THEN
+                    -(((e - n * diag) * 2000000
+                       + (n * CAST(n AS DECIMAL(20,0)) - e))
+                      div (2 * (n * CAST(n AS DECIMAL(20,0)) - e)))
+                  ELSE
+                    (((n * diag - e) * 2000000
+                      + (n * CAST(n AS DECIMAL(20,0)) - e))
+                     div (2 * (n * CAST(n AS DECIMAL(20,0)) - e)))
+                  END AS LONG)"""
+            ).alias("kappa_micros"),
+        )
+    )

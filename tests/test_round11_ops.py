@@ -152,3 +152,73 @@ def test_hist_fingerprint_planted_discrimination(spark, tmp_path):
     assert sum(r["n_docs"] for r in rows) == 3
     groups = sorted((r["n_docs"], r["keeper_doc_id"]) for r in rows)
     assert groups == [(1, 3), (2, 1)], groups
+
+
+def test_cohen_kappa_sequential_reference(spark, sf_dir):
+    """Big-int replay of the exact kappa rational on the same prediction
+    stream, plus the po >= pe sanity the fixture's better-than-chance
+    heuristic must show."""
+    from recommendation_system_big_data_spark.functions.text import text_lang_id
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_cohen_kappa,
+    )
+
+    pairs = [
+        (r["predicted_lang"], r["labeled_lang"])
+        for r in text_lang_id(spark, sf_dir).collect()
+    ]
+    n = len(pairs)
+    diag = sum(1 for p, y in pairs if p == y)
+    rp, cl = {}, {}
+    for p, y in pairs:
+        rp[p] = rp.get(p, 0) + 1
+        cl[y] = cl.get(y, 0) + 1
+    e = sum(rp[k] * cl.get(k, 0) for k in rp)
+    num, den = n * diag - e, n * n - e
+    if den == 0:
+        kappa = None
+    elif num < 0:
+        kappa = -(((-num) * 2000000 + den) // (2 * den))
+    else:
+        kappa = ((num * 2000000 + den) // (2 * den))
+
+    r = ml_eval_cohen_kappa(spark, sf_dir).collect()[0]
+    assert r["n_total"] == n and r["n_agree"] == diag
+    assert r["po_micros"] == (diag * 1000000) // n
+    assert r["pe_micros"] == (e * 1000000) // (n * n)
+    assert r["kappa_micros"] == kappa
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """Planted corpus: a fully-unique doc scores 1e6, an exact duplicate
+    pair scores 0, and a half-shared doc lands exactly between."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        text_ngram_novelty,
+    )
+
+    uniq = " ".join(f"u{i}" for i in range(20))
+    dup = " ".join(f"d{i}" for i in range(20))
+    # doc 4 shares its first half's shingles with nobody... build a doc
+    # that borrows doc 1's text plus unique tail so SOME shingles shared
+    half = uniq + " " + " ".join(f"h{i}" for i in range(20))
+    docs = [
+        (1, uniq, "en", "s", 0),
+        (2, dup, "en", "s", 0),
+        (3, dup, "en", "s", 0),
+        (4, half, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_unique"], r["novelty_micros"])
+        for r in text_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got[2] == (18, 0, 0) and got[3] == (18, 0, 0)
+    # doc 1's shingles all appear in doc 4 too -> novelty 0 for doc 1;
+    # doc 4 keeps its tail + boundary shingles unique.
+    assert got[1] == (18, 0, 0)
+    n_sh4, n_unique4, nov4 = got[4]
+    assert n_sh4 == 38 and n_unique4 == 20
+    assert nov4 == (20 * 1000000) // 38
