@@ -64,6 +64,15 @@ PROBES = [
     ("join_null_skew_bypass", 10.0),
     ("window_percent_rank_cume", 10.0),
     ("embedding_hard_negative_mining", 4.0),
+    # round-11 additions (documents/orders/events step 10x)
+    ("dedup_prefix_filter_join", 10.0),
+    ("text_ngram_novelty", 10.0),
+    ("multimodal_dedup_hist_fingerprint", 10.0),
+    ("ts_stl_classical_decompose", 10.0),
+    ("stat_levene_variance", 10.0),
+    ("ml_eval_ece", 10.0),
+    ("ml_eval_cohen_kappa", 10.0),
+    ("stat_permutation_test", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
