@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load, maybe_broadcast, min_parallelism
 from recommendation_system_big_data_spark.functions.text import STOPWORDS, _SW_SQL
@@ -1129,5 +1130,155 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             _compress_stats_fn(),
             "doc_id long, n_bytes long, compressed_bytes long,"
             " ratio_micros long",
+        )
+    )
+
+
+#: t-closeness sensitive-attribute grid: order value bucketed into 10
+#: fixed-width 50k-wide bands (deterministic — no data-dependent
+#: quantiles in the privacy audit's own definition).
+T_CLOSE_BUCKETS = 10
+T_CLOSE_WIDTH = 50_000.0
+
+_T_CLOSE_ORACLE = f"""
+WITH cust AS (
+    SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg FROM customer
+), fact AS (
+    SELECT nat, seg,
+           LEAST(CAST(FLOOR(o_totalprice / {T_CLOSE_WIDTH}) AS BIGINT),
+                 {T_CLOSE_BUCKETS - 1}) AS b
+    FROM orders JOIN cust ON o_custkey = c_custkey
+), spine AS (
+    SELECT UNNEST(range({T_CLOSE_BUCKETS})) AS b
+), classes AS (
+    SELECT DISTINCT nat, seg FROM fact
+), p AS (
+    SELECT c.nat, c.seg, s.b,
+           CAST(COALESCE(f.c, 0) AS HUGEINT) AS p_c
+    FROM classes c CROSS JOIN spine s
+    LEFT JOIN (SELECT nat, seg, b, COUNT(*) AS c FROM fact
+               GROUP BY nat, seg, b) f
+      ON f.nat = c.nat AND f.seg = c.seg AND f.b = s.b
+), q AS (
+    SELECT s.b, CAST(COALESCE(g.c, 0) AS HUGEINT) AS q_c
+    FROM spine s LEFT JOIN
+         (SELECT b, COUNT(*) AS c FROM fact GROUP BY b) g ON g.b = s.b
+), cum AS (
+    SELECT p.nat, p.seg, p.b,
+           SUM(p.p_c) OVER (PARTITION BY p.nat, p.seg ORDER BY p.b) AS cp,
+           SUM(q.q_c) OVER (PARTITION BY p.nat, p.seg ORDER BY p.b) AS cq,
+           SUM(p.p_c) OVER (PARTITION BY p.nat, p.seg) AS n_c,
+           (SELECT SUM(q_c) FROM q) AS n
+    FROM p JOIN q USING (b)
+)
+SELECT CAST(nat AS BIGINT) AS nat, seg,
+       CAST(MAX(n_c) AS BIGINT) AS n_class,
+       CAST((SUM(CASE WHEN b < {T_CLOSE_BUCKETS - 1}
+                 THEN ABS(cp * n - cq * n_c) ELSE 0 END) * 1000000)
+            // (({T_CLOSE_BUCKETS - 1}) * MAX(n_c) * MAX(n))
+            AS BIGINT) AS t_micros
+FROM cum GROUP BY nat, seg
+"""
+
+
+@register(
+    "privacy_t_closeness", oracle=_T_CLOSE_ORACLE, tags=("privacy", "quality")
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymity ladder
+    (k-anonymity: classes are big; l-diversity: classes have varied
+    sensitive values; t-closeness: each class's sensitive DISTRIBUTION
+    stays within t of the global one, so membership in a class leaks at
+    most t of distributional information). Sensitive attribute: order
+    value on a fixed 10-band grid; distance: the ordered-attribute EMD of
+    the original paper (Li et al., ICDE'07) — mean absolute difference of
+    the two CDFs over the band grid.
+
+    Integer exit: with integer counts the EMD is the exact rational
+    Σ_{{b<m−1}} |cp_b·n − cq_b·n_c| / ((m−1)·n_c·n), emitted as one floor
+    micro-unit division (numerator ≤ ~1e32 in decimal at any SF; the
+    quotient is ≤ 1e6 by construction). Deterministic fixed-width bands —
+    a privacy audit's definition can't depend on data-dependent quantile
+    boundaries that themselves leak.
+
+    Shape: fact × broadcast customer dim → ONE fact-sized groupBy to the
+    (class, band) grain; the dense (class × 10-band) grid, its cumulative
+    windows (≤ 10 rows per class), and the final fold are all
+    constant-grain re-aggregations of that cell table."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    fact = (
+        load(spark, sf_dir, "orders")
+        .join(
+            maybe_broadcast(cust, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "nat",
+            "seg",
+            F.least(
+                F.floor(F.col("o_totalprice") / T_CLOSE_WIDTH).cast("long"),
+                F.lit(T_CLOSE_BUCKETS - 1),
+            ).alias("b"),
+        )
+    )
+    cells = fact.groupBy("nat", "seg", "b").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    spine = F.broadcast(
+        load(spark, sf_dir, "orders")
+        .sparkSession.range(T_CLOSE_BUCKETS)
+        .select(F.col("id").alias("b"))
+    )
+    classes = cells.select("nat", "seg").distinct()
+    p = (
+        classes.crossJoin(spine)
+        .join(cells, ["nat", "seg", "b"], "left")
+        .select(
+            "nat", "seg", "b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(20,0)").alias("p_c"),
+        )
+    )
+    q = (
+        spine.join(
+            fact.groupBy("b").agg(
+                F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+            ),
+            "b",
+            "left",
+        )
+        .select(
+            "b", F.coalesce(F.col("c"), F.lit(0)).cast("decimal(20,0)").alias("q_c")
+        )
+    )
+    w = Window.partitionBy("nat", "seg").orderBy("b")
+    wa = Window.partitionBy("nat", "seg")
+    n_tot = fact.agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("n"))
+    cum = (
+        p.join(F.broadcast(q), "b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "nat", "seg", "b", "n",
+            F.sum("p_c").over(w).alias("cp"),
+            F.sum("q_c").over(w).alias("cq"),
+            F.sum("p_c").over(wa).alias("n_c"),
+        )
+    )
+    return (
+        cum.groupBy("nat", "seg")
+        .agg(
+            F.max("n_c").cast("long").alias("n_class"),
+            F.expr(
+                f"""CAST(SUM(CASE WHEN b < {T_CLOSE_BUCKETS - 1}
+                     THEN ABS(cp * n - cq * n_c) ELSE 0 END) * 1000000
+                 div (({T_CLOSE_BUCKETS - 1}) * MAX(n_c) * MAX(n))
+                 AS LONG)"""
+            ).alias("t_micros"),
+        )
+        .select(
+            F.col("nat").cast("long").alias("nat"), "seg", "n_class", "t_micros"
         )
     )

@@ -1793,19 +1793,24 @@ WITH grain AS (
            SUM(n_v) OVER (ORDER BY value ASC) AS nl,
            SUM(p_v) OVER (ORDER BY value ASC) AS pl
     FROM grain
+), q AS (
+    SELECT value, nl, pl, t.n, t.p,
+           (nl * 1000000000::HUGEINT) // t.n AS nlq,
+           (pl * 1000000000::HUGEINT) // t.n AS plq,
+           ((t.n - nl) * 1000000000::HUGEINT) // t.n AS nrq,
+           ((t.p - pl) * 1000000000::HUGEINT) // t.n AS prq,
+           (t.p * 1000000000::HUGEINT) // t.n AS pq
+    FROM pre, tot t
 ), cand AS (
     SELECT value AS split_value,
            CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
-           CAST(t.n - nl AS BIGINT) AS n_right,
-           CAST(t.p - pl AS BIGINT) AS pos_right,
-           CAST(((pl * (nl - pl) * (t.n - nl)
-                  + (t.p - pl) * ((t.n - nl) - (t.p - pl)) * nl)
-                 * 1000000000::HUGEINT)
-                // (nl * (t.n - nl)) AS BIGINT) AS g_nanos,
-           CAST((t.p * (t.n - t.p) * 1000000000::HUGEINT) // t.n
-                AS BIGINT) AS g0_nanos
-    FROM pre, tot t
-    WHERE nl > 0 AND t.n - nl > 0
+           CAST(n - nl AS BIGINT) AS n_right,
+           CAST(p - pl AS BIGINT) AS pos_right,
+           CAST((plq * (nlq - plq) * nrq + prq * (nrq - prq) * nlq)
+                // (nlq * nrq) AS BIGINT) AS g_nanos,
+           CAST((pq * (1000000000 - pq)) // 1000000000 AS BIGINT) AS g0_nanos
+    FROM q
+    WHERE nlq > 0 AND nrq > 0
 )
 SELECT split_value, n_left, pos_left, n_right, pos_right, g_nanos,
        g0_nanos - g_nanos AS gain_nanos
@@ -1825,14 +1830,18 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     every candidate threshold from the prefix sums alone. The winning
     split minimizes the weighted Gini impurity.
 
-    Integer exit (COVERAGE.md r10): with integer counts, weighted Gini
-    ordering reduces to the rational [pL(nL−pL)nR + pR(nR−pR)nL]/(nL·nR)
-    (the 2/n factor is constant across candidates and dropped); each
-    candidate is scored as that rational's TRUNCATING nano-division —
-    identical BIGINTs both engines — and the argmin carries a
-    split_value tiebreak. The threshold itself is a raw data double
-    (never computed with), and the root impurity enters the reported
-    gain through the same nano convention.
+    Integer exit, r11 overflow-proof form: counts quantize to 1e-9
+    CLASS SHARES first (x·1e9 div n — each quotient bounded by 1e9 at
+    ANY n), then the weighted-Gini ordering is scored on the quantized
+    shares as (plq(nlq−plq)nrq + prq(nrq−prq)nlq) div (nlq·nrq) — every
+    div's quotient is a bounded nano statistic, where the previous
+    count-rational's quotient grew with n and would hit the silent
+    2^63 IntegralDivide wrap near 4e10 rows (the ADVICE r10 class, found
+    by re-audit this round). The micro-grid convention: a deterministic
+    1e-9-share grain, mirrored exactly in the oracle; splits putting
+    < 1e-9 of the data on one side are excluded (nlq/nrq = 0). The
+    threshold itself is a raw data double (never computed with); the
+    root impurity enters the reported gain through the same shares.
 
     Scale shape (r11, VERDICT r10 #2): one map-combined aggregate to the
     distinct-value grain, then the prefix sums run through
@@ -1858,29 +1867,53 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = running_sums(
         grain, ["value"], {"nl": ("n_v", True), "pl": ("p_v", True)}
     ).crossJoin(F.broadcast(tot)).select("value", "nl", "pl", "n", "p")
-    cand = pre.filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0)).select(
-        F.col("value").alias("split_value"),
-        F.col("nl").cast("long").alias("n_left"),
-        F.col("pl").cast("long").alias("pos_left"),
+    return _stump_argmin(pre, "value", "split_value")
+
+
+def _stump_argmin(pre: DataFrame, key: str, out_key: str) -> DataFrame:
+    """Shared split scorer for the exact and histogram stumps: quantize
+    counts to 1e-9 class shares (every div quotient bounded at any n —
+    the r11 convention; the raw count-rational wrapped near 4e10 rows),
+    score the weighted Gini on the shares, argmin with key tiebreak.
+    ``pre`` carries (key, nl, pl, n, p)."""
+    q = pre.select(
+        key,
+        F.col("nl").cast("long").alias("nl"),
+        F.col("pl").cast("long").alias("pl"),
+        "n",
+        "p",
+        F.expr("CAST(nl AS DECIMAL(20,0)) * 1000000000 div n").alias("nlq"),
+        F.expr("CAST(pl AS DECIMAL(20,0)) * 1000000000 div n").alias("plq"),
+        F.expr(
+            "CAST(n - nl AS DECIMAL(20,0)) * 1000000000 div n"
+        ).alias("nrq"),
+        F.expr(
+            "CAST(p - pl AS DECIMAL(20,0)) * 1000000000 div n"
+        ).alias("prq"),
+        F.expr("CAST(p AS DECIMAL(20,0)) * 1000000000 div n").alias("pq"),
+    )
+    cand = q.filter((F.col("nlq") > 0) & (F.col("nrq") > 0)).select(
+        F.col(key).alias(out_key),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
         (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
         (F.col("p") - F.col("pl")).cast("long").alias("pos_right"),
         F.expr(
-            "CAST((CAST(pl * (nl - pl) AS DECIMAL(24,0)) * (n - nl)"
-            " + CAST((p - pl) * ((n - nl) - (p - pl)) AS DECIMAL(24,0)) * nl)"
-            " * 1000000000 div (CAST(nl AS DECIMAL(16,0)) * (n - nl)) AS LONG)"
+            "CAST((CAST(plq * (nlq - plq) AS DECIMAL(20,0)) * nrq"
+            " + CAST(prq * (nrq - prq) AS DECIMAL(20,0)) * nlq)"
+            " div (CAST(nlq AS DECIMAL(19,0)) * nrq) AS LONG)"
         ).alias("g_nanos"),
         F.expr(
-            "CAST(CAST(p * (n - p) AS DECIMAL(26,0)) * 1000000000 div n"
-            " AS LONG)"
+            "CAST(pq * (1000000000 - pq) div 1000000000 AS LONG)"
         ).alias("g0_nanos"),
     )
     return (
         cand.select(
-            "split_value", "n_left", "pos_left", "n_right", "pos_right",
+            out_key, "n_left", "pos_left", "n_right", "pos_right",
             "g_nanos",
             (F.col("g0_nanos") - F.col("g_nanos")).alias("gain_nanos"),
         )
-        .orderBy(F.asc("g_nanos"), F.asc("split_value"))
+        .orderBy(F.asc("g_nanos"), F.asc(out_key))
         .limit(1)
     )
 
@@ -2361,4 +2394,113 @@ def ml_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                   END AS LONG)"""
             ).alias("kappa_micros"),
         )
+    )
+
+
+#: Histogram-mode split search: 256 fixed bins between the global
+#: min/max — LightGBM/XGBoost-hist's actual scale trade (bin first,
+#: scan 256 cells, give up sub-bin split resolution).
+STUMP_HIST_BINS = 256
+
+_STUMP_HIST_ORACLE = f"""
+WITH mm AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), binned AS (
+    SELECT LEAST(CAST(FLOOR((value - mm.mn) / (mm.mx - mm.mn)
+                            * {STUMP_HIST_BINS}.0) AS BIGINT),
+                 {STUMP_HIST_BINS - 1}) AS bin,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mm
+), grain AS (
+    SELECT bin, CAST(COUNT(*) AS HUGEINT) AS n_v,
+           SUM(CAST(y AS HUGEINT)) AS p_v
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT SUM(n_v) AS n, SUM(p_v) AS p FROM grain
+), pre AS (
+    SELECT bin,
+           SUM(n_v) OVER (ORDER BY bin ASC) AS nl,
+           SUM(p_v) OVER (ORDER BY bin ASC) AS pl
+    FROM grain
+), q AS (
+    SELECT bin, nl, pl, t.n, t.p,
+           (nl * 1000000000::HUGEINT) // t.n AS nlq,
+           (pl * 1000000000::HUGEINT) // t.n AS plq,
+           ((t.n - nl) * 1000000000::HUGEINT) // t.n AS nrq,
+           ((t.p - pl) * 1000000000::HUGEINT) // t.n AS prq,
+           (t.p * 1000000000::HUGEINT) // t.n AS pq
+    FROM pre, tot t
+), cand AS (
+    SELECT bin AS split_bin,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           CAST(p - pl AS BIGINT) AS pos_right,
+           CAST((plq * (nlq - plq) * nrq + prq * (nrq - prq) * nlq)
+                // (nlq * nrq) AS BIGINT) AS g_nanos,
+           CAST((pq * (1000000000 - pq)) // 1000000000 AS BIGINT) AS g0_nanos
+    FROM q
+    WHERE nlq > 0 AND nrq > 0
+)
+SELECT split_bin, n_left, pos_left, n_right, pos_right, g_nanos,
+       g0_nanos - g_nanos AS gain_nanos
+FROM cand
+ORDER BY g_nanos ASC, split_bin ASC
+LIMIT 1
+"""
+
+
+@register("ml_decision_stump_hist", oracle=_STUMP_HIST_ORACLE, tags=("ml",))
+def ml_decision_stump_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-mode best-split search — the scale companion of
+    ml_decision_stump and the algorithm gradient-boosting trainers
+    ACTUALLY run at 100 TB (LightGBM's hist mode, XGBoost
+    tree_method=hist): values pre-bin into 256 fixed-width cells between
+    the global min/max, the candidate scan runs over ≤256 bins instead
+    of the ~n distinct-value grid, and the split loses at most one bin
+    of resolution. The exact-mode stump prices the full grid (and needs
+    the distributed prefix sum); this one's candidate table FITS IN A
+    CLOSED FIST at any data size — the prefix window runs on ≤256 rows,
+    a constant grain needing no distribution machinery.
+
+    The bin id comes from one shared double expression
+    ((v−mn)/(mx−mn)·256, FLOOR, capped) — IEEE-identical cross-engine,
+    the Brier/ECE normalization pattern; min/max are a 1-row broadcast.
+    Scoring is the shared share-quantized Gini scorer (_stump_argmin —
+    every div quotient bounded at any n), argmin with split_bin
+    tiebreak."""
+    mm = load(spark, sf_dir, "events").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(float(STUMP_HIST_BINS))
+                ).cast("long"),
+                F.lit(STUMP_HIST_BINS - 1),
+            ).alias("bin"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    grain = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("p_v")
+    )
+    tot = grain.agg(
+        F.sum("n_v").cast("long").alias("n"), F.sum("p_v").cast("long").alias("p")
+    )
+    w = Window.orderBy(F.asc("bin"))
+    pre = (
+        grain.select(
+            "bin",
+            F.sum("n_v").over(w).alias("nl"),
+            F.sum("p_v").over(w).alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return _stump_argmin(
+        pre.withColumnRenamed("bin", "split_bin"), "split_bin", "split_bin"
     )

@@ -358,21 +358,27 @@ def test_decision_stump_matches_sequential_reference(spark, sf_dir):
         g[1] += r["event_type"] == "purchase"
     n = sum(v[0] for v in grain.values())
     p = sum(v[1] for v in grain.values())
+    # r11 share-quantized scoring (overflow-proof at any n): counts ->
+    # 1e-9 shares first, Gini on the shares, every quotient bounded.
+    B = 1_000_000_000
     nl = pl = 0
     best = None
     for v in sorted(grain):
         nl += grain[v][0]
         pl += grain[v][1]
         nr, pr = n - nl, p - pl
-        if nl == 0 or nr == 0:
+        nlq, plq = (nl * B) // n, (pl * B) // n
+        nrq, prq = (nr * B) // n, (pr * B) // n
+        if nlq == 0 or nrq == 0:
             continue
-        g_nanos = (
-            (pl * (nl - pl) * nr + pr * (nr - pr) * nl) * 1_000_000_000
-        ) // (nl * nr)
+        g_nanos = (plq * (nlq - plq) * nrq + prq * (nrq - prq) * nlq) // (
+            nlq * nrq
+        )
         key = (g_nanos, v)
         if best is None or key < best[0]:
             best = (key, nl, pl, nr, pr)
-    g0 = (p * (n - p) * 1_000_000_000) // n
+    pq = (p * B) // n
+    g0 = (pq * (B - pq)) // B
 
     r = ml_decision_stump(spark, sf_dir).collect()[0]
     assert r["split_value"] == best[0][1]
