@@ -1707,7 +1707,7 @@ WITH ranked AS (
     FROM events
 ), terms AS (
     SELECT CAST(cp AS BIGINT) AS cp, i,
-           (CAST(cp AS BIGINT) * 1000000000) // i AS term_nanos
+           (CAST(cp AS HUGEINT) * 1000000000) // i AS term_nanos
     FROM ranked WHERE is_pos = 1
 )
 SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_total,
@@ -1763,18 +1763,24 @@ def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One fold over ALL ranked rows (no separate count job / driver
     # scalar): positives contribute their term, negatives contribute 0
     # to the sum and 0 to n_pos.
+    # cp·1e9 in decimal (a LONG product wraps near cp≈9e9 — the r11
+    # convention sweep); the quotient is bounded ≤ 1e9 because cp ≤ i.
+    # The term SUM likewise accumulates in decimal (Θ(n_pos·1e9)).
     terms = ranked.select(
         "is_pos",
         F.expr(
-            "CASE WHEN is_pos = 1 THEN (cp * 1000000000) div i ELSE 0 END"
+            "CASE WHEN is_pos = 1 THEN"
+            " CAST(CAST(cp AS DECIMAL(20,0)) * 1000000000 div i AS LONG)"
+            " ELSE 0 END"
         ).alias("term_nanos"),
     )
     return terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("is_pos").cast("long").alias("n_pos"),
         F.expr(
-            "CAST((SUM(term_nanos) * 2 + 1000 * SUM(is_pos))"
-            " div (2000 * SUM(is_pos)) AS LONG)"
+            "CAST((SUM(CAST(term_nanos AS DECIMAL(20,0))) * 2"
+            " + 1000 * SUM(is_pos))"
+            " div (2000 * CAST(SUM(is_pos) AS DECIMAL(20,0))) AS LONG)"
         ).alias("ap_micros"),
     )
 

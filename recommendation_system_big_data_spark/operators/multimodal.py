@@ -315,9 +315,12 @@ def multimodal_payload_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_bytes"),
         F.count(F.lit(1)).cast("long").alias("distinct_bytes"),
         F.max("c").cast("long").alias("modal_byte_freq"),
+        # Σc² in decimal: a LONG 256·Σc²·1000 wraps once payloads reach
+        # ~10 MB (the r11 convention sweep); the quotient stays bounded
+        # by 256000·n.
         F.expr(
-            "CAST((256 * SUM(c * c) * 1000) div MAX(n) - 1000 * MAX(n)"
-            " AS LONG)"
+            "CAST((256 * SUM(CAST(c AS DECIMAL(19,0)) * c) * 1000)"
+            " div MAX(n) - 1000 * MAX(n) AS LONG)"
         ).alias("chi2_uniform_milli"),
     )
 
