@@ -595,3 +595,28 @@ def test_pr_auc_stump_ntile_windows_are_distributed(spark, sf_dir):
             if "_pid" not in block:
                 bad.append(block)
         assert not bad, (fn.__name__, bad)
+
+
+def test_r11_joins_are_hash_joins_not_cartesian(spark, sf_dir):
+    # The r11 set-similarity, fingerprint, and t-closeness plans must
+    # never degrade to a cartesian/data-by-data nested loop: candidates
+    # come from equi-joins (prefix token, fingerprint group key, class
+    # key); the only BNLJ allowed is a broadcast of a constant-size
+    # side (the 10-row band spine / 1-row totals).
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_prefix_filter_join,
+    )
+    from recommendation_system_big_data_spark.operators.multimodal import (
+        multimodal_dedup_hist_fingerprint,
+    )
+    from recommendation_system_big_data_spark.functions.quality import (
+        privacy_t_closeness,
+    )
+
+    for fn in (
+        dedup_prefix_filter_join,
+        multimodal_dedup_hist_fingerprint,
+        privacy_t_closeness,
+    ):
+        plan = explain.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
