@@ -222,3 +222,60 @@ def test_ngram_novelty_planted(spark, tmp_path):
     n_sh4, n_unique4, nov4 = got[4]
     assert n_sh4 == 38 and n_unique4 == 20
     assert nov4 == (20 * 1000000) // 38
+
+
+def test_anova_exact_in_the_wrap_domain(spark, tmp_path):
+    """ADVICE r10 (medium): the old ANOVA computed S_g² div n_g with a
+    LONG quotient that silently wraps past 2^63. With values near 1e5
+    (vq ≈ 1e9) the quotient n_g·1e18 crosses long range at n_g ≥ 10 —
+    so a tiny planted frame exercises the exact domain the fixture
+    never reaches. Require cross-engine agreement with DuckDB's HUGEINT
+    oracle AND a big-int sequential replay (which would both have
+    exposed the wrap)."""
+    import duckdb
+    import math
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ANOVA_QUANT,
+        stat_anova_oneway,
+    )
+    from recommendation_system_big_data_spark.registry import registry
+
+    rows = []
+    for i in range(60):
+        rows.append((i, 1, "click", 99999.99 - (i % 7) * 0.03, None))
+    for i in range(60, 130):
+        rows.append((i, 2, "purchase", 99998.50 + (i % 5) * 0.02, None))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = stat_anova_oneway(spark, str(tmp_path)).collect()[0]
+
+    # wrap-domain sanity: the per-group S²/n quotients really exceed 2^63
+    groups: dict[str, list[int]] = {}
+    for _, _, g, v, _ in rows:
+        groups.setdefault(g, []).append(math.floor(v * ANOVA_QUANT))
+    assert all(
+        (sum(v) ** 2) // len(v) > 2**63 for v in groups.values()
+    ), "planted frame no longer reaches the wrap domain"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(registry()["stat_anova_oneway"].oracle).fetchall()[0]
+    assert tuple(got) == tuple(oracle), (tuple(got), tuple(oracle))
+
+    # big-int replay of the quantized pipeline
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    ssq = sum((sum(v) ** 2) // len(v) for v in groups.values())
+    ssb = ssq - (s * s) // n
+    ssw = q - ssq
+    vw = ssw // (n - k)
+    assert got["var_within_q"] == vw
+    assert got["var_between_q"] == (ssb // n if ssb >= 0 else -((-ssb) // n))
