@@ -863,3 +863,124 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part_id"), F.col("lab").alias("community")
     )
+
+
+_ASSORT_ORACLE = f"""
+WITH capped AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               DENSE_RANK() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS irk
+        FROM lineitem
+    ) WHERE irk <= {MAX_BASKET}
+), edges AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+           GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), directed AS (
+    SELECT u AS s, v AS d FROM edges
+    UNION ALL SELECT v, u FROM edges
+), deg AS (
+    SELECT s AS node, CAST(COUNT(*) AS HUGEINT) AS dg
+    FROM directed GROUP BY s
+), stamped AS (
+    SELECT ds.dg AS du, dd.dg AS dv
+    FROM directed e JOIN deg ds ON e.s = ds.node
+    JOIN deg dd ON e.d = dd.node
+), sums AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+           SUM(du * dv) AS sjk, SUM(du) AS sj, SUM(du * du) AS sjj
+    FROM stamped
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(CASE WHEN m2 * sjj - sj * sj = 0 THEN NULL
+            WHEN m2 * sjk - sj * sj < 0 THEN
+              -(((sj * sj - m2 * sjk) * 2000000 + (m2 * sjj - sj * sj))
+                // (2 * (m2 * sjj - sj * sj)))
+            ELSE
+              (((m2 * sjk - sj * sj) * 2000000 + (m2 * sjj - sj * sj))
+               // (2 * (m2 * sjj - sj * sj)))
+            END AS BIGINT) AS assortativity_micros
+FROM sums
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph",))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the directed edge
+    list — positive when hubs co-purchase with hubs (assortative,
+    social-network-like), negative when hubs attach to leaves
+    (disassortative, catalog/dependency-like). The one scalar that says
+    which topology regime the co-purchase graph is in, complementing the
+    local (triangles) and global (modularity, k-core) structure ops.
+
+    Exact integer rational: with integer degrees over the 2M-row directed
+    list, r = (2M·Σd_u d_v − (Σd_u)²) / (2M·Σd_u² − (Σd_u)²) — one
+    sign-aware round-half-away micro division (|r| ≤ 1 so the quotient is
+    bounded; den = 0 for degree-regular graphs → NULL). Sums accumulate
+    in decimal; the width budget is exact past 1e12 edges at realistic
+    degree skews, and beyond it Spark's decimal overflow is a LOUD null.
+
+    Scale shape: the capped co-purchase self-join (MAX_BASKET² per-order
+    bound) is the dominant shuffle, identical to the triangle/PageRank
+    edge build; degrees are one groupBy of the directed list; stamping
+    joins the vocabulary-sized degree table twice (AQE broadcasts at
+    fixture scale, shuffle-hash at web scale); the statistic folds
+    map-side to one row."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    directed = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = directed.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    stamped = (
+        directed.join(deg.select(F.col("node").alias("s"), F.col("dg").alias("du")), "s")
+        .join(deg.select(F.col("node").alias("d"), F.col("dg").alias("dv")), "d")
+        .select("du", "dv")
+    )
+    sums = stamped.agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("m2"),
+        F.sum(F.expr("CAST(du AS DECIMAL(19,0)) * dv")).alias("sjk"),
+        F.sum(F.col("du").cast("decimal(20,0)")).alias("sj"),
+        F.sum(F.expr("CAST(du AS DECIMAL(19,0)) * du")).alias("sjj"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        sums.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.expr("CAST(m2 div 2 AS LONG)").alias("n_edges"),
+            "n_nodes",
+            F.expr(
+                """CAST(CASE
+                  WHEN m2 * sjj - sj * sj = 0 THEN NULL
+                  WHEN m2 * sjk - sj * sj < 0 THEN
+                    -(((sj * sj - m2 * sjk) * 2000000 + (m2 * sjj - sj * sj))
+                      div (2 * (m2 * sjj - sj * sj)))
+                  ELSE
+                    (((m2 * sjk - sj * sj) * 2000000 + (m2 * sjj - sj * sj))
+                     div (2 * (m2 * sjj - sj * sj)))
+                  END AS LONG)"""
+            ).alias("assortativity_micros"),
+        )
+    )
