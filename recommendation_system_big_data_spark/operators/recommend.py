@@ -306,3 +306,48 @@ def als_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_pos") <= 5)
         .select("item_id", "similar_item_id", "cosine", F.col("rank_pos").cast("long").alias("rank_pos"))
     )
+
+
+@register("als_eval_coverage_novelty", oracle=None, tags=("ml", "eval"))
+def als_eval_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the ALS top-K lists — catalog
+    COVERAGE (share of the item catalog that appears in anyone's top-K:
+    a recommender that only ever surfaces 20 blockbusters has high RMSE
+    quality and no merchandising value) and mean self-information
+    NOVELTY (−log₂ of each recommended item's training popularity,
+    averaged — Vargas & Castells 2011; higher = recommending from the
+    long tail). The two standard list-quality axes the reference's
+    RMSE-only evaluation (model-als.py:118-121) cannot see.
+
+    ⊘ rows-only (ALS factors are not SQL-expressible); the pytest gate
+    bounds both metrics and cross-checks coverage against a direct
+    distinct-count of the recommendation table.
+
+    Scale shape: the top-K table is |users|·K rows; coverage is one
+    distinct-count against the |items|-row catalog; novelty joins the
+    broadcast item-popularity table (|items| rows) and folds map-side.
+    Popularity self-information uses log2 of an (interactions_item /
+    interactions_total) ratio — double math, but this query is ⊘ by
+    design so no cross-engine hash rides on it."""
+    ratings = ratings_from_events(spark, sf_dir)
+    recs = als_recommend_topk(spark, sf_dir)
+    pop = ratings.groupBy(F.col("item_id").cast("long").alias("item_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    tot = pop.agg(
+        F.sum("n_inter").cast("double").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    scored = recs.join(F.broadcast(pop), "item_id").crossJoin(F.broadcast(tot))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_recs"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.max("n_items").alias("n_catalog"),
+        F.countDistinct("item_id").cast("long").alias("n_distinct_items"),
+        F.round(
+            F.countDistinct("item_id") / F.max("n_items").cast("double"), 6
+        ).alias("catalog_coverage"),
+        F.round(
+            F.avg(-F.log2(F.col("n_inter") / F.col("n_tot"))), 6
+        ).alias("mean_novelty_bits"),
+    )

@@ -136,6 +136,7 @@ _loaded = False
 #: 1. the ROUND-11 SESSION ADDITIONS (added after this window froze; each
 #:    oracle-checked at sf0.001 AND sf0.01 plus the repr-exact ulp gate
 #:    on the day it landed):
+#:      als_eval_coverage_novelty (rows-only)
 #:      dedup_prefix_filter_join graph_assortativity
 #:      ml_decision_stump_hist ml_eval_cohen_kappa ml_eval_ece
 #:      multimodal_dedup_hist_fingerprint privacy_t_closeness

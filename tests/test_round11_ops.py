@@ -279,3 +279,35 @@ def test_anova_exact_in_the_wrap_domain(spark, tmp_path):
     vw = ssw // (n - k)
     assert got["var_within_q"] == vw
     assert got["var_between_q"] == (ssb // n if ssb >= 0 else -((-ssb) // n))
+
+
+def test_als_coverage_novelty_bounds(spark, sf_dir):
+    """Rows-only gate for the beyond-accuracy ALS eval: coverage equals
+    the direct distinct count over the rec table, both metrics sit in
+    their valid ranges, and novelty is consistent with the popularity
+    distribution's entropy bounds."""
+    import math
+
+    from recommendation_system_big_data_spark.operators.recommend import (
+        als_eval_coverage_novelty,
+        als_recommend_topk,
+        ratings_from_events,
+    )
+
+    r = als_eval_coverage_novelty(spark, sf_dir).collect()[0]
+    recs = als_recommend_topk(spark, sf_dir)
+    n_distinct = recs.select("item_id").distinct().count()
+    assert r["n_distinct_items"] == n_distinct
+    assert 0 < r["catalog_coverage"] <= 1.0
+    assert r["n_recs"] == r["n_users"] * 10
+    # novelty is -log2 of a probability: bounded by the rarest and most
+    # popular items' self-information
+    pops = (
+        ratings_from_events(spark, sf_dir)
+        .groupBy("item_id")
+        .count()
+        .collect()
+    )
+    tot = sum(p["count"] for p in pops)
+    si = [-math.log2(p["count"] / tot) for p in pops]
+    assert min(si) - 1e-9 <= r["mean_novelty_bits"] <= max(si) + 1e-9
