@@ -73,6 +73,7 @@ PROBES = [
     ("ml_eval_ece", 10.0),
     ("ml_eval_cohen_kappa", 10.0),
     ("stat_permutation_test", 10.0),
+    ("graph_assortativity", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
