@@ -132,100 +132,104 @@ _loaded = False
 #:   topk_per_user tumbling_window_agg union_pos unnest_recs
 #:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
 #:
-#: ROUND-12 QUEUE (committed now so the r12 flip stays a one-line edit):
-#: 1. the ROUND-11 SESSION ADDITIONS (added after this window froze; each
-#:    oracle-checked at sf0.001 AND sf0.01 plus the repr-exact ulp gate
-#:    on the day it landed):
+#: ROUND-13 QUEUE (committed now so the r13 flip stays a one-line edit;
+#: VERDICT r11 #8):
+#: 1. any ROUND-12 SESSION ADDITIONS (added after the r12 window below
+#:    froze; oracle-checked at sf0.001 AND sf0.01 on the day each lands —
+#:    see the r12 session commits for the authoritative list).
+#: 2. the remaining 37 r4-vintage rows alphabetical from
+#:    cdc_apply_changes (cdc_apply_changes compaction_small_files
+#:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg
+#:    dpp_partition_pruned_join drift_psi_report eda_plot_series
+#:    fn_explode_outer fn_map_ops fn_python_udtf fn_regexp_extract
+#:    fn_struct_ops knn_classify pii_scan_redact q11_important_balance
+#:    q16_supplier_part_count q20_promotion_suppliers q21_waiting_suppliers
+#:    q2_min_cost_supplier q4_priority_exists q9_product_profit
+#:    reshape_pivot reshape_unpivot rollup_incremental_agg
+#:    scan_file_provenance schema_evolution_merge set_ops_cohorts
+#:    skew_key_report sql_lateral_topk stat_crosstab
+#:    stream_foreachbatch_upsert text_gopher_quality
+#:    text_repetition_topngram window_ewma window_first_last zorder_key),
+#:    then r5-vintage (incl. the r2-vintage sink_*/roundtrip_* family if
+#:    any remain unrefreshed), to 50.
+#:
+#: ROUND-12 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (exactly the
+#: r11-committed queue, VERDICT r11 #1 + #3), priority order:
+#: 1. the 11 ROUND-11 SESSION ADDITIONS (added after the r11 window froze;
+#:    each oracle-checked at sf0.001 AND sf0.01 plus the repr-exact ulp
+#:    gate on the day it landed, and independently re-verified green by
+#:    the r11 judge):
 #:      als_eval_coverage_novelty (rows-only)
 #:      dedup_prefix_filter_join graph_assortativity
 #:      ml_decision_stump_hist ml_eval_cohen_kappa ml_eval_ece
 #:      multimodal_dedup_hist_fingerprint privacy_t_closeness
 #:      stat_levene_variance text_ngram_novelty
 #:      ts_stl_classical_decompose
-#: 2. the remaining r3-vintage rows alphabetical from fn_map_in_arrow
-#:    (fn_map_in_arrow fn_null_safe_eq fn_pandas_udf_iterator
-#:    fn_pandas_udf_vectorized funnel_conversion grouped_pandas_slope
-#:    join_full_outer json_variant_extract ...), then r4-vintage, to 50.
+#: 2. all 36 remaining r3-vintage rows, alphabetical (the queue comment
+#:    said "from fn_map_in_arrow" but embedding_quantize_int8 is also
+#:    r3-vintage and sorts before it — included so the "no driver row
+#:    older than r4" goal closes this round).
+#: 3. the first 3 r4-vintage rows alphabetical (ab_test_report
+#:    als_param_grid attribution_click_purchase), filling 50.
 #:
-#: ROUND-11 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (exactly the
-#: r10-committed queue, VERDICT r10 #1, plus the #5 ALS refresh and the
-#: #7 streaming rotation in the fill block), priority order:
-#: 1. the 19 ROUND-10 SESSION ADDITIONS (added after the r10 window froze,
-#:    so none has a driver row yet; each was oracle-checked at sf0.001 AND
-#:    sf0.01 — most also sf0.1 — plus the repr-exact ulp gate on the day
-#:    it landed):
-#:      agg_count_min_sketch embedding_hard_negative_mining
-#:      fn_try_cast_json fn_variant_extract join_null_skew_bypass
-#:      ml_decision_stump ml_eval_brier_decomposition ml_eval_pr_auc
-#:      ml_silhouette_labels
-#:      multimodal_payload_bytestats
-#:      pipeline_token_budget_select privacy_rare_token_redaction
-#:      sql_pipe_syntax stat_anova_oneway stat_permutation_test
-#:      text_collapse_repeats text_compression_ratio
-#:      ts_holt_winters_seasonal window_percent_rank_cume
-#: 2. the 7 part-B rollovers:
-#:      tumbling_window_agg union_pos unnest_recs window_lag_lead
-#:      window_ntile_dist window_rank_dense window_running_sum
-#: 3. the next-oldest unrefreshed vintage rows (r2/r3 scan/sink/roundtrip
-#:    family and the r3 olap/reshape block) to fill 50.
+#: ROUND-11 WINDOW — was taken by the r11 driver run (CORRECTNESS_r11:
+#: 50/50 green, 34 hash + 16 rows-only). Its 50 names now have r11-fresh
+#: driver rows; see CORRECTNESS_r11.json.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-11 window (the committed r10 queue, VERDICT r10 #1):
-    # 1. the 19 round-10 session additions - first driver rows
-    "agg_count_min_sketch",
-    "embedding_hard_negative_mining",
-    "fn_try_cast_json",
-    "fn_variant_extract",
-    "join_null_skew_bypass",
-    "ml_decision_stump",
-    "ml_eval_brier_decomposition",
-    "ml_eval_pr_auc",
-    "ml_silhouette_labels",
-    "multimodal_payload_bytestats",
-    "pipeline_token_budget_select",
-    "privacy_rare_token_redaction",
-    "sql_pipe_syntax",
-    "stat_anova_oneway",
-    "stat_permutation_test",
-    "text_collapse_repeats",
-    "text_compression_ratio",
-    "ts_holt_winters_seasonal",
-    "window_percent_rank_cume",
-    # 2. the 7 part-B rollovers (r1/r2-vintage driver rows)
-    "tumbling_window_agg",
-    "union_pos",
-    "unnest_recs",
-    "window_lag_lead",
-    "window_ntile_dist",
-    "window_rank_dense",
-    "window_running_sum",
-    # 3. r1-vintage refresh: the ALS rows-only family (VERDICT r10
-    #    #5) plus the two other remaining r1 rows
-    "agg_approx_count_distinct",
-    "als_enriched_recs",
-    "als_predict",
-    "als_recommend_topk",
-    "als_rmse",
-    "dedup_simhash",
-    # 4. r2-vintage refresh incl. 4 streaming rows (VERDICT r10 #7)
-    "sample_frac",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_stateful_user_stats",
-    "stream_tumbling_counts",
-    "text_rolling_hash",
-    # 5. oldest r3-vintage rows, alphabetical, filling 50
-    "agg_histogram",
-    "agg_median_mode",
-    "agg_percentile_by_group",
-    "agg_regression_stats",
-    "clean_outlier_filter",
-    "cohort_retention",
-    "dedup_cluster_components",
-    "dedup_containment",
-    "dedup_incremental_exact",
-    "embedding_centroids",
+    # ROUND-12 window (the committed r11 queue, VERDICT r11 #1 + #3):
+    # 1. the 11 round-11 session additions - first driver rows
+    "als_eval_coverage_novelty",
+    "dedup_prefix_filter_join",
+    "graph_assortativity",
+    "ml_decision_stump_hist",
+    "ml_eval_cohen_kappa",
+    "ml_eval_ece",
+    "multimodal_dedup_hist_fingerprint",
+    "privacy_t_closeness",
+    "stat_levene_variance",
+    "text_ngram_novelty",
+    "ts_stl_classical_decompose",
+    # 2. all 36 remaining r3-vintage rows (oldest driver evidence)
+    "embedding_quantize_int8",
+    "fn_map_in_arrow",
+    "fn_null_safe_eq",
+    "fn_pandas_udf_iterator",
+    "fn_pandas_udf_vectorized",
+    "funnel_conversion",
+    "grouped_pandas_slope",
+    "join_full_outer",
+    "json_variant_extract",
+    "multimodal_dedup_payload",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_sales_opportunity",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "random_split",
+    "rfm_segmentation",
+    "sample_class_balanced",
+    "scd2_build",
+    "sink_jsonl_roundtrip",
+    "sink_orc_roundtrip",
+    "split_by_hash",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "text_bigram_freq",
+    "text_chunk_documents",
+    "text_unigram_surprisal",
+    "text_winnowing_fingerprint",
+    "union_by_name_missing",
+    "upsert_snapshot",
+    "window_range_frame",
+    # 3. first 3 r4-vintage rows alphabetical, filling 50
+    "ab_test_report",
+    "als_param_grid",
+    "attribution_click_purchase",
 )
 
 
