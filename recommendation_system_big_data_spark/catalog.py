@@ -137,7 +137,25 @@ def min_parallelism(
     the plan); at fixture scale it moves n small rows to parallelize the
     Θ(fan-out·n) compute that follows. Apply it where the map work per
     row is heavy — never blanket-apply to cheap scans, where the extra
-    exchange is pure loss."""
+    exchange is pure loss.
+
+    CONTRACT (r12, per r11 ADVICE): the input must be a LEAF SCAN — a
+    `load(...)` result, optionally filtered/projected, with no shuffle
+    below it. Probing partition count via `df.rdd` finalizes the
+    physical plan and converts to an RDD; below a shuffle that bypasses
+    AQE and the RDD count need not match the runtime split count, so
+    for any plan containing a shuffle-producing operator this helper
+    now declines to probe and returns the input unchanged (the exchange
+    that operator already inserts restores parallelism by itself). For
+    a pure scan subtree the RDD partition count IS the scan split count
+    (no AQE stage boundary exists to re-plan), so the probe is exact."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    shuffley = (
+        "Join", "Aggregate", "Repartition", "Window", "Sort",
+        "Distinct", "Deduplicate", "Union", "GlobalLimit",
+    )
+    if any(op in plan for op in shuffley):
+        return df
     want = parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= want:
         return df

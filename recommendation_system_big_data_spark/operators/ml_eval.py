@@ -2412,9 +2412,14 @@ _STUMP_HIST_ORACLE = f"""
 WITH mm AS (
     SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
 ), binned AS (
-    SELECT LEAST(CAST(FLOOR((value - mm.mn) / (mm.mx - mm.mn)
-                            * {STUMP_HIST_BINS}.0) AS BIGINT),
-                 {STUMP_HIST_BINS - 1}) AS bin,
+    -- mx = mn (zero-range corpus): every value maps to bin 0 by explicit
+    -- guard on BOTH engines; an unguarded (v-mn)/0 is NaN whose FLOOR/
+    -- CAST semantics split across engines (r11 ADVICE).
+    SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE LEAST(CAST(FLOOR((value - mm.mn) / (mm.mx - mm.mn)
+                                      * {STUMP_HIST_BINS}.0) AS BIGINT),
+                           {STUMP_HIST_BINS - 1})
+           END AS bin,
            CAST(event_type = 'purchase' AS BIGINT) AS y
     FROM events, mm
 ), grain AS (
@@ -2481,14 +2486,20 @@ def ml_decision_stump_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .crossJoin(F.broadcast(mm))
         .select(
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * F.lit(float(STUMP_HIST_BINS))
-                ).cast("long"),
-                F.lit(STUMP_HIST_BINS - 1),
-            ).alias("bin"),
+            # zero-range guard mirrored in the oracle: mx = mn → bin 0
+            # on both engines (unguarded, NaN bin semantics diverge).
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * F.lit(float(STUMP_HIST_BINS))
+                    ).cast("long"),
+                    F.lit(STUMP_HIST_BINS - 1),
+                )
+            )
+            .alias("bin"),
             (F.col("event_type") == "purchase").cast("long").alias("y"),
         )
     )

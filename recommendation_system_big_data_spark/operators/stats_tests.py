@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.catalog import load, min_parallelism
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -1423,13 +1423,17 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-b ordering falls out of the same bucketed prefix-sum pattern
     as the other global-order statistics (ranges.py).
 
-    The pooled slice is REPARTITIONED before the fan-out: a selective
-    filter of a small parquet table collapses to one input split, and
-    the ×B crossJoin inherits its parent's partitioning — so without
-    the repartition every md5 of the B·n expansion runs on ONE core
-    (measured 9.2 s → 2.1 s at sf0.1/local[32]). Cheap at any scale:
-    it moves n rows to parallelize B·n hashes."""
-    ev = (
+    The pooled slice goes through the min_parallelism guard before the
+    fan-out: a selective filter of a small parquet table collapses to
+    one input split, and the ×B crossJoin inherits its parent's
+    partitioning — so without the guard every md5 of the B·n expansion
+    runs on ONE core (measured 9.2 s → 2.1 s at sf0.1/local[32]). The
+    guard (vs the unconditional repartition it replaced, r11 ADVICE) is
+    a no-op exchange-free pass-through when the scan already carries
+    >= session-parallelism splits — at production scale it never
+    DOWN-partitions an input that arrives wider than
+    defaultParallelism."""
+    ev = min_parallelism(
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -1438,8 +1442,8 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("decimal(12,2)") * 100)
             .cast("long")
             .alias("cents"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+        ),
+        spark,
     )
     tot = ev.agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),

@@ -135,20 +135,29 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = running_sums(base, ["_np", "o_orderkey"], {"_r0": ("_one", False)})
     n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    r = F.col("_r0") + 1
-    q = F.floor(F.col("_n") / 4).cast("long")
-    rem = F.col("_n") % 4
-    thr = rem * (q + 1)
-    quartile = F.when(r <= thr, F.floor((r - 1) / (q + 1)) + 1).otherwise(
-        rem + F.floor((r - thr - 1) / q) + 1
-    )
+    # NTILE boundaries in pure integer arithmetic (`div`, r11 ADVICE):
+    # floor(double/double) relies on IEEE rounding never crossing an
+    # integer boundary; exact at any n only with integral division.
     return (
         ranked.crossJoin(F.broadcast(n))
+        .withColumn("_r", F.col("_r0") + F.lit(1).cast("long"))
+        .withColumn("_q", F.expr("_n div 4"))
+        .withColumn("_rem", F.col("_n") % 4)
+        .withColumn("_thr", F.col("_rem") * (F.col("_q") + 1))
+        .withColumn(
+            "quartile",
+            F.when(
+                F.col("_r") <= F.col("_thr"),
+                F.expr("(_r - 1) div (_q + 1)") + 1,
+            )
+            .otherwise(F.col("_rem") + F.expr("(_r - _thr - 1) div _q") + 1)
+            .cast("int"),
+        )
         .select(
             "o_orderkey",
-            quartile.cast("int").alias("quartile"),
-            F.round((r - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
-            F.round(r / F.col("_n"), 6).alias("cume"),
+            "quartile",
+            F.round((F.col("_r") - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
+            F.round(F.col("_r") / F.col("_n"), 6).alias("cume"),
         )
     )
 
