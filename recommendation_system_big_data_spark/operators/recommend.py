@@ -155,11 +155,22 @@ def als_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: In-query RMSE sanity band (VERDICT r11 #7). Ratings are value/40 ∈
+#: [0, ~5]; a sane factorization lands well under the ratings' own
+#: stddev. Generous — a broken factorization (wrong join, scrambled
+#: ids, degenerate factors) blows past 3.0 immediately, while seed or
+#: partitioning jitter never approaches it.
+RMSE_BAND = (0.0, 3.0)
+
+
 @register("als_rmse", oracle=None, tags=("ml",))
 def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 80/20 split → fit train → score test → RMSE, exactly the
     reference evaluation loop (model-als.py:122-129; ops #33, #41, #42).
-    Returns a 1-row metric frame; the tolerance gate lives in tests."""
+    Returns a 1-row metric frame and FAILS LOUD if the RMSE leaves
+    RMSE_BAND — the driver's ⊘ rows-only check can't see values, so an
+    out-of-band factorization must surface as a query ERROR, not a
+    quietly green 1-row result (VERDICT r11 #7)."""
     from pyspark.ml.evaluation import RegressionEvaluator
 
     ratings = ratings_from_events(spark, sf_dir)
@@ -169,6 +180,12 @@ def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     rmse = RegressionEvaluator(
         metricName="rmse", labelCol="rating", predictionCol="prediction"
     ).evaluate(predictions)
+    lo, hi = RMSE_BAND
+    if not (lo < float(rmse) < hi):
+        raise ValueError(
+            f"als_rmse out of band: rmse={rmse!r} not in ({lo}, {hi}) — "
+            "the factorization is broken (see RMSE_BAND)"
+        )
     return load(spark, sf_dir, "events").sparkSession.createDataFrame(
         [("rmse", float(rmse))], ["metric", "value"]
     )

@@ -18,8 +18,15 @@ def test_rmse_within_tolerance(spark, sf_dir):
     assert row["metric"] == "rmse"
     # ratings are value/40 ∈ [0, ~5]; a sane factorization lands well under
     # the ratings' own stddev. Generous bound — this is a sanity gate, not
-    # a model-quality benchmark.
-    assert 0.0 < row["value"] < 3.0, row
+    # a model-quality benchmark. The same band is now enforced IN-QUERY
+    # (recommend.RMSE_BAND, VERDICT r11 #7) so the driver's rows-only
+    # check errors on a broken factorization too.
+    from recommendation_system_big_data_spark.operators.recommend import (
+        RMSE_BAND,
+    )
+
+    lo, hi = RMSE_BAND
+    assert lo < row["value"] < hi, row
 
 
 def test_recommend_user_subset_shape(spark, sf_dir):
