@@ -586,6 +586,80 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["path"])
 
 
+def _assert_stream_batch_equiv(
+    streamed: DataFrame, batch: DataFrame, name: str
+) -> None:
+    """Loud multiset-equality gate between a finished streaming run and
+    its one-shot batch twin (VERDICT r11 #6). Distributed — two
+    exceptAll counts, no driver collect of data rows."""
+    extra = streamed.exceptAll(batch).count()
+    missing = batch.exceptAll(streamed).count()
+    if extra or missing:
+        raise ValueError(
+            f"{name}: stream/batch divergence — {extra} rows only in the "
+            f"streaming result, {missing} only in the batch twin"
+        )
+
+
+@register(
+    "stream_attribution_batch_equiv",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_attribution_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing equivalence harness for the stream-stream interval
+    join (VERDICT r11 #6): runs the TRUE watermarked streaming join
+    (stream_stream_join_attribution), asserts multiset equality with the
+    batch twin in-query, and returns the STREAMING result — so the
+    driver's DuckDB hash check covers the streaming join's math, not
+    just the batch plan's. AvailableNow processes the full fixture, so
+    no pair is watermark-dropped and exact parity is the contract, not a
+    tolerance."""
+    streamed = stream_stream_join_attribution(spark, sf_dir)
+    batch = attribution_click_purchase(spark, sf_dir)
+    _assert_stream_batch_equiv(streamed, batch, "stream_attribution_batch_equiv")
+    return streamed
+
+
+_FOREACHBATCH_STATE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_foreachbatch_batch_equiv",
+    oracle=_FOREACHBATCH_STATE_ORACLE,
+    tags=("streaming",),
+)
+def stream_foreachbatch_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-bearing equivalence harness for the foreachBatch upsert
+    sink (VERDICT r11 #6): runs the real throttled 4-trigger streaming
+    upsert (stream_foreachbatch_upsert), asserts its final persisted
+    state equals the one-shot batch per-user aggregate in-query, and
+    returns the streamed STATE — the driver's DuckDB hash check then
+    covers the update-mode merge math (cumulative state, anti-join
+    delete-matching, versioned swap), which the ⊘ rows-only row on the
+    base job cannot see."""
+    final_state = stream_foreachbatch_upsert(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    _assert_stream_batch_equiv(
+        final_state.select("user_id", "n", "sum_value"),
+        batch,
+        "stream_foreachbatch_batch_equiv",
+    )
+    return final_state.select("user_id", "n", "sum_value")
+
+
 _LINEAR_ATTRIBUTION_ORACLE = """
 WITH purchases AS (
     SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value AS revenue
