@@ -38,6 +38,13 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic epoch math in oracles (DuckDB epoch() is TZ-naive).
     "spark.sql.session.timeZone": "UTC",
+    # Loud-overflow contract (VERDICT r11 #5): every integer-exact query
+    # rides DECIMAL(38,0) sums with the promise that crossing the width
+    # budget ERRORS instead of wrapping. That promise is ANSI semantics —
+    # pin it rather than inherit the build default, so a driver-owned
+    # session with ansi=false can't silently turn overflow into nulls.
+    # (Spark 4 defaults true; this is a guard, not a behavior change.)
+    "spark.sql.ansi.enabled": "true",
 }
 
 BUILD_ONLY_CONF = {

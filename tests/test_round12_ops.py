@@ -164,3 +164,105 @@ def test_als_rmse_band_gate_fires():
 
     lo, hi = RMSE_BAND
     assert lo == 0.0 and hi == 3.0
+
+
+def test_brier_exact_in_the_wrap_domain(spark, tmp_path):
+    """VERDICT r11 #5, the Brier mirror of the planted ANOVA wrap test
+    (ee1aa1e): the reliability term squares the bin's forecast-outcome
+    gap d = q_k − 1e6·y_k, and with 4000 max-score negatives in one bin
+    d² = 1.6e19 crosses 2^63 — the exact domain where the pre-r11 long
+    math wrapped (ADVICE r10; fix 0191e9d/28eb903 moved the terms to
+    DECIMAL). Require cross-engine agreement with DuckDB's HUGEINT
+    oracle AND a big-int sequential replay."""
+    import duckdb
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _BRIER_ORACLE,
+        ml_eval_brier_decomposition,
+    )
+
+    rows = []
+    for i in range(4000):  # bin 9: q = 1e6 each, y = 0 → d = 4e9
+        rows.append((i, 1, "click", 100.0, None))
+    for i in range(4000, 4030):  # bin 0: low-score positives
+        rows.append((i, 2, "purchase", 5.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = ml_eval_brier_decomposition(spark, str(tmp_path)).collect()[0]
+
+    # wrap-domain sanity: the planted top bin's d² really exceeds 2^63
+    d_top = 4000 * 1000000
+    assert d_top * d_top > 2**63, "planted frame left the wrap domain"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(_BRIER_ORACLE).fetchall()[0]
+    assert tuple(got) == tuple(oracle), (tuple(got), tuple(oracle))
+
+    # big-int sequential replay of the quantized decomposition
+    mv = 100.0
+    scored = [
+        (int((v / mv) * 1000000), 1 if t == "purchase" else 0)
+        for _, _, t, v, _ in rows
+    ]
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for q, y in scored:
+        bins.setdefault(min((q * 10) // 1000000, 9), []).append((q, y))
+    n = len(scored)
+    ypos = sum(y for _, y in scored)
+    sq = sum((q - 1000000 * y) ** 2 for q, y in scored)
+    def tdiv(a: int, b: int) -> int:
+        """SQL `div`: integral quotient truncating toward zero (Python
+        // floors, which differs on negative numerators)."""
+        q, r = divmod(a, b)
+        return q + 1 if q < 0 and r != 0 else q
+
+    rel = res = 0
+    for members in bins.values():
+        n_k = len(members)
+        q_k = sum(q for q, _ in members)
+        y_k = sum(y for _, y in members)
+        d = q_k - 1000000 * y_k
+        rel += tdiv(d * d, n_k * 1000 * n)
+        m_k = tdiv((y_k * n - ypos * n_k) * 1000000, n * n_k)
+        res += tdiv(n_k * m_k * m_k, 1000 * n)
+    assert got["n_total"] == n and got["n_pos"] == ypos
+    assert got["brier_nanos"] == sq // (1000 * n)
+    assert got["reliability_nanos"] == rel
+    assert got["resolution_nanos"] == res
+    assert got["uncertainty_nanos"] == (((ypos * (n - ypos)) // n) * 10**9) // n
+    con.close()
+
+
+def test_decimal38_overflow_is_loud_not_a_wrap(spark):
+    """VERDICT r11 #5, the DECIMAL(38) edge itself: the exact s²
+    expressions ANOVA and Brier ride (CAST(x*x AS DECIMAL(38,0)))
+    must ERROR past 38 digits — never wrap, never silently null. The
+    engine pins spark.sql.ansi.enabled=true (session.RUNTIME_CONF) so
+    this holds under driver-owned sessions too."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    # 1e19 → square is 1e38, one past DECIMAL(38,0)'s 10^38 − 1 max
+    edge = spark.createDataFrame(
+        [("10000000000000000000",)], "s string"
+    ).select(F.expr("CAST(s AS DECIMAL(20,0)) AS sg"))
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        edge.select(F.expr("CAST(sg * sg AS DECIMAL(38,0)) AS s2")).collect()
+
+    # just inside the budget: (1e19 − 1)² has 38 digits and must be exact
+    inside = spark.createDataFrame(
+        [("9999999999999999999",)], "s string"
+    ).select(F.expr("CAST(s AS DECIMAL(20,0)) AS sg"))
+    [row] = inside.select(
+        F.expr("CAST(sg * sg AS DECIMAL(38,0)) AS s2")
+    ).collect()
+    assert int(row["s2"]) == 9999999999999999999**2
