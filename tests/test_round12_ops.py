@@ -266,3 +266,42 @@ def test_decimal38_overflow_is_loud_not_a_wrap(spark):
         F.expr("CAST(sg * sg AS DECIMAL(38,0)) AS s2")
     ).collect()
     assert int(row["s2"]) == 9999999999999999999**2
+
+
+def test_assortativity_basket_cap_bites_on_pathological_order(spark, tmp_path):
+    """VERDICT r11 #4: pin graph_assortativity's capped co-purchase
+    self-join. One planted 100-part bot order must contribute only
+    C(32,2) = 496 edges (the MAX_BASKET cap), not C(100,2) = 4950 — and
+    the capped semantics must agree cross-engine with the oracle's
+    identically-capped SQL on the same planted frame."""
+    import duckdb
+
+    from recommendation_system_big_data_spark.operators.graph import (
+        MAX_BASKET,
+        _ASSORT_ORACLE,
+        graph_assortativity,
+    )
+
+    rows = [(1, p, 1) for p in range(1000, 1100)]  # 100 distinct parts
+    rows += [(2, 5000, 1), (2, 5001, 1)]  # a normal 2-part order
+    rows += [(3, 5001, 1), (3, 5002, 1)]  # chains through part 5001
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = graph_assortativity(spark, str(tmp_path)).collect()[0]
+
+    # cap math: the bot order survives as its 32 smallest part keys →
+    # C(32,2) edges; the two normal orders add 2 more.
+    want_edges = MAX_BASKET * (MAX_BASKET - 1) // 2 + 2
+    assert got["n_edges"] == want_edges, got
+    assert got["n_nodes"] == MAX_BASKET + 3
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    oracle = con.execute(_ASSORT_ORACLE).fetchall()[0]
+    assert tuple(got) == tuple(oracle), (tuple(got), tuple(oracle))
+    con.close()
