@@ -1853,3 +1853,99 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_md5"
         ),
     )
+
+
+#: Top-k keywords reported by the RAKE query.
+RAKE_TOP_K = 20
+
+_SW_IN_SQL = "('the', 'a', 'of', 'and', 'to', '')"
+
+_RAKE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), toks AS (
+    SELECT doc_id, s['pos'] AS pos, s['word'] AS word
+    FROM base, UNNEST(list_transform(range(1, len(l)+1),
+                      i -> struct_pack(pos := i, word := l[i]))) AS u(s)
+), marked AS (
+    SELECT doc_id, pos, word,
+           CASE WHEN word IN {_SW_IN_SQL} THEN 1 ELSE 0 END AS sw
+    FROM toks
+), grp AS (
+    SELECT doc_id, pos, word, sw,
+           SUM(sw) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+    FROM marked
+), words AS (
+    SELECT doc_id, phrase_id, word FROM grp WHERE sw = 0
+), plen AS (
+    SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS len
+    FROM words GROUP BY doc_id, phrase_id
+), scored AS (
+    SELECT w.word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(p.len) AS BIGINT) AS degree
+    FROM words w JOIN plen p
+      ON w.doc_id = p.doc_id AND w.phrase_id = p.phrase_id
+    GROUP BY w.word
+)
+SELECT word, freq, degree,
+       (1000000 * degree) // freq AS rake_micros
+FROM scored
+ORDER BY rake_micros DESC, word ASC
+LIMIT {RAKE_TOP_K}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_ORACLE, tags=("text",))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    each document into candidate phrases at stopword/empty-token
+    boundaries, score every word by degree/frequency — freq counts the
+    word's phrase memberships, degree sums the lengths of the phrases it
+    appears in (its co-occurrence mass including itself) — and report
+    the top-k words by the RAKE ratio in floor micro-units. High
+    degree/freq picks words that live inside LONG content phrases
+    (multi-word technical terms) over words that occur alone; it's the
+    classic zero-model keyword extractor for corpus triage, the keyword
+    complement of text_collocations_pmi's pair scores.
+
+    Scale shape: phrase segmentation is a per-document prefix count
+    (posexplode + a doc_id-partitioned running sum — bounded partitions,
+    never a global window); phrase lengths and word scores are two
+    map-side-combined aggregates; phrase-length stamping joins on
+    (doc_id, phrase_id) — fact-grain equi-join, AQE-planned; the final
+    top-k is a rank-free sort+limit that fuses to TakeOrderedAndProject.
+    All integer math; the division is a single floor micro-div."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word"))
+        .withColumn(
+            "sw",
+            F.when(
+                F.col("word").isin(*STOPWORDS) | (F.col("word") == ""), 1
+            ).otherwise(0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = toks.withColumn("phrase_id", F.sum("sw").over(w))
+    words = grp.filter(F.col("sw") == 0).select("doc_id", "phrase_id", "word")
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    scored = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("len").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("(1000000 * degree) div freq").alias("rake_micros"),
+        )
+    )
+    return scored.orderBy(F.desc("rake_micros"), F.asc("word")).limit(RAKE_TOP_K)

@@ -984,3 +984,107 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity_micros"),
         )
     )
+
+
+#: Predicted links reported by the Jaccard link-prediction query.
+LINKPRED_TOP_K = 20
+
+_LINKPRED_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), edges AS (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+           GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), directed AS (
+    SELECT u AS s, v AS d FROM edges
+    UNION ALL SELECT v, u FROM edges
+), deg AS (
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg
+    FROM directed GROUP BY s
+), wedges AS (
+    SELECT e1.s AS u, e2.s AS v, CAST(COUNT(*) AS BIGINT) AS cn
+    FROM directed e1 JOIN directed e2
+      ON e1.d = e2.d AND e1.s < e2.s
+    GROUP BY e1.s, e2.s
+), nonedges AS (
+    SELECT w.u, w.v, w.cn FROM wedges w
+    LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+    WHERE e.u IS NULL
+)
+SELECT n.u AS part_u, n.v AS part_v, n.cn AS common_neighbors,
+       (1000000 * n.cn) // (du.dg + dv.dg - n.cn) AS jaccard_micros
+FROM nonedges n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+ORDER BY jaccard_micros DESC, part_u ASC, part_v ASC
+LIMIT {LINKPRED_TOP_K}
+"""
+
+
+@register("graph_jaccard_link_prediction", oracle=_LINKPRED_ORACLE, tags=("graph",))
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction over the part co-purchase graph
+    (Liben-Nowell & Kleinberg 2003): for every NON-adjacent pair with at
+    least one common neighbor, score |N(u)∩N(v)| / |N(u)∪N(v)| and
+    report the top-k predicted links — the classic "parts that should
+    co-sell but haven't yet" recommendation signal, the graph-topology
+    complement of als_item_similarity's latent-factor version.
+
+    Common-neighbor counting is the degree-bounded wedge join (two
+    copies of the directed list equi-joined on the shared endpoint with
+    s1 < s2 — the SAME shuffle family the triangle count prices, with
+    per-node fan-out bounded by the MAX_BASKET-capped degrees);
+    candidate pairs are only those with cn ≥ 1, never all pairs.
+    Existing edges drop via one left-anti join; |N∪N| = deg_u + deg_v −
+    cn by inclusion-exclusion, so no second set operation. Integer floor
+    micro-units; deterministic (score, u, v) top-k fuses to
+    TakeOrderedAndProject. Reference anchor: the co-purchase graph
+    family extends exploratory-data-analysis.py's per-item aggregate
+    view to relational structure."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    directed = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = directed.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    e1, e2 = directed.alias("e1"), directed.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.d") == F.col("e2.d")) & (F.col("e1.s") < F.col("e2.s")),
+        )
+        .groupBy(F.col("e1.s").alias("u"), F.col("e2.s").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedges = wedges.join(edges, ["u", "v"], "left_anti")
+    scored = (
+        nonedges.join(deg.select(F.col("node").alias("u"), F.col("dg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("dg").alias("dv")), "v")
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("(1000000 * cn) div (du + dv - cn)").alias("jaccard_micros"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_micros"), F.asc("part_u"), F.asc("part_v")
+    ).limit(LINKPRED_TOP_K)

@@ -426,6 +426,102 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-step funnel timeout (12 h in µs) — the windowFunnel-style bound.
+FUNNEL_STEP_GAP_US = 43_200_000_000
+
+_FUNNEL_GAP_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) >= v.t_view
+      AND epoch_us(e.ts) <= v.t_view + {FUNNEL_STEP_GAP_US}
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) >= c.t_click
+      AND epoch_us(e.ts) <= c.t_click + {FUNNEL_STEP_GAP_US}
+    GROUP BY e.user_id
+), u AS (
+    SELECT DISTINCT user_id FROM events
+)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+GROUP BY funnel_stage
+"""
+
+
+@register("funnel_window_gap", oracle=_FUNNEL_GAP_ORACLE, tags=("window",))
+def funnel_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel (the windowFunnel/Amplitude
+    "within X of the previous step" variant of funnel_conversion): each
+    next stage must occur within FUNNEL_STEP_GAP_US of the previous
+    stage's matched event, so a purchase three weeks after the click no
+    longer converts. Matching is GREEDY-EARLIEST per step (the first
+    view anchors the chain; the first in-window click anchors stage 3)
+    — the documented semantics of per-step-timeout funnels, chosen over
+    ClickHouse's any-anchor maximization because it stays join-free:
+    three filtered min-aggregates and three user_id joins, no
+    view×click pair expansion per user, so per-user cost is O(events),
+    not O(events²), at any skew. Stage frames shrink monotonically, so
+    at 100 TB the later joins run against ever-smaller (broadcastable)
+    key sets — the same shape funnel_conversion prices."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("us") >= F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + FUNNEL_STEP_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") >= F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + FUNNEL_STEP_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(stage.alias("funnel_stage"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 _COHORT_ORACLE = """
 WITH firsts AS (
     SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id

@@ -305,3 +305,102 @@ def test_assortativity_basket_cap_bites_on_pathological_order(spark, tmp_path):
     oracle = con.execute(_ASSORT_ORACLE).fetchall()[0]
     assert tuple(got) == tuple(oracle), (tuple(got), tuple(oracle))
     con.close()
+
+
+def test_funnel_gap_excludes_out_of_window_steps(spark, tmp_path):
+    """funnel_window_gap must stop counting a step that falls outside
+    FUNNEL_STEP_GAP_US of the previous matched step (the whole point of
+    the windowFunnel variant vs funnel_conversion)."""
+    from datetime import datetime, timedelta
+
+    from recommendation_system_big_data_spark.operators.windows import (
+        funnel_window_gap,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: purchase 13h after the click → outside the 12h gap → stage 2
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + h, 1, "click", 1.0, None),
+        (3, t0 + 14 * h, 1, "purchase", 1.0, None),
+        # user 2: all steps inside the gap → stage 3
+        (4, t0, 2, "view", 1.0, None),
+        (5, t0 + h, 2, "click", 1.0, None),
+        (6, t0 + 2 * h, 2, "purchase", 1.0, None),
+        # user 3: click 13h after the first view → stage 1
+        (7, t0, 3, "view", 1.0, None),
+        (8, t0 + 13 * h, 3, "click", 1.0, None),
+        # user 4: no funnel event at all → stage 0
+        (9, t0, 4, "error", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["funnel_stage"]: r["n_users"]
+        for r in funnel_window_gap(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}, got
+
+
+def test_rake_sequential_replica(spark, sf_dir):
+    """Pure-Python RAKE over the fixture corpus must reproduce the
+    query's top-k exactly (scores, ordering, ties)."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.functions.text import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        text_rake_keywords,
+    )
+
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        phrase: list[str] = []
+        for tok in r["text"].split(" ") + [""]:  # sentinel flushes the tail
+            if tok in STOPWORDS or tok == "":
+                for w in phrase:
+                    freq[w] = freq.get(w, 0) + 1
+                    degree[w] = degree.get(w, 0) + len(phrase)
+                phrase = []
+            else:
+                phrase.append(tok)
+    want = sorted(
+        (
+            (w, freq[w], degree[w], (1000000 * degree[w]) // freq[w])
+            for w in freq
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:RAKE_TOP_K]
+    got = [
+        (r["word"], r["freq"], r["degree"], r["rake_micros"])
+        for r in text_rake_keywords(spark, sf_dir).collect()
+    ]
+    assert got == want, (got[:5], want[:5])
+
+
+def test_link_prediction_planted_square(spark, tmp_path):
+    """4-cycle co-purchase graph p1–p2–p3–p4–p1: the two diagonals are
+    the only non-edges, each with both neighbors shared → Jaccard 1.0
+    exactly; no other pair may appear."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_jaccard_link_prediction,
+    )
+
+    # one 2-part order per cycle edge
+    rows = []
+    for o, (x, y) in enumerate([(1, 2), (2, 3), (3, 4), (4, 1)], start=1):
+        rows += [(o, x, 1), (o, y, 1)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = [
+        (r["part_u"], r["part_v"], r["common_neighbors"], r["jaccard_micros"])
+        for r in graph_jaccard_link_prediction(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 3, 2, 1000000), (2, 4, 2, 1000000)], got
