@@ -134,9 +134,12 @@ _loaded = False
 #:
 #: ROUND-13 QUEUE (committed now so the r13 flip stays a one-line edit;
 #: VERDICT r11 #8):
-#: 1. any ROUND-12 SESSION ADDITIONS (added after the r12 window below
-#:    froze; oracle-checked at sf0.001 AND sf0.01 on the day each lands —
-#:    see the r12 session commits for the authoritative list).
+#: 1. the ROUND-12 SESSION ADDITIONS (added after the r12 window below
+#:    froze; each oracle-checked at sf0.001 AND sf0.01 plus the
+#:    two-layout ulp sweep on the day it landed):
+#:      funnel_window_gap graph_jaccard_link_prediction
+#:      stream_attribution_batch_equiv stream_foreachbatch_batch_equiv
+#:      text_rake_keywords
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg
