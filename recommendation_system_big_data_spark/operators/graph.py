@@ -988,14 +988,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Predicted links reported by the Jaccard link-prediction query.
 LINKPRED_TOP_K = 20
+#: Minimum co-purchase count for a pair to count as an edge. Support
+#: thresholding (the market-basket minimum-support rule) is what keeps
+#: the neighborhood graph SPARSE: single-co-occurrence pairs are noise
+#: on any high-throughput catalog, and without the threshold the
+#: distance-2 wedge join goes dense-quadratic (measured at sf0.1:
+#: 148M wedges on the support-1 graph, median degree 119, vs 2,173
+#: wedges / max degree 10 at support 2 — see SCALING.md r12).
+LINKPRED_MIN_SUPPORT = 2
 
 _LINKPRED_ORACLE = f"""
 WITH capped AS ({_CAPPED_ITEMS_SQL}
 ), edges AS (
-    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+    SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
            GREATEST(a.l_partkey, b.l_partkey) AS v
     FROM capped a JOIN capped b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_SUPPORT}
 ), directed AS (
     SELECT u AS s, v AS d FROM edges
     UNION ALL SELECT v, u FROM edges
@@ -1031,17 +1040,23 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     co-sell but haven't yet" recommendation signal, the graph-topology
     complement of als_item_similarity's latent-factor version.
 
-    Common-neighbor counting is the degree-bounded wedge join (two
-    copies of the directed list equi-joined on the shared endpoint with
-    s1 < s2 — the SAME shuffle family the triangle count prices, with
-    per-node fan-out bounded by the MAX_BASKET-capped degrees);
-    candidate pairs are only those with cn ≥ 1, never all pairs.
-    Existing edges drop via one left-anti join; |N∪N| = deg_u + deg_v −
-    cn by inclusion-exclusion, so no second set operation. Integer floor
-    micro-units; deterministic (score, u, v) top-k fuses to
-    TakeOrderedAndProject. Reference anchor: the co-purchase graph
-    family extends exploratory-data-analysis.py's per-item aggregate
-    view to relational structure."""
+    Edges require LINKPRED_MIN_SUPPORT repeat co-purchases — the
+    market-basket minimum-support rule, and the load-bearing scale
+    decision: neighborhood similarity is only meaningful on the
+    repeat-signal graph, and the support threshold is what keeps the
+    distance-2 join sparse (at sf0.1 the support-1 graph has median
+    degree 119 and 148M wedges → 22 s; the support-2 graph has max
+    degree 10 and 2,173 wedges — SCALING.md r12 entry). Common-neighbor
+    counting is then the wedge join (two copies of the directed list
+    equi-joined on the shared endpoint with s1 < s2 — the same shuffle
+    family the triangle count prices); candidate pairs are only those
+    with cn ≥ 1, never all pairs. Existing edges drop via one left-anti
+    join; |N∪N| = deg_u + deg_v − cn by inclusion-exclusion, so no
+    second set operation. Integer floor micro-units; deterministic
+    (score, u, v) top-k fuses to TakeOrderedAndProject. Reference
+    anchor: the co-purchase graph family extends
+    exploratory-data-analysis.py's per-item aggregate view to
+    relational structure."""
     li = _capped_items(
         load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
@@ -1050,13 +1065,15 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.least("a.l_partkey", "b.l_partkey").alias("u"),
             F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= LINKPRED_MIN_SUPPORT)
+        .select("u", "v")
         .localCheckpoint()
     )
     directed = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(

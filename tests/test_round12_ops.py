@@ -391,10 +391,15 @@ def test_link_prediction_planted_square(spark, tmp_path):
         graph_jaccard_link_prediction,
     )
 
-    # one 2-part order per cycle edge
+    # two 2-part orders per cycle edge (LINKPRED_MIN_SUPPORT = 2), plus
+    # one single-co-occurrence noise pair that must NOT become an edge
     rows = []
-    for o, (x, y) in enumerate([(1, 2), (2, 3), (3, 4), (4, 1)], start=1):
-        rows += [(o, x, 1), (o, y, 1)]
+    o = 0
+    for x, y in [(1, 2), (2, 3), (3, 4), (4, 1)]:
+        for _ in range(2):
+            o += 1
+            rows += [(o, x, 1), (o, y, 1)]
+    rows += [(o + 1, 1, 1), (o + 1, 9, 1)]  # support-1 noise: no edge
     spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long, l_quantity long"
     ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
