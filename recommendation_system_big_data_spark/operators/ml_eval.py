@@ -2521,3 +2521,236 @@ def ml_decision_stump_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stump_argmin(
         pre.withColumnRenamed("bin", "split_bin"), "split_bin", "split_bin"
     )
+
+
+_LOGLOSS_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS mv FROM events
+), scored AS (
+    SELECT LEAST(GREATEST(
+               CAST(FLOOR(value / mx.mv * 1000000.0) AS BIGINT), 100),
+               999900) AS qc,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mx
+), per_q AS (
+    SELECT qc, CAST(COUNT(*) AS BIGINT) AS n_q, CAST(SUM(y) AS BIGINT) AS y_q
+    FROM scored GROUP BY qc
+), s AS (
+    SELECT CAST(SUM(n_q) AS BIGINT) AS n, CAST(SUM(y_q) AS BIGINT) AS pos,
+           SUM(CAST(y_q AS DOUBLE)
+                   * (-LN(CAST(qc AS DOUBLE) / 1000000.0))
+               + CAST(n_q - y_q AS DOUBLE)
+                   * (-LN(1.0 - CAST(qc AS DOUBLE) / 1000000.0))) AS loss
+    FROM per_q
+), fin AS (
+    SELECT n, pos, loss / n AS ll,
+           -(CAST(pos AS DOUBLE) / n) * LN(CAST(pos AS DOUBLE) / n)
+           - (1.0 - CAST(pos AS DOUBLE) / n)
+               * LN(1.0 - CAST(pos AS DOUBLE) / n) AS base
+    FROM s
+)
+SELECT n AS n_total, pos AS n_pos,
+       ROUND(ll, 6) AS mean_log_loss,
+       ROUND(base, 6) AS baseline_entropy,
+       ROUND(1.0 - ll / base, 6) AS skill_score
+FROM fin
+"""
+
+
+@register("ml_eval_log_loss", oracle=_LOGLOSS_ORACLE, tags=("ml", "eval"))
+def ml_eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood (cross-entropy) of the max-normalized
+    score against the purchase label — the proper scoring rule the other
+    eval queries bracket: Brier (ml_eval_brier_decomposition) is its
+    quadratic sibling, ECE its calibration-only projection; log loss is
+    what classifier training actually optimizes, so drift here and not
+    in AUC means a calibration problem, not a ranking one. Reported with
+    the label-entropy baseline (log loss of the constant p̄ predictor)
+    and the skill score 1 − LL/H(p̄), so "0.62" has a yardstick.
+
+    Clipping is integral: scores quantize to micro-units through the ONE
+    shared double division the eval family uses, then clamp to
+    [100, 999900] micro (ε = 1e-4) BEFORE any log — the standard guard
+    that keeps a single confident-wrong row from emitting ±Inf.
+
+    The transcendental trick: ln() is never evaluated per fact row. The
+    facts fold to the distinct clipped-score grain — bounded at 999 801
+    rows AT ANY DATA SCALE — and each distinct score's two log terms are
+    weighted by that grain's (n_q, y_q) counts. So the double summation
+    runs over a bounded, deterministic grain (cross-engine noise is
+    ~1e6 ulp-weighted terms against a ROUND(6) budget), while the
+    unbounded work is all exact integer counting with map-side combine.
+    One scan + one bounded reduce; the global max is a 1-row broadcast."""
+    mx = load(spark, sf_dir, "events").agg(F.max("value").alias("mv"))
+    scored = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / F.col("mv") * F.lit(1000000.0))
+                    .cast("long"),
+                    F.lit(100),
+                ),
+                F.lit(999900),
+            ).alias("qc"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    per_q = scored.groupBy("qc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_q"),
+        F.sum("y").cast("long").alias("y_q"),
+    )
+    p = F.col("qc").cast("double") / 1000000.0
+    s = per_q.agg(
+        F.sum("n_q").cast("long").alias("n"),
+        F.sum("y_q").cast("long").alias("pos"),
+        F.sum(
+            F.col("y_q").cast("double") * (-F.log(p))
+            + (F.col("n_q") - F.col("y_q")).cast("double")
+            * (-F.log(1.0 - p))
+        ).alias("loss"),
+    )
+    pbar = F.col("pos").cast("double") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.col("pos").alias("n_pos"),
+        F.round(F.col("loss") / F.col("n"), 6).alias("mean_log_loss"),
+        F.round(
+            -pbar * F.log(pbar) - (1.0 - pbar) * F.log(1.0 - pbar), 6
+        ).alias("baseline_entropy"),
+        F.round(
+            1.0
+            - (F.col("loss") / F.col("n"))
+            / (-pbar * F.log(pbar) - (1.0 - pbar) * F.log(1.0 - pbar)),
+            6,
+        ).alias("skill_score"),
+    )
+
+
+_CONFORMAL_ORACLE = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vm,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10 AS b
+    FROM events
+), model AS (
+    SELECT event_type,
+           CAST(SUM(CAST(vm AS HUGEINT)) // COUNT(*) AS BIGINT) AS pred
+    FROM ev WHERE b < 6 GROUP BY event_type
+), cal AS (
+    SELECT ABS(ev.vm - model.pred) AS r
+    FROM ev JOIN model USING (event_type) WHERE ev.b IN (6, 7)
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+), kk AS (
+    SELECT n_cal, LEAST((9 * (n_cal + 1) + 9) // 10, n_cal) AS k FROM nn
+), rg AS (
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY r
+), cum AS (
+    SELECT r, SUM(c) OVER (ORDER BY r) AS cs FROM rg
+), qh AS (
+    SELECT MIN(cum.r) AS qhat FROM cum, kk WHERE cum.cs >= kk.k
+), test AS (
+    SELECT ABS(ev.vm - model.pred) AS r
+    FROM ev JOIN model USING (event_type) WHERE ev.b >= 8
+), cov AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN test.r <= qh.qhat THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered
+    FROM test, qh
+)
+SELECT kk.n_cal, cov.n_test, qh.qhat AS qhat_micros,
+       CAST(900000 AS BIGINT) AS nominal_micros,
+       cov.covered * 1000000 // cov.n_test AS coverage_micros
+FROM kk, qh, cov
+"""
+
+
+@register("ml_conformal_interval", oracle=_CONFORMAL_ORACLE, tags=("ml", "eval"))
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval with held-out coverage audit —
+    the distribution-free uncertainty wrapper every production model
+    ships with (Vovk et al.; Angelopoulos & Bates 2021 survey): fit on
+    a train fold, take q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute
+    residual on a CALIBRATION fold, and the interval ŷ ± q̂ is
+    guaranteed ≥90% marginal coverage for exchangeable data — which the
+    TEST-fold coverage column then verifies empirically. The "model" is
+    the per-event-type train-fold mean (the same ≤|types|-row broadcast
+    model family as ml_learning_curve), because conformal's guarantee
+    holds for ANY point predictor; swap in ALS/regression scores and
+    the machinery is unchanged.
+
+    Everything is exact integer arithmetic: values quantize to micro
+    units (FLOOR — both engines truncate the identical double), fold
+    assignment is the portable md5 bucket (60/20/20), the model mean is
+    a truncating decimal division with an output-scale quotient, and
+    q̂ is an exact order statistic — per-distinct-residual counts, the
+    two-phase distributed prefix sum (ranges.running_sums, no global
+    row sort), then MIN over ranks ≥ k. Coverage exits as an integral
+    micro-rate. Nothing floats, nothing knife-edges.
+
+    Scale shape: one scan folds each branch with map-side combine; the
+    model and q̂ are 1-to-k-row broadcasts; the residual grain the
+    prefix sum orders is distinct |residual| values — bounded by the
+    quantized value range (≤ ~5e8 here), not by row count."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("vm"),
+        portable_bucket(F.col("event_id"), 10).alias("b"),
+    )
+    model = (
+        ev.where(F.col("b") < 6)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(vm AS DECIMAL(30,0))) div COUNT(1) AS LONG)"
+            ).alias("pred")
+        )
+    )
+    cal = (
+        ev.where(F.col("b").isin(6, 7))
+        .join(F.broadcast(model), "event_type")
+        .select(F.abs(F.col("vm") - F.col("pred")).alias("r"))
+    )
+    nn = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    kk = nn.select(
+        "n_cal",
+        F.least(
+            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+        ).alias("k"),
+    )
+    rg = cal.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = running_sums(rg, ["r"], {"cs": ("c", True)})
+    qh = (
+        cum.crossJoin(F.broadcast(kk))
+        .where(F.col("cs") >= F.col("k"))
+        .agg(F.min("r").alias("qhat"))
+    )
+    test = (
+        ev.where(F.col("b") >= 8)
+        .join(F.broadcast(model), "event_type")
+        .select(F.abs(F.col("vm") - F.col("pred")).alias("r"))
+    )
+    cov = test.crossJoin(F.broadcast(qh)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("r") <= F.col("qhat")).cast("long"))
+        .cast("long")
+        .alias("covered"),
+    )
+    return (
+        kk.crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            "n_test",
+            F.col("qhat").alias("qhat_micros"),
+            F.lit(900000).cast("long").alias("nominal_micros"),
+            F.expr("covered * 1000000 div n_test").alias("coverage_micros"),
+        )
+    )

@@ -1580,3 +1580,262 @@ def stat_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.col("f_milli").alias("w_milli"),
     )
+
+
+_KW_ORACLE = """
+WITH vt AS (
+    SELECT value, event_type AS g, CAST(COUNT(*) AS HUGEINT) AS c_g
+    FROM events GROUP BY value, event_type
+), v AS (
+    SELECT value, SUM(c_g) AS c FROM vt GROUP BY value
+), r AS (
+    SELECT value, c,
+           COALESCE(SUM(c) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM v
+), per AS (
+    SELECT vt.g,
+           SUM(vt.c_g) AS n_g,
+           SUM(vt.c_g * (2 * r.cum_before + r.c + 1)) AS rank_sum2_g
+    FROM vt JOIN r ON vt.value = r.value
+    GROUP BY vt.g
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n FROM per
+), dev AS (
+    SELECT per.n_g, tot.n, tot.k,
+           per.rank_sum2_g - per.n_g * (tot.n + 1) AS d2_g
+    FROM per, tot
+), devq AS (
+    SELECT n_g, n, k,
+           CASE WHEN d2_g < 0
+                THEN -((-d2_g) * 1000000 // (n_g * (n + 1)))
+                ELSE d2_g * 1000000 // (n_g * (n + 1)) END AS m_g
+    FROM dev
+), s AS (
+    SELECT MAX(n) AS n, MAX(k) AS k,
+           SUM(n_g * m_g * m_g) AS s_q
+    FROM devq
+), ties AS (
+    SELECT SUM(c * c * c - c) AS t3 FROM v
+), fin AS (
+    SELECT k, n, t3,
+           3.0 * (CAST(n AS DOUBLE) + 1.0) * CAST(s_q AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 1e12) AS h,
+           n * n * n - n AS n3
+    FROM s, ties
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_total,
+       ROUND(h, 4) AS h_stat,
+       ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE), 4)
+           AS h_tie_adj,
+       ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS eps_sq
+FROM fin
+"""
+
+
+@register(
+    "stat_kruskal_wallis", oracle=_KW_ORACLE, tags=("profile", "experiment")
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five event types on event value — the
+    rank-based (distribution-free) counterpart of `stat_anova_oneway`,
+    completing the k-group row of the test matrix the same way
+    `stat_mann_whitney` completes the 2-group row: use it when the
+    per-arm value distributions are heavy-tailed and the ANOVA's
+    equal-variance normal model misleads.
+
+    Same exact-midrank machinery as `stat_mann_whitney`: the facts fold
+    to a distinct-value grain carrying per-(value, group) counts, exact
+    DOUBLED midranks come from the two-phase distributed prefix sum
+    (ranges.running_sums — no global row sort at any scale), and the
+    per-group rank sums stay integral. The group deviation from the
+    grand mean rank is then quantized to micro-units through ONE
+    bounded truncating division — the Brier m_k pattern
+    (ml_eval.py:2178) — so Σ n_g·m_g² is exact integer algebra at any
+    n: no quotient in the plan grows with the data (the naive
+    Σ R_g²/n_g form wraps its numerator at N⁴). H and the tie-corrected
+    H/(1 − ΣT/(N³−N)) exit through one shared double expression,
+    mirrored token-for-token in the oracle. Width budget: the doubled
+    rank sums and N³−N ride DECIMAL — exact to N≈3e12 rows (beyond
+    100 TB of events); past that decimal overflow is a LOUD null,
+    never a wrap.
+
+    Scale shape: one map-side-combined groupBy to the distinct-value
+    grain, the prefix sum over that grain, one equi-join back (both
+    sides the same grain), then k-row folds. Skew-immune: no key sees
+    more than its share of distinct values."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    vt = ev.groupBy("value", F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c_g")
+    )
+    v = vt.groupBy("value").agg(
+        F.sum("c_g").cast("decimal(20,0)").alias("c")
+    )
+    r = running_sums(v, ["value"], {"cum_before": ("c", False)})
+    per = (
+        vt.join(r, "value")
+        .groupBy("g")
+        .agg(
+            F.sum("c_g").cast("decimal(20,0)").alias("n_g"),
+            F.sum(
+                F.col("c_g")
+                * (2 * F.col("cum_before") + F.col("c") + 1)
+            )
+            .cast("decimal(32,0)")
+            .alias("rank_sum2_g"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("decimal(20,0)").alias("n"),
+    )
+    # |m_g| < 1e6 by construction (|d2_g| < n_g·(N+1)), so the LONG
+    # quotient of `div` is output-scale — never 'huge div small'.
+    devq = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "d2_g",
+            F.expr("CAST(rank_sum2_g - n_g * (n + 1) AS DECIMAL(38,0))"),
+        )
+        .withColumn(
+            "m_g",
+            F.expr(
+                "(CASE WHEN d2_g < 0 THEN -1 ELSE 1 END) *"
+                " (CAST(abs(d2_g) * 1000000 AS DECIMAL(38,0))"
+                "  div CAST(n_g * (n + 1) AS DECIMAL(38,0)))"
+            ),
+        )
+    )
+    s = devq.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(n_g * (m_g * m_g) AS DECIMAL(38,0))")).alias(
+            "s_q"
+        ),
+    )
+    ties = v.agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(13,0)) * CAST(c AS DECIMAL(13,0))"
+                " * CAST(c AS DECIMAL(13,0)) - c AS DECIMAL(38,0))"
+            )
+        ).alias("t3")
+    )
+    fin = (
+        s.crossJoin(F.broadcast(ties))
+        .withColumn(
+            "h",
+            F.expr(
+                "3.0 * (CAST(n AS DOUBLE) + 1.0) * CAST(s_q AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * 1e12)"
+            ),
+        )
+        .withColumn(
+            "n3",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(13,0)) * CAST(n AS DECIMAL(13,0))"
+                " * CAST(n AS DECIMAL(13,0)) - n AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    return fin.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.round("h", 4).alias("h_stat"),
+        F.round(
+            F.expr("h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)"), 4
+        ).alias("h_tie_adj"),
+        F.round(
+            F.expr(
+                "h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) - 1.0)"
+            ),
+            6,
+        ).alias("eps_sq"),
+    )
+
+
+_JB_ORACLE = """
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), cm AS (
+    SELECT e.event_type, MAX(mu.n) AS n,
+           AVG(POW(e.value - mu.m, 2)) AS m2,
+           AVG(POW(e.value - mu.m, 3)) AS m3,
+           AVG(POW(e.value - mu.m, 4)) AS m4
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+), fin AS (
+    SELECT event_type, n,
+           m3 / POW(m2, 1.5) AS g1,
+           m4 / POW(m2, 2) - 3 AS g2
+    FROM cm
+)
+SELECT event_type, n,
+       ROUND(g1, 4) AS skew_g1,
+       ROUND(g2, 4) AS kurt_excess,
+       ROUND(n * (g1 * g1 / 6.0 + g2 * g2 / 24.0), 4) AS jb_stat,
+       ROUND(EXP(-(n * (g1 * g1 / 6.0 + g2 * g2 / 24.0)) / 2.0), 6)
+           AS p_chi2_df2
+FROM fin
+"""
+
+
+@register("stat_jarque_bera", oracle=_JB_ORACLE, tags=("profile",))
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type — the moment-based
+    gate that decides WHICH test applies: if JB rejects normality, the
+    readout should come from `stat_mann_whitney`/`stat_kruskal_wallis`
+    instead of the t/F tests. JB = n·(g1²/6 + g2²/24) over skewness g1
+    and excess kurtosis g2; because JB is asymptotically χ²(2) and the
+    χ²(2) survival function is closed-form, the p-value is EXACT
+    algebra — p = exp(−JB/2) — with no CDF table or library call, one
+    of the few classical tests where the engine can emit a true
+    p-value from built-ins alone.
+
+    Moments come from the same two-pass centered fold as
+    `agg_moments_shape` (single-pass E[x⁴] expansion cancels
+    catastrophically at large means; the per-group mean joins back as
+    a broadcast). ROUND(4)/ROUND(6) absorbs hash-agg summation order
+    on the double folds — the same budget as agg_moments_shape, which
+    this query deliberately shares its estimator conventions with
+    (population g-forms, NOT the engines' disagreeing built-ins).
+
+    Scale shape: two map-side-combined aggregates of the fact table to
+    k rows each with a broadcast join between them; nothing downstream
+    of the second reduce depends on n."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("m")
+    cm = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+    )
+    g1 = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    g2 = F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+    return cm.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(g1, 4).alias("skew_g1"),
+        F.round(g2, 4).alias("kurt_excess"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.round(F.exp(-jb / 2.0), 6).alias("p_chi2_df2"),
+    )

@@ -1304,3 +1304,111 @@ def ts_stl_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("remainder_milli"),
         )
     )
+
+
+#: DFT probe periods (hours). Chosen to bracket the cycles a 30-day
+#: event log can carry: intra-day (6/8/12), daily (24), multi-day
+#: (48/84) and weekly (168) — every period divides into the window at
+#: least 4 times, the classical minimum for a stable periodogram line.
+PERIODOGRAM_PERIODS = (6, 8, 12, 24, 48, 84, 168)
+
+_PERIODOGRAM_ORACLE = f"""
+WITH hours AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), mu AS (
+    SELECT AVG(CAST(x AS DOUBLE)) AS m FROM hours
+), grid AS (
+    SELECT UNNEST([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}]) AS p
+), terms AS (
+    SELECT g.p,
+           SUM((CAST(h.x AS DOUBLE) - mu.m)
+               * COS(2 * PI() * (h.h % g.p) / g.p)) AS c,
+           SUM((CAST(h.x AS DOUBLE) - mu.m)
+               * SIN(2 * PI() * (h.h % g.p) / g.p)) AS s,
+           SUM((CAST(h.x AS DOUBLE) - mu.m)
+               * (CAST(h.x AS DOUBLE) - mu.m)) AS ss,
+           CAST(COUNT(*) AS BIGINT) AS nh
+    FROM hours h, grid g, mu
+    GROUP BY g.p
+)
+SELECT CAST(p AS INT) AS period_hours,
+       ROUND(2.0 * (c * c + s * s) / (CAST(nh AS DOUBLE) * ss), 6)
+           AS power_ratio
+FROM terms
+"""
+
+
+@register(
+    "ts_periodogram_dft",
+    oracle=_PERIODOGRAM_ORACLE,
+    tags=("window", "timeseries"),
+)
+def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of hourly event volume at a fixed
+    period grid — the seasonality DETECTOR that has to run before
+    `ts_seasonal_index` / `ts_stl_classical_decompose` can assume their
+    period: for each candidate period p, project the mean-centered
+    series onto cos/sin at frequency 1/p and report the captured energy
+    share 2(c² + s²)/(n·Σx̃²) — 1.0 for a pure sinusoid at p, ~2/n for
+    white noise (the classical periodogram R² normalization; periods
+    that don't divide the window leak slightly, so the share is
+    approximate, not a hard [0,1]). A dominant line (daily traffic →
+    24h) stands out an order of magnitude above the rest; a flat table
+    says "don't fit a seasonal model".
+
+    The angle is computed from (t mod p) — exactly representable
+    integers — so both engines evaluate cos/sin on token-identical
+    double arguments; the only cross-engine freedom is libm's last ulp
+    and the summation order over the HOUR grain, both absorbed by
+    ROUND(6) on an O(1) ratio (relative noise ~1e-13). Energy Σx̃² is
+    summed per period row so the whole statistic is one fold of the
+    hour × period frame.
+
+    Scale shape: the fact scan folds to the hour grain with map-side
+    combine (counts are exact integers — the only unbounded-data sum in
+    the plan); the DFT itself runs on hours × |grid| rows, where the
+    hour grain is bounded by the calendar window, not by row count, and
+    the 7-row period grid is a broadcast. At 100 TB of events over the
+    same retention window this plan does exactly one extra reduce over
+    today's."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    hours = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        # integral div, not `/3600 → cast`: the double quotient can round
+        # UP across an hour boundary and disagree with the oracle's `//`.
+        .groupBy(F.expr("es div 3600").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    mu = hours.agg(F.avg(F.col("x").cast("double")).alias("m"))
+    grid = spark.range(len(PERIODOGRAM_PERIODS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("p")
+    )
+    xc = F.col("x").cast("double") - F.col("m")
+    ang = F.expr("2 * PI() * (h % p) / p")
+    terms = (
+        hours.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("p")
+        .agg(
+            F.sum(xc * F.cos(ang)).alias("c"),
+            F.sum(xc * F.sin(ang)).alias("s"),
+            F.sum(xc * xc).alias("ss"),
+            F.count(F.lit(1)).cast("long").alias("nh"),
+        )
+    )
+    return terms.select(
+        F.col("p").cast("int").alias("period_hours"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / (F.col("nh").cast("double") * F.col("ss")),
+            6,
+        ).alias("power_ratio"),
+    )

@@ -140,6 +140,8 @@ _loaded = False
 #:      funnel_window_gap graph_jaccard_link_prediction
 #:      stream_attribution_batch_equiv stream_foreachbatch_batch_equiv
 #:      text_rake_keywords
+#:      ml_conformal_interval ml_eval_log_loss stat_jarque_bera
+#:      stat_kruskal_wallis ts_periodogram_dft
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg

@@ -409,3 +409,241 @@ def test_link_prediction_planted_square(spark, tmp_path):
         for r in graph_jaccard_link_prediction(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 3, 2, 1000000), (2, 4, 2, 1000000)], got
+
+
+# ---------------------------------------------------------------------------
+# r12 session additions (batch 2): nonparametric k-group test, normality
+# gate, proper-scoring-rule eval, conformal intervals, seasonality detector.
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_sequential_reference(spark, sf_dir):
+    """Big-int replay of the exact midrank + micro-quantized deviation
+    algebra on the same events, down to the shared double exit."""
+    from collections import Counter, defaultdict
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_kruskal_wallis,
+    )
+
+    rows = load(spark, sf_dir, "events").select("value", "event_type").collect()
+    c = Counter(r["value"] for r in rows)
+    cg = Counter((r["value"], r["event_type"]) for r in rows)
+    cum, cum_before = 0, {}
+    for v in sorted(c):
+        cum_before[v] = cum
+        cum += c[v]
+    n_g, rs2 = defaultdict(int), defaultdict(int)
+    for (v, g), k in cg.items():
+        n_g[g] += k
+        rs2[g] += k * (2 * cum_before[v] + c[v] + 1)
+    n = sum(n_g.values())
+    kk = len(n_g)
+    s_q = 0
+    for g in n_g:
+        d2 = rs2[g] - n_g[g] * (n + 1)
+        m = (-((-d2 * 1000000) // (n_g[g] * (n + 1)))
+             if d2 < 0 else (d2 * 1000000) // (n_g[g] * (n + 1)))
+        s_q += n_g[g] * m * m
+    t3 = sum(x * x * x - x for x in c.values())
+    h = 3.0 * (float(n) + 1.0) * float(s_q) / (float(n) * 1e12)
+    n3 = n * n * n - n
+    h_adj = h * float(n3) / float(n3 - t3)
+
+    r = stat_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert r["k_groups"] == kk and r["n_total"] == n
+    assert abs(r["h_stat"] - round(h, 4)) < 1e-9
+    assert abs(r["h_tie_adj"] - round(h_adj, 4)) < 1e-9
+    assert abs(r["eps_sq"] - round(h_adj / (float(n) - 1.0), 6)) < 1e-9
+
+
+def test_kruskal_wallis_planted_two_group_equals_mwu_z2(spark, tmp_path):
+    """For k=2 the Kruskal–Wallis H equals the squared Mann–Whitney z
+    (both are the same rank statistic) — a planted cross-operator
+    identity check, within the micro-quantization budget."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    evs = []
+    for i in range(400):
+        g = "click" if i % 2 == 0 else "purchase"
+        base = 10.0 if g == "click" else 12.0
+        evs.append(
+            (i, None, i, g, round(base + rng.random() * 5, 2), "{}")
+        )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = [
+        (e[0], t0 + datetime.timedelta(minutes=e[0]), e[2], e[3], e[4], e[5])
+        for e in evs
+    ]
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_kruskal_wallis,
+        stat_mann_whitney,
+    )
+
+    h = stat_kruskal_wallis(spark, str(tmp_path)).collect()[0]
+    z = stat_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert h["k_groups"] == 2
+    assert math.isclose(h["h_tie_adj"], z["z_stat"] ** 2, rel_tol=5e-3)
+
+
+def test_jarque_bera_sequential_reference(spark, sf_dir):
+    """Moment replay per group; also JB >= 0 and p = exp(-JB/2)."""
+    import math
+    from collections import defaultdict
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_jarque_bera,
+    )
+
+    vals = defaultdict(list)
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals[r["event_type"]].append(r["value"])
+
+    got = {r["event_type"]: r for r in stat_jarque_bera(spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    for g, xs in vals.items():
+        n = len(xs)
+        m = sum(xs) / n
+        m2 = sum((x - m) ** 2 for x in xs) / n
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3
+        jb = n * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+        r = got[g]
+        assert r["n"] == n
+        assert abs(r["skew_g1"] - g1) < 1e-3
+        assert abs(r["kurt_excess"] - g2) < 1e-3
+        assert r["jb_stat"] >= 0
+        assert abs(r["jb_stat"] - jb) < max(1e-2, abs(jb) * 1e-5)
+        assert abs(r["p_chi2_df2"] - math.exp(-jb / 2.0)) < 1e-5
+
+
+def test_log_loss_sequential_reference(spark, sf_dir):
+    """Per-row replay of the clipped cross-entropy plus the skill
+    identity 1 - LL/H(pbar)."""
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_log_loss,
+    )
+
+    rows = load(spark, sf_dir, "events").select("value", "event_type").collect()
+    mv = max(r["value"] for r in rows)
+    loss = pos = 0.0
+    for r in rows:
+        qc = min(max(int(math.floor(r["value"] / mv * 1000000.0)), 100), 999900)
+        y = 1 if r["event_type"] == "purchase" else 0
+        p = qc / 1000000.0
+        loss += -math.log(p) if y else -math.log(1.0 - p)
+        pos += y
+    n = len(rows)
+    pbar = pos / n
+    base = -pbar * math.log(pbar) - (1 - pbar) * math.log(1 - pbar)
+
+    got = ml_eval_log_loss(spark, sf_dir).collect()[0]
+    assert got["n_total"] == n and got["n_pos"] == pos
+    assert abs(got["mean_log_loss"] - loss / n) < 1e-5
+    assert abs(got["baseline_entropy"] - base) < 1e-5
+    assert abs(got["skill_score"] - (1 - (loss / n) / base)) < 1e-4
+
+
+def test_conformal_sequential_reference(spark, sf_dir):
+    """Exact integer replay: md5 buckets, truncating model means, the
+    ceil((n+1)*0.9) order statistic, and the coverage rational."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_conformal_interval,
+    )
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+
+    def bucket(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 10
+
+    tr_s, tr_n = defaultdict(int), defaultdict(int)
+    cal, test = [], []
+    for r in rows:
+        vm = int(math.floor(r["value"] * 1000000.0))
+        b = bucket(r["event_id"])
+        if b < 6:
+            tr_s[r["event_type"]] += vm
+            tr_n[r["event_type"]] += 1
+        elif b < 8:
+            cal.append((r["event_type"], vm))
+        else:
+            test.append((r["event_type"], vm))
+    pred = {g: tr_s[g] // tr_n[g] for g in tr_s}
+    cal_r = sorted(abs(vm - pred[g]) for g, vm in cal if g in pred)
+    n_cal = len(cal_r)
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    qhat = cal_r[k - 1]
+    test_r = [abs(vm - pred[g]) for g, vm in test if g in pred]
+    covered = sum(1 for r_ in test_r if r_ <= qhat)
+
+    got = ml_conformal_interval(spark, sf_dir).collect()[0]
+    assert got["n_cal"] == n_cal
+    assert got["n_test"] == len(test_r)
+    assert got["qhat_micros"] == qhat
+    assert got["nominal_micros"] == 900000
+    assert got["coverage_micros"] == covered * 1000000 // len(test_r)
+    # the distribution-free guarantee should roughly hold on iid data
+    assert got["coverage_micros"] > 800000
+
+
+def test_periodogram_planted_pure_cosine(spark, tmp_path):
+    """A planted 24h-cosine volume series: the 24h line captures ~all the
+    centered energy; every other probe period (all orthogonal over the
+    336h window) stays near zero."""
+    import datetime
+    import math
+
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_periodogram_dft,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = []
+    eid = 0
+    for h in range(336):  # 14 days, divisible by every probe period
+        cnt = 10 + round(6 * math.cos(2 * math.pi * h / 24))
+        for j in range(cnt):
+            evs.append(
+                (eid, t0 + datetime.timedelta(hours=h, seconds=j), eid,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(4).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["period_hours"]: r["power_ratio"]
+        for r in ts_periodogram_dft(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {6, 8, 12, 24, 48, 84, 168}
+    assert got[24] > 0.97
+    for p, ratio in got.items():
+        if p != 24:
+            assert ratio < 0.03, (p, ratio)
