@@ -1282,3 +1282,86 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nat").cast("long").alias("nat"), "seg", "n_class", "t_micros"
         )
     )
+
+
+_DP_EPS_MICROS = 1_000_000  # ε = 1.0 per released count
+
+_DP_ORACLE = f"""
+WITH per AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), seeded AS (
+    SELECT event_type, n,
+           (CAST(CAST(('0x' || substr(md5('dp-v1:' || event_type), 1, 8))
+                      AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0
+               - 0.5 AS u
+    FROM per
+)
+SELECT event_type,
+       ROUND(CAST(n AS DOUBLE)
+             - (1000000.0 / {_DP_EPS_MICROS})
+               * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 4) AS noisy_count,
+       CAST({_DP_EPS_MICROS} AS BIGINT) AS epsilon_micros,
+       CAST(1 AS BIGINT) AS sensitivity
+FROM seeded
+"""
+
+
+@register(
+    "privacy_dp_count_laplace",
+    oracle=_DP_ORACLE,
+    tags=("quality", "privacy"),
+)
+def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event counts via the Laplace mechanism —
+    the release axis the anonymity triad (k-anonymity / l-diversity /
+    t-closeness) doesn't cover: those audit a published TABLE, DP
+    perturbs the published STATISTIC. Count queries have sensitivity 1,
+    so Laplace(1/ε) noise gives ε-DP per count; the five event types are
+    DISJOINT row sets, so parallel composition means the whole report
+    costs ε = 1.0, not 5ε (Dwork & Roth 2014, Thm 3.16 / 3.20).
+
+    The draw is inverse-CDF Laplace, F⁻¹(u) = −(1/ε)·sgn(u)·ln(1−2|u|)
+    on u ∈ (−½, ½), with u derived from the portable md5 of a versioned
+    per-group seed string — the same engine-portable hash family as
+    `portable_bucket`, +0.5 centering so u never hits the atom at
+    exactly 0 or ±0.5. SECURITY HONESTY: a public deterministic seed is
+    a TEST DOUBLE — it makes the release reproducible and cross-engine
+    checkable (the point here), but real DP requires a secret fresh
+    RNG; swap the seeded u for a secure draw at deploy and the plan is
+    unchanged. This is the same stubbing discipline as the multimodal
+    codec (real plumbing, honestly-declared placeholder entropy).
+
+    Scale shape: one map-side-combined count to k rows; the noise
+    arithmetic is k scalar expressions. Nothing depends on n after the
+    first reduce."""
+    per = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0 - 0.5
+    seeded = per.withColumn("u", u)
+    noise = (
+        F.lit(1000000.0 / _DP_EPS_MICROS)
+        * F.signum("u")
+        * F.log(1.0 - 2.0 * F.abs(F.col("u")))
+    )
+    return seeded.select(
+        "event_type",
+        F.round(F.col("n").cast("double") - noise, 4).alias("noisy_count"),
+        F.lit(_DP_EPS_MICROS).cast("long").alias("epsilon_micros"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )

@@ -1839,3 +1839,177 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jb_stat"),
         F.round(F.exp(-jb / 2.0), 6).alias("p_chi2_df2"),
     )
+
+
+_CA_ORACLE = """
+WITH d AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+           CAST(o_orderstatus = 'F' AS BIGINT) AS y
+    FROM orders
+), per AS (
+    SELECT w, CAST(COUNT(*) AS HUGEINT) AS n_k,
+           CAST(SUM(y) AS HUGEINT) AS r_k
+    FROM d GROUP BY w
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(n_k) AS n, SUM(r_k) AS r,
+           SUM(w * r_k) AS swr, SUM(w * n_k) AS swn,
+           SUM(w * w * n_k) AS swwn
+    FROM per
+), fin AS (
+    SELECT k, n, r,
+           n * swr - r * swn AS num,
+           n * swwn - swn * swn AS vnum
+    FROM tot
+)
+SELECT k AS k_doses,
+       CAST(n AS BIGINT) AS n_total,
+       CAST(r AS BIGINT) AS n_pos,
+       ROUND(CAST(num AS DOUBLE)
+             / SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+                    * CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+           AS z_trend
+FROM fin
+"""
+
+
+@register(
+    "stat_cochran_armitage", oracle=_CA_ORACLE, tags=("profile", "experiment")
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend-in-proportions test: does the fulfilled
+    rate rise or fall MONOTONICALLY with order priority (the ordinal
+    dose 1-URGENT … 5-LOW)? The chi-square test (`stat_chi_square`)
+    only answers "is there ANY association"; when the grouping is
+    ordered, the 1-df trend test concentrates all its power on the
+    monotone alternative — the standard dose-response readout for
+    tiered experiments (priority tiers, price tiers, exposure counts).
+
+    All sufficient statistics are exact integers from ONE map-side-
+    combined aggregate to k dose rows: n_k, r_k, and the weighted sums
+    Σw·r, Σw·n, Σw²·n. The z numerator N·Σwr − R·Σwn and variance core
+    N·Σw²n − (Σwn)² stay in DECIMAL (exact to ~1e18 rows — far beyond
+    100 TB; loud null past that), and z exits through one shared
+    double expression mirrored token-for-token in the oracle. Scale
+    shape: one scan → k rows → 1 row; skew-immune (no keyed shuffle at
+    all beyond the k-row hash agg)."""
+    d = load(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    per = d.groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_k"),
+        F.sum("y").cast("decimal(20,0)").alias("r_k"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_k").cast("decimal(20,0)").alias("n"),
+        F.sum("r_k").cast("decimal(20,0)").alias("r"),
+        F.sum(F.expr("w * r_k")).cast("decimal(24,0)").alias("swr"),
+        F.sum(F.expr("w * n_k")).cast("decimal(24,0)").alias("swn"),
+        F.sum(F.expr("w * w * n_k")).cast("decimal(26,0)").alias("swwn"),
+    )
+    fin = tot.select(
+        "k",
+        "n",
+        "r",
+        F.expr("CAST(n * swr - r * swn AS DECIMAL(38,0))").alias("num"),
+        F.expr("CAST(n * swwn - swn * swn AS DECIMAL(38,0))").alias("vnum"),
+    )
+    return fin.select(
+        F.col("k").alias("k_doses"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("r").cast("long").alias("n_pos"),
+        F.round(
+            F.expr(
+                "CAST(num AS DOUBLE)"
+                " / SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)"
+                "        * CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE))"
+            ),
+            4,
+        ).alias("z_trend"),
+    )
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS x,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.g,
+           CASE WHEN b.y - a.y < 0
+                THEN -((a.y - b.y) * 1000000 // (b.x - a.x))
+                ELSE (b.y - a.y) * 1000000 // (b.x - a.x) END AS slope
+    FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+)
+SELECT g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MEDIAN(slope) AS sen_slope_micros,
+       CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS pos_share_micros
+FROM pairs GROUP BY g
+"""
+
+
+@register("agg_theil_sen_slope", oracle=_THEILSEN_ORACLE, tags=("profile",))
+def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the median of all pairwise
+    slopes of daily revenue — the estimator that tolerates up to ~29%
+    arbitrarily corrupted days where OLS (`agg_regression_stats`,
+    `agg_slope_builtin`) is dragged by a single outlier day. Reported
+    with the positive-slope share, the Mann–Kendall-adjacent direction
+    signal (`stat_trend_mann_kendall` tests the same monotonicity on
+    the raw sequence).
+
+    The deliberate scale inversion: Theil–Sen is O(m²) in SERIES LENGTH,
+    so the engine aggregates FIRST — the fact table folds to the
+    (group × day) grain with one map-side-combined reduce (exact cent
+    sums via the decimal cast, the _PERM_ORACLE convention), and only
+    that bounded grain self-joins (30 days → 435 pairs per group at ANY
+    row count; a year is ~66k pairs — still constant w.r.t. data
+    volume). Pairwise-on-facts would be quadratic; pairwise-on-days is
+    free. Slopes quantize to exact micro-units through a sign-split
+    truncating division (both engines truncate toward zero on the
+    positive branch), and the median of those integers interpolates
+    identically (verified: both return the (a+b)/2 double), so the exit
+    is deterministic."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(value AS DECIMAL(12,2))").alias("v"),
+            epoch_s("ts").alias("es"),
+        )
+        .groupBy("g", F.expr("es div 86400").alias("x"))
+        .agg(
+            F.sum(F.expr("CAST(v * 100 AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.expr(
+            "CASE WHEN b.y - a.y < 0"
+            " THEN -((a.y - b.y) * 1000000 div (b.x - a.x))"
+            " ELSE (b.y - a.y) * 1000000 div (b.x - a.x) END"
+        ).alias("slope"),
+    )
+    return pairs.groupBy(F.col("g").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.median("slope").alias("sen_slope_micros"),
+        F.expr(
+            "CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("pos_share_micros"),
+    )

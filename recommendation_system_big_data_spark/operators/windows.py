@@ -1497,3 +1497,110 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+_HAMPEL_ORACLE = """
+WITH framed AS (
+    SELECT event_id, user_id, value,
+           list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+           ) AS vals
+    FROM events
+), sized AS (
+    SELECT event_id, user_id, value, vals,
+           list_aggregate(vals, 'median') AS med
+    FROM framed WHERE len(vals) >= 5
+), devs AS (
+    SELECT event_id, user_id, value, med,
+           list_aggregate(list_transform(vals, v -> abs(v - med)),
+                          'median') AS mad
+    FROM sized
+)
+SELECT event_id, user_id,
+       ROUND(med, 6) AS frame_median,
+       ROUND(mad, 6) AS frame_mad,
+       CAST(ABS(value - med) > 3.0 * 1.4826 * mad AS BIGINT) AS is_outlier
+FROM devs
+"""
+
+
+@register("window_hampel_filter", oracle=_HAMPEL_ORACLE, tags=("window",))
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter per user stream: flag a value when it sits
+    more than 3 scaled-MADs from the trailing median (MAD·1.4826 ≈ σ
+    under normality) — the production anomaly detector that
+    `window_rolling_zscore` approximates badly on dirty data, because
+    the z-score's OWN mean and stddev are dragged by the outliers it is
+    supposed to find; median/MAD have a 50% breakdown point (Hampel
+    1974; Pearson 2002 process-data survey).
+
+    Built on the frame-array technique of `window_rolling_median` (Spark
+    refuses aggregate-percentiles over framed windows): ONE window pass
+    collects the bounded 20-element trailing frame, then the median AND
+    the MAD — a median of |v − med| over the same frame — are pure JVM
+    higher-order expressions (array_sort / transform / element_at), no
+    second window, no Python. Even-count medians interpolate (a+b)/2
+    identically in both engines, and the flag compares identically-
+    derived doubles, so the boolean cannot knife-edge. State is O(frame)
+    per row by construction; the only shuffle is the user_id window
+    partitioning, the same one every per-user feature shares.
+
+    Known degeneracy (inherent to Hampel, kept deliberately): a frame
+    where >50% of values are identical has MAD = 0 and flags ANY
+    deviation — on near-constant streams pair this with an absolute
+    floor, or it reports every tick of a mostly-flat sensor (the
+    planted test pins both regimes)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+
+    def arr_median(arr):
+        n = F.size(arr)
+        return F.when(
+            n % 2 == 1,
+            F.element_at(arr, ((n + 1) / 2).cast("int")),
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2).cast("int") + 1)
+            )
+            / 2.0
+        )
+
+    framed = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.array_sort(F.collect_list("value").over(w)).alias("vals"),
+        )
+        .filter(F.size("vals") >= 5)
+        .withColumn("med", arr_median(F.col("vals")))
+        .withColumn(
+            "mad",
+            arr_median(
+                F.array_sort(
+                    F.transform(
+                        F.col("vals"),
+                        lambda v: F.abs(v - F.col("med")),
+                    )
+                )
+            ),
+        )
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.round("med", 6).alias("frame_median"),
+        F.round("mad", 6).alias("frame_mad"),
+        (
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        )
+        .cast("long")
+        .alias("is_outlier"),
+    )

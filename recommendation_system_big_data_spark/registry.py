@@ -142,6 +142,8 @@ _loaded = False
 #:      text_rake_keywords
 #:      ml_conformal_interval ml_eval_log_loss stat_jarque_bera
 #:      stat_kruskal_wallis ts_periodogram_dft
+#:      agg_theil_sen_slope privacy_dp_count_laplace
+#:      stat_cochran_armitage window_hampel_filter
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg

@@ -647,3 +647,142 @@ def test_periodogram_planted_pure_cosine(spark, tmp_path):
     for p, ratio in got.items():
         if p != 24:
             assert ratio < 0.03, (p, ratio)
+
+
+def test_cochran_armitage_sequential_reference(spark, sf_dir):
+    """Integer replay of the trend z from per-dose sufficient stats."""
+    import math
+    from collections import defaultdict
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_cochran_armitage,
+    )
+
+    n_k, r_k = defaultdict(int), defaultdict(int)
+    for row in load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect():
+        w = int(row["o_orderpriority"][0])
+        n_k[w] += 1
+        r_k[w] += 1 if row["o_orderstatus"] == "F" else 0
+    n = sum(n_k.values())
+    r = sum(r_k.values())
+    swr = sum(w * r_k[w] for w in n_k)
+    swn = sum(w * n_k[w] for w in n_k)
+    swwn = sum(w * w * n_k[w] for w in n_k)
+    num = n * swr - r * swn
+    vnum = n * swwn - swn * swn
+    z = float(num) / math.sqrt(float(r) * float(n - r) * float(vnum) / float(n))
+
+    got = stat_cochran_armitage(spark, sf_dir).collect()[0]
+    assert got["k_doses"] == len(n_k)
+    assert got["n_total"] == n and got["n_pos"] == r
+    assert abs(got["z_trend"] - round(z, 4)) < 1e-9
+
+
+def test_theil_sen_planted_outlier_immunity(spark, tmp_path):
+    """A perfectly linear daily series (+200 cents/day) with one wrecked
+    day: every clean pair's quantized slope is exactly 2e8 micro-units,
+    and the median shrugs off the outlier day's 28 contaminated pairs."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        agg_theil_sen_slope,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    evs = []
+    for d in range(15):
+        val = 10.0 + 2.0 * d if d != 7 else 999.0
+        evs.append(
+            (d, t0 + datetime.timedelta(days=d), d, "click", val, "{}")
+        )
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = agg_theil_sen_slope(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_type"] == "click"
+    assert r["n_pairs"] == 105
+    assert r["sen_slope_micros"] == 200000000.0
+
+
+def test_dp_laplace_sequential_reference(spark, sf_dir):
+    """md5-seeded inverse-CDF replay; determinism across invocations;
+    noise bounded by the ln tail at the 1e-6 u-grid."""
+    import hashlib
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.functions.quality import (
+        privacy_dp_count_laplace,
+    )
+
+    true_n = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got1 = {
+        r["event_type"]: r for r in privacy_dp_count_laplace(spark, sf_dir).collect()
+    }
+    got2 = {
+        r["event_type"]: r["noisy_count"]
+        for r in privacy_dp_count_laplace(spark, sf_dir).collect()
+    }
+    assert set(got1) == set(true_n)
+    for g, row in got1.items():
+        h = int(hashlib.md5(f"dp-v1:{g}".encode()).hexdigest()[:8], 16)
+        u = (float(h % 1000000) + 0.5) / 1000000.0 - 0.5
+        noise = -1.0 * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+        assert abs(row["noisy_count"] - (true_n[g] + noise)) < 1e-3
+        assert row["noisy_count"] == got2[g]  # deterministic release
+        assert row["epsilon_micros"] == 1000000 and row["sensitivity"] == 1
+        # the 1e-6 u-grid bounds |noise| at ln(1e6)/eps ~ 13.8
+        assert abs(row["noisy_count"] - true_n[g]) < 14.0
+
+
+def test_hampel_planted_spike(spark, tmp_path):
+    """A flat stream (MAD 0) flags the spike and nothing else; a clean
+    alternating stream under the same threshold flags nothing."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.windows import (
+        window_hampel_filter,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = []
+    for i in range(30):
+        # user 1: flat at 10 except a spike at i=25
+        evs.append(
+            (i, t0 + datetime.timedelta(minutes=i), 1, "click",
+             100.0 if i == 25 else 10.0, "{}")
+        )
+        # user 2: benign period-3 cycle 10/11/12 — every frame's MAD is
+        # 1 (a two-value alternation would hit the MAD=0 degeneracy and
+        # legitimately flag all of it), so nothing crosses 4.45·MAD
+        evs.append(
+            (100 + i, t0 + datetime.timedelta(minutes=i), 2, "click",
+             10.0 + float(i % 3), "{}")
+        )
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    rows = window_hampel_filter(spark, str(tmp_path)).collect()
+    flagged = {r["event_id"] for r in rows if r["is_outlier"] == 1}
+    assert flagged == {25}
+    # frames after the spike contain it but the MEDIAN shrugs it off
+    u1_after = [r for r in rows if r["user_id"] == 1 and r["event_id"] > 25]
+    assert all(r["frame_median"] == 10.0 for r in u1_after)
