@@ -2103,3 +2103,104 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(u, e, est, est - e) for u, e, est in rows],
         "user_id long, exact_count long, cms_estimate long, overcount long",
     )
+
+
+_CAPTURE_ORACLE = """
+WITH d AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+    FROM events
+), span AS (
+    SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM d
+), per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN day < span.mid THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN day >= span.mid THEN 1 ELSE 0 END) AS in_b
+    FROM d, span GROUP BY user_id
+), s AS (
+    SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+           CAST(SUM(in_b) AS BIGINT) AS n2,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS true_distinct
+    FROM per_user
+)
+SELECT n1, n2, n_both, true_distinct,
+       (n1 + 1) * (n2 + 1) // (n_both + 1) - 1 AS chapman_estimate,
+       CASE WHEN (n1 + 1) * (n2 + 1) // (n_both + 1) - 1 < true_distinct
+            THEN -((true_distinct - ((n1 + 1) * (n2 + 1) // (n_both + 1) - 1))
+                   * 1000000 // true_distinct)
+            ELSE (((n1 + 1) * (n2 + 1) // (n_both + 1) - 1) - true_distinct)
+                 * 1000000 // true_distinct END AS err_micros
+FROM s
+"""
+
+
+@register(
+    "stat_capture_recapture", oracle=_CAPTURE_ORACLE, tags=("profile", "audit")
+)
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE distinct-user
+    universe from two observation windows (first vs second half of the
+    event span): N̂ = (n₁+1)(n₂+1)/(m+1) − 1, the bias-corrected
+    Lincoln–Petersen estimator (Chapman 1951; same machinery ecologists
+    use to count fish). The data-engineering use is auditing COVERAGE
+    when no complete census exists — how many users/entities does the
+    full population hold if two partial feeds overlap this much? —
+    and, reflexively, sizing the dedup universe: n₁ + n₂ − m only counts
+    what was SEEN; Chapman extrapolates to what exists. The fixture has
+    a census, so the query also emits the true distinct count and the
+    signed micro-unit error — the estimator auditing itself (at test
+    SFs users recur across halves heavily, so the estimate lands within
+    a few percent; the planted test pins the exact arithmetic).
+
+    Exact integers end to end: the half-split day boundary is an
+    integral midpoint ((min+max+1) div 2), per-user presence flags fold
+    with max() on the user grain (ONE map-side-combined aggregate of
+    the fact table — the same shape as any distinct-count), and the
+    Chapman quotient and signed error are sign-split truncating
+    divisions. Assumption honesty: Chapman requires equal catchability
+    and a closed population — real feeds violate both, which is why the
+    error column exists."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", epoch_s("ts").alias("es"))
+        .select("user_id", F.expr("es div 86400").alias("day"))
+    )
+    span = d.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("mid")
+    )
+    per_user = (
+        d.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    s = per_user.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("true_distinct"),
+    )
+    est = "(n1 + 1) * (n2 + 1) div (n_both + 1) - 1"
+    return s.select(
+        "n1",
+        "n2",
+        "n_both",
+        "true_distinct",
+        F.expr(est).cast("long").alias("chapman_estimate"),
+        F.expr(
+            f"""CASE WHEN {est} < true_distinct
+            THEN -((true_distinct - ({est})) * 1000000 div true_distinct)
+            ELSE (({est}) - true_distinct) * 1000000 div true_distinct
+            END"""
+        )
+        .cast("long")
+        .alias("err_micros"),
+    )

@@ -716,3 +716,75 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(
+           CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))
+       AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS net_revenue,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS holdout_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_scalar_udf", oracle=_SQL_UDF_ORACLE, tags=("sql",))
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (CREATE FUNCTION ... RETURNS ... RETURN expr —
+    new engine surface in Spark 4.0, SPARK-46707): the warehouse way to
+    share business logic (a net-revenue formula, a fold-assignment rule)
+    WITHOUT leaving the optimizer. Unlike Python UDFs, a SQL UDF is an
+    expression template — Catalyst INLINES the body at the call site, so
+    the call costs nothing: it constant-folds, pushes down, and stays
+    inside whole-stage codegen (the plan below shows HashAggregate over
+    the inlined decimal expression, no BatchEvalPython anywhere — the
+    pinning test asserts exactly that).
+
+    Two UDFs exercise the two composition axes: `net_price` is pure
+    decimal algebra over three columns (the TPC-H q1 money convention),
+    and `is_holdout` CALLS `bucket5`, another SQL UDF (nested inlining),
+    reusing the engine-portable md5 fold rule so the oracle can mirror
+    it verbatim. The oracle inlines both bodies by hand — identical
+    semantics is the point.
+
+    Scale: indistinguishable from writing the expressions inline — one
+    map-side-combined aggregate, decimal-exact money."""
+    v = _view(spark, sf_dir, "lineitem")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+               price DECIMAL(18,2), disc DECIMAL(18,2), tax DECIMAL(18,2))
+           RETURNS DECIMAL(28,6)
+           RETURN CAST(price * (1 - disc) * (1 + tax) AS DECIMAL(28,6))"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION bucket5(k BIGINT)
+           RETURNS BIGINT
+           RETURN CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), 16, 10)
+                       AS BIGINT) % 5"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION is_holdout(k BIGINT)
+           RETURNS BOOLEAN
+           RETURN bucket5(k) = 0"""
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(net_price(
+                   CAST(l_extendedprice AS DECIMAL(18,2)),
+                   CAST(l_discount AS DECIMAL(18,2)),
+                   CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(28,6))
+                   AS net_revenue,
+               SUM(CASE WHEN is_holdout(l_orderkey) THEN 1 ELSE 0 END)
+                   AS holdout_items
+        FROM {v}
+        GROUP BY l_returnflag
+        """
+    )

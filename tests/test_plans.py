@@ -620,3 +620,39 @@ def test_r11_joins_are_hash_joins_not_cartesian(spark, sf_dir):
     ):
         plan = explain.physical_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+def test_r12_batch_joins_are_hash_joins_not_cartesian(spark, sf_dir):
+    # Theil–Sen's bounded-grain pairwise self-join must plan as a HASH
+    # join on the group key with the day-range as residual condition
+    # (verified: BroadcastHashJoin [g],[g] + (x < x) filter) — never a
+    # CartesianProduct. Same no-cartesian bar for the Kruskal–Wallis
+    # grain join and the conformal broadcast-model joins.
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_conformal_interval,
+    )
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        agg_theil_sen_slope,
+        stat_kruskal_wallis,
+    )
+
+    for fn in (agg_theil_sen_slope, stat_kruskal_wallis, ml_conformal_interval):
+        plan = explain.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+    plan = explain.physical_plan(agg_theil_sen_slope(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_hampel_single_window_pass(spark, sf_dir):
+    # The median AND the MAD must come from ONE collected frame — a
+    # second Window over the same partitioning would double the state
+    # and the sort. Exactly one Window operator in the plan.
+    from recommendation_system_big_data_spark.operators.windows import (
+        window_hampel_filter,
+    )
+
+    plan = explain.physical_plan(window_hampel_filter(spark, sf_dir))
+    # formatted explain prints each operator once in the tree
+    # ("Window (4)") and once as a detail header ("(4) Window") — the
+    # "(n) Window" form is unique per operator, so ONE Window == 1 hit
+    assert plan.count(") Window") == 1, plan

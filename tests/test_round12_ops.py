@@ -786,3 +786,90 @@ def test_hampel_planted_spike(spark, tmp_path):
     # frames after the spike contain it but the MEDIAN shrugs it off
     u1_after = [r for r in rows if r["user_id"] == 1 and r["event_id"] > 25]
     assert all(r["frame_median"] == 10.0 for r in u1_after)
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """The SQL UDF must be an expression template, not a black box: no
+    Python evaluation node in the plan, and the result is identical to
+    writing the expressions inline through the DataFrame API."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.sql_surface import (
+        sql_scalar_udf,
+    )
+    from recommendation_system_big_data_spark.plans import explain
+
+    df = sql_scalar_udf(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+    inline = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+                    " * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))"
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("net_revenue"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(conv(substr(md5(CAST(l_orderkey AS STRING)),"
+                    " 1, 8), 16, 10) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END"
+                )
+            ).alias("holdout_items"),
+        )
+    )
+    got = {r["l_returnflag"]: (r["n_items"], r["net_revenue"], r["holdout_items"])
+           for r in df.collect()}
+    want = {r["l_returnflag"]: (r["n_items"], r["net_revenue"], r["holdout_items"])
+            for r in inline.collect()}
+    assert got == want
+
+
+def test_capture_recapture_planted(spark, tmp_path):
+    """Planted two-window census: 5 users in both halves, 3 only in the
+    first, 2 only in the second -> Chapman (9*8)//6 - 1 = 11 vs true 10,
+    signed error +100000 micro."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.profile import (
+        stat_capture_recapture,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs, eid = [], 0
+
+    def add(uid, day):
+        nonlocal eid
+        evs.append(
+            (eid, t0 + datetime.timedelta(days=day, hours=1), uid, "click",
+             1.0, "{}")
+        )
+        eid += 1
+
+    for u in range(1, 6):      # both halves
+        add(u, 2)
+        add(u, 7)
+    for u in range(6, 9):      # first half only
+        add(u, 1)
+    for u in range(9, 11):     # second half only
+        add(u, 8)
+    add(1, 0)                  # pin the span to days 0..9 (mid = 5)
+    add(2, 9)
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = stat_capture_recapture(spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["n_both"]) == (8, 7, 5)
+    assert r["true_distinct"] == 10
+    assert r["chapman_estimate"] == 11
+    assert r["err_micros"] == 100000
