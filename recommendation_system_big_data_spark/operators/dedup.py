@@ -2232,3 +2232,80 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_micros"),
         )
     )
+
+
+@register("dedup_lsh_quality_audit", oracle=None, tags=("dedup",))
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the MinHash-LSH scale path against the exact
+    n-gram Jaccard truth — the number every banding config owes its
+    operator: LSH trades recall for never enumerating all pairs, and
+    this query MEASURES the trade instead of asserting it. Reports the
+    truth/detected/intersection pair counts, recall and precision in
+    exact micro-units, and the candidate-stage funnel (how many bucket
+    pairs the bands emitted vs how many survived the exact verify —
+    the banding's filtering efficiency).
+
+    Semantics note: `dedup_minhash_lsh` post-verifies candidates with
+    the SAME exact count-Jaccard the truth query uses, so precision
+    deviates from 1.0 only through the one deliberate config asymmetry
+    (the truth side df-caps boilerplate shingles; the verify side
+    scores candidates on the uncapped index) — i.e. both error columns
+    are live measurements, not constants. ⊘ rows-only by design
+    (MinHash is not SQL-expressible); the planted-corpus pytest pins
+    the arithmetic and the recall floor instead.
+
+    Scale shape: strictly the union of the two audited plans plus
+    three pair-grain equi-joins and a 1-row fold — the audit costs
+    what the audited queries cost. At 100 TB you run it on a sampled
+    partition slice to TUNE (bands, rows, threshold), then deploy the
+    chosen config's LSH alone."""
+    truth = ngram_jaccard_pairs(
+        _exploded_index(spark, sf_dir), hot=hot_shingle_set(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    detected = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # candidate funnel: re-derive the pre-verify bucket pairs (same
+    # staging as dedup_minhash_lsh — the session-persisted index makes
+    # the re-derivation cheap)
+    sh_df = shingle_index(spark, sf_dir)
+    h_df = sh_df.select("doc_id", "lang", base_hashes(F.col("sh")).alias("h0s"))
+    sig = h_df.select(
+        "doc_id", "lang", minhash_from_hashes(F.col("h0s")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        "lang",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_truth = truth.count()
+    n_detected = detected.count()
+    n_hit = truth.join(detected, ["doc_a", "doc_b"]).count()
+    n_cand = cand.count()
+    row = [
+        (
+            n_truth,
+            n_detected,
+            n_hit,
+            n_cand,
+            (n_hit * 1000000) // n_truth if n_truth else None,
+            (n_hit * 1000000) // n_detected if n_detected else None,
+            (n_detected * 1000000) // n_cand if n_cand else None,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_true_pairs long, n_detected_pairs long, n_hit long,"
+        " n_candidates long, recall_micros long, precision_micros long,"
+        " verify_survival_micros long",
+    )

@@ -2015,3 +2015,55 @@ def embedding_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register("sim_ann_recall_audit", oracle=None, tags=("similarity",))
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF approximate index against the exact
+    brute-force truth — the ANN twin of `dedup_lsh_quality_audit`, and
+    the number an n_lists/n_probe config owes its operator before it
+    replaces the exact scan: per-query overlap of the two top-k lists,
+    reported as the exact micro-unit mean recall plus the distribution
+    tails (min / p10-by-count) so one pathological query can't hide
+    inside the average. Deterministic end to end (the IVF fit is
+    stride-seeded, the truth ranks on rounded cosine), hence a stable
+    rows-only row; the recall FLOOR is additionally gated in
+    tests/test_similarity.py.
+
+    Scale shape: the union of the audited plans plus one pair-grain
+    equi-join on (query_id, neighbor_id) and a per-query fold to
+    N_QUERIES rows → 1 row. Production use: run on a sampled query set
+    to tune (n_lists, n_probe), deploy the winning config's IVF alone."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    per_q = (
+        truth.withColumnRenamed("neighbor_id", "nid")
+        .join(
+            ann.withColumnRenamed("neighbor_id", "nid"),
+            ["query_id", "nid"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # queries with ZERO overlap vanish from the semi-join — restore them
+    # via the truth-side query list so the mean can't silently inflate
+    qids = truth.select("query_id").distinct()
+    per_q = (
+        qids.join(per_q, "query_id", "left")
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.sum("hits").cast("long").alias("n_hits"),
+        F.expr(f"CAST(SUM(hits) * 1000000 div (COUNT(1) * {TOP_K}) AS LONG)")
+            .alias("mean_recall_micros"),
+        F.expr(f"CAST(MIN(hits) * 1000000 div {TOP_K} AS LONG)")
+            .alias("worst_query_recall_micros"),
+        F.sum((F.col("hits") < F.lit(TOP_K)).cast("long"))
+            .cast("long")
+            .alias("n_imperfect_queries"),
+    )

@@ -873,3 +873,80 @@ def test_capture_recapture_planted(spark, tmp_path):
     assert r["true_distinct"] == 10
     assert r["chapman_estimate"] == 11
     assert r["err_micros"] == 100000
+
+
+def test_lsh_quality_audit_planted(spark, tmp_path):
+    """Exact-duplicate pairs are ALWAYS bucketed together (identical
+    signatures), so planted exact dups force recall = 1e6; a planted
+    low-similarity pair exercises the verify filter. All three ratios
+    must equal their integer definitions on the returned counts."""
+    import random
+
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_lsh_quality_audit,
+    )
+
+    rng = random.Random(42)
+    docs = []
+    did = 0
+    for k in range(6):  # 6 exact-duplicate pairs
+        text = " ".join(f"w{k}x{rng.randrange(1000)}" for _ in range(30))
+        for _ in range(2):
+            docs.append((did, text, "en", "s", len(text)))
+            did += 1
+    for k in range(8):  # unique background docs
+        text = " ".join(f"u{k}y{rng.randrange(100000)}" for _ in range(30))
+        docs.append((did, text, "en", "s", len(text)))
+        did += 1
+    # one low-J pair (~1/3 overlap, below the 0.5 threshold): bands may
+    # or may not bucket it; the verify stage must never emit it
+    base = [f"z{i}" for i in range(30)]
+    tail = [f"q{i}" for i in range(30)]
+    docs.append((did, " ".join(base + tail[:5]), "en", "s", 0)); did += 1
+    docs.append((did, " ".join(base[:15] + tail), "en", "s", 0)); did += 1
+
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.parquet(str(tmp_path / "documents.parquet"))
+
+    r = dedup_lsh_quality_audit(spark, str(tmp_path)).collect()[0]
+    assert r["n_true_pairs"] >= 6
+    assert r["recall_micros"] == 1000000  # exact dups can't be missed
+    assert r["n_hit"] <= min(r["n_true_pairs"], r["n_detected_pairs"])
+    assert r["n_detected_pairs"] <= r["n_candidates"]
+    assert r["recall_micros"] == r["n_hit"] * 1000000 // r["n_true_pairs"]
+    assert r["precision_micros"] == r["n_hit"] * 1000000 // r["n_detected_pairs"]
+    assert (
+        r["verify_survival_micros"]
+        == r["n_detected_pairs"] * 1000000 // r["n_candidates"]
+    )
+
+
+def test_ann_recall_audit_matches_direct_recompute(spark, sf_dir):
+    """The audit row must equal a per-query python recompute over the
+    same two deterministic queries (incl. zero-overlap restoration)."""
+    from collections import defaultdict
+
+    from recommendation_system_big_data_spark.operators.similarity import (
+        TOP_K,
+        sim_ann_recall_audit,
+        sim_topk_bruteforce,
+        sim_topk_ivf,
+    )
+
+    truth = defaultdict(set)
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        truth[r["query_id"]].add(r["neighbor_id"])
+    ann = defaultdict(set)
+    for r in sim_topk_ivf(spark, sf_dir).collect():
+        ann[r["query_id"]].add(r["neighbor_id"])
+    hits = {q: len(truth[q] & ann.get(q, set())) for q in truth}
+    n_q = len(truth)
+    n_hits = sum(hits.values())
+
+    got = sim_ann_recall_audit(spark, sf_dir).collect()[0]
+    assert got["n_queries"] == n_q and got["k"] == TOP_K
+    assert got["n_hits"] == n_hits
+    assert got["mean_recall_micros"] == n_hits * 1000000 // (n_q * TOP_K)
+    assert got["worst_query_recall_micros"] == min(hits.values()) * 1000000 // TOP_K
+    assert got["n_imperfect_queries"] == sum(1 for h in hits.values() if h < TOP_K)
