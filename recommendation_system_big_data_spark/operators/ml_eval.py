@@ -2754,3 +2754,120 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered * 1000000 div n_test").alias("coverage_micros"),
         )
     )
+
+
+_FAIRNESS_ORACLE = """
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST(o.o_orderstatus = 'F' AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), thr AS (
+    SELECT SUM(CAST(cents AS HUGEINT)) // COUNT(*) AS t FROM base
+), scored AS (
+    SELECT segment, y, CAST(cents > thr.t AS BIGINT) AS pred
+    FROM base, thr
+), per AS (
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(pred * y) AS BIGINT) AS tp,
+           CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp
+    FROM scored GROUP BY segment
+), rates AS (
+    SELECT segment, n, n_pos,
+           n_pred_pos * 1000000 // n AS selection_micros,
+           tp * 1000000 // n_pos AS tpr_micros,
+           fp * 1000000 // (n - n_pos) AS fpr_micros
+    FROM per
+)
+SELECT segment, n, n_pos, selection_micros, tpr_micros, fpr_micros,
+       CAST(MAX(selection_micros) OVER () - MIN(selection_micros) OVER ()
+            AS BIGINT) AS parity_gap_micros,
+       CAST(MAX(tpr_micros) OVER () - MIN(tpr_micros) OVER ()
+            AS BIGINT) AS tpr_gap_micros,
+       CAST(MAX(fpr_micros) OVER () - MIN(fpr_micros) OVER ()
+            AS BIGINT) AS fpr_gap_micros
+FROM rates
+"""
+
+
+@register("ml_eval_fairness_gaps", oracle=_FAIRNESS_ORACLE, tags=("ml", "eval"))
+def ml_eval_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a classifier across market segments:
+    per-segment selection rate (demographic parity), TPR (equal
+    opportunity) and FPR, plus the max−min GAP of each across segments —
+    the three standard disparity readouts (Hardt et al. 2016; Barocas,
+    Hardt & Narayanan ch. 3) that a model gate checks before deploy.
+    The audited "classifier" is the deterministic mean-threshold rule
+    over order value (the same proxy-score family as the other eval
+    queries); swap in real scores and the machinery is unchanged.
+
+    Exact integers end to end: money quantizes through the decimal-cast
+    cents convention, the threshold is one truncating division of exact
+    sums, every rate is an integral micro-division per segment, and the
+    gap columns are window max−min over the |segments|-row AGGREGATE —
+    the only window in the plan runs on k rows, not facts.
+
+    Scale shape: one fact⋈dim equi-join (AQE picks broadcast when the
+    customer side fits), one map-side-combined fold to k segment rows,
+    then constant-size algebra. The 1-row threshold is a broadcast."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "segment",
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+    )
+    thr = base.agg(
+        F.expr(
+            "CAST(SUM(CAST(cents AS DECIMAL(30,0))) div COUNT(1) AS LONG)"
+        ).alias("t")
+    )
+    scored = base.crossJoin(F.broadcast(thr)).select(
+        "segment", "y", (F.col("cents") > F.col("t")).cast("long").alias("pred")
+    )
+    per = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pred_pos"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+    )
+    rates = per.select(
+        "segment",
+        "n",
+        "n_pos",
+        F.expr("n_pred_pos * 1000000 div n").alias("selection_micros"),
+        F.expr("tp * 1000000 div n_pos").alias("tpr_micros"),
+        F.expr("fp * 1000000 div (n - n_pos)").alias("fpr_micros"),
+    )
+    w = Window.partitionBy()
+    return rates.select(
+        "segment",
+        "n",
+        "n_pos",
+        "selection_micros",
+        "tpr_micros",
+        "fpr_micros",
+        (F.max("selection_micros").over(w) - F.min("selection_micros").over(w))
+        .cast("long")
+        .alias("parity_gap_micros"),
+        (F.max("tpr_micros").over(w) - F.min("tpr_micros").over(w))
+        .cast("long")
+        .alias("tpr_gap_micros"),
+        (F.max("fpr_micros").over(w) - F.min("fpr_micros").over(w))
+        .cast("long")
+        .alias("fpr_gap_micros"),
+    )

@@ -624,3 +624,126 @@ def olap_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_pct_of_total"),
     )
+
+
+_BRIDGE_ORACLE = """
+WITH lines AS (
+    SELECT l.l_orderkey, l.l_partkey,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS line_cents
+    FROM lineitem l
+), order_tot AS (
+    SELECT l_orderkey, SUM(CAST(line_cents AS HUGEINT)) AS tot_line_cents
+    FROM lines GROUP BY l_orderkey
+), alloc AS (
+    SELECT li.l_orderkey, li.l_partkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS o_cents,
+           CAST((CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * li.line_cents) // t.tot_line_cents AS BIGINT)
+               AS alloc_cents
+    FROM lines li
+    JOIN order_tot t ON li.l_orderkey = t.l_orderkey
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+), branded AS (
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(a.alloc_cents AS HUGEINT)) AS BIGINT)
+               AS allocated_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM alloc a JOIN part p ON a.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+), dust AS (
+    SELECT '(rounding dust)' AS brand,
+           CAST(SUM(CAST(per_order.o_cents AS HUGEINT))
+                - SUM(per_order.alloc_sum) AS BIGINT) AS allocated_cents,
+           CAST(0 AS BIGINT) AS n_lines
+    FROM (
+        SELECT l_orderkey, MAX(o_cents) AS o_cents,
+               SUM(CAST(alloc_cents AS HUGEINT)) AS alloc_sum
+        FROM alloc GROUP BY l_orderkey
+    ) per_order
+)
+SELECT brand, allocated_cents, n_lines FROM branded
+UNION ALL
+SELECT brand, allocated_cents, n_lines FROM dust
+"""
+
+
+@register("olap_bridge_allocation", oracle=_BRIDGE_ORACLE, tags=("olap",))
+def olap_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many bridge-table allocation (Kimball ch. 7): spread each
+    ORDER-grain fact (o_totalprice) across its PART brands proportionally
+    to line value — the weighted-bridge pattern every finance mart needs
+    when a header-grain amount must roll up along a line-grain dimension
+    without double counting. The output proves conservation explicitly:
+    allocations are truncating integer divisions, so the lost sub-cent
+    remainders are emitted as one '(rounding dust)' row — total allocated
+    + dust == total order value BY CONSTRUCTION, and the planted test
+    asserts the identity (a float-ratio allocation can neither guarantee
+    nor even measure this).
+
+    Exact integers: money through the decimal-cast cents convention; the
+    per-line share is o_cents·line_cents div order_line_total — numerator
+    widened to decimal so it cannot wrap on any price. Scale shape: one
+    self-grain fold of lineitem to order totals (map-side combine), two
+    fact⋈fact equi-joins on the order key (co-partitioned — AQE plans
+    them into one shuffle family), one fact⋈dim join on partkey, then a
+    brand-grain fold; the dust fold reuses the alloc grain. No windows,
+    no skew-sensitive keys beyond the standard order/part hashes."""
+    lines = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("line_cents"),
+    )
+    order_tot = lines.groupBy("l_orderkey").agg(
+        F.sum(F.col("line_cents").cast("decimal(30,0)")).alias(
+            "tot_line_cents"
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("o_cents"),
+    )
+    alloc = (
+        lines.join(order_tot, "l_orderkey")
+        .join(orders, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "o_cents",
+            F.expr(
+                "CAST(CAST(o_cents AS DECIMAL(30,0)) * line_cents"
+                " div tot_line_cents AS LONG)"
+            ).alias("alloc_cents"),
+        )
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    branded = (
+        alloc.join(part, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum(F.col("alloc_cents").cast("decimal(30,0)"))
+            .cast("long")
+            .alias("allocated_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.max("o_cents").alias("o_cents"),
+        F.sum(F.col("alloc_cents").cast("decimal(30,0)")).alias("alloc_sum"),
+    )
+    dust = per_order.agg(
+        F.lit("(rounding dust)").alias("brand"),
+        (
+            F.sum(F.col("o_cents").cast("decimal(30,0)"))
+            - F.sum("alloc_sum")
+        )
+        .cast("long")
+        .alias("allocated_cents"),
+        F.lit(0).cast("long").alias("n_lines"),
+    )
+    return branded.unionAll(dust)

@@ -950,3 +950,128 @@ def test_ann_recall_audit_matches_direct_recompute(spark, sf_dir):
     assert got["mean_recall_micros"] == n_hits * 1000000 // (n_q * TOP_K)
     assert got["worst_query_recall_micros"] == min(hits.values()) * 1000000 // TOP_K
     assert got["n_imperfect_queries"] == sum(1 for h in hits.values() if h < TOP_K)
+
+
+def test_fairness_gaps_sequential_reference(spark, sf_dir):
+    """Integer replay of the per-segment rates and the window gaps."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_fairness_gaps,
+    )
+
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    rows = [
+        (
+            seg[r["o_custkey"]],
+            int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100),
+            1 if r["o_orderstatus"] == "F" else 0,
+        )
+        for r in load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderstatus")
+        .collect()
+    ]
+    thr = sum(c for _, c, _ in rows) // len(rows)
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, pred, pos, tp, fp
+    for g, c, y in rows:
+        p = 1 if c > thr else 0
+        st = per[g]
+        st[0] += 1
+        st[1] += p
+        st[2] += y
+        st[3] += p * y
+        st[4] += p * (1 - y)
+    rates = {
+        g: (
+            st[1] * 1000000 // st[0],
+            st[3] * 1000000 // st[2],
+            st[4] * 1000000 // (st[0] - st[2]),
+        )
+        for g, st in per.items()
+    }
+    sel = [v[0] for v in rates.values()]
+    tpr = [v[1] for v in rates.values()]
+    fpr = [v[2] for v in rates.values()]
+
+    got = {r["segment"]: r for r in ml_eval_fairness_gaps(spark, sf_dir).collect()}
+    assert set(got) == set(rates)
+    for g, (s, t, f) in rates.items():
+        r = got[g]
+        assert (r["selection_micros"], r["tpr_micros"], r["fpr_micros"]) == (s, t, f)
+        assert r["parity_gap_micros"] == max(sel) - min(sel)
+        assert r["tpr_gap_micros"] == max(tpr) - min(tpr)
+        assert r["fpr_gap_micros"] == max(fpr) - min(fpr)
+
+
+def test_bridge_allocation_conserves_and_allocates_exactly(spark, sf_dir, tmp_path):
+    """Conservation identity on the real fixture (allocated + dust ==
+    total order cents over orders with lines) plus a planted 1-order
+    exact-arithmetic check including the truncation dust."""
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_bridge_allocation,
+    )
+
+    rows = olap_bridge_allocation(spark, sf_dir).collect()
+    total_alloc = sum(r["allocated_cents"] for r in rows)
+    li_orders = {
+        r["l_orderkey"]
+        for r in load(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    }
+    total_cents = sum(
+        int(Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100)
+        for r in load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+        if r["o_orderkey"] in li_orders
+    )
+    assert total_alloc == total_cents
+    dust = [r for r in rows if r["brand"] == "(rounding dust)"]
+    assert len(dust) == 1 and 0 <= dust[0]["allocated_cents"] < len(li_orders) * 100
+
+    # planted: order 777.77 over lines 1.00 / 2.00 / 4.00 -> shares 1/7,
+    # 2/7, 4/7 of 77777 cents truncate to 11111, 22222, 44444; dust 0
+    import datetime
+
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O",
+          datetime.date(2024, 1, 2)),
+         (1, 2, 1, 2, 1.0, 2.00, 0.0, 0.0, "N", "O",
+          datetime.date(2024, 1, 2)),
+         (1, 3, 1, 3, 1.0, 4.00, 0.0, 0.0, "N", "O",
+          datetime.date(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "O", 777.77, datetime.date(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "pa", "BrandA", "t", 1, 1.0),
+         (2, "pb", "BrandB", "t", 1, 1.0),
+         (3, "pc", "BrandC", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {
+        r["brand"]: r["allocated_cents"]
+        for r in olap_bridge_allocation(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "BrandA": 11111,
+        "BrandB": 22222,
+        "BrandC": 44444,
+        "(rounding dust)": 0,
+    }
