@@ -2871,3 +2871,177 @@ def ml_eval_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fpr_gap_micros"),
     )
+
+
+_QINI_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS mv FROM events
+), scored AS (
+    SELECT CAST(FLOOR(value / mx.mv * 1000000.0) AS BIGINT) AS q,
+           CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 2 = 0 AS BIGINT) AS t,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mx
+), blocks AS (
+    SELECT q,
+           CAST(SUM(t) AS BIGINT) AS n_t,
+           CAST(SUM(t * y) AS BIGINT) AS y_t,
+           CAST(SUM(1 - t) AS BIGINT) AS n_c,
+           CAST(SUM((1 - t) * y) AS BIGINT) AS y_c
+    FROM scored GROUP BY q
+), cum AS (
+    SELECT n_t + n_c AS c_k,
+           CAST(SUM(n_t) OVER w AS HUGEINT) AS nt,
+           CAST(SUM(y_t) OVER w AS HUGEINT) AS yt,
+           CAST(SUM(n_c) OVER w AS HUGEINT) AS nc,
+           CAST(SUM(y_c) OVER w AS HUGEINT) AS yc
+    FROM blocks
+    WINDOW w AS (ORDER BY 1000000 - q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT CAST(SUM(n_t + n_c) AS HUGEINT) AS n,
+           CAST(SUM(n_t) AS BIGINT) AS n_treat,
+           CAST(SUM(n_c) AS BIGINT) AS n_ctrl
+    FROM blocks
+), rated AS (
+    SELECT cum.c_k, cum.nt, cum.nc, tot.n, tot.n_treat, tot.n_ctrl,
+           (yt * 1000000000) // tot.n
+           - CASE WHEN nc = 0 THEN 0
+                  ELSE (yc * nt * 1000000000) // (nc * tot.n) END
+               AS q_rate_nanos
+    FROM cum, tot
+), area AS (
+    SELECT MAX(n_treat) AS n_treat, MAX(n_ctrl) AS n_ctrl,
+           MAX(n) AS n,
+           SUM(CAST(q_rate_nanos AS HUGEINT) * c_k) AS area_raw
+    FROM rated
+), endp AS (
+    SELECT q_rate_nanos AS endpoint_nanos
+    FROM rated WHERE nt + nc = n
+)
+SELECT area.n_treat, area.n_ctrl, endp.endpoint_nanos,
+       CAST(CASE WHEN area.area_raw < 0
+                 THEN -((-area.area_raw) // area.n)
+                 ELSE area.area_raw // area.n END AS BIGINT) AS auuc_nanos,
+       CAST(2 * (CASE WHEN area.area_raw < 0
+                 THEN -((-area.area_raw) // area.n)
+                 ELSE area.area_raw // area.n END)
+            - endp.endpoint_nanos AS BIGINT) AS qini2_nanos
+FROM area, endp
+"""
+
+
+@register("ml_eval_qini_auuc", oracle=_QINI_ORACLE, tags=("ml", "eval"))
+def ml_eval_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / AUUC uplift evaluation — the CAUSAL companion of the
+    accuracy evals: given a randomized treatment flag (the portable md5
+    coin — a simulated RCT over the fixture; swap in the real assignment
+    column in production) and a targeting score, the Qini curve plots,
+    for each score-ordered population prefix, the incremental positives
+    treatment earned over control reweighted to treatment size,
+    Y_t(k) − Y_c(k)·N_t(k)/N_c(k) (Radcliffe 2007; the standard
+    uplift-model readout). Reported normalized: the endpoint (overall
+    incremental rate), the area under the normalized curve (AUUC), and
+    the doubled Qini coefficient 2·AUUC − endpoint (the area above the
+    random-targeting diagonal, ×2 to stay integral — positive means the
+    score targets persuadables better than a coin).
+
+    Same machinery as ml_eval_pr_auc: the facts fold to the distinct-
+    score grain, all four cumulative series ride ONE pass of
+    ranges.running_sums (two-phase distributed prefix sum — no global
+    row sort), and every division has an OUTPUT-SCALE quotient: rates
+    are nanos of a [−1,1] quantity (yt·1e9 div n and yc·nt·1e9 div
+    (nc·n), both bounded ≤ 1e9 since yt ≤ n, yc ≤ nc), the area re-
+    normalizes by n with a sign-split division, and nothing floats.
+    Zero-control prefixes define the control term as 0 (mirrored).
+    ⊘-adjacent honesty: the oracle mirrors every truncation, so this IS
+    hash-checked, not rows-only.
+
+    Scale shape: one scan → distinct-score grain (≤ 1e6+1 rows at any
+    data size) → prefix sums → 1 row."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    mx = load(spark, sf_dir, "events").agg(F.max("value").alias("mv"))
+    scored = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("value") / F.col("mv") * F.lit(1000000.0))
+            .cast("long")
+            .alias("q"),
+            (portable_bucket(F.col("event_id"), 2) == 0)
+            .cast("long")
+            .alias("t"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    blocks = scored.groupBy("q").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("y_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_c"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("y_c"),
+    ).withColumn("inv", F.lit(1000000) - F.col("q"))
+    cum = running_sums(
+        blocks,
+        ["inv"],
+        {"nt": ("n_t", True), "yt": ("y_t", True),
+         "nc": ("n_c", True), "yc": ("y_c", True)},
+    ).select(
+        (F.col("n_t") + F.col("n_c")).alias("c_k"),
+        F.col("nt").cast("decimal(20,0)").alias("nt"),
+        F.col("yt").cast("decimal(20,0)").alias("yt"),
+        F.col("nc").cast("decimal(20,0)").alias("nc"),
+        F.col("yc").cast("decimal(20,0)").alias("yc"),
+    )
+    tot = blocks.agg(
+        F.sum(F.col("n_t") + F.col("n_c")).cast("decimal(20,0)").alias("n"),
+        F.sum("n_t").cast("long").alias("n_treat"),
+        F.sum("n_c").cast("long").alias("n_ctrl"),
+    )
+    rated = cum.crossJoin(F.broadcast(tot)).select(
+        "c_k",
+        "nt",
+        "nc",
+        "n",
+        "n_treat",
+        "n_ctrl",
+        F.expr(
+            "CAST(yt * 1000000000 AS DECIMAL(38,0)) div n"
+            " - CASE WHEN nc = 0 THEN 0"
+            "   ELSE CAST(yc * nt * 1000000000 AS DECIMAL(38,0))"
+            "        div CAST(nc * n AS DECIMAL(38,0)) END"
+        ).alias("q_rate_nanos"),
+    )
+    area = rated.agg(
+        F.max("n_treat").alias("n_treat"),
+        F.max("n_ctrl").alias("n_ctrl"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("CAST(q_rate_nanos AS DECIMAL(28,0)) * c_k")
+        ).alias("area_raw"),
+    )
+    endp = rated.where(
+        F.expr("nt + nc = CAST(n AS DECIMAL(20,0))")
+    ).select(F.col("q_rate_nanos").alias("endpoint_nanos"))
+    auuc = (
+        "(CASE WHEN area_raw < 0"
+        " THEN -(CAST(-area_raw AS DECIMAL(38,0)) div n)"
+        " ELSE CAST(area_raw AS DECIMAL(38,0)) div n END)"
+    )
+    return (
+        area.crossJoin(F.broadcast(endp))
+        .select(
+            "n_treat",
+            "n_ctrl",
+            F.col("endpoint_nanos").cast("long").alias("endpoint_nanos"),
+            F.expr(auuc).cast("long").alias("auuc_nanos"),
+            F.expr(f"2 * {auuc} - endpoint_nanos")
+            .cast("long")
+            .alias("qini2_nanos"),
+        )
+    )

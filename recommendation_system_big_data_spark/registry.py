@@ -146,7 +146,7 @@ _loaded = False
 #:      stat_cochran_armitage window_hampel_filter
 #:      sql_scalar_udf stat_capture_recapture
 #:      dedup_lsh_quality_audit sim_ann_recall_audit (both rows-only)
-#:      ml_eval_fairness_gaps olap_bridge_allocation
+#:      ml_eval_fairness_gaps olap_bridge_allocation ml_eval_qini_auuc
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg

@@ -1075,3 +1075,88 @@ def test_bridge_allocation_conserves_and_allocates_exactly(spark, sf_dir, tmp_pa
         "BrandC": 44444,
         "(rounding dust)": 0,
     }
+
+
+def test_qini_auuc_sequential_reference(spark, sf_dir):
+    """Big-int replay of the full Qini pipeline: md5 coin, distinct-score
+    blocks, cumulative series, bounded-quotient rates, sign-split area."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_qini_auuc,
+    )
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    mv = max(r["value"] for r in rows)
+    blocks = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        q = int(math.floor(r["value"] / mv * 1000000.0))
+        t = int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:8], 16) % 2 == 0
+        y = 1 if r["event_type"] == "purchase" else 0
+        b = blocks[q]
+        if t:
+            b[0] += 1
+            b[1] += y
+        else:
+            b[2] += 1
+            b[3] += y
+    n = sum(b[0] + b[2] for b in blocks.values())
+    n_treat = sum(b[0] for b in blocks.values())
+    n_ctrl = sum(b[2] for b in blocks.values())
+    nt = yt = nc = yc = 0
+    area_raw = 0
+    endpoint = None
+    for q in sorted(blocks, reverse=True):
+        b = blocks[q]
+        nt += b[0]; yt += b[1]; nc += b[2]; yc += b[3]
+        rate = (yt * 10**9) // n - (
+            0 if nc == 0 else (yc * nt * 10**9) // (nc * n)
+        )
+        area_raw += rate * (b[0] + b[2])
+        if nt + nc == n:
+            endpoint = rate
+    auuc = -((-area_raw) // n) if area_raw < 0 else area_raw // n
+
+    got = ml_eval_qini_auuc(spark, sf_dir).collect()[0]
+    assert got["n_treat"] == n_treat and got["n_ctrl"] == n_ctrl
+    assert got["endpoint_nanos"] == endpoint
+    assert got["auuc_nanos"] == auuc
+    assert got["qini2_nanos"] == 2 * auuc - endpoint
+
+
+def test_qini_positive_on_planted_persuadables(spark, tmp_path):
+    """A score that ranks persuadables first must produce qini2 > 0:
+    high-value events convert ONLY under treatment; low-value never."""
+    import datetime
+    import hashlib
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_qini_auuc,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = []
+    for i in range(2000):
+        treated = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2 == 0
+        persuadable = i % 2 == 0
+        converts = persuadable and treated
+        evs.append(
+            (i, t0 + datetime.timedelta(seconds=i), i,
+             "purchase" if converts else "click",
+             200.0 + (i % 50) if persuadable else 10.0 + (i % 50), "{}")
+        )
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(2).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = ml_eval_qini_auuc(spark, str(tmp_path)).collect()[0]
+    assert got["qini2_nanos"] > 0
+    # endpoint: overall uplift is ~ n_persuadable_treated / n > 0
+    assert got["endpoint_nanos"] > 0
