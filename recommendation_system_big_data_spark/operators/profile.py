@@ -2204,3 +2204,46 @@ def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_micros"),
     )
+
+
+@register("agg_sketch_error_audit", oracle=None, tags=("profile", "audit"))
+def agg_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured error of the engine's cardinality sketches against the
+    exact distinct count — the audit-family row for the approximate
+    aggregates (`agg_approx_count_distinct` ships the sketch; this query
+    prices it): HyperLogLog++ at the default 5% target RSD and at a
+    tightened 1%, side by side with the exact COUNT(DISTINCT), each
+    error in signed micro-units. At 100 TB the exact count is a full
+    shuffle of the key universe while the sketches are tiny mergeable
+    state — THIS row is how an operator decides, per column, whether
+    the 1e6-× cheaper plan's error is inside their tolerance.
+
+    ⊘ rows-only by design: DuckDB's approx_count_distinct uses a
+    different HLL implementation, so cross-engine hashes cannot agree
+    on the sketch values — the exact column and the error IDENTITIES
+    are pinned by the pytest replay instead (the errors are
+    deterministic for a fixed dataset: Spark's HLL++ is seedless).
+
+    One scan, three aggregates (Catalyst computes them in a single
+    pass); the exact distinct is the only shuffle-bearing branch."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.approx_count_distinct("user_id").cast("long").alias("hll_default"),
+        F.approx_count_distinct("user_id", 0.01).cast("long").alias(
+            "hll_rsd01"
+        ),
+    )
+    def err(col: str):
+        return F.expr(
+            f"CASE WHEN {col} < exact_distinct"
+            f" THEN -((exact_distinct - {col}) * 1000000 div exact_distinct)"
+            f" ELSE ({col} - exact_distinct) * 1000000 div exact_distinct END"
+        ).cast("long")
+    return s.select(
+        "exact_distinct",
+        "hll_default",
+        "hll_rsd01",
+        err("hll_default").alias("err_default_micros"),
+        err("hll_rsd01").alias("err_rsd01_micros"),
+    )

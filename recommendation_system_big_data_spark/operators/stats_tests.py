@@ -2013,3 +2013,74 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(1) AS BIGINT)"
         ).alias("pos_share_micros"),
     )
+
+
+#: SRM chi-square saturation cap (milli-units) — same convention as
+#: ANOVA_F_CAP: a degenerate split yields a huge but meaningless
+#: statistic; saturate loudly instead of overflowing silently.
+SRM_CHI2_CAP = 10_000_000_000
+
+_SRM_ORACLE = f"""
+WITH arms AS (
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 2 = 0 AS BIGINT) AS t
+    FROM events
+), s AS (
+    SELECT CAST(SUM(t) AS HUGEINT) AS n_t,
+           CAST(SUM(1 - t) AS HUGEINT) AS n_c,
+           CAST(COUNT(*) AS HUGEINT) AS n
+    FROM arms
+)
+SELECT CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n_c AS BIGINT) AS n_ctrl,
+       CAST(LEAST((n_t - n_c) * (n_t - n_c) * 1000 // n,
+                  {SRM_CHI2_CAP}) AS BIGINT) AS chi2_milli,
+       CAST((n_t - n_c) * (n_t - n_c) * 1000 // n > 3841 AS BIGINT)
+           AS srm_flag
+FROM s
+"""
+
+
+@register("stat_srm_check", oracle=_SRM_ORACLE, tags=("experiment",))
+def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the 50/50 md5 assignment —
+    the FIRST check every experimentation platform runs before reading
+    any metric (Fabijan et al. 2019: SRM invalidates the experiment, and
+    it happens constantly — bot filtering, logging loss, redirect skew).
+    For an expected 1:1 split the goodness-of-fit chi-square collapses
+    to (n_t − n_c)²/n with 1 df; the query emits it in exact milli-units
+    plus the α=0.05 flag (critical value 3.841 — an integer-vs-constant
+    comparison, no CDF needed).
+
+    The statistic's quotient grows with the imbalance (a degenerate
+    all-one-arm split gives χ² = n), so it SATURATES at SRM_CHI2_CAP via
+    LEAST — the ANOVA_F_CAP convention: loud ceiling, never a wrapped
+    long. One keyless map-side-combined fold; skew-free by construction.
+
+    This also audits the engine's own split machinery: every fold-based
+    query here trusts portable_bucket to be fair, and this is the query
+    that would catch it lying (the planted test feeds it a rigged split
+    and requires the flag to fire)."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    arms = load(spark, sf_dir, "events").select(
+        (portable_bucket(F.col("event_id"), 2) == 0).cast("long").alias("t")
+    )
+    s = arms.agg(
+        F.sum("t").cast("decimal(20,0)").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("decimal(20,0)").alias("n_c"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+    )
+    chi2 = (
+        "CAST((n_t - n_c) * (n_t - n_c) AS DECIMAL(38,0)) * 1000 div n"
+    )
+    return s.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.expr(f"LEAST({chi2}, {SRM_CHI2_CAP})").cast("long").alias(
+            "chi2_milli"
+        ),
+        F.expr(f"({chi2}) > 3841").cast("long").alias("srm_flag"),
+    )

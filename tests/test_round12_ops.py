@@ -1160,3 +1160,69 @@ def test_qini_positive_on_planted_persuadables(spark, tmp_path):
     assert got["qini2_nanos"] > 0
     # endpoint: overall uplift is ~ n_persuadable_treated / n > 0
     assert got["endpoint_nanos"] > 0
+
+
+def test_srm_planted_rigged_split_fires(spark, sf_dir, tmp_path):
+    """On the real fixture the md5 coin must NOT flag (fair split); on a
+    planted 70/30 rig it MUST (chi2 = (0.4n)^2/n = 0.16n >> 3.841)."""
+    import datetime
+    import hashlib
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_srm_check,
+    )
+
+    fair = stat_srm_check(spark, sf_dir).collect()[0]
+    assert fair["srm_flag"] == 0
+    assert fair["n_treat"] + fair["n_ctrl"] > 0
+    assert fair["chi2_milli"] == (
+        (fair["n_treat"] - fair["n_ctrl"]) ** 2 * 1000
+        // (fair["n_treat"] + fair["n_ctrl"])
+    )
+
+    # rig: keep only ids whose md5 coin lands treatment, plus 30% controls
+    t0 = datetime.datetime(2024, 1, 1)
+    evs, eid = [], 0
+    kept_c = 0
+    i = 0
+    while eid < 1000:
+        coin = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2 == 0
+        if coin or kept_c < 150:
+            evs.append((i, t0 + datetime.timedelta(seconds=i), i, "click",
+                        1.0, "{}"))
+            eid += 1
+            if not coin:
+                kept_c += 1
+        i += 1
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    rigged = stat_srm_check(spark, str(tmp_path)).collect()[0]
+    assert rigged["srm_flag"] == 1
+    assert rigged["chi2_milli"] > 3841
+
+
+def test_sketch_error_audit_identities(spark, sf_dir):
+    """Exact column must equal a direct countDistinct; error columns must
+    equal their integer definitions; HLL at 1% RSD must be within ~5%
+    of exact on the fixture."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.profile import (
+        agg_sketch_error_audit,
+    )
+
+    got = agg_sketch_error_audit(spark, sf_dir).collect()[0]
+    exact = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert got["exact_distinct"] == exact
+
+    def err(a):
+        d = a - exact
+        return (d * 1000000) // exact if d >= 0 else -((-d * 1000000) // exact)
+
+    assert got["err_default_micros"] == err(got["hll_default"])
+    assert got["err_rsd01_micros"] == err(got["hll_rsd01"])
+    assert abs(got["err_rsd01_micros"]) < 50000
