@@ -824,3 +824,75 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         agg, spark, "rsbd_stream_late_drop", output_mode="append"
     )
+
+
+_STATE_READ_ORACLE = _TUMBLING_ORACLE
+
+
+@register(
+    "stream_state_store_read",
+    oracle=_STATE_READ_ORACLE,
+    tags=("streaming",),
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store OBSERVABILITY via the `statestore` batch
+    data source (Spark 4's state reader, SPARK-45511): run the tumbling
+    count/sum aggregation as a real stream with a checkpoint, then read
+    the checkpoint's state store back as a batch DataFrame — the way an
+    operator debugs a wedged stateful query in production (what keys is
+    it holding? how big? which partition?) WITHOUT touching the running
+    job's internals.
+
+    The correctness twist that makes this oracle-CHECKED rather than
+    rows-only: for a complete-mode aggregation drained with
+    Trigger.AvailableNow, the final state IS the aggregate — so the
+    flattened state rows must hash-match the same DuckDB oracle the
+    batch `tumbling_window_agg` runs against. A streaming run, a
+    checkpoint round-trip, and the state codec all sit between the
+    input and the check; any state corruption or window-assignment
+    drift would break the hash.
+
+    The state frame is localCheckpoint-materialized before the temp
+    checkpoint directory is removed, and `partition_id` is dropped — it
+    depends on the session's shuffle-partition count, which is exactly
+    the kind of layout detail the output must not leak. Scale shape:
+    state readers shard by store partition; reading is a parallel scan
+    of the HDFS-backed store files, never a replay of the input."""
+    import shutil
+    import tempfile
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+    )
+    chk = tempfile.mkdtemp(prefix="rsbd_state_read_")
+    name = "rsbd_state_read_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    state = (
+        spark.read.format("statestore")
+        .load(chk)
+        .select(
+            # the state schema names the grouping window field `window`
+            # (the pre-alias name) and the agg buffer fields by their
+            # FUNCTIONS (`count`, `sum`, plus sum's isEmpty flag)
+            epoch_s(F.col("key.window.start")).alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n"),
+            F.col("value.sum").cast("double").alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize BEFORE the checkpoint dir goes away
+    )
+    shutil.rmtree(chk, ignore_errors=True)
+    return state

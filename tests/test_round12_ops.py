@@ -1226,3 +1226,49 @@ def test_sketch_error_audit_identities(spark, sf_dir):
     assert got["err_default_micros"] == err(got["hll_default"])
     assert got["err_rsd01_micros"] == err(got["hll_rsd01"])
     assert abs(got["err_rsd01_micros"]) < 50000
+
+
+def test_state_store_read_matches_batch_and_metadata(spark, sf_dir):
+    """The state rows must equal the batch tumbling aggregate row-for-row,
+    and the state-metadata source must describe the aggregation operator."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from recommendation_system_big_data_spark.streaming.jobs import (
+        events_stream,
+        stream_state_store_read,
+        tumbling_window_agg,
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 2))
+        for r in stream_state_store_read(spark, sf_dir).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 2))
+        for r in tumbling_window_agg(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # metadata source: rerun with a kept checkpoint to introspect it
+    chk = tempfile.mkdtemp(prefix="rsbd_state_meta_")
+    try:
+        ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+        agg = ev.groupBy(F2.window("ts", "10 minutes")).count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rsbd_state_meta_sink")
+            .option("checkpointLocation", chk)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        md = spark.read.format("state-metadata").load(chk).collect()
+        assert len(md) == 1
+        assert md[0]["operatorName"] == "stateStoreSave"
+        assert md[0]["maxBatchId"] >= md[0]["minBatchId"] >= 0
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
