@@ -436,3 +436,79 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+_SCD2_LATE_ORACLE = """
+WITH affected AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS valid_from,
+       COALESCE(
+           strftime(LEAD(o.o_orderdate) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey), '%Y-%m-%d'),
+           '9999-12-31') AS valid_to,
+       o.o_orderpriority AS attr,
+       CASE WHEN LEAD(o.o_orderdate) OVER (
+                PARTITION BY o.o_custkey
+                ORDER BY o.o_orderdate, o.o_orderkey) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       CAST(a.o_custkey IS NOT NULL AS BIGINT) AS was_corrected
+FROM orders o LEFT JOIN affected a ON o.o_custkey = a.o_custkey
+"""
+
+
+@register("scd2_late_arriving", oracle=_SCD2_LATE_ORACLE, tags=("merge",))
+def scd2_late_arriving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving change repair for an SCD2 dimension — the warehouse
+    failure mode `scd2_build` alone can't handle: a change record lands
+    AFTER later changes were already historized, so existing validity
+    intervals must SPLIT (the late row closes the interval that was
+    covering its date). The scale-correct repair never re-historizes the
+    whole dimension: late keys are isolated (one distinct + semi-join),
+    ONLY that slice re-windows over (stored history ∪ late rows), and
+    the untouched majority passes through with an anti-join — at 100 TB
+    the repair cost tracks the late batch's key count, not the
+    dimension size. Every output row carries `was_corrected` so
+    downstream consumers can invalidate caches per key.
+
+    Fixture simulation: orders with o_orderkey % 7 = 3 are the late
+    batch (deterministic, mirrored); the on-time build here is
+    recomputed because the harness has no stored table — in production
+    it is the persisted SCD2, which is the whole point of repairing
+    incrementally. Semantics check: the repaired slice must equal the
+    from-scratch rebuild for those keys, and the oracle IS that full
+    rebuild plus the flag — agreement proves the incremental path
+    loses nothing. The equality of the two plans is exactly what the
+    hash check certifies."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    late = orders.filter(F.col("o_orderkey") % 7 == 3)
+    ontime = orders.filter(F.col("o_orderkey") % 7 != 3)
+    affected = late.select("o_custkey").distinct()
+
+    def historize(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        nxt = F.lead("o_orderdate").over(w)
+        return df.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")
+            ).alias("valid_to"),
+            F.col("o_orderpriority").alias("attr"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+
+    # repair slice: (on-time history ∪ late rows) for affected keys only
+    repaired = historize(
+        ontime.join(affected, "o_custkey", "left_semi").unionByName(late)
+    ).withColumn("was_corrected", F.lit(1).cast("long"))
+    untouched = historize(
+        ontime.join(affected, "o_custkey", "left_anti")
+    ).withColumn("was_corrected", F.lit(0).cast("long"))
+    return repaired.unionByName(untouched)

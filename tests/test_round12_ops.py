@@ -1272,3 +1272,44 @@ def test_state_store_read_matches_batch_and_metadata(spark, sf_dir):
         assert md[0]["maxBatchId"] >= md[0]["minBatchId"] >= 0
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_scd2_late_arrival_splits_interval(spark, tmp_path):
+    """A late change landing between two historized changes must close
+    the covering interval at the late date, and only affected keys may
+    carry was_corrected=1."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.merge import (
+        scd2_late_arriving,
+    )
+
+    d = datetime.date
+    # key 1: on-time changes Jan 1 (key 7) and Jan 20 (key 14);
+    #        LATE change Jan 10 (orderkey 10 -> 10 % 7 = 3)
+    # key 2: on-time only (orderkey 8, 15 -> not late)
+    spark.createDataFrame(
+        [
+            (7, 1, "O", 1.0, d(2024, 1, 1), "1-URGENT"),
+            (14, 1, "O", 1.0, d(2024, 1, 20), "3-MEDIUM"),
+            (10, 1, "O", 1.0, d(2024, 1, 10), "2-HIGH"),  # late
+            (8, 2, "O", 1.0, d(2024, 1, 5), "4-NOT SPECIFIED"),
+            (15, 2, "O", 1.0, d(2024, 1, 25), "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = scd2_late_arriving(spark, str(tmp_path)).collect()
+    k1 = sorted(
+        [r for r in rows if r["o_custkey"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert [(r["valid_from"], r["valid_to"], r["attr"]) for r in k1] == [
+        ("2024-01-01", "2024-01-10", "1-URGENT"),   # split by the late row
+        ("2024-01-10", "2024-01-20", "2-HIGH"),
+        ("2024-01-20", "9999-12-31", "3-MEDIUM"),
+    ]
+    assert all(r["was_corrected"] == 1 for r in k1)
+    k2 = [r for r in rows if r["o_custkey"] == 2]
+    assert all(r["was_corrected"] == 0 for r in k2)
+    assert {r["attr"] for r in k2 if r["is_current"] == 1} == {"5-LOW"}
