@@ -343,3 +343,138 @@ def geo_point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_regions"),
         )
     )
+
+
+_GI_ORACLE = """
+WITH pts AS (
+    SELECT ((c_custkey * 7919) % 12000) // 500 AS r,
+           ((c_custkey * 104729) % 36000) // 1000 AS c
+    FROM customer
+), counts AS (
+    SELECT r, c, CAST(COUNT(*) AS BIGINT) AS x FROM pts GROUP BY r, c
+), grid AS (
+    SELECT g1.range AS r, g2.range AS c
+    FROM range(0, 24) g1, range(0, 36) g2
+), full_grid AS (
+    SELECT grid.r, grid.c, COALESCE(counts.x, 0) AS x
+    FROM grid LEFT JOIN counts ON grid.r = counts.r AND grid.c = counts.c
+), offsets AS (
+    SELECT o1.range AS dr, o2.range AS dc
+    FROM range(-1, 2) o1, range(-1, 2) o2
+), nb AS (
+    SELECT f.r + o.dr AS r, (f.c + o.dc + 36) % 36 AS c,
+           CAST(SUM(f.x) AS BIGINT) AS s_i,
+           CAST(COUNT(*) AS BIGINT) AS n_i
+    FROM full_grid f, offsets o
+    WHERE f.r + o.dr BETWEEN 0 AND 23
+    GROUP BY 1, 2
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM full_grid
+)
+SELECT f.r AS cell_row, f.c AS cell_col, f.x AS n_points,
+       nb.s_i AS nb_sum, nb.n_i AS n_nb,
+       ROUND(
+           (CAST(nb.s_i AS DOUBLE)
+            - CAST(st.sx AS DOUBLE) / st.n * nb.n_i)
+           / (SQRT(CAST(st.sxx AS DOUBLE) / st.n
+                   - (CAST(st.sx AS DOUBLE) / st.n)
+                     * (CAST(st.sx AS DOUBLE) / st.n))
+              * SQRT((CAST(st.n AS DOUBLE) * nb.n_i
+                      - CAST(nb.n_i AS DOUBLE) * nb.n_i)
+                     / (CAST(st.n AS DOUBLE) - 1.0))),
+           4) AS gi_z
+FROM full_grid f
+JOIN nb ON f.r = nb.r AND f.c = nb.c
+CROSS JOIN stats st
+"""
+
+
+@register("geo_hotspot_gi_star", oracle=_GI_ORACLE, tags=("geo",))
+def geo_hotspot_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* hotspot detection over the customer point cloud on
+    the fixed 24×36 (5°×10°) grid: for every cell, the z-score of its
+    3×3-neighborhood count sum against the all-grid distribution — the
+    standard local spatial autocorrelation statistic (Getis & Ord 1992;
+    what "crime hotspot" and "demand hotspot" maps actually compute).
+    Z > ~2 marks a statistically hot neighborhood, not just a full
+    cell; the neighborhood sum is what separates a lone dense cell
+    from a genuine cluster.
+
+    Exactness: cell assignment is pure INTEGER arithmetic on the same
+    key-derived centidegrees the geo family shares (non-negative before
+    every `div`/`//`, so truncation agrees cross-engine), counts /
+    neighbor sums / ΣX / ΣX² are exact integers over the FIXED 864-cell
+    grid (empty cells included — dropping them biases x̄ upward), and
+    Gi* exits through one shared double expression, ROUND(4).
+    Longitude neighbors wrap at ±180°; latitude rows clip at the ±60°
+    band, so edge cells carry n_i < 9 and the variance term accounts
+    for it per cell.
+
+    Scale shape: one scan folds points to ≤864 cell rows (map-side
+    combine — the ONLY data-sized stage); the 9-offset explode,
+    neighbor fold, and z algebra run on the constant-size grid. At
+    100 TB this plan is scan-bound, full stop."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.expr("((c_custkey * 7919) % 12000) div 500").alias("r"),
+        F.expr("((c_custkey * 104729) % 36000) div 1000").alias("c"),
+    )
+    counts = pts.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    grid = (
+        spark.range(24)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(36).select(F.col("id").alias("c")))
+    )
+    full_grid = grid.join(counts, ["r", "c"], "left").select(
+        "r", "c", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    offsets = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dr"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dc")))
+    )
+    nb = (
+        full_grid.crossJoin(F.broadcast(offsets))
+        .where(F.expr("r + dr BETWEEN 0 AND 23"))
+        .groupBy(
+            F.expr("r + dr").alias("r"),
+            F.expr("(c + dc + 36) % 36").alias("c"),
+        )
+        .agg(
+            F.sum("x").cast("long").alias("s_i"),
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+        )
+    )
+    stats = full_grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        full_grid.join(nb, ["r", "c"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("r").alias("cell_row"),
+            F.col("c").alias("cell_col"),
+            F.col("x").alias("n_points"),
+            F.col("s_i").alias("nb_sum"),
+            F.col("n_i").alias("n_nb"),
+            F.round(
+                F.expr(
+                    "(CAST(s_i AS DOUBLE)"
+                    " - CAST(sx AS DOUBLE) / n * n_i)"
+                    " / (SQRT(CAST(sxx AS DOUBLE) / n"
+                    "         - (CAST(sx AS DOUBLE) / n)"
+                    "           * (CAST(sx AS DOUBLE) / n))"
+                    "    * SQRT((CAST(n AS DOUBLE) * n_i"
+                    "            - CAST(n_i AS DOUBLE) * n_i)"
+                    "           / (CAST(n AS DOUBLE) - 1.0)))"
+                ),
+                4,
+            ).alias("gi_z"),
+        )
+    )

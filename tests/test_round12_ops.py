@@ -1313,3 +1313,43 @@ def test_scd2_late_arrival_splits_interval(spark, tmp_path):
     k2 = [r for r in rows if r["o_custkey"] == 2]
     assert all(r["was_corrected"] == 0 for r in k2)
     assert {r["attr"] for r in k2 if r["is_current"] == 1} == {"5-LOW"}
+
+
+def test_gi_star_planted_hotspot(spark, tmp_path):
+    """A planted point mass in one cell must make that cell's
+    neighborhood the global maximum z, with z > 2; a uniform background
+    stays near 0. Also pin the edge/wrap bookkeeping: lat-edge rows
+    carry n_nb = 6, interior 9, and the grid is always 864 rows."""
+    from recommendation_system_big_data_spark.operators.geo import (
+        geo_hotspot_gi_star,
+    )
+
+    # custkey k lands in cell (((k*7919)%12000)//500, ((k*104729)%36000)//1000).
+    # Plant ~200 keys that all map to ONE cell by construction: k multiples
+    # of 12000*36000/gcd... simpler: pick keys with k % (12000*36000) equal —
+    # use k = base + j*43200000 keeps both residues; but keys get huge. Use
+    # brute scan for keys hitting cell (0,0): (k*7919)%12000 < 500 and
+    # (k*104729)%36000 < 1000.
+    hot = [k for k in range(1, 400000)
+           if (k * 7919) % 12000 < 500 and (k * 104729) % 36000 < 1000][:200]
+    assert len(hot) == 200
+    background = [k for k in range(400001, 400601)]
+    rows = [(k, f"c{k}", 0, 0.0, "BUILDING") for k in hot + background]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+
+    out = geo_hotspot_gi_star(spark, str(tmp_path)).collect()
+    assert len(out) == 864
+    by_nb = {(r["cell_row"], r["cell_col"]): r for r in out}
+    assert all(
+        r["n_nb"] == (6 if r["cell_row"] in (0, 23) else 9) for r in out
+    )
+    # the planted cell (0,0) neighborhood must be the global max z
+    top = max(out, key=lambda r: r["gi_z"])
+    assert abs(top["cell_row"] - 0) <= 1
+    assert top["cell_col"] in (0, 1, 35)
+    assert top["gi_z"] > 2.0
+    assert by_nb[(0, 0)]["n_points"] >= 200
