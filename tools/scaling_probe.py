@@ -10,7 +10,7 @@ eps ~ 1   -> linear in data (scan/aggregate-bound) — the 100 TB shape;
 eps ~ 1.5 -> the documented intrinsic superlinear ops (exact triangle
              counting, SemDeDup's sqrt(n)-cluster pair verify).
 
-Usage: python tools/scaling_probe.py [out_md]
+Usage: python tools/scaling_probe.py [out_md] [--only name1,name2,...]
 Prints a markdown table; optionally appends to the given file.
 """
 from __future__ import annotations
@@ -74,6 +74,18 @@ PROBES = [
     ("ml_eval_cohen_kappa", 10.0),
     ("stat_permutation_test", 10.0),
     ("graph_assortativity", 10.0),
+    # round-12 session additions (events/orders/lineitem step 10x)
+    ("stat_kruskal_wallis", 10.0),
+    ("ml_eval_qini_auuc", 10.0),
+    ("ml_conformal_interval", 10.0),
+    ("ml_eval_log_loss", 10.0),
+    ("window_hampel_filter", 10.0),
+    ("agg_theil_sen_slope", 10.0),
+    ("olap_bridge_allocation", 10.0),
+    ("ml_eval_fairness_gaps", 10.0),
+    ("scd2_late_arriving", 10.0),
+    ("geo_hotspot_gi_star", 10.0),
+    ("dedup_lsh_quality_audit", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
@@ -91,6 +103,11 @@ def warm_min(fn, spark, sf_dir, n=2):
 
 
 def main():
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        only = set(sys.argv[i + 1].split(","))
+        del sys.argv[i:i + 2]
     spark = get_spark(app_name="scaling-probe")
     spark.range(1000).selectExpr("sum(id)").collect()
     defs = registry()
@@ -99,6 +116,8 @@ def main():
         "|---|---|---|---|---|",
     ]
     for name, step in PROBES:
+        if only is not None and name not in only:
+            continue
         fn = defs[name].fn
         lo = warm_min(fn, spark, SF_LO)
         hi = warm_min(fn, spark, SF_HI)
