@@ -3045,3 +3045,77 @@ def ml_eval_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qini2_nanos"),
         )
     )
+
+
+_MCC_ORACLE = """
+WITH mx AS (
+    SELECT MAX(value) AS mv FROM events
+), scored AS (
+    SELECT CAST(value / mx.mv > 0.5 AS BIGINT) AS pred,
+           CAST(event_type = 'purchase' AS BIGINT) AS y
+    FROM events, mx
+), cm AS (
+    SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+           CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+           CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+           CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+    FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND(
+           (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+           / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                  * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)),
+           6) AS mcc
+FROM cm
+"""
+
+
+@register("ml_eval_mcc", oracle=_MCC_ORACLE, tags=("ml", "eval"))
+def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at the 0.5 score threshold — the
+    single scalar that stays honest under class imbalance where accuracy
+    and even F1 mislead (Chicco & Jurman 2020: MCC is high only when ALL
+    four confusion cells are good; F1 ignores TN entirely). Completes
+    the thresholded-eval family: `ml_eval_confusion` tabulates the
+    cells, this reduces them to the balanced scalar.
+
+    The four cells are exact integers from one keyless fold (the same
+    max-normalized score family as the other evals; the 0.5 threshold
+    compares identically-derived doubles); MCC exits through one shared
+    double expression — the products are taken in DOUBLE deliberately,
+    because (tp+fp)(tp+fn)(tn+fp)(tn+fn) overflows any fixed decimal at
+    ~1e10 rows while the double route is exact to 2^53 per factor and
+    the output needs only 6 decimals. ROUND(6) display convention.
+
+    Scale: one scan, one 1-row reduce, a broadcast scalar for the max."""
+    mx = load(spark, sf_dir, "events").agg(F.max("value").alias("mv"))
+    scored = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("value") / F.col("mv") > 0.5).cast("long").alias("pred"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    cm = scored.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.expr(
+                "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+                " / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)"
+                "        * (CAST(tn AS DOUBLE) + fp)"
+                "        * (CAST(tn AS DOUBLE) + fn))"
+            ),
+            6,
+        ).alias("mcc"),
+    )

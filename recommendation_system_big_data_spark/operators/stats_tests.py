@@ -2084,3 +2084,102 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"({chi2}) > 3841").cast("long").alias("srm_flag"),
     )
+
+
+#: TOST equivalence margin: ±5% of the grand mean (relative margins are
+#: the normal pre-registration for value metrics), and the large-sample
+#: z critical value for the two one-sided 5% tests.
+TOST_MARGIN_PCT = 5
+TOST_Z_CRIT = 1.645
+
+_TOST_ORACLE = f"""
+WITH g AS (
+    SELECT
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+        AVG(CASE WHEN event_type = 'click' THEN value END)               AS m_a,
+        VAR_SAMP(CASE WHEN event_type = 'click' THEN value END)          AS v_a,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+        AVG(CASE WHEN event_type = 'purchase' THEN value END)            AS m_b,
+        VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END)       AS v_b,
+        AVG(CASE WHEN event_type IN ('click', 'purchase') THEN value END)
+            AS grand_mean
+    FROM events
+), f AS (
+    SELECT n_a, n_b,
+           m_a - m_b AS diff,
+           SQRT(v_a / n_a + v_b / n_b) AS se,
+           grand_mean * {TOST_MARGIN_PCT} / 100.0 AS margin
+    FROM g
+)
+SELECT n_a, n_b,
+       ROUND(diff, 4) AS mean_diff,
+       ROUND(margin, 4) AS margin,
+       ROUND((diff + margin) / se, 4) AS t_lower,
+       ROUND((diff - margin) / se, 4) AS t_upper,
+       CAST((diff + margin) / se > {TOST_Z_CRIT}
+            AND (diff - margin) / se < -{TOST_Z_CRIT} AS BIGINT)
+           AS equivalent
+FROM f
+"""
+
+
+@register("stat_tost_equivalence", oracle=_TOST_ORACLE, tags=("experiment",))
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) for
+    click vs purchase value: the readout `stat_ttest_welch` CANNOT give
+    you — "the arms are the same" is not the absence of significance
+    (absence of evidence ≠ evidence of absence); equivalence requires
+    BOTH one-sided tests to reject at the pre-registered margin. The
+    margin here is ±5% of the grand mean (the standard relative
+    pre-registration for value metrics) and the critical value is the
+    large-sample z — documented, not hidden, because equivalence claims
+    live and die by these two constants.
+
+    Same single-scan sufficient-statistics fold as the Welch test (one
+    keyless map-side-combined aggregate), with the two t-statistics and
+    the margin exiting through shared double expressions mirrored in the
+    oracle; the `equivalent` flag compares identically-derived doubles
+    against the same literal on both engines, so it cannot knife-edge.
+    ROUND(4) on reported floats is display-only."""
+    ev = load(spark, sf_dir, "events")
+    a = F.when(F.col("event_type") == "click", F.col("value"))
+    b = F.when(F.col("event_type") == "purchase", F.col("value"))
+    both = F.when(
+        F.col("event_type").isin("click", "purchase"), F.col("value")
+    )
+    g = ev.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.avg(a).alias("m_a"),
+        F.var_samp(a).alias("v_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.avg(b).alias("m_b"),
+        F.var_samp(b).alias("v_b"),
+        F.avg(both).alias("grand_mean"),
+    )
+    f = g.select(
+        "n_a",
+        "n_b",
+        (F.col("m_a") - F.col("m_b")).alias("diff"),
+        F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")).alias(
+            "se"
+        ),
+        (F.col("grand_mean") * TOST_MARGIN_PCT / 100.0).alias("margin"),
+    )
+    return f.select(
+        "n_a",
+        "n_b",
+        F.round("diff", 4).alias("mean_diff"),
+        F.round("margin", 4).alias("margin"),
+        F.round((F.col("diff") + F.col("margin")) / F.col("se"), 4).alias(
+            "t_lower"
+        ),
+        F.round((F.col("diff") - F.col("margin")) / F.col("se"), 4).alias(
+            "t_upper"
+        ),
+        (
+            ((F.col("diff") + F.col("margin")) / F.col("se") > TOST_Z_CRIT)
+            & ((F.col("diff") - F.col("margin")) / F.col("se") < -TOST_Z_CRIT)
+        )
+        .cast("long")
+        .alias("equivalent"),
+    )

@@ -1353,3 +1353,73 @@ def test_gi_star_planted_hotspot(spark, tmp_path):
     assert top["cell_col"] in (0, 1, 35)
     assert top["gi_z"] > 2.0
     assert by_nb[(0, 0)]["n_points"] >= 200
+
+
+def test_tost_sequential_reference(spark, sf_dir):
+    """Replay the sufficient-statistics fold and the two one-sided
+    t-statistics; the flag must equal the replayed comparisons."""
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        TOST_MARGIN_PCT,
+        TOST_Z_CRIT,
+        stat_tost_equivalence,
+    )
+
+    va, vb, vboth = [], [], []
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        if r["event_type"] == "click":
+            va.append(r["value"])
+        elif r["event_type"] == "purchase":
+            vb.append(r["value"])
+        if r["event_type"] in ("click", "purchase"):
+            vboth.append(r["value"])
+
+    def var_samp(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    diff = sum(va) / len(va) - sum(vb) / len(vb)
+    se = math.sqrt(var_samp(va) / len(va) + var_samp(vb) / len(vb))
+    margin = (sum(vboth) / len(vboth)) * TOST_MARGIN_PCT / 100.0
+
+    got = stat_tost_equivalence(spark, sf_dir).collect()[0]
+    assert got["n_a"] == len(va) and got["n_b"] == len(vb)
+    assert abs(got["mean_diff"] - diff) < 1e-3
+    assert abs(got["margin"] - margin) < 1e-3
+    assert abs(got["t_lower"] - (diff + margin) / se) < 1e-2
+    assert abs(got["t_upper"] - (diff - margin) / se) < 1e-2
+    assert got["equivalent"] == int(
+        (diff + margin) / se > TOST_Z_CRIT
+        and (diff - margin) / se < -TOST_Z_CRIT
+    )
+
+
+def test_mcc_sequential_reference_and_bounds(spark, sf_dir):
+    """Cell replay + MCC formula replay; MCC in [-1, 1]; degenerate
+    denominator handled by the engines' NULL (planted all-negative)."""
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_mcc,
+    )
+
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    mv = max(r["value"] for r in rows)
+    tp = fp = fn = tn = 0
+    for r in rows:
+        pred = 1 if r["value"] / mv > 0.5 else 0
+        y = 1 if r["event_type"] == "purchase" else 0
+        tp += pred * y
+        fp += pred * (1 - y)
+        fn += (1 - pred) * y
+        tn += (1 - pred) * (1 - y)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    got = ml_eval_mcc(spark, sf_dir).collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert abs(got["mcc"] - mcc) < 1e-6
+    assert -1.0 <= got["mcc"] <= 1.0
