@@ -747,3 +747,105 @@ def olap_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_lines"),
     )
     return branded.unionAll(dust)
+
+
+_LFL_ORACLE = """
+WITH days AS (
+    SELECT o_custkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+), mid AS (
+    SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM days
+), labeled AS (
+    SELECT o_custkey, CAST(day >= mid.m AS BIGINT) AS in_p2, cents
+    FROM days, mid
+), per_cust AS (
+    SELECT o_custkey,
+           SUM(CASE WHEN in_p2 = 0 THEN cents ELSE 0 END) AS rev_p1,
+           SUM(CASE WHEN in_p2 = 1 THEN cents ELSE 0 END) AS rev_p2,
+           MAX(1 - in_p2) AS has_p1, MAX(in_p2) AS has_p2
+    FROM labeled GROUP BY o_custkey
+), seg AS (
+    SELECT CASE WHEN has_p1 = 1 AND has_p2 = 1 THEN 'comparable'
+                WHEN has_p1 = 1 THEN 'churned' ELSE 'new' END AS segment,
+           rev_p1, rev_p2
+    FROM per_cust
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_p1) AS BIGINT) AS rev_p1_cents,
+       CAST(SUM(rev_p2) AS BIGINT) AS rev_p2_cents,
+       CASE WHEN SUM(rev_p1) = 0 THEN NULL
+            WHEN SUM(rev_p2) >= SUM(rev_p1)
+            THEN (SUM(rev_p2) - SUM(rev_p1)) * 1000000 // SUM(rev_p1)
+            ELSE -((SUM(rev_p1) - SUM(rev_p2)) * 1000000 // SUM(rev_p1))
+            END AS growth_micros
+FROM seg GROUP BY segment
+"""
+
+
+@register("olap_like_for_like", oracle=_LFL_ORACLE, tags=("olap",))
+def olap_like_for_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like-for-like (comparable-entity) growth — the retail/SaaS revenue
+    bridge that naive period-over-period totals get wrong: raw growth
+    mixes THREE populations (entities active in both periods, churned,
+    and new), and only the comparable segment's growth says anything
+    about underlying health. The span splits at the integral
+    midpoint of its DAY-NUMBER range (epoch-day arithmetic — integer on
+    both engines) into two periods; each customer classifies as comparable /
+    churned / new by presence flags, and per-segment revenue plus the
+    signed micro-unit growth rate come out exactly (cents convention,
+    sign-split truncating division, NULL growth where the base is zero —
+    the 'new' segment by construction).
+
+    Scale shape: the 1-row midpoint broadcast, one map-side-combined
+    fold of orders to the customer grain, a 3-row segment fold.
+    Skew-free (customer keys are uniform); no window, no join beyond the
+    1-row broadcast."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    days = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        epoch_s("o_orderdate").alias("es"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    ).select("o_custkey", F.expr("es div 86400").alias("day"), "cents")
+    mid = days.agg(F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("m"))
+    labeled = days.crossJoin(F.broadcast(mid)).select(
+        "o_custkey",
+        (F.col("day") >= F.col("m")).cast("long").alias("in_p2"),
+        "cents",
+    )
+    per_cust = labeled.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("in_p2") == 0, F.col("cents")).otherwise(0)).alias(
+            "rev_p1"
+        ),
+        F.sum(F.when(F.col("in_p2") == 1, F.col("cents")).otherwise(0)).alias(
+            "rev_p2"
+        ),
+        F.max(1 - F.col("in_p2")).alias("has_p1"),
+        F.max("in_p2").alias("has_p2"),
+    )
+    seg = per_cust.select(
+        F.when((F.col("has_p1") == 1) & (F.col("has_p2") == 1), "comparable")
+        .when(F.col("has_p1") == 1, "churned")
+        .otherwise("new")
+        .alias("segment"),
+        "rev_p1",
+        "rev_p2",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_p1").cast("long").alias("rev_p1_cents"),
+        F.sum("rev_p2").cast("long").alias("rev_p2_cents"),
+        F.expr(
+            "CASE WHEN SUM(rev_p1) = 0 THEN NULL"
+            " WHEN SUM(rev_p2) >= SUM(rev_p1)"
+            " THEN (SUM(rev_p2) - SUM(rev_p1)) * 1000000 div SUM(rev_p1)"
+            " ELSE -((SUM(rev_p1) - SUM(rev_p2)) * 1000000 div SUM(rev_p1))"
+            " END"
+        )
+        .cast("long")
+        .alias("growth_micros"),
+    )

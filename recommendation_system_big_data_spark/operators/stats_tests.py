@@ -2183,3 +2183,103 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("equivalent"),
     )
+
+
+_HOLM_ORACLE = """
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), cm AS (
+    SELECT e.event_type, MAX(mu.n) AS n,
+           AVG(POW(e.value - mu.m, 2)) AS m2,
+           AVG(POW(e.value - mu.m, 3)) AS m3,
+           AVG(POW(e.value - mu.m, 4)) AS m4
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+), pv AS (
+    SELECT event_type,
+           EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
+                      + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0) AS p
+    FROM cm
+), ranked AS (
+    SELECT event_type, p,
+           CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT) AS rnk,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k
+    FROM pv
+), adjusted AS (
+    SELECT event_type, p, rnk, k,
+           MAX(LEAST((k - rnk + 1) * p, 1.0)) OVER (
+               ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS p_holm
+    FROM ranked
+)
+SELECT event_type,
+       ROUND(p, 6) AS p_raw,
+       CAST(rnk AS BIGINT) AS p_rank,
+       ROUND(p_holm, 6) AS p_holm,
+       CAST(p_holm < 0.05 AS BIGINT) AS reject_05
+FROM adjusted
+"""
+
+
+@register(
+    "stat_holm_bonferroni", oracle=_HOLM_ORACLE, tags=("profile", "experiment")
+)
+def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-down correction over the per-group
+    Jarque–Bera p-values — the multiple-testing discipline the engine's
+    OTHER tests feed into: running k tests at α=0.05 inflates the
+    family-wise error to 1−0.95^k, and Holm (1979) controls it
+    uniformly-more-powerfully than plain Bonferroni with zero extra
+    assumptions. Adjusted p = running MAX over the sorted sequence of
+    (k−rank+1)·p, clamped at 1 — the step-down monotonicity is the part
+    naive implementations drop, and the planted test pins it.
+
+    Reuses stat_jarque_bera's exact-p machinery (χ²(2) survival =
+    exp(−JB/2)); ranking, the cumulative max, and the flags run on the
+    k-row AGGREGATE (k = |event types|), so the only data-sized stages
+    are the two moment folds. Ties in p break on event_type for a
+    deterministic rank on both engines."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("m")
+    cm = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+    )
+    g1 = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    g2 = F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+    pv = cm.select("event_type", F.exp(-jb / 2.0).alias("p"))
+    w_rank = Window.orderBy(F.asc("p"), F.asc("event_type"))
+    ranked = pv.select(
+        "event_type",
+        "p",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("k"),
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adjusted = ranked.withColumn(
+        "p_holm",
+        F.max(
+            F.least((F.col("k") - F.col("rnk") + 1) * F.col("p"), F.lit(1.0))
+        ).over(w_cum),
+    )
+    return adjusted.select(
+        "event_type",
+        F.round("p", 6).alias("p_raw"),
+        F.col("rnk").alias("p_rank"),
+        F.round("p_holm", 6).alias("p_holm"),
+        (F.col("p_holm") < 0.05).cast("long").alias("reject_05"),
+    )

@@ -1423,3 +1423,78 @@ def test_mcc_sequential_reference_and_bounds(spark, sf_dir):
     assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
     assert abs(got["mcc"] - mcc) < 1e-6
     assert -1.0 <= got["mcc"] <= 1.0
+
+
+def test_holm_bonferroni_monotone_and_planted():
+    """Pure-python pin of the step-down property the operator implements:
+    adjusted p's are the running max of (k-rank+1)*p, monotone
+    nondecreasing in rank, clamped at 1."""
+    ps = [0.001, 0.012, 0.012, 0.6, 0.9]
+    k = len(ps)
+    adj, run = [], 0.0
+    for i, p in enumerate(sorted(ps)):
+        run = max(run, min((k - i) * p, 1.0))
+        adj.append(run)
+    assert adj == sorted(adj)
+    # 0.6*2 = 1.2 clamps to 1.0, and the running max HOLDS it at rank 5
+    # even though 0.9*1 = 0.9 alone would be smaller (the step-down
+    # monotonicity naive implementations drop)
+    assert adj == [0.005, 0.048, 0.048, 1.0, 1.0]
+
+
+def test_holm_bonferroni_matches_jb_pvalues(spark, sf_dir):
+    """The operator's raw p's must equal stat_jarque_bera's p column and
+    the adjustment must replay exactly."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_holm_bonferroni,
+        stat_jarque_bera,
+    )
+
+    jb = {
+        r["event_type"]: r["p_chi2_df2"]
+        for r in stat_jarque_bera(spark, sf_dir).collect()
+    }
+    got = sorted(
+        stat_holm_bonferroni(spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    assert {r["event_type"]: r["p_raw"] for r in got} == jb
+    k = len(got)
+    run = 0.0
+    for i, r in enumerate(got):
+        run = max(run, min((k - i) * r["p_raw"], 1.0))
+        assert abs(r["p_holm"] - round(run, 6)) < 2e-6
+        assert r["reject_05"] == int(r["p_holm"] < 0.05)
+
+
+def test_like_for_like_planted_segments(spark, tmp_path):
+    """Planted two-period book: one comparable customer (+50% growth),
+    one churned, one new — exact segment classification and growth."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_like_for_like,
+    )
+
+    d = datetime.datetime
+    spark.createDataFrame(
+        [
+            # comparable: 100.00 in p1, 150.00 in p2
+            (1, 1, "O", 100.00, d(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 150.00, d(2024, 1, 30), "1-URGENT"),
+            # churned: p1 only
+            (3, 2, "O", 40.00, d(2024, 1, 2), "1-URGENT"),
+            # new: p2 only
+            (4, 3, "O", 70.00, d(2024, 1, 29), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r["segment"]: r for r in olap_like_for_like(spark, str(tmp_path)).collect()}
+    assert set(got) == {"comparable", "churned", "new"}
+    c = got["comparable"]
+    assert (c["n_customers"], c["rev_p1_cents"], c["rev_p2_cents"]) == (1, 10000, 15000)
+    assert c["growth_micros"] == 500000
+    assert got["churned"]["growth_micros"] == -1000000
+    assert got["new"]["rev_p1_cents"] == 0 and got["new"]["growth_micros"] is None
