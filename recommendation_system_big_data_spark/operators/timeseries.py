@@ -1412,3 +1412,122 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("power_ratio"),
     )
+
+
+#: Dickey–Fuller 5% critical value (constant-only regression, large n) —
+#: documented rather than hidden: the stationarity flag is exactly
+#: "t < ADF_CRIT_5PCT".
+ADF_CRIT_5PCT = -2.86
+
+_ADF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT y - LAG(y) OVER (ORDER BY day) AS dy,
+           LAG(y) OVER (ORDER BY day) AS ylag
+    FROM daily
+), pairs AS (
+    SELECT CAST(dy AS HUGEINT) AS dy, CAST(ylag AS HUGEINT) AS ylag
+    FROM lagged WHERE dy IS NOT NULL
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ylag) AS BIGINT) AS sx,
+           CAST(SUM(dy) AS BIGINT) AS sy,
+           CAST(SUM(ylag * ylag) AS BIGINT) AS sxx,
+           CAST(SUM(ylag * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dy * dy) AS BIGINT) AS syy
+    FROM pairs
+), c AS (
+    SELECT n,
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+           CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy_c,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c
+    FROM s
+), fit AS (
+    SELECT n, sxy_c / sxx_c AS beta,
+           (syy_c - (sxy_c / sxx_c) * sxy_c) / (n - 2) / sxx_c AS var_b
+    FROM c
+)
+SELECT n AS n_diffs,
+       ROUND(beta, 6) AS beta,
+       CASE WHEN var_b <= 0 THEN NULL
+            ELSE ROUND(beta / SQRT(var_b), 4) END AS df_tstat,
+       CASE WHEN var_b <= 0 THEN 0
+            ELSE CAST(beta / SQRT(var_b) < {ADF_CRIT_5PCT} AS BIGINT)
+            END AS stationary_5pct
+FROM fit
+"""
+
+
+@register("ts_adf_stationarity", oracle=_ADF_ORACLE, tags=("timeseries",))
+def ts_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test on daily event volume — the
+    stationarity GATE the forecasting family assumes: `ts_holt_linear` /
+    `ts_forecast_linear` / ARIMA-style models are only licensed after
+    differencing makes the series stationary, and DF is the test that
+    decides (Δy_t = α + β·y_{t−1} + ε; a unit root means β = 0, and the
+    test statistic t = β̂/se(β̂) is compared against the Dickey–Fuller
+    distribution's critical value, NOT the t-table — the −2.86 constant
+    is documented in ADF_CRIT_5PCT because that substitution is the
+    classic misuse).
+
+    All sufficient statistics are exact integers (daily counts, their
+    lags and diffs over the calendar-bounded day grain — a plain LAG
+    window over ≤ retention-window rows at ANY data volume), centered
+    moments and the t-statistic exit through shared double expressions,
+    and the flag compares identically-derived doubles against the same
+    literal. Scale shape: one map-side-combined fold of the facts to
+    the day grain; everything after is constant-size."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        .groupBy(F.expr("es div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("ylag"),
+    ).where(F.col("dy").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ylag").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(ylag AS DECIMAL(19,0)) * ylag")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(ylag AS DECIMAL(19,0)) * dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(19,0)) * dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    c = s.select(
+        "n",
+        F.expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n").alias("sxx_c"),
+        F.expr("CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n").alias("sxy_c"),
+        F.expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n").alias("syy_c"),
+    )
+    fit = c.select(
+        "n",
+        F.expr("sxy_c / sxx_c").alias("beta"),
+        F.expr("(syy_c - (sxy_c / sxx_c) * sxy_c) / (n - 2) / sxx_c").alias(
+            "var_b"
+        ),
+    )
+    # var_b = 0 (a perfectly deterministic difference series) must not
+    # reach the division: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB
+    # would emit inf — pin ONE semantics (NULL t, flag 0) on both engines.
+    return fit.select(
+        F.col("n").alias("n_diffs"),
+        F.round("beta", 6).alias("beta"),
+        F.expr(
+            "CASE WHEN var_b <= 0 THEN NULL"
+            " ELSE ROUND(beta / SQRT(var_b), 4) END"
+        ).alias("df_tstat"),
+        F.expr(
+            f"CASE WHEN var_b <= 0 THEN 0"
+            f" ELSE CAST(beta / SQRT(var_b) < {ADF_CRIT_5PCT} AS LONG) END"
+        )
+        .cast("long")
+        .alias("stationary_5pct"),
+    )

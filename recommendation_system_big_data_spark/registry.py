@@ -150,7 +150,7 @@ _loaded = False
 #:      stat_srm_check agg_sketch_error_audit (audit rows-only)
 #:      stream_state_store_read scd2_late_arriving geo_hotspot_gi_star
 #:      stat_tost_equivalence ml_eval_mcc
-#:      stat_holm_bonferroni olap_like_for_like
+#:      stat_holm_bonferroni olap_like_for_like ts_adf_stationarity
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg

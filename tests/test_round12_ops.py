@@ -1498,3 +1498,67 @@ def test_like_for_like_planted_segments(spark, tmp_path):
     assert c["growth_micros"] == 500000
     assert got["churned"]["growth_micros"] == -1000000
     assert got["new"]["rev_p1_cents"] == 0 and got["new"]["growth_micros"] is None
+
+
+def test_adf_planted_series(spark, tmp_path):
+    """A strongly mean-reverting planted series (white noise around a
+    constant level) must reject the unit root (stationary flag 1); a
+    pure random-walk-like trending series must not. Plus a sequential
+    replay of the OLS algebra on the fixture grain."""
+    import datetime
+    import math
+    import random
+
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_adf_stationarity,
+    )
+
+    def write_series(path, counts):
+        t0 = datetime.datetime(2024, 1, 1)
+        evs, eid = [], 0
+        for d, c in enumerate(counts):
+            for j in range(c):
+                evs.append(
+                    (eid, t0 + datetime.timedelta(days=d, seconds=j), eid,
+                     "click", 1.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            evs,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(str(path / "events.parquet"))
+
+    rng = random.Random(5)
+    noise = [50 + rng.randrange(-20, 21) for _ in range(40)]
+    p1 = tmp_path / "stationary"
+    p1.mkdir()
+    write_series(p1, noise)
+    r1 = ts_adf_stationarity(spark, str(p1)).collect()[0]
+    assert r1["stationary_5pct"] == 1
+    assert r1["df_tstat"] < -2.86
+
+    trend = [10 + 5 * d for d in range(40)]  # deterministic trend: no
+    p2 = tmp_path / "trending"               # mean reversion in levels
+    p2.mkdir()
+    write_series(p2, trend)
+    r2 = ts_adf_stationarity(spark, str(p2)).collect()[0]
+    assert r2["stationary_5pct"] == 0
+
+    # sequential replay on the planted stationary series
+    ys = noise
+    pairs = [(ys[i] - ys[i - 1], ys[i - 1]) for i in range(1, len(ys))]
+    n = len(pairs)
+    sx = sum(x for _, x in pairs)
+    sy = sum(d for d, _ in pairs)
+    sxx = sum(x * x for _, x in pairs)
+    sxy = sum(d * x for d, x in pairs)
+    syy = sum(d * d for d, _ in pairs)
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    beta = sxy_c / sxx_c
+    var_b = (syy_c - beta * sxy_c) / (n - 2) / sxx_c
+    assert r1["n_diffs"] == n
+    assert abs(r1["beta"] - beta) < 1e-5
+    assert abs(r1["df_tstat"] - beta / math.sqrt(var_b)) < 1e-3
