@@ -2919,7 +2919,8 @@ WITH mx AS (
     SELECT q_rate_nanos AS endpoint_nanos
     FROM rated WHERE nt + nc = n
 )
-SELECT area.n_treat, area.n_ctrl, endp.endpoint_nanos,
+SELECT area.n_treat, area.n_ctrl,
+       CAST(endp.endpoint_nanos AS BIGINT) AS endpoint_nanos,
        CAST(CASE WHEN area.area_raw < 0
                  THEN -((-area.area_raw) // area.n)
                  ELSE area.area_raw // area.n END AS BIGINT) AS auuc_nanos,

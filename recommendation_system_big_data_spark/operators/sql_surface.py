@@ -721,11 +721,11 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_UDF_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(
+       CAST(CAST(SUM(CAST(
            CAST(l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l_discount AS DECIMAL(18,2)))
            * (1 + CAST(l_tax AS DECIMAL(18,2)))
-       AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS net_revenue,
+       AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS net_revenue,
        CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
                           AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS holdout_items
@@ -777,11 +777,11 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT l_returnflag,
                COUNT(*) AS n_items,
-               CAST(SUM(net_price(
+               CAST(CAST(SUM(net_price(
                    CAST(l_extendedprice AS DECIMAL(18,2)),
                    CAST(l_discount AS DECIMAL(18,2)),
                    CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(28,6))
-                   AS net_revenue,
+                   AS DOUBLE) AS net_revenue,
                SUM(CASE WHEN is_holdout(l_orderkey) THEN 1 ELSE 0 END)
                    AS holdout_items
         FROM {v}

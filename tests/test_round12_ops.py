@@ -816,6 +816,7 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
                 )
             )
             .cast("decimal(28,6)")
+            .cast("double")
             .alias("net_revenue"),
             F.sum(
                 F.expr(
