@@ -849,3 +849,88 @@ def olap_like_for_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_micros"),
     )
+
+
+_ELASTICITY_ORACLE = """
+WITH pts AS (
+    SELECT p.p_brand AS brand,
+           LN(l.l_extendedprice / l.l_quantity) AS x,
+           LN(l.l_quantity) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+), s AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pts GROUP BY brand
+), c AS (
+    SELECT brand, n,
+           sxy - sx * sy / n AS sxy_c,
+           sxx - sx * sx / n AS sxx_c,
+           syy - sy * sy / n AS syy_c
+    FROM s
+)
+SELECT brand, n AS n_lines,
+       ROUND(sxy_c / sxx_c, 4) AS elasticity,
+       ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) AS r2
+FROM c
+"""
+
+
+@register("olap_price_elasticity", oracle=_ELASTICITY_ORACLE, tags=("olap",))
+def olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand own-price elasticity of demand — the log-log regression
+    slope d ln(q)/d ln(p) over line items (unit price = extended/qty),
+    with R² attached so a flat-price brand's meaningless slope is
+    visibly unidentified rather than silently reported. Elasticity is
+    THE pricing-analytics readout (a slope < −1 means revenue falls when
+    price rises); the log-log form makes the coefficient directly
+    interpretable as %Δq per %Δp, which a raw-units regression
+    (`agg_regression_stats`) does not.
+
+    One fact⋈dim equi-join, one map-side-combined fold to per-brand
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), centered-moment
+    algebra on the |brands|-row aggregate. ROUND(4) absorbs hash-agg
+    summation order on the double folds — the agg_regression_stats
+    budget; LN arguments are identical positive doubles on both engines.
+
+    Honest caveat in-row: the fixture's prices are not experimentally
+    varied, so the slope here is an observational association; the query
+    is the machinery, the identification strategy is the analyst's."""
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            load(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"),
+                F.col("p_brand").alias("brand"),
+            ),
+            "l_partkey",
+        )
+        .select(
+            "brand",
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+            F.log("l_quantity").alias("y"),
+        )
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c = s.select(
+        "brand",
+        "n",
+        F.expr("sxy - sx * sy / n").alias("sxy_c"),
+        F.expr("sxx - sx * sx / n").alias("sxx_c"),
+        F.expr("syy - sy * sy / n").alias("syy_c"),
+    )
+    return c.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.round(F.expr("sxy_c / sxx_c"), 4).alias("elasticity"),
+        F.round(F.expr("sxy_c * sxy_c / (sxx_c * syy_c)"), 4).alias("r2"),
+    )

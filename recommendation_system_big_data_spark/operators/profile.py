@@ -2247,3 +2247,71 @@ def agg_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         err("hll_default").alias("err_default_micros"),
         err("hll_rsd01").alias("err_rsd01_micros"),
     )
+
+
+@register("agg_hll_intersection_audit", oracle=None, tags=("profile", "audit"))
+def agg_hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set-INTERSECTION estimation audited against the exact
+    answer: |A∩B| via inclusion–exclusion over HLL sketches
+    (est(A) + est(B) − est(A∪B), the only intersection HLL supports —
+    sketch union is lossless, sketch intersection does not exist) for
+    the click vs purchase user sets, beside the exact three-way distinct
+    counts. The audit matters because inclusion–exclusion COMPOUNDS the
+    sketch error: three ±RSD estimates difference into the (often much
+    smaller) intersection, so the relative error on |A∩B| can be many
+    times the per-sketch RSD — exactly the number an operator needs
+    before replacing an exact overlap join (`agg_bitmap_intersection`
+    is the exact mergeable alternative when keys are dense integers).
+
+    ⊘ rows-only (engines' HLL implementations differ by design); the
+    pytest replays the inclusion–exclusion identity on the engine's own
+    estimates and bounds the audited error. Deterministic: Spark's
+    HLL++ is seedless, so the row is stable across runs/layouts.
+
+    Scale: sketches are tiny mergeable state (one pass, map-side
+    combine); the exact branch costs the usual distinct shuffles and is
+    precisely what you run this audit to justify deleting."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    ab = ev.where(F.col("event_type").isin("click", "purchase"))
+    exact = (
+        a.agg(F.countDistinct("user_id").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("exact_b")))
+        .crossJoin(ab.agg(F.countDistinct("user_id").alias("exact_union")))
+    )
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk_a"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk_b")))
+        .select(
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias(
+                "est_union"
+            ),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .select(
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_inter"),
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+        )
+        .withColumn(
+            "err_micros",
+            F.expr(
+                "CASE WHEN exact_inter = 0 THEN NULL"
+                " WHEN est_inter < exact_inter"
+                " THEN -((exact_inter - est_inter) * 1000000 div exact_inter)"
+                " ELSE (est_inter - exact_inter) * 1000000 div exact_inter END"
+            ).cast("long"),
+        )
+    )

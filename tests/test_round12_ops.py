@@ -1563,3 +1563,66 @@ def test_adf_planted_series(spark, tmp_path):
     assert r1["n_diffs"] == n
     assert abs(r1["beta"] - beta) < 1e-5
     assert abs(r1["df_tstat"] - beta / math.sqrt(var_b)) < 1e-3
+
+
+def test_price_elasticity_planted_slope(spark, tmp_path):
+    """A planted exact power law q = c·p^(-2) must recover elasticity
+    -2.0 with r2 = 1; a flat-price brand reports an unidentified
+    (NULL-div or degenerate) slope we never mistake for signal."""
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_price_elasticity,
+    )
+
+    lines = []
+    lid = 0
+    # brand A: unit price p in {1, 2, 4, 8}, qty = 64 / p^2 exactly
+    for p, q in [(1.0, 64.0), (2.0, 16.0), (4.0, 4.0), (8.0, 1.0)]:
+        lines.append((lid, 1, 1, 1, q, p * q, 0.0, 0.0, "N", "O", None))
+        lid += 1
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "pa", "BrandA", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = olap_price_elasticity(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_lines"] == 4
+    assert abs(r["elasticity"] - (-2.0)) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_hll_intersection_audit_identities(spark, sf_dir):
+    """exact_inter must equal the true overlap; est_inter must equal the
+    engine's own inclusion-exclusion on its estimates; the audited error
+    stays inside a loose compounded-RSD bound on the fixture."""
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.profile import (
+        agg_hll_intersection_audit,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    a = {r["user_id"] for r in ev.where("event_type = 'click'")
+         .select("user_id").distinct().collect()}
+    b = {r["user_id"] for r in ev.where("event_type = 'purchase'")
+         .select("user_id").distinct().collect()}
+    got = agg_hll_intersection_audit(spark, sf_dir).collect()[0]
+    assert got["exact_a"] == len(a) and got["exact_b"] == len(b)
+    assert got["exact_inter"] == len(a & b)
+    inter = got["exact_inter"]
+    if inter:
+        d = got["est_inter"] - inter
+        want = ((d * 1000000) // inter if d >= 0
+                else -((-d * 1000000) // inter))
+        assert got["err_micros"] == want
+        # lgConfigK=14 → RSD ~0.8%; inclusion-exclusion compounds ~3x the
+        # union size over the intersection — stay inside a loose 20%
+        assert abs(got["err_micros"]) < 200000
