@@ -1531,3 +1531,132 @@ def ts_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stationary_5pct"),
     )
+
+
+_ITS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), rel AS (
+    SELECT day - (SELECT MIN(day) FROM daily) AS t, y FROM daily
+), cut AS (
+    SELECT (MAX(t) + 1 + 1) // 2 AS t0 FROM rel
+), seg AS (
+    SELECT CAST(t >= cut.t0 AS BIGINT) AS post,
+           CAST(t AS HUGEINT) AS t, CAST(y AS HUGEINT) AS y, cut.t0
+    FROM rel, cut
+), s AS (
+    SELECT post, MAX(t0) AS t0, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(t * y) AS BIGINT) AS sxy,
+           CAST(SUM(t * t) AS BIGINT) AS sxx
+    FROM seg GROUP BY post
+), fit AS (
+    SELECT post, t0, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sx) / n AS intercept
+    FROM s
+)
+SELECT pre.n AS n_pre, post.n AS n_post,
+       CAST(pre.t0 AS BIGINT) AS t0,
+       ROUND(pre.slope, 4) AS pre_slope,
+       ROUND(post.slope, 4) AS post_slope,
+       ROUND(post.slope - pre.slope, 4) AS slope_change,
+       ROUND((post.intercept + post.slope * pre.t0)
+             - (pre.intercept + pre.slope * pre.t0), 4) AS level_change
+FROM (SELECT * FROM fit WHERE post = 0) pre,
+     (SELECT * FROM fit WHERE post = 1) post
+"""
+
+
+@register("ts_interrupted_series", oracle=_ITS_ORACLE, tags=("timeseries",))
+def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (ITS) segmented regression — the causal
+    readout for a deploy/policy change WITHOUT a control group (the
+    time-series sibling of `ml_diff_in_diff`, which needs one): fit OLS
+    trend lines to daily volume before and after the intervention point
+    and report the LEVEL change (the jump between the two fitted lines
+    evaluated at the cut — the immediate effect) and the SLOPE change
+    (the trend break — the sustained effect). Segmented regression with
+    both terms is the standard ITS form (Wagner et al. 2002); fitting
+    the segments separately is algebraically the same saturated model.
+
+    The intervention point here is the span's integral midpoint (the
+    fixture has no deploy log; in production pass the known date). Both
+    segments' sufficient statistics are exact integers over the
+    calendar-bounded day grain (one map-side-combined fold of the facts,
+    then a 2-row fold), and the fitted lines exit through shared double
+    expressions, ROUND(4). The planted test recovers an exact
+    jump-plus-trend-break construction to the fourth decimal."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        .groupBy(F.expr("es div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    dmin = daily.agg(F.min("day").alias("d0"))
+    rel = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("day") - F.col("d0")).alias("t"), "y"
+    )
+    cut = rel.agg(F.expr("(MAX(t) + 1 + 1) div 2").alias("t0"))
+    seg = rel.crossJoin(F.broadcast(cut)).select(
+        (F.col("t") >= F.col("t0")).cast("long").alias("post"),
+        "t",
+        "y",
+        "t0",
+    )
+    s = seg.groupBy("post").agg(
+        F.max("t0").alias("t0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(19,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(19,0)) * t")).cast("decimal(38,0)").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    )
+    fit = s.select(
+        "post",
+        "t0",
+        "n",
+        F.expr(slope).alias("slope"),
+        F.expr(f"(CAST(sy AS DOUBLE) - ({slope}) * sx) / n").alias(
+            "intercept"
+        ),
+    )
+    pre = fit.where("post = 0").select(
+        F.col("n").alias("n_pre"),
+        F.col("t0").cast("long").alias("t0"),
+        F.col("slope").alias("pre_slope"),
+        F.col("intercept").alias("pre_intercept"),
+    )
+    post = fit.where("post = 1").select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("post_slope"),
+        F.col("intercept").alias("post_intercept"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_pre",
+        "n_post",
+        "t0",
+        F.round("pre_slope", 4).alias("pre_slope"),
+        F.round("post_slope", 4).alias("post_slope"),
+        F.round(F.col("post_slope") - F.col("pre_slope"), 4).alias(
+            "slope_change"
+        ),
+        F.round(
+            (F.col("post_intercept") + F.col("post_slope") * F.col("t0"))
+            - (F.col("pre_intercept") + F.col("pre_slope") * F.col("t0")),
+            4,
+        ).alias("level_change"),
+    )

@@ -1626,3 +1626,41 @@ def test_hll_intersection_audit_identities(spark, sf_dir):
         # lgConfigK=14 → RSD ~0.8%; inclusion-exclusion compounds ~3x the
         # union size over the intersection — stay inside a loose 20%
         assert abs(got["err_micros"]) < 200000
+
+
+def test_its_planted_jump_and_trend_break(spark, tmp_path):
+    """Planted exact construction: pre = 50 + 1*t, post = 90 + 3*t
+    (evaluated at the cut: level jump = 40, slope change = +2). The
+    segmented fit must recover all four numbers to the round budget."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_interrupted_series,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs, eid = [], 0
+    n_days = 40
+    cut = (n_days + 1) // 2  # the operator's integral midpoint, t0 = 20
+    for t in range(n_days):
+        cnt = 50 + 1 * t if t < cut else 90 + 3 * t
+        for j in range(cnt):
+            evs.append(
+                (eid, t0 + datetime.timedelta(days=t, seconds=j), eid,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(2).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = ts_interrupted_series(spark, str(tmp_path)).collect()[0]
+    assert (r["n_pre"], r["n_post"], r["t0"]) == (cut, n_days - cut, cut)
+    assert abs(r["pre_slope"] - 1.0) < 1e-6
+    assert abs(r["post_slope"] - 3.0) < 1e-6
+    assert abs(r["slope_change"] - 2.0) < 1e-6
+    # level change at t0: (90 + 3*20) - (50 + 1*20) = 80... evaluated on
+    # the FITTED lines, which reproduce the construction exactly
+    assert abs(r["level_change"] - 80.0) < 1e-6
