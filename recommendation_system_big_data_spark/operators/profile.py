@@ -2315,3 +2315,58 @@ def agg_hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+@register("agg_quantile_sketch_audit", oracle=None, tags=("profile", "audit"))
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch error audit — the third leg of the approximate-
+    aggregate pricing family (HLL distinct → `agg_sketch_error_audit`,
+    HLL intersection → `agg_hll_intersection_audit`, quantiles → here):
+    `approx_percentile` at accuracy 1,000 and 10,000 against the exact
+    interpolated percentile for p50/p90/p99 of event value, each error
+    in signed micro-units of the exact value. The GK-sketch guarantee is
+    RANK error ≤ 1/accuracy, which maps to VALUE error through the local
+    density — exactly why an operator must measure on their own
+    distribution before swapping the exact full-sort percentile
+    (`agg_summary`'s bounded-state CDF) for the one-pass mergeable
+    sketch at 100 TB.
+
+    ⊘ rows-only by design (DuckDB has no GK sketch to mirror); Spark's
+    approx_percentile is deterministic for a fixed dataset, and the
+    pytest pins the identities plus the rank-error-implied value bound
+    at the fixture's density. One scan computes the exact and both
+    sketch columns in a single aggregate."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("a1k"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("a10k"),
+    )
+    p = F.array(F.lit(50), F.lit(90), F.lit(99))
+    rows = s.select(
+        F.posexplode(
+            F.arrays_zip(p.alias("pct"), "exact", "a1k", "a10k")
+        ).alias("i", "z")
+    ).select(
+        F.col("z.pct").cast("long").alias("percentile"),
+        F.round(F.col("z.exact"), 6).alias("exact_value"),
+        F.round(F.col("z.a1k"), 6).alias("approx_acc1k"),
+        F.round(F.col("z.a10k"), 6).alias("approx_acc10k"),
+        F.expr(
+            "CAST(CASE WHEN z.a1k >= z.exact"
+            " THEN FLOOR((z.a1k - z.exact) / z.exact * 1000000)"
+            " ELSE -FLOOR((z.exact - z.a1k) / z.exact * 1000000) END"
+            " AS LONG)"
+        ).alias("err_acc1k_micros"),
+        F.expr(
+            "CAST(CASE WHEN z.a10k >= z.exact"
+            " THEN FLOOR((z.a10k - z.exact) / z.exact * 1000000)"
+            " ELSE -FLOOR((z.exact - z.a10k) / z.exact * 1000000) END"
+            " AS LONG)"
+        ).alias("err_acc10k_micros"),
+    )
+    return rows

@@ -2283,3 +2283,94 @@ def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_holm", 6).alias("p_holm"),
         (F.col("p_holm") < 0.05).cast("long").alias("reject_05"),
     )
+
+
+_OVERDISP_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily GROUP BY event_type
+), f AS (
+    SELECT event_type, n_days, sy,
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)
+               / (n_days - 1) AS var_s,
+           CAST(sy AS DOUBLE) / n_days AS mean_s
+    FROM s
+)
+SELECT event_type, n_days,
+       ROUND(mean_s, 4) AS mean_daily,
+       ROUND(var_s, 4) AS var_daily,
+       ROUND(var_s / mean_s, 4) AS dispersion_index,
+       ROUND((n_days - 1) * var_s / mean_s, 4) AS poisson_gof_chi2,
+       CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))
+            AS BIGINT) AS overdispersed
+FROM f
+"""
+
+
+@register(
+    "stat_overdispersion_index",
+    oracle=_OVERDISP_ORACLE,
+    tags=("profile", "timeseries"),
+)
+def stat_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic for daily event counts per type — the
+    gate that decides whether a Poisson model is even admissible: under
+    Poisson, Var = Mean, so the dispersion index Var/Mean ≈ 1 and
+    (n−1)·Var/Mean is χ²(n−1) (the classical Poisson goodness-of-fit /
+    Fisher dispersion test). Real traffic is almost always
+    overdispersed (bursts, weekly cycles, mixtures), which is why count
+    models default to negative binomial — but "almost always" is
+    exactly the claim this query measures instead of assumes. The flag
+    uses the two-sigma normal approximation of the index under H₀
+    (sd ≈ √(2/(n−1))), stated in the expression rather than hidden.
+
+    Counts are exact integers over the (type × day) grain (one
+    map-side-combined fold), the index and GOF statistic exit through
+    shared double expressions, and the flag compares identically-derived
+    doubles. Constant-size after the first reduce."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", epoch_s("ts").alias("es"))
+        .groupBy("event_type", F.expr("es div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    f = s.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)"
+            " / (n_days - 1)"
+        ).alias("var_s"),
+        F.expr("CAST(sy AS DOUBLE) / n_days").alias("mean_s"),
+    )
+    return f.select(
+        "event_type",
+        "n_days",
+        F.round("mean_s", 4).alias("mean_daily"),
+        F.round("var_s", 4).alias("var_daily"),
+        F.round(F.expr("var_s / mean_s"), 4).alias("dispersion_index"),
+        F.round(F.expr("(n_days - 1) * var_s / mean_s"), 4).alias(
+            "poisson_gof_chi2"
+        ),
+        F.expr(
+            "CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))"
+            " AS LONG)"
+        ).alias("overdispersed"),
+    )

@@ -152,7 +152,8 @@ _loaded = False
 #:      stat_tost_equivalence ml_eval_mcc
 #:      stat_holm_bonferroni olap_like_for_like ts_adf_stationarity
 #:      olap_price_elasticity agg_hll_intersection_audit (rows-only)
-#:      ts_interrupted_series
+#:      ts_interrupted_series stat_overdispersion_index
+#:      agg_quantile_sketch_audit (rows-only)
 #: 2. the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files
 #:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg

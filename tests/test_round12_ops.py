@@ -1664,3 +1664,70 @@ def test_its_planted_jump_and_trend_break(spark, tmp_path):
     # level change at t0: (90 + 3*20) - (50 + 1*20) = 80... evaluated on
     # the FITTED lines, which reproduce the construction exactly
     assert abs(r["level_change"] - 80.0) < 1e-6
+
+
+def test_overdispersion_planted_poisson_vs_bursty(spark, tmp_path):
+    """A constant-rate series sits at index ~<= 1+2sigma (flag 0); a
+    planted bursty mixture (alternating 10/200 per day) must flag."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_overdispersion_index,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs, eid = [], 0
+    for d in range(30):
+        for j in range(50):  # constant 50/day: index == 0 < threshold
+            evs.append((eid, t0 + datetime.timedelta(days=d, seconds=j),
+                        eid, "click", 1.0, "{}"))
+            eid += 1
+        for j in range(10 if d % 2 == 0 else 200):  # bursty
+            evs.append((eid, t0 + datetime.timedelta(days=d, seconds=3000 + j),
+                        eid, "purchase", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(2).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["event_type"]: r for r in
+           stat_overdispersion_index(spark, str(tmp_path)).collect()}
+    assert got["click"]["overdispersed"] == 0
+    assert got["click"]["dispersion_index"] == 0.0
+    assert got["purchase"]["overdispersed"] == 1
+    assert got["purchase"]["dispersion_index"] > 50
+
+
+def test_quantile_sketch_audit_identities(spark, sf_dir):
+    """Exact column must match the engine's own percentile(); higher
+    accuracy must not be worse on rank-error bound terms; errors equal
+    their integer definitions."""
+    import math
+
+    from recommendation_system_big_data_spark.catalog import load
+    from recommendation_system_big_data_spark.operators.profile import (
+        agg_quantile_sketch_audit,
+    )
+
+    exact = (
+        load(spark, sf_dir, "events")
+        .selectExpr("percentile(value, array(0.5, 0.9, 0.99)) AS e")
+        .collect()[0]["e"]
+    )
+    got = {r["percentile"]: r for r in
+           agg_quantile_sketch_audit(spark, sf_dir).collect()}
+    assert sorted(got) == [50, 90, 99]
+    for pct, ex in zip([50, 90, 99], exact):
+        r = got[pct]
+        assert abs(r["exact_value"] - ex) < 1e-6
+        for acc_col, err_col in [("approx_acc1k", "err_acc1k_micros"),
+                                 ("approx_acc10k", "err_acc10k_micros")]:
+            d = r[acc_col] - r["exact_value"]
+            want = (math.floor(d / r["exact_value"] * 1000000) if d >= 0
+                    else -math.floor(-d / r["exact_value"] * 1000000))
+            assert abs(r[err_col] - want) <= 1, (pct, acc_col)
+        # acc=10k rank error <= 1e-4: on ~10k rows that is ~1 rank — the
+        # value error must be tiny relative to acc=1k's bound
+        assert abs(r["err_acc10k_micros"]) <= 105000
