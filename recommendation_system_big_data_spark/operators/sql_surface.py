@@ -788,3 +788,92 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+_BOM_ORACLE = """
+WITH RECURSIVE bom AS (
+    SELECT p_partkey AS child,
+           p_partkey // 10 AS parent,
+           1 + p_partkey % 3 AS qty_per,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cost_cents
+    FROM part WHERE p_partkey >= 10
+), roots AS (
+    SELECT p_partkey AS root,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cost_cents
+    FROM part WHERE p_partkey < 10
+), paths(root, node, mult) AS (
+    SELECT root, root, CAST(1 AS BIGINT) FROM roots
+    UNION ALL
+    SELECT p.root, b.child, p.mult * b.qty_per
+    FROM paths p JOIN bom b ON b.parent = p.node
+), costed AS (
+    SELECT p.root, p.mult * b.cost_cents AS ext_cents
+    FROM paths p JOIN bom b ON b.child = p.node
+    UNION ALL
+    SELECT r.root, r.cost_cents FROM roots r
+)
+SELECT root AS root_part,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(CAST(ext_cents AS HUGEINT)) AS BIGINT)
+           AS rolled_cost_cents
+FROM costed GROUP BY root
+"""
+
+
+@register(
+    "sql_recursive_bom_rollup", oracle=_BOM_ORACLE, tags=("sql", "graph")
+)
+def sql_recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials cost rollup via a recursive CTE — the WEIGHTED
+    transitive closure `sql_recursive_reachability` doesn't exercise:
+    each parts-explosion path multiplies its per-level quantities, and a
+    root's rolled-up cost is Σ over its subtree of (path quantity
+    product) × component cost — the manufacturing/finance query that
+    motivated recursive SQL in the first place (parts explosion,
+    Codd's classic). The hierarchy is synthesized deterministically from
+    part keys (parent = key div 10, so depth is logarithmic and BOTH
+    engines build the identical DAG-free tree; qty_per = 1 + key mod 3),
+    and every multiplier and cost stays in exact integer cents — path
+    products are bounded by 3^depth ≈ 3^5, so nothing approaches long
+    range even at 100× part count.
+
+    Spark 4 runs the same recursive-CTE text through spark.sql; the
+    recursion depth is data-logarithmic (≤ ⌈log₁₀ max_key⌉), each
+    iteration is one equi-join on the parent key — the same per-level
+    shuffle family an iterative DataFrame loop would produce, but
+    planned as ONE statement with no driver-side looping."""
+    v = _view(spark, sf_dir, "part")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bom AS (
+            SELECT p_partkey AS child,
+                   p_partkey div 10 AS parent,
+                   1 + p_partkey % 3 AS qty_per,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cost_cents
+            FROM {v} WHERE p_partkey >= 10
+        ), roots AS (
+            SELECT p_partkey AS root,
+                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cost_cents
+            FROM {v} WHERE p_partkey < 10
+        ), paths AS (
+            SELECT root, root AS node, CAST(1 AS BIGINT) AS mult FROM roots
+            UNION ALL
+            SELECT p.root, b.child AS node, p.mult * b.qty_per AS mult
+            FROM paths p JOIN bom b ON b.parent = p.node
+        ), costed AS (
+            SELECT p.root, p.mult * b.cost_cents AS ext_cents
+            FROM paths p JOIN bom b ON b.child = p.node
+            UNION ALL
+            SELECT r.root, r.cost_cents AS ext_cents FROM roots r
+        )
+        SELECT root AS root_part,
+               COUNT(*) AS n_components,
+               CAST(SUM(CAST(ext_cents AS DECIMAL(30,0))) AS BIGINT)
+                   AS rolled_cost_cents
+        FROM costed GROUP BY root
+        """
+    )

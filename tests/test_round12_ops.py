@@ -1731,3 +1731,27 @@ def test_quantile_sketch_audit_identities(spark, sf_dir):
         # acc=10k rank error <= 1e-4: on ~10k rows that is ~1 rank — the
         # value error must be tiny relative to acc=1k's bound
         assert abs(r["err_acc10k_micros"]) <= 105000
+
+
+def test_bom_rollup_planted_tree(spark, tmp_path):
+    """Planted 3-level tree: root 1 -> children 10 (qty 2), 11 (qty 3);
+    10 -> 100 (qty 2). Rolled cost = 100 + 2*200 + 3*300 + (2*2)*500 =
+    3400 cents over 4 components."""
+    from recommendation_system_big_data_spark.operators.sql_surface import (
+        sql_recursive_bom_rollup,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "root", "B", "t", 1, 1.00),
+            (10, "sub-a", "B", "t", 1, 2.00),
+            (11, "sub-b", "B", "t", 1, 3.00),
+            (100, "leaf", "B", "t", 1, 5.00),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+
+    got = {r["root_part"]: (r["n_components"], r["rolled_cost_cents"])
+           for r in sql_recursive_bom_rollup(spark, str(tmp_path)).collect()}
+    assert got == {1: (4, 3400)}
