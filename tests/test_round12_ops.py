@@ -1755,3 +1755,28 @@ def test_bom_rollup_planted_tree(spark, tmp_path):
     got = {r["root_part"]: (r["n_components"], r["rolled_cost_cents"])
            for r in sql_recursive_bom_rollup(spark, str(tmp_path)).collect()}
     assert got == {1: (4, 3400)}
+
+
+def test_compressed_roundtrip_codecs_engage(spark, sf_dir):
+    """The written files must actually carry each codec (extension
+    check), and the query's cross-codec agreement gate must pass."""
+    import glob
+    import os
+
+    from recommendation_system_big_data_spark.sources.sinks import (
+        _sink_dir,
+        sink_compressed_roundtrip,
+    )
+
+    rows = sink_compressed_roundtrip(spark, sf_dir).collect()
+    assert len(rows) > 0
+    csv_files = glob.glob(os.path.join(_sink_dir(sf_dir, "csvgz"), "*.csv.gz"))
+    assert csv_files, "gzip codec did not engage on the CSV sink"
+    zstd_files = glob.glob(
+        os.path.join(_sink_dir(sf_dir, "pqzstd"), "*.zstd.parquet")
+    )
+    assert zstd_files, "zstd codec did not engage on the parquet sink"
+    snappy_files = glob.glob(
+        os.path.join(_sink_dir(sf_dir, "pqsnappy"), "*.snappy.parquet")
+    )
+    assert snappy_files, "snappy codec did not engage on the parquet sink"
