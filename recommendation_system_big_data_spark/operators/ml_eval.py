@@ -3063,11 +3063,14 @@ WITH mx AS (
     FROM scored
 )
 SELECT tp, fp, fn, tn,
-       ROUND(
+       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+                 OR tn + fn = 0
+            THEN NULL
+            ELSE ROUND(
            (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
            / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
                   * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)),
-           6) AS mcc
+           6) END AS mcc
 FROM cm
 """
 
@@ -3105,18 +3108,21 @@ def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("pred")) * F.col("y")).cast("long").alias("fn"),
         F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("long").alias("tn"),
     )
+    # any zero marginal (e.g. the threshold never fires on a constant-
+    # value corpus) leaves MCC undefined — NULL on both engines (the
+    # ANSI degenerate class). Guarded as OR-of-zeros, NOT a product:
+    # the n^4 BIGINT product itself overflows loudly near n = 55k.
     return cm.select(
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round(
-            F.expr(
-                "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
-                " / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)"
-                "        * (CAST(tn AS DOUBLE) + fp)"
-                "        * (CAST(tn AS DOUBLE) + fn))"
-            ),
-            6,
+        F.expr(
+            "CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0"
+            " OR tn + fn = 0 THEN NULL ELSE ROUND("
+            "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+            " / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)"
+            "        * (CAST(tn AS DOUBLE) + fp)"
+            "        * (CAST(tn AS DOUBLE) + fn)), 6) END"
         ).alias("mcc"),
     )

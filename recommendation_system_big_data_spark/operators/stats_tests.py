@@ -43,12 +43,15 @@ SELECT
     ROUND(m_b, 4) AS mean_b,
     ROUND(m_a - m_b, 4) AS mean_diff,
     ROUND(SQRT(v_a / n_a + v_b / n_b), 4) AS std_err,
-    ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 4) AS t_stat,
-    ROUND(
+    CASE WHEN v_a / n_a + v_b / n_b = 0 THEN NULL
+         ELSE ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 4)
+         END AS t_stat,
+    CASE WHEN v_a / n_a + v_b / n_b = 0 THEN NULL
+         ELSE ROUND(
         POW(v_a / n_a + v_b / n_b, 2)
         / (POW(v_a / n_a, 2) / (n_a - 1) + POW(v_b / n_b, 2) / (n_b - 1)),
         2
-    ) AS welch_dof
+    ) END AS welch_dof
 FROM g
 """
 
@@ -89,6 +92,10 @@ def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
         + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
     )
+    # se2 = 0 (a constant-value corpus) must not reach the division:
+    # ANSI Spark raises DIVIDE_BY_ZERO where DuckDB infs/NaNs — pin ONE
+    # semantics (NULL statistic) on both engines. Same degenerate class
+    # as the ADF var=0 guard and the stump-hist zero-range fix.
     return g.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -96,8 +103,14 @@ def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_b", 4).alias("mean_b"),
         F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
         F.round(F.sqrt(se2), 4).alias("std_err"),
-        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(dof, 2).alias("welch_dof"),
+        F.when(
+            se2 == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4)
+        ).alias("t_stat"),
+        F.when(se2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dof, 2))
+        .alias("welch_dof"),
     )
 
 
@@ -127,7 +140,11 @@ WITH v AS (
 SELECT
     n_a, n_b,
     ROUND((rank_sum2_a - n_a * (n_a + 1)) / 2.0, 1) AS u_stat,
-    ROUND(
+    CASE WHEN n_a * n_b / 12.0 * (
+                (n_a + n_b + 1)
+                - tie_term / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))
+            ) <= 0 THEN NULL
+    ELSE ROUND(
         ((rank_sum2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
         / SQRT(
             n_a * n_b / 12.0 * (
@@ -136,7 +153,7 @@ SELECT
             )
         ),
         4
-    ) AS z_stat
+    ) END AS z_stat
 FROM s
 """
 
@@ -193,13 +210,19 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 12.0
         * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
     )
+    # var_u = 0 (every observation tied on one value) must not reach the
+    # division — NULL z on both engines (the ANSI degenerate class).
     return s.select(
         "n_a",
         "n_b",
         F.round(u, 1).alias("u_stat"),
-        F.round(
-            (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var_u), 4
-        ).alias("z_stat"),
+        F.when(var_u <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var_u), 4
+            )
+        )
+        .alias("z_stat"),
     )
 
 
@@ -1629,10 +1652,12 @@ WITH vt AS (
 SELECT CAST(k AS BIGINT) AS k_groups,
        CAST(n AS BIGINT) AS n_total,
        ROUND(h, 4) AS h_stat,
-       ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE), 4)
-           AS h_tie_adj,
-       ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)
-             / (CAST(n AS DOUBLE) - 1.0), 6) AS eps_sq
+       CASE WHEN n3 - t3 = 0 THEN NULL
+            ELSE ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE), 4)
+            END AS h_tie_adj,
+       CASE WHEN n3 - t3 = 0 THEN NULL
+            ELSE ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) - 1.0), 6) END AS eps_sq
 FROM fin
 """
 
@@ -1746,19 +1771,23 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # n3 = t3 when the corpus has ONE distinct value (all ties): the
+    # tie correction's denominator is 0 — NULL adjusted outputs on both
+    # engines rather than an ANSI DIVIDE_BY_ZERO (h_stat itself is a
+    # well-defined 0 there and stays).
     return fin.select(
         F.col("k").alias("k_groups"),
         F.col("n").cast("long").alias("n_total"),
         F.round("h", 4).alias("h_stat"),
-        F.round(
-            F.expr("h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)"), 4
+        F.expr(
+            "CASE WHEN n3 - t3 = 0 THEN NULL ELSE"
+            " ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE), 4)"
+            " END"
         ).alias("h_tie_adj"),
-        F.round(
-            F.expr(
-                "h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)"
-                " / (CAST(n AS DOUBLE) - 1.0)"
-            ),
-            6,
+        F.expr(
+            "CASE WHEN n3 - t3 = 0 THEN NULL ELSE"
+            " ROUND(h * CAST(n3 AS DOUBLE) / CAST(n3 - t3 AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) - 1.0), 6) END"
         ).alias("eps_sq"),
     )
 
@@ -1776,8 +1805,8 @@ WITH mu AS (
     GROUP BY e.event_type
 ), fin AS (
     SELECT event_type, n,
-           m3 / POW(m2, 1.5) AS g1,
-           m4 / POW(m2, 2) - 3 AS g2
+           CASE WHEN m2 = 0 THEN NULL ELSE m3 / POW(m2, 1.5) END AS g1,
+           CASE WHEN m2 = 0 THEN NULL ELSE m4 / POW(m2, 2) - 3 END AS g2
     FROM cm
 )
 SELECT event_type, n,
@@ -1828,8 +1857,15 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.pow(d, 4)).alias("m4"),
         )
     )
-    g1 = F.col("m3") / F.pow(F.col("m2"), 1.5)
-    g2 = F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    # m2 = 0 (a constant-value group) leaves skew/kurtosis undefined —
+    # NULL through, matching the oracle's CASE (ANSI degenerate class).
+    nul = F.lit(None).cast("double")
+    g1 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m3") / F.pow(F.col("m2"), 1.5)
+    )
+    g2 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    )
     jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
     return cm.select(
         "event_type",
@@ -2114,11 +2150,14 @@ WITH g AS (
 SELECT n_a, n_b,
        ROUND(diff, 4) AS mean_diff,
        ROUND(margin, 4) AS margin,
-       ROUND((diff + margin) / se, 4) AS t_lower,
-       ROUND((diff - margin) / se, 4) AS t_upper,
-       CAST((diff + margin) / se > {TOST_Z_CRIT}
-            AND (diff - margin) / se < -{TOST_Z_CRIT} AS BIGINT)
-           AS equivalent
+       CASE WHEN se = 0 THEN NULL
+            ELSE ROUND((diff + margin) / se, 4) END AS t_lower,
+       CASE WHEN se = 0 THEN NULL
+            ELSE ROUND((diff - margin) / se, 4) END AS t_upper,
+       CASE WHEN se = 0 THEN 0
+            ELSE CAST((diff + margin) / se > {TOST_Z_CRIT}
+                 AND (diff - margin) / se < -{TOST_Z_CRIT} AS BIGINT)
+            END AS equivalent
 FROM f
 """
 
@@ -2165,20 +2204,34 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("grand_mean") * TOST_MARGIN_PCT / 100.0).alias("margin"),
     )
+    # se = 0 (constant values both arms): the one-sided t's are
+    # undefined — NULL t's and a conservative non-equivalent flag on
+    # both engines (the ANSI degenerate class; an equivalence CLAIM from
+    # a zero-variance fixture would be vacuous, so 0 is the honest flag).
+    nul = F.lit(None).cast("double")
     return f.select(
         "n_a",
         "n_b",
         F.round("diff", 4).alias("mean_diff"),
         F.round("margin", 4).alias("margin"),
-        F.round((F.col("diff") + F.col("margin")) / F.col("se"), 4).alias(
-            "t_lower"
-        ),
-        F.round((F.col("diff") - F.col("margin")) / F.col("se"), 4).alias(
-            "t_upper"
-        ),
-        (
-            ((F.col("diff") + F.col("margin")) / F.col("se") > TOST_Z_CRIT)
-            & ((F.col("diff") - F.col("margin")) / F.col("se") < -TOST_Z_CRIT)
+        F.when(F.col("se") == 0, nul)
+        .otherwise(
+            F.round((F.col("diff") + F.col("margin")) / F.col("se"), 4)
+        )
+        .alias("t_lower"),
+        F.when(F.col("se") == 0, nul)
+        .otherwise(
+            F.round((F.col("diff") - F.col("margin")) / F.col("se"), 4)
+        )
+        .alias("t_upper"),
+        F.when(F.col("se") == 0, F.lit(0))
+        .otherwise(
+            (
+                ((F.col("diff") + F.col("margin")) / F.col("se")
+                 > TOST_Z_CRIT)
+                & ((F.col("diff") - F.col("margin")) / F.col("se")
+                   < -TOST_Z_CRIT)
+            ).cast("int")
         )
         .cast("long")
         .alias("equivalent"),
@@ -2256,8 +2309,15 @@ def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.pow(d, 4)).alias("m4"),
         )
     )
-    g1 = F.col("m3") / F.pow(F.col("m2"), 1.5)
-    g2 = F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    # m2 = 0 (a constant-value group) leaves skew/kurtosis undefined —
+    # NULL through, matching the oracle's CASE (ANSI degenerate class).
+    nul = F.lit(None).cast("double")
+    g1 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m3") / F.pow(F.col("m2"), 1.5)
+    )
+    g2 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    )
     jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
     pv = cm.select("event_type", F.exp(-jb / 2.0).alias("p"))
     w_rank = Window.orderBy(F.asc("p"), F.asc("event_type"))

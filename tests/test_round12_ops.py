@@ -1780,3 +1780,61 @@ def test_compressed_roundtrip_codecs_engage(spark, sf_dir):
         os.path.join(_sink_dir(sf_dir, "pqsnappy"), "*.snappy.parquet")
     )
     assert snappy_files, "snappy codec did not engage on the parquet sink"
+
+
+def test_degenerate_constant_corpus_agrees_cross_engine(spark, tmp_path):
+    """The ANSI degenerate class, engine-wide: on an all-constant-value
+    corpus, zero-variance denominators must yield NULL statistics that
+    MATCH the DuckDB oracle (ANSI Spark raises DIVIDE_BY_ZERO where
+    DuckDB infs — the ADF/stump-hist class, now pinned for the six
+    inference/eval ops the r12 probe caught raising)."""
+    import datetime
+
+    import duckdb
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _MCC_ORACLE,
+        ml_eval_mcc,
+    )
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        _JB_ORACLE,
+        _KW_ORACLE,
+        _MWU_ORACLE,
+        _TOST_ORACLE,
+        _TTEST_ORACLE,
+        stat_jarque_bera,
+        stat_kruskal_wallis,
+        stat_mann_whitney,
+        stat_tost_equivalence,
+        stat_ttest_welch,
+    )
+    from tests.conftest import assert_oracle_match
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), i,
+         "click" if i % 2 else "purchase", 5.0, "{}")
+        for i in range(200)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(sf + "/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for fn, oracle, name in [
+        (stat_ttest_welch, _TTEST_ORACLE, "ttest"),
+        (stat_mann_whitney, _MWU_ORACLE, "mwu"),
+        (stat_kruskal_wallis, _KW_ORACLE, "kruskal"),
+        (stat_jarque_bera, _JB_ORACLE, "jb"),
+        (stat_tost_equivalence, _TOST_ORACLE, "tost"),
+        (ml_eval_mcc, _MCC_ORACLE, "mcc"),
+    ]:
+        sdf = fn(spark, sf)
+        assert_oracle_match(sdf, con, oracle, f"degenerate_{name}")
+    con.close()
