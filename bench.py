@@ -285,35 +285,58 @@ def main() -> None:
     full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
     to_run = HEADLINE if full else [q for q in HEADLINE if q not in RETIRED]
 
-    for name in to_run:
+    errors: dict[str, str] = {}
+    # Bound driver-heap accumulation across the 57-query session (the r12
+    # OOM class): dead per-query plans pin their BroadcastExchange
+    # relations until a JVM GC lets ContextCleaner reap them, so nudge one
+    # periodically. Deliberately NOT spark.catalog.clearCache(): that
+    # unpersists the session-scoped shingle/centroid index caches the
+    # dedup/similarity family legitimately shares across queries — a
+    # measured 3.5-8.5x regression on that family when tried.
+    def _reap(i: int) -> None:
+        if i % 8 == 7:
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+
+    for qi, name in enumerate(to_run):
         fn = defs[name].fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        # best of two timed runs: the container shares its host, and a
-        # transient CPU spike during a single timed run reads as a >2×
-        # "regression" of a query whose plan never changed. The minimum of
-        # two steady-state runs is the engine's throughput; the noise term
-        # is one-sided, so min (not mean) removes it.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Fault isolation (r12: the driver bench died on ONE broadcast-build
+        # OOM and recorded NO timings). One query failing must cost exactly
+        # its own slot: record err, release its session-scoped state, move on.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            # best of two timed runs: the container shares its host, and a
+            # transient CPU spike during a single timed run reads as a >2×
+            # "regression" of a query whose plan never changed. The minimum of
+            # two steady-state runs is the engine's throughput; the noise term
+            # is one-sided, so min (not mean) removes it.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - the record IS the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        _reap(qi)
 
     # The sentinels measure the host, not the engine — keep them out of the
     # headline total so round-over-round totals stay comparable.
     total = round(
         sum(v for k, v in timings.items() if not k.startswith("sentinel_")), 3
     )
-    line = json.dumps(
-        {
-            "metric": "headline_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf),
-        }
-    )
+    payload = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        payload["errors"] = errors
+    line = json.dumps(payload)
     # Persist the COMPLETE record to disk FIRST (r8 VERDICT #7): the driver
     # keeps only the last 2000 chars of stdout, and r7's parsed block was
     # lost to exactly that. One appended line per run, stamped with HEAD +
@@ -339,6 +362,7 @@ def main() -> None:
             "full": full,
             "value": total,
             "queries": timings,
+            "errors": errors,
         }
     )
     with open(

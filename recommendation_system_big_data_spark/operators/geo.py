@@ -376,7 +376,10 @@ WITH pts AS (
 )
 SELECT f.r AS cell_row, f.c AS cell_col, f.x AS n_points,
        nb.s_i AS nb_sum, nb.n_i AS n_nb,
-       ROUND(
+       CASE WHEN CAST(st.sxx AS DOUBLE) / st.n
+                 - (CAST(st.sx AS DOUBLE) / st.n)
+                   * (CAST(st.sx AS DOUBLE) / st.n) = 0 THEN NULL
+            ELSE ROUND(
            (CAST(nb.s_i AS DOUBLE)
             - CAST(st.sx AS DOUBLE) / st.n * nb.n_i)
            / (SQRT(CAST(st.sxx AS DOUBLE) / st.n
@@ -385,7 +388,7 @@ SELECT f.r AS cell_row, f.c AS cell_col, f.x AS n_points,
               * SQRT((CAST(st.n AS DOUBLE) * nb.n_i
                       - CAST(nb.n_i AS DOUBLE) * nb.n_i)
                      / (CAST(st.n AS DOUBLE) - 1.0))),
-           4) AS gi_z
+           4) END AS gi_z
 FROM full_grid f
 JOIN nb ON f.r = nb.r AND f.c = nb.c
 CROSS JOIN stats st
@@ -463,18 +466,27 @@ def geo_hotspot_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("n_points"),
             F.col("s_i").alias("nb_sum"),
             F.col("n_i").alias("n_nb"),
-            F.round(
-                F.expr(
-                    "(CAST(s_i AS DOUBLE)"
-                    " - CAST(sx AS DOUBLE) / n * n_i)"
-                    " / (SQRT(CAST(sxx AS DOUBLE) / n"
-                    "         - (CAST(sx AS DOUBLE) / n)"
-                    "           * (CAST(sx AS DOUBLE) / n))"
-                    "    * SQRT((CAST(n AS DOUBLE) * n_i"
-                    "            - CAST(n_i AS DOUBLE) * n_i)"
-                    "           / (CAST(n AS DOUBLE) - 1.0)))"
-                ),
-                4,
+            # All-identical cell counts (e.g. an empty customer table →
+            # all-zero cells) zero the global variance term: ANSI Spark
+            # raises DIVIDE_BY_ZERO where DuckDB NULLs — pin NULL gi_z on
+            # both engines. The guard compares the SAME double expression
+            # both engines evaluate from identical exact integers (sx,
+            # sxx, n), so it trips identically. The per-cell
+            # (n·n_i − n_i²) term needs no guard: 0 < n_i ≤ 9 < n = 864.
+            F.expr(
+                "CASE WHEN CAST(sxx AS DOUBLE) / n"
+                " - (CAST(sx AS DOUBLE) / n)"
+                " * (CAST(sx AS DOUBLE) / n) = 0 THEN NULL"
+                " ELSE ROUND("
+                "(CAST(s_i AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) / n * n_i)"
+                " / (SQRT(CAST(sxx AS DOUBLE) / n"
+                "         - (CAST(sx AS DOUBLE) / n)"
+                "           * (CAST(sx AS DOUBLE) / n))"
+                "    * SQRT((CAST(n AS DOUBLE) * n_i"
+                "            - CAST(n_i AS DOUBLE) * n_i)"
+                "           / (CAST(n AS DOUBLE) - 1.0)))"
+                ", 4) END"
             ).alias("gi_z"),
         )
     )

@@ -2544,15 +2544,17 @@ WITH mx AS (
     FROM per_q
 ), fin AS (
     SELECT n, pos, loss / n AS ll,
-           -(CAST(pos AS DOUBLE) / n) * LN(CAST(pos AS DOUBLE) / n)
-           - (1.0 - CAST(pos AS DOUBLE) / n)
-               * LN(1.0 - CAST(pos AS DOUBLE) / n) AS base
+           CASE WHEN pos = 0 OR pos = n THEN NULL
+                ELSE -(CAST(pos AS DOUBLE) / n) * LN(CAST(pos AS DOUBLE) / n)
+                     - (1.0 - CAST(pos AS DOUBLE) / n)
+                         * LN(1.0 - CAST(pos AS DOUBLE) / n) END AS base
     FROM s
 )
 SELECT n AS n_total, pos AS n_pos,
        ROUND(ll, 6) AS mean_log_loss,
        ROUND(base, 6) AS baseline_entropy,
-       ROUND(1.0 - ll / base, 6) AS skill_score
+       CASE WHEN base IS NULL THEN NULL
+            ELSE ROUND(1.0 - ll / base, 6) END AS skill_score
 FROM fin
 """
 
@@ -2612,19 +2614,23 @@ def ml_eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loss"),
     )
     pbar = F.col("pos").cast("double") / F.col("n")
+    # pos = 0 or pos = n (a single-class corpus) must not reach LN or the
+    # ll/base division: DuckDB's LN(0) raises out-of-range and base = 0
+    # divides by zero under ANSI Spark — pin ONE semantics (NULL baseline
+    # and skill score) on both engines, matching ml_eval_mcc's degenerate
+    # marginals.
+    degenerate = (F.col("pos") == 0) | (F.col("pos") == F.col("n"))
+    base = -pbar * F.log(pbar) - (1.0 - pbar) * F.log(1.0 - pbar)
     return s.select(
         F.col("n").alias("n_total"),
         F.col("pos").alias("n_pos"),
         F.round(F.col("loss") / F.col("n"), 6).alias("mean_log_loss"),
-        F.round(
-            -pbar * F.log(pbar) - (1.0 - pbar) * F.log(1.0 - pbar), 6
-        ).alias("baseline_entropy"),
-        F.round(
-            1.0
-            - (F.col("loss") / F.col("n"))
-            / (-pbar * F.log(pbar) - (1.0 - pbar) * F.log(1.0 - pbar)),
-            6,
-        ).alias("skill_score"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(base, 6))
+        .alias("baseline_entropy"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(1.0 - (F.col("loss") / F.col("n")) / base, 6))
+        .alias("skill_score"),
     )
 
 
@@ -2779,8 +2785,10 @@ WITH base AS (
 ), rates AS (
     SELECT segment, n, n_pos,
            n_pred_pos * 1000000 // n AS selection_micros,
-           tp * 1000000 // n_pos AS tpr_micros,
-           fp * 1000000 // (n - n_pos) AS fpr_micros
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE tp * 1000000 // n_pos END AS tpr_micros,
+           CASE WHEN n = n_pos THEN NULL
+                ELSE fp * 1000000 // (n - n_pos) END AS fpr_micros
     FROM per
 )
 SELECT segment, n, n_pos, selection_micros, tpr_micros, fpr_micros,
@@ -2845,13 +2853,25 @@ def ml_eval_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
         F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
     )
+    # A segment whose orders are all fulfilled (n = n_pos) or none
+    # (n_pos = 0) must not reach the rate division: ANSI Spark raises
+    # DIVIDE_BY_ZERO where DuckDB's integer // 0 NULLs — pin NULL rates on
+    # both engines. The window gaps then range over the defined rates only
+    # (MAX/MIN ignore NULLs identically on both engines; an all-degenerate
+    # column yields a NULL gap, also cross-engine-identical).
     rates = per.select(
         "segment",
         "n",
         "n_pos",
         F.expr("n_pred_pos * 1000000 div n").alias("selection_micros"),
-        F.expr("tp * 1000000 div n_pos").alias("tpr_micros"),
-        F.expr("fp * 1000000 div (n - n_pos)").alias("fpr_micros"),
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN NULL"
+            " ELSE tp * 1000000 div n_pos END"
+        ).alias("tpr_micros"),
+        F.expr(
+            "CASE WHEN n = n_pos THEN NULL"
+            " ELSE fp * 1000000 div (n - n_pos) END"
+        ).alias("fpr_micros"),
     )
     w = Window.partitionBy()
     return rates.select(

@@ -871,8 +871,10 @@ WITH pts AS (
     FROM s
 )
 SELECT brand, n AS n_lines,
-       ROUND(sxy_c / sxx_c, 4) AS elasticity,
-       ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) AS r2
+       CASE WHEN sxx_c = 0 THEN NULL
+            ELSE ROUND(sxy_c / sxx_c, 4) END AS elasticity,
+       CASE WHEN sxx_c = 0 OR syy_c = 0 THEN NULL
+            ELSE ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) END AS r2
 FROM c
 """
 
@@ -928,9 +930,19 @@ def olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sxx - sx * sx / n").alias("sxx_c"),
         F.expr("syy - sy * sy / n").alias("syy_c"),
     )
+    # sxx_c = 0 (a flat-price brand) or syy_c = 0 (constant quantity) must
+    # not reach the division: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB
+    # NULLs — pin ONE semantics (NULL statistic) on both engines. Same
+    # degenerate class as the stat_ttest_welch / Jarque-Bera guards.
     return c.select(
         "brand",
         F.col("n").alias("n_lines"),
-        F.round(F.expr("sxy_c / sxx_c"), 4).alias("elasticity"),
-        F.round(F.expr("sxy_c * sxy_c / (sxx_c * syy_c)"), 4).alias("r2"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 THEN NULL"
+            " ELSE ROUND(sxy_c / sxx_c, 4) END"
+        ).alias("elasticity"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 OR syy_c = 0 THEN NULL"
+            " ELSE ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) END"
+        ).alias("r2"),
     )

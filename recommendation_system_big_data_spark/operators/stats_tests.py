@@ -2359,18 +2359,23 @@ WITH daily AS (
     FROM daily GROUP BY event_type
 ), f AS (
     SELECT event_type, n_days, sy,
-           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)
-               / (n_days - 1) AS var_s,
+           CASE WHEN n_days < 2 THEN NULL
+                ELSE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)
+                     / (n_days - 1) END AS var_s,
            CAST(sy AS DOUBLE) / n_days AS mean_s
     FROM s
 )
 SELECT event_type, n_days,
        ROUND(mean_s, 4) AS mean_daily,
        ROUND(var_s, 4) AS var_daily,
-       ROUND(var_s / mean_s, 4) AS dispersion_index,
-       ROUND((n_days - 1) * var_s / mean_s, 4) AS poisson_gof_chi2,
-       CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))
-            AS BIGINT) AS overdispersed
+       CASE WHEN var_s IS NULL THEN NULL
+            ELSE ROUND(var_s / mean_s, 4) END AS dispersion_index,
+       CASE WHEN var_s IS NULL THEN NULL
+            ELSE ROUND((n_days - 1) * var_s / mean_s, 4) END
+           AS poisson_gof_chi2,
+       CASE WHEN var_s IS NULL THEN NULL
+            ELSE CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))
+                      AS BIGINT) END AS overdispersed
 FROM f
 """
 
@@ -2411,12 +2416,18 @@ def stat_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("syy"),
     )
+    # n_days < 2 (an event type whose rows all land on one day) must not
+    # reach the n_days - 1 division: ANSI Spark raises DIVIDE_BY_ZERO where
+    # DuckDB NULLs — pin NULL variance/index/GOF/flag on both engines.
+    # Same degenerate class as the Welch-t / Jarque-Bera guards. mean_s
+    # needs no guard (n_days >= 1 by the groupBy; daily counts >= 1).
     f = s.select(
         "event_type",
         "n_days",
         F.expr(
-            "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)"
-            " / (n_days - 1)"
+            "CASE WHEN n_days < 2 THEN NULL"
+            " ELSE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)"
+            " / (n_days - 1) END"
         ).alias("var_s"),
         F.expr("CAST(sy AS DOUBLE) / n_days").alias("mean_s"),
     )
@@ -2425,12 +2436,17 @@ def stat_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.round("mean_s", 4).alias("mean_daily"),
         F.round("var_s", 4).alias("var_daily"),
-        F.round(F.expr("var_s / mean_s"), 4).alias("dispersion_index"),
-        F.round(F.expr("(n_days - 1) * var_s / mean_s"), 4).alias(
-            "poisson_gof_chi2"
-        ),
         F.expr(
-            "CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))"
-            " AS LONG)"
+            "CASE WHEN var_s IS NULL THEN NULL"
+            " ELSE ROUND(var_s / mean_s, 4) END"
+        ).alias("dispersion_index"),
+        F.expr(
+            "CASE WHEN var_s IS NULL THEN NULL"
+            " ELSE ROUND((n_days - 1) * var_s / mean_s, 4) END"
+        ).alias("poisson_gof_chi2"),
+        F.expr(
+            "CASE WHEN var_s IS NULL THEN NULL"
+            " ELSE CAST(var_s / mean_s > 1.0 + 2.0 * SQRT(2.0 / (n_days - 1))"
+            " AS LONG) END"
         ).alias("overdispersed"),
     )

@@ -195,61 +195,83 @@ _loaded = False
 #: 50/50 green, 34 hash + 16 rows-only). Its 50 names now have r11-fresh
 #: driver rows; see CORRECTNESS_r11.json.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-12 window (the committed r11 queue, VERDICT r11 #1 + #3):
-    # 1. the 11 round-11 session additions - first driver rows
-    "als_eval_coverage_novelty",
-    "dedup_prefix_filter_join",
-    "graph_assortativity",
-    "ml_decision_stump_hist",
-    "ml_eval_cohen_kappa",
-    "ml_eval_ece",
-    "multimodal_dedup_hist_fingerprint",
-    "privacy_t_closeness",
-    "stat_levene_variance",
-    "text_ngram_novelty",
-    "ts_stl_classical_decompose",
-    # 2. all 36 remaining r3-vintage rows (oldest driver evidence)
-    "embedding_quantize_int8",
-    "fn_map_in_arrow",
-    "fn_null_safe_eq",
-    "fn_pandas_udf_iterator",
-    "fn_pandas_udf_vectorized",
-    "funnel_conversion",
-    "grouped_pandas_slope",
-    "join_full_outer",
-    "json_variant_extract",
-    "multimodal_dedup_payload",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_sales_opportunity",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "random_split",
-    "rfm_segmentation",
-    "sample_class_balanced",
-    "scd2_build",
-    "sink_jsonl_roundtrip",
-    "sink_orc_roundtrip",
-    "split_by_hash",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "text_bigram_freq",
-    "text_chunk_documents",
-    "text_unigram_surprisal",
-    "text_winnowing_fingerprint",
-    "union_by_name_missing",
-    "upsert_snapshot",
-    "window_range_frame",
-    # 3. first 3 r4-vintage rows alphabetical, filling 50
-    "ab_test_report",
-    "als_param_grid",
-    "attribution_click_purchase",
+    # ROUND-13 window (the committed r12 queue, VERDICT r12 #2 + #3 + #8):
+    # 1. the 33 ORACLE-BEARING round-12 session additions — first driver
+    #    rows. The 5 rows-only audits from the queue
+    #    (dedup_lsh_quality_audit sim_ann_recall_audit
+    #    agg_sketch_error_audit agg_hll_intersection_audit
+    #    agg_quantile_sketch_audit) are deliberately EXCLUDED per VERDICT
+    #    r12 #3: oracle=None aliases burn a window slot on a predictable
+    #    `err: no_oracle` row; their ⊘ evidence lives in the canonical
+    #    entries + pytest. load_all_modules enforces this structurally.
+    "funnel_window_gap",
+    "graph_jaccard_link_prediction",
+    "stream_attribution_batch_equiv",
+    "stream_foreachbatch_batch_equiv",
+    "text_rake_keywords",
+    "ml_conformal_interval",
+    "ml_eval_log_loss",
+    "stat_jarque_bera",
+    "stat_kruskal_wallis",
+    "ts_periodogram_dft",
+    "agg_theil_sen_slope",
+    "privacy_dp_count_laplace",
+    "stat_cochran_armitage",
+    "window_hampel_filter",
+    "sql_scalar_udf",
+    "stat_capture_recapture",
+    "ml_eval_fairness_gaps",
+    "olap_bridge_allocation",
+    "ml_eval_qini_auuc",
+    "stat_srm_check",
+    "stream_state_store_read",
+    "scd2_late_arriving",
+    "geo_hotspot_gi_star",
+    "stat_tost_equivalence",
+    "ml_eval_mcc",
+    "stat_holm_bonferroni",
+    "olap_like_for_like",
+    "ts_adf_stationarity",
+    "olap_price_elasticity",
+    "ts_interrupted_series",
+    "stat_overdispersion_index",
+    "sql_recursive_bom_rollup",
+    "sink_compressed_roundtrip",
+    # 2. the first 17 r4-vintage refresh rows, alphabetical from
+    #    cdc_apply_changes (stream_foreachbatch_upsert in the queue list
+    #    is oracle=None and skipped for the same reason as the audits).
+    "cdc_apply_changes",
+    "compaction_small_files",
+    "dedup_events_replayed",
+    "dedup_paragraph_exact",
+    "dim_enriched_window_agg",
+    "dpp_partition_pruned_join",
+    "drift_psi_report",
+    "eda_plot_series",
+    "fn_explode_outer",
+    "fn_map_ops",
+    "fn_python_udtf",
+    "fn_regexp_extract",
+    "fn_struct_ops",
+    "knn_classify",
+    "pii_scan_redact",
+    "q11_important_balance",
+    "q16_supplier_part_count",
 )
+
+#: ROUND-14 QUEUE (committed now so the r14 flip stays a one-line edit):
+#: 1. any round-13 SESSION ADDITIONS with oracles (added after this
+#:    window froze) take priority;
+#: 2. then the remaining 20 r4-vintage rows alphabetical from
+#:    q20_promotion_suppliers (q20_promotion_suppliers
+#:    q21_waiting_suppliers q2_min_cost_supplier q4_priority_exists
+#:    q9_product_profit reshape_pivot reshape_unpivot
+#:    rollup_incremental_agg scan_file_provenance schema_evolution_merge
+#:    set_ops_cohorts skew_key_report sql_lateral_topk stat_crosstab
+#:    text_gopher_quality text_repetition_topngram window_ewma
+#:    window_first_last zorder_key — stream_foreachbatch_upsert stays
+#:    excluded, oracle=None);
+#: 3. then r5-vintage alphabetical to 50.
 
 
 def register(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):
@@ -277,6 +299,14 @@ def load_all_modules() -> None:
                 "query — fix the _DRIVER_WINDOW_ALIASES rotation list"
             )
         q = _REGISTRY[canon]
+        if q.oracle is None:
+            # VERDICT r12 #3: an oracle-less alias can only ever produce an
+            # `err: no_oracle` driver row — a wasted window slot. Rows-only
+            # queries keep their ⊘ evidence on the canonical entry + pytest.
+            raise RuntimeError(
+                f"driver-window alias target {canon!r} has no oracle — "
+                "rows-only queries must not occupy driver window slots"
+            )
         alias = f"a0_{canon}"
         _REGISTRY[alias] = QueryDef(
             name=alias, fn=q.fn, oracle=q.oracle, tags=q.tags + ("alias",)

@@ -48,6 +48,15 @@ RUNTIME_CONF = {
 }
 
 BUILD_ONLY_CONF = {
+    # Explicit heap sizing mirrors the reference (model-als.py:185-186:
+    # spark.driver.memory/spark.executor.memory set explicitly, not left at
+    # Spark's 1 GB default). The r12 driver bench OOMed building a broadcast
+    # relation on the default heap — a 57-query session accumulates dozens
+    # of broadcast relations plus Kryo buffers, and 1 GB is not a serious
+    # driver size for that. In local mode the driver heap IS the executor
+    # heap, so one knob covers both; both are set for cluster parity.
+    "spark.driver.memory": os.environ.get("RSBD_DRIVER_MEM", "4g"),
+    "spark.executor.memory": os.environ.get("RSBD_EXECUTOR_MEM", "4g"),
     # Off-heap mirrors the reference (model-als.py:187-188) and reduces GC
     # pressure for large hash aggregations.
     "spark.memory.offHeap.enabled": "true",

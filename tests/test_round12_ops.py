@@ -1579,6 +1579,11 @@ def test_price_elasticity_planted_slope(spark, tmp_path):
     for p, q in [(1.0, 64.0), (2.0, 16.0), (4.0, 4.0), (8.0, 1.0)]:
         lines.append((lid, 1, 1, 1, q, p * q, 0.0, 0.0, "N", "O", None))
         lid += 1
+    # brand B: FLAT unit price (sxx_c = 0) across varying quantities —
+    # the unidentified-slope degenerate the guard pins to NULL.
+    for q in [1.0, 2.0, 4.0]:
+        lines.append((lid, 2, 1, 1, q, 3.0 * q, 0.0, 0.0, "N", "O", None))
+        lid += 1
     spark.createDataFrame(
         lines,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
@@ -1587,17 +1592,21 @@ def test_price_elasticity_planted_slope(spark, tmp_path):
         " l_shipdate date",
     ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
     spark.createDataFrame(
-        [(1, "pa", "BrandA", "t", 1, 1.0)],
+        [(1, "pa", "BrandA", "t", 1, 1.0), (2, "pb", "BrandB", "t", 1, 3.0)],
         "p_partkey long, p_name string, p_brand string, p_type string,"
         " p_size int, p_retailprice double",
     ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
 
-    got = olap_price_elasticity(spark, str(tmp_path)).collect()
-    assert len(got) == 1
-    r = got[0]
+    got = {r["brand"]: r for r in
+           olap_price_elasticity(spark, str(tmp_path)).collect()}
+    assert set(got) == {"BrandA", "BrandB"}
+    r = got["BrandA"]
     assert r["n_lines"] == 4
     assert abs(r["elasticity"] - (-2.0)) < 1e-6
     assert abs(r["r2"] - 1.0) < 1e-6
+    rb = got["BrandB"]
+    assert rb["n_lines"] == 3
+    assert rb["elasticity"] is None and rb["r2"] is None
 
 
 def test_hll_intersection_audit_identities(spark, sf_dir):
