@@ -21,8 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recommendation_system_big_data_spark.catalog import load
+from recommendation_system_big_data_spark.functions.safe_stats import (
+    guarded_pearson_sql,
+)
 from recommendation_system_big_data_spark.operators.profile import hist_bucket
 from recommendation_system_big_data_spark.registry import register
+
+#: r13 degenerate hardening: builtin CORR raises under ANSI on a
+#: zero-variance column (no outer CASE can stop an aggregate-internal
+#: division) — both engines run the same guarded sums-based fragment.
+_CORR_QP = guarded_pearson_sql("l_quantity", "l_extendedprice")
+_CORR_PD = guarded_pearson_sql("l_extendedprice", "l_discount")
+_CORR_QD = guarded_pearson_sql("l_quantity", "l_discount")
 
 _PLOT_SERIES_ORACLE = """
 WITH hist AS (
@@ -39,18 +49,22 @@ WITH hist AS (
     ORDER BY COUNT(*) DESC, p_brand ASC LIMIT 20
 ), corr_cells AS (
     SELECT 'corr' AS series, 'l_quantity__l_extendedprice' AS x,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS y FROM lineitem
+           {corr_qty_price} AS y FROM lineitem
     UNION ALL
     SELECT 'corr', 'l_extendedprice__l_discount',
-           ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+           {corr_price_disc} FROM lineitem
     UNION ALL
     SELECT 'corr', 'l_quantity__l_discount',
-           ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+           {corr_qty_disc} FROM lineitem
 )
 SELECT * FROM hist
 UNION ALL SELECT * FROM bars
 UNION ALL SELECT * FROM corr_cells
-"""
+""".format(
+    corr_qty_price=_CORR_QP,
+    corr_price_disc=_CORR_PD,
+    corr_qty_disc=_CORR_QD,
+)
 
 @register("eda_plot_series", oracle=_PLOT_SERIES_ORACLE, tags=("profile", "eda"))
 def eda_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,15 +92,9 @@ def eda_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     corr_cells = li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-            "l_quantity__l_extendedprice"
-        ),
-        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
-            "l_extendedprice__l_discount"
-        ),
-        F.round(F.corr("l_quantity", "l_discount"), 4).alias(
-            "l_quantity__l_discount"
-        ),
+        F.expr(_CORR_QP).alias("l_quantity__l_extendedprice"),
+        F.expr(_CORR_PD).alias("l_extendedprice__l_discount"),
+        F.expr(_CORR_QD).alias("l_quantity__l_discount"),
     ).select(
         F.explode(
             F.create_map(

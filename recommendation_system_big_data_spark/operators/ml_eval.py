@@ -115,8 +115,9 @@ WITH s AS (
     FROM r
 )
 SELECT n_pos, n_neg,
-       ROUND((rank_sum2_p / 2.0 - n_pos * (n_pos + 1) / 2.0)
-             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE ROUND((rank_sum2_p / 2.0 - n_pos * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) END AS auc
 FROM t
 """
 
@@ -151,14 +152,26 @@ def auc_exact(scored: DataFrame, score: str = "value",
         .cast("long")
         .alias("rank_sum2_p"),
     )
+    # A single-class frame (n_pos = 0 or n_neg = 0) leaves AUC undefined —
+    # pin NULL on both engines instead of the ANSI raise. r13 probe.
     return t.select(
         "n_pos",
         "n_neg",
-        F.round(
-            (F.col("rank_sum2_p") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos").cast("double") * F.col("n_neg")),
-            6,
-        ).alias("auc"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("rank_sum2_p") / 2.0
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg")),
+                6,
+            )
+        )
+        .alias("auc"),
     )
 
 
@@ -319,8 +332,11 @@ SELECT
     CAST(COUNT(*) AS BIGINT) AS n_test,
     ROUND(SQRT(AVG(POW(y - yhat, 2))), 4) AS rmse,
     ROUND(AVG(ABS(y - yhat)), 4) AS mae,
-    ROUND(1 - SUM(POW(y - yhat, 2)) / SUM(POW(y - ybar, 2)), 4) AS r2,
-    ROUND(AVG(ABS(y - yhat) / ABS(y)), 4) AS mape
+    CASE WHEN SUM(POW(y - ybar, 2)) = 0 THEN NULL
+         ELSE ROUND(1 - SUM(POW(y - yhat, 2)) / SUM(POW(y - ybar, 2)), 4)
+         END AS r2,
+    ROUND(AVG(CASE WHEN y = 0 THEN NULL
+                   ELSE ABS(y - yhat) / ABS(y) END), 4) AS mape
 FROM scored CROSS JOIN base
 """
 
@@ -358,15 +374,28 @@ def ml_eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = scored.agg(F.avg("y").alias("ybar"))
     err = F.col("y") - F.col("yhat")
+    ss_tot = F.sum(F.pow(F.col("y") - F.col("ybar"), 2))
+    # r13 degenerate probe: a constant-target test fold gives ss_tot = 0
+    # (every centered term exactly 0.0 on both engines) — R² is undefined;
+    # pin NULL rather than let ANSI Spark raise where DuckDB NULLs. MAPE
+    # is per-row undefined at y = 0: NULL those terms BEFORE the AVG
+    # (both engines' AVG skips NULLs), i.e. MAPE over nonzero actuals —
+    # the standard convention stated rather than implied.
     return scored.crossJoin(F.broadcast(base)).agg(
         F.count(F.lit(1)).cast("long").alias("n_test"),
         F.round(F.sqrt(F.avg(F.pow(err, 2))), 4).alias("rmse"),
         F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.when(ss_tot == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(1 - F.sum(F.pow(err, 2)) / ss_tot, 4))
+        .alias("r2"),
         F.round(
-            1 - F.sum(F.pow(err, 2)) / F.sum(F.pow(F.col("y") - F.col("ybar"), 2)),
+            F.avg(
+                F.when(F.col("y") == 0, F.lit(None).cast("double")).otherwise(
+                    F.abs(err) / F.abs(F.col("y"))
+                )
+            ),
             4,
-        ).alias("r2"),
-        F.round(F.avg(F.abs(err) / F.abs(F.col("y"))), 4).alias("mape"),
+        ).alias("mape"),
     )
 
 
@@ -1001,8 +1030,12 @@ WITH s AS (
     FROM lineitem
 ), coef AS (
     SELECT mx1, mx2, my,
-           (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b1,
-           (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS b2
+           CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+                ELSE (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12)
+                END AS b1,
+           CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+                ELSE (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12)
+                END AS b2
     FROM s
 )
 SELECT l.l_orderkey, l.l_linenumber,
@@ -1046,16 +1079,25 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("my"),
     )
     det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    # Singular Gram (constant feature → co-moments exactly 0.0 on both
+    # engines) pins NULL coefficients instead of an ANSI raise; NULL then
+    # propagates through contributions/prediction identically cross-engine
+    # and the top-20 falls back to the key tiebreak (NULLS LAST under DESC
+    # on both engines). r13 degenerate-probe finding.
     coef = s.select(
         "mx1",
         "mx2",
         "my",
-        ((F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det).alias(
-            "b1"
-        ),
-        ((F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det).alias(
-            "b2"
-        ),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det
+        )
+        .alias("b1"),
+        F.when(det == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det
+        )
+        .alias("b2"),
     )
     scored = li.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
@@ -1533,15 +1575,19 @@ WITH bounds AS (
 ), complete AS (
     SELECT COALESCE(x_pre, 0) AS x, COALESCE(y_post, 0) AS y FROM per_user
 ), theta AS (
-    SELECT COVAR_POP(y, x) / VAR_POP(x) AS th, AVG(x) AS mx FROM complete
+    SELECT CASE WHEN VAR_POP(x) = 0 THEN NULL
+                ELSE COVAR_POP(y, x) / VAR_POP(x) END AS th,
+           AVG(x) AS mx
+    FROM complete
 )
 SELECT
     CAST(COUNT(*) AS BIGINT) AS n_users,
     ROUND(t.th, 6) AS theta,
     ROUND(VAR_POP(c.y), 4) AS var_raw,
     ROUND(VAR_POP(c.y - t.th * (c.x - t.mx)), 4) AS var_cuped,
-    ROUND(1 - VAR_POP(c.y - t.th * (c.x - t.mx)) / VAR_POP(c.y), 6)
-        AS variance_reduction
+    CASE WHEN VAR_POP(c.y) = 0 THEN NULL
+         ELSE ROUND(1 - VAR_POP(c.y - t.th * (c.x - t.mx)) / VAR_POP(c.y), 6)
+         END AS variance_reduction
 FROM complete c CROSS JOIN theta t
 GROUP BY t.th, t.mx
 """
@@ -1589,8 +1635,15 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
+    # var(x) = 0 (no pre-period variation — e.g. a corpus whose events all
+    # land post-split, so every x is the 0-impute) leaves θ undefined;
+    # var(y) = 0 likewise the reduction ratio. Welford variances of
+    # constant columns are exactly 0.0 on both engines — NULL, not an
+    # ANSI raise. r13 degenerate-probe finding.
     theta = per_user.agg(
-        (F.covar_pop("y", "x") / F.var_pop("x")).alias("th"),
+        F.when(F.var_pop("x") == 0, F.lit(None).cast("double"))
+        .otherwise(F.covar_pop("y", "x") / F.var_pop("x"))
+        .alias("th"),
         F.avg("x").alias("mx"),
     )
     adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
@@ -1601,9 +1654,9 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_users"),
             F.round(F.var_pop("y"), 4).alias("var_raw"),
             F.round(F.var_pop(adj), 4).alias("var_cuped"),
-            F.round(1 - F.var_pop(adj) / F.var_pop("y"), 6).alias(
-                "variance_reduction"
-            ),
+            F.when(F.var_pop("y") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(1 - F.var_pop(adj) / F.var_pop("y"), 6))
+            .alias("variance_reduction"),
         )
         .select(
             "n_users",

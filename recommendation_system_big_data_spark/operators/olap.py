@@ -854,27 +854,33 @@ def olap_like_for_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ELASTICITY_ORACLE = """
 WITH pts AS (
     SELECT p.p_brand AS brand,
-           LN(l.l_extendedprice / l.l_quantity) AS x,
-           LN(l.l_quantity) AS y
+           CAST(FLOOR(LN(l.l_extendedprice / l.l_quantity) * 1000000.0)
+                AS BIGINT) AS xq,
+           CAST(FLOOR(LN(l.l_quantity) * 1000000.0) AS BIGINT) AS yq
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
 ), s AS (
     SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(x) AS sx, SUM(y) AS sy,
-           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+           SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+           SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+           SUM(CAST(yq AS HUGEINT) * yq) AS syy
     FROM pts GROUP BY brand
 ), c AS (
     SELECT brand, n,
-           sxy - sx * sy / n AS sxy_c,
-           sxx - sx * sx / n AS sxx_c,
-           syy - sy * sy / n AS syy_c
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den_x,
+           n * syy - sy * sy AS den_y
     FROM s
 )
 SELECT brand, n AS n_lines,
-       CASE WHEN sxx_c = 0 THEN NULL
-            ELSE ROUND(sxy_c / sxx_c, 4) END AS elasticity,
-       CASE WHEN sxx_c = 0 OR syy_c = 0 THEN NULL
-            ELSE ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) END AS r2
+       CASE WHEN den_x = 0 THEN NULL
+            ELSE ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE), 4)
+            END AS elasticity,
+       CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+            ELSE ROUND((CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE))
+                       * (CAST(num AS DOUBLE) / CAST(den_y AS DOUBLE)), 4)
+            END AS r2
 FROM c
 """
 
@@ -891,10 +897,18 @@ def olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`agg_regression_stats`) does not.
 
     One fact⋈dim equi-join, one map-side-combined fold to per-brand
-    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), centered-moment
-    algebra on the |brands|-row aggregate. ROUND(4) absorbs hash-agg
-    summation order on the double folds — the agg_regression_stats
-    budget; LN arguments are identical positive doubles on both engines.
+    sufficient statistics. r13 degenerate hardening: log-points quantize
+    to integer MICRO units (FLOOR(ln·1e6) — the double ln and multiply
+    are IEEE-identical cross-engine, FLOOR a pure function of the bits),
+    so every sufficient statistic is an EXACT integer (decimal sums here,
+    HUGEINT in the oracle) and the flat-price guard den_x = n·Σx²−(Σx)²
+    = 0 is an exact test that trips identically on both engines — the
+    first float-moment guard diverged on a flat-price corpus because
+    double summation order differs (probe HASH-FAIL, SWEEPS r13). Width
+    budget: |xq| ≤ 1.5e7, per-term products ≤ 2.25e14 (BIGINT-safe),
+    n·Σx² ≤ 2.25e34 at 1e10 rows/brand ≪ both engines' 38-digit cap.
+    Micro quantization costs ~1e-6 relative on the inputs — inside the
+    ROUND(4) output budget for any spread the statistic is meaningful on.
 
     Honest caveat in-row: the fixture's prices are not experimentally
     varied, so the slope here is an observational association; the query
@@ -911,38 +925,48 @@ def olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "brand",
-            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
-            F.log("l_quantity").alias("y"),
+            F.floor(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("xq"),
+            F.floor(F.log("l_quantity") * F.lit(1000000.0))
+            .cast("long")
+            .alias("yq"),
         )
     )
     s = pts.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("xq").cast("decimal(19,0)")).cast("decimal(29,0)").alias("sx"),
+        F.sum(F.col("yq").cast("decimal(19,0)")).cast("decimal(29,0)").alias("sy"),
+        F.sum((F.col("xq") * F.col("yq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("sxy"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("sxx"),
+        F.sum((F.col("yq") * F.col("yq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("syy"),
     )
     c = s.select(
         "brand",
         "n",
-        F.expr("sxy - sx * sy / n").alias("sxy_c"),
-        F.expr("sxx - sx * sx / n").alias("sxx_c"),
-        F.expr("syy - sy * sy / n").alias("syy_c"),
+        F.expr("CAST(n AS DECIMAL(12,0)) * sxy - sx * sy").alias("num"),
+        F.expr("CAST(n AS DECIMAL(12,0)) * sxx - sx * sx").alias("den_x"),
+        F.expr("CAST(n AS DECIMAL(12,0)) * syy - sy * sy").alias("den_y"),
     )
-    # sxx_c = 0 (a flat-price brand) or syy_c = 0 (constant quantity) must
-    # not reach the division: ANSI Spark raises DIVIDE_BY_ZERO where DuckDB
-    # NULLs — pin ONE semantics (NULL statistic) on both engines. Same
-    # degenerate class as the stat_ttest_welch / Jarque-Bera guards.
     return c.select(
         "brand",
         F.col("n").alias("n_lines"),
         F.expr(
-            "CASE WHEN sxx_c = 0 THEN NULL"
-            " ELSE ROUND(sxy_c / sxx_c, 4) END"
+            "CASE WHEN den_x = 0 THEN NULL"
+            " ELSE ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE), 4) END"
         ).alias("elasticity"),
         F.expr(
-            "CASE WHEN sxx_c = 0 OR syy_c = 0 THEN NULL"
-            " ELSE ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 4) END"
+            "CASE WHEN den_x = 0 OR den_y = 0 THEN NULL"
+            " ELSE ROUND((CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE))"
+            " * (CAST(num AS DOUBLE) / CAST(den_y AS DOUBLE)), 4) END"
         ).alias("r2"),
     )

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import epoch_s, epoch_us, load
+from recommendation_system_big_data_spark.functions.safe_stats import (
+    guarded_pearson_sql,
+)
 from recommendation_system_big_data_spark.registry import register
 
 #: String sentinels the reference treats as missing, beyond real NULLs
@@ -347,7 +350,8 @@ _CORR_PAIRS = [
 ]
 
 _CORR_ORACLE = " UNION ALL ".join(
-    f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 4) AS pearson FROM lineitem"
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+    f" {guarded_pearson_sql(a, b)} AS pearson FROM lineitem"
     for a, b in _CORR_PAIRS
 )
 
@@ -356,11 +360,17 @@ _CORR_ORACLE = " UNION ALL ".join(
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation for every numeric pair in ONE aggregate pass
     (op #24; exploratory-data-analysis.py:137 used pandas df.corr()).
-    Rounded to 4: parallel co-moment merges differ in low-order bits."""
+
+    r13 degenerate hardening: the builtin CORR aggregate divides inside
+    its own evaluation, so ANSI Spark raises on a zero-variance column
+    where DuckDB NULLs and no outer CASE can intervene — rewritten to
+    guarded_pearson_sql (exact decimal sums, min=max guard, one shared
+    double exit parsed by BOTH engines), which also removes the old
+    co-moment-merge-order ulp risk the ROUND(4) comment priced in."""
     df = load(spark, sf_dir, "lineitem")
     one_row = df.agg(
         *[
-            F.round(F.corr(a, b), 4).alias(f"{a}__{b}")
+            F.expr(guarded_pearson_sql(a, b)).alias(f"{a}__{b}")
             for a, b in _CORR_PAIRS
         ]
     )
@@ -679,37 +689,114 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGR_ORACLE = """
-SELECT event_type,
-       COUNT(*) AS n,
-       ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 4)     AS slope,
-       ROUND(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4) AS intercept,
-       ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 4)        AS r2
-FROM events
-GROUP BY event_type
+WITH q AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts)) AS BIGINT) // 3600000 AS xq,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq
+    FROM events
+), s AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(vq AS HUGEINT)) AS sv,
+           SUM(CAST(xq AS HUGEINT) * vq) AS sxv,
+           SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+           SUM(CAST(vq AS HUGEINT) * vq) AS svv
+    FROM q GROUP BY event_type
+), c AS (
+    SELECT event_type, n, sx, sv,
+           n * sxv - sx * sv AS num,
+           n * sxx - sx * sx AS den_x,
+           n * svv - sv * sv AS den_v
+    FROM s
+)
+SELECT event_type, n,
+       CASE WHEN den_x = 0 THEN NULL
+            ELSE ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+                       / 1000.0, 4) END AS slope,
+       CASE WHEN den_x = 0 THEN NULL
+            ELSE ROUND(CAST(sv AS DOUBLE) / n / 1000000.0
+                       - CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) / 1000.0
+                         * (CAST(sx AS DOUBLE) / n / 1000.0), 4)
+            END AS intercept,
+       CASE WHEN den_x = 0 OR den_v = 0 THEN NULL
+            ELSE ROUND((CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE))
+                       * (CAST(num AS DOUBLE) / CAST(den_v AS DOUBLE)), 4)
+            END AS r2
+FROM c
 """
 
 
 @register("agg_regression_stats", oracle=_REGR_ORACLE, tags=("profile",))
 def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in OLS aggregates (regr_slope / regr_intercept / regr_r2):
-    per-event-type trend of value against time-in-hours, entirely JVM-side
-    — the codegen'd answer to grouped_pandas_slope (functions/pandas_fns),
-    which prices the same regression through the applyInPandas escape
-    hatch. Covariance-form partials merge associatively, so this is one
-    map-side-combined shuffle of O(groups) state. Rounded to 4 (not 6):
-    the partials accumulate double products of epoch-hour magnitudes, so
-    the last two digits are summation-order noise across engines."""
-    x = epoch_us("ts") / 3.6e9
-    v = F.col("value")
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.regr_slope(v, x), 4).alias("slope"),
-            F.round(F.regr_intercept(v, x), 4).alias("intercept"),
-            F.round(F.regr_r2(v, x), 4).alias("r2"),
-        )
+    """Per-event-type OLS trend of value against time-in-hours, entirely
+    JVM-side — the codegen'd answer to grouped_pandas_slope
+    (functions/pandas_fns), which prices the same regression through the
+    applyInPandas escape hatch.
+
+    r13 degenerate hardening (replacing the builtin regr_* aggregates):
+    time quantizes to integer MILLI-hours (an exact integer division of
+    integer epoch micros) and value to integer micros (FLOOR of an
+    IEEE-identical double product), so every sufficient statistic is an
+    exact integer (decimal sums; HUGEINT in the oracle), the flat-series
+    guards are exact tests, and the slope/intercept/r² exits are shared
+    double expressions — the builtin form both RAISED under ANSI on a
+    zero-variance regressor and wobbled past ROUND(4) on the
+    single-day probe corpus (intercept extrapolates to epoch 0, so
+    epoch-hour-magnitude summation noise is amplified ~1e6×). Width
+    budget: xq ≤ ~5e8, per-term products ≤ ~5e17 (BIGINT-safe),
+    n·Σx² ≤ ~2e37 < 1e38 at 1e10 rows/type. Quantization (3.6 s / 1e-6
+    value) shifts results ≤ ~1e-6 relative — inside the ROUND(4) budget
+    for any span the trend is meaningful over."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (epoch_us("ts").cast("long")).alias("us"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("vq"),
+    ).select(
+        "event_type",
+        F.expr("us div 3600000").alias("xq"),
+        "vq",
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xq").cast("decimal(19,0)")).cast("decimal(29,0)").alias("sx"),
+        F.sum(F.col("vq").cast("decimal(19,0)")).cast("decimal(29,0)").alias("sv"),
+        F.sum((F.col("xq") * F.col("vq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("sxv"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("sxx"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(19,0)"))
+        .cast("decimal(29,0)")
+        .alias("svv"),
+    )
+    c = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sv",
+        F.expr("CAST(n AS DECIMAL(12,0)) * sxv - sx * sv").alias("num"),
+        F.expr("CAST(n AS DECIMAL(12,0)) * sxx - sx * sx").alias("den_x"),
+        F.expr("CAST(n AS DECIMAL(12,0)) * svv - sv * sv").alias("den_v"),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CASE WHEN den_x = 0 THEN NULL"
+            " ELSE ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)"
+            " / 1000.0, 4) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN den_x = 0 THEN NULL"
+            " ELSE ROUND(CAST(sv AS DOUBLE) / n / 1000000.0"
+            " - CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) / 1000.0"
+            " * (CAST(sx AS DOUBLE) / n / 1000.0), 4) END"
+        ).alias("intercept"),
+        F.expr(
+            "CASE WHEN den_x = 0 OR den_v = 0 THEN NULL"
+            " ELSE ROUND((CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE))"
+            " * (CAST(num AS DOUBLE) / CAST(den_v AS DOUBLE)), 4) END"
+        ).alias("r2"),
     )
 
 
@@ -1340,8 +1427,10 @@ WITH mu AS (
 )
 SELECT event_type, n, mean_value,
        ROUND(m2, 4) AS variance_pop,
-       ROUND(m3 / POWER(m2, 1.5), 4) AS skewness_g1,
-       ROUND(m4 / POWER(m2, 2) - 3, 4) AS kurtosis_excess
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE ROUND(m3 / POWER(m2, 1.5), 4) END AS skewness_g1,
+       CASE WHEN m2 = 0 THEN NULL
+            ELSE ROUND(m4 / POWER(m2, 2) - 3, 4) END AS kurtosis_excess
 FROM cm
 """
 
@@ -1383,10 +1472,15 @@ def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "mean_value",
             F.round(F.col("m2"), 4).alias("variance_pop"),
-            F.round(F.col("m3") / F.pow(F.col("m2"), 1.5), 4).alias("skewness_g1"),
-            F.round(F.col("m4") / F.pow(F.col("m2"), 2) - 3, 4).alias(
-                "kurtosis_excess"
-            ),
+            # m2 = 0 (constant-value group: every centered term is exactly
+            # 0.0 on both engines) must not reach the ratio — ANSI Spark
+            # raises where DuckDB NULLs. r13 degenerate-probe finding.
+            F.when(F.col("m2") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("m3") / F.pow(F.col("m2"), 1.5), 4))
+            .alias("skewness_g1"),
+            F.when(F.col("m2") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("m4") / F.pow(F.col("m2"), 2) - 3, 4))
+            .alias("kurtosis_excess"),
         )
     )
 
@@ -1461,14 +1555,20 @@ WITH s AS (
     FROM lineitem
 )
 SELECT n,
-       ROUND((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12), 4) AS b_quantity,
-       ROUND((sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12), 4) AS b_discount,
-       ROUND(my - (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * mx1
-                - (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * mx2,
-             4) AS intercept,
-       ROUND(((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * sy1
-            + (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * sy2) / syy,
-             4) AS r2
+       CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+            ELSE ROUND((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12), 4)
+            END AS b_quantity,
+       CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+            ELSE ROUND((sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12), 4)
+            END AS b_discount,
+       CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+            ELSE ROUND(my - (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * mx1
+                          - (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * mx2,
+                       4) END AS intercept,
+       CASE WHEN s11 * s22 - s12 * s12 = 0 OR syy = 0 THEN NULL
+            ELSE ROUND(((sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) * sy1
+                      + (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) * sy2)
+                       / syy, 4) END AS r2
 FROM s
 """
 
@@ -1504,16 +1604,29 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
     b1 = (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det
     b2 = (F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det
+    # A singular Gram matrix (constant feature: the Welford co-moments are
+    # EXACTLY 0.0 on both engines) or constant target (syy = 0) must not
+    # reach the solve — ANSI Spark raises where DuckDB NULLs. r13
+    # degenerate-probe finding; the guards mirror the oracle verbatim.
+    degenerate = det == 0
     return s.select(
         "n",
-        F.round(b1, 4).alias("b_quantity"),
-        F.round(b2, 4).alias("b_discount"),
-        F.round(
-            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4
-        ).alias("intercept"),
-        F.round((b1 * F.col("sy1") + b2 * F.col("sy2")) / F.col("syy"), 4).alias(
-            "r2"
-        ),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(b1, 4))
+        .alias("b_quantity"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(b2, 4))
+        .alias("b_discount"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4)
+        )
+        .alias("intercept"),
+        F.when(degenerate | (F.col("syy") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((b1 * F.col("sy1") + b2 * F.col("sy2")) / F.col("syy"), 4)
+        )
+        .alias("r2"),
     )
 
 
@@ -1747,8 +1860,12 @@ WITH stats AS (
     FROM customer
 )
 SELECT c.c_custkey,
-       ROUND((c.c_acctbal - s.mn) / (s.mx - s.mn), 6) AS minmax_scaled,
-       ROUND((c.c_acctbal - s.med) / (s.q3 - s.q1), 6) AS robust_scaled
+       CASE WHEN s.mn = s.mx THEN NULL
+            ELSE ROUND((c.c_acctbal - s.mn) / (s.mx - s.mn), 6)
+            END AS minmax_scaled,
+       CASE WHEN s.q1 = s.q3 THEN NULL
+            ELSE ROUND((c.c_acctbal - s.med) / (s.q3 - s.q1), 6)
+            END AS robust_scaled
 FROM customer c CROSS JOIN stats s
 """
 
@@ -1774,14 +1891,28 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)").alias("med"),
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").alias("q3"),
     )
+    # Degenerate fits (constant column: mn = mx; zero IQR: q1 = q3) must
+    # not reach the division — ANSI Spark raises where DuckDB NULLs. The
+    # guards compare ACTUAL DATA VALUES (discrete quantiles/min/max), so
+    # they trip identically on both engines. r13 degenerate-probe finding.
     return cust.crossJoin(F.broadcast(stats)).select(
         "c_custkey",
-        F.round(
-            (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
-        ).alias("minmax_scaled"),
-        F.round(
-            (F.col("c_acctbal") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
-        ).alias("robust_scaled"),
+        F.when(F.col("mn") == F.col("mx"), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+                6,
+            )
+        )
+        .alias("minmax_scaled"),
+        F.when(F.col("q1") == F.col("q3"), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("c_acctbal") - F.col("med")) / (F.col("q3") - F.col("q1")),
+                6,
+            )
+        )
+        .alias("robust_scaled"),
     )
 
 

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from recommendation_system_big_data_spark.catalog import load, min_parallelism
+from recommendation_system_big_data_spark.functions.safe_stats import (
+    guarded_pearson_sql,
+)
 from recommendation_system_big_data_spark.registry import register
 
 
@@ -663,12 +666,16 @@ WITH g AS (
     WHERE event_type IN ('click', 'purchase')
 )
 SELECT n_a, n_b,
-       ROUND((m_a - m_b)
+       CASE WHEN n_a < 2 OR n_b < 2
+                 OR (n_a - 1) * v_a + (n_b - 1) * v_b = 0 THEN NULL
+            ELSE ROUND((m_a - m_b)
              / SQRT(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)),
-             4) AS cohens_d,
-       ROUND(((m_a - m_b)
+             4) END AS cohens_d,
+       CASE WHEN n_a < 2 OR n_b < 2
+                 OR (n_a - 1) * v_a + (n_b - 1) * v_b = 0 THEN NULL
+            ELSE ROUND(((m_a - m_b)
               / SQRT(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)))
-             * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 4) AS hedges_g
+             * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 4) END AS hedges_g
 FROM g
 """
 
@@ -701,28 +708,49 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (F.col("m_a") - F.col("m_b")) / pooled
     corr = 1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)
+    # Constant-value arms zero the pooled variance (Welford terms are
+    # exactly 0.0 on both engines) and a 1-row arm gives Spark NaN where
+    # DuckDB NULLs VAR_SAMP — both pin NULL effect sizes. r13 probe.
+    degenerate = (
+        (F.col("n_a") < 2)
+        | (F.col("n_b") < 2)
+        | (
+            (F.col("n_a") - 1) * F.col("v_a")
+            + (F.col("n_b") - 1) * F.col("v_b")
+            == 0
+        )
+    )
     return g.select(
         "n_a",
         "n_b",
-        F.round(d, 4).alias("cohens_d"),
-        F.round(d * corr, 4).alias("hedges_g"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(d, 4))
+        .alias("cohens_d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(d * corr, 4))
+        .alias("hedges_g"),
     )
 
 
 _POWER_ORACLE = """
 WITH g AS (
     SELECT
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
         AVG(CASE WHEN event_type = 'click' THEN value END)      AS m_a,
         VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v_a,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+            AS n_b,
         AVG(CASE WHEN event_type = 'purchase' THEN value END)   AS m_b,
         VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v_b
     FROM events WHERE event_type IN ('click', 'purchase')
 )
 SELECT ROUND(m_a - m_b, 4) AS observed_delta,
-       ROUND(SQRT((v_a + v_b) / 2), 4) AS pooled_sd,
-       CAST(CEIL(2 * ((v_a + v_b) / 2)
+       CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+            ELSE ROUND(SQRT((v_a + v_b) / 2), 4) END AS pooled_sd,
+       CASE WHEN n_a < 2 OR n_b < 2 OR m_a - m_b = 0 THEN NULL
+            ELSE CAST(CEIL(2 * ((v_a + v_b) / 2)
                  * POW(1.959963985 + 0.8416212336, 2)
-                 / POW(m_a - m_b, 2)) AS BIGINT) AS n_per_arm_observed,
+                 / POW(m_a - m_b, 2)) AS BIGINT) END AS n_per_arm_observed,
        CAST(CEIL(2 * POW(1.959963985 + 0.8416212336, 2)
                  / POW(0.2, 2)) AS BIGINT) AS n_per_arm_small_effect
 FROM g
@@ -749,25 +777,44 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.when(F.col("event_type") == "click", F.col("value"))
     b = F.when(F.col("event_type") == "purchase", F.col("value"))
     g = ev.agg(
+        F.count(a).cast("long").alias("n_a"),
         F.avg(a).alias("m_a"),
         F.var_samp(a).alias("v_a"),
+        F.count(b).cast("long").alias("n_b"),
         F.avg(b).alias("m_b"),
         F.var_samp(b).alias("v_b"),
     )
     z2 = (1.959963985 + 0.8416212336) ** 2
     pooled_var = (F.col("v_a") + F.col("v_b")) / 2
     delta = F.col("m_a") - F.col("m_b")
+    # δ = 0 (identical arm means — exact on both engines for constant
+    # arms) must not reach the δ² division, and a 1-row arm gives Spark
+    # NaN where DuckDB NULLs VAR_SAMP — pin NULL. r13 probe finding.
+    small = (F.col("n_a") < 2) | (F.col("n_b") < 2)
     return g.select(
         F.round(delta, 4).alias("observed_delta"),
-        F.round(F.sqrt(pooled_var), 4).alias("pooled_sd"),
-        F.ceil(2 * pooled_var * F.lit(z2) / F.pow(delta, 2))
-        .cast("long")
+        F.when(small, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sqrt(pooled_var), 4))
+        .alias("pooled_sd"),
+        F.when(small | (delta == 0), F.lit(None).cast("long"))
+        .otherwise(
+            F.ceil(2 * pooled_var * F.lit(z2) / F.pow(delta, 2)).cast("long")
+        )
         .alias("n_per_arm_observed"),
         F.ceil(2 * F.lit(z2) / F.lit(0.2**2)).cast("long").alias(
             "n_per_arm_small_effect"
         ),
     )
 
+
+#: Midranks are exact halves of integers → DECIMAL(19,1) carries them
+#: exactly and (19,1)×(19,1) stays inside both engines' 38-digit multiply
+#: budget (ranks ≤ 1e10 even at 100 TB: per-term products ≤ ~1e20 ≪ 1e38).
+#: The guarded sums-based form replaces builtin CORR, whose internal
+#: division raises under ANSI Spark on a constant-rank column. r13 probe.
+_SPEARMAN_RHO = guarded_pearson_sql(
+    "r_x", "r_y", dec="DECIMAL(19,1)", digits=6
+)
 
 _SPEARMAN_ORACLE = """
 WITH pairs AS (
@@ -790,9 +837,9 @@ WITH pairs AS (
     FROM pairs p JOIN rx ON p.x = rx.x JOIN ry ON p.y = ry.y
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CORR(r_x, r_y), 6) AS spearman_rho
+       {rho} AS spearman_rho
 FROM ranked
-"""
+""".format(rho=_SPEARMAN_RHO)
 
 
 @register("stat_spearman_corr", oracle=_SPEARMAN_ORACLE, tags=("profile",))
@@ -829,7 +876,7 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = pairs.join(midranks("x"), "x").join(midranks("y"), "y")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+        F.expr(_SPEARMAN_RHO).alias("spearman_rho"),
     )
 
 
@@ -1238,14 +1285,15 @@ WITH vq AS (
            q - (s * s) // n   AS sst
     FROM tot
 ), fin2 AS (
-    SELECT *, ssw // (n - k) AS vw FROM fin
+    SELECT *, CASE WHEN n = k THEN NULL ELSE ssw // (n - k) END AS vw
+    FROM fin
 )
 SELECT CAST(k AS BIGINT)   AS k_groups,
        CAST(n AS BIGINT)   AS n_total,
        CAST(CASE WHEN ssb < 0 THEN -((-ssb) // n) ELSE ssb // n END
             AS BIGINT) AS var_between_q,
        CAST(vw AS BIGINT)  AS var_within_q,
-       CAST(CASE WHEN vw = 0 THEN NULL
+       CAST(CASE WHEN vw IS NULL OR vw = 0 OR k = 1 THEN NULL
             WHEN ssb < 0
             THEN -LEAST(((-ssb) * 2000 + vw * (k - 1))
                         // (2 * vw * (k - 1)), {ANOVA_F_CAP})
@@ -1334,16 +1382,22 @@ def anova_fold(grouped: DataFrame) -> DataFrame:
             F.expr("CAST(q - ssq AS DECIMAL(33,0))").alias("ssw"),
             F.expr("CAST(q - sn AS DECIMAL(33,0))").alias("sst"),
         )
-        .withColumn("vw", F.expr("ssw div (n - k)"))
+        .withColumn(
+            # n = k (every group a single row) leaves no within degrees of
+            # freedom: NULL, not an ANSI divide-by-zero (r13 probe class).
+            "vw",
+            F.expr("CASE WHEN n = k THEN NULL ELSE ssw div (n - k) END"),
+        )
         .withColumn("absb", F.expr("CAST(abs(ssb) AS DECIMAL(33,0))"))
     )
     # F in milli-units, saturated: numerator absb·2000 ≤ ~2e30 fits
     # decimal(38,0); the remainder identity keeps the quotient decimal
     # (it can legitimately exceed 2^63 when vw is tiny), then LEAST caps
     # it at output scale. fb=0 is dodged with a sentinel divisor because
-    # ANSI evaluates the remainder before the CASE guard would.
+    # ANSI evaluates the remainder before the CASE guard would — and k=1
+    # (a single group, the r13 oneday probe) zeroes fb the same way.
     f_milli = F.expr(
-        f"""CASE WHEN vw = 0 THEN NULL ELSE
+        f"""CASE WHEN vw IS NULL OR vw = 0 OR k = 1 THEN NULL ELSE
         (CASE WHEN ssb < 0 THEN -1 ELSE 1 END) * CAST(LEAST(
             CAST((fa - fa % fb) / fb AS DECIMAL(38,0)),
             CAST({ANOVA_F_CAP} AS DECIMAL(38,0))) AS LONG) END"""
@@ -1360,7 +1414,8 @@ def anova_fold(grouped: DataFrame) -> DataFrame:
         .withColumn(
             "fb",
             F.expr(
-                "CAST(CASE WHEN vw = 0 THEN 1 ELSE 2 * vw * (k - 1) END"
+                "CAST(CASE WHEN vw IS NULL OR vw = 0 OR k = 1 THEN 1"
+                " ELSE 2 * vw * (k - 1) END"
                 " AS DECIMAL(20,0))"
             ),
         )
@@ -1545,11 +1600,12 @@ WITH vq AS (
            q - ssq            AS ssw
     FROM tot
 ), fin2 AS (
-    SELECT *, ssw // (n - k) AS vw FROM fin
+    SELECT *, CASE WHEN n = k THEN NULL ELSE ssw // (n - k) END AS vw
+    FROM fin
 )
 SELECT CAST(k AS BIGINT) AS k_groups,
        CAST(n AS BIGINT) AS n_total,
-       CAST(CASE WHEN vw = 0 THEN NULL
+       CAST(CASE WHEN vw IS NULL OR vw = 0 OR k = 1 THEN NULL
             WHEN ssb < 0
             THEN -LEAST(((-ssb) * 2000 + vw * (k - 1))
                         // (2 * vw * (k - 1)), {ANOVA_F_CAP})
@@ -1901,10 +1957,11 @@ WITH d AS (
 SELECT k AS k_doses,
        CAST(n AS BIGINT) AS n_total,
        CAST(r AS BIGINT) AS n_pos,
-       ROUND(CAST(num AS DOUBLE)
+       CASE WHEN r = 0 OR r = n OR vnum = 0 THEN NULL
+            ELSE ROUND(CAST(num AS DOUBLE)
              / SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
                     * CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE)), 4)
-           AS z_trend
+            END AS z_trend
 FROM fin
 """
 
@@ -1952,17 +2009,18 @@ def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n * swr - r * swn AS DECIMAL(38,0))").alias("num"),
         F.expr("CAST(n * swwn - swn * swn AS DECIMAL(38,0))").alias("vnum"),
     )
+    # Degenerate exact-integer exits (r13 probe): a single-class outcome
+    # (r = 0 or r = n — e.g. every order fulfilled) or a single dose
+    # level (vnum = 0) zeroes the variance — NULL z, not an ANSI raise.
     return fin.select(
         F.col("k").alias("k_doses"),
         F.col("n").cast("long").alias("n_total"),
         F.col("r").cast("long").alias("n_pos"),
-        F.round(
-            F.expr(
-                "CAST(num AS DOUBLE)"
-                " / SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)"
-                "        * CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE))"
-            ),
-            4,
+        F.expr(
+            "CASE WHEN r = 0 OR r = n OR vnum = 0 THEN NULL"
+            " ELSE ROUND(CAST(num AS DOUBLE)"
+            " / SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)"
+            "        * CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE)), 4) END"
         ).alias("z_trend"),
     )
 

@@ -465,8 +465,11 @@ WITH daily AS (
 SELECT day,
        ROUND(rev, 2) AS daily_rev,
        ratio AS deseasonalized_ratio,
-       ROUND((ratio - mu) / sigma, 4) AS z_score,
-       CAST(ABS((ratio - mu) / sigma) > 2.0 AS BOOLEAN) AS is_anomaly
+       CASE WHEN sigma = 0 THEN NULL
+            ELSE ROUND((ratio - mu) / sigma, 4) END AS z_score,
+       CASE WHEN sigma = 0 THEN NULL
+            ELSE CAST(ABS((ratio - mu) / sigma) > 2.0 AS BOOLEAN)
+            END AS is_anomaly
 FROM deseason CROSS JOIN stats
 """
 
@@ -512,12 +515,20 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("ratio").alias("mu"), F.stddev_pop("ratio").alias("sigma")
     )
     z = (F.col("ratio") - F.col("mu")) / F.col("sigma")
+    # σ = 0 (a flat deseasonalized series — e.g. a single day of data)
+    # leaves the z-score undefined: NULL on both engines, not an ANSI
+    # raise (Welford σ of a constant column is exactly 0.0). r13 probe.
+    flat = F.col("sigma") == 0
     return deseason.crossJoin(F.broadcast(stats)).select(
         "day",
         F.round("rev", 2).alias("daily_rev"),
         F.col("ratio").alias("deseasonalized_ratio"),
-        F.round(z, 4).alias("z_score"),
-        (F.abs(z) > 2.0).alias("is_anomaly"),
+        F.when(flat, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 4))
+        .alias("z_score"),
+        F.when(flat, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 2.0)
+        .alias("is_anomaly"),
     )
 
 
@@ -1334,8 +1345,9 @@ WITH hours AS (
     GROUP BY g.p
 )
 SELECT CAST(p AS INT) AS period_hours,
-       ROUND(2.0 * (c * c + s * s) / (CAST(nh AS DOUBLE) * ss), 6)
-           AS power_ratio
+       CASE WHEN ss = 0 THEN NULL
+            ELSE ROUND(2.0 * (c * c + s * s) / (CAST(nh AS DOUBLE) * ss), 6)
+            END AS power_ratio
 FROM terms
 """
 
@@ -1403,14 +1415,21 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("nh"),
         )
     )
+    # ss = 0 (a constant hourly series: every centered term is exactly
+    # 0.0 on both engines) leaves the energy share undefined — NULL, not
+    # an ANSI raise. r13 degenerate-probe finding.
     return terms.select(
         F.col("p").cast("int").alias("period_hours"),
-        F.round(
-            F.lit(2.0)
-            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
-            / (F.col("nh").cast("double") * F.col("ss")),
-            6,
-        ).alias("power_ratio"),
+        F.when(F.col("ss") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(2.0)
+                * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+                / (F.col("nh").cast("double") * F.col("ss")),
+                6,
+            )
+        )
+        .alias("power_ratio"),
     )
 
 

@@ -1200,9 +1200,25 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _acf_corr(k: int) -> str:
+    """Guarded aligned-pairs Pearson for lag k — rev/l{k} are exact 2-dp
+    daily decimal sums, re-cast to DECIMAL(19,2) inside the fragment
+    (DuckDB's SUM(DECIMAL) widens to width 38, whose square would exceed
+    its 38-width multiply bind limit; the cast is value-exact). The
+    FILTER keeps only complete pairs (CORR's null semantics)."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        guarded_pearson_sql,
+    )
+
+    return guarded_pearson_sql(
+        "rev", f"l{k}", where=f"l{k} IS NOT NULL", digits=4
+    )
+
+
 _ACF_ORACLE = """
 WITH daily AS (
-    SELECT o_orderdate AS d, SUM(o_totalprice) AS rev
+    SELECT o_orderdate AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
     FROM orders GROUP BY o_orderdate
 ), lagged AS (
     SELECT rev,
@@ -1212,13 +1228,12 @@ WITH daily AS (
            LAG(rev, 7) OVER (ORDER BY d) AS l7
     FROM daily
 )
-SELECT CAST(lag_days AS INTEGER) AS lag_days, ROUND(acf, 4) AS acf FROM (
-    SELECT CORR(rev, l1) AS "1", CORR(rev, l2) AS "2",
-           CORR(rev, l3) AS "3", CORR(rev, l7) AS "7"
-    FROM lagged
-) UNPIVOT (acf FOR lag_days IN ("1", "2", "3", "7"))
+SELECT 1 AS lag_days, {c1} AS acf FROM lagged
+UNION ALL SELECT 2, {c2} FROM lagged
+UNION ALL SELECT 3, {c3} FROM lagged
+UNION ALL SELECT 7, {c7} FROM lagged
 ORDER BY lag_days
-"""
+""".format(c1=_acf_corr(1), c2=_acf_corr(2), c3=_acf_corr(3), c7=_acf_corr(7))
 
 
 @register("ts_autocorrelation", oracle=_ACF_ORACLE, tags=("window", "ml"))
@@ -1234,12 +1249,19 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H range, independent of fact-table size), produced by a properly
     distributed pre-aggregation. The pattern to copy is agg-then-window,
     never window-then-agg. All four lags ride ONE window sort; the four
-    CORRs fold into ONE global aggregate; stack() reshapes 4 columns to
-    long form without touching the fact table again."""
+    guarded correlations fold into ONE global aggregate; stack() reshapes
+    4 columns to long form without touching the fact table again.
+
+    r13 degenerate hardening: daily revenue folds in DECIMAL(18,2)
+    (exact, order-independent), each lag's correlation is the guarded
+    sums-based fragment over FILTERed complete pairs — builtin CORR
+    raises under ANSI Spark on a flat series, and DuckDB's UNPIVOT
+    silently DROPPED NULL acf rows where Spark's stack kept them (the
+    oneday-probe 4/0 row mismatch); the UNION ALL oracle keeps them."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
     w = Window.orderBy(F.asc("d"))
     lagged = daily.select(
@@ -1250,10 +1272,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev", 7).over(w).alias("l7"),
     )
     wide = lagged.agg(
-        F.corr("rev", "l1").alias("a1"),
-        F.corr("rev", "l2").alias("a2"),
-        F.corr("rev", "l3").alias("a3"),
-        F.corr("rev", "l7").alias("a7"),
+        F.expr(_acf_corr(1)).alias("a1"),
+        F.expr(_acf_corr(2)).alias("a2"),
+        F.expr(_acf_corr(3)).alias("a3"),
+        F.expr(_acf_corr(7)).alias("a7"),
     )
     return (
         wide.select(
@@ -1263,7 +1285,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("lag_days").cast("int").alias("lag_days"),
-            F.round("acf", 4).alias("acf"),
+            F.col("acf").alias("acf"),
         )
         .orderBy("lag_days")
     )
