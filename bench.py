@@ -363,6 +363,9 @@ def main() -> None:
             "value": total,
             "queries": timings,
             "errors": errors,
+            # Deliberately-constrained runs (e.g. the 1g OOM-regression
+            # test) must not read as engine drift in bench_drift.
+            "mem": os.environ.get("RSBD_DRIVER_MEM", "4g"),
         }
     )
     with open(

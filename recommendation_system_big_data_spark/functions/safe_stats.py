@@ -81,3 +81,34 @@ def guarded_pearson_sql_prequantized(
         f" WHEN {den} = 0 THEN NULL"
         f" ELSE ROUND(({n} * {sab} - {sa} * {sb}) / {den}, {digits}) END"
     )
+
+
+def normal_cdf_sql(z: str) -> str:
+    """Standard normal CDF Φ(z) as one SQL expression valid in both
+    Spark and DuckDB — neither engine ships erf/Φ, so z-statistics
+    could not emit p-values until now. Abramowitz & Stegun 26.2.17
+    (Zelen–Severo polynomial), |error| < 7.5e-8: far inside the
+    ROUND(6) budget every p-value output uses. The literals parse to
+    identical doubles on both engines and the arithmetic is
+    expression-identical; the only cross-engine freedom is EXP's last
+    ulp, ~1e-16 relative — the established libm-absorbed-by-ROUND
+    class (ts_periodogram_dft's cos/sin note).
+
+    ``z`` must be a parenthesized-safe expression; NULL propagates.
+    """
+    # Every constant is written in e-notation: a bare `0.2316419` parses
+    # as a DECIMAL literal on BOTH engines, and their differing decimal
+    # promotion rules then diverge the arithmetic at ~1e-11 (caught by
+    # test_normal_cdf_fragment_matches_erf); `...e0` is a DOUBLE literal
+    # everywhere, making the expression bit-deterministic up to libm EXP.
+    az = f"ABS({z})"
+    t = f"(1e0 / (1e0 + 2.316419e-1 * {az}))"
+    poly = (
+        f"({t} * (3.19381530e-1 + {t} * (-3.56563782e-1 + {t} *"
+        f" (1.781477937e0 + {t} * (-1.821255978e0 + {t} *"
+        f" 1.330274429e0)))))"
+    )
+    upper = (
+        f"(1e0 - EXP(-({az} * {az}) / 2e0) / 2.5066282746310002e0 * {poly})"
+    )
+    return f"(CASE WHEN {z} >= 0 THEN {upper} ELSE 1e0 - {upper} END)"

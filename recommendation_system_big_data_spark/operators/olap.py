@@ -970,3 +970,96 @@ def olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(num AS DOUBLE) / CAST(den_y AS DOUBLE)), 4) END"
         ).alias("r2"),
     )
+
+
+_LTV_ORACLE = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+), cohort AS (
+    SELECT o_custkey, MIN(ym) AS c0 FROM o GROUP BY o_custkey
+), sizes AS (
+    SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_custs FROM cohort GROUP BY c0
+), cells AS (
+    SELECT cohort.c0, o.ym - cohort.c0 AS age,
+           CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+    FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey
+    GROUP BY cohort.c0, o.ym - cohort.c0
+), cum AS (
+    SELECT c0, age, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               PARTITION BY c0 ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_cents
+    FROM cells
+)
+SELECT cum.c0 AS cohort_ym,
+       CAST(cum.age AS BIGINT) AS age_months,
+       sizes.n_custs,
+       cum.rev_cents,
+       cum.cum_rev_cents,
+       cum.cum_rev_cents // sizes.n_custs AS ltv_cents_per_cust
+FROM cum JOIN sizes ON cum.c0 = sizes.c0
+"""
+
+
+@register("olap_cohort_ltv_triangle", oracle=_LTV_ORACLE, tags=("olap",))
+def olap_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value build-up triangle: customers grouped by
+    first-order month, revenue accumulated by months-since-first-order,
+    normalized per cohort member — the money-side companion of
+    `cohort_retention` (which counts users) and the table every
+    payback-period / CAC-ceiling decision reads. Reading down a column
+    compares cohort quality at equal age; reading along the diagonal
+    shows calendar effects — that double view is why it's a triangle,
+    not a curve.
+
+    Exact integers end to end: months as y·12+m ints (identical
+    arithmetic on both engines — no months_between float), money through
+    the decimal-cast cents convention, cumulative sums over the
+    per-cohort age grain (bounded by the calendar span), and the
+    per-customer LTV as truncating integer division. Ages with no orders
+    simply have no row (the cumulative carries across gaps).
+
+    Scale shape: one fold of orders to per-customer first-months
+    (map-side combined), one fact fold to (cohort, age) cells riding a
+    customer-keyed join (AQE-broadcast at dim scale), windows on the
+    cells grain only."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs")
+    )
+    cells = (
+        o.join(cohort, "o_custkey")
+        .groupBy("c0", (F.col("ym") - F.col("c0")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "c0",
+        "age",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "c0").select(
+        F.col("c0").alias("cohort_ym"),
+        F.col("age").cast("long").alias("age_months"),
+        "n_custs",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr("cum_rev_cents div n_custs").alias("ltv_cents_per_cust"),
+    )

@@ -2508,3 +2508,721 @@ def stat_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS LONG) END"
         ).alias("overdispersed"),
     )
+
+
+_BH_ORACLE = """
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+), cm AS (
+    SELECT e.event_type, MAX(mu.n) AS n,
+           AVG(POW(e.value - mu.m, 2)) AS m2,
+           AVG(POW(e.value - mu.m, 3)) AS m3,
+           AVG(POW(e.value - mu.m, 4)) AS m4
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+), pv AS (
+    SELECT event_type,
+           EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
+                      + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0) AS p
+    FROM cm
+), ranked AS (
+    SELECT event_type, p,
+           CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT) AS rnk,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k
+    FROM pv
+), adjusted AS (
+    SELECT event_type, p, rnk, k,
+           MIN(LEAST(k * p / rnk, 1.0)) OVER (
+               ORDER BY rnk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS p_bh
+    FROM ranked
+)
+SELECT event_type,
+       ROUND(p, 6) AS p_raw,
+       CAST(rnk AS BIGINT) AS p_rank,
+       ROUND(p_bh, 6) AS p_bh,
+       CAST(p_bh < 0.05 AS BIGINT) AS reject_fdr_05
+FROM adjusted
+"""
+
+
+@register(
+    "stat_benjamini_hochberg", oracle=_BH_ORACLE, tags=("profile", "experiment")
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-UP FDR adjustment over the same per-group
+    Jarque–Bera p-value family `stat_holm_bonferroni` corrects — the two
+    standard multiple-testing disciplines on IDENTICAL inputs, so the
+    FWER-vs-FDR tradeoff is directly visible: BH's adjusted
+    p = min over j ≥ rank of (k·p_j / j), clamped at 1 (the running MIN
+    from the LARGEST p downward is the step-up monotonicity naive
+    implementations drop; Holm's is a running MAX from the smallest).
+    At 10⁴ metrics per experiment platform run, BH is what keeps
+    discovery count useful while Holm goes to zero power.
+
+    The only data-sized stages are the two moment folds (shared shape
+    with stat_jarque_bera); ranking and the reverse cumulative MIN run
+    on the k-row aggregate. m2 = 0 groups inherit the JB NULL guard;
+    ties in p break on event_type for a deterministic rank."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("m")
+    cm = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+    )
+    nul = F.lit(None).cast("double")
+    g1 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m3") / F.pow(F.col("m2"), 1.5)
+    )
+    g2 = F.when(F.col("m2") == 0, nul).otherwise(
+        F.col("m4") / F.pow(F.col("m2"), 2) - 3
+    )
+    jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+    pv = cm.select("event_type", F.exp(-jb / 2.0).alias("p"))
+    w_rank = Window.orderBy(F.asc("p"), F.asc("event_type"))
+    ranked = pv.select(
+        "event_type",
+        "p",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("k"),
+    )
+    w_cum = Window.orderBy(F.desc("rnk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adjusted = ranked.withColumn(
+        "p_bh",
+        F.min(
+            F.least(F.col("k") * F.col("p") / F.col("rnk"), F.lit(1.0))
+        ).over(w_cum),
+    )
+    return adjusted.select(
+        "event_type",
+        F.round("p", 6).alias("p_raw"),
+        F.col("rnk").alias("p_rank"),
+        F.round("p_bh", 6).alias("p_bh"),
+        (F.col("p_bh") < 0.05).cast("long").alias("reject_fdr_05"),
+    )
+
+
+_MCNEMAR_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+    FROM events GROUP BY user_id
+), cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(clicked * (1 - purchased)) AS BIGINT) AS b,
+           CAST(SUM((1 - clicked) * purchased) AS BIGINT) AS c
+    FROM per_user
+)
+SELECT n_users, b AS click_only, c AS purchase_only,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE ROUND(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE), 4)
+            END AS mcnemar_chi2_cc,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE ROUND(2.0 * (1.0 - {{phi}}), 6) END AS p_value
+FROM cells
+"""
+
+
+def _mcnemar_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    z = "(SQRT(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE)))"
+    return _MCNEMAR_ORACLE.format(phi=normal_cdf_sql(z))
+
+
+@register(
+    "stat_mcnemar", oracle=_mcnemar_oracle(), tags=("profile", "experiment")
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the paired binary outcome (user ever clicked,
+    user ever purchased): do the two funnel events disagree
+    symmetrically? Only the DISCORDANT cells carry information —
+    b = click-without-purchase, c = purchase-without-click — and the
+    continuity-corrected χ²(1) = (|b−c|−1)²/(b+c) is the classic paired
+    test the unpaired chi-square (`stat_chi_square`) silently gets wrong
+    on matched designs (same user in both columns). First op to use the
+    engine's new shared Φ fragment (safe_stats.normal_cdf_sql, A&S
+    26.2.17): p = 2·(1−Φ(√χ²)) — a real p-value with no erf in either
+    engine.
+
+    One per-user fold (map-side combined), one 1-row cell reduce; b, c
+    are exact integers, χ² and p exit through shared double expressions.
+    b + c = 0 (no discordant pairs) pins NULL, not an ANSI raise."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias(
+                "clicked"
+            ),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "purchased"
+            ),
+        )
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("clicked") * (1 - F.col("purchased")))
+        .cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("clicked")) * F.col("purchased"))
+        .cast("long")
+        .alias("c"),
+    )
+    z = "(SQRT(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE)))"
+    return cells.select(
+        "n_users",
+        F.col("b").alias("click_only"),
+        F.col("c").alias("purchase_only"),
+        F.expr(
+            "CASE WHEN b + c = 0 THEN NULL"
+            " ELSE ROUND(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE), 4)"
+            " END"
+        ).alias("mcnemar_chi2_cc"),
+        F.expr(
+            "CASE WHEN b + c = 0 THEN NULL"
+            f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(z)}), 6) END"
+        ).alias("p_value"),
+    )
+
+
+def _two_prop_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    z = (
+        "((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)"
+        " / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        " * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        " * (1.0 / n1 + 1.0 / n2)))"
+    )
+    se_un = (
+        "SQRT((CAST(c1 AS DOUBLE) / n1) * (1.0 - CAST(c1 AS DOUBLE) / n1)"
+        " / n1 + (CAST(c2 AS DOUBLE) / n2)"
+        " * (1.0 - CAST(c2 AS DOUBLE) / n2) / n2)"
+    )
+    return f"""
+WITH assigned AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), cells AS (
+    SELECT CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM assigned
+)
+SELECT n1, c1, n2, c2,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+            ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2, 6)
+            END AS rate_diff,
+       CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0 OR c1 + c2 = n1 + n2
+            THEN NULL ELSE ROUND({z}, 4) END AS z_stat,
+       CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0 OR c1 + c2 = n1 + n2
+            THEN NULL
+            ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
+            END AS p_value,
+       CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL
+            ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2
+                       - 1.959963985 * {se_un}, 6) END AS ci95_lo,
+       CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL
+            ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2
+                       + 1.959963985 * {se_un}, 6) END AS ci95_hi
+FROM cells
+"""
+
+
+@register(
+    "stat_two_proportion_z",
+    oracle=_two_prop_oracle(),
+    tags=("profile", "experiment"),
+)
+def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test with p-value and Wald 95% CI on the
+    hash-assigned A/B arms — the inference layer `ab_test_report`
+    deliberately stopped short of (its docstring ends at "the z-test
+    itself is a driver-side formula"; with safe_stats.normal_cdf_sql
+    that formula now runs IN the engine, oracle-checked). Pooled-SE z
+    for the test (the H₀-correct form), unpooled SE for the interval
+    (the estimation-correct form) — the textbook pairing.
+
+    One per-user fold, one 1-row conditional-aggregate reduce; counts
+    are exact integers and every float exits through shared double
+    expressions. Degenerates pinned NULL: an empty arm, an all-convert
+    or no-convert pool (pooled variance 0), a zero unpooled SE."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    assigned = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv")
+        )
+        .select(
+            (portable_bucket(F.col("user_id"), 2)).alias("variant"), "conv"
+        )
+    )
+    cells = assigned.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    z = (
+        "((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)"
+        " / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        " * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+        " * (1.0 / n1 + 1.0 / n2)))"
+    )
+    se_un = (
+        "SQRT((CAST(c1 AS DOUBLE) / n1) * (1.0 - CAST(c1 AS DOUBLE) / n1)"
+        " / n1 + (CAST(c2 AS DOUBLE) / n2)"
+        " * (1.0 - CAST(c2 AS DOUBLE) / n2) / n2)"
+    )
+    return cells.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            " ELSE ROUND(CAST(c1 AS DOUBLE) / n1"
+            " - CAST(c2 AS DOUBLE) / n2, 6) END"
+        ).alias("rate_diff"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0"
+            " OR c1 + c2 = n1 + n2"
+            f" THEN NULL ELSE ROUND({z}, 4) END"
+        ).alias("z_stat"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0"
+            " OR c1 + c2 = n1 + n2 THEN NULL"
+            f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
+            " END"
+        ).alias("p_value"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL"
+            " ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2"
+            f" - 1.959963985 * {se_un}, 6) END"
+        ).alias("ci95_lo"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL"
+            " ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2"
+            f" + 1.959963985 * {se_un}, 6) END"
+        ).alias("ci95_hi"),
+    )
+
+
+def _runs_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    ez = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    vz = (
+        "((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)"
+        " / (POW(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1)))"
+    )
+    z = f"((r - {ez}) / SQRT({vz}))"
+    return f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), med AS (
+    SELECT quantile_disc(cents, 0.5) AS m FROM daily
+), signs AS (
+    SELECT day, CAST(cents > med.m AS BIGINT) AS s
+    FROM daily, med WHERE cents <> med.m
+), flagged AS (
+    SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                   OR LAG(s) OVER (ORDER BY day) <> s
+                   THEN 1 ELSE 0 END AS new_run
+    FROM signs
+), agg AS (
+    SELECT CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n2,
+           CAST(SUM(new_run) AS BIGINT) AS r
+    FROM flagged
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+            ELSE ROUND({z}, 4) END AS z_stat,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+            ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
+            END AS p_value
+FROM agg
+"""
+
+
+@register(
+    "stat_runs_test", oracle=_runs_oracle(), tags=("profile", "timeseries")
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue vs its median — the
+    model-free "is this series random or structured" gate: too FEW runs
+    of above/below-median days means positive serial dependence (trend,
+    regimes — don't bootstrap i.i.d.!), too MANY means oscillation.
+    Complements the parametric ACF family (`ts_autocorrelation`,
+    `stat_overdispersion_index`) with a test that assumes nothing about
+    the marginal distribution. Ties at the median are dropped — the
+    classical convention, stated not implied.
+
+    Exactness: daily cents fold exactly; the median is a DISCRETE
+    quantile (an actual data value — engine-exact); signs, runs, n1/n2
+    are exact integers from one LAG pass over the bounded day grain;
+    z and p (via the shared Φ fragment) exit through shared double
+    expressions. One-sign series (n1 or n2 = 0) pins NULL."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    med = daily.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        ).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("m"))
+        .select("day", (F.col("cents") > F.col("m")).cast("long").alias("s"))
+    )
+    lag_s = F.lag("s").over(Window.orderBy("day"))
+    flagged = signs.select(
+        "s",
+        F.when(lag_s.isNull() | (lag_s != F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    ez = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    vz = (
+        "((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)"
+        " / (POW(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1)))"
+    )
+    z = f"((r - {ez}) / SQRT({vz}))"
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL"
+            f" ELSE ROUND({z}, 4) END"
+        ).alias("z_stat"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL"
+            f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
+            " END"
+        ).alias("p_value"),
+    )
+
+
+def _bayes_ab_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    # Beta(1+c, 1+n-c) posterior moments — priors make every variance
+    # strictly positive, so this family has NO degenerate division.
+    mu = "(CAST(1 + c{i} AS DOUBLE) / (n{i} + 2))"
+    var = (
+        "((CAST(1 + c{i} AS DOUBLE) * (1 + n{i} - c{i}))"
+        " / (POW(CAST(n{i} + 2 AS DOUBLE), 2) * (n{i} + 3)))"
+    )
+    mu1, mu2 = mu.format(i=1), mu.format(i=2)
+    v1, v2 = var.format(i=1), var.format(i=2)
+    zscore = f"(({mu2} - {mu1}) / SQRT({v1} + {v2}))"
+    return f"""
+WITH assigned AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), cells AS (
+    SELECT CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM assigned
+)
+SELECT n1, c1, n2, c2,
+       ROUND({mu1}, 6) AS post_mean_a,
+       ROUND({mu2}, 6) AS post_mean_b,
+       ROUND({normal_cdf_sql(zscore)}, 6) AS prob_b_beats_a,
+       CAST({normal_cdf_sql(zscore)} > 0.95 AS BIGINT) AS ship_b_95
+FROM cells
+"""
+
+
+@register(
+    "stat_bayes_ab_beta",
+    oracle=_bayes_ab_oracle(),
+    tags=("profile", "experiment"),
+)
+def stat_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout under Beta(1,1) priors: posterior conversion
+    means and P(B > A) — the decision quantity modern experiment
+    platforms report INSTEAD of a p-value (a probability a PM can act
+    on, valid under optional stopping where the z-test's α is not).
+    P(B>A) uses the normal approximation of the two Beta posteriors
+    (error O(1/n) — documented, negligible at fixture scale and beyond)
+    through the shared Φ fragment; the uniform priors make every
+    posterior variance strictly positive, so this is the rare statistic
+    with NO degenerate division path at all.
+
+    Same one-fold + 1-row-reduce shape as stat_two_proportion_z (the
+    frequentist twin on identical cells — run both, watch them agree at
+    large n and diverge honestly at small n)."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    assigned = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv")
+        )
+        .select(
+            (portable_bucket(F.col("user_id"), 2)).alias("variant"), "conv"
+        )
+    )
+    cells = assigned.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    mu = "(CAST(1 + c{i} AS DOUBLE) / (n{i} + 2))"
+    var = (
+        "((CAST(1 + c{i} AS DOUBLE) * (1 + n{i} - c{i}))"
+        " / (POW(CAST(n{i} + 2 AS DOUBLE), 2) * (n{i} + 3)))"
+    )
+    mu1, mu2 = mu.format(i=1), mu.format(i=2)
+    v1, v2 = var.format(i=1), var.format(i=2)
+    zscore = f"(({mu2} - {mu1}) / SQRT({v1} + {v2}))"
+    phi = normal_cdf_sql(zscore)
+    return cells.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr(f"ROUND({mu1}, 6)").alias("post_mean_a"),
+        F.expr(f"ROUND({mu2}, 6)").alias("post_mean_b"),
+        F.expr(f"ROUND({phi}, 6)").alias("prob_b_beats_a"),
+        F.expr(f"CAST({phi} > 0.95 AS BIGINT)").cast("long").alias(
+            "ship_b_95"
+        ),
+    )
+
+
+#: χ²(df) 5% critical values for the Ljung–Box flag, df = lags actually
+#: available (a short series legitimately tests fewer lags).
+_LB_CRIT = {1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877, 5: 11.0705,
+            6: 12.5916, 7: 14.0671}
+_LB_CRIT_SQL = ("CASE lags_used " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _LB_CRIT.items()) + " END")
+
+_LJUNG_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+    FROM daily
+), dev AS (
+    SELECT day, tot.n * x - tot.s AS d FROM daily, tot
+), den AS (
+    SELECT SUM(d * d) AS den FROM dev
+), pairs AS (
+    SELECT d2.day - d1.day AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(d1.d * d2.d) AS num
+    FROM dev d1 JOIN dev d2 ON d2.day - d1.day BETWEEN 1 AND 7
+    GROUP BY 1
+), rho AS (
+    SELECT CAST(p.lag AS INT) AS lag, p.n_pairs,
+           CASE WHEN den.den = 0 THEN NULL
+                ELSE CAST(p.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                END AS rho,
+           CAST(tot.n AS BIGINT) AS nd
+    FROM pairs p, den, tot
+), q AS (
+    SELECT lag, n_pairs, rho, nd,
+           CAST(COUNT(*) OVER () AS BIGINT) AS lags_used,
+           SUM(rho * rho / (nd - lag)) OVER () * nd * (nd + 2) AS q_stat
+    FROM rho
+)
+SELECT lag, n_pairs,
+       ROUND(rho, 6) AS rho,
+       ROUND(q_stat, 4) AS q_stat,
+       lags_used,
+       CASE WHEN q_stat IS NULL THEN NULL
+            ELSE CAST(q_stat > {_LB_CRIT_SQL} AS BIGINT) END AS reject_5pct
+FROM q
+ORDER BY lag
+"""
+
+
+@register(
+    "stat_ljung_box", oracle=_LJUNG_ORACLE, tags=("profile", "timeseries")
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily event volume: are the first 7
+    autocorrelations JOINTLY zero? Q = n(n+2)·Σ ρ̂²ₖ/(n−k) ~ χ²(K) under
+    white noise — the standard residual-diagnostic gate after any
+    forecast fit (`ts_holt_*`, `ml_backtest_forecast`): per-lag ACF
+    (`ts_autocorrelation`) eyeballs one lag at a time; Ljung–Box prices
+    the family with one number and a 5% flag (per-df critical values as
+    documented literals).
+
+    Exact-integer core: daily counts are exact, deviations are scaled by
+    n (dev = n·x − S, avoiding the fractional mean entirely), and every
+    num/den is an exact HUGEINT/decimal sum from an equi-join of the
+    bounded day grain against a 7-row lag spine — no window over facts,
+    no float until the shared ρ/Q exit. A constant series (den = 0,
+    exactly, on both engines) pins NULL ρ and Q."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        .groupBy(F.expr("es div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).cast("decimal(24,0)").alias(
+            "s"
+        ),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.expr("CAST(n * x - s AS DECIMAL(26,0))").alias("d"),
+        F.col("n").cast("long").alias("nd"),
+    )
+    den = dev.agg(
+        F.sum(F.expr("CAST(d * d AS DECIMAL(38,0))")).alias("den")
+    )
+    spine = (
+        dev.sparkSession.range(1, 8)
+        .select(F.col("id").alias("lag"))
+    )
+    d2 = dev.select(F.col("day").alias("day2"), F.col("d").alias("e"))
+    pairs = (
+        dev.crossJoin(F.broadcast(spine))
+        .withColumn("day2", F.col("day") + F.col("lag"))
+        .join(d2, "day2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.expr("CAST(d * e AS DECIMAL(38,0))")).alias("num"),
+            F.max("nd").alias("nd"),
+        )
+    )
+    rho = pairs.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL"
+            " ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END"
+        ).alias("rho"),
+        "nd",
+    )
+    w = Window.partitionBy()
+    q = rho.select(
+        "lag",
+        "n_pairs",
+        "rho",
+        "nd",
+        F.count(F.lit(1)).over(w).cast("long").alias("lags_used"),
+        (
+            F.sum(
+                F.col("rho") * F.col("rho") / (F.col("nd") - F.col("lag"))
+            ).over(w)
+            * F.col("nd")
+            * (F.col("nd") + 2)
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "lag",
+        "n_pairs",
+        F.round("rho", 6).alias("rho"),
+        F.round("q_stat", 4).alias("q_stat"),
+        "lags_used",
+        F.expr(
+            "CASE WHEN q_stat IS NULL THEN NULL"
+            f" ELSE CAST(q_stat > {_LB_CRIT_SQL} AS BIGINT) END"
+        ).alias("reject_5pct"),
+    ).orderBy("lag")

@@ -193,3 +193,253 @@ def test_degenerate_flat_price_elasticity_cross_engine(spark, tmp_path):
     })
     assert_oracle_match(el, con, _ELASTICITY_ORACLE, "degenerate_elasticity")
     con.close()
+
+
+def test_normal_cdf_fragment_matches_erf(spark):
+    """The shared Φ fragment is inside 7.5e-8 of math.erf on BOTH engines,
+    and the two engines agree with each other to libm-ulp scale."""
+    import math
+
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    zs = [-4.0, -2.5758293, -1.959963985, -1.0, -0.1, 0.0, 0.1, 1.0,
+          1.6448536, 2.3263479, 3.5]
+    con = duckdb.connect()
+    for z in zs:
+        frag = normal_cdf_sql(str(z))
+        duck = con.execute(f"SELECT {frag}").fetchone()[0]
+        spk = spark.sql(f"SELECT {frag} AS v").collect()[0]["v"]
+        want = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+        assert abs(duck - want) < 1e-7, (z, duck, want)
+        assert abs(spk - want) < 1e-7, (z, spk, want)
+        assert abs(spk - duck) < 1e-12, (z, spk, duck)
+    con.close()
+
+
+def test_mcnemar_planted_discordant_cells(spark, tmp_path):
+    """Planted paired binaries: 5 click-only users, 1 purchase-only,
+    3 concordant-both, 2 concordant-neither → b=5, c=1,
+    χ²cc = (|5−1|−1)²/6 = 1.5, p = 2(1−Φ(√1.5))."""
+    import math
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_mcnemar,
+    )
+
+    evs, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def add(uid, types):
+        nonlocal eid
+        for ty in types:
+            evs.append((eid, t0 + datetime.timedelta(seconds=eid), uid,
+                        ty, 1.0, "{}"))
+            eid += 1
+
+    for u in range(5):
+        add(u, ["click", "view"])          # click only
+    add(5, ["purchase"])                    # purchase only
+    for u in (6, 7, 8):
+        add(u, ["click", "purchase"])       # both
+    for u in (9, 10):
+        add(u, ["view"])                    # neither
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(sf + "/events.parquet")
+
+    r = stat_mcnemar(spark, sf).collect()[0]
+    assert r["n_users"] == 11
+    assert (r["click_only"], r["purchase_only"]) == (5, 1)
+    assert abs(r["mcnemar_chi2_cc"] - 1.5) < 1e-9
+    want_p = 2.0 * (1.0 - 0.5 * (1 + math.erf(math.sqrt(1.5)
+                                              / math.sqrt(2.0))))
+    assert abs(r["p_value"] - want_p) < 1e-6
+
+
+def test_runs_test_planted_alternating_series(spark, tmp_path):
+    """Perfectly alternating above/below-median days: R = 20 runs over
+    n1 = n2 = 10 → z = (20 − 11)/√(180·171/…) per the classical
+    formulas, strongly anti-persistent."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_runs_test,
+    )
+
+    orders, oid = [], 0
+    for d in range(21):
+        price = 200.0 if d == 20 else (100.0 if d % 2 == 0 else 300.0)
+        orders.append((oid, 1, "O", price,
+                       datetime.datetime(2024, 1, 1)
+                       + datetime.timedelta(days=d), "1-URGENT"))
+        oid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(sf + "/orders.parquet")
+
+    r = stat_runs_test(spark, sf).collect()[0]
+    assert (r["n_above"], r["n_below"]) == (10, 10)
+    assert r["n_runs"] == 20
+    n1 = n2 = 10.0
+    n = n1 + n2
+    ez = 2 * n1 * n2 / n + 1
+    vz = (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert abs(r["z_stat"] - round((20 - ez) / vz ** 0.5, 4)) < 1e-9
+    assert r["p_value"] < 1e-3  # alternation is decisively non-random
+
+
+def test_ljung_box_planted_periodic_counts(spark, tmp_path):
+    """A strict period-2 daily count series (10 vs 50 events/day) has
+    ρ₁ ≈ −1 and a decisive reject; a constant series pins NULL."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_ljung_box,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs, eid = [], 0
+    for d in range(30):
+        for j in range(10 if d % 2 == 0 else 50):
+            evs.append((eid, t0 + datetime.timedelta(days=d, seconds=j),
+                        eid, "click", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(2).write.parquet(sf + "/events.parquet")
+
+    rows = {r["lag"]: r for r in stat_ljung_box(spark, sf).collect()}
+    assert set(rows) == set(range(1, 8))
+    assert rows[1]["rho"] < -0.8
+    assert rows[2]["rho"] > 0.8
+    assert rows[1]["reject_5pct"] == 1
+    assert rows[1]["lags_used"] == 7
+
+    # constant series → den = 0 → NULL rho/q on both engines
+    sf2 = str(tmp_path / "flat")
+    (tmp_path / "flat").mkdir()
+    evs2 = [(i, t0 + datetime.timedelta(days=i // 20, seconds=i % 20),
+             i, "click", 1.0, "{}") for i in range(200)]
+    spark.createDataFrame(
+        evs2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(sf2 + "/events.parquet")
+    flat = stat_ljung_box(spark, sf2).collect()
+    assert all(r["rho"] is None and r["q_stat"] is None
+               and r["reject_5pct"] is None for r in flat)
+
+
+def test_bh_step_up_replay(spark, sf_dir):
+    """Sequential replay of the BH step-up on the engine's own raw p's;
+    also the textbook dominance p_raw ≤ p_bh ≤ p_holm rowwise."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_benjamini_hochberg,
+        stat_holm_bonferroni,
+    )
+
+    bh = {r["event_type"]: r
+          for r in stat_benjamini_hochberg(spark, sf_dir).collect()}
+    holm = {r["event_type"]: r
+            for r in stat_holm_bonferroni(spark, sf_dir).collect()}
+    assert set(bh) == set(holm)
+    ordered = sorted(bh.values(), key=lambda r: r["p_rank"])
+    k = len(ordered)
+    # replay: running min from the largest rank down
+    expect, run = {}, 1.0
+    for r in reversed(ordered):
+        run = min(run, min(k * r["p_raw"] / r["p_rank"], 1.0))
+        expect[r["event_type"]] = run
+    for ty, r in bh.items():
+        assert abs(r["p_bh"] - round(expect[ty], 6)) <= 1e-4, ty
+        assert r["p_raw"] <= r["p_bh"] + 1e-6
+        assert r["p_bh"] <= holm[ty]["p_holm"] + 1e-6
+
+
+def test_two_prop_and_bayes_replay(spark, sf_dir):
+    """Replay z/p/CI and the Beta-posterior normal approximation from the
+    engines' own exact cells; the frequentist and Bayesian reads agree
+    in direction."""
+    import math
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_bayes_ab_beta,
+        stat_two_proportion_z,
+    )
+
+    r = stat_two_proportion_z(spark, sf_dir).collect()[0]
+    n1, c1, n2, c2 = r["n1"], r["c1"], r["n2"], r["c2"]
+    p1, p2 = c1 / n1, c2 / n2
+    pp = (c1 + c2) / (n1 + n2)
+    if pp in (0.0, 1.0):
+        # single-class pool (every sampled user converts at this SF):
+        # the degenerate guard must have pinned NULLs
+        assert r["z_stat"] is None and r["p_value"] is None
+    else:
+        z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        assert abs(r["z_stat"] - round(z, 4)) < 1e-9
+        want_p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+        assert abs(r["p_value"] - want_p) < 1e-6
+    se = math.sqrt(p1 * (1 - p1) / n1 + p2 * (1 - p2) / n2)
+    if se == 0:
+        assert r["ci95_lo"] is None and r["ci95_hi"] is None
+    else:
+        assert abs(r["ci95_lo"] - round(p1 - p2 - 1.959963985 * se, 6)) < 1e-9
+        assert abs(r["ci95_hi"] - round(p1 - p2 + 1.959963985 * se, 6)) < 1e-9
+
+    b = stat_bayes_ab_beta(spark, sf_dir).collect()[0]
+    assert (b["n1"], b["c1"], b["n2"], b["c2"]) == (n1, c1, n2, c2)
+    mu1, mu2 = (1 + c1) / (n1 + 2), (1 + c2) / (n2 + 2)
+    v1 = (1 + c1) * (1 + n1 - c1) / ((n1 + 2) ** 2 * (n1 + 3))
+    v2 = (1 + c2) * (1 + n2 - c2) / ((n2 + 2) ** 2 * (n2 + 3))
+    want = 0.5 * (1 + math.erf((mu2 - mu1) / math.sqrt(v1 + v2)
+                               / math.sqrt(2)))
+    assert abs(b["prob_b_beats_a"] - want) < 1e-6
+    # direction agreement: P(B>A) vs 0.5 tracks the POSTERIOR means
+    # (which shrink toward 1/2, so ties in raw rates can flip at tiny n)
+    if mu1 != mu2:
+        assert (b["prob_b_beats_a"] > 0.5) == (mu2 > mu1)
+
+
+def test_cohort_ltv_triangle_planted(spark, tmp_path):
+    """Two customers, one cohort; exact cents accumulate along age and
+    normalize per cohort member with truncating division."""
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_cohort_ltv_triangle,
+    )
+
+    orders = [
+        # cust 1: Jan 100.00, Feb 50.00 ; cust 2: Jan 30.00, Mar 20.00
+        (1, 1, "O", 100.0, datetime.datetime(2024, 1, 10), "1-URGENT"),
+        (2, 1, "O", 50.0, datetime.datetime(2024, 2, 5), "1-URGENT"),
+        (3, 2, "O", 30.0, datetime.datetime(2024, 1, 20), "1-URGENT"),
+        (4, 2, "O", 20.0, datetime.datetime(2024, 3, 15), "1-URGENT"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(sf + "/orders.parquet")
+
+    rows = {r["age_months"]: r
+            for r in olap_cohort_ltv_triangle(spark, sf).collect()}
+    ym = 2024 * 12 + 1
+    assert set(rows) == {0, 1, 2}
+    assert all(r["cohort_ym"] == ym and r["n_custs"] == 2
+               for r in rows.values())
+    assert rows[0]["rev_cents"] == 13000
+    assert rows[1]["rev_cents"] == 5000
+    assert rows[2]["rev_cents"] == 2000
+    assert rows[2]["cum_rev_cents"] == 20000
+    assert rows[2]["ltv_cents_per_cust"] == 10000
+    assert rows[1]["ltv_cents_per_cust"] == 9000
