@@ -86,6 +86,14 @@ PROBES = [
     ("scd2_late_arriving", 10.0),
     ("geo_hotspot_gi_star", 10.0),
     ("dedup_lsh_quality_audit", 10.0),
+    # round-13 session additions (events/orders step 10x)
+    ("stat_ljung_box", 10.0),
+    ("olap_cohort_ltv_triangle", 10.0),
+    ("stat_runs_test", 10.0),
+    ("stat_two_proportion_z", 10.0),
+    ("stat_benjamini_hochberg", 10.0),
+    ("stat_mcnemar", 10.0),
+    ("stat_bayes_ab_beta", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
