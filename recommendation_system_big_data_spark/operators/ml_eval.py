@@ -3199,3 +3199,176 @@ def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * (CAST(tn AS DOUBLE) + fn)), 6) END"
         ).alias("mcc"),
     )
+
+
+_PSM_ORACLE = """
+WITH y AS (
+    SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) AS BIGINT) AS y_cents
+    FROM orders GROUP BY o_custkey
+), units AS (
+    SELECT c.c_custkey AS k,
+           CAST(c.c_mktsegment = 'BUILDING' AS BIGINT) AS t,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+           COALESCE(y.y_cents, 0) AS y
+    FROM customer c LEFT JOIN y ON c.c_custkey = y.o_custkey
+), lined AS (
+    SELECT *,
+           last_value(CASE WHEN t = 0 THEN bal END IGNORE NULLS) OVER w_prev
+               AS pb,
+           last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) OVER w_prev
+               AS py,
+           first_value(CASE WHEN t = 0 THEN bal END IGNORE NULLS) OVER w_next
+               AS nb,
+           first_value(CASE WHEN t = 0 THEN y END IGNORE NULLS) OVER w_next
+               AS ny
+    FROM units
+    WINDOW w_prev AS (ORDER BY bal, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           w_next AS (ORDER BY bal, k
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), matched AS (
+    SELECT k, bal, y,
+           CASE WHEN pb IS NULL AND nb IS NULL THEN NULL
+                WHEN pb IS NULL THEN ny
+                WHEN nb IS NULL THEN py
+                WHEN bal - pb <= nb - bal THEN py
+                ELSE ny END AS my
+    FROM lined WHERE t = 1
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM units WHERE t = 1) AS BIGINT) AS n_treated,
+    CAST((SELECT COUNT(*) FROM units WHERE t = 0) AS BIGINT) AS n_controls,
+    CAST(COUNT(my) AS BIGINT) AS n_matched,
+    CAST(SUM(CASE WHEN my IS NOT NULL THEN y - my END) AS BIGINT)
+        AS sum_diff_cents,
+    CASE WHEN COUNT(my) = 0 THEN NULL
+         ELSE ROUND(CAST(SUM(CASE WHEN my IS NOT NULL THEN y - my END)
+                         AS DOUBLE) / COUNT(my) / 100.0, 4)
+         END AS att_dollars
+FROM matched
+"""
+
+
+@register("ml_psm_att", oracle=_PSM_ORACLE, tags=("ml", "experiment"))
+def ml_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching ATT (with replacement): every treated
+    customer (BUILDING segment) is matched to the control whose account
+    balance is closest, and the average treated-minus-matched outcome
+    (total order revenue) is the effect on the treated — completing the
+    observational-causal ladder naive diff → IPW (`ml_ipw_ate`) → DiD
+    (`ml_diff_in_diff`) → CUPED (`stat_cuped_adjustment`) with the
+    matching estimator every applied-econ playbook starts from. Balance
+    stands in for the propensity score (within-segment scores are what
+    a logistic fit on this covariate would produce, monotonically) —
+    swap in `ml_logreg_gd` scores and the machinery is unchanged.
+
+    Scalable 1-D nearest-neighbor WITHOUT a pairwise join AND without a
+    global-order window (a bare Window.orderBy(bal) funnels every
+    customer through one task — the exact hazard ranges.running_sums
+    exists for): ONE distributed running count over (balance, key)
+    order gives every row the number of controls at-or-before it; that
+    count IS the ordinal of the bracketing controls, so two hash
+    equi-joins against the control-ordinal table fetch the previous
+    (index cc) and next (index cc+1) control — closest wins, ties to
+    the LOWER side (deterministic, documented). O(n log n) total work,
+    O(n_parts) sequential state, where the naive cross join is
+    O(treated × controls). Money is exact cents; the only floats are
+    the final ROUND'd dollar means. No controls at all pins NULL ATT."""
+    y = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    units = (
+        load(spark, sf_dir, "customer")
+        .join(y, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("t"),
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("bal"),
+            F.coalesce("y_cents", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    # cc = number of controls at-or-before this row in (bal, k) order —
+    # the distributed prefix count (range partition + per-slice window +
+    # O(n_parts) offsets), never a single global sort task.
+    counted = running_sums(
+        units.withColumn("ic", (1 - F.col("t")).cast("long")),
+        ["bal", "k"],
+        {"cc": ("ic", True)},
+    )
+    ctrl_idx = counted.where(F.col("t") == 0).select(
+        F.col("cc").alias("idx"),
+        F.col("bal").alias("cb"),
+        F.col("y").alias("cy"),
+    )
+    treated = counted.where(F.col("t") == 1).select("k", "bal", "y", "cc")
+    prev_c = ctrl_idx.select(
+        F.col("idx").alias("cc"),
+        F.col("cb").alias("pb"),
+        F.col("cy").alias("py"),
+    )
+    next_c = ctrl_idx.select(
+        (F.col("idx") - 1).alias("cc"),
+        F.col("cb").alias("nb"),
+        F.col("cy").alias("ny"),
+    )
+    matched = (
+        treated.join(prev_c, "cc", "left")
+        .join(next_c, "cc", "left")
+        .select(
+            "k",
+            "y",
+            F.expr(
+                "CASE WHEN pb IS NULL AND nb IS NULL THEN NULL"
+                " WHEN pb IS NULL THEN ny"
+                " WHEN nb IS NULL THEN py"
+                " WHEN bal - pb <= nb - bal THEN py"
+                " ELSE ny END"
+            ).alias("my"),
+        )
+    )
+    # COUNT (not SUM) so an empty customer table yields 0, matching the
+    # oracle's COUNT subqueries.
+    counts = units.agg(
+        F.count(F.when(F.col("t") == 1, 1)).cast("long").alias("n_treated"),
+        F.count(F.when(F.col("t") == 0, 1)).cast("long").alias("n_controls"),
+    )
+    # aggregate matched ALONE first (a global aggregate returns one row
+    # even over an empty treated set, with COUNT 0 — matching the
+    # oracle's shape on a no-treated corpus), then attach the counts.
+    matched_agg = matched.agg(
+        F.count("my").cast("long").alias("n_matched"),
+        F.sum(
+            F.when(F.col("my").isNotNull(), F.col("y") - F.col("my"))
+        )
+        .cast("long")
+        .alias("sum_diff_cents"),
+        F.expr(
+            "CASE WHEN COUNT(my) = 0 THEN NULL"
+            " ELSE ROUND(CAST(SUM(CASE WHEN my IS NOT NULL THEN y - my END)"
+            " AS DOUBLE) / COUNT(my) / 100.0, 4) END"
+        ).alias("att_dollars"),
+    )
+    return counts.crossJoin(matched_agg).select(
+        "n_treated",
+        "n_controls",
+        "n_matched",
+        "sum_diff_cents",
+        "att_dollars",
+    )

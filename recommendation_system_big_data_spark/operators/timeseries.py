@@ -1679,3 +1679,188 @@ def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("level_change"),
     )
+
+
+#: R/S window sizes for the Hurst estimate — near-dyadic, sized to the
+#: fixture's ~30-day event log (orders span years, events weeks); every
+#: window fits the span, giving the log-log fit 4 points.
+HURST_WINDOWS = (4, 7, 14, 28)
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), d0 AS (
+    SELECT MIN(day) AS dmin FROM daily
+), grid AS (
+    SELECT UNNEST([{", ".join(str(w) for w in HURST_WINDOWS)}]) AS w
+), rows_w AS (
+    SELECT g.w, (d.day - d0.dmin) // g.w AS b, d.day, d.x
+    FROM daily d, d0, grid g
+), stats AS (
+    SELECT w, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM rows_w GROUP BY w, b
+), full_blocks AS (
+    SELECT w, b, sx, w * sxx - CAST(sx AS HUGEINT) * sx AS den
+    FROM stats WHERE cnt = w
+), z AS (
+    SELECT r.w, r.b,
+           r.w * SUM(r.x) OVER (PARTITION BY r.w, r.b ORDER BY r.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER (PARTITION BY r.w, r.b ORDER BY r.day)
+             * f.sx AS zc
+    FROM rows_w r JOIN full_blocks f ON r.w = f.w AND r.b = f.b
+), rng AS (
+    SELECT w, b, MAX(zc) - MIN(zc) AS rr FROM z GROUP BY w, b
+), ratio AS (
+    SELECT rng.w,
+           CAST(rng.rr AS DOUBLE) / SQRT(CAST(f.den AS DOUBLE)) AS rs
+    FROM rng JOIN full_blocks f ON rng.w = f.w AND rng.b = f.b
+    WHERE f.den > 0
+), per_w AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND(AVG(rs), 6) AS rs
+    FROM ratio GROUP BY w
+), fitted AS (
+    SELECT w, n_blocks, rs,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k,
+           SUM(LN(CAST(w AS DOUBLE))) OVER () AS slx,
+           SUM(LN(rs)) OVER () AS sly,
+           SUM(LN(CAST(w AS DOUBLE)) * LN(rs)) OVER () AS slxy,
+           SUM(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE))) OVER () AS slxx
+    FROM per_w
+)
+SELECT CAST(w AS INT) AS window_days, n_blocks, rs,
+       CASE WHEN k < 2 OR k * slxx - slx * slx = 0 THEN NULL
+            ELSE ROUND((k * slxy - slx * sly)
+                       / (k * slxx - slx * slx), 4) END AS hurst
+FROM fitted
+ORDER BY window_days
+"""
+
+
+@register(
+    "ts_hurst_exponent", oracle=_HURST_ORACLE, tags=("window", "timeseries")
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily event volume via classical rescaled-range
+    (R/S) analysis (Hurst 1951; Mandelbrot's long-memory diagnostic):
+    for each dyadic window size w, split the day series into full
+    blocks, compute each block's range-of-cumulative-deviations over its
+    standard deviation, average, and read H as the log-log slope of
+    R/S against w. H ≈ 0.5 = no long memory (random walk increments);
+    H > 0.5 = persistent trends (mean-reverting forecasting assumptions
+    break); H < 0.5 = anti-persistent. The missing scale diagnostic
+    between the lag-local ACF family and the runs test.
+
+    Exact-integer core: with integer daily counts, the block-scaled
+    cumulative deviation Z'ᵢ = w·cum(x) − i·Σx and the variance core
+    den = w·Σx² − (Σx)² are EXACT integers, and R/S per block is
+    R'/√den — one double division of an exact int by the square root of
+    an exact int, bit-identical cross-engine. Per-w averages round at 6
+    BEFORE the log-log fit so both engines fit identical points; zero-
+    variance blocks are excluded exactly (den = 0), short tail blocks
+    by the cnt = w filter, and a fit with < 2 surviving points pins
+    NULL. All windows ride the bounded day grain — block size ≤ 28
+    rows, so the per-block window sort is O(1) state at any data
+    volume."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        .groupBy(F.expr("es div 86400").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    d0 = daily.agg(F.min("day").alias("dmin"))
+    grid = spark.range(len(HURST_WINDOWS)).select(
+        F.element_at(
+            F.array(*[F.lit(w) for w in HURST_WINDOWS]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("w")
+    )
+    rows_w = (
+        daily.crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "w",
+            F.expr("(day - dmin) div w").alias("b"),
+            "day",
+            "x",
+        )
+    )
+    stats = rows_w.groupBy("w", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast(
+            "decimal(26,0)"
+        ).alias("sxx"),
+    )
+    full_blocks = stats.where(F.col("cnt") == F.col("w")).select(
+        "w",
+        "b",
+        "sx",
+        F.expr(
+            "CAST(w * sxx - CAST(sx AS DECIMAL(19,0)) * sx"
+            " AS DECIMAL(30,0))"
+        ).alias("den"),
+    )
+    wb = Window.partitionBy("w", "b").orderBy("day")
+    z = (
+        rows_w.join(full_blocks.select("w", "b", "sx"), ["w", "b"])
+        .select(
+            "w",
+            "b",
+            (
+                F.col("w")
+                * F.sum("x").over(
+                    wb.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - F.row_number().over(wb) * F.col("sx")
+            ).alias("zc"),
+        )
+    )
+    rng = z.groupBy("w", "b").agg(
+        (F.max("zc") - F.min("zc")).alias("rr")
+    )
+    ratio = (
+        rng.join(full_blocks.select("w", "b", "den"), ["w", "b"])
+        .where(F.col("den") > 0)
+        .select(
+            "w",
+            (
+                F.col("rr").cast("double")
+                / F.sqrt(F.col("den").cast("double"))
+            ).alias("rs"),
+        )
+    )
+    per_w = ratio.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.round(F.avg("rs"), 6).alias("rs"),
+    )
+    wall = Window.partitionBy()
+    lnw = F.log(F.col("w").cast("double"))
+    lnr = F.log("rs")
+    fitted = per_w.select(
+        "w",
+        "n_blocks",
+        "rs",
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
+        F.sum(lnw).over(wall).alias("slx"),
+        F.sum(lnr).over(wall).alias("sly"),
+        F.sum(lnw * lnr).over(wall).alias("slxy"),
+        F.sum(lnw * lnw).over(wall).alias("slxx"),
+    )
+    return fitted.select(
+        F.col("w").cast("int").alias("window_days"),
+        "n_blocks",
+        "rs",
+        F.expr(
+            "CASE WHEN k < 2 OR k * slxx - slx * slx = 0 THEN NULL"
+            " ELSE ROUND((k * slxy - slx * sly)"
+            " / (k * slxx - slx * slx), 4) END"
+        ).alias("hurst"),
+    ).orderBy("window_days")

@@ -260,8 +260,12 @@ _DRIVER_WINDOW_ALIASES = (
 )
 
 #: ROUND-14 QUEUE (committed now so the r14 flip stays a one-line edit):
-#: 1. any round-13 SESSION ADDITIONS with oracles (added after this
-#:    window froze) take priority;
+#: 1. the 9 ROUND-13 SESSION ADDITIONS (added after this window froze;
+#:    each oracle-checked at sf0.001 AND sf0.01, green on BOTH degenerate
+#:    fixtures, and ulp-sweep clean on the day it landed):
+#:      stat_benjamini_hochberg stat_mcnemar stat_two_proportion_z
+#:      stat_runs_test stat_bayes_ab_beta stat_ljung_box
+#:      olap_cohort_ltv_triangle ml_psm_att ts_hurst_exponent;
 #: 2. then the remaining 20 r4-vintage rows alphabetical from
 #:    q20_promotion_suppliers (q20_promotion_suppliers
 #:    q21_waiting_suppliers q2_min_cost_supplier q4_priority_exists

@@ -443,3 +443,108 @@ def test_cohort_ltv_triangle_planted(spark, tmp_path):
     assert rows[2]["cum_rev_cents"] == 20000
     assert rows[2]["ltv_cents_per_cust"] == 10000
     assert rows[1]["ltv_cents_per_cust"] == 9000
+
+
+def test_psm_att_planted_nearest_match(spark, tmp_path):
+    """Planted 1-D matching: treated at bal 100/210, controls at 90,
+    200, 500. Nearest: 100→90 (tie rule n/a), 210→200. ATT = mean of
+    (y_t − y_matched) exactly."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_psm_att,
+    )
+
+    custs = [
+        # (key, segment, bal) — BUILDING = treated
+        (1, "BUILDING", 1.00), (2, "BUILDING", 2.10),
+        (3, "AUTOMOBILE", 0.90), (4, "MACHINERY", 2.00),
+        (5, "FURNITURE", 5.00),
+    ]
+    spark.createDataFrame(
+        [(k, f"c{k}", seg, bal) for k, seg, bal in custs],
+        "c_custkey long, c_name string, c_mktsegment string,"
+        " c_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        # outcomes: cust1 $50, cust2 $70; ctrl3 $10, ctrl4 $40, ctrl5 $99
+        (1, 1, "O", 50.0), (2, 2, "O", 70.0), (3, 3, "O", 10.0),
+        (4, 4, "O", 40.0), (5, 5, "O", 99.0),
+    ]
+    spark.createDataFrame(
+        [(o, c, st, p, datetime.datetime(2024, 1, 1), "1-URGENT")
+         for o, c, st, p in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    r = ml_psm_att(spark, str(tmp_path)).collect()[0]
+    assert (r["n_treated"], r["n_controls"], r["n_matched"]) == (2, 3, 2)
+    # diffs: (5000-1000) + (7000-4000) = 7000 cents
+    assert r["sum_diff_cents"] == 7000
+    assert abs(r["att_dollars"] - 35.0) < 1e-9
+
+
+def test_psm_att_tie_prefers_lower_side(spark, tmp_path):
+    """Equidistant controls: bal 100 treated between controls at 90 and
+    110 — the documented tie rule picks the LOWER (prev) side."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_psm_att,
+    )
+
+    custs = [(1, "BUILDING", 1.00), (2, "AUTOMOBILE", 0.90),
+             (3, "MACHINERY", 1.10)]
+    spark.createDataFrame(
+        [(k, f"c{k}", seg, bal) for k, seg, bal in custs],
+        "c_custkey long, c_name string, c_mktsegment string,"
+        " c_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [(1, 1, "O", 10.0), (2, 2, "O", 3.0), (3, 3, "O", 8.0)]
+    spark.createDataFrame(
+        [(o, c, st, p, datetime.datetime(2024, 1, 1), "1-URGENT")
+         for o, c, st, p in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    r = ml_psm_att(spark, str(tmp_path)).collect()[0]
+    # matched control must be cust2 (bal 90, y $3): diff = $7
+    assert r["sum_diff_cents"] == 700
+
+
+def test_hurst_planted_regimes(spark, tmp_path):
+    """A strongly trending (persistent) daily series reads H near 1; a
+    strictly alternating (anti-persistent) one reads H near 0 — the two
+    regimes bracket the 0.5 random-walk line from both sides."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_hurst_exponent,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def write_series(path, counts):
+        evs, eid = [], 0
+        for d, c in enumerate(counts):
+            for j in range(c):
+                evs.append((eid, t0 + datetime.timedelta(days=d, seconds=j),
+                            eid, "click", 1.0, "{}"))
+                eid += 1
+        path.mkdir(exist_ok=True)
+        spark.createDataFrame(
+            evs,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(2).write.parquet(str(path / "events.parquet"))
+
+    write_series(tmp_path / "trend", [10 + 3 * d for d in range(56)])
+    rows = ts_hurst_exponent(spark, str(tmp_path / "trend")).collect()
+    assert {r["window_days"] for r in rows} == {4, 7, 14, 28}
+    h_trend = rows[0]["hurst"]
+    assert h_trend is not None and h_trend > 0.8
+
+    write_series(tmp_path / "alt",
+                 [10 if d % 2 == 0 else 40 for d in range(56)])
+    rows2 = ts_hurst_exponent(spark, str(tmp_path / "alt")).collect()
+    h_alt = rows2[0]["hurst"]
+    assert h_alt is not None and h_alt < 0.25
+    assert h_alt < h_trend

@@ -94,6 +94,8 @@ PROBES = [
     ("stat_benjamini_hochberg", 10.0),
     ("stat_mcnemar", 10.0),
     ("stat_bayes_ab_beta", 10.0),
+    ("ml_psm_att", 10.0),
+    ("ts_hurst_exponent", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
