@@ -1365,3 +1365,144 @@ def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_EPS_MICROS).cast("long").alias("epsilon_micros"),
         F.lit(1).cast("long").alias("sensitivity"),
     )
+
+
+#: Exponential-mechanism privacy budget for the DP quantile (micro-units
+#: documented in-row, matching privacy_dp_count_laplace's convention).
+_DPQ_EPS_MICROS = 1_000_000
+
+_DPQ_ORACLE = f"""
+WITH bals AS (
+    SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+    FROM customer
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bals
+), cand AS (
+    SELECT bal, CAST(COUNT(*) AS BIGINT) AS cnt_eq FROM bals GROUP BY bal
+), ranked AS (
+    SELECT bal, cnt_eq,
+           COALESCE(CAST(SUM(cnt_eq) OVER (
+               ORDER BY bal ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS BIGINT), 0) AS cnt_lt
+    FROM cand
+), scored AS (
+    SELECT r.bal,
+           -ABS(2 * r.cnt_lt + r.cnt_eq - tot.n) AS u2,
+           (CAST(CAST(('0x' || substr(md5('dpq-v1:' ||
+                CAST(r.bal AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                AS DOUBLE) + 0.5) / 1000000.0 AS uh
+    FROM ranked r, tot
+), gumbel AS (
+    SELECT bal,
+           ({_DPQ_EPS_MICROS}e0 / 1000000.0) * u2 / 4.0
+           - LN(-LN(uh)) AS score
+    FROM scored
+), winner AS (
+    SELECT bal FROM gumbel ORDER BY score DESC, bal ASC LIMIT 1
+), truth AS (
+    SELECT quantile_disc(bal, 0.5) AS med FROM bals
+)
+SELECT tot.n,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS k_candidates,
+       truth.med AS true_median_cents,
+       winner.bal AS dp_median_cents,
+       ABS(winner.bal - truth.med) AS abs_err_cents,
+       CAST({_DPQ_EPS_MICROS} AS BIGINT) AS epsilon_micros
+FROM tot, truth, winner
+"""
+
+
+@register(
+    "privacy_dp_quantile", oracle=_DPQ_ORACLE, tags=("quality", "privacy")
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private MEDIAN of customer balance via the
+    exponential mechanism (McSherry & Talwar 2007) — the DP release for
+    order statistics, where Laplace noise on the value itself is
+    useless (unbounded sensitivity): each candidate value scores
+    u(x) = −|rank(x) − n/2| (rank sensitivity 1), and the mechanism
+    samples ∝ exp(ε·u/2). The draw is derandomized with the Gumbel-max
+    trick on the engine's portable md5 uniform (argmax(score + Gumbel)
+    IS an exponential-mechanism sample) — the same SECURITY-HONESTY
+    test-double policy as privacy_dp_count_laplace: a public seed makes
+    the release reproducible and cross-engine checkable; swap in a
+    secret RNG at deploy and the plan is unchanged. The true median and
+    absolute error ship alongside as the in-query utility audit.
+
+    Exactness: ranks are exact integers over the distinct-balance grain
+    (exclusive prefix counts from ranges.running_sums — distributed,
+    no global window over a data-sized grain); the only doubles are the
+    score = ε·u/4 + Gumbel exit, whose argmax is decided by Gumbel-scale
+    gaps (~1), not libm ulp noise. Scale shape: one fold to the distinct
+    grain (bounded by the cents domain, not row count), the prefix
+    count, one top-1 reduce."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    bals = load(spark, sf_dir, "customer").select(
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("bal")
+    )
+    tot = bals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = bals.groupBy("bal").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_eq")
+    )
+    ranked = running_sums(cand, ["bal"], {"cnt_lt": ("cnt_eq", False)})
+    uh = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dpq-v1:"), F.col("bal").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "bal",
+        (-F.abs(2 * F.col("cnt_lt") + F.col("cnt_eq") - F.col("n"))).alias(
+            "u2"
+        ),
+        uh.alias("uh"),
+    )
+    gumbel = scored.select(
+        "bal",
+        (
+            F.lit(_DPQ_EPS_MICROS / 1000000.0) * F.col("u2") / 4.0
+            - F.log(-F.log("uh"))
+        ).alias("score"),
+    )
+    winner = (
+        gumbel.orderBy(F.desc("score"), F.asc("bal"))
+        .limit(1)
+        .select(F.col("bal").alias("dp_median_cents"))
+    )
+    # percentile_disc returns DOUBLE in Spark even over BIGINT input —
+    # cast back: the discrete quantile IS a data value (exact cents).
+    truth = bals.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY bal)")
+        .cast("long")
+        .alias("med")
+    )
+    k = cand.agg(F.count(F.lit(1)).cast("long").alias("k_candidates"))
+    return (
+        tot.crossJoin(k)
+        .crossJoin(truth)
+        .crossJoin(winner)
+        .select(
+            "n",
+            "k_candidates",
+            F.col("med").alias("true_median_cents"),
+            "dp_median_cents",
+            F.abs(F.col("dp_median_cents") - F.col("med")).alias(
+                "abs_err_cents"
+            ),
+            F.lit(_DPQ_EPS_MICROS).cast("long").alias("epsilon_micros"),
+        )
+    )

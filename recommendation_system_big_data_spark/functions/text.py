@@ -1949,3 +1949,119 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("rake_micros"), F.asc("word")).limit(RAKE_TOP_K)
+
+
+#: MATTR window width (tokens). 50 is the convention in the lexical-
+#: diversity literature (Covington & McFall 2010); only FULL windows
+#: count, so the statistic is length-independent — the whole point vs
+#: raw TTR, which shrinks mechanically as documents grow.
+MATTR_WINDOW = 50
+
+_MATTR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE len(trim(text)) > 0
+), pos AS (
+    SELECT doc_id, n_tokens, z[1] AS tok,
+           (CAST(z[2] AS BIGINT) - 1) // {MATTR_WINDOW} AS w
+    FROM (
+        SELECT doc_id, len(t) AS n_tokens,
+               unnest(list_zip(t, range(1, len(t) + 1))) AS z
+        FROM toks
+    )
+), per_doc AS (
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+    FROM pos GROUP BY doc_id
+), win AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types_w
+    FROM pos GROUP BY doc_id, w
+), full_win AS (
+    SELECT doc_id, n_types_w * 1000000 // {MATTR_WINDOW} AS ttr_micros
+    FROM win WHERE n_tok = {MATTR_WINDOW}
+), mattr AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ttr_micros) AS BIGINT) // COUNT(*) AS mattr_micros
+    FROM full_win GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(m.n_windows, 0) AS n_windows,
+       d.n_types * 1000000 // d.n_tokens AS global_ttr_micros,
+       m.mattr_micros
+FROM per_doc d LEFT JOIN mattr m ON d.doc_id = m.doc_id
+"""
+
+
+@register(
+    "text_mattr_lexical_diversity", oracle=_MATTR_ORACLE, tags=("text",)
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, tumbling-window form) per
+    document — the length-independent lexical-diversity signal the
+    quality family lacks: raw TTR (reported alongside as
+    global_ttr_micros) mechanically SHRINKS with document length, so
+    thresholding it rejects long documents, not repetitive ones; MATTR
+    measures diversity inside fixed {MATTR_WINDOW}-token windows and
+    averages, so boilerplate and template spam score low at ANY length.
+    Tumbling (not sliding) windows keep the cost one pass — the sliding
+    literature form changes values slightly and the cost asymptotically;
+    the convention is documented, not implied.
+
+    Exact integers end to end: token positions from one posexplode,
+    per-window distinct counts (map-side partial-distinct on the
+    (doc, window) grain), micro-unit TTRs via truncating division, and
+    the per-doc mean as an integer division of integer sums. Documents
+    shorter than one full window report NULL MATTR and 0 windows —
+    honest, not imputed. Shuffles are keyed on (doc, window) — uniform
+    by construction, no skew."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    pos = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("p", "tok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tok",
+        F.expr(f"p div {MATTR_WINDOW}").alias("w"),
+    )
+    per_doc = pos.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+    win = pos.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("tok").cast("long").alias("n_types_w"),
+    )
+    full_win = win.where(F.col("n_tok") == MATTR_WINDOW).select(
+        "doc_id",
+        F.expr(f"n_types_w * 1000000 div {MATTR_WINDOW}").alias(
+            "ttr_micros"
+        ),
+    )
+    mattr = full_win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.expr("CAST(SUM(ttr_micros) AS BIGINT) div COUNT(1)").alias(
+            "mattr_micros"
+        ),
+    )
+    return (
+        per_doc.join(mattr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias(
+                "n_windows"
+            ),
+            F.expr("n_types * 1000000 div n_tokens").alias(
+                "global_ttr_micros"
+            ),
+            "mattr_micros",
+        )
+    )

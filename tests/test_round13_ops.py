@@ -548,3 +548,57 @@ def test_hurst_planted_regimes(spark, tmp_path):
     h_alt = rows2[0]["hurst"]
     assert h_alt is not None and h_alt < 0.25
     assert h_alt < h_trend
+
+
+def test_dp_quantile_planted_peak_dominates_noise(spark, tmp_path):
+    """A sharply peaked balance distribution: the exponential mechanism's
+    utility gap (hundreds of rank units x eps/4) dwarfs the Gumbel noise
+    (~1 unit), so the released median must equal the true median."""
+    from recommendation_system_big_data_spark.functions.quality import (
+        privacy_dp_quantile,
+    )
+
+    custs = [(k, f"c{k}", 50.00) for k in range(200)]
+    custs += [(200, "c200", 1.00), (201, "c201", 999.00)]
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+
+    r = privacy_dp_quantile(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 202
+    assert r["true_median_cents"] == 5000
+    assert r["dp_median_cents"] == 5000
+    assert r["abs_err_cents"] == 0
+
+
+def test_mattr_planted_diverse_vs_repetitive(spark, tmp_path):
+    """100 distinct tokens → MATTR = 1.0 exactly; 100 copies of one token
+    → MATTR = 1/50; a 30-token doc has no full window → NULL MATTR but
+    a defined global TTR."""
+    from recommendation_system_big_data_spark.functions.text import (
+        text_mattr_lexical_diversity,
+    )
+
+    diverse = " ".join(f"w{i}" for i in range(100))
+    repetitive = " ".join(["spam"] * 100)
+    short = " ".join(f"u{i}" for i in range(30))
+    spark.createDataFrame(
+        [(1, diverse, "en", "s", len(diverse)),
+         (2, repetitive, "en", "s", len(repetitive)),
+         (3, short, "en", "s", len(short))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r["doc_id"]: r
+            for r in text_mattr_lexical_diversity(spark, str(tmp_path))
+            .collect()}
+    assert rows[1]["n_windows"] == 2
+    assert rows[1]["mattr_micros"] == 1000000
+    assert rows[1]["global_ttr_micros"] == 1000000
+    assert rows[2]["mattr_micros"] == 20000          # 1/50
+    assert rows[2]["global_ttr_micros"] == 10000     # 1/100
+    assert rows[3]["n_windows"] == 0
+    assert rows[3]["mattr_micros"] is None
+    assert rows[3]["global_ttr_micros"] == 1000000

@@ -96,6 +96,8 @@ PROBES = [
     ("stat_bayes_ab_beta", 10.0),
     ("ml_psm_att", 10.0),
     ("ts_hurst_exponent", 10.0),
+    ("privacy_dp_quantile", 10.0),
+    ("text_mattr_lexical_diversity", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
