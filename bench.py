@@ -69,6 +69,13 @@ RETIRED = [
     # funds the r11 prefix-filter addition: 0.32-0.50s across 7 rounds,
     # never on a watch list (steady states in BENCH_r*.json).
     "text_gopher_quality",
+    # round-13 retirements funding the two r13 scale-bearing additions
+    # (ml_psm_att, text_mattr_lexical_diversity) within the 1900-char
+    # stdout budget: rollup_incremental_agg 0.41-0.58 and diff_snapshots
+    # 0.48-0.62 across their recorded rounds — both plan-trivial at
+    # sf0.1, stable, never on a watch list.
+    "rollup_incremental_agg",
+    "diff_snapshots",
 ]
 
 #: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
@@ -224,6 +231,13 @@ HEADLINE = [
     # join is the round's scale-bearing new path (quiet isolated steady
     # state 1.4-1.5 s at sf0.1); first recorded run defines its baseline.
     "dedup_prefix_filter_join",
+    # round-13 session additions — the two scale-bearing new paths: the
+    # running_sums ordinal-index matching join (~1.0 s at sf0.1 after
+    # the global-window rewrite; the plan that survives 100 TB) and the
+    # posexplode + per-window-distinct MATTR fold (~0.7 s). First
+    # recorded run defines each baseline.
+    "ml_psm_att",
+    "text_mattr_lexical_diversity",
 ]
 
 
