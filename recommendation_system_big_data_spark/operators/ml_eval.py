@@ -458,8 +458,9 @@ WITH folded AS (
     FROM cf GROUP BY cat
 )
 SELECT cf.cat, cf.fold, cf.n_cf,
-       ROUND(CAST(c.sum_c - cf.sum_cf AS DOUBLE) / (c.n_c - cf.n_cf), 4)
-           AS oof_mean,
+       CASE WHEN c.n_c = cf.n_cf THEN NULL
+            ELSE ROUND(CAST(c.sum_c - cf.sum_cf AS DOUBLE)
+                       / (c.n_c - cf.n_cf), 4) END AS oof_mean,
        ROUND(CAST(c.sum_c AS DOUBLE) / c.n_c, 4) AS cat_mean
 FROM cf JOIN c ON cf.cat = c.cat
 """
@@ -497,11 +498,20 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cat",
         "fold",
         "n_cf",
-        F.round(
-            (F.col("sum_c") - F.col("sum_cf")).cast("double")
-            / (F.col("n_c") - F.col("n_cf")),
-            4,
-        ).alias("oof_mean"),
+        # a category living entirely in ONE fold has no out-of-fold data:
+        # NULL (the honest "no encoding available"), not an ANSI raise.
+        # r13 tiny-fixture probe finding.
+        F.when(
+            F.col("n_c") == F.col("n_cf"), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (F.col("sum_c") - F.col("sum_cf")).cast("double")
+                / (F.col("n_c") - F.col("n_cf")),
+                4,
+            )
+        )
+        .alias("oof_mean"),
         F.round(F.col("sum_c").cast("double") / F.col("n_c"), 4).alias("cat_mean"),
     )
 
@@ -1140,13 +1150,15 @@ WITH users AS (
     FROM tiled GROUP BY decile
 )
 SELECT decile, n_users, n_purchases,
-       ROUND(CAST(SUM(n_purchases) OVER (
+       CASE WHEN SUM(n_purchases) OVER () = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(n_purchases) OVER (
                  ORDER BY decile
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) / SUM(n_purchases) OVER (), 6) AS cum_gain,
-       ROUND((n_purchases / CAST(n_users AS DOUBLE))
+             AS DOUBLE) / SUM(n_purchases) OVER (), 6) END AS cum_gain,
+       CASE WHEN SUM(n_purchases) OVER () = 0 THEN NULL
+            ELSE ROUND((n_purchases / CAST(n_users AS DOUBLE))
              / (SUM(n_purchases) OVER () / CAST(SUM(n_users) OVER () AS DOUBLE)),
-             6) AS lift
+             6) END AS lift
 FROM per
 """
 
@@ -1196,23 +1208,34 @@ def ml_eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
+    # a purchase-free corpus zeroes the overall rate — NULL gains/lift,
+    # not an ANSI raise (r13 tiny-fixture probe finding).
+    no_pos = F.sum("n_purchases").over(tot) == 0
     return per.select(
         "decile",
         "n_users",
         "n_purchases",
-        F.round(
-            F.sum("n_purchases").over(cum).cast("double")
-            / F.sum("n_purchases").over(tot),
-            6,
-        ).alias("cum_gain"),
-        F.round(
-            (F.col("n_purchases") / F.col("n_users").cast("double"))
-            / (
-                F.sum("n_purchases").over(tot)
-                / F.sum("n_users").over(tot).cast("double")
-            ),
-            6,
-        ).alias("lift"),
+        F.when(no_pos, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("n_purchases").over(cum).cast("double")
+                / F.sum("n_purchases").over(tot),
+                6,
+            )
+        )
+        .alias("cum_gain"),
+        F.when(no_pos, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_purchases") / F.col("n_users").cast("double"))
+                / (
+                    F.sum("n_purchases").over(tot)
+                    / F.sum("n_users").over(tot).cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("lift"),
     )
 
 
@@ -1765,8 +1788,9 @@ WITH ranked AS (
 )
 SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_total,
        CAST(COUNT(*) AS BIGINT) AS n_pos,
-       CAST((SUM(term_nanos) * 2 + 1000 * COUNT(*))
-            // (2000 * COUNT(*)) AS BIGINT) AS ap_micros
+       CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE (SUM(term_nanos) * 2 + 1000 * COUNT(*))
+            // (2000 * COUNT(*)) END AS BIGINT) AS ap_micros
 FROM terms
 """
 
@@ -1830,10 +1854,13 @@ def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("is_pos").cast("long").alias("n_pos"),
+        # a positive-free corpus leaves AP undefined — NULL, not an ANSI
+        # raise (r13 tiny-fixture probe finding).
         F.expr(
-            "CAST((SUM(CAST(term_nanos AS DECIMAL(20,0))) * 2"
+            "CAST(CASE WHEN SUM(is_pos) = 0 THEN NULL"
+            " ELSE (SUM(CAST(term_nanos AS DECIMAL(20,0))) * 2"
             " + 1000 * SUM(is_pos))"
-            " div (2000 * CAST(SUM(is_pos) AS DECIMAL(20,0))) AS LONG)"
+            " div (2000 * CAST(SUM(is_pos) AS DECIMAL(20,0))) END AS LONG)"
         ).alias("ap_micros"),
     )
 

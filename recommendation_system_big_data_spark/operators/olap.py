@@ -25,15 +25,24 @@ from recommendation_system_big_data_spark.queries.tpch import disc_price, dsum
 from recommendation_system_big_data_spark.registry import register
 
 _ROLLUP_ORACLE = """
-SELECT r.r_name,
-       n.n_name,
-       GROUPING(r.r_name, n.n_name) AS gid,
-       COUNT(c.c_custkey) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY ROLLUP (r.r_name, n.n_name)
+SELECT * FROM (
+    SELECT r.r_name,
+           n.n_name,
+           GROUPING(r.r_name, n.n_name) AS gid,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+)
+-- engine seam (r13 tiny-fixture probe): on EMPTY input DuckDB follows
+-- the SQL standard and emits the grand-total grouping set (one row,
+-- COUNT 0) while Spark's rollup emits no rows at all. Pin Spark's
+-- shape: the empty-input grand-total row is dropped; on any non-empty
+-- corpus the grand total has n_customers > 0 and nothing changes.
+WHERE NOT (gid = 3 AND n_customers = 0)
 """
 
 

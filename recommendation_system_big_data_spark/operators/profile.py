@@ -398,12 +398,13 @@ WITH stats AS (
     FROM events
 ), bounds AS (
     SELECT sv / n AS m,
-           SQRT((sv2 - sv * sv / n) / (n - 1)) AS s
+           CASE WHEN n < 2 THEN NULL
+                ELSE SQRT((sv2 - sv * sv / n) / (n - 1)) END AS s
     FROM stats
 )
 SELECT event_id, user_id, ROUND(value, 6) AS value
 FROM events, bounds
-WHERE value BETWEEN m - 3 * s AND m + 3 * s
+WHERE s IS NULL OR value BETWEEN m - 3 * s AND m + 3 * s
 """
 
 
@@ -428,14 +429,27 @@ def clean_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
     ).select(
         (F.col("sv") / F.col("n")).alias("m"),
-        F.sqrt(
-            (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
-            / (F.col("n") - 1)
-        ).alias("s"),
+        # n < 2: sigma is undefined — pin "no filtering" (a one-row corpus
+        # carries no evidence of outlierness) rather than the ANSI raise /
+        # NULL-comparison row drop the engines would otherwise split on.
+        # r13 tiny-fixture probe finding.
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.sqrt(
+                (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        )
+        .alias("s"),
     )
     return (
         ev.crossJoin(F.broadcast(stats))
-        .filter(F.col("value").between(F.col("m") - 3 * F.col("s"), F.col("m") + 3 * F.col("s")))
+        .filter(
+            F.col("s").isNull()
+            | F.col("value").between(
+                F.col("m") - 3 * F.col("s"), F.col("m") + 3 * F.col("s")
+            )
+        )
         .select("event_id", "user_id", F.round("value", 6).alias("value"))
     )
 

@@ -1111,10 +1111,17 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregate: one shuffle on the row key, columns from the (bounded)
     value domain."""
     ct = load(spark, sf_dir, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+    # crosstab derives its columns from OBSERVED values — a corpus where a
+    # status never occurs simply lacks that column, while the oracle's
+    # fixed conditional counts emit 0. Pin the declared bounded domain
+    # with a 0 fallback (r13 tiny-fixture probe finding).
+    cols = set(ct.columns)
+    f_col = (F.col("F") if "F" in cols else F.lit(0)).cast("long")
+    o_col = (F.col("O") if "O" in cols else F.lit(0)).cast("long")
     return ct.select(
         "l_returnflag_l_linestatus",
-        F.col("F").cast("long").alias("F"),
-        F.col("O").cast("long").alias("O"),
+        f_col.alias("F"),
+        o_col.alias("O"),
     )
 
 

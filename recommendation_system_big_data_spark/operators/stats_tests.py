@@ -449,7 +449,8 @@ WITH fanned AS (
     FROM fanned
 ), reps AS (
     SELECT b,
-           ROUND(SUM(w * value) / SUM(w), 6) AS boot_mean
+           CASE WHEN SUM(w) = 0 THEN NULL
+                ELSE ROUND(SUM(w * value) / SUM(w), 6) END AS boot_mean
     FROM weighted GROUP BY b
 ), pt AS (
     SELECT AVG(value) AS point_est FROM events
@@ -457,7 +458,8 @@ WITH fanned AS (
 SELECT CAST({_N_BOOT} AS BIGINT) AS n_replicates,
        ROUND(MAX(point_est), 6) AS point_est,
        ROUND(AVG(boot_mean), 6) AS boot_mean_of_means,
-       ROUND(STDDEV_SAMP(boot_mean), 6) AS boot_se,
+       CASE WHEN COUNT(boot_mean) < 2 THEN NULL
+            ELSE ROUND(STDDEV_SAMP(boot_mean), 6) END AS boot_se,
        ROUND(MIN(boot_mean), 6) AS ci_lo,
        ROUND(MAX(boot_mean), 6) AS ci_hi
 FROM reps CROSS JOIN pt
@@ -504,13 +506,19 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, 7):
         w = w.when(u < _POIS_CDF[k], k)
     w = w.otherwise(7)
+    # an all-zero-weight replicate (possible on tiny corpora) has no
+    # resample — NULL mean, not an ANSI raise; and < 2 defined replicate
+    # means leave the SE undefined (Spark stddev_samp would emit NaN
+    # where DuckDB NULLs). r13 tiny-fixture probe findings.
     reps = (
         fanned.select("b", "value", w.alias("w"))
         .groupBy("b")
         .agg(
-            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias(
-                "boot_mean"
+            F.when(F.sum("w") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6)
             )
+            .alias("boot_mean")
         )
     )
     pt = ev.agg(F.avg("value").alias("point_est"))
@@ -518,7 +526,9 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_N_BOOT).cast("long").alias("n_replicates"),
         F.round(F.max("point_est"), 6).alias("point_est"),
         F.round(F.avg("boot_mean"), 6).alias("boot_mean_of_means"),
-        F.round(F.stddev_samp("boot_mean"), 6).alias("boot_se"),
+        F.when(F.count("boot_mean") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(F.stddev_samp("boot_mean"), 6))
+        .alias("boot_se"),
         F.round(F.min("boot_mean"), 6).alias("ci_lo"),
         F.round(F.max("boot_mean"), 6).alias("ci_hi"),
     )
@@ -1558,10 +1568,14 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_obs"
         ),
     )
+    # COUNT (not SUM) so an empty pool (no click/purchase rows at all)
+    # yields 0, matching the oracle's scalar COUNT subquery — SUM over
+    # the empty aggregate is NULL and split the engines on the tiny
+    # probe fixture.
     exceed = (
         tstats.crossJoin(F.broadcast(obs.select(F.col("t_obs").alias("t0"))))
         .agg(
-            F.sum(F.when(F.col("t_b") >= F.col("t0"), 1).otherwise(0))
+            F.count(F.when(F.col("t_b") >= F.col("t0"), 1))
             .cast("long")
             .alias("n_exceed")
         )
@@ -2749,10 +2763,12 @@ SELECT n1, c1, n2, c2,
             THEN NULL
             ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
             END AS p_value,
-       CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+            WHEN {se_un} = 0 THEN NULL
             ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2
                        - 1.959963985 * {se_un}, 6) END AS ci95_lo,
-       CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+            WHEN {se_un} = 0 THEN NULL
             ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2
                        + 1.959963985 * {se_un}, 6) END AS ci95_hi
 FROM cells
@@ -2839,13 +2855,19 @@ def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
             " END"
         ).alias("p_value"),
+        # n-guards come FIRST as their own WHEN branch: Spark evaluates
+        # every operand of a single OR condition eagerly in codegen, so
+        # `... OR se_un = 0` divides by an empty arm's n before the n=0
+        # test can protect it (tiny-fixture probe finding).
         F.expr(
-            f"CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL"
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            f" WHEN {se_un} = 0 THEN NULL"
             " ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2"
             f" - 1.959963985 * {se_un}, 6) END"
         ).alias("ci95_lo"),
         F.expr(
-            f"CASE WHEN n1 = 0 OR n2 = 0 OR {se_un} = 0 THEN NULL"
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            f" WHEN {se_un} = 0 THEN NULL"
             " ELSE ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2"
             f" + 1.959963985 * {se_un}, 6) END"
         ).alias("ci95_hi"),

@@ -156,7 +156,14 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "quartile",
-            F.round((F.col("_r") - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
+            # n = 1: both engines' builtin PERCENT_RANK defines the single
+            # row as 0.0 — pin that instead of the (n−1)=0 ANSI raise the
+            # derived form would hit (r13 tiny-fixture probe finding).
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(
+                F.round((F.col("_r") - 1) / (F.col("_n") - 1), 6)
+            )
+            .alias("pct_rank"),
             F.round(F.col("_r") / F.col("_n"), 6).alias("cume"),
         )
     )

@@ -8,7 +8,7 @@ DuckDB NULLs) or HASH-FAILs (engines disagreeing on the degenerate) —
 both are findings.
 
 Usage: python tools/probe_degenerate_corpus.py [fixture ...] [--names n1,n2]
-  fixtures default to: const oneday
+  fixtures default to: const oneday tiny
   --names restricts to the listed queries (fast fix-iteration loop; the
   restricted run does NOT append to SWEEPS.jsonl)
 Writes one JSON line per fixture to SWEEPS.jsonl (tag degenerate_probe).
@@ -88,6 +88,14 @@ def build_fixture(kind: str, root: str) -> str:
             elif t == "orders":
                 df["o_orderstatus"] = "F"
                 df["o_orderdate"] = df["o_orderdate"].min().normalize()
+        elif kind == "tiny":
+            # ONE row per table: every n−1 denominator, VAR_SAMP (Spark
+            # NaN vs DuckDB NULL!), lag/window pair, and split is at its
+            # smallest legal-but-degenerate size. Dimension keys stay
+            # consistent because every table keeps its FIRST row and the
+            # generator emits keys in order — joins may legitimately go
+            # empty, which is part of the class being probed.
+            df = df.iloc[:1].copy()
         else:
             raise SystemExit(f"unknown fixture kind: {kind}")
         _write_like(src, os.path.join(out, f"{t}.parquet"), df)
@@ -124,7 +132,7 @@ def main() -> None:
         i = argv.index("--names")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
-    kinds = argv or ["const", "oneday"]
+    kinds = argv or ["const", "oneday", "tiny"]
     root = "/tmp/degen_corpus"
     from pyspark.sql import SparkSession
 
