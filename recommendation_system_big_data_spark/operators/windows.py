@@ -593,13 +593,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and monetary value (ntile over each metric, custkey tiebreak for
     cross-engine determinism), rolled up to segment-cell counts.
 
-    Scale note: the three NTILEs are GLOBAL orderings — a single-partition
-    sort of the per-customer aggregate. That is fine while customers fit a
-    partition (one row per customer, not per order); at true 100 TB
-    customer cardinality the quartile boundaries would come from
-    approx_percentile instead and scoring becomes a stateless comparison
-    (same trade documented at agg_summary). The per-order data, which is
-    what actually scales, is reduced map-side in the first aggregate."""
+    Scale shape (r13: the last data-sized global window in the engine):
+    each NTILE(4) runs through ranges.ntile_distributed — the two-phase
+    distributed rank (range partition, per-slice window, O(n_parts)
+    offsets), hash-identical to F.ntile on the same tie-broken order
+    (property-tested) — so the customer grain never funnels through one
+    task. Dates/numerics are pre-negated for the descending orders (the
+    kernel's ascending-unique contract); the per-order data is reduced
+    map-side in the first aggregate as before."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        ntile_distributed,
+    )
+
     rfm = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -610,18 +615,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("monetary"),
         )
-    )
-    r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return (
-        rfm.select(
-            F.ntile(4).over(r).alias("r_score"),
-            F.ntile(4).over(f).alias("f_score"),
-            F.ntile(4).over(m).alias("m_score"),
+        .select(
+            "o_custkey",
+            (-F.datediff(
+                F.col("last_order"), F.lit("1970-01-01").cast("date")
+            )).alias("_nr"),
+            (-F.col("frequency")).alias("_nf"),
+            (-F.col("monetary")).alias("_nm"),
         )
-        .groupBy("r_score", "f_score", "m_score")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    t = ntile_distributed(rfm, ["_nr", "o_custkey"], 4, "r_score")
+    t = ntile_distributed(t, ["_nf", "o_custkey"], 4, "f_score")
+    t = ntile_distributed(t, ["_nm", "o_custkey"], 4, "m_score")
+    return t.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
     )
 
 
