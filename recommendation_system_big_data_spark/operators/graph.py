@@ -1105,3 +1105,129 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.orderBy(
         F.desc("jaccard_micros"), F.asc("part_u"), F.asc("part_v")
     ).limit(LINKPRED_TOP_K)
+
+
+_HITS_ORACLE = """
+WITH e AS (
+    SELECT o.o_custkey AS cust, l.l_partkey AS part,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey, l.l_partkey
+), h1r AS (
+    SELECT cust, SUM(w) AS h FROM e GROUP BY cust
+), h1n AS (
+    SELECT SQRT(SUM(h * h)) AS z FROM h1r
+), h1 AS (
+    SELECT cust, h / h1n.z AS h FROM h1r, h1n
+), a1r AS (
+    SELECT e.part, SUM(e.w * h1.h) AS a
+    FROM e JOIN h1 ON e.cust = h1.cust GROUP BY e.part
+), a1n AS (
+    SELECT SQRT(SUM(a * a)) AS z FROM a1r
+), a1 AS (
+    SELECT part, a / a1n.z AS a FROM a1r, a1n
+), h2r AS (
+    SELECT e.cust, SUM(e.w * a1.a) AS h
+    FROM e JOIN a1 ON e.part = a1.part GROUP BY e.cust
+), h2n AS (
+    SELECT SQRT(SUM(h * h)) AS z FROM h2r
+), h2 AS (
+    SELECT cust, h / h2n.z AS h FROM h2r, h2n
+), a2r AS (
+    SELECT e.part, SUM(e.w * h2.h) AS a
+    FROM e JOIN h2 ON e.cust = h2.cust GROUP BY e.part
+), a2n AS (
+    SELECT SQRT(SUM(a * a)) AS z FROM a2r
+), a2 AS (
+    SELECT part, a / a2n.z AS a FROM a2r, a2n
+)
+SELECT 'hub' AS role, cust AS node_id, ROUND(h, 6) AS score FROM h2
+UNION ALL
+SELECT 'authority', part, ROUND(a, 6) FROM a2
+"""
+
+
+@register("graph_hits", oracle=_HITS_ORACLE, tags=("graph",))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    customer→part purchase graph, two L2-normalized power iterations:
+    a strong HUB is a customer whose basket concentrates on strong
+    authorities; a strong AUTHORITY is a part bought by strong hubs —
+    the mutually-recursive centrality pair PageRank's single score
+    cannot express, and the graph-shaped reading of "influential buyer
+    / must-stock item". Two iterations is where the co-purchase
+    fixture's ordering stabilizes (the same budget-vs-convergence trade
+    as graph_pagerank's three).
+
+    Float determinism: each contribution w·score is the identical IEEE
+    expression on both engines; only SUM order differs (~1e-14 after
+    two iterations, six orders under ROUND(6)). L2 norms are shared
+    double expressions; a graph with edges always has positive norms,
+    and an edgeless corpus yields the empty result on both engines —
+    no division ever sees zero.
+
+    Scale shape: the fact⋈fact equi-join folds to the (cust, part)
+    edge grain once (map-side combine) and is checkpointed; each
+    half-iteration is ONE |edges| shuffle keyed alternately on cust /
+    part — the Pregel layout graph_pagerank documents, with the rank
+    table broadcast-sized per key group. Nothing quadratic anywhere."""
+    e = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint()
+    )
+
+    def _l2(df: DataFrame, col: str) -> DataFrame:
+        # Each normalization references its input TWICE (norm fold + the
+        # scale-back join) and feeds the next half-iteration, so without a
+        # lineage cut the plan tree doubles per half-iteration (measured:
+        # 86 exchanges static). Checkpointing each score table keeps every
+        # half-iteration at one |edges| shuffle — the pagerank discipline.
+        scores = df.localCheckpoint()
+        z = scores.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("z"))
+        return scores.crossJoin(F.broadcast(z)).select(
+            *[c for c in scores.columns if c != col],
+            (F.col(col) / F.col("z")).alias(col),
+        )
+
+    h1 = _l2(e.groupBy("cust").agg(F.sum("w").alias("h")), "h")
+    a1 = _l2(
+        e.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("a")),
+        "a",
+    )
+    h2 = _l2(
+        e.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum(F.col("w") * F.col("a")).alias("h")),
+        "h",
+    )
+    a2 = _l2(
+        e.join(h2, "cust")
+        .groupBy("part")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("a")),
+        "a",
+    )
+    hubs = h2.select(
+        F.lit("hub").alias("role"),
+        F.col("cust").alias("node_id"),
+        F.round("h", 6).alias("score"),
+    )
+    auths = a2.select(
+        F.lit("authority").alias("role"),
+        F.col("part").alias("node_id"),
+        F.round("a", 6).alias("score"),
+    )
+    return hubs.unionByName(auths)

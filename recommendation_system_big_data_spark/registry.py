@@ -266,7 +266,8 @@ _DRIVER_WINDOW_ALIASES = (
 #:      stat_benjamini_hochberg stat_mcnemar stat_two_proportion_z
 #:      stat_runs_test stat_bayes_ab_beta stat_ljung_box
 #:      olap_cohort_ltv_triangle ml_psm_att ts_hurst_exponent
-#:      privacy_dp_quantile text_mattr_lexical_diversity;
+#:      privacy_dp_quantile text_mattr_lexical_diversity
+#:      graph_hits;
 #: 2. then the remaining 20 r4-vintage rows alphabetical from
 #:    q20_promotion_suppliers (q20_promotion_suppliers
 #:    q21_waiting_suppliers q2_min_cost_supplier q4_priority_exists

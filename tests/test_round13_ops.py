@@ -602,3 +602,44 @@ def test_mattr_planted_diverse_vs_repetitive(spark, tmp_path):
     assert rows[3]["n_windows"] == 0
     assert rows[3]["mattr_micros"] is None
     assert rows[3]["global_ttr_micros"] == 1000000
+
+
+def test_hits_planted_star_graph(spark, tmp_path):
+    """Planted bipartite star: one super-customer buys every part, two
+    others buy one part each — the super-customer must be the top hub
+    and the part everyone buys the top authority."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_hits,
+    )
+
+    orders = [(o, c, "O", 10.0,
+               datetime.datetime(2024, 1, 1), "1-URGENT")
+              for o, c in [(1, 100), (2, 101), (3, 102)]]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    # order 1 (cust 100): parts 1,2,3 ; order 2 (cust 101): part 1 ;
+    # order 3 (cust 102): part 1
+    lines = [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)]
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+         for ok, pk in lines],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = graph_hits(spark, str(tmp_path)).collect()
+    hubs = {r["node_id"]: r["score"] for r in rows if r["role"] == "hub"}
+    auths = {r["node_id"]: r["score"]
+             for r in rows if r["role"] == "authority"}
+    assert max(hubs, key=hubs.get) == 100
+    assert max(auths, key=auths.get) == 1
+    # L2-normalized score vectors (scores are ROUND(6)'d, so the norm
+    # check carries ~n·1e-6 rounding slack)
+    assert abs(sum(v * v for v in hubs.values()) - 1.0) < 1e-4
+    assert abs(sum(v * v for v in auths.values()) - 1.0) < 1e-4

@@ -98,6 +98,7 @@ PROBES = [
     ("ts_hurst_exponent", 10.0),
     ("privacy_dp_quantile", 10.0),
     ("text_mattr_lexical_diversity", 10.0),
+    ("graph_hits", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
