@@ -176,7 +176,18 @@ def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = ratings_from_events(spark, sf_dir)
     train, test = ratings.randomSplit([0.8, 0.2], seed=SEED)
     model = train_als(train)
-    predictions = model.transform(test)
+    predictions = model.transform(test).where(
+        F.col("prediction").isNotNull() & ~F.isnan("prediction")
+    )
+    # a corpus too small to populate the held-out split (or whose test
+    # users are all cold-start-dropped) has NO evaluable predictions:
+    # report NULL rmse instead of crashing inside the evaluator's empty
+    # summarizer, and skip the band check — no evidence is not a broken
+    # factorization. r13 tiny-fixture rows-only probe finding.
+    if predictions.limit(1).count() == 0:
+        return load(spark, sf_dir, "events").sparkSession.createDataFrame(
+            [("rmse", None)], "metric string, value double"
+        )
     rmse = RegressionEvaluator(
         metricName="rmse", labelCol="rating", predictionCol="prediction"
     ).evaluate(predictions)
@@ -263,11 +274,31 @@ def als_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rank=rank,
                 regParam=reg,
             ).fit(train)
-            rows.append((rank, float(reg), float(evaluator.evaluate(model.transform(val)))))
+            preds = model.transform(val).where(
+                F.col("prediction").isNotNull() & ~F.isnan("prediction")
+            )
+            # empty evaluable validation set (tiny corpus / all
+            # cold-start-dropped): NULL rmse, not an evaluator crash —
+            # r13 tiny-fixture rows-only probe finding.
+            if preds.limit(1).count() == 0:
+                rows.append((rank, float(reg), None))
+            else:
+                rows.append(
+                    (rank, float(reg), float(evaluator.evaluate(preds)))
+                )
     train.unpersist()
     val.unpersist()
-    best = min(r[2] for r in rows)
-    out = [(r[0], r[1], round(r[2], 6), 1 if r[2] == best else 0) for r in rows]
+    scored = [r[2] for r in rows if r[2] is not None]
+    best = min(scored) if scored else None
+    out = [
+        (
+            r[0],
+            r[1],
+            round(r[2], 6) if r[2] is not None else None,
+            1 if (r[2] is not None and r[2] == best) else 0,
+        )
+        for r in rows
+    ]
     return spark.createDataFrame(
         out, "rank long, reg_param double, val_rmse double, is_best long"
     )

@@ -1141,6 +1141,12 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     terms = []
     for k in range(dim - 1, dim - 1 - topk, -1):
         v, lam = evecs[:, k], float(evals[k])
+        if lam <= 1e-12:
+            # rank-deficient covariance (e.g. a 1-row or constant corpus):
+            # a zero-variance eigendirection carries no distance — skip it
+            # (the pseudo-inverse convention) instead of dividing by the
+            # zero eigenvalue. r13 tiny-fixture rows-only probe finding.
+            continue
         proj = F.aggregate(
             F.zip_with(
                 centered,
@@ -1151,7 +1157,7 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
             lambda acc, x: acc + x,
         )
         terms.append(proj * proj / F.lit(lam))
-    d2 = terms[0]
+    d2 = terms[0] if terms else F.lit(0.0)
     for t in terms[1:]:
         d2 = d2 + t
     return (
@@ -1219,14 +1225,17 @@ def _kmeans_lloyd_run(
         [round(float(x), 5) for x in r["v"]]
         for r in emb.orderBy("vec_id").limit(_KMEANS_K).collect()
     ]
+    # a corpus smaller than K fits k_eff = n centroids (F.least also
+    # requires ≥ 2 columns) — graceful degradation instead of a crash;
+    # r13 tiny-fixture rows-only probe finding.
     centroids = init
     history = []
     assigned = None
     for it in range(_KMEANS_ITERS):
         dists = [_sq_dist(F.col("v"), _centroid_literal(c)) for c in centroids]
-        best = F.least(*dists)
+        best = F.least(*dists) if len(dists) > 1 else dists[0]
         cluster = F.lit(None).cast("int")
-        for ci in range(_KMEANS_K - 1, -1, -1):
+        for ci in range(len(dists) - 1, -1, -1):
             cluster = F.when(dists[ci] == best, ci).otherwise(cluster)
         assigned = emb.select(
             "vec_id", "v", cluster.alias("cluster"), best.alias("d2")
@@ -1543,9 +1552,17 @@ def _pq_fit_codebooks(emb: DataFrame) -> list:
     dsub = 64 // _PQ_M
     seed_rows = emb.orderBy("vec_id").limit(_PQ_K).collect()
     seeds = np.vstack([np.asarray(r["v"]) for r in seed_rows])
+    # a corpus smaller than K cycles its seeds: duplicate centroids are
+    # harmless (argmin assignment deterministically picks the lowest
+    # code) and the fit degrades gracefully instead of IndexError'ing —
+    # r13 tiny-fixture rows-only probe finding.
+    n_seeds = seeds.shape[0]
     centroids = [
         [
-            [round(float(x), 5) for x in seeds[k, m * dsub : (m + 1) * dsub]]
+            [
+                round(float(x), 5)
+                for x in seeds[k % n_seeds, m * dsub : (m + 1) * dsub]
+            ]
             for k in range(_PQ_K)
         ]
         for m in range(_PQ_M)

@@ -8,9 +8,13 @@ DuckDB NULLs) or HASH-FAILs (engines disagreeing on the degenerate) —
 both are findings.
 
 Usage: python tools/probe_degenerate_corpus.py [fixture ...] [--names n1,n2]
+                                                 [--rows-only]
   fixtures default to: const oneday tiny
   --names restricts to the listed queries (fast fix-iteration loop; the
   restricted run does NOT append to SWEEPS.jsonl)
+  --rows-only ALSO runs the oracle-less (⊘) queries as a crash check
+  (count() only — an ANSI raise on a degenerate corpus is a finding
+  even without an oracle to diff)
 Writes one JSON line per fixture to SWEEPS.jsonl (tag degenerate_probe).
 """
 
@@ -128,6 +132,9 @@ def clear_session_caches() -> None:
 def main() -> None:
     argv = sys.argv[1:]
     only: set[str] | None = None
+    include_rows_only = "--rows-only" in argv
+    if include_rows_only:
+        argv.remove("--rows-only")
     if "--names" in argv:
         i = argv.index("--names")
         only = set(argv[i + 1].split(","))
@@ -148,7 +155,8 @@ def main() -> None:
     defs = registry()
     canon = {
         n: q for n, q in defs.items()
-        if "alias" not in q.tags and q.oracle is not None
+        if "alias" not in q.tags
+        and (q.oracle is not None or include_rows_only)
         and (only is None or n in only)
     }
     try:
@@ -173,6 +181,12 @@ def main() -> None:
             t0 = time.time()
             try:
                 sdf = qd.fn(spark, sf)
+                if qd.oracle is None:
+                    # rows-only (⊘) query: crash check only — there is no
+                    # oracle to diff, but an ANSI raise on a degenerate
+                    # corpus is still a finding.
+                    sdf.count()
+                    continue
                 srows = sorted(
                     [tuple(norm(v) for v in r) for r in sdf.collect()],
                     key=repr,
