@@ -2292,20 +2292,29 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_detected = detected.count()
     n_hit = truth.join(detected, ["doc_a", "doc_b"]).count()
     n_cand = cand.count()
+    # The committed recall floor (tests/test_dedup.py's 0.8 gate) rides
+    # IN the row so the driver's rows-only check carries a semantic
+    # signal, not just a row count (VERDICT r13 #6): recall_ge_floor=1
+    # is the machine-checkable "LSH still finds ≥80% of true pairs".
+    floor = 800000
+    recall = (n_hit * 1000000) // n_truth if n_truth else None
     row = [
         (
             n_truth,
             n_detected,
             n_hit,
             n_cand,
-            (n_hit * 1000000) // n_truth if n_truth else None,
+            recall,
             (n_hit * 1000000) // n_detected if n_detected else None,
             (n_detected * 1000000) // n_cand if n_cand else None,
+            floor,
+            None if recall is None else int(recall >= floor),
         )
     ]
     return spark.createDataFrame(
         row,
         "n_true_pairs long, n_detected_pairs long, n_hit long,"
         " n_candidates long, recall_micros long, precision_micros long,"
-        " verify_survival_micros long",
+        " verify_survival_micros long, recall_floor_micros long,"
+        " recall_ge_floor long",
     )

@@ -326,16 +326,27 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT'
+                              AND year(o_orderdate) = 1995)
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all (op #18)."""
+    """Left-anti join: customers with no URGENT order in 1995 (op #18).
+
+    Keyed so the result is NON-EMPTY at test scale (1115 of 1500
+    customers at sf0.01): the original "customers with no orders at
+    all" matched the oracle only on the empty set — a vacuous green
+    (VERDICT r13 "What's wrong" #1). The operator under test (left-anti
+    hash join with the filter pushed to the build side) is unchanged."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    urgent_95 = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1995)
+    )
     return cust.join(
-        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+        urgent_95, cust["c_custkey"] == urgent_95["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -597,17 +608,28 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics): nations with no suppliers (SURVEY.md §2.7)."""
-    nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return nation.subtract(supp)
+    """EXCEPT (distinct semantics): customers who ordered in 1995 but
+    churned by 1996 (SURVEY.md §2.7).
+
+    Keyed on overlapping-but-distinct year cohorts so the result is
+    NON-EMPTY at test scale (261 rows at sf0.01) — the original
+    "nations with no suppliers" matched the oracle only on the empty
+    set (VERDICT r13 "What's wrong" #1). Same EXCEPT operator."""
+    orders = load(spark, sf_dir, "orders")
+    c95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c95.subtract(c96)
 
 
 # ---------------------------------------------------------------------------

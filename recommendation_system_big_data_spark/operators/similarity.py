@@ -2055,6 +2055,18 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ann = sim_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_audit_fold(truth, ann, floor_micros=300000)
+
+
+def _recall_audit_fold(
+    truth: DataFrame, ann: DataFrame, *, floor_micros: int
+) -> DataFrame:
+    """Shared recall@k fold for the ANN audits: per-query overlap of the
+    two (query_id, neighbor_id) lists → one summary row. The committed
+    recall floor rides IN the row (recall_floor_micros/recall_ge_floor)
+    so the driver's rows-only check carries the semantic gate, not just
+    a row count (VERDICT r13 #6); the same floors are asserted in
+    tests/test_similarity.py."""
     per_q = (
         truth.withColumnRenamed("neighbor_id", "nid")
         .join(
@@ -2083,4 +2095,26 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("hits") < F.lit(TOP_K)).cast("long"))
             .cast("long")
             .alias("n_imperfect_queries"),
+        F.lit(floor_micros).cast("long").alias("recall_floor_micros"),
+        F.expr(
+            f"CAST(SUM(hits) * 1000000 div (COUNT(1) * {TOP_K})"
+            f" >= {floor_micros} AS LONG)"
+        ).alias("recall_ge_floor"),
     )
+
+
+@register("sim_lsh_recall_audit", oracle=None, tags=("similarity",))
+def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the random-hyperplane LSH index against the
+    exact brute-force truth — the LSH sibling of `sim_ann_recall_audit`
+    (which audits the IVF path), promoting tests/test_similarity.py's
+    0.6 mean-recall floor into an in-query audit row the driver's
+    rows-only check can see (VERDICT r13 #6). Same scale shape: the
+    union of the two audited plans, one pair-grain semi-join, a
+    per-query fold to N_QUERIES rows → 1 row. The hyperplanes are
+    seed-fixed, so the row is deterministic."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_audit_fold(truth, ann, floor_micros=600000)

@@ -2323,14 +2323,16 @@ WITH mu AS (
     GROUP BY e.event_type
 ), pv AS (
     SELECT event_type,
-           EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
-                      + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0) AS p
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
+                           + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0)
+                END AS p
     FROM cm
 ), ranked AS (
     SELECT event_type, p,
            CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT) AS rnk,
            CAST(COUNT(*) OVER () AS BIGINT) AS k
-    FROM pv
+    FROM pv WHERE p IS NOT NULL
 ), adjusted AS (
     SELECT event_type, p, rnk, k,
            MAX(LEAST((k - rnk + 1) * p, 1.0)) OVER (
@@ -2345,6 +2347,13 @@ SELECT event_type,
        ROUND(p_holm, 6) AS p_holm,
        CAST(p_holm < 0.05 AS BIGINT) AS reject_05
 FROM adjusted
+UNION ALL
+SELECT event_type,
+       CAST(NULL AS DOUBLE) AS p_raw,
+       CAST(NULL AS BIGINT) AS p_rank,
+       CAST(NULL AS DOUBLE) AS p_holm,
+       CAST(NULL AS BIGINT) AS reject_05
+FROM pv WHERE p IS NULL
 """
 
 
@@ -2392,8 +2401,14 @@ def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
     pv = cm.select("event_type", F.exp(-jb / 2.0).alias("p"))
+    # NULL-p groups (m2 = 0 → undefined test) are excluded from BOTH the
+    # rank and k, then re-attached with NULL adjusted columns: Spark
+    # sorts NULLs first while DuckDB sorts them last, so ranking over
+    # them diverges cross-engine AND hands an undefined test rank 1
+    # (ADVICE r13). k must not count tests that were never run.
+    valid = pv.where(F.col("p").isNotNull())
     w_rank = Window.orderBy(F.asc("p"), F.asc("event_type"))
-    ranked = pv.select(
+    ranked = valid.select(
         "event_type",
         "p",
         F.row_number().over(w_rank).cast("long").alias("rnk"),
@@ -2414,6 +2429,14 @@ def stat_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("p_rank"),
         F.round("p_holm", 6).alias("p_holm"),
         (F.col("p_holm") < 0.05).cast("long").alias("reject_05"),
+    ).unionByName(
+        pv.where(F.col("p").isNull()).select(
+            "event_type",
+            F.lit(None).cast("double").alias("p_raw"),
+            F.lit(None).cast("long").alias("p_rank"),
+            F.lit(None).cast("double").alias("p_holm"),
+            F.lit(None).cast("long").alias("reject_05"),
+        )
     )
 
 
@@ -2537,14 +2560,16 @@ WITH mu AS (
     GROUP BY e.event_type
 ), pv AS (
     SELECT event_type,
-           EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
-                      + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0) AS p
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE EXP(-(n * (POW(m3 / POW(m2, 1.5), 2) / 6.0
+                           + POW(m4 / POW(m2, 2) - 3, 2) / 24.0)) / 2.0)
+                END AS p
     FROM cm
 ), ranked AS (
     SELECT event_type, p,
            CAST(ROW_NUMBER() OVER (ORDER BY p, event_type) AS BIGINT) AS rnk,
            CAST(COUNT(*) OVER () AS BIGINT) AS k
-    FROM pv
+    FROM pv WHERE p IS NOT NULL
 ), adjusted AS (
     SELECT event_type, p, rnk, k,
            MIN(LEAST(k * p / rnk, 1.0)) OVER (
@@ -2559,6 +2584,13 @@ SELECT event_type,
        ROUND(p_bh, 6) AS p_bh,
        CAST(p_bh < 0.05 AS BIGINT) AS reject_fdr_05
 FROM adjusted
+UNION ALL
+SELECT event_type,
+       CAST(NULL AS DOUBLE) AS p_raw,
+       CAST(NULL AS BIGINT) AS p_rank,
+       CAST(NULL AS DOUBLE) AS p_bh,
+       CAST(NULL AS BIGINT) AS reject_fdr_05
+FROM pv WHERE p IS NULL
 """
 
 
@@ -2604,8 +2636,12 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jb = F.col("n") * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
     pv = cm.select("event_type", F.exp(-jb / 2.0).alias("p"))
+    # Same NULL-p discipline as stat_holm_bonferroni: undefined tests
+    # (m2 = 0) are excluded from the rank and k, re-attached with NULL
+    # adjusted columns (cross-engine NULL-ordering seam, ADVICE r13).
+    valid = pv.where(F.col("p").isNotNull())
     w_rank = Window.orderBy(F.asc("p"), F.asc("event_type"))
-    ranked = pv.select(
+    ranked = valid.select(
         "event_type",
         "p",
         F.row_number().over(w_rank).cast("long").alias("rnk"),
@@ -2626,6 +2662,14 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").alias("p_rank"),
         F.round("p_bh", 6).alias("p_bh"),
         (F.col("p_bh") < 0.05).cast("long").alias("reject_fdr_05"),
+    ).unionByName(
+        pv.where(F.col("p").isNull()).select(
+            "event_type",
+            F.lit(None).cast("double").alias("p_raw"),
+            F.lit(None).cast("long").alias("p_rank"),
+            F.lit(None).cast("double").alias("p_bh"),
+            F.lit(None).cast("long").alias("reject_fdr_05"),
+        )
     )
 
 
@@ -2644,7 +2688,7 @@ WITH per_user AS (
 )
 SELECT n_users, b AS click_only, c AS purchase_only,
        CASE WHEN b + c = 0 THEN NULL
-            ELSE ROUND(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE), 4)
+            ELSE ROUND(POW(GREATEST(ABS(b - c) - 1, 0), 2) / CAST(b + c AS DOUBLE), 4)
             END AS mcnemar_chi2_cc,
        CASE WHEN b + c = 0 THEN NULL
             ELSE ROUND(2.0 * (1.0 - {{phi}}), 6) END AS p_value
@@ -2657,7 +2701,7 @@ def _mcnemar_oracle() -> str:
         normal_cdf_sql,
     )
 
-    z = "(SQRT(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE)))"
+    z = "(SQRT(POW(GREATEST(ABS(b - c) - 1, 0), 2) / CAST(b + c AS DOUBLE)))"
     return _MCNEMAR_ORACLE.format(phi=normal_cdf_sql(z))
 
 
@@ -2704,14 +2748,14 @@ def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
-    z = "(SQRT(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE)))"
+    z = "(SQRT(POW(GREATEST(ABS(b - c) - 1, 0), 2) / CAST(b + c AS DOUBLE)))"
     return cells.select(
         "n_users",
         F.col("b").alias("click_only"),
         F.col("c").alias("purchase_only"),
         F.expr(
             "CASE WHEN b + c = 0 THEN NULL"
-            " ELSE ROUND(POW(ABS(b - c) - 1, 2) / CAST(b + c AS DOUBLE), 4)"
+            " ELSE ROUND(POW(GREATEST(ABS(b - c) - 1, 0), 2) / CAST(b + c AS DOUBLE), 4)"
             " END"
         ).alias("mcnemar_chi2_cc"),
         F.expr(
@@ -2908,9 +2952,9 @@ WITH daily AS (
     FROM flagged
 )
 SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
-       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 OR 2 * n1 * n2 = n1 + n2 THEN NULL
             ELSE ROUND({z}, 4) END AS z_stat,
-       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 OR 2 * n1 * n2 = n1 + n2 THEN NULL
             ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
             END AS p_value
 FROM agg
@@ -2986,11 +3030,11 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n_below"),
         F.col("r").alias("n_runs"),
         F.expr(
-            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL"
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 OR 2 * n1 * n2 = n1 + n2 THEN NULL"
             f" ELSE ROUND({z}, 4) END"
         ).alias("z_stat"),
         F.expr(
-            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL"
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 OR 2 * n1 * n2 = n1 + n2 THEN NULL"
             f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
             " END"
         ).alias("p_value"),

@@ -195,89 +195,82 @@ _loaded = False
 #: 50/50 green, 34 hash + 16 rows-only). Its 50 names now have r11-fresh
 #: driver rows; see CORRECTNESS_r11.json.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-13 window (the committed r12 queue, VERDICT r12 #2 + #3 + #8):
-    # 1. the 33 ORACLE-BEARING round-12 session additions — first driver
-    #    rows. The 5 rows-only audits from the queue
-    #    (dedup_lsh_quality_audit sim_ann_recall_audit
-    #    agg_sketch_error_audit agg_hll_intersection_audit
-    #    agg_quantile_sketch_audit) are deliberately EXCLUDED per VERDICT
-    #    r12 #3: oracle=None aliases burn a window slot on a predictable
-    #    `err: no_oracle` row; their ⊘ evidence lives in the canonical
-    #    entries + pytest. load_all_modules enforces this structurally.
-    "funnel_window_gap",
-    "graph_jaccard_link_prediction",
-    "stream_attribution_batch_equiv",
-    "stream_foreachbatch_batch_equiv",
-    "text_rake_keywords",
-    "ml_conformal_interval",
-    "ml_eval_log_loss",
-    "stat_jarque_bera",
-    "stat_kruskal_wallis",
-    "ts_periodogram_dft",
-    "agg_theil_sen_slope",
-    "privacy_dp_count_laplace",
-    "stat_cochran_armitage",
-    "window_hampel_filter",
-    "sql_scalar_udf",
-    "stat_capture_recapture",
-    "ml_eval_fairness_gaps",
-    "olap_bridge_allocation",
-    "ml_eval_qini_auuc",
-    "stat_srm_check",
-    "stream_state_store_read",
-    "scd2_late_arriving",
-    "geo_hotspot_gi_star",
-    "stat_tost_equivalence",
-    "ml_eval_mcc",
-    "stat_holm_bonferroni",
-    "olap_like_for_like",
-    "ts_adf_stationarity",
-    "olap_price_elasticity",
-    "ts_interrupted_series",
-    "stat_overdispersion_index",
-    "sql_recursive_bom_rollup",
-    "sink_compressed_roundtrip",
-    # 2. the first 17 r4-vintage refresh rows, alphabetical from
-    #    cdc_apply_changes (stream_foreachbatch_upsert in the queue list
-    #    is oracle=None and skipped for the same reason as the audits).
-    "cdc_apply_changes",
-    "compaction_small_files",
-    "dedup_events_replayed",
-    "dedup_paragraph_exact",
-    "dim_enriched_window_agg",
-    "dpp_partition_pruned_join",
-    "drift_psi_report",
-    "eda_plot_series",
-    "fn_explode_outer",
-    "fn_map_ops",
-    "fn_python_udtf",
-    "fn_regexp_extract",
-    "fn_struct_ops",
-    "knn_classify",
-    "pii_scan_redact",
-    "q11_important_balance",
-    "q16_supplier_part_count",
+    # ROUND-14 window (the committed r13 queue, VERDICT r13 #1):
+    # 1. the 12 ROUND-13 SESSION ADDITIONS — first driver rows (each
+    #    oracle-checked at sf0.001 + sf0.01 + degenerate fixtures when
+    #    it landed, and re-verified green by the r13 judge; the BH /
+    #    mcnemar / runs-test ADVICE r13 seams were fixed and fixture-
+    #    reproduced green BEFORE this flip).
+    "stat_benjamini_hochberg",
+    "stat_mcnemar",
+    "stat_two_proportion_z",
+    "stat_runs_test",
+    "stat_bayes_ab_beta",
+    "stat_ljung_box",
+    "olap_cohort_ltv_triangle",
+    "ml_psm_att",
+    "ts_hurst_exponent",
+    "privacy_dp_quantile",
+    "text_mattr_lexical_diversity",
+    "graph_hits",
+    # 2. the 19 oracle-bearing r4-vintage refresh rows, alphabetical
+    #    (stream_foreachbatch_upsert is oracle=None — excluded).
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q9_product_profit",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "rollup_incremental_agg",
+    "scan_file_provenance",
+    "schema_evolution_merge",
+    "set_ops_cohorts",
+    "skew_key_report",
+    "sql_lateral_topk",
+    "stat_crosstab",
+    "text_gopher_quality",
+    "text_repetition_topngram",
+    "window_ewma",
+    "window_first_last",
+    "zorder_key",
+    # 3. the first 19 oracle-bearing r5-vintage rows, alphabetical,
+    #    filling 50.
+    "agg_bitmap_distinct",
+    "agg_collect_sorted",
+    "agg_cube_revenue",
+    "agg_entropy_gini",
+    "agg_rollup_hierarchy",
+    "agg_summary",
+    "basket_rules_lift",
+    "cogrouped_pandas_ratio",
+    "diff_snapshots",
+    "embedding_standardize",
+    "fk_integrity_report",
+    "fn_aes_roundtrip",
+    "fn_pandas_udaf_grouped",
+    "fn_try_arithmetic",
+    "fn_xml_extract",
+    "graph_pagerank",
+    "join_interval_overlap",
+    "join_range_bucketed",
+    "join_skew_salted",
 )
 
-#: ROUND-14 QUEUE (committed now so the r14 flip stays a one-line edit):
-#: 1. the 9 ROUND-13 SESSION ADDITIONS (added after this window froze;
-#:    each oracle-checked at sf0.001 AND sf0.01, green on BOTH degenerate
-#:    fixtures, and ulp-sweep clean on the day it landed):
-#:      stat_benjamini_hochberg stat_mcnemar stat_two_proportion_z
-#:      stat_runs_test stat_bayes_ab_beta stat_ljung_box
-#:      olap_cohort_ltv_triangle ml_psm_att ts_hurst_exponent
-#:      privacy_dp_quantile text_mattr_lexical_diversity
-#:      graph_hits;
-#: 2. then the remaining 20 r4-vintage rows alphabetical from
-#:    q20_promotion_suppliers (q20_promotion_suppliers
-#:    q21_waiting_suppliers q2_min_cost_supplier q4_priority_exists
-#:    q9_product_profit reshape_pivot reshape_unpivot
-#:    rollup_incremental_agg scan_file_provenance schema_evolution_merge
-#:    set_ops_cohorts skew_key_report sql_lateral_topk stat_crosstab
-#:    text_gopher_quality text_repetition_topngram window_ewma
-#:    window_first_last zorder_key — stream_foreachbatch_upsert stays
+#: ROUND-15 QUEUE (committed now so the r15 flip stays a one-line edit):
+#: 1. any ROUND-14 SESSION ADDITIONS (oracle-bearing ops added after the
+#:    r14 window above froze) — first driver rows;
+#: 2. then the remaining 20 oracle-bearing r5-vintage rows alphabetical
+#:    from max_concurrent_intervals (max_concurrent_intervals
+#:    observe_metrics_gate pipeline_training_mix q12_priority_shipments
+#:    q1_pricing_summary quality_constraint_report roundtrip_arrow
+#:    sample_source_weighted sample_weighted_reservoir
+#:    scan_json_corrupt_records scan_python_datasource scd2_pit_lookup
+#:    sequence_pattern_match sessionize_dynamic_gap sessionize_events
+#:    sql_parameterized text_readability_score text_url_normalize_dedup
+#:    ts_gapfill_ffill window_rolling_zscore — rows-only r5 names stay
 #:    excluded, oracle=None);
-#: 3. then r5-vintage alphabetical to 50.
+#: 3. then r6-vintage oracle-bearing rows alphabetical to 50.
 
 
 def register(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):

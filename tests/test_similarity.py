@@ -725,3 +725,18 @@ def test_zero_norm_prefix_guard_cross_engine(spark, tmp_path):
             for r in res.fetchall()
         )
         assert srows == orows, (name, srows[:3], orows[:3])
+
+
+def test_recall_audits_carry_floor_flags(spark, sf_dir):
+    """VERDICT r13 #6: the audit rows must carry the committed floor and
+    a live pass flag so a driver rows-only row is a semantic check."""
+    from recommendation_system_big_data_spark.operators.similarity import (
+        sim_ann_recall_audit,
+        sim_lsh_recall_audit,
+    )
+
+    for fn in (sim_lsh_recall_audit, sim_ann_recall_audit):
+        row = fn(spark, sf_dir).collect()[0].asDict()
+        assert row["recall_floor_micros"] in (300000, 600000)
+        assert row["recall_ge_floor"] == 1, (fn.__name__, row)
+        assert row["mean_recall_micros"] >= row["recall_floor_micros"]
