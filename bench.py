@@ -76,6 +76,11 @@ RETIRED = [
     # sf0.1, stable, never on a watch list.
     "rollup_incremental_agg",
     "diff_snapshots",
+    # round-14 retirement funding the payload's smoke-guard field within
+    # the 1900-char stdout budget: dedup_paragraph_exact 0.46-0.53
+    # across r9-r13 — plan-trivial at sf0.1, stable, never on a watch
+    # list.
+    "dedup_paragraph_exact",
 ]
 
 #: The scale-bearing subset: pipelines, shuffle-heavy aggs, window/top-k,
@@ -300,6 +305,35 @@ def main() -> None:
     to_run = HEADLINE if full else [q for q in HEADLINE if q not in RETIRED]
 
     errors: dict[str, str] = {}
+
+    # Harness smoke (VERDICT r13 #8): r12's bench died on a broadcast OOM
+    # and recorded NOTHING — the per-query try/except below now isolates
+    # query faults, but a harness-level failure (session conf, driver
+    # heap) should surface in the first minute, not after 57 queries. Run
+    # the three heaviest headline queries once each (their runs double as
+    # the memory-pressure probe: triangle wedges, the exact CDF quantile
+    # state, and the semantic-dedup probe join are the three largest
+    # broadcast/aggregation footprints in the suite). The result rides in
+    # the payload ("smoke": "3/3 heavy ok") so the recorded BENCH JSON
+    # itself shows the guard ran.
+    smoke_names = [
+        "graph_triangle_count",
+        "agg_summary",
+        "dedup_semantic_semdedup",
+    ]
+    smoke_ok = 0
+    for name in smoke_names:
+        try:
+            defs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            smoke_ok += 1
+        except Exception as exc:  # noqa: BLE001 - the record IS the point
+            errors[f"smoke:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(
+        f"BENCH SMOKE {smoke_ok}/{len(smoke_names)} heavy queries ok",
+        file=sys.stderr,
+    )
     # Bound driver-heap accumulation across the 57-query session (the r12
     # OOM class): dead per-query plans pin their BroadcastExchange
     # relations until a JVM GC lets ContextCleaner reap them, so nudge one
@@ -347,6 +381,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "smoke": f"{smoke_ok}/3",
     }
     if errors:
         payload["errors"] = errors

@@ -112,3 +112,44 @@ def normal_cdf_sql(z: str) -> str:
         f"(1e0 - EXP(-({az} * {az}) / 2e0) / 2.5066282746310002e0 * {poly})"
     )
     return f"(CASE WHEN {z} >= 0 THEN {upper} ELSE 1e0 - {upper} END)"
+
+
+def chi2_sf_sql(x: str, df: int) -> str:
+    """Chi-square survival function P(X² > x) at integer ``df`` as one
+    SQL expression valid in both Spark and DuckDB, via the
+    Wilson–Hilferty (1931) cube-root normal approximation:
+    (X²/df)^(1/3) ≈ N(1 − 2/(9df), 2/(9df)). Classic published
+    approximation, relative error ~1e-3 in the tail for df ≥ 1 —
+    adequate for reporting a test's p-value (the decision thresholds
+    .05/.01 are nowhere near its error band for the statistics the
+    engine emits), and expression-identical on both engines so a
+    ROUND(6) hash sees zero cross-engine freedom beyond libm EXP/POW
+    (the established absorbed class).
+
+    ``x`` must be a parenthesized-safe expression; NULL propagates.
+    x ≤ 0 pins the survival to 1 (POW of a negative base at a
+    fractional exponent is NULL/NaN on the engines, so the guard is
+    correctness, not cosmetics).
+    """
+    c = 2.0 / (9.0 * df)
+    z = f"((POW(({x}) / {float(df)!r}, 1e0/3e0) - 1e0 + {c!r}) / SQRT({c!r}))"
+    return (
+        f"(CASE WHEN ({x}) <= 0e0 THEN 1e0"
+        f" ELSE 1e0 - {normal_cdf_sql(z)} END)"
+    )
+
+
+def chi2_sf_sql_expr(x: str, df_expr: str) -> str:
+    """`chi2_sf_sql` with the degrees of freedom as a SQL EXPRESSION
+    (for contingency tests whose df depends on the observed table
+    shape). Same Wilson–Hilferty approximation, same guard; ``df_expr``
+    must evaluate to a positive DOUBLE-compatible value, NULL
+    propagates."""
+    c = f"(2e0 / (9e0 * ({df_expr})))"
+    z = (
+        f"((POW(({x}) / ({df_expr}), 1e0/3e0) - 1e0 + {c}) / SQRT({c}))"
+    )
+    return (
+        f"(CASE WHEN ({x}) <= 0e0 THEN 1e0"
+        f" ELSE 1e0 - {normal_cdf_sql(z)} END)"
+    )

@@ -2069,3 +2069,96 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mattr_micros",
         )
     )
+
+
+_HEAPS_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+), tok2 AS (
+    SELECT doc_id, token FROM tok WHERE token <> ''
+), per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM tok2 GROUP BY doc_id
+), firsts AS (
+    SELECT MIN(doc_id) AS doc_id FROM tok2 GROUP BY token
+), new_types AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM firsts GROUP BY doc_id
+), curve AS (
+    SELECT p.doc_id,
+           CAST(SUM(p.n_tok) OVER (ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cum,
+           CAST(SUM(COALESCE(nt.nt, 0)) OVER (ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS v_cum
+    FROM per_doc p LEFT JOIN new_types nt ON p.doc_id = nt.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_cum) AS BIGINT) AS total_tokens,
+       CAST(MAX(v_cum) AS BIGINT) AS total_types,
+       ROUND(REGR_SLOPE(LN(v_cum), LN(n_cum)), 4) AS heaps_beta,
+       ROUND(EXP(REGR_INTERCEPT(LN(v_cum), LN(n_cum))), 4) AS heaps_k,
+       ROUND(REGR_R2(LN(v_cum), LN(n_cum)), 4) AS fit_r2
+FROM curve
+"""
+
+
+@register("text_heaps_vocab_growth", oracle=_HEAPS_ORACLE, tags=("text",))
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β over the corpus
+    read in doc_id order — the companion diagnostic to `text_zipf_fit`
+    (the two laws are duals: β ≈ 1/|zipf slope| for a true power-law
+    corpus). Template-generated or heavily duplicated corpora flatten
+    the curve (β → 0: new text stops bringing new words); a β drift
+    between snapshots is an early dedup/contamination signal at corpus
+    scale, before any pairwise dedup runs.
+
+    Distributed shape: tokens fold map-side to per-doc counts; each
+    type's FIRST occurrence is one groupBy(token) min — no ordered scan
+    of the token stream; then BOTH prefix curves (cumulative tokens
+    N_d, cumulative new types V_d) ride ranges.running_sums over the
+    doc grain — the doc grain grows with data, so the bare global
+    window would be the single-task bottleneck the zipf/KS rewrites
+    just removed (VERDICT r13 #2/#3); this op is born on the kernel.
+    N_d, V_d are exact integers; the log-log regression folds the curve
+    in one aggregate (ROUND 4). V_d ≥ 1 everywhere (a doc with tokens
+    contributes its own first token), so LN is total."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    )
+    base = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
+    )
+    curve = running_sums(
+        base, ["doc_id"], {"n_cum": ("n_tok", True), "v_cum": ("nt", True)}
+    )
+    return curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_cum").cast("long").alias("total_tokens"),
+        F.max("v_cum").cast("long").alias("total_types"),
+        F.round(F.regr_slope(F.ln("v_cum"), F.ln("n_cum")), 4).alias(
+            "heaps_beta"
+        ),
+        F.round(
+            F.exp(F.regr_intercept(F.ln("v_cum"), F.ln("n_cum"))), 4
+        ).alias("heaps_k"),
+        F.round(F.regr_r2(F.ln("v_cum"), F.ln("n_cum")), 4).alias("fit_r2"),
+    )

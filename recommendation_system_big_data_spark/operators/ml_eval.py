@@ -3399,3 +3399,301 @@ def ml_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_diff_cents",
         "att_dollars",
     )
+
+
+_DB_INDEX_ORACLE = """
+WITH ex AS (
+    SELECT vec_id, label AS own, CAST(t.i AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(embedding[CAST(t.i AS BIGINT) + 1] AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS xq
+    FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+), q AS (
+    SELECT vec_id, MAX(own) AS own,
+           CAST(SUM(xq * xq) AS BIGINT) AS qq
+    FROM ex GROUP BY vec_id
+), cent AS (
+    SELECT own AS clabel, pos, CAST(SUM(xq) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_l
+    FROM ex GROUP BY own, pos
+), percl AS (
+    SELECT clabel, MAX(n_l) AS n_l,
+           CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS ss
+    FROM cent GROUP BY clabel
+), scat AS (
+    SELECT p.clabel, p.n_l,
+           CAST(p.n_l AS DECIMAL(38,0)) * sq.sum_qq - p.ss AS a_i
+    FROM percl p JOIN (
+        SELECT own AS clabel, CAST(SUM(qq) AS DECIMAL(38,0)) AS sum_qq
+        FROM q GROUP BY own
+    ) sq ON p.clabel = sq.clabel
+), pair_num AS (
+    SELECT a.clabel AS la, b.clabel AS lb,
+           MAX(a.n_l) AS na, MAX(b.n_l) AS nb,
+           CAST(SUM(CAST(a.s * b.n_l - b.s * a.n_l AS DECIMAL(38,0))
+                    * (a.s * b.n_l - b.s * a.n_l)) AS DECIMAL(38,0)) AS num
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.clabel <> b.clabel
+    GROUP BY a.clabel, b.clabel
+), ratios AS (
+    SELECT la, lb,
+           CASE WHEN num = 0 THEN NULL
+                ELSE CAST(CAST((sa.a_i * nb * nb + sb.a_i * na * na)
+                               * 1000 AS HUGEINT)
+                          // CAST(num AS HUGEINT) AS BIGINT)
+                END AS r_milli
+    FROM pair_num
+    JOIN scat sa ON sa.clabel = la
+    JOIN scat sb ON sb.clabel = lb
+), worst AS (
+    SELECT la, lb, r_milli,
+           ROW_NUMBER() OVER (PARTITION BY la
+                              ORDER BY r_milli DESC NULLS LAST, lb) AS rn
+    FROM ratios
+)
+SELECT s.clabel AS label, s.n_l AS n_members,
+       CAST(CAST(s.a_i AS HUGEINT)
+            // CAST(CAST(s.n_l AS DECIMAL(38,0)) * s.n_l AS HUGEINT)
+            AS BIGINT) AS scatter_sq_micro2,
+       w.lb AS worst_other,
+       w.r_milli AS db_component_milli
+FROM scat s JOIN worst w ON w.la = s.clabel AND w.rn = 1
+"""
+
+
+@register(
+    "ml_davies_bouldin_labels", oracle=_DB_INDEX_ORACLE, tags=("ml_eval",)
+)
+def ml_davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-separation components of the embedding
+    corpus against its labels — the within/between readout that
+    complements `ml_silhouette_labels`: for each cluster,
+    R_i = max_{j≠i} (S_i + S_j) / M_ij (scatter of the two clusters
+    over their centroid separation), and the named worst_other says
+    WHICH class it collides with (the actionable part — silhouette
+    only says how much). Squared-distance convention throughout
+    (documented, radical-free): S_i = mean squared member-centroid
+    distance, M_ij = squared centroid distance.
+
+    Exact integer algebra end-to-end (COVERAGE.md r10 convention —
+    a first draft that emitted ROUND(double, 6) on the 1e12-magnitude
+    scatter hash-failed at 1 ulp: 18 significant digits exceeds what a
+    double carries): elements quantize to micro-units,
+    A_i = n_i·Σ‖x‖² − ‖S_i‖² is an exact DECIMAL(38,0), and the ratio
+    exits through the algebraic identity
+    R_ij = (A_i·n_j² + A_j·n_i²) / Σ_p(S_ip·n_j − S_jp·n_i)² — the
+    (n_i·n_j)² factors cancel exactly — as a truncating milli-unit
+    division (both engines truncate toward zero). DECIMAL(38,0)
+    headroom bounds the corpus at ~1e5 vectors/label at d=64 micro
+    units; past that, drop to milli-unit element quantization (same
+    identity, 6 fewer digits per term).
+
+    Scale shape: one explode to the (vector, dim) grain, centroids are
+    a (labels × dims)-row aggregate, and ALL pairwise work runs on that
+    k·d-row table (k = |labels|, bounded) — no data×data stage
+    anywhere. Identical centroids (M = 0) pin that pair's ratio NULL;
+    worst-pair ties break on the other label ascending."""
+    ex = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "xq"),
+    )
+    q = ex.groupBy("vec_id").agg(
+        F.max("own").alias("own"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("qq"),
+    )
+    cent = ex.groupBy(F.col("own").alias("clabel"), "pos").agg(
+        F.sum("xq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+    )
+    percl = cent.groupBy("clabel").agg(
+        F.max("n_l").alias("n_l"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("ss"),
+    )
+    sum_qq = q.groupBy(F.col("own").alias("clabel")).agg(
+        F.sum("qq").cast("decimal(38,0)").alias("sum_qq")
+    )
+    scat = percl.join(sum_qq, "clabel").select(
+        "clabel",
+        "n_l",
+        F.expr("CAST(n_l AS DECIMAL(38,0)) * sum_qq - ss").alias("a_i"),
+    )
+    a = cent.select(
+        F.col("clabel").alias("la"),
+        "pos",
+        F.col("s").alias("sa"),
+        F.col("n_l").alias("na"),
+    )
+    b = cent.select(
+        F.col("clabel").alias("lb"),
+        "pos",
+        F.col("s").alias("sb"),
+        F.col("n_l").alias("nb"),
+    )
+    pair_num = (
+        a.join(F.broadcast(b), ["pos"])
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum(
+                F.expr(
+                    "CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                    " * (sa * nb - sb * na)"
+                )
+            ).alias("num"),
+        )
+    )
+    sa_df = scat.select(
+        F.col("clabel").alias("la"), F.col("a_i").alias("a_a")
+    )
+    sb_df = scat.select(
+        F.col("clabel").alias("lb"), F.col("a_i").alias("a_b")
+    )
+    ratios = (
+        pair_num.join(F.broadcast(sa_df), "la")
+        .join(F.broadcast(sb_df), "lb")
+        .select(
+            "la",
+            "lb",
+            F.expr(
+                "CASE WHEN num = 0 THEN NULL"
+                " ELSE CAST((a_a * nb * nb + a_b * na * na) * 1000"
+                " div num AS BIGINT) END"
+            ).alias("r_milli"),
+        )
+    )
+    worst = ratios.select(
+        "la",
+        "lb",
+        "r_milli",
+        F.row_number()
+        .over(
+            Window.partitionBy("la").orderBy(
+                F.desc_nulls_last("r_milli"), F.asc("lb")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return scat.join(worst, scat["clabel"] == worst["la"]).select(
+        F.col("clabel").alias("label"),
+        F.col("n_l").alias("n_members"),
+        F.expr(
+            "CAST(a_i div (CAST(n_l AS DECIMAL(38,0)) * n_l) AS BIGINT)"
+        ).alias("scatter_sq_micro2"),
+        F.col("lb").alias("worst_other"),
+        F.col("r_milli").alias("db_component_milli"),
+    )
+
+
+_TWEEDIE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), base AS (
+    SELECT dow, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(COUNT(*) AS BIGINT) AS nd
+    FROM daily GROUP BY dow
+), scored AS (
+    SELECT d.day, d.y, CAST(b.sy AS DOUBLE) / b.nd AS mu
+    FROM daily d JOIN base b ON d.dow = b.dow
+), terms AS (
+    SELECT y,
+           CAST(FLOOR((CASE WHEN y = 0 THEN 2.0 * mu
+                 ELSE 2.0 * (y * LN(y / mu) - (y - mu)) END) * 1000000.0)
+                AS BIGINT) AS pois_micros,
+           CASE WHEN y = 0 OR mu <= 0 THEN NULL
+                ELSE CAST(FLOOR(2.0 * (-LN(y / mu) + (y - mu) / mu)
+                                * 1000000.0) AS BIGINT)
+                END AS gamma_micros
+    FROM scored WHERE mu > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT)
+           AS n_zero_days,
+       CAST(SUM(pois_micros) // COUNT(*) AS BIGINT)
+           AS poisson_dev_mean_micros,
+       CASE WHEN COUNT(gamma_micros) = 0 THEN NULL
+            ELSE CAST(SUM(gamma_micros) // COUNT(gamma_micros) AS BIGINT)
+            END AS gamma_dev_mean_micros
+FROM terms
+"""
+
+
+@register(
+    "ml_eval_tweedie_deviances", oracle=_TWEEDIE_ORACLE, tags=("ml_eval",)
+)
+def ml_eval_tweedie_deviances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson and Gamma unit-deviance means of the day-of-week seasonal
+    baseline on daily purchase counts — the GLM-native forecast metrics
+    RMSE misrepresents for counts and positive-skewed targets: Poisson
+    deviance 2[y·ln(y/μ) − (y−μ)] penalizes relative error at the
+    variance the data actually has (Var ∝ μ), Gamma deviance
+    2[−ln(y/μ) + (y−μ)/μ] the Var ∝ μ² regime; comparing the two means
+    tells you WHICH variance regime your series is in — the p-selection
+    step of a Tweedie GLM, as a query. Baseline μ = per-dow mean (the
+    seasonal-naive model ts_seasonal_index ships); in-sample by design.
+
+    Exactness: counts and dow sums are exact integers; μ is one shared
+    IEEE division; each deviance term FLOOR-quantizes to micro-units
+    BEFORE the sum, so the fold is exact integer addition on both
+    engines — a raw double sum over the day grain would vary with
+    summation order. y = 0 contributes the exact Poisson limit 2μ and
+    is excluded (counted) from the Gamma mean, where the deviance is
+    undefined. One data-sized fold; everything after runs on the
+    bounded calendar grain."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.dayofweek(F.to_date("ts")).cast("long").alias("dow"),
+        )
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    base = daily.groupBy("dow").agg(
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    scored = daily.join(F.broadcast(base), "dow").select(
+        "y", F.expr("CAST(sy AS DOUBLE) / nd").alias("mu")
+    )
+    terms = scored.where(F.col("mu") > 0).select(
+        "y",
+        F.expr(
+            "CAST(FLOOR((CASE WHEN y = 0 THEN 2.0 * mu"
+            " ELSE 2.0 * (y * LN(y / mu) - (y - mu)) END) * 1000000.0)"
+            " AS BIGINT)"
+        ).alias("pois_micros"),
+        F.expr(
+            "CASE WHEN y = 0 OR mu <= 0 THEN NULL"
+            " ELSE CAST(FLOOR(2.0 * (-LN(y / mu) + (y - mu) / mu)"
+            " * 1000000.0) AS BIGINT) END"
+        ).alias("gamma_micros"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.sum((F.col("y") == 0).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_zero_days"),
+        F.expr("CAST(SUM(pois_micros) div COUNT(1) AS BIGINT)").alias(
+            "poisson_dev_mean_micros"
+        ),
+        F.expr(
+            "CASE WHEN COUNT(gamma_micros) = 0 THEN NULL"
+            " ELSE CAST(SUM(gamma_micros) div COUNT(gamma_micros)"
+            " AS BIGINT) END"
+        ).alias("gamma_dev_mean_micros"),
+    )

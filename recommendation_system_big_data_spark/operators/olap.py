@@ -1072,3 +1072,159 @@ def olap_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rev_cents",
         F.expr("cum_rev_cents div n_custs").alias("ltv_cents_per_cust"),
     )
+
+
+_SEG_MIGRATION_ORACLE = """
+WITH s95 AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS spend
+    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+), s96 AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS spend
+    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), cd95 AS (
+    SELECT spend,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY spend) AS BIGINT) AS cum,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+    FROM s95 GROUP BY spend
+), cd96 AS (
+    SELECT spend,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY spend) AS BIGINT) AS cum,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+    FROM s96 GROUP BY spend
+), b95 AS (
+    SELECT (SELECT MIN(spend) FROM cd95 WHERE cum >= (n + 2) // 3) AS t1,
+           (SELECT MIN(spend) FROM cd95 WHERE cum >= (2 * n + 2) // 3) AS t2
+), b96 AS (
+    SELECT (SELECT MIN(spend) FROM cd96 WHERE cum >= (n + 2) // 3) AS t1,
+           (SELECT MIN(spend) FROM cd96 WHERE cum >= (2 * n + 2) // 3) AS t2
+), labeled AS (
+    SELECT COALESCE(s95.c, s96.c) AS c,
+           CASE WHEN s95.c IS NULL THEN 'none'
+                WHEN s95.spend <= b95.t1 THEN 'low'
+                WHEN s95.spend <= b95.t2 THEN 'mid'
+                ELSE 'high' END AS seg_1995,
+           CASE WHEN s96.c IS NULL THEN 'none'
+                WHEN s96.spend <= b96.t1 THEN 'low'
+                WHEN s96.spend <= b96.t2 THEN 'mid'
+                ELSE 'high' END AS seg_1996
+    FROM s95 FULL OUTER JOIN s96 ON s95.c = s96.c, b95, b96
+)
+SELECT seg_1995, seg_1996,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) * 1000 // (SELECT COUNT(*) FROM labeled) AS BIGINT)
+           AS pct_milli
+FROM labeled GROUP BY seg_1995, seg_1996
+"""
+
+
+@register(
+    "olap_segment_migration", oracle=_SEG_MIGRATION_ORACLE, tags=("olap",)
+)
+def olap_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend terciles (low/mid/high,
+    plus 'none' for inactive) assigned independently in 1995 and 1996,
+    then the transition counts — the retention/upsell diagnostic behind
+    every "customer movement" dashboard, and the categorical companion
+    to `cohort_retention` (which counts presence, not position). Each
+    year's boundaries come from THAT year's distribution, so the matrix
+    reads as relative-position movement, not inflation.
+
+    Boundary convention is INTEGER-EXACT by construction: tercile t_p =
+    smallest spend with at least ⌈p·n⌉ customers at-or-below (ranks
+    ⌈n/3⌉, ⌈2n/3⌉ in integer arithmetic). The tempting
+    percentile_disc(2/3) spelling hash-failed on the oneday degenerate
+    fixture: at an exact-thirds boundary Spark and DuckDB resolve the
+    double-precision p differently by one rank — a float comparison has
+    no business deciding a segment boundary. Implementation: per-year
+    exact-cents fold, distinct-spend cumulative counts on the
+    ranges.running_sums kernel (the spend grain grows with data — no
+    bare global window), boundary = one MIN over the qualifying
+    distinct spends, broadcast, one full-outer join on customer, and a
+    ≤16-row rollup. pct exits as an exact truncating milli division."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+
+    def year_spend(y: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(F.sum(cents).cast("long").alias("spend"))
+        )
+
+    def bounds(df: DataFrame) -> DataFrame:
+        dist = df.groupBy("spend").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = running_sums(dist, ["spend"], {"cum": ("cnt", True)})
+        tot = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        with_n = cum.crossJoin(F.broadcast(tot))
+        t1 = with_n.where(
+            F.expr("cum >= (n + 2) div 3")
+        ).agg(F.min("spend").alias("t1"))
+        t2 = with_n.where(
+            F.expr("cum >= (2 * n + 2) div 3")
+        ).agg(F.min("spend").alias("t2"))
+        return t1.crossJoin(F.broadcast(t2))
+
+    s95, s96 = year_spend(1995), year_spend(1996)
+    b95, b96 = bounds(s95), bounds(s96)
+    seg = (
+        "CASE WHEN {c} IS NULL THEN 'none'"
+        " WHEN {s} <= {t}1 THEN 'low'"
+        " WHEN {s} <= {t}2 THEN 'mid'"
+        " ELSE 'high' END"
+    )
+    labeled = (
+        s95.select(
+            F.col("c").alias("c95"), F.col("spend").alias("sp95")
+        )
+        .join(
+            s96.select(
+                F.col("c").alias("c96"), F.col("spend").alias("sp96")
+            ),
+            F.col("c95") == F.col("c96"),
+            "full_outer",
+        )
+        .crossJoin(
+            F.broadcast(
+                b95.select(
+                    F.col("t1").alias("a1"), F.col("t2").alias("a2")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                b96.select(
+                    F.col("t1").alias("b1"), F.col("t2").alias("b2")
+                )
+            )
+        )
+        .select(
+            F.expr(seg.format(c="c95", s="sp95", t="a")).alias("seg_1995"),
+            F.expr(seg.format(c="c96", s="sp96", t="b")).alias("seg_1996"),
+        )
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    return (
+        labeled.groupBy("seg_1995", "seg_1996")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "seg_1995",
+            "seg_1996",
+            "n_customers",
+            F.expr("CAST(n_customers * 1000 div tot AS BIGINT)").alias(
+                "pct_milli"
+            ),
+        )
+    )

@@ -3292,3 +3292,633 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(q_stat > {_LB_CRIT_SQL} AS BIGINT) END"
         ).alias("reject_5pct"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# round-14 session additions
+# ---------------------------------------------------------------------------
+
+
+def _kendall_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    z = (
+        "(3.0 * (c - d) / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+        " / 2.0))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+), pairs AS (
+    SELECT CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1
+                ELSE 0 END
+         * CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1
+                ELSE 0 END AS prod
+    FROM daily a JOIN daily b ON b.day > a.day
+), cd AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN prod = 1 THEN 1 END), 0) AS BIGINT)
+               AS c,
+           CAST(COALESCE(SUM(CASE WHEN prod = -1 THEN 1 END), 0) AS BIGINT)
+               AS d
+    FROM pairs
+), t1 AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+    FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+), t2 AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+    FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cnt)
+), agg AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n,
+           c, d, n1, n2
+    FROM cd, t1, t2
+)
+SELECT n AS n_days, c AS concordant, d AS discordant,
+       CASE WHEN n < 2 OR n * (n - 1) / 2 = n1 OR n * (n - 1) / 2 = n2
+            THEN NULL
+            ELSE ROUND((c - d) / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+                                      * (CAST(n AS DOUBLE) * (n - 1) / 2
+                                         - n2)), 6)
+            END AS tau_b,
+       CASE WHEN n < 2 OR n * (n - 1) / 2 = n1 OR n * (n - 1) / 2 = n2
+            THEN NULL
+            ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
+            END AS p_value
+FROM agg
+"""
+
+
+@register(
+    "stat_kendall_tau", oracle=_kendall_oracle(), tags=("profile", "timeseries")
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between daily revenue and daily
+    order count — the third rank-correlation convention after Pearson
+    (`agg_corr_matrix`) and Spearman (`stat_spearman_corr`): τ counts
+    concordant-vs-discordant PAIRS, so it is interpretable as a
+    probability difference and degrades more gracefully under ties than
+    Spearman's ρ (τ-b divides out tie mass on both margins — the 'b'
+    that naive implementations drop). The z approximation
+    z = 3(C−D)/√(n(n−1)(2n+5)/2) is the classical large-sample null.
+
+    Exactness: the fact table folds ONCE to the daily grain with exact
+    integer cents and counts, so every pairwise comparison, C, D, and
+    both tie terms are exact integers on both engines; τ and p exit
+    through shared double expressions (ROUND 6). The O(d²) pair join
+    runs on the BOUNDED calendar-day grain — same shape as
+    stat_trend_mann_kendall; the only data-scaled stage is the daily
+    fold. All-tied margins (n1 or n2 = full pair count) pin NULL."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("rev").alias("ra"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("rev").alias("rb"), F.col("cnt").alias("cb")
+    )
+    sgn_r = (
+        F.when(F.col("rb") > F.col("ra"), 1)
+        .when(F.col("rb") < F.col("ra"), -1)
+        .otherwise(0)
+    )
+    sgn_c = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    prod = sgn_r * sgn_c
+    cd = a.join(b, F.col("db") > F.col("da")).agg(
+        F.coalesce(F.sum((prod == 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("c"),
+        F.coalesce(F.sum((prod == -1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n1 = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) / 2")), F.lit(0))
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    n2 = (
+        daily.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) / 2")), F.lit(0))
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    n_df = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = (
+        cd.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n_df))
+    )
+    z = (
+        "(3.0 * (c - d) / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+        " / 2.0))"
+    )
+    degenerate = (
+        "n < 2 OR n * (n - 1) / 2 = n1 OR n * (n - 1) / 2 = n2"
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr(
+            f"CASE WHEN {degenerate} THEN NULL"
+            " ELSE ROUND((c - d) / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2"
+            " - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 6) END"
+        ).alias("tau_b"),
+        F.expr(
+            f"CASE WHEN {degenerate} THEN NULL"
+            f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
+            " END"
+        ).alias("p_value"),
+    )
+
+
+_PETTITT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT day,
+           CAST(2 * RANK() OVER (ORDER BY rev)
+                + COUNT(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS r2
+    FROM daily
+), swept AS (
+    SELECT day,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(SUM(r2) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s2,
+           CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n
+    FROM ranked
+), u AS (
+    SELECT day, t, n, s2 - t * (n + 1) AS u_t
+    FROM swept WHERE t < n
+)
+SELECT n AS n_days,
+       CAST(ABS(u_t) AS BIGINT) AS k_stat,
+       day AS changepoint_day,
+       ROUND(LEAST(2.0 * EXP(-6.0 * CAST(ABS(u_t) AS DOUBLE) * ABS(u_t)
+                   / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+                   1.0), 6) AS p_value,
+       CAST(LEAST(2.0 * EXP(-6.0 * CAST(ABS(u_t) AS DOUBLE) * ABS(u_t)
+                  / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+                  1.0) < 0.05 AS BIGINT) AS reject_5pct
+FROM u
+ORDER BY ABS(u_t) DESC, day
+LIMIT 1
+"""
+
+
+@register(
+    "stat_pettitt_changepoint",
+    oracle=_PETTITT_ORACLE,
+    tags=("profile", "timeseries"),
+)
+def stat_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) nonparametric changepoint test on daily revenue —
+    the rank-based companion to `ts_changepoint_cusum`: it locates the
+    single most likely shift point WITHOUT assuming a distribution or a
+    known variance, via the Mann–Whitney-style sweep
+    U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j) and the classical
+    approximation p ≈ 2·exp(−6K²/(n³+n²)), K = max|U_t|. The midrank
+    identity U_t = 2·S_t − t(n+1) (S_t = cumulative midrank sum) turns
+    the O(n²) double sum into ONE rank pass plus ONE running sum.
+
+    Exactness: daily cents are exact integers; doubled midranks
+    2r = 2·RANK + ties − 1 keep the sweep in integer algebra on both
+    engines, so K and the argmax day are engine-exact; only the final p
+    is a shared double (ROUND 6). Windows run on the BOUNDED calendar-
+    day grain (the same sanctioned class as ts_stl/mann_kendall); the
+    argmax exits via ORDER BY |U| DESC, day LIMIT 1 — deterministic
+    under ties. The all-tied series (const fixture) yields U≡0, p=1."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev")
+        )
+    )
+    ranked = daily.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("rev"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rev"))
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    swept = ranked.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.sum("r2").over(w_day).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    u = swept.where(F.col("t") < F.col("n")).select(
+        "day",
+        "n",
+        (F.col("s2") - F.col("t") * (F.col("n") + 1)).alias("u_t"),
+    )
+    p = (
+        "LEAST(2.0 * EXP(-6.0 * CAST(ABS(u_t) AS DOUBLE) * ABS(u_t)"
+        " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)), 1.0)"
+    )
+    return (
+        u.orderBy(F.abs(F.col("u_t")).desc(), F.col("day"))
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+            F.col("day").alias("changepoint_day"),
+            F.expr(f"ROUND({p}, 6)").alias("p_value"),
+            F.expr(f"CAST({p} < 0.05 AS BIGINT)").alias("reject_5pct"),
+        )
+    )
+
+
+def _lilliefors_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    phi = normal_cdf_sql("((CAST(rev AS DOUBLE) - m) / s)")
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(rev AS DOUBLE)) AS m,
+           STDDEV_SAMP(CAST(rev AS DOUBLE)) AS s
+    FROM daily
+), ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, day) AS BIGINT) AS i,
+           rev, n, m, s
+    FROM daily, stats
+), gaps AS (
+    SELECT n,
+           GREATEST(ABS(CAST(i AS DOUBLE) / n - {phi}),
+                    ABS({phi} - CAST(i - 1 AS DOUBLE) / n)) AS gap
+    FROM ranked WHERE s IS NOT NULL AND s > 0
+)
+SELECT MAX(n) AS n_days,
+       ROUND(MAX(gap), 6) AS d_stat,
+       ROUND(0.886 / SQRT(CAST(MAX(n) AS DOUBLE)), 6) AS crit_05,
+       CAST(MAX(gap) > 0.886 / SQRT(CAST(MAX(n) AS DOUBLE)) AS BIGINT)
+           AS reject_5pct
+FROM gaps
+GROUP BY ()
+HAVING COUNT(*) > 0
+"""
+
+
+@register(
+    "stat_lilliefors_normality",
+    oracle=_lilliefors_oracle(),
+    tags=("profile", "timeseries"),
+)
+def stat_lilliefors_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors (1967) normality test on daily revenue — the
+    one-sample KS test against a normal with ESTIMATED mean/std (the
+    estimation is what shifts the critical value off the vanilla KS
+    table; 0.886/√n is the classical α=0.05 large-sample approximation
+    from Lilliefors' Monte-Carlo table). Complements `stat_jarque_bera`
+    (moment-based) with a CDF-distance test: JB sees skew/kurtosis, the
+    sup-gap sees any shape violation, including multimodality JB can
+    miss. D = max over sorted points of max(|i/n − Φ(z_i)|,
+    |Φ(z_i) − (i−1)/n|) — BOTH one-sided gaps, which naive ECDF
+    implementations drop.
+
+    Exactness: one exact-integer daily fold; mean/std/Φ are shared
+    double expressions (the committed A&S Φ fragment); the sort runs on
+    the BOUNDED calendar-day grain with a (rev, day) tiebreak so ranks
+    are engine-identical under ties. A constant series (s = 0, const
+    fixture) yields the empty gaps set → 0 rows on both engines."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev")
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("rev").cast("double")).alias("m"),
+        F.stddev_samp(F.col("rev").cast("double")).alias("s"),
+    )
+    ranked = daily.crossJoin(F.broadcast(stats)).select(
+        F.row_number()
+        .over(Window.orderBy("rev", "day"))
+        .cast("long")
+        .alias("i"),
+        "rev",
+        "n",
+        "m",
+        "s",
+    )
+    phi = normal_cdf_sql("((CAST(rev AS DOUBLE) - m) / s)")
+    gaps = ranked.where(F.col("s").isNotNull() & (F.col("s") > 0)).select(
+        "n",
+        F.expr(
+            f"GREATEST(ABS(CAST(i AS DOUBLE) / n - {phi}),"
+            f" ABS({phi} - CAST(i - 1 AS DOUBLE) / n))"
+        ).alias("gap"),
+    )
+    return (
+        gaps.agg(
+            F.max("n").alias("n_days"),
+            F.round(F.max("gap"), 6).alias("d_stat"),
+            F.expr(
+                "ROUND(0.886 / SQRT(CAST(MAX(n) AS DOUBLE)), 6)"
+            ).alias("crit_05"),
+            F.expr(
+                "CAST(MAX(gap) > 0.886 / SQRT(CAST(MAX(n) AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("reject_5pct"),
+            F.count(F.lit(1)).alias("_n_rows"),
+        )
+        .where(F.col("_n_rows") > 0)
+        .drop("_n_rows")
+    )
+
+
+def _g_test_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    p = chi2_sf_sql_expr("g_stat", "CAST((r - 1) * (c - 1) AS DOUBLE)")
+    return f"""
+WITH cells AS (
+    SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), margins AS (
+    SELECT n,
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+           CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+           CAST(SUM(n) OVER () AS BIGINT) AS tot
+    FROM cells
+), g AS (
+    SELECT 2.0 * SUM(n * LN(CAST(n AS DOUBLE) * tot
+                            / (CAST(row_n AS DOUBLE) * col_n))) AS g_stat,
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM cells)
+               AS r,
+           (SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) FROM cells) AS c,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM margins
+)
+SELECT n_events, r AS n_event_types, c AS n_dows,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+       CASE WHEN r < 2 OR c < 2 THEN NULL ELSE ROUND(g_stat, 4) END
+           AS g_stat,
+       CASE WHEN r < 2 OR c < 2 THEN NULL ELSE ROUND({p}, 6) END
+           AS p_value
+FROM g
+"""
+
+
+@register("stat_g_test", oracle=_g_test_oracle(), tags=("profile", "experiment"))
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence on the
+    event_type × day-of-week contingency table — the
+    information-theoretic twin of `stat_chi_square`: G = 2·Σ O·ln(O/E)
+    is additive under table partitioning (G decomposes exactly across
+    subtables, Pearson's X² does not), which is why corpus-linguistics
+    and log-analysis stacks (Dunning 1993 log-likelihood keyness) prefer
+    it. Empty cells contribute 0 by the 0·ln(0)=0 convention — they
+    simply never appear in the grouped cell table, so no guard is
+    needed. p via the shared Wilson–Hilferty chi-square survival
+    fragment at df=(r−1)(c−1).
+
+    Scale: ONE map-side-combined fold to the r×c cell grain (≤ a few
+    dozen rows at any data size); margins are windows over that bounded
+    grain; G is one aggregate over it. Spark dayofweek (1=Sunday) is
+    the output convention; the oracle maps DuckDB's 0-based dayofweek
+    onto it (ts_seasonal_index precedent)."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    margins = cells.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).cast("long").alias("row_n"),
+        F.sum("n").over(Window.partitionBy("dow")).cast("long").alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("dow").cast("long").alias("c"),
+    )
+    g = margins.agg(
+        F.expr(
+            "2.0 * SUM(n * LN(CAST(n AS DOUBLE) * tot"
+            " / (CAST(row_n AS DOUBLE) * col_n)))"
+        ).alias("g_stat"),
+        F.sum("n").cast("long").alias("n_events"),
+    ).crossJoin(F.broadcast(dims))
+    p = chi2_sf_sql_expr("g_stat", "CAST((r - 1) * (c - 1) AS DOUBLE)")
+    return g.select(
+        "n_events",
+        F.col("r").alias("n_event_types"),
+        F.col("c").alias("n_dows"),
+        F.expr("CAST((r - 1) * (c - 1) AS BIGINT)").alias("df"),
+        F.expr(
+            "CASE WHEN r < 2 OR c < 2 THEN NULL ELSE ROUND(g_stat, 4) END"
+        ).alias("g_stat"),
+        F.expr(
+            f"CASE WHEN r < 2 OR c < 2 THEN NULL ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+    )
+
+
+def _friedman_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    p = chi2_sf_sql_expr("chi2_f", "CAST(k - 1 AS DOUBLE)")
+    return f"""
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1, 2
+), kk AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM weekly
+), complete AS (
+    SELECT w.wk, w.event_type, w.v, kk.k
+    FROM weekly w, kk
+    WHERE w.wk IN (SELECT wk FROM weekly
+                   GROUP BY wk HAVING COUNT(*) = (SELECT k FROM kk))
+), ranked AS (
+    SELECT wk, event_type, k,
+           CAST(2 * RANK() OVER (PARTITION BY wk ORDER BY v)
+                + COUNT(*) OVER (PARTITION BY wk, v) - 1 AS BIGINT) AS r2
+    FROM complete
+), sums AS (
+    SELECT event_type, MAX(k) AS k,
+           CAST(SUM(r2) AS BIGINT) AS r2_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((r2 - (k + 1)) * (r2 - (k + 1))) AS BIGINT) AS dev2
+    FROM ranked GROUP BY event_type
+), stat AS (
+    SELECT MAX(k) AS k, MAX(n) AS n_weeks,
+           CAST(SUM((r2_j - n * (k + 1)) * (r2_j - n * (k + 1)))
+                AS BIGINT) AS num,
+           CAST(SUM(dev2) AS BIGINT) AS den
+    FROM sums
+)
+SELECT n_weeks, k AS n_treatments,
+       CASE WHEN den = 0 OR k < 2 THEN NULL
+            ELSE ROUND((k - 1) * CAST(num AS DOUBLE) / den, 4)
+            END AS friedman_chi2,
+       CASE WHEN den = 0 OR k < 2 THEN NULL
+            ELSE ROUND({p.replace("chi2_f", "((k - 1) * CAST(num AS DOUBLE) / den)")}, 6)
+            END AS p_value
+FROM stat
+"""
+
+
+@register(
+    "stat_friedman_test", oracle=_friedman_oracle(), tags=("profile", "experiment")
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman (1937) rank test for treatment differences across
+    matched blocks — blocks are calendar weeks, treatments the event
+    types, responses the weekly value sums: "do the event types differ
+    consistently once week-to-week level shifts are blocked out?" The
+    within-block ranking is what distinguishes it from Kruskal–Wallis
+    (`stat_kruskal_wallis` ranks globally and is blind to block
+    effects). Tie-robust Conover form:
+    χ²_F = (k−1)·Σ_j(R_j − n(k+1)/2)² / Σ_ij(r_ij − (k+1)/2)², which
+    reduces to the textbook 12/(nk(k+1)) formula when ties are absent;
+    incomplete weeks (missing a treatment) are dropped — the test
+    requires complete blocks, stated not implied.
+
+    Exactness: doubled midranks 2r = 2·RANK + ties − 1 keep numerator
+    and denominator in exact integer algebra on both engines (the 4s
+    cancel); χ² and the Wilson–Hilferty p exit as shared doubles. All
+    windows run on the bounded (weeks × event types) grain; the one
+    data-sized stage is the weekly fold. All-tied blocks (const
+    fixture: den = 0) pin NULL."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    weekly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+            "event_type",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    kk = weekly.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    wk_counts = weekly.groupBy("wk").agg(F.count(F.lit(1)).alias("n_types"))
+    complete = (
+        weekly.join(F.broadcast(kk))
+        .join(
+            F.broadcast(wk_counts),
+            "wk",
+        )
+        .where(F.col("n_types") == F.col("k"))
+        .select("wk", "event_type", "v", "k")
+    )
+    ranked = complete.select(
+        "wk",
+        "event_type",
+        "k",
+        (
+            2 * F.rank().over(Window.partitionBy("wk").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("wk", "v"))
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.sum("r2").cast("long").alias("r2_j"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("r2") - (F.col("k") + 1))
+            * (F.col("r2") - (F.col("k") + 1))
+        ).cast("long").alias("dev2"),
+    )
+    stat = sums.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n_weeks"),
+        F.sum(
+            (F.col("r2_j") - F.col("n") * (F.col("k") + 1))
+            * (F.col("r2_j") - F.col("n") * (F.col("k") + 1))
+        ).cast("long").alias("num"),
+        F.sum("dev2").cast("long").alias("den"),
+    )
+    chi2 = "((k - 1) * CAST(num AS DOUBLE) / den)"
+    p = chi2_sf_sql_expr(chi2, "CAST(k - 1 AS DOUBLE)")
+    return stat.select(
+        "n_weeks",
+        F.col("k").alias("n_treatments"),
+        F.expr(
+            "CASE WHEN den = 0 OR k < 2 THEN NULL"
+            f" ELSE ROUND({chi2}, 4) END"
+        ).alias("friedman_chi2"),
+        F.expr(
+            "CASE WHEN den = 0 OR k < 2 THEN NULL"
+            f" ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+    )

@@ -1864,3 +1864,176 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (k * slxx - slx * slx), 4) END"
         ).alias("hurst"),
     ).orderBy("window_days")
+
+
+def _granger_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    f_stat = "(GREATEST(rss_r - rss_u, 0.0) * (n - 3) / rss_u)"
+    p = f"(2.0 * (1.0 - {normal_cdf_sql(f'SQRT({f_stat})')}))"
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchases
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT b.purchases AS y, a.purchases AS x1, a.clicks AS x2
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+), moments AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x1 AS DECIMAL(19,0))) AS DOUBLE) AS sx1,
+           CAST(SUM(CAST(x2 AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * x1) AS DOUBLE) AS sx1x1,
+           CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * x2) AS DOUBLE) AS sx2x2,
+           CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * x2) AS DOUBLE) AS sx1x2,
+           CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * y) AS DOUBLE) AS sx1y,
+           CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * y) AS DOUBLE) AS sx2y,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy
+    FROM lagged
+), centered AS (
+    SELECT n,
+           sx1x1 - sx1 * sx1 / n AS s11,
+           sx2x2 - sx2 * sx2 / n AS s22,
+           sx1x2 - sx1 * sx2 / n AS s12,
+           sx1y - sx1 * sy / n AS s1y,
+           sx2y - sx2 * sy / n AS s2y,
+           syy - sy * sy / n AS syy_c
+    FROM moments
+), solved AS (
+    SELECT n, s11, s22, s12, s1y, s2y, syy_c,
+           s11 * s22 - s12 * s12 AS det
+    FROM centered
+), rss AS (
+    SELECT n,
+           CASE WHEN s11 = 0 THEN NULL
+                ELSE syy_c - s1y * s1y / s11 END AS rss_r,
+           CASE WHEN det = 0 THEN NULL
+                ELSE syy_c - ((s1y * s22 - s2y * s12) / det) * s1y
+                           - ((s2y * s11 - s1y * s12) / det) * s2y
+                END AS rss_u,
+           CASE WHEN det = 0 THEN NULL
+                ELSE (s2y * s11 - s1y * s12) / det END AS beta_x_lag,
+           CASE WHEN det = 0 THEN NULL
+                ELSE (s1y * s22 - s2y * s12) / det END AS beta_y_lag
+    FROM solved
+)
+SELECT n AS n_pairs,
+       ROUND(beta_y_lag, 6) AS beta_y_lag,
+       ROUND(beta_x_lag, 6) AS beta_x_lag,
+       CASE WHEN n < 4 OR rss_r IS NULL OR rss_u IS NULL OR rss_u <= 0
+            THEN NULL ELSE ROUND({f_stat}, 4) END AS f_stat,
+       CASE WHEN n < 4 OR rss_r IS NULL OR rss_u IS NULL OR rss_u <= 0
+            THEN NULL ELSE ROUND({p}, 6) END AS p_value
+FROM rss
+"""
+
+
+@register(
+    "ts_granger_causality", oracle=_granger_oracle(), tags=("timeseries",)
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality from daily clicks to daily purchases —
+    "does yesterday's click volume improve today's purchase forecast
+    beyond yesterday's purchases alone?" Restricted (y_t ~ y_{t−1}) vs
+    unrestricted (y_t ~ y_{t−1} + x_{t−1}) OLS via the closed-form
+    2-predictor normal equations (the same reduce-then-solve shape as
+    the engine's 2-var regression), F = (RSS_r − RSS_u)(n−3)/RSS_u with
+    1 numerator df, p via the t≈z asymptotic 2(1−Φ(√F)) — documented
+    approximation, exact to ~1e-3 at the day-grain n here. Granger
+    causality is prediction, not causation; the docstring says so, so
+    the operator doesn't have to.
+
+    Exactness: daily counts are exact integers; every moment sum runs
+    through DECIMAL(19,0) products summed exactly before ONE cast to
+    double, so partitioning cannot tip the solve (the r9
+    embedding-covariance lesson). The lag join is day = day + 1 on the
+    bounded calendar grain — gaps simply drop pairs. Degenerate guards:
+    constant regressors (s11 = 0 / det = 0) and RSS_u ≤ 0 pin NULL on
+    both engines."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long")
+            .alias("clicks"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("purchases"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("da"),
+        F.col("purchases").alias("x1"),
+        F.col("clicks").alias("x2"),
+    )
+    b = daily.select(F.col("day").alias("db"), F.col("purchases").alias("y"))
+    lagged = a.join(b, F.expr("db = da + INTERVAL 1 DAY")).select(
+        "y", "x1", "x2"
+    )
+    d = "DECIMAL(19,0)"
+    moments = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d})) AS DOUBLE)").alias("sx1"),
+        F.expr(f"CAST(SUM(CAST(x2 AS {d})) AS DOUBLE)").alias("sx2"),
+        F.expr(f"CAST(SUM(CAST(y AS {d})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d}) * x1) AS DOUBLE)").alias("sx1x1"),
+        F.expr(f"CAST(SUM(CAST(x2 AS {d}) * x2) AS DOUBLE)").alias("sx2x2"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d}) * x2) AS DOUBLE)").alias("sx1x2"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d}) * y) AS DOUBLE)").alias("sx1y"),
+        F.expr(f"CAST(SUM(CAST(x2 AS {d}) * y) AS DOUBLE)").alias("sx2y"),
+        F.expr(f"CAST(SUM(CAST(y AS {d}) * y) AS DOUBLE)").alias("syy"),
+    )
+    centered = moments.select(
+        "n",
+        F.expr("sx1x1 - sx1 * sx1 / n").alias("s11"),
+        F.expr("sx2x2 - sx2 * sx2 / n").alias("s22"),
+        F.expr("sx1x2 - sx1 * sx2 / n").alias("s12"),
+        F.expr("sx1y - sx1 * sy / n").alias("s1y"),
+        F.expr("sx2y - sx2 * sy / n").alias("s2y"),
+        F.expr("syy - sy * sy / n").alias("syy_c"),
+    ).withColumn("det", F.expr("s11 * s22 - s12 * s12"))
+    rss = centered.select(
+        "n",
+        F.expr(
+            "CASE WHEN s11 = 0 THEN NULL"
+            " ELSE syy_c - s1y * s1y / s11 END"
+        ).alias("rss_r"),
+        F.expr(
+            "CASE WHEN det = 0 THEN NULL"
+            " ELSE syy_c - ((s1y * s22 - s2y * s12) / det) * s1y"
+            " - ((s2y * s11 - s1y * s12) / det) * s2y END"
+        ).alias("rss_u"),
+        F.expr(
+            "CASE WHEN det = 0 THEN NULL"
+            " ELSE (s2y * s11 - s1y * s12) / det END"
+        ).alias("beta_x_lag"),
+        F.expr(
+            "CASE WHEN det = 0 THEN NULL"
+            " ELSE (s1y * s22 - s2y * s12) / det END"
+        ).alias("beta_y_lag"),
+    )
+    f_stat = "(GREATEST(rss_r - rss_u, 0.0) * (n - 3) / rss_u)"
+    p = f"(2.0 * (1.0 - {normal_cdf_sql(f'SQRT({f_stat})')}))"
+    guard = "n < 4 OR rss_r IS NULL OR rss_u IS NULL OR rss_u <= 0"
+    return rss.select(
+        F.col("n").alias("n_pairs"),
+        F.round("beta_y_lag", 6).alias("beta_y_lag"),
+        F.round("beta_x_lag", 6).alias("beta_x_lag"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({f_stat}, 4) END"
+        ).alias("f_stat"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+    )

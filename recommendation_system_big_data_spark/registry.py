@@ -258,8 +258,15 @@ _DRIVER_WINDOW_ALIASES = (
 )
 
 #: ROUND-15 QUEUE (committed now so the r15 flip stays a one-line edit):
-#: 1. any ROUND-14 SESSION ADDITIONS (oracle-bearing ops added after the
-#:    r14 window above froze) — first driver rows;
+#: 1. the 10 ROUND-14 SESSION ADDITIONS (added after the r14 window
+#:    above froze; each oracle-checked at sf0.001 AND sf0.01, green on
+#:    all three degenerate fixtures, and ulp-sweep clean on the day it
+#:    landed):
+#:      stat_kendall_tau stat_pettitt_changepoint
+#:      stat_lilliefors_normality stat_g_test stat_friedman_test
+#:      ts_granger_causality text_heaps_vocab_growth
+#:      ml_davies_bouldin_labels ml_eval_tweedie_deviances
+#:      olap_segment_migration;
 #: 2. then the remaining 20 oracle-bearing r5-vintage rows alphabetical
 #:    from max_concurrent_intervals (max_concurrent_intervals
 #:    observe_metrics_gate pipeline_training_mix q12_priority_shipments

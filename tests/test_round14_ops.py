@@ -1,0 +1,345 @@
+"""Round-14 additions: semantic pins on planted corpora for the new
+rank/changepoint/normality/contingency/blocked-rank tests, Granger,
+Heaps' law, Davies–Bouldin, the GLM deviances, and segment migration.
+Oracle equivalence is covered by the registry checks; these tests pin
+the STATISTICS — a hash match can't tell a correct Kendall τ from a
+consistently wrong one on both engines."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+
+def _write_orders(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_kendall_tau_perfect_monotone(spark, tmp_path):
+    """Strictly co-monotone daily (revenue, count) → τ_b = +1; strictly
+    anti-monotone → −1. Pins the sign convention and the pair algebra."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_kendall_tau,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    # day d has d+1 orders of price 10*(d+1): rev and cnt both increase
+    rows = []
+    k = 0
+    for d in range(8):
+        for _ in range(d + 1):
+            rows.append(
+                (k, k % 5, "F", 10.0 * (d + 1),
+                 t0 + datetime.timedelta(days=d), "1-URGENT")
+            )
+            k += 1
+    sf = str(tmp_path / "mono")
+    _write_orders(spark, sf, rows)
+    r = stat_kendall_tau(spark, sf).collect()[0]
+    assert r["tau_b"] == 1.0 and r["p_value"] < 0.05, r
+
+    # anti-monotone: more orders but each cheaper, rev decreasing
+    rows = []
+    k = 0
+    for d in range(8):
+        for _ in range(d + 1):
+            rows.append(
+                (k, k % 5, "F", 1000.0 / ((d + 1) * (d + 1)),
+                 t0 + datetime.timedelta(days=d), "1-URGENT")
+            )
+            k += 1
+    sf = str(tmp_path / "anti")
+    _write_orders(spark, sf, rows)
+    r = stat_kendall_tau(spark, sf).collect()[0]
+    assert r["tau_b"] == -1.0, r
+
+
+def test_pettitt_locates_planted_step(spark, tmp_path):
+    """A clean level shift at day 10 of 20 → changepoint_day = day 10
+    (the last day of the low regime maximizes |U_t|), p < 0.05."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_pettitt_changepoint,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    rows = []
+    for d in range(20):
+        base = 100.0 if d < 10 else 500.0
+        rows.append(
+            (d, d % 5, "F", base + d * 0.01,
+             t0 + datetime.timedelta(days=d), "1-URGENT")
+        )
+    sf = str(tmp_path)
+    _write_orders(spark, sf, rows)
+    r = stat_pettitt_changepoint(spark, sf).collect()[0]
+    assert r["changepoint_day"] == datetime.date(1995, 1, 10), r
+    assert r["p_value"] < 0.05 and r["reject_5pct"] == 1, r
+
+
+def test_lilliefors_d_matches_sequential_reference(spark, tmp_path):
+    """D statistic equals a sequential Python replica (ECDF both-sided
+    gaps vs Φ at the sample mean/std) on a planted skewed series."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_lilliefors_normality,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    vals = [((7 * i + 3) % 23) ** 2 + 1.0 for i in range(30)]  # skewed
+    rows = [
+        (i, i % 5, "F", vals[i], t0 + datetime.timedelta(days=i), "x")
+        for i in range(30)
+    ]
+    sf = str(tmp_path)
+    _write_orders(spark, sf, rows)
+    r = stat_lilliefors_normality(spark, sf).collect()[0]
+
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    m = sum(cents) / n
+    s = math.sqrt(sum((c - m) ** 2 for c in cents) / (n - 1))
+    d_ref = 0.0
+    for i, c in enumerate(cents, start=1):
+        z = (c - m) / s
+        phi = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        d_ref = max(d_ref, abs(i / n - phi), abs(phi - (i - 1) / n))
+    assert abs(r["d_stat"] - d_ref) < 1e-4, (r["d_stat"], d_ref)
+    assert r["crit_05"] == round(0.886 / math.sqrt(n), 6)
+
+
+def test_g_test_independence_vs_association(spark, tmp_path):
+    """Counts independent of day-of-week → G ≈ 0, p ≈ 1; a hard
+    weekday/weekend × type association → reject."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_g_test,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    indep, assoc = [], []
+    k = 0
+    for d in range(14):
+        for typ in ("click", "view"):
+            for _ in range(5):
+                indep.append(
+                    (k, t0 + datetime.timedelta(days=d), k % 9, typ, 1.0, "{}")
+                )
+                k += 1
+        # association: clicks only on weekdays, views only on weekends
+        dow = (t0 + datetime.timedelta(days=d)).weekday()
+        typ = "click" if dow < 5 else "view"
+        for _ in range(10):
+            assoc.append(
+                (k, t0 + datetime.timedelta(days=d), k % 9, typ, 1.0, "{}")
+            )
+            k += 1
+    sf_i, sf_a = str(tmp_path / "i"), str(tmp_path / "a")
+    _write_events(spark, sf_i, indep)
+    _write_events(spark, sf_a, assoc)
+    ri = stat_g_test(spark, sf_i).collect()[0]
+    ra = stat_g_test(spark, sf_a).collect()[0]
+    assert ri["g_stat"] == 0.0 and ri["p_value"] > 0.9, ri
+    assert ra["g_stat"] > 50 and ra["p_value"] < 0.01, ra
+
+
+def test_granger_planted_lag_dependence(spark, tmp_path):
+    """y_t driven exactly by x_{t−1} (purchases today = clicks
+    yesterday) → the unrestricted fit is near-perfect and F rejects;
+    the x coefficient recovers the planted unit lag effect."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_granger_causality,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, k = [], 0
+    clicks = [((5 * d + 7) % 13) + 2 for d in range(30)]
+    for d in range(30):
+        for _ in range(clicks[d]):
+            rows.append(
+                (k, t0 + datetime.timedelta(days=d), k % 9, "click", 1.0, "{}")
+            )
+            k += 1
+        if d > 0:
+            # +1 every other day: near-perfect (not exact — an exact fit
+            # pins RSS_u = 0 and the operator correctly NULLs F there)
+            for _ in range(clicks[d - 1] + (d % 2)):
+                rows.append(
+                    (k, t0 + datetime.timedelta(days=d), k % 9, "purchase",
+                     1.0, "{}")
+                )
+                k += 1
+    sf = str(tmp_path)
+    _write_events(spark, sf, rows)
+    r = ts_granger_causality(spark, sf).collect()[0]
+    assert r["p_value"] is not None and r["p_value"] < 0.01, r
+    assert abs(r["beta_x_lag"] - 1.0) < 0.15, r
+
+
+def test_heaps_beta_bounds(spark, tmp_path):
+    """All-unique-token corpus → V(N) = N exactly: β = 1, K = 1, R² = 1.
+    A corpus that repeats one vocabulary forever → β near 0."""
+    from recommendation_system_big_data_spark.functions.text import (
+        text_heaps_vocab_growth,
+    )
+
+    uniq = [
+        (i, " ".join(f"w{i}_{j}" for j in range(10)), "en", "s", 10)
+        for i in range(20)
+    ]
+    rep = [
+        (i, "alpha beta gamma delta epsilon", "en", "s", 10)
+        for i in range(20)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    sf_u, sf_r = str(tmp_path / "u"), str(tmp_path / "r")
+    spark.createDataFrame(uniq, schema).write.mode("overwrite").parquet(
+        f"{sf_u}/documents.parquet"
+    )
+    spark.createDataFrame(rep, schema).write.mode("overwrite").parquet(
+        f"{sf_r}/documents.parquet"
+    )
+    ru = text_heaps_vocab_growth(spark, sf_u).collect()[0]
+    rr = text_heaps_vocab_growth(spark, sf_r).collect()[0]
+    assert ru["heaps_beta"] == 1.0 and ru["heaps_k"] == 1.0, ru
+    assert ru["fit_r2"] == 1.0, ru
+    assert rr["heaps_beta"] < 0.2, rr
+    assert rr["total_types"] == 5, rr
+
+
+def test_davies_bouldin_separation_ordering(spark, tmp_path):
+    """Two tight, far-apart clusters score a SMALLER worst-pair
+    component than the same clusters moved close together — the
+    defining monotonicity of the index."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_davies_bouldin_labels,
+    )
+
+    def corpus(sep):
+        rows = []
+        for i in range(40):
+            lbl = i % 2
+            jitter = ((i * 7) % 5 - 2) / 100.0
+            center = sep if lbl else -sep
+            vec = [center + jitter, center - jitter] + [0.0] * 6
+            rows.append((i, [float(x) for x in vec], lbl))
+        return rows
+
+    schema = "vec_id long, embedding array<float>, label int"
+    sf_far, sf_near = str(tmp_path / "far"), str(tmp_path / "near")
+    spark.createDataFrame(corpus(0.9), schema).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_far}/embeddings.parquet")
+    spark.createDataFrame(corpus(0.05), schema).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_near}/embeddings.parquet")
+    far = {
+        r["label"]: r["db_component_milli"]
+        for r in ml_davies_bouldin_labels(spark, sf_far).collect()
+    }
+    near = {
+        r["label"]: r["db_component_milli"]
+        for r in ml_davies_bouldin_labels(spark, sf_near).collect()
+    }
+    assert all(far[k] < near[k] for k in far), (far, near)
+
+
+def test_tweedie_deviances_zero_for_perfect_baseline(spark, tmp_path):
+    """If every day's count equals its dow mean exactly, both unit
+    deviances are 0 (up to the micro quantization floor)."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_tweedie_deviances,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, k = [], 0
+    for d in range(28):  # 4 full weeks, constant count per dow
+        cnt = 3 + (t0 + datetime.timedelta(days=d)).weekday()
+        for _ in range(cnt):
+            rows.append(
+                (k, t0 + datetime.timedelta(days=d), k % 9, "purchase",
+                 1.0, "{}")
+            )
+            k += 1
+    sf = str(tmp_path)
+    _write_events(spark, sf, rows)
+    r = ml_eval_tweedie_deviances(spark, sf).collect()[0]
+    assert abs(r["poisson_dev_mean_micros"]) <= 1, r
+    assert abs(r["gamma_dev_mean_micros"]) <= 1, r
+    assert r["n_zero_days"] == 0
+
+
+def test_segment_migration_planted_matrix(spark, tmp_path):
+    """9 customers in each year with planted tercile positions: three
+    move up one segment, three churn, three join — the matrix counts
+    exactly those transitions."""
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_segment_migration,
+    )
+
+    rows, k = [], 0
+
+    def add(cust, year, total):
+        nonlocal k
+        rows.append(
+            (k, cust, "F", float(total),
+             datetime.datetime(year, 6, 1), "1-URGENT")
+        )
+        k += 1
+
+    # 1995: customers 1-9, spends 10..90 (terciles: 1-3 low, 4-6 mid,
+    # 7-9 high). 1996: customers 4-12, spends shift so 4-6 low, 7-9
+    # mid, 10-12 high.
+    for c in range(1, 10):
+        add(c, 1995, 10 * c)
+    for c in range(4, 13):
+        add(c, 1996, 10 * c)
+    sf = str(tmp_path)
+    _write_orders(spark, sf, rows)
+    got = {
+        (r["seg_1995"], r["seg_1996"]): r["n_customers"]
+        for r in olap_segment_migration(spark, sf).collect()
+    }
+    assert got == {
+        ("low", "none"): 3,
+        ("mid", "low"): 3,
+        ("high", "mid"): 3,
+        ("none", "high"): 3,
+    }, got
+
+
+def test_friedman_consistent_ranking_rejects(spark, tmp_path):
+    """Event types with a consistent within-week ordering across many
+    weeks → Friedman rejects; identical weekly totals → NULL (den = 0)."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_friedman_test,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)  # Monday: clean ISO weeks
+    ordered, tied = [], []
+    k = 0
+    for w in range(8):
+        day = t0 + datetime.timedelta(weeks=w)
+        for j, typ in enumerate(("click", "view", "purchase")):
+            for _ in range(j + 1):  # click < view < purchase every week
+                ordered.append((k, day, k % 9, typ, 2.0, "{}"))
+                k += 1
+            tied.append((k, day, k % 9, typ, 2.0, "{}"))
+            k += 1
+    sf_o, sf_t = str(tmp_path / "o"), str(tmp_path / "t")
+    _write_events(spark, sf_o, ordered)
+    _write_events(spark, sf_t, tied)
+    ro = stat_friedman_test(spark, sf_o).collect()[0]
+    rt = stat_friedman_test(spark, sf_t).collect()[0]
+    assert ro["p_value"] is not None and ro["p_value"] < 0.01, ro
+    assert rt["friedman_chi2"] is None and rt["p_value"] is None, rt
