@@ -2162,3 +2162,141 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("heaps_k"),
         F.round(F.regr_r2(F.ln("v_cum"), F.ln("n_cum")), 4).alias("fit_r2"),
     )
+
+
+_JSD_ORACLE = """
+WITH tok AS (
+    SELECT source, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+), cnt AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok WHERE token <> '' GROUP BY 1, 2
+), totals AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source
+), pairs AS (
+    SELECT a.source AS sa, b.source AS sb, a.token,
+           a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+    FROM cnt a
+    JOIN cnt b ON a.token = b.token AND a.source < b.source
+    JOIN totals ta ON ta.source = a.source
+    JOIN totals tb ON tb.source = b.source
+), terms AS (
+    SELECT sa, sb,
+           CAST(SUM(ca) AS BIGINT) AS cca,
+           CAST(SUM(cb) AS BIGINT) AS ccb,
+           CAST(SUM(CAST(FLOOR((CAST(ca AS DOUBLE) / na)
+                * LN(2.0 * (CAST(ca AS DOUBLE) / na)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+                * 1000000000.0) AS BIGINT)) AS BIGINT) AS tp_nanos,
+           CAST(SUM(CAST(FLOOR((CAST(cb AS DOUBLE) / nb)
+                * LN(2.0 * (CAST(cb AS DOUBLE) / nb)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+                * 1000000000.0) AS BIGINT)) AS BIGINT) AS tq_nanos
+    FROM pairs GROUP BY sa, sb
+), universe AS (
+    SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+    FROM totals a JOIN totals b ON a.source < b.source
+)
+SELECT u.sa AS source_a, u.sb AS source_b,
+       ROUND(0.5 * (LN(2.0) * (u.na - COALESCE(t.cca, 0)) / u.na
+                    + COALESCE(t.tp_nanos, 0) / 1000000000.0)
+           + 0.5 * (LN(2.0) * (u.nb - COALESCE(t.ccb, 0)) / u.nb
+                    + COALESCE(t.tq_nanos, 0) / 1000000000.0),
+           6) AS jsd
+FROM universe u LEFT JOIN terms t ON t.sa = u.sa AND t.sb = u.sb
+"""
+
+
+@register(
+    "text_js_divergence_sources", oracle=_JSD_ORACLE, tags=("text",)
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the per-source unigram
+    distributions — the symmetric, bounded (≤ ln 2) distance that tells
+    a corpus-mix pipeline WHICH sources are near-duplicates in
+    distribution (candidates for merged temperature weights in
+    `pipeline_temperature_mix`) and which bring genuinely novel text;
+    KL alone is asymmetric and infinite on unseen tokens, which is why
+    JSD is the corpus-comparison standard (DSIR-style mixture work).
+
+    The union-vocabulary identity makes it one INNER join: tokens seen
+    by only one source contribute exactly p·ln 2, so
+    JSD = ½[ln 2·(1−P_common) + Σ_common p·ln(2p/(p+q))] + symmetric —
+    the one-sided tails fold into exact integer count masses
+    (1 − P_common = (n_a − Σ common c_a)/n_a), no full-outer join, no
+    vocab fill-in. Each common-token term FLOOR-quantizes to nano-units
+    before the sum (exact integer addition — a raw double sum over the
+    vocabulary grain would vary with summation order); probabilities
+    are shared divisions of exact counts. Scale: |sources| is a bounded
+    dimension, so the token self-join fans each vocab row to at most
+    S(S−1)/2 pairs — the data-sized stages are the two wordcount folds."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    a = cnt.select(
+        F.col("source").alias("sa"),
+        "token",
+        F.col("c").alias("ca"),
+    ).join(
+        F.broadcast(totals.select(F.col("source").alias("sa"), F.col("n").alias("na"))),
+        "sa",
+    )
+    b = cnt.select(
+        F.col("source").alias("sb"),
+        "token",
+        F.col("c").alias("cb"),
+    ).join(
+        F.broadcast(totals.select(F.col("source").alias("sb"), F.col("n").alias("nb"))),
+        "sb",
+    )
+    pairs = a.join(b, ["token"]).where(F.col("sa") < F.col("sb"))
+    pa = "(CAST(ca AS DOUBLE) / na)"
+    pb = "(CAST(cb AS DOUBLE) / nb)"
+    terms = pairs.groupBy("sa", "sb").agg(
+        F.sum("ca").cast("long").alias("cca"),
+        F.sum("cb").cast("long").alias("ccb"),
+        F.sum(
+            F.expr(
+                f"CAST(FLOOR({pa} * LN(2.0 * {pa} / ({pa} + {pb}))"
+                " * 1000000000.0) AS BIGINT)"
+            )
+        ).cast("long").alias("tp_nanos"),
+        F.sum(
+            F.expr(
+                f"CAST(FLOOR({pb} * LN(2.0 * {pb} / ({pa} + {pb}))"
+                " * 1000000000.0) AS BIGINT)"
+            )
+        ).cast("long").alias("tq_nanos"),
+    )
+    # The pair UNIVERSE comes from the totals cross join, not from the
+    # common-token join: two sources sharing NO tokens have an empty
+    # inner-join group and would silently vanish — their JSD is the
+    # ln 2 upper bound, the most important value to report (r14 planted
+    # disjoint-vocabulary test caught this).
+    universe = (
+        totals.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+        .join(
+            totals.select(
+                F.col("source").alias("sb"), F.col("n").alias("nb")
+            ),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    return universe.join(terms, ["sa", "sb"], "left").select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.expr(
+            "ROUND(0.5 * (LN(2.0) * (na - COALESCE(cca, 0)) / na"
+            " + COALESCE(tp_nanos, 0) / 1000000000.0)"
+            " + 0.5 * (LN(2.0) * (nb - COALESCE(ccb, 0)) / nb"
+            " + COALESCE(tq_nanos, 0) / 1000000000.0), 6)"
+        ).alias("jsd"),
+    )

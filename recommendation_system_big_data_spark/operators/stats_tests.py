@@ -3922,3 +3922,247 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND({p}, 6) END"
         ).alias("p_value"),
     )
+
+
+def _bartlett_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    p = chi2_sf_sql_expr("x2", "CAST(k - 1 AS DOUBLE)")
+    return f"""
+WITH vq AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}.0) AS HUGEINT) AS vq
+    FROM events
+), per AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+           SUM(vq) AS s_g, SUM(vq * vq) AS q_g
+    FROM vq GROUP BY g
+    HAVING COUNT(*) >= 2
+), var_g AS (
+    SELECT g, CAST(n_g AS BIGINT) AS n_g,
+           (CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+            / CAST(n_g AS DOUBLE)) / (CAST(n_g AS DOUBLE) - 1) AS v_g
+    FROM per
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           SUM((n_g - 1) * v_g) AS sw,
+           SUM(CASE WHEN v_g <= 0 THEN 1 ELSE 0 END) AS n_zero_var,
+           SUM(CASE WHEN v_g > 0 THEN (n_g - 1) * LN(v_g) END) AS sln,
+           SUM(1.0 / (n_g - 1)) AS sinv
+    FROM var_g
+), stat AS (
+    SELECT k, n, n_zero_var,
+           CASE WHEN k < 2 OR n <= k OR n_zero_var > 0 THEN NULL
+                ELSE ((n - k) * LN(sw / (n - k)) - sln)
+                     / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1)))
+                END AS x2
+    FROM agg
+)
+SELECT k AS k_groups, n AS n_total,
+       CASE WHEN x2 IS NULL THEN NULL ELSE ROUND(x2, 4) END
+           AS bartlett_chi2,
+       CASE WHEN x2 IS NULL THEN NULL ELSE ROUND({p}, 6) END AS p_value
+FROM stat
+"""
+
+
+@register(
+    "stat_bartlett_test", oracle=_bartlett_oracle(), tags=("profile", "experiment")
+)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variance across the event-type
+    groups — the parametric counterpart to `stat_levene_variance`:
+    sharper when the data really are normal, notoriously sensitive when
+    they are not, which is exactly why the engine ships BOTH (the
+    Levene/Bartlett disagreement IS the non-normality diagnostic).
+    χ² = [(N−k)·ln(S_p²) − Σ(n_i−1)·ln(s_i²)] / C with the standard
+    Bartlett correction C; p via the shared Wilson–Hilferty fragment at
+    df = k−1.
+
+    Exactness: values quantize to the ANOVA grid; every per-group sum
+    (Σv, Σv²) is exact HUGEINT/decimal integer algebra, so the group
+    variances are deterministic doubles from exact inputs, and all
+    ln/ratio work runs on the k-row grain — the one data-sized stage is
+    the map-side-combined group fold. Groups with n < 2 are excluded
+    (no variance to test); ANY zero-variance group pins NULL (ln
+    undefined — the const fixture's class)."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    vq = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr(f"CAST(FLOOR(value * {ANOVA_QUANT}.0) AS DECIMAL(38,0))").alias(
+            "vq"
+        ),
+    )
+    per = (
+        vq.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("vq").alias("s_g"),
+            F.sum(F.expr("vq * vq")).alias("q_g"),
+        )
+        .where(F.col("n_g") >= 2)
+    )
+    var_g = per.select(
+        "n_g",
+        F.expr(
+            "(CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)"
+            " / CAST(n_g AS DOUBLE)) / (CAST(n_g AS DOUBLE) - 1)"
+        ).alias("v_g"),
+    )
+    agg = var_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.expr("(n_g - 1) * v_g")).alias("sw"),
+        F.sum(F.expr("CASE WHEN v_g <= 0 THEN 1 ELSE 0 END")).alias(
+            "n_zero_var"
+        ),
+        F.sum(
+            F.expr("CASE WHEN v_g > 0 THEN (n_g - 1) * LN(v_g) END")
+        ).alias("sln"),
+        F.sum(F.expr("1.0 / (n_g - 1)")).alias("sinv"),
+    )
+    # The degenerate guards live INSIDE the x2 CASE: k = 1 (single
+    # group) divides by 3(k−1), n = k divides by n−k, and a
+    # zero-variance group would feed LN(0) — ANSI Spark raises and
+    # DuckDB errors where the final-select guard never gets to run
+    # (r14 degenerate-probe finding, const + oneday fixtures).
+    stat = agg.select(
+        "k",
+        "n",
+        "n_zero_var",
+        F.expr(
+            "CASE WHEN k < 2 OR n <= k OR n_zero_var > 0 THEN NULL"
+            " ELSE ((n - k) * LN(sw / (n - k)) - sln)"
+            " / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))) END"
+        ).alias("x2"),
+    )
+    p = chi2_sf_sql_expr("x2", "CAST(k - 1 AS DOUBLE)")
+    return stat.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CASE WHEN x2 IS NULL THEN NULL ELSE ROUND(x2, 4) END"
+        ).alias("bartlett_chi2"),
+        F.expr(
+            f"CASE WHEN x2 IS NULL THEN NULL ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+    )
+
+
+_CRONBACH_ORACLE = """
+WITH x AS (
+    SELECT user_id, event_type AS item,
+           SUM(CAST(FLOOR(value * 1000000.0) AS HUGEINT)) AS xq
+    FROM events GROUP BY 1, 2
+), nu AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM x
+), items AS (
+    SELECT item,
+           SUM(xq) AS sx, SUM(xq * xq) AS qx
+    FROM x GROUP BY item
+), item_var AS (
+    SELECT item,
+           (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / n) / (n - 1) AS v_i
+    FROM items, nu WHERE n >= 2
+), totals AS (
+    SELECT user_id, SUM(xq) AS tq FROM x GROUP BY user_id
+), tot_var AS (
+    SELECT CASE WHEN MAX(nu.n) < 2 THEN NULL
+                ELSE (CAST(SUM(tq * tq) AS DOUBLE)
+                      - CAST(SUM(tq) AS DOUBLE) * CAST(SUM(tq) AS DOUBLE)
+                        / MAX(nu.n)) / (MAX(nu.n) - 1)
+                END AS v_t
+    FROM totals, nu
+), fin AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM item_var) AS k,
+           (SELECT MAX(n) FROM nu) AS n_users,
+           (SELECT SUM(v_i) FROM item_var) AS sv,
+           (SELECT v_t FROM tot_var) AS v_t
+)
+SELECT k AS n_items, n_users,
+       CASE WHEN k < 2 OR v_t IS NULL OR v_t <= 0 THEN NULL
+            ELSE ROUND(CAST(k AS DOUBLE) / (k - 1) * (1.0 - sv / v_t), 6)
+            END AS cronbach_alpha
+FROM fin
+"""
+
+
+@register(
+    "stat_cronbach_alpha", oracle=_CRONBACH_ORACLE, tags=("profile", "experiment")
+)
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient, with users as
+    subjects and event types as items (score = the user's value total
+    per type; a user silent on a type scores 0, which the sum algebra
+    encodes for free). α = k/(k−1)·(1 − Σσ²_i/σ²_total) — the standard
+    "do these k signals measure one underlying trait" reliability
+    check, here reading "is per-user engagement one-dimensional across
+    event types" (α near 1) "or are the types independent behaviors"
+    (α near 0, even negative). The engagement-composite sanity check a
+    scoring pipeline owes itself before summing features.
+
+    Exactness: scores quantize to micro-units and every moment (Σx,
+    Σx², per-user totals) is exact HUGEINT/decimal algebra with N =
+    the full user universe — absent (user, item) cells contribute
+    exactly 0 to every sum, so the complete-matrix variances come out
+    of the SPARSE table with no fill-in join. Variances become shared
+    doubles only at the k-row/1-row grain. σ²_total = 0 (const fixture:
+    every user identical) and k < 2 pin NULL."""
+    x = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("event_type").alias("item"))
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))")
+            ).alias("xq")
+        )
+    )
+    nu = x.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    items = x.groupBy("item").agg(
+        F.sum("xq").alias("sx"), F.sum(F.expr("xq * xq")).alias("qx")
+    )
+    item_var = (
+        items.crossJoin(F.broadcast(nu))
+        .where(F.col("n") >= 2)
+        .select(
+            F.expr(
+                "(CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)"
+                " * CAST(sx AS DOUBLE) / n) / (n - 1)"
+            ).alias("v_i")
+        )
+    )
+    totals = x.groupBy("user_id").agg(F.sum("xq").alias("tq"))
+    # n = 1 user (tiny fixture) divides by n−1 — the guard must wrap
+    # the expression itself, not the final select (ANSI raise class;
+    # r14 degenerate-probe finding).
+    tot_var = totals.crossJoin(F.broadcast(nu)).agg(
+        F.expr(
+            "CASE WHEN MAX(n) < 2 THEN NULL"
+            " ELSE (CAST(SUM(tq * tq) AS DOUBLE) - CAST(SUM(tq) AS DOUBLE)"
+            " * CAST(SUM(tq) AS DOUBLE) / MAX(n)) / (MAX(n) - 1) END"
+        ).alias("v_t")
+    )
+    sv = item_var.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("v_i").alias("sv"),
+    )
+    return (
+        sv.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(tot_var))
+        .select(
+            F.col("k").alias("n_items"),
+            F.col("n").alias("n_users"),
+            F.expr(
+                "CASE WHEN k < 2 OR v_t IS NULL OR v_t <= 0 THEN NULL"
+                " ELSE ROUND(CAST(k AS DOUBLE) / (k - 1)"
+                " * (1.0 - sv / v_t), 6) END"
+            ).alias("cronbach_alpha"),
+        )
+    )

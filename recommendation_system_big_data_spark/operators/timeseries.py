@@ -2037,3 +2037,124 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {guard} THEN NULL ELSE ROUND({p}, 6) END"
         ).alias("p_value"),
     )
+
+
+_SPECTRAL_ENTROPY_ORACLE = f"""
+WITH hours AS (
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), mu AS (
+    SELECT AVG(CAST(x AS DOUBLE)) AS m FROM hours
+), grid AS (
+    SELECT UNNEST([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}]) AS p
+), terms AS (
+    SELECT g.p,
+           SUM((CAST(h.x AS DOUBLE) - mu.m)
+               * COS(2 * PI() * (h.h % g.p) / g.p)) AS c,
+           SUM((CAST(h.x AS DOUBLE) - mu.m)
+               * SIN(2 * PI() * (h.h % g.p) / g.p)) AS s
+    FROM hours h, grid g, mu
+    GROUP BY g.p
+), energy AS (
+    SELECT p, c * c + s * s AS e,
+           SUM(c * c + s * s) OVER () AS tot,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k
+    FROM terms
+), probs AS (
+    SELECT p, e, k, tot,
+           CASE WHEN tot > 0 THEN e / tot END AS pr,
+           MAX(CASE WHEN tot > 0 THEN e / tot END) OVER () AS pr_max
+    FROM energy
+)
+SELECT MAX(k) AS n_periods,
+       CASE WHEN MAX(tot) <= 0 THEN NULL
+            ELSE ROUND(-SUM(CASE WHEN pr > 0 THEN pr * LN(pr) ELSE 0 END)
+                       / LN(CAST(MAX(k) AS DOUBLE)), 6)
+            END AS spectral_entropy,
+       MIN(CASE WHEN pr = pr_max THEN p END) AS dominant_period,
+       CASE WHEN MAX(tot) <= 0 THEN NULL
+            ELSE ROUND(MAX(pr), 6) END AS dominant_share
+FROM probs
+"""
+
+
+@register(
+    "ts_spectral_entropy", oracle=_SPECTRAL_ENTROPY_ORACLE, tags=("timeseries",)
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of hourly event volume over the
+    engine's fixed candidate-period grid — the one-number "how seasonal
+    is this series" readout on top of `ts_periodogram_dft`'s per-period
+    table: the DFT energies at the grid frequencies normalize to a
+    probability distribution and H = −Σp·ln p / ln(k) lands in [0, 1];
+    near 0 means one dominant cycle (forecast with a seasonal model),
+    near 1 means the energy is spread flat (don't). The
+    dominant_period/dominant_share pair names the winning cycle — the
+    forecastability gate feature libraries (tsfresh/catch22 class) put
+    first.
+
+    Same exactness class as the periodogram it extends: hourly counts
+    are exact integers off one map-side-combined fold; cos/sin run on
+    token-identical (h mod p) arguments; the entropy is an O(1)-row
+    shared-double expression, ROUND(6) absorbing libm + summation-order
+    ulps. A zero-energy (constant) series pins NULL; the argmax ties
+    break on the smallest period."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+
+    hours = (
+        load(spark, sf_dir, "events")
+        .select(epoch_s("ts").alias("es"))
+        .groupBy(F.expr("es div 3600").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    mu = hours.agg(F.avg(F.col("x").cast("double")).alias("m"))
+    grid = spark.range(len(PERIODOGRAM_PERIODS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("p")
+    )
+    xc = F.col("x").cast("double") - F.col("m")
+    ang = F.expr("2 * PI() * (h % p) / p")
+    terms = (
+        hours.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("p")
+        .agg(
+            F.sum(xc * F.cos(ang)).alias("c"),
+            F.sum(xc * F.sin(ang)).alias("s"),
+        )
+    )
+    energy = terms.select(
+        "p",
+        F.expr("c * c + s * s").alias("e"),
+        F.sum(F.expr("c * c + s * s"))
+        .over(Window.partitionBy())
+        .alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("k"),
+    )
+    probs = energy.select(
+        "p",
+        "k",
+        "tot",
+        F.expr("CASE WHEN tot > 0 THEN e / tot END").alias("pr"),
+        F.max(F.expr("CASE WHEN tot > 0 THEN e / tot END"))
+        .over(Window.partitionBy())
+        .alias("pr_max"),
+    )
+    return probs.agg(
+        F.max("k").alias("n_periods"),
+        F.expr(
+            "CASE WHEN MAX(tot) <= 0 THEN NULL"
+            " ELSE ROUND(-SUM(CASE WHEN pr > 0 THEN pr * LN(pr)"
+            " ELSE 0 END) / LN(CAST(MAX(k) AS DOUBLE)), 6) END"
+        ).alias("spectral_entropy"),
+        F.min(F.expr("CASE WHEN pr = pr_max THEN p END")).alias(
+            "dominant_period"
+        ),
+        F.expr(
+            "CASE WHEN MAX(tot) <= 0 THEN NULL"
+            " ELSE ROUND(MAX(pr), 6) END"
+        ).alias("dominant_share"),
+    )

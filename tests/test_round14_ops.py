@@ -343,3 +343,191 @@ def test_friedman_consistent_ranking_rejects(spark, tmp_path):
     rt = stat_friedman_test(spark, sf_t).collect()[0]
     assert ro["p_value"] is not None and ro["p_value"] < 0.01, ro
     assert rt["friedman_chi2"] is None and rt["p_value"] is None, rt
+
+
+def test_bartlett_homogeneous_vs_heteroscedastic(spark, tmp_path):
+    """Equal spreads → fail to reject; one group 20× wider → reject.
+    A zero-variance group pins NULL (the ln(0) ANSI class the r14
+    degenerate probe caught)."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_bartlett_test,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    spread = {"click": 1.0, "view": 1.0, "purchase": 1.0}
+    wide = {"click": 1.0, "view": 1.0, "purchase": 20.0}
+
+    def corpus(sd):
+        rows = []
+        k = 0
+        for typ, s in sd.items():
+            for i in range(60):
+                jitter = ((i * 7 + 3) % 11 - 5) * s
+                rows.append(
+                    (k, t0 + datetime.timedelta(hours=i), k % 9, typ,
+                     100.0 + jitter, "{}")
+                )
+                k += 1
+        return rows
+
+    sf_h, sf_w = str(tmp_path / "h"), str(tmp_path / "w")
+    _write_events(spark, sf_h, corpus(spread))
+    _write_events(spark, sf_w, corpus(wide))
+    rh = stat_bartlett_test(spark, sf_h).collect()[0]
+    rw = stat_bartlett_test(spark, sf_w).collect()[0]
+    assert rh["p_value"] > 0.5, rh
+    assert rw["p_value"] < 0.001, rw
+
+    const = [
+        (i, t0 + datetime.timedelta(hours=i), i % 9,
+         ("click", "view")[i % 2], 5.0, "{}")
+        for i in range(40)
+    ]
+    sf_c = str(tmp_path / "c")
+    _write_events(spark, sf_c, const)
+    rc = stat_bartlett_test(spark, sf_c).collect()[0]
+    assert rc["bartlett_chi2"] is None and rc["p_value"] is None, rc
+
+
+def test_cronbach_alpha_perfect_consistency(spark, tmp_path):
+    """Every item score identical per user (perfectly correlated items)
+    → α = 1 exactly; items assigned to DISJOINT user sets (maximally
+    inconsistent) → α well below 1."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_cronbach_alpha,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    perfect, split = [], []
+    k = 0
+    for u in range(12):
+        for j, typ in enumerate(("click", "view", "purchase")):
+            perfect.append(
+                (k, t0 + datetime.timedelta(hours=u), u, typ,
+                 float(10 + u), "{}")
+            )
+            k += 1
+            if u % 3 == j:
+                split.append(
+                    (k, t0 + datetime.timedelta(hours=u), u, typ,
+                     float(10 + u), "{}")
+                )
+                k += 1
+    sf_p, sf_s = str(tmp_path / "p"), str(tmp_path / "s")
+    _write_events(spark, sf_p, perfect)
+    _write_events(spark, sf_s, split)
+    rp = stat_cronbach_alpha(spark, sf_p).collect()[0]
+    rs = stat_cronbach_alpha(spark, sf_s).collect()[0]
+    assert rp["cronbach_alpha"] == 1.0, rp
+    assert rs["cronbach_alpha"] < 0.5, rs
+
+
+def test_spectral_entropy_sine_vs_flat(spark, tmp_path):
+    """A clean 24h cycle → low entropy, dominant_period = 24; a flat
+    hourly series → the energy spreads (higher entropy, no 24h line)."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_spectral_entropy,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    cyc, flat = [], []
+    k = 0
+    for h in range(24 * 14):
+        n_cyc = 3 + (6 if (h % 24) in (12, 13, 14) else 0)
+        # md5-scrambled jitter: genuinely aperiodic over the window (a
+        # (h % k) or multiplicative-hash jitter IS a periodic signal
+        # and concentrates spectral energy at its own period)
+        import hashlib
+
+        n_flat = 3 + int(
+            hashlib.md5(str(h).encode()).hexdigest()[:4], 16
+        ) % 7
+        for _ in range(n_cyc):
+            cyc.append(
+                (k, t0 + datetime.timedelta(hours=h), k % 9, "click",
+                 1.0, "{}")
+            )
+            k += 1
+        for _ in range(n_flat):
+            flat.append(
+                (k, t0 + datetime.timedelta(hours=h), k % 9, "click",
+                 1.0, "{}")
+            )
+            k += 1
+    sf_c, sf_f = str(tmp_path / "c"), str(tmp_path / "f")
+    _write_events(spark, sf_c, cyc)
+    _write_events(spark, sf_f, flat)
+    rc = ts_spectral_entropy(spark, sf_c).collect()[0]
+    rf = ts_spectral_entropy(spark, sf_f).collect()[0]
+    # a square daily pulse spreads real energy into its 12/8/6h
+    # harmonics, so the fundamental's share tops out well under 1 —
+    # the gate is "clearly dominant over the 1/7 uniform share"
+    assert rc["dominant_period"] == 24 and rc["dominant_share"] > 0.25, rc
+    assert rc["spectral_entropy"] < rf["spectral_entropy"], (rc, rf)
+
+
+def test_jsd_identical_vs_disjoint_sources(spark, tmp_path):
+    """Identical unigram distributions → JSD = 0; disjoint vocabularies
+    → JSD = ln 2 (the upper bound)."""
+    import math
+
+    from recommendation_system_big_data_spark.functions.text import (
+        text_js_divergence_sources,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    same = [
+        (i, "alpha beta gamma", "en", f"s{i % 2}", 10) for i in range(10)
+    ]
+    disj = [
+        (i, "alpha beta gamma" if i % 2 == 0 else "delta epsilon zeta",
+         "en", f"s{i % 2}", 10)
+        for i in range(10)
+    ]
+    sf_s, sf_d = str(tmp_path / "s"), str(tmp_path / "d")
+    spark.createDataFrame(same, schema).write.mode("overwrite").parquet(
+        f"{sf_s}/documents.parquet"
+    )
+    spark.createDataFrame(disj, schema).write.mode("overwrite").parquet(
+        f"{sf_d}/documents.parquet"
+    )
+    rs = text_js_divergence_sources(spark, sf_s).collect()[0]
+    rd = text_js_divergence_sources(spark, sf_d).collect()[0]
+    assert rs["jsd"] == 0.0, rs
+    assert abs(rd["jsd"] - math.log(2)) < 1e-5, rd
+
+
+def test_closeness_star_hub(spark, tmp_path):
+    """Star graph: the hub reaches every spoke in 1 hop → closeness
+    exactly 1.0 (1e6 micros); each seed spoke reaches the hub at 1 and
+    the other spokes at 2 → (1 + 2·(n−2))/(n−1) mean distance."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_closeness_sampled,
+    )
+
+    # order k joins hub part 1 with spoke part k+1 (2 items per order)
+    rows = []
+    for k in range(9):
+        rows.append((k, 1))
+        rows.append((k, k + 2))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).selectExpr(
+        "l_orderkey",
+        "l_partkey",
+        "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.0 AS DOUBLE) AS l_discount",
+        "CAST(0.0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["seed_part"]: r
+        for r in graph_closeness_sampled(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_reached"] == 9 and got[1]["closeness_micros"] == 1000000
+    # a spoke seed: hub at 1 hop, 8 other spokes at 2 → 9 reached, Σd=17
+    spoke = got[min(k for k in got if k != 1)]
+    assert spoke["n_reached"] == 9 and spoke["sum_dist"] == 17
+    assert spoke["closeness_micros"] == 9 * 1000000 // 17
