@@ -248,3 +248,108 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+#: Tolerance for the bounded as-of join — a view older than this many
+#: seconds no longer "explains" the purchase (the pandas merge_asof
+#: `tolerance=` semantics).
+_ASOF_TOLERANCE_S = 6 * 3600
+
+_ASOF_TOL_ORACLE = f"""
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'view' THEN value END AS view_value,
+           CASE WHEN event_type = 'view'
+                THEN CAST(floor(epoch(ts)) AS BIGINT) END AS view_ts,
+           CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+           value
+    FROM events WHERE event_type IN ('view', 'purchase')
+), filled AS (
+    SELECT user_id, ts, event_id, purchase_id, value,
+           LAST_VALUE(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_view_value,
+           LAST_VALUE(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_view_ts
+    FROM tagged
+)
+SELECT purchase_id AS event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+       value AS purchase_value,
+       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - last_view_ts
+                 <= {_ASOF_TOLERANCE_S}
+            THEN last_view_value END AS view_value_within_tol,
+       CASE WHEN last_view_ts IS NULL THEN NULL
+            ELSE CAST(CAST(floor(epoch(ts)) AS BIGINT) - last_view_ts
+                      AS BIGINT) END AS gap_s,
+       CAST(last_view_ts IS NOT NULL
+            AND CAST(floor(epoch(ts)) AS BIGINT) - last_view_ts
+                > {_ASOF_TOLERANCE_S} AS BIGINT) AS stale_view
+FROM filled WHERE purchase_id IS NOT NULL
+"""
+
+
+@register(
+    "join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "temporal")
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of join: each purchase gets the most recent prior
+    view's value ONLY if that view is within the 6-hour tolerance —
+    pandas' `merge_asof(tolerance=...)` semantics, which the unbounded
+    `join_asof` silently violates for attribution (a view from last
+    month does not explain today's purchase). The stale_view flag and
+    raw gap_s ride along so the attribution pipeline can report HOW
+    much signal the tolerance drops instead of just dropping it.
+
+    Same 100 TB shape as `join_asof` — one scan, two tag columns, one
+    user-keyed window carrying (value, timestamp) through
+    last(ignorenulls), the tolerance applied as a codegen'd CASE at the
+    end: no second join, no range predicate, no extra shuffle. Epoch
+    seconds are exact integers on both engines (catalog.epoch_s)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", F.col("value")).alias(
+            "view_value"
+        ),
+        F.when(F.col("event_type") == "view", epoch_s("ts")).alias(
+            "view_ts"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+    ).withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    ep = epoch_s("ts")
+    gap = ep - F.col("last_view_ts")
+    return filled.filter(F.col("purchase_id").isNotNull()).select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        ep.alias("unix_ts"),
+        F.col("value").alias("purchase_value"),
+        F.when(gap <= _ASOF_TOLERANCE_S, F.col("last_view_value")).alias(
+            "view_value_within_tol"
+        ),
+        F.when(
+            F.col("last_view_ts").isNotNull(), gap.cast("long")
+        ).alias("gap_s"),
+        (
+            F.col("last_view_ts").isNotNull()
+            & (gap > _ASOF_TOLERANCE_S)
+        ).cast("long").alias("stale_view"),
+    )

@@ -339,3 +339,97 @@ def ml_cv_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "urgent_rate",
         "total_rev",
     )
+
+
+def _hash_uniformity_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    p = chi2_sf_sql_expr("chi2", "63e0")
+    return f"""
+WITH bucketed AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 64 AS b
+    FROM (SELECT DISTINCT user_id FROM events)
+), cells AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bucketed GROUP BY b
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_filled,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(MIN(n) AS BIGINT) AS min_bucket,
+           SUM(CAST(n AS DOUBLE) * n) AS sum_n2
+    FROM cells
+), stat AS (
+    SELECT n_keys, n_filled, max_bucket, min_bucket,
+           CASE WHEN n_keys = 0 THEN NULL
+                ELSE 64.0 * sum_n2 / n_keys - n_keys END AS chi2
+    FROM tot
+)
+SELECT n_keys, n_filled, max_bucket, min_bucket,
+       CASE WHEN chi2 IS NULL THEN NULL ELSE ROUND(chi2, 4) END
+           AS chi2_uniformity,
+       CASE WHEN chi2 IS NULL THEN NULL ELSE ROUND({p}, 6) END AS p_value
+FROM stat
+"""
+
+
+@register(
+    "quality_hash_uniformity",
+    oracle=_hash_uniformity_oracle(),
+    tags=("sampling", "quality"),
+)
+def quality_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of the engine's portable md5 bucket
+    hash over 64 buckets of the distinct user keys — the correctness
+    hinge every hash-split, salted join, and stratified sampler in this
+    repo leans on (`split_by_hash`, `random_split`, `join_skew_salted`):
+    if the bucket distribution is skewed for a real key population,
+    every 80/10/10 split silently isn't. χ² = Σ(n_b − E)²/E against the
+    uniform expectation folds to the algebraic form 64·Σn²/N − N, which
+    needs no per-bucket expected-count join; p via the shared
+    Wilson–Hilferty fragment at df = 63. Also reports min/max bucket
+    occupancy — the numbers a debugging engineer looks at first.
+
+    Scale: one distinct on the key (map-side combined), one 64-row cell
+    fold; everything after is O(1). Exact integer counts; χ² is one
+    shared double expression over them. Empty input pins NULL."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    keys = load(spark, sf_dir, "events").select("user_id").distinct()
+    cells = keys.select(
+        portable_bucket(F.col("user_id"), 64).alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_filled"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.min("n").cast("long").alias("min_bucket"),
+        F.sum(F.expr("CAST(n AS DOUBLE) * n")).alias("sum_n2"),
+    )
+    stat = tot.select(
+        "n_keys",
+        "n_filled",
+        "max_bucket",
+        "min_bucket",
+        F.expr(
+            "CASE WHEN n_keys = 0 THEN NULL"
+            " ELSE 64.0 * sum_n2 / n_keys - n_keys END"
+        ).alias("chi2"),
+    )
+    p = chi2_sf_sql_expr("chi2", "63e0")
+    return stat.select(
+        "n_keys",
+        "n_filled",
+        "max_bucket",
+        "min_bucket",
+        F.expr(
+            "CASE WHEN chi2 IS NULL THEN NULL ELSE ROUND(chi2, 4) END"
+        ).alias("chi2_uniformity"),
+        F.expr(
+            f"CASE WHEN chi2 IS NULL THEN NULL ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+    )

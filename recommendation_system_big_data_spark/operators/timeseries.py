@@ -2158,3 +2158,275 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE ROUND(MAX(pr), 6) END"
         ).alias("dominant_share"),
     )
+
+
+_MASE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+), fc AS (
+    SELECT b.day, b.rev AS y, a.rev AS f,
+           CAST(ABS(b.rev - a.rev) AS BIGINT) AS abs_e,
+           CASE WHEN b.rev = 0 AND a.rev = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(2000000.0 * ABS(b.rev - a.rev)
+                          / (ABS(b.rev) + ABS(a.rev))) AS BIGINT)
+                END AS smape_micros
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY
+), naive AS (
+    SELECT CAST(ABS(b.rev - a.rev) AS BIGINT) AS abs_d
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+), agg AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_fc,
+           (SELECT CAST(COALESCE(SUM(abs_e), 0) AS BIGINT) FROM fc)
+               AS sum_abs_e,
+           (SELECT CAST(COALESCE(SUM(smape_micros), 0) AS BIGINT) FROM fc)
+               AS sum_smape,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM naive) AS n_naive,
+           (SELECT CAST(COALESCE(SUM(abs_d), 0) AS BIGINT) FROM naive)
+               AS sum_abs_d
+)
+SELECT n_fc AS n_forecasts, n_naive AS n_naive_steps,
+       CASE WHEN n_fc = 0 OR n_naive = 0 OR sum_abs_d = 0 THEN NULL
+            ELSE CAST(CAST(sum_abs_e AS HUGEINT) * n_naive * 1000000
+                      // (CAST(sum_abs_d AS HUGEINT) * n_fc) AS BIGINT)
+            END AS mase_micros,
+       CASE WHEN n_fc = 0 THEN NULL
+            ELSE CAST(sum_smape // n_fc AS BIGINT) END AS smape_micros
+FROM agg
+"""
+
+
+@register(
+    "ts_seasonal_naive_mase", oracle=_MASE_ORACLE, tags=("timeseries",)
+)
+def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE and sMAPE of the weekly seasonal-naive forecast
+    (ŷ_t = y_{t−7}) on daily revenue — Hyndman & Koehler's (2006)
+    scaled error is THE forecast-accuracy number that survives
+    zero-valued and mixed-scale series where MAPE blows up: MASE < 1
+    means the candidate beats the one-step naive walk in-sample, and
+    the seasonal-naive's own MASE is the bar every model in
+    `ml_backtest_forecast` must clear before it earns production
+    traffic. sMAPE (bounded ≤ 2) rides along as the conventional
+    companion.
+
+    Exactness: daily cents are exact integers, so every |error| is an
+    exact integer; MASE exits through ONE cross-multiplied truncating
+    division (Σ|e|·n_naive·10⁶ div Σ|d|·n_fc — no intermediate means,
+    no float ratio of ratios), and each sMAPE term FLOOR-quantizes to
+    micro-units before its exact integer mean. Both lag joins are
+    calendar-day equi-joins (day = day + k); gaps drop pairs on both
+    engines identically. The constant series (Σ|d| = 0: MASE undefined)
+    pins NULL; sMAPE's 0/0 days pin 0 by the standard convention."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev")
+        )
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("f"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("y"))
+    fc = a.join(b, F.expr("db = da + INTERVAL 7 DAY")).select(
+        F.expr("CAST(ABS(y - f) AS BIGINT)").alias("abs_e"),
+        F.expr(
+            "CASE WHEN y = 0 AND f = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(FLOOR(2000000.0 * ABS(y - f)"
+            " / (ABS(y) + ABS(f))) AS BIGINT) END"
+        ).alias("smape_micros"),
+    )
+    naive = a.join(
+        b, F.expr("db = da + INTERVAL 1 DAY")
+    ).select(F.expr("CAST(ABS(y - f) AS BIGINT)").alias("abs_d"))
+    fc_agg = fc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fc"),
+        F.coalesce(F.sum("abs_e"), F.lit(0)).cast("long").alias("sum_abs_e"),
+        F.coalesce(F.sum("smape_micros"), F.lit(0))
+        .cast("long")
+        .alias("sum_smape"),
+    )
+    nv_agg = naive.agg(
+        F.count(F.lit(1)).cast("long").alias("n_naive"),
+        F.coalesce(F.sum("abs_d"), F.lit(0)).cast("long").alias("sum_abs_d"),
+    )
+    return fc_agg.crossJoin(F.broadcast(nv_agg)).select(
+        F.col("n_fc").alias("n_forecasts"),
+        F.col("n_naive").alias("n_naive_steps"),
+        F.expr(
+            "CASE WHEN n_fc = 0 OR n_naive = 0 OR sum_abs_d = 0 THEN NULL"
+            " ELSE CAST(CAST(sum_abs_e AS DECIMAL(38,0)) * n_naive"
+            " * 1000000 div (CAST(sum_abs_d AS DECIMAL(38,0)) * n_fc)"
+            " AS BIGINT) END"
+        ).alias("mase_micros"),
+        F.expr(
+            "CASE WHEN n_fc = 0 THEN NULL"
+            " ELSE CAST(sum_smape div n_fc AS BIGINT) END"
+        ).alias("smape_micros"),
+    )
+
+
+#: Croston smoothing constant and the deterministic part sample (every
+#: 29th part keeps the demand table intermittent AND the recursive-CTE
+#: oracle tractable at every SF).
+_CROSTON_ALPHA = 0.2
+_CROSTON_PART_MOD = 29
+
+_CROSTON_ORACLE = f"""
+WITH RECURSIVE demand AS (
+    SELECT l_partkey AS part,
+           datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS idx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS z
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l_partkey % {_CROSTON_PART_MOD} = 0
+    GROUP BY 1, 2
+), seq AS (
+    SELECT part, z,
+           idx - LAG(idx) OVER (PARTITION BY part ORDER BY idx) AS gap,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY idx) AS rn,
+           COUNT(*) OVER (PARTITION BY part) AS n
+    FROM demand
+), eligible AS (
+    SELECT * FROM seq WHERE n >= 3
+), rec(part, rn, n, level, interval) AS (
+    SELECT s2.part, 2, s2.n,
+           {_CROSTON_ALPHA!r} * s2.z + {1.0 - _CROSTON_ALPHA!r} * s1.z,
+           CAST(s2.gap AS DOUBLE)
+    FROM eligible s1 JOIN eligible s2
+      ON s2.part = s1.part AND s1.rn = 1 AND s2.rn = 2
+    UNION ALL
+    SELECT r.part, r.rn + 1, r.n,
+           {_CROSTON_ALPHA!r} * s.z + {1.0 - _CROSTON_ALPHA!r} * r.level,
+           {_CROSTON_ALPHA!r} * s.gap
+               + {1.0 - _CROSTON_ALPHA!r} * r.interval
+    FROM rec r JOIN eligible s
+      ON s.part = r.part AND s.rn = r.rn + 1
+    WHERE r.rn < r.n
+)
+SELECT part AS p_partkey, CAST(n AS BIGINT) AS n_demands,
+       ROUND(level, 6) AS smoothed_size,
+       ROUND(interval, 6) AS smoothed_interval,
+       ROUND(level / interval, 6) AS croston_rate,
+       ROUND((1.0 - {_CROSTON_ALPHA!r} / 2.0) * level / interval, 6)
+           AS sba_rate
+FROM rec WHERE rn = n
+"""
+
+
+def _croston_fn(alpha: float):
+    """Factory for the per-part Croston recurrence — nested closure so
+    cloudpickle ships it by value (the probe_foreign_cwd contract)."""
+
+    def croston(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        if len(pdf) < 3:
+            return pd.DataFrame(
+                {
+                    "p_partkey": [],
+                    "n_demands": [],
+                    "smoothed_size": [],
+                    "smoothed_interval": [],
+                    "croston_rate": [],
+                    "sba_rate": [],
+                }
+            ).astype(
+                {
+                    "p_partkey": "int64",
+                    "n_demands": "int64",
+                    "smoothed_size": "float64",
+                    "smoothed_interval": "float64",
+                    "croston_rate": "float64",
+                    "sba_rate": "float64",
+                }
+            )
+        part = int(pdf["part"].iloc[0])
+        z = [float(v) for v in pdf["z"]]
+        idx = [int(v) for v in pdf["idx"]]
+        gaps = [idx[i] - idx[i - 1] for i in range(1, len(idx))]
+        level = alpha * z[1] + (1.0 - alpha) * z[0]
+        interval = float(gaps[0])
+        for i in range(2, len(z)):
+            level = alpha * z[i] + (1.0 - alpha) * level
+            interval = alpha * gaps[i - 1] + (1.0 - alpha) * interval
+        return pd.DataFrame(
+            {
+                "p_partkey": [part],
+                "n_demands": [len(z)],
+                # raw doubles out; the caller applies F.round (HALF_UP,
+                # hash-matching DuckDB ROUND) — Python round() is
+                # half-even and can diverge on exact midpoints.
+                "smoothed_size": [level],
+                "smoothed_interval": [interval],
+                "croston_rate": [level / interval],
+                "sba_rate": [(1.0 - alpha / 2.0) * level / interval],
+            }
+        )
+
+    return croston
+
+
+@register(
+    "ts_forecast_croston", oracle=_CROSTON_ORACLE, tags=("timeseries", "ml")
+)
+def ts_forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston (1972) intermittent-demand forecast per part, plus the
+    Syntetos–Boylan bias-corrected (SBA) rate — the method demand
+    planners reach for when a plain SES reads a sparse series as
+    "demand is collapsing" every zero week: Croston smooths the nonzero
+    demand SIZES and the inter-demand INTERVALS as two separate SES
+    recurrences and forecasts size/interval per period; SBA multiplies
+    by (1 − α/2) to undo Croston's documented positive bias. Parts
+    sample deterministically (key mod {mod}); initialization convention:
+    level seeds from the first two sizes, interval from the first
+    observed gap — stated, because every Croston implementation differs
+    here.
+
+    Same reduce-then-solve shape as ts_holt_linear: the join+fold to
+    (part, day) demand grain is the only data-sized stage; one Arrow
+    batch per part runs the recurrence (thousands of independent
+    groups — embarrassingly parallel), and the oracle replays the
+    IDENTICAL arithmetic DAG as a per-part recursive CTE, so the rates
+    hash-match exactly on the DECIMAL-exact inputs. Parts with < 3
+    demand days are excluded (nothing to smooth).""".format(
+        mod=_CROSTON_PART_MOD
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % _CROSTON_PART_MOD == 0
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    demand = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    out = demand.groupBy("part").applyInPandas(
+        _croston_fn(_CROSTON_ALPHA),
+        "p_partkey long, n_demands long, smoothed_size double,"
+        " smoothed_interval double, croston_rate double, sba_rate double",
+    )
+    return out.select(
+        "p_partkey",
+        "n_demands",
+        F.round("smoothed_size", 6).alias("smoothed_size"),
+        F.round("smoothed_interval", 6).alias("smoothed_interval"),
+        F.round("croston_rate", 6).alias("croston_rate"),
+        F.round("sba_rate", 6).alias("sba_rate"),
+    )

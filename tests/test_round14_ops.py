@@ -531,3 +531,117 @@ def test_closeness_star_hub(spark, tmp_path):
     spoke = got[min(k for k in got if k != 1)]
     assert spoke["n_reached"] == 9 and spoke["sum_dist"] == 17
     assert spoke["closeness_micros"] == 9 * 1000000 // 17
+
+
+def test_mase_perfect_weekly_cycle(spark, tmp_path):
+    """An exactly 7-periodic series → seasonal-naive errors are 0 →
+    MASE = 0 while the naive walk errs daily; a constant series pins
+    NULL (the naive scale is 0)."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_seasonal_naive_mase,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    cyc = [
+        (d, d % 5, "F", 100.0 + 10.0 * (d % 7),
+         t0 + datetime.timedelta(days=d), "x")
+        for d in range(28)
+    ]
+    const = [
+        (d, d % 5, "F", 100.0, t0 + datetime.timedelta(days=d), "x")
+        for d in range(28)
+    ]
+    sf_c, sf_k = str(tmp_path / "c"), str(tmp_path / "k")
+    _write_orders(spark, sf_c, cyc)
+    _write_orders(spark, sf_k, const)
+    rc = ts_seasonal_naive_mase(spark, sf_c).collect()[0]
+    rk = ts_seasonal_naive_mase(spark, sf_k).collect()[0]
+    assert rc["mase_micros"] == 0 and rc["smape_micros"] == 0, rc
+    assert rk["mase_micros"] is None, rk
+
+
+def test_croston_matches_sequential_reference(spark, tmp_path):
+    """The distributed Croston recurrence equals a sequential Python
+    replay on a planted intermittent series (part 29, 5 demand days)."""
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        _CROSTON_ALPHA,
+        ts_forecast_croston,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    days = [0, 3, 4, 10, 18]
+    sizes = [5.0, 2.0, 7.0, 1.0, 4.0]
+    orders = [
+        (i, 1, "F", 100.0, t0 + datetime.timedelta(days=days[i]), "x")
+        for i in range(5)
+    ]
+    lineitem = []
+    for i in range(5):
+        lineitem.append((i, 29, sizes[i]))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    a = _CROSTON_ALPHA
+    gaps = [days[i] - days[i - 1] for i in range(1, 5)]
+    level = a * sizes[1] + (1 - a) * sizes[0]
+    interval = float(gaps[0])
+    for i in range(2, 5):
+        level = a * sizes[i] + (1 - a) * level
+        interval = a * gaps[i - 1] + (1 - a) * interval
+    r = ts_forecast_croston(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["p_partkey"] == 29, r
+    assert abs(r[0]["smoothed_size"] - level) < 1e-6, (r, level)
+    assert abs(r[0]["smoothed_interval"] - interval) < 1e-6
+    assert abs(r[0]["croston_rate"] - level / interval) < 1e-6
+
+
+def test_asof_tolerance_drops_stale_views(spark, tmp_path):
+    """A purchase 1h after a view keeps its value; a purchase 30h after
+    the only view reports NULL with stale_view = 1 and the exact gap."""
+    from recommendation_system_big_data_spark.operators.asof import (
+        join_asof_tolerance,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 42.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=1), 7, "purchase", 10.0, "{}"),
+        (3, t0 + datetime.timedelta(hours=31), 7, "purchase", 11.0, "{}"),
+        (4, t0, 8, "purchase", 12.0, "{}"),  # no view at all
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["event_id"]: r
+        for r in join_asof_tolerance(spark, str(tmp_path)).collect()
+    }
+    assert got[2]["view_value_within_tol"] == 42.0
+    assert got[2]["stale_view"] == 0 and got[2]["gap_s"] == 3600
+    assert got[3]["view_value_within_tol"] is None
+    assert got[3]["stale_view"] == 1 and got[3]["gap_s"] == 31 * 3600
+    assert got[4]["view_value_within_tol"] is None
+    assert got[4]["stale_view"] == 0 and got[4]["gap_s"] is None
+
+
+def test_hash_uniformity_on_sequential_keys(spark, tmp_path):
+    """Sequential integer keys — the adversarial case for weak hashes —
+    must still bucket uniformly (p not tiny) and fill all 64 buckets."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        quality_hash_uniformity,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), i, "click", 1.0, "{}")
+        for i in range(6400)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    r = quality_hash_uniformity(spark, str(tmp_path)).collect()[0]
+    assert r["n_keys"] == 6400 and r["n_filled"] == 64, r
+    assert r["p_value"] > 0.001, r
