@@ -243,6 +243,13 @@ HEADLINE = [
     # recorded run defines each baseline.
     "ml_psm_att",
     "text_mattr_lexical_diversity",
+    # round-14 session addition — the scale-bearing new path: BOTH
+    # Heaps'-law prefix curves (cumulative tokens, cumulative new
+    # types) ride ranges.running_sums over the doc grain (~1.2 s warm
+    # at sf0.1). First recorded run defines its baseline. Funded by the
+    # dedup_paragraph_exact retirement above plus the shortened smoke
+    # field.
+    "text_heaps_vocab_growth",
 ]
 
 

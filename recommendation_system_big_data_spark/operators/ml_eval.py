@@ -3697,3 +3697,105 @@ def ml_eval_tweedie_deviances(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("gamma_dev_mean_micros"),
     )
+
+
+_GAUC_ORACLE = """
+WITH scored AS (
+    SELECT user_id,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE event_type IN ('purchase', 'view')
+), ranked AS (
+    SELECT user_id, pos,
+           CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY s)
+                + COUNT(*) OVER (PARTITION BY user_id, s) - 1 AS BIGINT)
+               AS r2
+    FROM scored
+), per_user AS (
+    SELECT user_id,
+           CAST(SUM(pos) AS BIGINT) AS np,
+           CAST(SUM(1 - pos) AS BIGINT) AS nn,
+           CAST(SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_pos
+    FROM ranked GROUP BY user_id
+), u AS (
+    SELECT user_id, np, nn,
+           (r2_pos - np * (np + 1)) AS u2
+    FROM per_user WHERE np > 0 AND nn > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluable,
+       CAST(SUM(np * nn) AS BIGINT) AS n_pairs,
+       CASE WHEN SUM(np * nn) = 0 THEN NULL
+            ELSE CAST(CAST(SUM(u2) AS HUGEINT) * 1000000
+                      // (2 * CAST(SUM(np * nn) AS HUGEINT)) AS BIGINT)
+            END AS gauc_micros,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(CAST(u2 AS HUGEINT) * 1000000
+                          // (2 * np * nn)) // COUNT(*) AS BIGINT)
+            END AS macro_gauc_micros
+FROM u
+"""
+
+
+@register("ml_eval_gauc", oracle=_GAUC_ORACLE, tags=("ml_eval", "recsys"))
+def ml_eval_gauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AUC (GAUC) of the value signal ranking purchases above
+    views WITHIN each user — the recommender-eval convention (pinned by
+    the DIN paper, Zhou et al. 2018, and standard in CTR work): a
+    global AUC (`ml_eval_auc_roc`) is inflated by easy BETWEEN-user
+    separation that a per-user ranker never exploits; GAUC scores only
+    within-user pair orderings. Two published weightings ride in one
+    row: pair-weighted (Σ_u U_u / Σ_u n⁺·n⁻ — pooled within-user
+    concordance) and macro (unweighted mean of per-user AUCs). Users
+    with no purchase or no view are excluded (no pair to rank) and
+    counted via n_users_evaluable.
+
+    Exact integer algebra: scores FLOOR-quantize to micro-units;
+    doubled midranks 2r = 2·RANK + ties − 1 make each user's
+    Mann–Whitney U exact through ties (U = (Σ2r⁺ − n⁺(n⁺+1))/2, the 2s
+    carried to the final truncating micro division). Every window is
+    PARTITIONED BY user — the per-user grain is the natural shuffle
+    key, nothing global — and the final fold is one aggregate. This is
+    the 100 TB GAUC shape."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            F.expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        )
+    )
+    ranked = scored.select(
+        "user_id",
+        "pos",
+        (
+            2 * F.rank().over(Window.partitionBy("user_id").orderBy("s"))
+            + F.count(F.lit(1)).over(Window.partitionBy("user_id", "s"))
+            - 1
+        ).cast("long").alias("r2"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+        F.sum(F.expr("CASE WHEN pos = 1 THEN r2 ELSE 0 END"))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    u = per_user.where((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "np", "nn", (F.col("r2_pos") - F.col("np") * (F.col("np") + 1)).alias("u2")
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_evaluable"),
+        F.sum(F.col("np") * F.col("nn")).cast("long").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN SUM(np * nn) = 0 THEN NULL"
+            " ELSE CAST(CAST(SUM(u2) AS DECIMAL(38,0)) * 1000000"
+            " div (2 * CAST(SUM(np * nn) AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("gauc_micros"),
+        F.expr(
+            "CASE WHEN COUNT(1) = 0 THEN NULL"
+            " ELSE CAST(SUM(CAST(u2 AS DECIMAL(38,0)) * 1000000"
+            " div (2 * np * nn)) div COUNT(1) AS BIGINT) END"
+        ).alias("macro_gauc_micros"),
+    )

@@ -1149,69 +1149,86 @@ def olap_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_sums,
     )
 
-    orders = load(spark, sf_dir, "orders")
-    cents = F.expr(
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    # ONE scan: both years fold in the same conditional aggregate (a
+    # customer absent from a year keeps a NULL spend — SUM(CASE) over no
+    # matching rows), replacing the first draft's two-scan +
+    # full-outer-join plan (2.9 s warm at sf0.1; one fewer shuffle).
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    spends = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN year(o_orderdate) = 1995 THEN {cents} END"
+                )
+            ).cast("long").alias("sp95"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN year(o_orderdate) = 1996 THEN {cents} END"
+                )
+            ).cast("long").alias("sp96"),
+        )
     )
 
-    def year_spend(y: int) -> DataFrame:
-        return (
-            orders.where(F.year("o_orderdate") == y)
-            .groupBy(F.col("o_custkey").alias("c"))
-            .agg(F.sum(cents).cast("long").alias("spend"))
+    # BOTH years' tercile boundaries ride ONE grouped running_sums call
+    # (group_cols restarts the prefix sum per year) — one checkpoint,
+    # one window pass, instead of two kernel invocations.
+    dist = (
+        spends.where(F.col("sp95").isNotNull())
+        .groupBy(F.col("sp95").alias("spend"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.lit(1995).alias("yr"), "spend", "cnt")
+        .unionByName(
+            spends.where(F.col("sp96").isNotNull())
+            .groupBy(F.col("sp96").alias("spend"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(F.lit(1996).alias("yr"), "spend", "cnt")
         )
-
-    def bounds(df: DataFrame) -> DataFrame:
-        dist = df.groupBy("spend").agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = running_sums(
+        dist, ["spend"], {"cum": ("cnt", True)}, group_cols=("yr",)
+    )
+    totals = (
+        spends.agg(
+            F.count("sp95").cast("long").alias("n95"),
+            F.count("sp96").cast("long").alias("n96"),
         )
-        cum = running_sums(dist, ["spend"], {"cum": ("cnt", True)})
-        tot = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        with_n = cum.crossJoin(F.broadcast(tot))
-        t1 = with_n.where(
-            F.expr("cum >= (n + 2) div 3")
-        ).agg(F.min("spend").alias("t1"))
-        t2 = with_n.where(
-            F.expr("cum >= (2 * n + 2) div 3")
-        ).agg(F.min("spend").alias("t2"))
-        return t1.crossJoin(F.broadcast(t2))
+    )
+    b = (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "n", F.when(F.col("yr") == 1995, F.col("n95")).otherwise(F.col("n96"))
+        )
+        .groupBy("yr")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN cum >= (n + 2) div 3 THEN spend END")
+            ).alias("t1"),
+            F.min(
+                F.expr("CASE WHEN cum >= (2 * n + 2) div 3 THEN spend END")
+            ).alias("t2"),
+        )
+    )
+    bounds_row = b.agg(
+        F.min(F.expr("CASE WHEN yr = 1995 THEN t1 END")).alias("a1"),
+        F.min(F.expr("CASE WHEN yr = 1995 THEN t2 END")).alias("a2"),
+        F.min(F.expr("CASE WHEN yr = 1996 THEN t1 END")).alias("b1"),
+        F.min(F.expr("CASE WHEN yr = 1996 THEN t2 END")).alias("b2"),
+    )
 
-    s95, s96 = year_spend(1995), year_spend(1996)
-    b95, b96 = bounds(s95), bounds(s96)
     seg = (
-        "CASE WHEN {c} IS NULL THEN 'none'"
+        "CASE WHEN {s} IS NULL THEN 'none'"
         " WHEN {s} <= {t}1 THEN 'low'"
         " WHEN {s} <= {t}2 THEN 'mid'"
         " ELSE 'high' END"
     )
     labeled = (
-        s95.select(
-            F.col("c").alias("c95"), F.col("spend").alias("sp95")
-        )
-        .join(
-            s96.select(
-                F.col("c").alias("c96"), F.col("spend").alias("sp96")
-            ),
-            F.col("c95") == F.col("c96"),
-            "full_outer",
-        )
-        .crossJoin(
-            F.broadcast(
-                b95.select(
-                    F.col("t1").alias("a1"), F.col("t2").alias("a2")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                b96.select(
-                    F.col("t1").alias("b1"), F.col("t2").alias("b2")
-                )
-            )
-        )
+        spends.crossJoin(F.broadcast(bounds_row))
         .select(
-            F.expr(seg.format(c="c95", s="sp95", t="a")).alias("seg_1995"),
-            F.expr(seg.format(c="c96", s="sp96", t="b")).alias("seg_1996"),
+            F.expr(seg.format(s="sp95", t="a")).alias("seg_1995"),
+            F.expr(seg.format(s="sp96", t="b")).alias("seg_1996"),
         )
     )
     total = labeled.agg(F.count(F.lit(1)).cast("long").alias("tot"))

@@ -645,3 +645,33 @@ def test_hash_uniformity_on_sequential_keys(spark, tmp_path):
     r = quality_hash_uniformity(spark, str(tmp_path)).collect()[0]
     assert r["n_keys"] == 6400 and r["n_filled"] == 64, r
     assert r["p_value"] > 0.001, r
+
+
+def test_gauc_planted_orderings(spark, tmp_path):
+    """User A ranks every purchase above every view (AUC 1), user B the
+    reverse (AUC 0), equal pair counts → pooled and macro GAUC = 0.5;
+    a third user with ties everywhere contributes exactly 0.5."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_gauc,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, k = [], 0
+
+    def ev(u, typ, v):
+        nonlocal k
+        rows.append((k, t0 + datetime.timedelta(seconds=k), u, typ, v, "{}"))
+        k += 1
+
+    for i in range(3):
+        ev(1, "purchase", 10.0 + i)
+        ev(1, "view", 1.0 + i)
+        ev(2, "purchase", 1.0 + i)
+        ev(2, "view", 10.0 + i)
+        ev(3, "purchase", 5.0)
+        ev(3, "view", 5.0)
+    _write_events(spark, str(tmp_path), rows)
+    r = ml_eval_gauc(spark, str(tmp_path)).collect()[0]
+    assert r["n_users_evaluable"] == 3 and r["n_pairs"] == 27, r
+    assert r["gauc_micros"] == 500000, r
+    assert r["macro_gauc_micros"] == 500000, r
