@@ -12,6 +12,8 @@ runs inside whole-stage codegen with zero Python UDFs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1505,4 +1507,119 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(_DPQ_EPS_MICROS).cast("long").alias("epsilon_micros"),
         )
+    )
+
+
+#: Randomized-response flip probability: report the TRUE bit with
+#: probability (1+gamma)/2 — gamma = 0.5 gives ε = ln(3) local DP.
+_RR_GAMMA_MILLI = 500
+
+_RR_ORACLE = f"""
+WITH truth AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+    FROM events GROUP BY user_id
+), flipped AS (
+    SELECT user_id, b,
+           CASE WHEN CAST(('0x' || substr(md5('rr-v1:'
+                          || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 1000 < (1000 + {_RR_GAMMA_MILLI}) / 2
+                THEN b ELSE 1 - b END AS y
+    FROM truth
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b) AS BIGINT) AS true_pos,
+           CAST(SUM(y) AS BIGINT) AS reported_pos
+    FROM flipped
+)
+SELECT n AS n_users, reported_pos,
+       ROUND(CAST(reported_pos AS DOUBLE) / n, 6) AS reported_rate,
+       ROUND((CAST(reported_pos AS DOUBLE) / n
+              - (1.0 - {_RR_GAMMA_MILLI} / 1000.0) / 2.0)
+             / ({_RR_GAMMA_MILLI} / 1000.0), 6) AS debiased_rate,
+       ROUND(CAST(true_pos AS DOUBLE) / n, 6) AS true_rate,
+       ROUND(LN((1000.0 + {_RR_GAMMA_MILLI})
+                / (1000.0 - {_RR_GAMMA_MILLI})), 6) AS epsilon_local
+FROM agg
+"""
+
+
+@register(
+    "privacy_randomized_response", oracle=_RR_ORACLE, tags=("quality", "privacy")
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner (1965) randomized response over the per-user "ever
+    purchased" bit — LOCAL differential privacy, the third privacy
+    mechanism axis after the table audits (k-anon/l-div/t-close) and
+    central DP (`privacy_dp_count_laplace`): each user's bit flips
+    BEFORE aggregation (truth reported with probability (1+γ)/2, here
+    γ = 0.5 → ε = ln 3), so no honest aggregator ever sees raw bits,
+    and the population rate debiases exactly:
+    p̂ = (reported − (1−γ)/2) / γ. true_rate rides in the row so the
+    debiasing error is measurable at test scale.
+
+    The per-user coin is the engine's versioned portable-md5 draw —
+    the same TEST-DOUBLE honesty contract as privacy_dp_count_laplace:
+    deterministic seeding makes the release reproducible and
+    cross-engine checkable; real local DP randomizes on-device. Scale
+    shape: one per-user fold (map-side combined), flip and fold in the
+    same pass, one 1-row reduce — at 100 TB the flip is a free map
+    expression."""
+    truth = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("b")
+        )
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rr-v1:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    flipped = truth.withColumn(
+        "y",
+        F.when(coin < (1000 + _RR_GAMMA_MILLI) / 2, F.col("b")).otherwise(
+            1 - F.col("b")
+        ),
+    )
+    agg = flipped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("b").cast("long").alias("true_pos"),
+        F.sum("y").cast("long").alias("reported_pos"),
+    )
+    g = _RR_GAMMA_MILLI / 1000.0
+    return agg.select(
+        F.col("n").alias("n_users"),
+        "reported_pos",
+        F.round(F.expr("CAST(reported_pos AS DOUBLE) / n"), 6).alias(
+            "reported_rate"
+        ),
+        F.round(
+            F.expr(
+                f"(CAST(reported_pos AS DOUBLE) / n - {(1.0 - g) / 2.0!r})"
+                f" / {g!r}"
+            ),
+            6,
+        ).alias("debiased_rate"),
+        F.round(F.expr("CAST(true_pos AS DOUBLE) / n"), 6).alias(
+            "true_rate"
+        ),
+        F.round(
+            F.lit(math.log((1000.0 + _RR_GAMMA_MILLI) / (1000.0 - _RR_GAMMA_MILLI))),
+            6,
+        ).alias("epsilon_local"),
     )

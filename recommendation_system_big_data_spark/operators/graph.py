@@ -1340,3 +1340,110 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST((COUNT(1) - 1) * 1000000 div SUM(d) AS BIGINT) END"
         ).alias("closeness_micros"),
     )
+
+
+_RICH_CLUB_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+), grid AS (
+    SELECT UNNEST([2, 4, 8, 16]) AS k
+), rich AS (
+    SELECT g.k, d.id FROM grid g JOIN deg d ON d.d > g.k
+), nk AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich GROUP BY k
+), ek AS (
+    SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS e_rich_directed
+    FROM edges e
+    JOIN rich r1 ON r1.id = e.src
+    JOIN rich r2 ON r2.id = e.dst AND r2.k = r1.k
+    GROUP BY r1.k
+)
+SELECT nk.k, nk.n_rich,
+       CAST(COALESCE(ek.e_rich_directed, 0) / 2 AS BIGINT) AS e_rich,
+       CASE WHEN nk.n_rich < 2 THEN NULL
+            ELSE CAST(COALESCE(ek.e_rich_directed, 0) * 1000000
+                      // (nk.n_rich * (nk.n_rich - 1)) AS BIGINT)
+            END AS phi_micros
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+"""
+
+
+@register(
+    "graph_rich_club_coefficient", oracle=_RICH_CLUB_ORACLE, tags=("graph",)
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-purchase graph at a fixed
+    degree grid — "do the hubs preferentially trade with each other?":
+    φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1)) is the edge density of the
+    subgraph induced by nodes of degree > k (directed-pair convention;
+    the symmetric edge table double-counts, so e_rich halves it back).
+    A rising φ(k) is the hub-oligarchy signature assortativity
+    (`graph_assortativity`) summarizes into one number but can't
+    localize; flat φ(k) with high max degree means hubs are
+    distribution centers, not a club.
+
+    Scale shape: ONE degree fold over the edge table; the 4-row k grid
+    joins against it (each node lands in every tier below its degree —
+    a ≤4× fan-out of the NODE table, not the edges); the induced-edge
+    count is two hash joins of edges against the per-tier rich sets
+    keyed on node id. Exact integer counts; φ exits as a truncating
+    micro division. Tiers with < 2 rich nodes pin NULL (density
+    undefined)."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    grid = spark.range(4).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(4), F.lit(8), F.lit(16)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("k")
+    )
+    rich = deg.crossJoin(F.broadcast(grid)).where(
+        F.col("d") > F.col("k")
+    ).select("k", "id")
+    nk = rich.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rich")
+    )
+    r1 = rich.select(F.col("k").alias("k1"), F.col("id").alias("src"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("id").alias("dst"))
+    ek = (
+        edges.join(r1, "src")
+        .join(r2, ["dst"])
+        .where(F.col("k1") == F.col("k2"))
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich_directed"))
+    )
+    return nk.join(ek, "k", "left").select(
+        "k",
+        "n_rich",
+        F.expr(
+            "CAST(COALESCE(e_rich_directed, 0) div 2 AS BIGINT)"
+        ).alias("e_rich"),
+        F.expr(
+            "CASE WHEN n_rich < 2 THEN NULL"
+            " ELSE CAST(COALESCE(e_rich_directed, 0) * 1000000"
+            " div (n_rich * (n_rich - 1)) AS BIGINT) END"
+        ).alias("phi_micros"),
+    )

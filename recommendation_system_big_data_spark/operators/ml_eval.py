@@ -3799,3 +3799,153 @@ def ml_eval_gauc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * np * nn)) div COUNT(1) AS BIGINT) END"
         ).alias("macro_gauc_micros"),
     )
+
+
+def _chi2_fs_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    p = chi2_sf_sql_expr("chi2", "CAST((b - 1) * (l - 1) AS DOUBLE)")
+    return f"""
+WITH base AS (
+    SELECT event_type AS label,
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS f_dow,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 // 14400 AS f_hour4,
+           LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 3) AS f_valbkt
+    FROM events
+), long AS (
+    SELECT label, 'dow' AS feature, f_dow AS lvl FROM base
+    UNION ALL
+    SELECT label, 'hour4' AS feature, f_hour4 AS lvl FROM base
+    UNION ALL
+    SELECT label, 'value_bucket' AS feature, f_valbkt AS lvl FROM base
+), cells AS (
+    SELECT feature, lvl, label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM long GROUP BY 1, 2, 3
+), margins AS (
+    SELECT feature, n,
+           CAST(SUM(n) OVER (PARTITION BY feature, lvl) AS BIGINT) AS row_n,
+           CAST(SUM(n) OVER (PARTITION BY feature, label) AS BIGINT) AS col_n,
+           CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS tot
+    FROM cells
+), per_feature AS (
+    SELECT feature,
+           SUM(POW(CAST(n AS DOUBLE)
+                   - CAST(row_n AS DOUBLE) * col_n / tot, 2)
+               / (CAST(row_n AS DOUBLE) * col_n / tot)) AS chi2,
+           (SELECT COUNT(DISTINCT lvl) FROM cells c2
+            WHERE c2.feature = margins.feature) AS b,
+           (SELECT COUNT(DISTINCT label) FROM cells c2
+            WHERE c2.feature = margins.feature) AS l
+    FROM margins GROUP BY feature
+)
+SELECT feature,
+       CAST(b AS BIGINT) AS n_levels,
+       CAST((b - 1) * (l - 1) AS BIGINT) AS df,
+       CASE WHEN b < 2 OR l < 2 THEN NULL ELSE ROUND(chi2, 4) END AS chi2,
+       CASE WHEN b < 2 OR l < 2 THEN NULL ELSE ROUND({p}, 6) END AS p_value,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY CASE WHEN b < 2 OR l < 2 THEN -1 ELSE chi2 END DESC,
+                     feature) AS BIGINT) AS chi2_rank
+FROM per_feature
+"""
+
+
+@register(
+    "ml_chi2_feature_selection", oracle=_chi2_fs_oracle(), tags=("ml_eval",)
+)
+def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square univariate feature scoring against the event-type
+    label — the SelectKBest shape: three candidate categorical features
+    (day-of-week, 4-hour daypart, fixed-width value bucket) each get an
+    independence χ², a Wilson–Hilferty p, and a rank, in ONE pass. The
+    point is the COMPARATIVE ranking (which feature carries label
+    signal), which single-feature tests (`stat_chi_square`,
+    `stat_g_test`) don't give; fixed-width value buckets (not
+    quantiles) keep the featurization free of any cross-engine ordering
+    seam — the r14 percentile_disc lesson.
+
+    Scale shape: one scan fans each row to 3 (feature, level) rows
+    map-side (the unpivot is an in-task UNION, no shuffle multiplier
+    beyond 3×), one map-side-combined fold to the (feature, level,
+    label) cell grain (bounded: ≤ 3·(7+6+4)·|labels| rows), margins as
+    windows over that bounded grain, ranks over 3 rows. Exact integer
+    counts; χ² is a shared double expression (expected counts are exact
+    rationals evaluated identically)."""
+    from recommendation_system_big_data_spark.catalog import epoch_s
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        chi2_sf_sql_expr,
+    )
+
+    base = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"),
+        F.dayofweek("ts").cast("long").alias("f_dow"),
+        (epoch_s("ts") % 86400)
+        .cast("long")
+        .alias("_sec"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(3)
+        ).alias("f_valbkt"),
+    ).withColumn("f_hour4", F.expr("_sec div 14400"))
+    long = (
+        base.select("label", F.lit("dow").alias("feature"), F.col("f_dow").alias("lvl"))
+        .unionByName(
+            base.select(
+                "label", F.lit("hour4").alias("feature"), F.col("f_hour4").alias("lvl")
+            )
+        )
+        .unionByName(
+            base.select(
+                "label",
+                F.lit("value_bucket").alias("feature"),
+                F.col("f_valbkt").alias("lvl"),
+            )
+        )
+    )
+    cells = long.groupBy("feature", "lvl", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    margins = cells.select(
+        "feature",
+        "n",
+        F.sum("n").over(Window.partitionBy("feature", "lvl")).cast("long").alias("row_n"),
+        F.sum("n").over(Window.partitionBy("feature", "label")).cast("long").alias("col_n"),
+        F.sum("n").over(Window.partitionBy("feature")).cast("long").alias("tot"),
+    )
+    dims = cells.groupBy("feature").agg(
+        F.countDistinct("lvl").cast("long").alias("b"),
+        F.countDistinct("label").cast("long").alias("l"),
+    )
+    per_feature = (
+        margins.groupBy("feature")
+        .agg(
+            F.sum(
+                F.expr(
+                    "POW(CAST(n AS DOUBLE)"
+                    " - CAST(row_n AS DOUBLE) * col_n / tot, 2)"
+                    " / (CAST(row_n AS DOUBLE) * col_n / tot)"
+                )
+            ).alias("chi2")
+        )
+        .join(F.broadcast(dims), "feature")
+    )
+    p = chi2_sf_sql_expr("chi2", "CAST((b - 1) * (l - 1) AS DOUBLE)")
+    w = Window.orderBy(
+        F.desc(
+            F.expr("CASE WHEN b < 2 OR l < 2 THEN -1 ELSE chi2 END")
+        ),
+        F.asc("feature"),
+    )
+    return per_feature.select(
+        "feature",
+        F.col("b").alias("n_levels"),
+        F.expr("CAST((b - 1) * (l - 1) AS BIGINT)").alias("df"),
+        F.expr(
+            "CASE WHEN b < 2 OR l < 2 THEN NULL ELSE ROUND(chi2, 4) END"
+        ).alias("chi2"),
+        F.expr(
+            f"CASE WHEN b < 2 OR l < 2 THEN NULL ELSE ROUND({p}, 6) END"
+        ).alias("p_value"),
+        F.row_number().over(w).cast("long").alias("chi2_rank"),
+    )

@@ -4166,3 +4166,141 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cronbach_alpha"),
         )
     )
+
+
+def _rate_ratio_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    z = (
+        "((n1 - (n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))"
+        " / SQRT((n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2))"
+        " * (1.0 - CAST(t1 AS DOUBLE) / (t1 + t2))))"
+    )
+    guard = "t1 = 0 OR t2 = 0 OR n1 + n2 = 0"
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), agg AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN dow BETWEEN 2 AND 6 THEN n END), 0)
+                AS BIGINT) AS n1,
+           CAST(COALESCE(SUM(CASE WHEN dow IN (1, 7) THEN n END), 0)
+                AS BIGINT) AS n2,
+           CAST(COALESCE(SUM(CASE WHEN dow BETWEEN 2 AND 6 THEN 1 END), 0)
+                AS BIGINT) AS t1,
+           CAST(COALESCE(SUM(CASE WHEN dow IN (1, 7) THEN 1 END), 0)
+                AS BIGINT) AS t2
+    FROM daily
+)
+SELECT n1 AS weekday_events, t1 AS weekday_days,
+       n2 AS weekend_events, t2 AS weekend_days,
+       CASE WHEN {guard} OR n2 = 0 THEN NULL
+            ELSE ROUND((CAST(n1 AS DOUBLE) / t1)
+                       / (CAST(n2 AS DOUBLE) / t2), 6) END AS rate_ratio,
+       CASE WHEN {guard} OR n1 = 0 OR n2 = 0 THEN NULL
+            ELSE ROUND(EXP(LN((CAST(n1 AS DOUBLE) / t1)
+                              / (CAST(n2 AS DOUBLE) / t2))
+                           - 1.959963985
+                             * SQRT(1.0 / n1 + 1.0 / n2)), 6)
+            END AS rr_ci95_lo,
+       CASE WHEN {guard} OR n1 = 0 OR n2 = 0 THEN NULL
+            ELSE ROUND(EXP(LN((CAST(n1 AS DOUBLE) / t1)
+                              / (CAST(n2 AS DOUBLE) / t2))
+                           + 1.959963985
+                             * SQRT(1.0 / n1 + 1.0 / n2)), 6)
+            END AS rr_ci95_hi,
+       CASE WHEN {guard} THEN NULL ELSE ROUND({z}, 4) END AS z_stat,
+       CASE WHEN {guard} THEN NULL
+            ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f"ABS({z})")}), 6)
+            END AS p_value
+FROM agg
+"""
+
+
+@register(
+    "stat_poisson_rate_ratio",
+    oracle=_rate_ratio_oracle(),
+    tags=("profile", "experiment"),
+)
+def stat_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test, weekday vs weekend event rates — the
+    exposure-adjusted comparison `stat_two_proportion_z` can't do
+    (5 weekdays vs 2 weekend days: raw counts are incomparable, RATES
+    are): the classical conditional trick reduces H0: λ1 = λ2 to a
+    binomial — given n = n1 + n2 total events, n1 ~ Bin(n, t1/(t1+t2))
+    under the null — tested with the shared Φ fragment; the rate-ratio
+    CI uses the standard log method, se = √(1/n1 + 1/n2). This is the
+    on-call question "is the weekend rate REALLY lower or is it just
+    two days of exposure" as one row.
+
+    Scale shape: one map-side-combined daily fold, one 1-row reduce;
+    counts and exposure days are exact integers, every statistic a
+    shared double expression. Zero exposure on either side, or zero
+    events where a log/denominator needs them, pins NULL (guards
+    INSIDE each CASE — the ANSI raise class)."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.dayofweek(F.to_date("ts")).cast("long").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    agg = daily.agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dow BETWEEN 2 AND 6 THEN n END")),
+            F.lit(0),
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dow IN (1, 7) THEN n END")), F.lit(0)
+        ).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dow BETWEEN 2 AND 6 THEN 1 END")),
+            F.lit(0),
+        ).cast("long").alias("t1"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN dow IN (1, 7) THEN 1 END")), F.lit(0)
+        ).cast("long").alias("t2"),
+    )
+    z = (
+        "((n1 - (n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))"
+        " / SQRT((n1 + n2) * (CAST(t1 AS DOUBLE) / (t1 + t2))"
+        " * (1.0 - CAST(t1 AS DOUBLE) / (t1 + t2))))"
+    )
+    guard = "t1 = 0 OR t2 = 0 OR n1 + n2 = 0"
+    rr = "((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2))"
+    se = "SQRT(1.0 / n1 + 1.0 / n2)"
+    return agg.select(
+        F.col("n1").alias("weekday_events"),
+        F.col("t1").alias("weekday_days"),
+        F.col("n2").alias("weekend_events"),
+        F.col("t2").alias("weekend_days"),
+        F.expr(
+            f"CASE WHEN {guard} OR n2 = 0 THEN NULL"
+            f" ELSE ROUND({rr}, 6) END"
+        ).alias("rate_ratio"),
+        F.expr(
+            f"CASE WHEN {guard} OR n1 = 0 OR n2 = 0 THEN NULL"
+            f" ELSE ROUND(EXP(LN({rr}) - 1.959963985 * {se}), 6) END"
+        ).alias("rr_ci95_lo"),
+        F.expr(
+            f"CASE WHEN {guard} OR n1 = 0 OR n2 = 0 THEN NULL"
+            f" ELSE ROUND(EXP(LN({rr}) + 1.959963985 * {se}), 6) END"
+        ).alias("rr_ci95_hi"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({z}, 4) END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE ROUND(2.0 * (1.0 - {normal_cdf_sql(f'ABS({z})')}), 6)"
+            " END"
+        ).alias("p_value"),
+    )

@@ -675,3 +675,118 @@ def test_gauc_planted_orderings(spark, tmp_path):
     assert r["n_users_evaluable"] == 3 and r["n_pairs"] == 27, r
     assert r["gauc_micros"] == 500000, r
     assert r["macro_gauc_micros"] == 500000, r
+
+
+def test_randomized_response_debias_recovers_truth(spark, tmp_path):
+    """With enough users the debiased estimate lands near the true rate
+    while the reported rate is pulled toward 1/2; ε = ln 3 at γ = 0.5."""
+    from recommendation_system_big_data_spark.functions.quality import (
+        privacy_randomized_response,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4000):
+        typ = "purchase" if u % 10 < 3 else "view"  # true rate 0.3
+        rows.append((u, t0 + datetime.timedelta(seconds=u), u, typ, 1.0, "{}"))
+    _write_events(spark, str(tmp_path), rows)
+    r = privacy_randomized_response(spark, str(tmp_path)).collect()[0]
+    assert r["true_rate"] == 0.3, r
+    assert abs(r["debiased_rate"] - 0.3) < 0.05, r
+    # reported rate sits between truth and 1/2, strictly shrunk
+    assert 0.3 < r["reported_rate"] < 0.5, r
+    assert abs(r["epsilon_local"] - math.log(3)) < 1e-6
+
+
+def test_rich_club_complete_core(spark, tmp_path):
+    """A 5-clique of hub parts plus pendant spokes: at k = 4 the rich
+    set is exactly the clique (degree 5-6 for clique members via
+    spokes) → φ = 1.0; pendants (degree 1) never enter any tier."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_rich_club_coefficient,
+    )
+
+    rows = []
+    ok = 0
+    # clique: every pair of parts 1..5 co-occurs in its own order
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            rows.append((ok, i))
+            rows.append((ok, j))
+            ok += 1
+    # pendant spokes: part 100+i pairs once with clique member i
+    for i in range(1, 6):
+        rows.append((ok, i))
+        rows.append((ok, 100 + i))
+        ok += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).selectExpr(
+        "l_orderkey", "l_partkey",
+        "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.0 AS DOUBLE) AS l_discount",
+        "CAST(0.0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["k"]: r
+        for r in graph_rich_club_coefficient(spark, str(tmp_path)).collect()
+    }
+    # clique members have degree 5 (4 clique + 1 spoke) → rich at k=4
+    assert got[4]["n_rich"] == 5 and got[4]["e_rich"] == 10, got[4]
+    assert got[4]["phi_micros"] == 1000000, got[4]
+    # at k=2 the rich set is still only the clique (pendants degree 1)
+    assert got[2]["n_rich"] == 5 and got[2]["phi_micros"] == 1000000
+
+
+def test_chi2_feature_selection_ranks_planted_signal(spark, tmp_path):
+    """Label depends ONLY on the value bucket (purchases get value 190,
+    views value 10) → value_bucket ranks first with a huge χ²; dow and
+    hour4 carry no signal on this uniform layout."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_chi2_feature_selection,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(7 * 24 * 4):
+        typ = "purchase" if i % 2 == 0 else "view"
+        val = 190.0 if typ == "purchase" else 10.0
+        rows.append(
+            (i, t0 + datetime.timedelta(hours=i % (7 * 24)), i % 97,
+             typ, val, "{}")
+        )
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["feature"]: r
+        for r in ml_chi2_feature_selection(spark, str(tmp_path)).collect()
+    }
+    assert got["value_bucket"]["chi2_rank"] == 1, got
+    assert got["value_bucket"]["p_value"] < 1e-6, got
+    assert got["dow"]["chi2"] < 1.0 and got["hour4"]["chi2"] < 1.0, got
+
+
+def test_rate_ratio_planted_double_rate(spark, tmp_path):
+    """Weekday rate exactly 2× the weekend rate over 4 full weeks →
+    rate_ratio = 2.0, CI excludes 1, p rejects."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_poisson_rate_ratio,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)  # Monday
+    rows, k = [], 0
+    for d in range(28):
+        dow = (t0 + datetime.timedelta(days=d)).weekday()
+        cnt = 40 if dow < 5 else 20
+        for _ in range(cnt):
+            rows.append(
+                (k, t0 + datetime.timedelta(days=d), k % 9, "click", 1.0, "{}")
+            )
+            k += 1
+    _write_events(spark, str(tmp_path), rows)
+    r = stat_poisson_rate_ratio(spark, str(tmp_path)).collect()[0]
+    assert r["weekday_days"] == 20 and r["weekend_days"] == 8, r
+    assert r["rate_ratio"] == 2.0, r
+    assert r["rr_ci95_lo"] > 1.0, r
+    assert r["p_value"] < 1e-6, r
