@@ -4304,3 +4304,141 @@ def stat_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("p_value"),
     )
+
+
+def _ad_oracle() -> str:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    phi = normal_cdf_sql("((CAST(rev AS DOUBLE) - m) / s)")
+    phic = f"GREATEST(LEAST({phi}, 1.0 - 1e-15), 1e-15)"
+    term = (
+        f"((2 * i - 1) * LN({phic})"
+        f" + (2 * (n - i) + 1) * LN(1.0 - {phic}))"
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(rev AS DOUBLE)) AS m,
+           STDDEV_SAMP(CAST(rev AS DOUBLE)) AS s
+    FROM daily
+), ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, day) AS BIGINT) AS i,
+           rev, n, m, s
+    FROM daily, stats WHERE s IS NOT NULL AND s > 0
+), terms AS (
+    SELECT n, CAST(FLOOR({term} * 1000000000.0) AS BIGINT) AS t_nanos
+    FROM ranked
+), agg AS (
+    SELECT MAX(n) AS n,
+           -CAST(MAX(n) AS DOUBLE)
+           - (CAST(SUM(t_nanos) AS DOUBLE) / 1000000000.0)
+             / MAX(n) AS a2
+    FROM terms GROUP BY ()
+    HAVING COUNT(*) > 0
+)
+SELECT n AS n_days,
+       ROUND(a2, 4) AS a2_stat,
+       ROUND(a2 * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 4)
+           AS a2_star,
+       CAST(a2 * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n))
+            > 0.752 AS BIGINT) AS reject_5pct
+FROM agg
+"""
+
+
+@register(
+    "stat_anderson_darling_normal",
+    oracle=_ad_oracle(),
+    tags=("profile", "timeseries"),
+)
+def stat_anderson_darling_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling normality test on daily revenue — the
+    TAIL-WEIGHTED member of the engine's normality triad: Jarque–Bera
+    sees moments, Lilliefors the max CDF gap, and A² integrates the
+    squared CDF gap with 1/[F(1−F)] weighting, making it the most
+    powerful of the three against tail departures (the kind that break
+    risk/outlier assumptions first). Case-3 (estimated μ, σ)
+    calibration per Stephens (1974): A*² = A²(1 + 0.75/n + 2.25/n²),
+    reject at 5% when A*² > 0.752.
+
+    The classic rearrangement folds the two order-statistic sums into
+    ONE pass — per sorted row, (2i−1)·ln Φ(z_i) + (2(n−i)+1)·ln(1−Φ(z_i))
+    — no self-join on mirrored ranks. Φ is the shared A&S fragment,
+    CLAMPED to [1e-15, 1−1e-15] before LN: at |z| ≳ 8 the polynomial
+    saturates to exactly 1.0 and Spark's LN(0) = NULL silently drops
+    the row while DuckDB returns -inf (the ln-domain seam class). Each
+    row's term FLOOR-quantizes to nano-units before the exact integer
+    sum; the sort runs on the bounded calendar-day grain with the
+    (rev, day) tiebreak. A constant series (s = 0) yields 0 rows."""
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev")
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("rev").cast("double")).alias("m"),
+        F.stddev_samp(F.col("rev").cast("double")).alias("s"),
+    )
+    ranked = (
+        daily.crossJoin(F.broadcast(stats))
+        .where(F.col("s").isNotNull() & (F.col("s") > 0))
+        .select(
+            F.row_number()
+            .over(Window.orderBy("rev", "day"))
+            .cast("long")
+            .alias("i"),
+            "rev",
+            "n",
+            "m",
+            "s",
+        )
+    )
+    phi = normal_cdf_sql("((CAST(rev AS DOUBLE) - m) / s)")
+    phic = f"GREATEST(LEAST({phi}, 1.0 - 1e-15), 1e-15)"
+    term = (
+        f"((2 * i - 1) * LN({phic})"
+        f" + (2 * (n - i) + 1) * LN(1.0 - {phic}))"
+    )
+    terms = ranked.select(
+        "n",
+        F.expr(f"CAST(FLOOR({term} * 1000000000.0) AS BIGINT)").alias(
+            "t_nanos"
+        ),
+    )
+    agg = (
+        terms.agg(
+            F.max("n").alias("n"),
+            F.expr(
+                "-CAST(MAX(n) AS DOUBLE)"
+                " - (CAST(SUM(t_nanos) AS DOUBLE) / 1000000000.0) / MAX(n)"
+            ).alias("a2"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+        .where(F.col("_rows") > 0)
+        .drop("_rows")
+    )
+    star = "a2 * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n))"
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round("a2", 4).alias("a2_stat"),
+        F.expr(f"ROUND({star}, 4)").alias("a2_star"),
+        F.expr(f"CAST({star} > 0.752 AS BIGINT)").alias("reject_5pct"),
+    )

@@ -258,7 +258,7 @@ _DRIVER_WINDOW_ALIASES = (
 )
 
 #: ROUND-15 QUEUE (committed now so the r15 flip stays a one-line edit):
-#: 1. the 24 ROUND-14 SESSION ADDITIONS (added after the r14 window
+#: 1. the 26 ROUND-14 SESSION ADDITIONS (added after the r14 window
 #:    above froze; each oracle-checked at sf0.001 AND sf0.01, green on
 #:    all three degenerate fixtures, and ulp-sweep clean on the day it
 #:    landed):
@@ -272,7 +272,8 @@ _DRIVER_WINDOW_ALIASES = (
 #:      quality_hash_uniformity ts_forecast_croston
 #:      join_asof_tolerance ml_eval_gauc privacy_randomized_response
 #:      graph_rich_club_coefficient ml_chi2_feature_selection
-#:      stat_poisson_rate_ratio;
+#:      stat_poisson_rate_ratio stat_anderson_darling_normal
+#:      ts_wavelet_haar_energy;
 #: 2. then the remaining 20 oracle-bearing r5-vintage rows alphabetical
 #:    from max_concurrent_intervals (max_concurrent_intervals
 #:    observe_metrics_gate pipeline_training_mix q12_priority_shipments
