@@ -2318,3 +2318,50 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " verify_survival_micros long, recall_floor_micros long,"
         " recall_ge_floor long",
     )
+
+
+@register("dedup_simhash_quality_audit", oracle=None, tags=("dedup",))
+def dedup_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the SimHash near-dup path against the exact
+    n-gram Jaccard truth — completing the audit family (MinHash-LSH has
+    `dedup_lsh_quality_audit`, the ANN indexes `sim_*_recall_audit`):
+    SimHash detects COSINE-style similarity on weighted token vectors
+    while the truth is set Jaccard, so unlike the MinHash audit the
+    recall here measures a genuine metric mismatch, not just banding
+    loss — the number that tells an operator WHICH near-dup family fits
+    their duplication mode (template boilerplate → SimHash; copy-paste
+    spans → MinHash). Same in-row semantic-gate convention (VERDICT r13
+    #6): the committed floor rides as recall_floor_micros /
+    recall_ge_floor. The floor is deliberately LOW (0.3): hamming ≤ 3
+    of 64 bits is a tight cosine band, and J ≥ 0.5 pairs with skewed
+    length ratios legitimately fall outside it.
+
+    Scale shape: the union of the two audited plans plus one pair-grain
+    equi-join and a 1-row fold — the audit costs what the audited
+    queries cost."""
+    truth = ngram_jaccard_pairs(
+        _exploded_index(spark, sf_dir), hot=hot_shingle_set(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    detected = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    n_detected = detected.count()
+    n_hit = truth.join(detected, ["doc_a", "doc_b"]).count()
+    floor = 300000
+    recall = (n_hit * 1000000) // n_truth if n_truth else None
+    row = [
+        (
+            n_truth,
+            n_detected,
+            n_hit,
+            recall,
+            (n_hit * 1000000) // n_detected if n_detected else None,
+            floor,
+            None if recall is None else int(recall >= floor),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_true_pairs long, n_detected_pairs long, n_hit long,"
+        " recall_micros long, precision_vs_jaccard_micros long,"
+        " recall_floor_micros long, recall_ge_floor long",
+    )

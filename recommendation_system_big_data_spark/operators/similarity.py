@@ -2118,3 +2118,112 @@ def sim_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_audit_fold(truth, ann, floor_micros=600000)
+
+
+_ILD_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS c
+    FROM q JOIN e ON e.vec_id != q.query_id
+), topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ROUND(c, 6) DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+), pairs AS (
+    SELECT a.query_id,
+           CAST(FLOOR(ROUND(list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                * 1000000.0) AS BIGINT) AS cos_micros
+    FROM topk a
+    JOIN topk b ON a.query_id = b.query_id
+               AND a.neighbor_id < b.neighbor_id
+    JOIN e ea ON ea.vec_id = a.neighbor_id
+    JOIN e eb ON eb.vec_id = b.neighbor_id
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(cos_micros) // COUNT(*) AS BIGINT) AS mean_pair_cos_micros,
+       CAST(1000000 - SUM(cos_micros) // COUNT(*) AS BIGINT) AS ild_micros
+FROM pairs GROUP BY query_id
+"""
+
+
+@register(
+    "sim_intra_list_diversity", oracle=_ILD_ORACLE, tags=("similarity",)
+)
+def sim_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list diversity (ILD) of each query's exact top-k neighbor
+    list: 1 − mean pairwise cosine among the k retrieved items — the
+    standard diversity metric (Ziegler et al. 2005 topic
+    diversification) that exposes what recall@k can't: a retriever that
+    returns 10 near-copies of one item scores the same recall as one
+    returning 10 distinct facets. Read next to `sim_ann_recall_audit`,
+    this is the relevance/diversity trade-off as two queries; the
+    recommend-side twin of als_eval_coverage_novelty's catalog metrics.
+
+    Shape: the audited top-k plan, then ONE pair-grain self-join keyed
+    on query_id — k(k−1)/2 = 45 pairs per query, a constant fan-out of
+    the tiny top-k table, with the neighbor vectors joined back from
+    the embeddings scan (hash joins on vec_id). Each pairwise cosine is
+    the shared fold-order expression, ROUND(6) then FLOOR-quantized to
+    micro-units so the per-query mean is an exact integer division —
+    no summation-order freedom."""
+    topk = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            as_double_array(F.col("embedding")).alias("v"),
+        )
+        .withColumn("nv", norm(F.col("v")))
+    )
+    a = topk.select("query_id", F.col("neighbor_id").alias("na"))
+    b = topk.select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("nb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("query_id") == F.col("qb")) & (F.col("na") < F.col("nb")),
+    ).select("query_id", "na", "nb")
+    ea = e.select(
+        F.col("vec_id").alias("na"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("nva"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nvb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("nva") * F.col("nvb")), 6
+    )
+    scored = (
+        pairs.join(ea, "na")
+        .join(eb, "nb")
+        .select(
+            "query_id",
+            F.floor(cos * 1000000.0).cast("long").alias("cos_micros"),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(cos_micros) div COUNT(1) AS BIGINT)").alias(
+            "mean_pair_cos_micros"
+        ),
+        F.expr(
+            "CAST(1000000 - SUM(cos_micros) div COUNT(1) AS BIGINT)"
+        ).alias("ild_micros"),
+    )

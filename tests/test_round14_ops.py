@@ -853,3 +853,55 @@ def test_haar_energy_localizes_weekly_cycle(spark, tmp_path):
     assert got[3]["energy_share_milli"] >= 900, got
     # level 4 (blocks of 16) sees two full periods → sums cancel → 0
     assert got[4]["mean_energy_cents2"] == 0, got[4]
+
+
+def test_ild_separates_tight_and_diverse_lists(spark, tmp_path):
+    """Queries whose neighbors are near-copies score ILD ≈ 0; queries
+    whose neighbors split across orthogonal directions score higher."""
+    from recommendation_system_big_data_spark.operators.similarity import (
+        sim_intra_list_diversity,
+    )
+
+    rows = []
+    # DISJOINT support so each query only matches its own pool.
+    # query 0 + pool A: +x huggers (near-copies → ILD ≈ 0)
+    rows.append((0, [1.0] + [0.0] * 63, 0))
+    for i in range(15):
+        v = [1.0] + [0.0] * 63
+        v[1] = 0.01 * (i + 1)
+        rows.append((100 + i, v, 0))
+    # query 1 + pool B: q1 spreads over dims 32-47, pool B are the unit
+    # axes there → every pool-B pair is orthogonal (ILD = 1.0)
+    q1 = [0.0] * 64
+    for d in range(32, 48):
+        q1[d] = 0.25
+    rows.append((1, q1, 1))
+    for i in range(15):
+        v = [0.0] * 64
+        v[32 + i] = 1.0
+        rows.append((200 + i, v, 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        r["query_id"]: r
+        for r in sim_intra_list_diversity(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["n_pairs"] == 45 and got[1]["n_pairs"] == 45
+    assert got[0]["ild_micros"] < 100000, got[0]
+    # pool B pairs are exactly orthogonal → ILD 1.0
+    assert got[1]["ild_micros"] == 1000000, got
+
+
+def test_simhash_audit_floor_flag(spark, sf_dir):
+    """The audit row carries the committed floor and a live pass flag
+    (VERDICT r13 #6 convention) and measures a real recall."""
+    from recommendation_system_big_data_spark.operators.dedup import (
+        dedup_simhash_quality_audit,
+    )
+
+    r = dedup_simhash_quality_audit(spark, sf_dir).collect()[0].asDict()
+    assert r["recall_floor_micros"] == 300000
+    assert r["recall_ge_floor"] in (None, 1), r
+    if r["n_true_pairs"]:
+        assert r["recall_micros"] >= r["recall_floor_micros"], r
