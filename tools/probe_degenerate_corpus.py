@@ -9,7 +9,7 @@ both are findings.
 
 Usage: python tools/probe_degenerate_corpus.py [fixture ...] [--names n1,n2]
                                                  [--rows-only]
-  fixtures default to: const oneday tiny
+  fixtures default to: const oneday tiny mixed
   --names restricts to the listed queries (fast fix-iteration loop; the
   restricted run does NOT append to SWEEPS.jsonl)
   --rows-only ALSO runs the oracle-less (⊘) queries as a crash check
@@ -92,6 +92,27 @@ def build_fixture(kind: str, root: str) -> str:
             elif t == "orders":
                 df["o_orderstatus"] = "F"
                 df["o_orderdate"] = df["o_orderdate"].min().normalize()
+        elif kind == "mixed":
+            # PARTIALLY degenerate (the ADVICE r13 class the all-uniform
+            # fixtures cannot catch): ONE event_type group goes constant
+            # while the others vary — rank/ordering paths must handle a
+            # NULL-p/zero-variance MEMBER next to live ones (Spark sorts
+            # NULLs first, DuckDB last); orders collapse to THREE days
+            # with three distinct daily revenues, the exact n1=1/n2=1
+            # above/below-median split that zeroes the runs-test
+            # variance while n_days-style guards still pass.
+            if t == "events":
+                g = sorted(df["event_type"].dropna().unique())[0]
+                df.loc[df["event_type"] == g, "value"] = 7.0
+            elif t == "orders":
+                days = pd.to_datetime(
+                    ["1995-01-01", "1995-01-02", "1995-01-03"]
+                )
+                n = len(df)
+                df["o_orderdate"] = [days[i % 3] for i in range(n)]
+                df["o_totalprice"] = (
+                    100.0 + (pd.Series(range(n)) % 3).to_numpy() * 1.0
+                )
         elif kind == "tiny":
             # ONE row per table: every n−1 denominator, VAR_SAMP (Spark
             # NaN vs DuckDB NULL!), lag/window pair, and split is at its
@@ -139,7 +160,7 @@ def main() -> None:
         i = argv.index("--names")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
-    kinds = argv or ["const", "oneday", "tiny"]
+    kinds = argv or ["const", "oneday", "tiny", "mixed"]
     root = "/tmp/degen_corpus"
     from pyspark.sql import SparkSession
 
