@@ -99,6 +99,35 @@ PROBES = [
     ("privacy_dp_quantile", 10.0),
     ("text_mattr_lexical_diversity", 10.0),
     ("graph_hits", 10.0),
+    # round-14 additions (events/orders/documents/lineitem step 10x,
+    # embeddings 4x)
+    ("stat_kendall_tau", 10.0),
+    ("stat_pettitt_changepoint", 10.0),
+    ("stat_lilliefors_normality", 10.0),
+    ("stat_g_test", 10.0),
+    ("stat_friedman_test", 10.0),
+    ("stat_bartlett_test", 10.0),
+    ("stat_cronbach_alpha", 10.0),
+    ("stat_poisson_rate_ratio", 10.0),
+    ("stat_anderson_darling_normal", 10.0),
+    ("ts_granger_causality", 10.0),
+    ("ts_spectral_entropy", 10.0),
+    ("ts_seasonal_naive_mase", 10.0),
+    ("ts_forecast_croston", 10.0),
+    ("ts_wavelet_haar_energy", 10.0),
+    ("text_heaps_vocab_growth", 10.0),
+    ("text_js_divergence_sources", 10.0),
+    ("ml_eval_tweedie_deviances", 10.0),
+    ("ml_eval_gauc", 10.0),
+    ("ml_chi2_feature_selection", 10.0),
+    ("olap_segment_migration", 10.0),
+    ("graph_closeness_sampled", 10.0),
+    ("graph_rich_club_coefficient", 10.0),
+    ("quality_hash_uniformity", 10.0),
+    ("join_asof_tolerance", 10.0),
+    ("privacy_randomized_response", 10.0),
+    ("ml_davies_bouldin_labels", 4.0),
+    ("sim_intra_list_diversity", 4.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
