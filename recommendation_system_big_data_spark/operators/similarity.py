@@ -2181,6 +2181,9 @@ def sim_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sim_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
+    # one materialization feeds BOTH pair sides — without it the plan
+    # re-scans and re-norm-folds the embeddings for ea and eb (measured
+    # 6.4 s at sf0.01, dominated by the triple scan incl. bruteforce's)
     e = (
         load(spark, sf_dir, "embeddings")
         .select(
@@ -2188,6 +2191,7 @@ def sim_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double_array(F.col("embedding")).alias("v"),
         )
         .withColumn("nv", norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     a = topk.select("query_id", F.col("neighbor_id").alias("na"))
     b = topk.select(
