@@ -1447,3 +1447,138 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_rich * (n_rich - 1)) AS BIGINT) END"
         ).alias("phi_micros"),
     )
+
+
+_POWERLAW_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+), dist AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+), ccdf AS (
+    SELECT d,
+           CAST((SELECT SUM(cnt) FROM dist) AS BIGINT)
+           - CAST(COALESCE(SUM(cnt) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_ge
+    FROM dist
+), hill AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           SUM(LN(CAST(d AS DOUBLE) / 4.0)) AS sln
+    FROM deg WHERE d >= 4
+), fit AS (
+    SELECT REGR_SLOPE(LN(CAST(n_ge AS DOUBLE)), LN(CAST(d AS DOUBLE)))
+               AS slope,
+           REGR_R2(LN(CAST(n_ge AS DOUBLE)), LN(CAST(d AS DOUBLE))) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM ccdf WHERE d >= 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+       f.n_points,
+       CASE WHEN f.n_points < 3 THEN NULL
+            ELSE ROUND(1.0 - f.slope, 4) END AS alpha_ccdf,
+       CASE WHEN f.n_points < 3 THEN NULL ELSE ROUND(f.r2, 4) END
+           AS ccdf_fit_r2,
+       CASE WHEN h.n_tail = 0 OR h.sln <= 0 THEN NULL
+            ELSE ROUND(1.0 + h.n_tail / h.sln, 4) END AS alpha_hill,
+       h.n_tail AS hill_tail_n
+FROM fit f, hill h
+"""
+
+
+@register(
+    "graph_powerlaw_degree_fit", oracle=_POWERLAW_ORACLE, tags=("graph",)
+)
+def graph_powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the co-purchase degree distribution — "is this a
+    scale-free graph, and what's its exponent?": two estimators that
+    should agree on a true power law and diverge diagnostically when
+    they don't. (1) the log-log CCDF regression (α = 1 − slope; CCDF
+    regression, not the raw histogram — binning noise in the sparse
+    tail biases the histogram fit, the classic Clauset-Shalizi-Newman
+    critique), and (2) the Hill/MLE estimator α̂ = 1 + n/Σ ln(d/d_min)
+    at d_min = 4, the CSN-recommended form. Exponent drift across
+    snapshots signals a structural change (bot rings, catalog
+    consolidation) degree means never show.
+
+    Scale shape: one degree fold over the edges, one fold to the
+    distinct-DEGREE grain (bounded by max degree — slow-growing), the
+    CCDF as one cumulative window over that tiny grain, the Hill sum
+    as one aggregate over nodes. Exact integer counts in; the two
+    regressions/ratios are shared double expressions (ROUND 4).
+    Degenerate tails (n_tail = 0, < 3 CCDF points) pin NULL."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    ccdf = dist.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (
+            F.col("n_nodes")
+            - F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+        ).cast("long").alias("n_ge"),
+    )
+    hill = deg.where(F.col("d") >= 4).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(F.expr("LN(CAST(d AS DOUBLE) / 4.0)")).alias("sln"),
+    )
+    fit = ccdf.agg(
+        F.regr_slope(
+            F.ln(F.col("n_ge").cast("double")),
+            F.ln(F.col("d").cast("double")),
+        ).alias("slope"),
+        F.regr_r2(
+            F.ln(F.col("n_ge").cast("double")),
+            F.ln(F.col("d").cast("double")),
+        ).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(hill))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_nodes",
+            "max_degree",
+            "n_points",
+            F.expr(
+                "CASE WHEN n_points < 3 THEN NULL"
+                " ELSE ROUND(1.0 - slope, 4) END"
+            ).alias("alpha_ccdf"),
+            F.expr(
+                "CASE WHEN n_points < 3 THEN NULL ELSE ROUND(r2, 4) END"
+            ).alias("ccdf_fit_r2"),
+            F.expr(
+                "CASE WHEN n_tail = 0 OR sln <= 0 THEN NULL"
+                " ELSE ROUND(1.0 + n_tail / sln, 4) END"
+            ).alias("alpha_hill"),
+            F.col("n_tail").alias("hill_tail_n"),
+        )
+    )

@@ -4442,3 +4442,106 @@ def stat_anderson_darling_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({star}, 4)").alias("a2_star"),
         F.expr(f"CAST({star} > 0.752 AS BIGINT)").alias("reject_5pct"),
     )
+
+
+_BF_ORACLE = f"""
+WITH vq AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}.0) AS HUGEINT) AS vq
+    FROM events
+), dist AS (
+    SELECT g, vq, CAST(COUNT(*) AS HUGEINT) AS cnt FROM vq GROUP BY g, vq
+), cum AS (
+    SELECT g, vq,
+           SUM(cnt) OVER (PARTITION BY g ORDER BY vq) AS c,
+           SUM(cnt) OVER (PARTITION BY g) AS n_g
+    FROM dist
+), med AS (
+    SELECT g, MIN(vq) AS m_g FROM cum WHERE 2 * c >= n_g GROUP BY g
+), z AS (
+    SELECT vq.g, ABS(vq.vq - med.m_g) AS vq2
+    FROM vq JOIN med ON vq.g = med.g
+), per AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+           SUM(vq2) AS s_g, SUM(vq2 * vq2) AS q_g
+    FROM z GROUP BY g
+), per2 AS (
+    SELECT *, (s_g * s_g) // n_g AS ssq_g FROM per
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n,
+           SUM(s_g) AS s, SUM(q_g) AS q, SUM(ssq_g) AS ssq
+    FROM per2
+), fin AS (
+    SELECT k, n,
+           ssq - (s * s) // n AS ssb,
+           q - ssq            AS ssw
+    FROM tot
+), fin2 AS (
+    SELECT *, CASE WHEN n = k THEN NULL ELSE ssw // (n - k) END AS vw
+    FROM fin
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CAST(CASE WHEN vw IS NULL OR vw = 0 OR k = 1 THEN NULL
+            WHEN ssb < 0
+            THEN -LEAST(((-ssb) * 2000 + vw * (k - 1))
+                        // (2 * vw * (k - 1)), {ANOVA_F_CAP})
+            ELSE LEAST((ssb * 2000 + vw * (k - 1))
+                       // (2 * vw * (k - 1)), {ANOVA_F_CAP})
+            END AS BIGINT) AS w_milli
+FROM fin2
+"""
+
+
+@register(
+    "stat_brown_forsythe", oracle=_BF_ORACLE, tags=("profile", "experiment")
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test for equality of variances — Levene's W with
+    MEDIAN centers instead of means (Brown & Forsythe 1974), the
+    modern-default robust variant: centering on the median keeps the
+    test honest under the skewed/heavy-tailed distributions that
+    inflate mean-centered Levene, which is why NIST and most stats
+    packages recommend it as the first choice. Read next to
+    `stat_levene_variance` and `stat_bartlett_test`, the triple is the
+    full variance-homogeneity diagnostic ladder (parametric → robust →
+    most-robust).
+
+    The per-group LOWER MEDIAN is integer-exact by construction —
+    smallest quantized value with 2·cum ≥ n over the per-group distinct
+    value grain (count-based, never quantile_disc: the r14
+    percentile_disc boundary seam) — and the fold reuses anova_fold's
+    overflow-proof HUGEINT/decimal algebra on |x − med_g|, exiting as
+    the same saturated w_milli. The median windows PARTITION by group,
+    so each group's sorted domain is one task's slice of the
+    domain-bounded quant grid; everything after is two map-combined
+    passes like Levene."""
+    vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    obs = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), vq.alias("vq")
+    )
+    dist = obs.groupBy("g", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("g").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        "g",
+        "vq",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n_g"),
+    )
+    med = (
+        cum.where(F.expr("2 * c >= n_g"))
+        .groupBy("g")
+        .agg(F.min("vq").alias("m_g"))
+    )
+    z = obs.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("vq") - F.col("m_g")).alias("vq")
+    )
+    return anova_fold(z).select(
+        "k_groups",
+        "n_total",
+        F.col("f_milli").alias("w_milli"),
+    )

@@ -2559,3 +2559,138 @@ def ts_wavelet_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div e_tot AS BIGINT) END"
         ).alias("energy_share_milli"),
     )
+
+
+_SAMPEN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN COUNT(*) < 2 THEN NULL
+                ELSE CAST(FLOOR(0.2 * STDDEV_SAMP(CAST(rev AS DOUBLE)))
+                          AS BIGINT) END AS r
+    FROM daily
+), seq AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+           rev,
+           LEAD(rev, 1) OVER (ORDER BY day) AS x1,
+           LEAD(rev, 2) OVER (ORDER BY day) AS x2
+    FROM daily
+), tmpl AS (
+    SELECT i, rev AS x0, x1, x2 FROM seq WHERE x2 IS NOT NULL
+), pairs AS (
+    SELECT CASE WHEN ABS(a.x0 - b.x0) <= s.r AND ABS(a.x1 - b.x1) <= s.r
+                THEN 1 ELSE 0 END AS bm,
+           CASE WHEN ABS(a.x0 - b.x0) <= s.r AND ABS(a.x1 - b.x1) <= s.r
+                     AND ABS(a.x2 - b.x2) <= s.r
+                THEN 1 ELSE 0 END AS am
+    FROM tmpl a JOIN tmpl b ON b.i > a.i, stats s
+    WHERE s.r IS NOT NULL
+), agg AS (
+    SELECT CAST(COALESCE(SUM(bm), 0) AS BIGINT) AS b_pairs,
+           CAST(COALESCE(SUM(am), 0) AS BIGINT) AS a_pairs
+    FROM pairs
+)
+SELECT (SELECT n FROM stats) AS n_days,
+       (SELECT r FROM stats) AS r_cents,
+       b_pairs, a_pairs,
+       CASE WHEN b_pairs = 0 OR a_pairs = 0 THEN NULL
+            ELSE ROUND(-LN(CAST(a_pairs AS DOUBLE) / b_pairs), 6)
+            END AS sample_entropy
+FROM agg
+"""
+
+
+@register(
+    "ts_sample_entropy", oracle=_SAMPEN_ORACLE, tags=("timeseries",)
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000, m = 2, r = 0.2σ) of
+    daily revenue — the regularity measure from physiological signal
+    analysis that reads "how predictable is tomorrow given a 2-day
+    template": SampEn = −ln(A/B) where B counts template pairs matching
+    within tolerance r at length m and A those still matching at m+1.
+    Low SampEn = self-similar/regular (seasonal, forecastable), high =
+    novel patterns keep appearing. Complements the spectral entropy
+    (frequency domain) with a time-domain, amplitude-aware measure that
+    needs no stationarity assumption.
+
+    Exactness: daily cents and the FLOOR-quantized integer tolerance
+    make every template comparison an exact integer test, so A and B
+    are engine-exact; only the final −ln ratio is a shared double
+    (ROUND 6). The O(d²) template-pair join runs on the BOUNDED
+    calendar-day grain (the mann_kendall class — ~2 s at any SF since
+    days grow with time, not volume); lead windows ride the same
+    bounded sort. B = 0 or A = 0 (tiny or constant series... constant
+    matches everything, A=B>0 → SampEn 0) pins NULL."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("rev")
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CASE WHEN COUNT(1) < 2 THEN NULL"
+            " ELSE CAST(FLOOR(0.2 * STDDEV_SAMP(CAST(rev AS DOUBLE)))"
+            " AS BIGINT) END"
+        ).alias("r"),
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        F.row_number().over(w).cast("long").alias("i"),
+        F.col("rev").alias("x0"),
+        F.lead("rev", 1).over(w).alias("x1"),
+        F.lead("rev", 2).over(w).alias("x2"),
+    ).where(F.col("x2").isNotNull())
+    a = seq.select(
+        F.col("i").alias("ia"),
+        F.col("x0").alias("a0"),
+        F.col("x1").alias("a1"),
+        F.col("x2").alias("a2"),
+    )
+    b = seq.select(
+        F.col("i").alias("ib"),
+        F.col("x0").alias("b0"),
+        F.col("x1").alias("b1"),
+        F.col("x2").alias("b2"),
+    )
+    pairs = (
+        a.join(b, F.col("ib") > F.col("ia"))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("r").isNotNull())
+        .select(
+            F.expr(
+                "CASE WHEN ABS(a0 - b0) <= r AND ABS(a1 - b1) <= r"
+                " THEN 1 ELSE 0 END"
+            ).alias("bm"),
+            F.expr(
+                "CASE WHEN ABS(a0 - b0) <= r AND ABS(a1 - b1) <= r"
+                " AND ABS(a2 - b2) <= r THEN 1 ELSE 0 END"
+            ).alias("am"),
+        )
+    )
+    agg = pairs.agg(
+        F.coalesce(F.sum("bm"), F.lit(0)).cast("long").alias("b_pairs"),
+        F.coalesce(F.sum("am"), F.lit(0)).cast("long").alias("a_pairs"),
+    )
+    return agg.crossJoin(F.broadcast(stats)).select(
+        F.col("n").alias("n_days"),
+        F.col("r").alias("r_cents"),
+        "b_pairs",
+        "a_pairs",
+        F.expr(
+            "CASE WHEN b_pairs = 0 OR a_pairs = 0 THEN NULL"
+            " ELSE ROUND(-LN(CAST(a_pairs AS DOUBLE) / b_pairs), 6) END"
+        ).alias("sample_entropy"),
+    )

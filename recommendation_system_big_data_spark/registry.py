@@ -258,7 +258,7 @@ _DRIVER_WINDOW_ALIASES = (
 )
 
 #: ROUND-15 QUEUE (committed now so the r15 flip stays a one-line edit):
-#: 1. the 27 oracle-bearing ROUND-14 SESSION ADDITIONS (+1 rows-only
+#: 1. the 30 oracle-bearing ROUND-14 SESSION ADDITIONS (+1 rows-only
 #:    audit, dedup_simhash_quality_audit, excluded per the r12 #3 rule) (added after the r14 window
 #:    above froze; each oracle-checked at sf0.001 AND sf0.01, green on
 #:    all three degenerate fixtures, and ulp-sweep clean on the day it
@@ -274,7 +274,8 @@ _DRIVER_WINDOW_ALIASES = (
 #:      join_asof_tolerance ml_eval_gauc privacy_randomized_response
 #:      graph_rich_club_coefficient ml_chi2_feature_selection
 #:      stat_poisson_rate_ratio stat_anderson_darling_normal
-#:      ts_wavelet_haar_energy sim_intra_list_diversity;
+#:      ts_wavelet_haar_energy sim_intra_list_diversity
+#:      stat_brown_forsythe ts_sample_entropy graph_powerlaw_degree_fit;
 #: 2. then the remaining 20 oracle-bearing r5-vintage rows alphabetical
 #:    from max_concurrent_intervals (max_concurrent_intervals
 #:    observe_metrics_gate pipeline_training_mix q12_priority_shipments

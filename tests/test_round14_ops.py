@@ -905,3 +905,98 @@ def test_simhash_audit_floor_flag(spark, sf_dir):
     assert r["recall_ge_floor"] in (None, 1), r
     if r["n_true_pairs"]:
         assert r["recall_micros"] >= r["recall_floor_micros"], r
+
+
+def test_brown_forsythe_robust_vs_outlier(spark, tmp_path):
+    """Equal spreads with one wild outlier in a group: mean-centered
+    Levene inflates (the outlier drags the group mean), median-centered
+    Brown-Forsythe stays calmer — the defining robustness property."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_brown_forsythe,
+        stat_levene_variance,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, k = [], 0
+    for typ in ("click", "view"):
+        for i in range(60):
+            jitter = ((i * 7 + 3) % 11 - 5) * 1.0
+            rows.append(
+                (k, t0 + datetime.timedelta(hours=i), k % 9, typ,
+                 100.0 + jitter, "{}")
+            )
+            k += 1
+    rows.append((k, t0, 1, "click", 100000.0, "{}"))  # one wild outlier
+    _write_events(spark, str(tmp_path), rows)
+    bf = stat_brown_forsythe(spark, str(tmp_path)).collect()[0]
+    lv = stat_levene_variance(spark, str(tmp_path)).collect()[0]
+    assert bf["k_groups"] == 2 and bf["n_total"] == 121
+    assert abs(bf["w_milli"]) < abs(lv["w_milli"]), (bf, lv)
+
+
+def test_sample_entropy_regular_vs_scrambled(spark, tmp_path):
+    """A strictly periodic series has MANY length-3 template matches
+    (low SampEn); an md5-scrambled series of the same values loses
+    them (higher SampEn)."""
+    import hashlib
+
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_sample_entropy,
+    )
+
+    t0 = datetime.datetime(1995, 1, 1)
+    period = [100.0, 200.0, 300.0, 400.0]
+    reg = [
+        (d, d % 5, "F", period[d % 4], t0 + datetime.timedelta(days=d), "x")
+        for d in range(80)
+    ]
+    scr_vals = [
+        100.0 + int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 300
+        for d in range(80)
+    ]
+    scr = [
+        (d, d % 5, "F", scr_vals[d], t0 + datetime.timedelta(days=d), "x")
+        for d in range(80)
+    ]
+    sf_r, sf_s = str(tmp_path / "r"), str(tmp_path / "s")
+    _write_orders(spark, sf_r, reg)
+    _write_orders(spark, sf_s, scr)
+    rr = ts_sample_entropy(spark, sf_r).collect()[0]
+    rs = ts_sample_entropy(spark, sf_s).collect()[0]
+    assert rr["sample_entropy"] == 0.0, rr  # periodic: A = B exactly
+    assert rs["sample_entropy"] is None or rs["sample_entropy"] > 0.3, rs
+
+
+def test_powerlaw_fit_on_planted_star_forest(spark, tmp_path):
+    """A graph with degrees following d ∈ {1×many, high×few} yields a
+    finite Hill alpha and a CCDF fit; sanity-pins the estimator wiring
+    (exact alphas need a true continuum — this pins mechanics + NULLs)."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        graph_powerlaw_degree_fit,
+    )
+
+    rows, ok = [], 0
+    # hubs h=1..4 with degree 16/8/4/2 via pairwise orders to leaves
+    hub_deg = {1: 16, 2: 8, 3: 4, 4: 2}
+    leaf = 1000
+    for h, d in hub_deg.items():
+        for _ in range(d):
+            rows.append((ok, h))
+            rows.append((ok, leaf))
+            leaf += 1
+            ok += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).selectExpr(
+        "l_orderkey", "l_partkey",
+        "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.0 AS DOUBLE) AS l_discount",
+        "CAST(0.0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = graph_powerlaw_degree_fit(spark, str(tmp_path)).collect()[0]
+    assert r["n_nodes"] == 30 + 4 and r["max_degree"] == 16, r
+    assert r["hill_tail_n"] == 3, r  # hubs with degree >= 4
+    assert r["alpha_hill"] is not None and r["alpha_hill"] > 1.0, r
+    assert r["alpha_ccdf"] is not None and r["ccdf_fit_r2"] is not None
