@@ -22,7 +22,9 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              "ml_isotonic_calibration", "ts_holt_linear", "sink_python_datasource", "fn_udtf_dynamic_schema",
              # round-10 Python paths: the Holt-Winters applyInPandas
              # factory and the zlib compressibility mapInPandas factory
-             "ts_holt_winters_seasonal", "text_compression_ratio"]:
+             "ts_holt_winters_seasonal", "text_compression_ratio",
+             # round-14 Python path: the Croston applyInPandas factory
+             "ts_forecast_croston"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
