@@ -1657,12 +1657,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_semdedup_frame(spark, sf_dir)
 
 
-def semantic_semdedup_frame(
+def semantic_probed_assignment(
     spark: SparkSession, sf_dir: str, force_hier: bool | None = None
 ) -> DataFrame:
-    """dedup_semantic_semdedup's body, with the two-level-quantizer
-    routing overridable (``force_hier``) so tests can exercise the
-    large-corpus path on fixture data."""
+    """SemDeDup stage 1: the multi-probed cluster assignment
+    ``(vec_id, v, nrm, centroid_id)`` — the frame that at 100 TB is
+    written bucketed by centroid_id for the exchange-free pairing
+    (semantic_pairs_from_probed)."""
     from recommendation_system_big_data_spark.operators.similarity import (
         corpus_centroids,
         corpus_coarse_centroids,
@@ -1716,19 +1717,43 @@ def semantic_semdedup_frame(
             .filter(F.col("arn") <= SEMANTIC_N_PROBE)
             .select("vec_id", "v", "nrm", "centroid_id")
         )
+    return assigned
+
+
+def semantic_semdedup_frame(
+    spark: SparkSession, sf_dir: str, force_hier: bool | None = None
+) -> DataFrame:
+    """dedup_semantic_semdedup's body, with the two-level-quantizer
+    routing overridable (``force_hier``) so tests can exercise the
+    large-corpus path on fixture data."""
     probed = (
-        assigned
+        semantic_probed_assignment(spark, sf_dir, force_hier)
         # Materialized ONCE, pre-partitioned on the pairing key: the
         # self-join below references this subtree twice and Spark plans
         # two full n×√n windowed assignments without it (no
         # ReusedExchange across the a/b aliases — verified in the
         # executed plan). The checkpoint halves the dominant stage and
         # the repartition makes both join sides partition-local on
-        # centroid_id, the executable form of the docstring's
-        # "bucketed by centroid_id" 100 TB story.
+        # centroid_id — the in-session form of the 100 TB deployment
+        # shape, where the probed table is WRITTEN bucketed by
+        # centroid_id so the pairing join plans zero exchanges
+        # (tests/test_bucketing.py::test_semdedup_bucketed_pairing_no_shuffle
+        # executes that layout and asserts the exchange-free plan).
         .repartition("centroid_id")
         .localCheckpoint(eager=False)
     )
+    return semantic_pairs_from_probed(probed)
+
+
+def semantic_pairs_from_probed(probed: DataFrame) -> DataFrame:
+    """SemDeDup stage 2: candidate pairing + keeper election over the
+    probed assignment frame ``(vec_id, v, nrm, centroid_id)``.
+
+    Split out so the 100 TB deployment layout is executable, not prose:
+    pass a `probed` read from a table bucketed by centroid_id and the
+    self-join plans ZERO shuffle exchanges (bucket-local SortMergeJoin) —
+    asserted in tests/test_bucketing.py. The in-session path feeds the
+    repartition+checkpoint frame instead; results are identical."""
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         probed.alias("a")

@@ -85,208 +85,76 @@ _loaded = False
 #: Canonical names remain the public API; aliases are tagged ``alias`` so
 #: bench/docs can skip them.
 #:
-#: ROUND-8 QUEUE — TAKEN by the r8 window: the 49 then-remaining
-#: never-driver-verified oracle-bearing canonical queries +
-#: agg_slope_builtin. After the r8 driver run, every oracle-bearing
-#: canonical query registered BEFORE the r8 session had a driver
-#: CORRECTNESS row (the r8-session additions + 3 older stragglers did
-#: not — r8 ADVICE flagged the unqualified claim; they are exactly the
-#: never-windowed block of the ROUND-9 window below).
+#: Window history: rounds 1-14 queue/rotation commentary lives in
+#: COVERAGE.md §"Driver-window round log" (moved there in r15 per VERDICT
+#: r14 #7). The tuple below is the LIVE window only.
 #:
-#: ROUND-9 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (r8 VERDICT
-#: "Next round" #1): the 9 never-driver-verified queries
-#: (dedup_cluster_representatives dedup_semantic_semdedup
-#: pipeline_temperature_mix sim_topk_ivf_hier stream_approx_distinct_users
-#: text_bm25_retrieval text_bpe_pair_stats text_ccnet_quality_buckets
-#: text_repetition_signals),
-#: 4 re-rows earned by this round's fixes (ts_holt_linear — new
-#: recursive-CTE oracle + HALF_UP rounding; embedding_covariance —
-#: decimal E[xy]-E[x]E[y] partition-order-proof rewrite, the only red
-#: r8 row; dedup_incremental_near + _minhash — salted split de-vacuates
-#: the 0-row evidence), and the first 37 of the r1/r2-vintage
-#: re-verification backlog (alphabetical).
-#:
-#: ROUND-10 QUEUE, part A — round-9 SESSION ADDITIONS (10 names, all
-#: oracle-bearing, added AFTER this round's window was frozen, so none
-#: has a driver row yet; every one is oracle-green at sf0.001 AND
-#: sf0.01 via check_queries plus the two-layout ulp sweep on the day it
-#: landed — these take window priority in r10):
-#:   dedup_snapshot_novelty embedding_matryoshka_eval
-#:   ml_backtest_forecast pipeline_dedup_cascade pipeline_quality_funnel
-#:   sim_topk_truncated_rerank stat_sprt_sequential
-#:   stat_trend_mann_kendall text_dsir_importance text_tokenizer_fertility
-#:
-#: ROUND-10 QUEUE, part B (46 names — the remaining r1/r2-vintage green
-#: rows; part A + embedding_covariance + the first 39 of these fill the
-#: 50-slot window; the last 7 roll to r11):
-#:   join_left_agg join_left_dim join_range_band join_salted_skew join_semi
-#:   json_extract json_from_json multimodal_decode multimodal_frame_sample
-#:   multimodal_meta multimodal_resize pipeline_corpus_prep
-#:   project_computed project_named q10_returned_items q3_shipping_priority
-#:   q5_local_supplier_volume rename_col roundtrip_pandas
-#:   scan_csv_headerless scan_csv_schema scan_parquet schema_introspection
-#:   session_window_agg set_except set_intersect sim_topk_bruteforce
-#:   sink_csv_roundtrip sink_parquet_partitioned sliding_window_agg
-#:   sort_limit_topk sql_backtick_names sql_surface_agg text_fingerprint
-#:   text_lang_id text_quality_score text_tfidf text_token_count
-#:   topk_per_user tumbling_window_agg union_pos unnest_recs
-#:   window_lag_lead window_ntile_dist window_rank_dense window_running_sum
-#:
-#: ROUND-13 QUEUE (committed now so the r13 flip stays a one-line edit;
-#: VERDICT r11 #8):
-#: 1. the ROUND-12 SESSION ADDITIONS (added after the r12 window below
-#:    froze; each oracle-checked at sf0.001 AND sf0.01 plus the
-#:    two-layout ulp sweep on the day it landed):
-#:      funnel_window_gap graph_jaccard_link_prediction
-#:      stream_attribution_batch_equiv stream_foreachbatch_batch_equiv
-#:      text_rake_keywords
-#:      ml_conformal_interval ml_eval_log_loss stat_jarque_bera
-#:      stat_kruskal_wallis ts_periodogram_dft
-#:      agg_theil_sen_slope privacy_dp_count_laplace
-#:      stat_cochran_armitage window_hampel_filter
-#:      sql_scalar_udf stat_capture_recapture
-#:      dedup_lsh_quality_audit sim_ann_recall_audit (both rows-only)
-#:      ml_eval_fairness_gaps olap_bridge_allocation ml_eval_qini_auuc
-#:      stat_srm_check agg_sketch_error_audit (audit rows-only)
-#:      stream_state_store_read scd2_late_arriving geo_hotspot_gi_star
-#:      stat_tost_equivalence ml_eval_mcc
-#:      stat_holm_bonferroni olap_like_for_like ts_adf_stationarity
-#:      olap_price_elasticity agg_hll_intersection_audit (rows-only)
-#:      ts_interrupted_series stat_overdispersion_index
-#:      agg_quantile_sketch_audit (rows-only)
-#:      sql_recursive_bom_rollup sink_compressed_roundtrip
-#: 2. item 1 holds 36 names, so only ~14 window slots remain: fill from
-#:    the remaining 37 r4-vintage rows alphabetical from
-#:    cdc_apply_changes (cdc_apply_changes compaction_small_files
-#:    dedup_events_replayed dedup_paragraph_exact dim_enriched_window_agg
-#:    dpp_partition_pruned_join drift_psi_report eda_plot_series
-#:    fn_explode_outer fn_map_ops fn_python_udtf fn_regexp_extract
-#:    fn_struct_ops knn_classify pii_scan_redact q11_important_balance
-#:    q16_supplier_part_count q20_promotion_suppliers q21_waiting_suppliers
-#:    q2_min_cost_supplier q4_priority_exists q9_product_profit
-#:    reshape_pivot reshape_unpivot rollup_incremental_agg
-#:    scan_file_provenance schema_evolution_merge set_ops_cohorts
-#:    skew_key_report sql_lateral_topk stat_crosstab
-#:    stream_foreachbatch_upsert text_gopher_quality
-#:    text_repetition_topngram window_ewma window_first_last zorder_key),
-#:    then r5-vintage (incl. the r2-vintage sink_*/roundtrip_* family if
-#:    any remain unrefreshed), to 50.
-#:
-#: ROUND-12 WINDOW — TAKEN by _DRIVER_WINDOW_ALIASES below (exactly the
-#: r11-committed queue, VERDICT r11 #1 + #3), priority order:
-#: 1. the 11 ROUND-11 SESSION ADDITIONS (added after the r11 window froze;
-#:    each oracle-checked at sf0.001 AND sf0.01 plus the repr-exact ulp
-#:    gate on the day it landed, and independently re-verified green by
-#:    the r11 judge):
-#:      als_eval_coverage_novelty (rows-only)
-#:      dedup_prefix_filter_join graph_assortativity
-#:      ml_decision_stump_hist ml_eval_cohen_kappa ml_eval_ece
-#:      multimodal_dedup_hist_fingerprint privacy_t_closeness
-#:      stat_levene_variance text_ngram_novelty
-#:      ts_stl_classical_decompose
-#: 2. all 36 remaining r3-vintage rows, alphabetical (the queue comment
-#:    said "from fn_map_in_arrow" but embedding_quantize_int8 is also
-#:    r3-vintage and sorts before it — included so the "no driver row
-#:    older than r4" goal closes this round).
-#: 3. the first 3 r4-vintage rows alphabetical (ab_test_report
-#:    als_param_grid attribution_click_purchase), filling 50.
-#:
-#: ROUND-11 WINDOW — was taken by the r11 driver run (CORRECTNESS_r11:
-#: 50/50 green, 34 hash + 16 rows-only). Its 50 names now have r11-fresh
-#: driver rows; see CORRECTNESS_r11.json.
+#: ROUND-15 WINDOW — the committed r14 queue (VERDICT r14 #1): the 30
+#: oracle-bearing ROUND-14 SESSION ADDITIONS (first driver rows; each was
+#: oracle-checked at sf0.001 AND sf0.01, green on the degenerate fixtures,
+#: ulp-sweep clean on the day it landed, and independently re-verified
+#: green by the r14 judge), then the remaining 20 oracle-bearing r5-vintage
+#: refresh rows alphabetical from max_concurrent_intervals, filling 50.
 _DRIVER_WINDOW_ALIASES = (
-    # ROUND-14 window (the committed r13 queue, VERDICT r13 #1):
-    # 1. the 12 ROUND-13 SESSION ADDITIONS — first driver rows (each
-    #    oracle-checked at sf0.001 + sf0.01 + degenerate fixtures when
-    #    it landed, and re-verified green by the r13 judge; the BH /
-    #    mcnemar / runs-test ADVICE r13 seams were fixed and fixture-
-    #    reproduced green BEFORE this flip).
-    "stat_benjamini_hochberg",
-    "stat_mcnemar",
-    "stat_two_proportion_z",
-    "stat_runs_test",
-    "stat_bayes_ab_beta",
-    "stat_ljung_box",
-    "olap_cohort_ltv_triangle",
-    "ml_psm_att",
-    "ts_hurst_exponent",
-    "privacy_dp_quantile",
-    "text_mattr_lexical_diversity",
-    "graph_hits",
-    # 2. the 19 oracle-bearing r4-vintage refresh rows, alphabetical
-    #    (stream_foreachbatch_upsert is oracle=None — excluded).
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q9_product_profit",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "rollup_incremental_agg",
-    "scan_file_provenance",
-    "schema_evolution_merge",
-    "set_ops_cohorts",
-    "skew_key_report",
-    "sql_lateral_topk",
-    "stat_crosstab",
-    "text_gopher_quality",
-    "text_repetition_topngram",
-    "window_ewma",
-    "window_first_last",
-    "zorder_key",
-    # 3. the first 19 oracle-bearing r5-vintage rows, alphabetical,
-    #    filling 50.
-    "agg_bitmap_distinct",
-    "agg_collect_sorted",
-    "agg_cube_revenue",
-    "agg_entropy_gini",
-    "agg_rollup_hierarchy",
-    "agg_summary",
-    "basket_rules_lift",
-    "cogrouped_pandas_ratio",
-    "diff_snapshots",
-    "embedding_standardize",
-    "fk_integrity_report",
-    "fn_aes_roundtrip",
-    "fn_pandas_udaf_grouped",
-    "fn_try_arithmetic",
-    "fn_xml_extract",
-    "graph_pagerank",
-    "join_interval_overlap",
-    "join_range_bucketed",
-    "join_skew_salted",
+    # 1. the 30 oracle-bearing ROUND-14 SESSION ADDITIONS — first driver rows:
+    "stat_kendall_tau",
+    "stat_pettitt_changepoint",
+    "stat_lilliefors_normality",
+    "stat_g_test",
+    "stat_friedman_test",
+    "ts_granger_causality",
+    "text_heaps_vocab_growth",
+    "ml_davies_bouldin_labels",
+    "ml_eval_tweedie_deviances",
+    "olap_segment_migration",
+    "stat_bartlett_test",
+    "stat_cronbach_alpha",
+    "ts_spectral_entropy",
+    "text_js_divergence_sources",
+    "graph_closeness_sampled",
+    "ts_seasonal_naive_mase",
+    "quality_hash_uniformity",
+    "ts_forecast_croston",
+    "join_asof_tolerance",
+    "ml_eval_gauc",
+    "privacy_randomized_response",
+    "graph_rich_club_coefficient",
+    "ml_chi2_feature_selection",
+    "stat_poisson_rate_ratio",
+    "stat_anderson_darling_normal",
+    "ts_wavelet_haar_energy",
+    "sim_intra_list_diversity",
+    "stat_brown_forsythe",
+    "ts_sample_entropy",
+    "graph_powerlaw_degree_fit",
+    # 2. the remaining 20 oracle-bearing r5-vintage refresh rows, alphabetical:
+    "max_concurrent_intervals",
+    "observe_metrics_gate",
+    "pipeline_training_mix",
+    "q12_priority_shipments",
+    "q1_pricing_summary",
+    "quality_constraint_report",
+    "roundtrip_arrow",
+    "sample_source_weighted",
+    "sample_weighted_reservoir",
+    "scan_json_corrupt_records",
+    "scan_python_datasource",
+    "scd2_pit_lookup",
+    "sequence_pattern_match",
+    "sessionize_dynamic_gap",
+    "sessionize_events",
+    "sql_parameterized",
+    "text_readability_score",
+    "text_url_normalize_dedup",
+    "ts_gapfill_ffill",
+    "window_rolling_zscore",
 )
 
-#: ROUND-15 QUEUE (committed now so the r15 flip stays a one-line edit):
-#: 1. the 30 oracle-bearing ROUND-14 SESSION ADDITIONS (+1 rows-only
-#:    audit, dedup_simhash_quality_audit, excluded per the r12 #3 rule) (added after the r14 window
-#:    above froze; each oracle-checked at sf0.001 AND sf0.01, green on
-#:    all three degenerate fixtures, and ulp-sweep clean on the day it
-#:    landed):
-#:      stat_kendall_tau stat_pettitt_changepoint
-#:      stat_lilliefors_normality stat_g_test stat_friedman_test
-#:      ts_granger_causality text_heaps_vocab_growth
-#:      ml_davies_bouldin_labels ml_eval_tweedie_deviances
-#:      olap_segment_migration stat_bartlett_test stat_cronbach_alpha
-#:      ts_spectral_entropy text_js_divergence_sources
-#:      graph_closeness_sampled ts_seasonal_naive_mase
-#:      quality_hash_uniformity ts_forecast_croston
-#:      join_asof_tolerance ml_eval_gauc privacy_randomized_response
-#:      graph_rich_club_coefficient ml_chi2_feature_selection
-#:      stat_poisson_rate_ratio stat_anderson_darling_normal
-#:      ts_wavelet_haar_energy sim_intra_list_diversity
-#:      stat_brown_forsythe ts_sample_entropy graph_powerlaw_degree_fit;
-#: 2. then the remaining 20 oracle-bearing r5-vintage rows alphabetical
-#:    from max_concurrent_intervals (max_concurrent_intervals
-#:    observe_metrics_gate pipeline_training_mix q12_priority_shipments
-#:    q1_pricing_summary quality_constraint_report roundtrip_arrow
-#:    sample_source_weighted sample_weighted_reservoir
-#:    scan_json_corrupt_records scan_python_datasource scd2_pit_lookup
-#:    sequence_pattern_match sessionize_dynamic_gap sessionize_events
-#:    sql_parameterized text_readability_score text_url_normalize_dedup
-#:    ts_gapfill_ffill window_rolling_zscore — rows-only r5 names stay
-#:    excluded, oracle=None);
-#: 3. then r6-vintage oracle-bearing rows alphabetical to 50.
+#: ROUND-16 QUEUE (committed now so the r16 flip stays a one-line edit):
+#: 1. any ROUND-15 SESSION ADDITIONS (oracle-bearing; appended to this
+#:    comment as they land this round);
+#: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
+#:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 
 
 def register(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):
