@@ -206,8 +206,10 @@ def rolling_hash(toks: Column) -> Column:
 @register("text_rolling_hash", oracle=None, tags=("text",))
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint via polynomial rolling hash
-    (⊘ — xxhash64 has no DuckDB twin; property-tested in
-    tests/test_text.py: equal texts collide, reordered tokens don't)."""
+    (⊘ — xxhash64 has no DuckDB twin). Gates: kernel properties in
+    tests/test_text.py (equal texts collide, reordered tokens don't) and a
+    sequential-Python differential replay of the full query in
+    tests/test_rows_only_queries.py."""
     return load(spark, sf_dir, "documents").select(
         "doc_id", rolling_hash(tokens(F.col("text"))).alias("rhash")
     )
