@@ -3949,3 +3949,209 @@ def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_value"),
         F.row_number().over(w).cast("long").alias("chi2_rank"),
     )
+
+
+_KS_SEP_ORACLE = """
+WITH grid AS (
+    SELECT value AS s,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS c_p,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY value
+), cum AS (
+    SELECT s,
+           SUM(c_p) OVER (ORDER BY s) AS cp,
+           SUM(c - c_p) OVER (ORDER BY s) AS cn
+    FROM grid
+), tot AS (
+    SELECT CAST(SUM(c_p) AS BIGINT) AS n_pos,
+           CAST(SUM(c - c_p) AS BIGINT) AS n_neg
+    FROM grid
+), nums AS (
+    SELECT c.s, CAST(ABS(c.cp * t.n_neg - c.cn * t.n_pos) AS BIGINT) AS num
+    FROM cum c CROSS JOIN tot t
+), best AS (
+    SELECT MAX(num) AS m FROM nums
+)
+SELECT t.n_pos, t.n_neg,
+       CASE WHEN t.n_pos = 0 OR t.n_neg = 0 THEN NULL
+            ELSE ROUND(CAST(b.m AS DOUBLE)
+                 / (CAST(t.n_pos AS DOUBLE) * CAST(t.n_neg AS DOUBLE)), 6)
+       END AS ks,
+       (SELECT MIN(s) FROM nums WHERE num = b.m) AS ks_score
+FROM tot t CROSS JOIN best b
+"""
+
+
+@register("ml_eval_ks_separation", oracle=_KS_SEP_ORACLE, tags=("ml", "eval"))
+def ml_eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of a score between classes — the
+    credit-scoring "KS statistic": max over thresholds of
+    |F̂_pos(t) − F̂_neg(t)|, with the maximizing threshold. The
+    label-conditioned sibling of `drift_ks_test` (which compares TIME
+    snapshots of one column) and the order-free complement of
+    `ml_eval_auc_roc` (AUC integrates the same two CDFs; KS reports
+    their widest gap and WHERE it is — the natural operating point).
+
+    Exactness: both empirical CDFs live on the distinct-score grid with
+    integer cumulative counts (ranges.running_sums — two-phase prefix
+    sum, no single-task window at scale), so the gap numerator
+    |cp·n_neg − cn·n_pos| is an exact BIGINT; max and argmin-threshold
+    are integer comparisons, and the one division happens once on the
+    1-row exit. Single-class input → NULL ks (degenerate-fixture
+    class). reference: same capability axis as model-eval utilities in
+    eda-tools.py (reference repo) but distributed."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    grid = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("value").alias("s"),
+            (F.col("event_type") == "purchase").alias("is_pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.when(F.col("is_pos"), 1)).alias("c_p"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("c_n", F.col("c") - F.col("c_p"))
+    )
+    cum = running_sums(
+        grid, ["s"], {"cp": ("c_p", True), "cn": ("c_n", True)}
+    )
+    tot = grid.agg(
+        F.sum("c_p").cast("long").alias("n_pos"),
+        F.sum("c_n").cast("long").alias("n_neg"),
+    )
+    nums = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("cp") * F.col("n_neg") - F.col("cn") * F.col("n_pos")
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    best = nums.agg(F.max("num").alias("m"))
+    at = (
+        nums.join(F.broadcast(best), F.col("num") == F.col("m"))
+        .agg(F.min("s").alias("ks_score"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("m").cast("double")
+                    / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+                    6,
+                )
+            )
+            .alias("ks"),
+            "ks_score",
+        )
+    )
+
+
+#: Mutual-information binning: FLOOR(value / MI_BIN) — 12 bins over the
+#: observed [0, 560] range, coarse enough that every cell count is
+#: statistically meaningful at sf0.001.
+MI_BIN = 50.0
+
+_MI_ORACLE = f"""
+WITH obs AS (
+    SELECT CAST(FLOOR(value / {MI_BIN!r}) AS BIGINT) AS x,
+           event_type AS y
+    FROM events
+), cells AS (
+    SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY x, y
+), mx AS (
+    SELECT x, CAST(SUM(c) AS BIGINT) AS rx FROM cells GROUP BY x
+), my AS (
+    SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+), terms AS (
+    SELECT CAST(FLOOR(CAST(c.c AS DOUBLE)
+               * (LN(CAST(c.c AS DOUBLE)) + LN(CAST(t.n AS DOUBLE))
+                  - LN(CAST(m1.rx AS DOUBLE)) - LN(CAST(m2.cy AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS t_nanos
+    FROM cells c
+    JOIN mx m1 ON c.x = m1.x
+    JOIN my m2 ON c.y = m2.y
+    CROSS JOIN tot t
+)
+SELECT t.n AS n_rows, t.n_cells,
+       ROUND((CAST((SELECT SUM(t_nanos) FROM terms) AS DOUBLE)
+              / 1000000000.0) / CAST(t.n AS DOUBLE), 6) AS mi_nats
+FROM tot t
+"""
+
+
+@register("ml_mutual_information", oracle=_MI_ORACLE, tags=("ml", "eval"))
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between the binned value feature and the
+    event-type label — the model-free feature-relevance score that
+    catches the non-monotone dependence `ml_chi2_feature_selection`'s
+    χ² sees only diffusely and a correlation misses entirely; the
+    standard third member of the filter-selection toolbox (χ² / MI /
+    WOE-IV, all three now present).
+
+    I = Σ_xy p̂_xy·ln(p̂_xy/(p̂_x·p̂_y)), computed as exact integer cell
+    counts (one groupBy; marginals are two tiny re-aggregations joined
+    back — broadcast, cells ≤ bins×labels) with each cell's
+    c·(ln c + ln N − ln r_x − ln c_y) FLOOR-quantized to nanos, so the
+    cross-cell sum is exact and order-free — the stat_anderson_darling
+    LN-nanos discipline. ln is evaluated on exact integers < 2^53
+    (identical doubles both engines); a last-ulp libm divergence would
+    need to land exactly on a nano boundary to flip the hash (the same
+    accepted exposure as every normal_cdf_sql caller, swept by
+    ulp_partition_sweep on landing day)."""
+    obs = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / F.lit(MI_BIN)).cast("long").alias("x"),
+        F.col("event_type").alias("y"),
+    )
+    cells = obs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("rx"))
+    my = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_cells",
+            F.expr(
+                "CAST(FLOOR(CAST(c AS DOUBLE)"
+                " * (LN(CAST(c AS DOUBLE)) + LN(CAST(n AS DOUBLE))"
+                " - LN(CAST(rx AS DOUBLE)) - LN(CAST(cy AS DOUBLE)))"
+                " * 1000000000.0) AS BIGINT)"
+            ).alias("t_nanos"),
+        )
+    )
+    return terms.groupBy("n", "n_cells").agg(
+        F.sum("t_nanos").alias("s_nanos")
+    ).select(
+        F.col("n").alias("n_rows"),
+        "n_cells",
+        F.round(
+            (F.col("s_nanos").cast("double") / F.lit(1000000000.0))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("mi_nats"),
+    )

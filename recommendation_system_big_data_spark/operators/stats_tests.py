@@ -4545,3 +4545,429 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.col("f_milli").alias("w_milli"),
     )
+
+
+#: Welch-ANOVA quantization: coarser than ANOVA_QUANT because every
+#: group-level moment must stay exactly double-representable (< 2^53)
+#: AFTER the decimal-exact fold — vq ≤ 5.7e4, so q_g = Σvq² ≤ 6.3e14 at
+#: sf1 (2e5 rows/group); the 2^53 budget holds through sf1 with 10×
+#: headroom and the docstring names the exponent for beyond.
+WELCH_QUANT = 100
+
+#: Shared double-expression fragments for Welch's ANOVA — the SAME text is
+#: executed by Spark and DuckDB so every IEEE operation has an identical
+#: tree. Inputs n_g/s_g/q_g are exact integers < 2^53 (cast to double is
+#: exact on both engines); every subsequent op is deterministic IEEE.
+_WELCH_MEAN = "(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
+_WELCH_VAR = (
+    "((CAST(q_g AS DOUBLE)"
+    " - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
+    " / (CAST(n_g AS DOUBLE) - 1.0))"
+)
+_WELCH_W = f"(CAST(n_g AS DOUBLE) / {_WELCH_VAR})"
+
+_WELCH_ORACLE = f"""
+WITH obs AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {WELCH_QUANT}.0) AS BIGINT) AS vq
+    FROM events
+), per AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(vq) AS BIGINT) AS s_g,
+           CAST(SUM(vq * vq) AS BIGINT) AS q_g
+    FROM obs GROUP BY g
+    HAVING COUNT(*) >= 2 AND COUNT(*) * SUM(vq * vq) > SUM(vq) * SUM(vq)
+), terms AS (
+    SELECT g, n_g,
+           CAST(FLOOR({_WELCH_W} * 1000000000.0) AS BIGINT) AS w_nanos,
+           CAST(FLOOR({_WELCH_W} * {_WELCH_MEAN} * 1000000000.0) AS BIGINT)
+               AS wm_nanos,
+           {_WELCH_MEAN} AS mean_g,
+           {_WELCH_W} AS w_g
+    FROM per
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n_g) AS n,
+           SUM(w_nanos) AS sw, SUM(wm_nanos) AS swm
+    FROM terms
+), dev AS (
+    SELECT t.g,
+           CAST(FLOOR(t.w_g
+               * (t.mean_g - CAST(o.swm AS DOUBLE) / CAST(o.sw AS DOUBLE))
+               * (t.mean_g - CAST(o.swm AS DOUBLE) / CAST(o.sw AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS a_micros,
+           CAST(FLOOR((1.0 - t.w_nanos / CAST(o.sw AS DOUBLE))
+               * (1.0 - t.w_nanos / CAST(o.sw AS DOUBLE))
+               / (CAST(t.n_g AS DOUBLE) - 1.0)
+               * 1000000000000.0) AS BIGINT) AS b_picos
+    FROM terms t CROSS JOIN tot o
+    WHERE o.sw > 0
+), fold AS (
+    SELECT SUM(a_micros) AS sa, SUM(b_picos) AS sb FROM dev
+)
+SELECT CAST(o.k AS BIGINT) AS k_groups,
+       CAST(o.n AS BIGINT) AS n_total,
+       CASE WHEN o.k < 2 OR f.sa IS NULL OR f.sb IS NULL
+            THEN NULL ELSE ROUND(
+           (CAST(f.sa AS DOUBLE) / 1000000.0 / (CAST(o.k AS DOUBLE) - 1.0))
+           / (1.0 + 2.0 * (CAST(o.k AS DOUBLE) - 2.0)
+              / (CAST(o.k AS DOUBLE) * CAST(o.k AS DOUBLE) - 1.0)
+              * (CAST(f.sb AS DOUBLE) / 1000000000000.0)), 4)
+       END AS f_welch,
+       CASE WHEN o.k < 2 OR f.sb IS NULL OR f.sb = 0
+            THEN NULL ELSE ROUND(
+           (CAST(o.k AS DOUBLE) * CAST(o.k AS DOUBLE) - 1.0)
+           / (3.0 * (CAST(f.sb AS DOUBLE) / 1000000000000.0)), 2)
+       END AS nu2
+FROM tot o CROSS JOIN fold f
+"""
+
+
+@register(
+    "stat_welch_anova", oracle=_WELCH_ORACLE, tags=("profile", "experiment")
+)
+def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) — the
+    unequal-variances F test that `stat_anova_oneway` is NOT: classic
+    ANOVA assumes a pooled within-group variance, and under variance
+    heterogeneity (exactly what stat_levene_variance / brown_forsythe
+    detect) its size is wrong. Welch weights each group by n_g/s²_g and
+    adjusts the denominator df (Welch–Satterthwaite ν₂), making the
+    trio anova→levene→welch the complete textbook decision path.
+
+    Determinism architecture (the repo's integer-exit discipline, ext.):
+    the fact table folds once to per-group exact integer moments
+    (n_g, Σvq, Σvq²) with vq = FLOOR(value·WELCH_QUANT) — all < 2^53, so
+    the cast to double is EXACT on both engines, and every group-level
+    double (mean, variance, weight) is one identical IEEE expression
+    tree. Cross-group sums — the only place summation ORDER could move a
+    bit — are taken over FLOOR-quantized BIGINT terms (w, w·mean at
+    nanos; the B-term at picos), so they are exact and associative; the
+    final F*/ν₂ are single fixed expressions over those exact sums.
+    Groups with n_g < 2 are excluded (their variance is undefined), and
+    k < 2 exits NULL rather than an ANSI divide (degenerate-fixture
+    class). One map-combined shuffle (per-group fold) + a broadcast of
+    the k-row weight table: the 100 TB cost is the scan.
+    Beyond sf1 the q_g budget approaches 2^53 — drop WELCH_QUANT one
+    decade per 100× rows (the exponent is the only scale knob)."""
+    vq = F.floor(F.col("value") * F.lit(float(WELCH_QUANT))).cast("long")
+    per = (
+        load(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("g"), vq.alias("vq"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("vq").cast("long").alias("s_g"),
+            F.sum(F.col("vq") * F.col("vq")).cast("long").alias("q_g"),
+        )
+        .where(F.col("n_g") >= 2)
+        # Zero-variance groups make w_g = n/0 — and Spark ANSI raises on
+        # DOUBLE division by zero too (r15 degenerate probe, const/mixed
+        # fixtures). Exact integer compare, no epsilon; mirrored in the
+        # oracle's HAVING.
+        .where(
+            F.expr(
+                "CAST(n_g AS DECIMAL(19,0)) * q_g"
+                " > CAST(s_g AS DECIMAL(19,0)) * s_g"
+            )
+        )
+    )
+    terms = per.select(
+        "g",
+        "n_g",
+        F.expr(f"CAST(FLOOR({_WELCH_W} * 1000000000.0) AS BIGINT)").alias(
+            "w_nanos"
+        ),
+        F.expr(
+            f"CAST(FLOOR({_WELCH_W} * {_WELCH_MEAN} * 1000000000.0) AS BIGINT)"
+        ).alias("wm_nanos"),
+        F.expr(_WELCH_MEAN).alias("mean_g"),
+        F.expr(_WELCH_W).alias("w_g"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("w_nanos").cast("long").alias("sw"),
+        F.sum("wm_nanos").cast("long").alias("swm"),
+    )
+    dev = terms.crossJoin(F.broadcast(tot)).where("sw > 0").select(
+        F.expr(
+            "CAST(FLOOR(w_g"
+            " * (mean_g - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))"
+            " * (mean_g - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("a_micros"),
+        F.expr(
+            "CAST(FLOOR((1.0 - w_nanos / CAST(sw AS DOUBLE))"
+            " * (1.0 - w_nanos / CAST(sw AS DOUBLE))"
+            " / (CAST(n_g AS DOUBLE) - 1.0)"
+            " * 1000000000000.0) AS BIGINT)"
+        ).alias("b_picos"),
+    )
+    # keyless agg + cross join: exactly ONE output row even when every
+    # group was excluded (tiny/const fixtures) — matches the oracle shape.
+    sums = dev.agg(
+        F.sum("a_micros").alias("sa"), F.sum("b_picos").alias("sb")
+    )
+    return tot.crossJoin(F.broadcast(sums)).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CASE WHEN k < 2 OR sa IS NULL OR sb IS NULL THEN NULL ELSE ROUND("
+            "(CAST(sa AS DOUBLE) / 1000000.0 / (CAST(k AS DOUBLE) - 1.0))"
+            " / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)"
+            " / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)"
+            " * (CAST(sb AS DOUBLE) / 1000000000000.0)), 4) END"
+        ).alias("f_welch"),
+        F.expr(
+            "CASE WHEN k < 2 OR sb IS NULL OR sb = 0 THEN NULL ELSE ROUND("
+            "(CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)"
+            " / (3.0 * (CAST(sb AS DOUBLE) / 1000000000000.0)), 2) END"
+        ).alias("nu2"),
+    )
+
+
+_MOOD_ORACLE = f"""
+WITH obs AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}.0) AS BIGINT) AS vq
+    FROM events
+), dist AS (
+    SELECT vq, CAST(COUNT(*) AS BIGINT) AS cnt FROM obs GROUP BY vq
+), cum AS (
+    SELECT vq, SUM(cnt) OVER (ORDER BY vq) AS c,
+           SUM(cnt) OVER () AS n
+    FROM dist
+), med AS (
+    SELECT MIN(vq) AS m FROM cum WHERE 2 * c >= n
+), cells AS (
+    SELECT g,
+           CAST(COUNT(CASE WHEN vq >  (SELECT m FROM med) THEN 1 END)
+               AS BIGINT) AS above,
+           CAST(COUNT(CASE WHEN vq <= (SELECT m FROM med) THEN 1 END)
+               AS BIGINT) AS at_or_below
+    FROM obs GROUP BY g
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(above) AS ca, SUM(at_or_below) AS cb,
+           SUM(above + at_or_below) AS n
+    FROM cells
+), terms AS (
+    SELECT c.g,
+        CAST(FLOOR(
+            CAST(c.above * t.n - (c.above + c.at_or_below) * t.ca AS DOUBLE)
+            * CAST(c.above * t.n - (c.above + c.at_or_below) * t.ca AS DOUBLE)
+            / (CAST(t.n AS DOUBLE)
+               * CAST(c.above + c.at_or_below AS DOUBLE)
+               * CAST(t.ca AS DOUBLE)) * 1000000.0) AS BIGINT)
+        + CAST(FLOOR(
+            CAST(c.at_or_below * t.n
+                 - (c.above + c.at_or_below) * t.cb AS DOUBLE)
+            * CAST(c.at_or_below * t.n
+                 - (c.above + c.at_or_below) * t.cb AS DOUBLE)
+            / (CAST(t.n AS DOUBLE)
+               * CAST(c.above + c.at_or_below AS DOUBLE)
+               * CAST(t.cb AS DOUBLE)) * 1000000.0) AS BIGINT)
+        AS cell_micros
+    FROM cells c CROSS JOIN tot t
+    WHERE t.ca > 0 AND t.cb > 0
+)
+SELECT t.k AS k_groups, CAST(t.n AS BIGINT) AS n_total,
+       CAST(t.k - 1 AS BIGINT) AS df,
+       CAST((SELECT SUM(cell_micros) FROM terms) AS BIGINT) AS chi2_micros
+FROM tot t
+"""
+
+
+@register(
+    "stat_mood_median_test", oracle=_MOOD_ORACLE, tags=("profile", "experiment")
+)
+def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — the nonparametric k-sample location test that
+    dichotomizes every observation against the GLOBAL median and runs a
+    2×k Pearson χ² on the above/at-or-below table. Far less powerful
+    than Kruskal–Wallis but valid under arbitrary group distributions
+    (it only looks at the sign of x − m̂), which is why it survives as
+    the robustness cross-check beside `stat_kruskal_wallis`.
+
+    The global lower median reuses brown_forsythe's count-based kernel
+    (distinct-value grain, unpartitioned cumulative window over the
+    domain-bounded quant grid — never percentile_disc). Each of the 2k
+    cells' (O·N − n_g·c_j)²/(N·n_g·c_j) term is one fixed IEEE
+    expression over exact BIGINTs that are each < 2^53 (O·N ≤ 1e12 at
+    sf1), FLOOR-quantized to micros so the k-cell sum is exact and
+    order-free — the output χ² is a BIGINT, hash-stable on any engine.
+    Degenerate guard: a corpus entirely on one side of its median
+    (const fixture) yields ca or cb = 0 → zero-row terms → NULL
+    chi2_micros, never an ANSI divide."""
+    vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    obs = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), vq.alias("vq")
+    )
+    dist = obs.groupBy("vq").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        dist.select(
+            "vq",
+            F.sum("cnt").over(wcum).alias("c"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.expr("2 * c >= n"))
+        .agg(F.min("vq").alias("m"))
+    )
+    cells = (
+        obs.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.expr("CASE WHEN vq > m THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.expr("CASE WHEN vq <= m THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("at_or_below"),
+        )
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("above").cast("long").alias("ca"),
+        F.sum("at_or_below").cast("long").alias("cb"),
+        F.sum(F.col("above") + F.col("at_or_below")).cast("long").alias("n"),
+    )
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .where("ca > 0 AND cb > 0")
+        .select(
+            F.expr(
+                "CAST(FLOOR("
+                "CAST(above * n - (above + at_or_below) * ca AS DOUBLE)"
+                " * CAST(above * n - (above + at_or_below) * ca AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(above + at_or_below AS DOUBLE)"
+                " * CAST(ca AS DOUBLE)) * 1000000.0) AS BIGINT)"
+                " + CAST(FLOOR("
+                "CAST(at_or_below * n - (above + at_or_below) * cb AS DOUBLE)"
+                " * CAST(at_or_below * n - (above + at_or_below) * cb AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(above + at_or_below AS DOUBLE)"
+                " * CAST(cb AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            ).alias("cell_micros")
+        )
+    )
+    return tot.crossJoin(
+        F.broadcast(terms.agg(F.sum("cell_micros").alias("chi2_micros")))
+    ).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.col("chi2_micros").cast("long").alias("chi2_micros"),
+    )
+
+
+#: ICC quantization: one decade below WELCH_QUANT because the cross-GROUP
+#: sum of s_g² must stay < 2^53 with thousands of groups (users), not 5.
+ICC_QUANT = 10
+
+_ICC_ORACLE = f"""
+WITH obs AS (
+    SELECT user_id AS g,
+           CAST(FLOOR(value * {ICC_QUANT}.0) AS BIGINT) AS vq
+    FROM events
+), per AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(vq) AS BIGINT) AS s_g,
+           CAST(SUM(vq * vq) AS BIGINT) AS q_g
+    FROM obs GROUP BY g
+), per2 AS (
+    SELECT *, (s_g * s_g - (s_g * s_g) % n_g) // n_g AS ssq_g FROM per
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS grp, SUM(n_g) AS n,
+           SUM(s_g) AS s, SUM(q_g) AS q, SUM(ssq_g) AS ssq,
+           SUM(n_g * n_g) AS nn
+    FROM per2
+), fin AS (
+    SELECT grp, n,
+           CAST(ssq - (s * s - (s * s) % n) // n AS BIGINT) AS ssb,
+           CAST(q - ssq AS BIGINT) AS ssw,
+           CAST(nn - (nn - nn % n) // n AS BIGINT) AS k0num
+    FROM tot
+)
+SELECT CAST(grp AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_total,
+       CASE WHEN grp < 2 OR n = grp OR (ssb = 0 AND ssw = 0)
+            THEN NULL ELSE ROUND(
+           (CAST(ssb AS DOUBLE) / (CAST(grp AS DOUBLE) - 1.0)
+            - CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(grp AS DOUBLE)))
+           / (CAST(ssb AS DOUBLE) / (CAST(grp AS DOUBLE) - 1.0)
+              + ((CAST(n AS DOUBLE) - CAST(k0num AS DOUBLE))
+                 / (CAST(grp AS DOUBLE) - 1.0) - 1.0)
+              * CAST(ssw AS DOUBLE)
+              / (CAST(n AS DOUBLE) - CAST(grp AS DOUBLE))), 6)
+       END AS icc1
+FROM fin
+"""
+
+
+@register("stat_icc_oneway", oracle=_ICC_ORACLE, tags=("profile",))
+def stat_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) (Shrout &
+    Fleiss 1979) over per-user event values — "how much of the value
+    variance is BETWEEN users": the standard reliability / clustering-
+    strength statistic (and the design-effect input for clustered
+    experiment sizing, deff = 1 + (m̄−1)·ICC — read beside
+    stat_power_sample_size). Unbalanced groups use the k₀ mean-size
+    correction (N − Σn_g²/N)/(G−1).
+
+    anova_fold's overflow-proof algebra at the user grain: per-group
+    exact integer moments at ICC_QUANT (one decade below WELCH_QUANT —
+    the Σs_g² budget is paid across THOUSANDS of user groups), exact
+    truncating-divide ssq via the divisible-numerator trick, and a
+    final single fixed IEEE expression over exact BIGINTs each < 2^53.
+    One map-combined shuffle on user_id; everything after is a 1-row
+    fold. Degenerate guards: G < 2 or every group a singleton → NULL."""
+    vq = F.floor(F.col("value") * F.lit(float(ICC_QUANT))).cast("long")
+    per = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("g"), vq.alias("vq"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n_g"),
+            F.sum(F.col("vq").cast("decimal(20,0)")).alias("s_g"),
+            F.sum(F.col("vq").cast("decimal(19,0)") * F.col("vq")).alias(
+                "q_g"
+            ),
+        )
+        .withColumn("s2_g", F.expr("CAST(s_g * s_g AS DECIMAL(38,0))"))
+        .withColumn(
+            "ssq_g",
+            F.expr("CAST((s2_g - s2_g % n_g) / n_g AS DECIMAL(32,0))"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("grp"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum("ssq_g").alias("ssq"),
+        F.sum(F.expr("CAST(n_g * n_g AS DECIMAL(38,0))")).alias("nn"),
+    )
+    fin = (
+        tot.withColumn("s2", F.expr("CAST(s * s AS DECIMAL(38,0))"))
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(ssq - (s2 - s2 % n) / n AS BIGINT)").alias("ssb"),
+            F.expr("CAST(q - ssq AS BIGINT)").alias("ssw"),
+            F.expr("CAST(nn - (nn - nn % n) / n AS BIGINT)").alias("k0num"),
+        )
+    )
+    return fin.select(
+        F.col("grp").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        F.expr(
+            "CASE WHEN grp < 2 OR n = grp OR (ssb = 0 AND ssw = 0)"
+            " THEN NULL ELSE ROUND("
+            "(CAST(ssb AS DOUBLE) / (CAST(grp AS DOUBLE) - 1.0)"
+            " - CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(grp AS DOUBLE)))"
+            " / (CAST(ssb AS DOUBLE) / (CAST(grp AS DOUBLE) - 1.0)"
+            " + ((CAST(n AS DOUBLE) - CAST(k0num AS DOUBLE))"
+            " / (CAST(grp AS DOUBLE) - 1.0) - 1.0)"
+            " * CAST(ssw AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) - CAST(grp AS DOUBLE))), 6) END"
+        ).alias("icc1"),
+    )
