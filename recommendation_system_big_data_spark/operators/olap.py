@@ -1245,3 +1245,81 @@ def olap_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT c.c_mktsegment AS segment, c.c_nationkey AS seller,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+               AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+), seg AS (
+    SELECT segment, CAST(SUM(cents) AS HUGEINT) AS seg_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_sellers
+    FROM rev GROUP BY segment
+), shares AS (
+    SELECT r.segment, s.n_sellers,
+           (r.cents * 10000) // s.seg_cents AS share_bp
+    FROM rev r JOIN seg s ON r.segment = s.segment
+    WHERE s.seg_cents > 0
+)
+SELECT segment, MAX(n_sellers) AS n_sellers,
+       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+       CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+FROM shares GROUP BY segment
+"""
+
+
+@register("olap_market_share_hhi", oracle=_HHI_ORACLE, tags=("olap",))
+def olap_market_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment —
+    sellers are customer nations, shares are basis points of segment
+    revenue, HHI = Σ share_bp² (the antitrust-standard 0–10⁸ scale;
+    /10⁴ gives the usual 0–10 000 convention for shares in percent).
+    Complements stat_gini_coefficient (inequality of a distribution)
+    with the market-power view regulators actually use, plus the
+    largest-seller share as the CR1 ratio.
+
+    Exact end-to-end: decimal cents fold → integer basis-point shares by
+    truncating division (both engines truncate toward zero) → integer
+    HHI. Two map-combined aggregates on (segment, seller) then
+    (segment) — the second rides the first's partitioning
+    (ClusteredDistribution subset rule), so ONE exchange total plus the
+    join's; seg totals join back on segment (tiny, broadcast)."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("seller"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    seg = rev.groupBy("segment").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("seg_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_sellers"),
+    )
+    shares = (
+        rev.join(F.broadcast(seg), "segment")
+        .where(F.col("seg_cents") > 0)
+        .select(
+            "segment",
+            "n_sellers",
+            F.expr("(cents * 10000) div seg_cents").alias("share_bp"),
+        )
+    )
+    return shares.groupBy("segment").agg(
+        F.max("n_sellers").alias("n_sellers"),
+        F.sum(F.col("share_bp") * F.col("share_bp"))
+        .cast("long")
+        .alias("hhi"),
+        F.max("share_bp").cast("long").alias("top_share_bp"),
+    )

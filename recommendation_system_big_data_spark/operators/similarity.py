@@ -2231,3 +2231,116 @@ def sim_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 - SUM(cos_micros) div COUNT(1) AS BIGINT)"
         ).alias("ild_micros"),
     )
+
+
+_ISOTROPY_ORACLE = """
+WITH q AS (
+    SELECT vec_id, g.j,
+           CAST(FLOOR(CAST(embedding[g.j] AS DOUBLE) * 1000000000.0)
+                AS BIGINT) AS vq
+    FROM embeddings,
+         UNNEST(generate_series(1, len(embedding))) AS g(j)
+), dims AS (
+    SELECT j, CAST(SUM(vq) AS HUGEINT) AS s_j FROM q GROUP BY j
+), a AS (
+    SELECT CAST(SUM(s_j * s_j) AS HUGEINT) AS a,
+           CAST(COUNT(*) AS BIGINT) AS d
+    FROM dims
+), qq AS (
+    SELECT CAST(SUM(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS q,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+    FROM q
+)
+SELECT qq.n, a.d AS dims,
+       CAST((2000000 * qq.q + qq.n * CAST(1000000000000000000 AS HUGEINT))
+            // (2 * qq.n * CAST(1000000000000000000 AS HUGEINT)) AS BIGINT)
+           AS mean_sq_norm_micros,
+       CASE WHEN qq.n < 2 THEN NULL ELSE CAST(
+           CASE WHEN a.a >= qq.q
+           THEN (2000000 * (a.a - qq.q)
+                 + qq.n * (qq.n - 1) * CAST(1000000000000000000 AS HUGEINT))
+                // (2 * qq.n * (qq.n - 1) * CAST(1000000000000000000 AS HUGEINT))
+           ELSE -((2000000 * (qq.q - a.a)
+                 + qq.n * (qq.n - 1) * CAST(1000000000000000000 AS HUGEINT))
+                // (2 * qq.n * (qq.n - 1) * CAST(1000000000000000000 AS HUGEINT))) END
+           AS BIGINT) END AS avg_pair_dot_micros,
+       CASE WHEN qq.n < 2 OR qq.q = 0 THEN NULL ELSE CAST(
+           CASE WHEN a.a >= qq.q
+           THEN (2000000 * (a.a - qq.q) + (qq.n - 1) * qq.q)
+                // (2 * (qq.n - 1) * qq.q)
+           ELSE -((2000000 * (qq.q - a.a) + (qq.n - 1) * qq.q)
+                // (2 * (qq.n - 1) * qq.q)) END
+           AS BIGINT) END AS isotropy_ratio_micros
+FROM a CROSS JOIN qq
+"""
+
+
+@register(
+    "embedding_isotropy_score", oracle=_ISOTROPY_ORACLE, tags=("similarity",)
+)
+def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostic (Ethayarajh 2019 / Mu &
+    Viswanath 2018's "all-but-the-top" motivation): the exact average
+    pairwise dot product over ALL n² pairs via the closed form
+    (‖Σv‖² − Σ‖v‖²)/(n(n−1)) — no pairwise work at any scale — plus the
+    mean squared norm and their ratio (≈ average pairwise cosine for
+    near-constant norms). Anisotropy (ratio ≫ 0) is the standard
+    symptom of a collapsed/mean-shifted embedding model and the trigger
+    for re-centering before cosine retrieval — the production check
+    that explains a sim_topk recall regression without running one.
+
+    Exactness at 100 TB: elements nano-quantize (FLOOR(x·1e9), the
+    embedding_covariance discipline) so the per-dimension sums S_j and
+    the global Σvq² are exact integers from ONE pass (map-combined; the
+    only exchange carries d partials per partition, never vectors); the
+    three exits are round-half-away integer rationals. Budget: |S_j| ≤
+    n·1e9 ⇒ ΣS_j² ≤ d·n²·1e18 ≈ 1e31 at n=10⁷, inside DECIMAL(38)
+    through ~sf1000 of this corpus; the ratio numerator ×2e6 peaks
+    ≈ 1e37 — one order from the cap, so the docstring IS the budget
+    note (drop the quantizer to 1e8 beyond n≈10⁷)."""
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("j", "x"),
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x").cast("double") * F.lit(1000000000.0))
+        .cast("long")
+        .alias("vq"),
+    )
+    dims = q.groupBy("j").agg(
+        F.sum(F.col("vq").cast("decimal(28,0)")).alias("s_j")
+    )
+    a = dims.agg(
+        F.sum(F.expr("CAST(s_j * s_j AS DECIMAL(38,0))")).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    qq = q.agg(
+        F.sum(F.expr("CAST(vq AS DECIMAL(19,0)) * vq")).alias("q"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    return a.crossJoin(F.broadcast(qq)).select(
+        F.col("n"),
+        F.col("d").alias("dims"),
+        F.expr(
+            "CAST((2000000 * q + n * CAST(1000000000000000000 AS DECIMAL(20,0)))"
+            " div (2 * n * CAST(1000000000000000000 AS DECIMAL(20,0))) AS BIGINT)"
+        ).alias("mean_sq_norm_micros"),
+        F.expr(
+            "CASE WHEN n < 2 THEN NULL ELSE CAST("
+            "CASE WHEN a >= q"
+            " THEN (2000000 * (a - q) + n * (n - 1) * CAST(1000000000000000000 AS DECIMAL(20,0)))"
+            " div (2 * n * (n - 1) * CAST(1000000000000000000 AS DECIMAL(20,0)))"
+            " ELSE -((2000000 * (q - a) + n * (n - 1) * CAST(1000000000000000000 AS DECIMAL(20,0)))"
+            " div (2 * n * (n - 1) * CAST(1000000000000000000 AS DECIMAL(20,0)))) END"
+            " AS BIGINT) END"
+        ).alias("avg_pair_dot_micros"),
+        F.expr(
+            "CASE WHEN n < 2 OR q = 0 THEN NULL ELSE CAST("
+            "CASE WHEN a >= q"
+            " THEN (2000000 * (a - q) + (n - 1) * q) div (2 * (n - 1) * q)"
+            " ELSE -((2000000 * (q - a) + (n - 1) * q)"
+            " div (2 * (n - 1) * q)) END"
+            " AS BIGINT) END"
+        ).alias("isotropy_ratio_micros"),
+    )

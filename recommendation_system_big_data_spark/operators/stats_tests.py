@@ -4971,3 +4971,162 @@ def stat_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n AS DOUBLE) - CAST(grp AS DOUBLE))), 6) END"
         ).alias("icc1"),
     )
+
+
+#: Dunn z / p fragments shared verbatim by the Spark plan and the DuckDB
+#: oracle (column names n_i/n_j/nn/t3/dm are identical in both).
+_DUNN_VAR = (
+    "((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0) / 12e0"
+    " - CAST(t3 AS DOUBLE) / (12e0 * (CAST(nn AS DOUBLE) - 1e0)))"
+    " * (1e0 / CAST(n_i AS DOUBLE) + 1e0 / CAST(n_j AS DOUBLE)))"
+)
+_DUNN_Z = f"((CAST(dm AS DOUBLE) / 1e6 / 2e0) / SQRT({_DUNN_VAR}))"
+
+
+def _dunn_exprs() -> tuple[str, str]:
+    from recommendation_system_big_data_spark.functions.safe_stats import (
+        normal_cdf_sql,
+    )
+
+    guard = f"nn < 2 OR {_DUNN_VAR} <= 0e0"
+    z = f"CASE WHEN {guard} THEN NULL ELSE ROUND({_DUNN_Z}, 4) END"
+    phi = normal_cdf_sql(f"ABS({_DUNN_Z})")
+    p = (
+        f"CASE WHEN {guard} THEN NULL ELSE "
+        f"ROUND(LEAST(1e0, CAST(m AS DOUBLE) * 2e0 * (1e0 - {phi})), 6) END"
+    )
+    return z, p
+
+
+def _dunn_oracle() -> str:
+    z, p = _dunn_exprs()
+    return f"""
+WITH vt AS (
+    SELECT value, event_type AS g, CAST(COUNT(*) AS HUGEINT) AS c_g
+    FROM events GROUP BY value, event_type
+), v AS (
+    SELECT value, SUM(c_g) AS c FROM vt GROUP BY value
+), r AS (
+    SELECT value, c,
+           COALESCE(SUM(c) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM v
+), per AS (
+    SELECT vt.g, SUM(vt.c_g) AS n_g,
+           SUM(vt.c_g * (2 * r.cum_before + r.c + 1)) AS rs2_g
+    FROM vt JOIN r ON vt.value = r.value
+    GROUP BY vt.g
+), tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS nn FROM per
+), ties AS (
+    SELECT SUM(c * c * c - c) AS t3 FROM v
+), pairs AS (
+    SELECT a.g AS g1, b.g AS g2,
+           CAST(a.n_g AS BIGINT) AS n_i, CAST(b.n_g AS BIGINT) AS n_j,
+           t.nn, s.t3, t.k * (t.k - 1) // 2 AS m,
+           CASE WHEN a.rs2_g * b.n_g >= b.rs2_g * a.n_g
+                THEN (a.rs2_g * b.n_g - b.rs2_g * a.n_g) * 1000000
+                     // (a.n_g * b.n_g)
+                ELSE -((b.rs2_g * a.n_g - a.rs2_g * b.n_g) * 1000000
+                     // (a.n_g * b.n_g)) END AS dm
+    FROM per a JOIN per b ON a.g < b.g
+    CROSS JOIN tot t CROSS JOIN ties s
+)
+SELECT g1, g2, n_i, n_j,
+       {z} AS z_dunn,
+       {p} AS p_bonferroni
+FROM pairs
+"""
+
+
+@register(
+    "stat_dunn_posthoc", oracle=_dunn_oracle(), tags=("profile", "experiment")
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964) — the pairwise follow-up that a
+    significant `stat_kruskal_wallis` demands: which groups differ?
+    z_ij = (R̄_i − R̄_j)/√[(N(N+1)/12 − ΣT/(12(N−1)))·(1/n_i + 1/n_j)]
+    on the SAME tie-corrected midranks KW used (using fresh pairwise
+    Mann–Whitneys instead is the classic post-hoc mistake — ranks must
+    come from the pooled ranking), with Bonferroni-adjusted two-sided
+    p-values over the k(k−1)/2 family via the shared Φ fragment.
+
+    Machinery: vt/v/r/per is stat_kruskal_wallis's exact-midrank kernel
+    verbatim (distinct-value grain, two-phase prefix sum, integral
+    doubled rank sums); the mean-rank difference is quantized through
+    ONE bounded truncating division (dm micros — the Brier/KW m_g
+    pattern, |dm| ≤ 2N·1e6, so no quotient grows super-linearly) and
+    the k(k−1)/2 pairwise frame is a broadcast self-join of the k-row
+    per-group table. Degenerate guards: N < 2 or an all-ties corpus
+    (variance term 0: const fixture) → NULL z and p."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    vt = ev.groupBy("value", F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c_g")
+    )
+    v = vt.groupBy("value").agg(F.sum("c_g").cast("decimal(20,0)").alias("c"))
+    r = running_sums(v, ["value"], {"cum_before": ("c", False)})
+    per = (
+        vt.join(r, "value")
+        .groupBy("g")
+        .agg(
+            F.sum("c_g").cast("decimal(20,0)").alias("n_g"),
+            F.sum(
+                F.col("c_g") * (2 * F.col("cum_before") + F.col("c") + 1)
+            )
+            .cast("decimal(32,0)")
+            .alias("rs2_g"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("decimal(20,0)").alias("nn"),
+    )
+    ties = v.agg(
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")
+        ).alias("t3")
+    )
+    a = per.select(
+        F.col("g").alias("g1"),
+        F.col("n_g").alias("na"),
+        F.col("rs2_g").alias("rsa"),
+    )
+    b = per.select(
+        F.col("g").alias("g2"),
+        F.col("n_g").alias("nb"),
+        F.col("rs2_g").alias("rsb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "g1",
+            "g2",
+            F.col("na").cast("long").alias("n_i"),
+            F.col("nb").cast("long").alias("n_j"),
+            "nn",
+            "t3",
+            F.expr("k * (k - 1) div 2").alias("m"),
+            F.expr(
+                "CASE WHEN rsa * nb >= rsb * na"
+                " THEN (rsa * nb - rsb * na) * 1000000 div (na * nb)"
+                " ELSE -((rsb * na - rsa * nb) * 1000000 div (na * nb)) END"
+            ).alias("dm"),
+        )
+    )
+    z, p = _dunn_exprs()
+    return pairs.select(
+        "g1",
+        "g2",
+        "n_i",
+        "n_j",
+        F.expr(z).alias("z_dunn"),
+        F.expr(p).alias("p_bonferroni"),
+    )

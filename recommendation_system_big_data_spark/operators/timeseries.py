@@ -2694,3 +2694,294 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE ROUND(-LN(CAST(a_pairs AS DOUBLE) / b_pairs), 6) END"
         ).alias("sample_entropy"),
     )
+
+
+#: KPSS Bartlett-window truncation lag (fixed, as in the original paper's
+#: l4 choice; a data-driven lag would make the statistic sample-dependent
+#: in a way the fixed-seed testdata doesn't need).
+KPSS_LAGS = 4
+
+_KPSS_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, idx, yc,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           CAST(SUM(yc) OVER (PARTITION BY event_type) AS HUGEINT) AS s
+    FROM daily
+), e AS (
+    SELECT event_type, idx, n,
+           CAST(n AS HUGEINT) * yc - s AS ev
+    FROM stats
+), ps AS (
+    SELECT event_type, idx, n, ev,
+           SUM(ev) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+    FROM e
+), lagd AS (
+    SELECT event_type, n, ev, cum,
+           LAG(ev, 1) OVER (PARTITION BY event_type ORDER BY idx) AS e1,
+           LAG(ev, 2) OVER (PARTITION BY event_type ORDER BY idx) AS e2,
+           LAG(ev, 3) OVER (PARTITION BY event_type ORDER BY idx) AS e3,
+           LAG(ev, 4) OVER (PARTITION BY event_type ORDER BY idx) AS e4
+    FROM ps
+), fold AS (
+    SELECT event_type, MAX(n) AS n,
+           SUM(cum * cum) AS a,
+           10 * SUM(ev * ev)
+             + 2 * (8 * SUM(ev * e1) + 6 * SUM(ev * e2)
+                    + 4 * SUM(ev * e3) + 2 * SUM(ev * e4)) AS d
+    FROM lagd GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n < 2 OR d <= 0 THEN NULL
+            ELSE CAST(CASE WHEN a >= 0
+                 THEN (20000000 * a + n * d) // (2 * n * d)
+                 ELSE -((20000000 * (-a) + n * d) // (2 * n * d)) END
+                 AS BIGINT)
+       END AS eta_micros,
+       CASE WHEN n < 2 OR d <= 0 THEN NULL
+            ELSE CAST(10000000 * a >= 463000 * n * d AS BIGINT)
+       END AS reject_level_5pct
+FROM fold
+"""
+
+
+@register(
+    "ts_kpss_stationarity", oracle=_KPSS_ORACLE, tags=("timeseries",)
+)
+def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski–Phillips–Schmidt–Shin
+    1992) per event_type daily series — the COMPLEMENT of
+    `ts_adf_stationarity`: ADF's null is a unit root, KPSS's null is
+    stationarity, and running both is the textbook confirmatory pair
+    (agree ⇒ confident; disagree ⇒ near-integrated). η = Σ_t S_t² /
+    (n²·σ̂²_lr) with S_t the partial sums of demeaned observations and
+    σ̂²_lr the Bartlett-window long-run variance at lag {KPSS_LAGS}.
+
+    Exactness: the demeaned residual is scaled by n (E_t = n·y_t − Σy,
+    an exact BIGINT on exact cent inputs), which makes partial sums,
+    Σ S_t², and every lag-autocovariance exact integers; the Bartlett
+    weights (1 − l/5) are cleared to integers by a global ×10, and the
+    n-powers cancel to η = 10·A/(n·D) — ONE exact rational, exited as
+    round-half-away-from-zero eta_micros (integer hash). The 5%%
+    critical value 0.463 compares as a pure integer inequality. Guards:
+    n < 2 days or a zero long-run variance (const/oneday fixtures) →
+    NULL. Shape: one map-combined daily fold, then day-grain windows
+    partitioned BY KEY (each series is one task's slice; the day grain
+    is bounded by calendar time, not corpus size — the same argument as
+    every other per-key daily kernel here)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    wk = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("idx")
+    e = daily.select(
+        "event_type",
+        "idx",
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+        (
+            F.count(F.lit(1)).over(wk).cast("decimal(20,0)") * F.col("yc")
+            - F.sum(F.col("yc").cast("decimal(20,0)")).over(wk)
+        )
+        .cast("decimal(25,0)")
+        .alias("ev"),
+    )
+    lagd = e.select(
+        "event_type",
+        "n",
+        "ev",
+        F.sum("ev").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.lag("ev", 1).over(wo).alias("e1"),
+        F.lag("ev", 2).over(wo).alias("e2"),
+        F.lag("ev", 3).over(wo).alias("e3"),
+        F.lag("ev", 4).over(wo).alias("e4"),
+    )
+    fold = lagd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(cum * cum AS DECIMAL(38,0))")).alias("a"),
+        F.expr(
+            "10 * SUM(CAST(ev * ev AS DECIMAL(38,0)))"
+            " + 2 * (8 * SUM(CAST(ev * e1 AS DECIMAL(38,0)))"
+            " + 6 * SUM(CAST(ev * e2 AS DECIMAL(38,0)))"
+            " + 4 * SUM(CAST(ev * e3 AS DECIMAL(38,0)))"
+            " + 2 * SUM(CAST(ev * e4 AS DECIMAL(38,0))))"
+        ).alias("d"),
+    )
+    return fold.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CASE WHEN n < 2 OR d <= 0 THEN NULL"
+            " ELSE CAST(CASE WHEN a >= 0"
+            " THEN (20000000 * a + n * d) div (2 * n * d)"
+            " ELSE -((20000000 * (-a) + n * d) div (2 * n * d)) END"
+            " AS BIGINT) END"
+        ).alias("eta_micros"),
+        F.expr(
+            "CASE WHEN n < 2 OR d <= 0 THEN NULL"
+            " ELSE CAST(10000000 * a >= 463000 * n * d AS BIGINT) END"
+        ).alias("reject_level_5pct"),
+    )
+
+
+def _theta_fn(alpha: float, horizon: int):
+    """Factory for the per-key Theta solve (nested closure — pickled by
+    value per the probe_foreign_cwd contract). Works on exact integer
+    CENTS so the OLS normal-equation sums are exact ints; every double
+    is produced by the same expression the oracle writes (float(int)
+    conversion ≡ CAST(int AS DOUBLE): both correctly rounded)."""
+
+    def theta(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        key = pdf["event_type"].iloc[0]
+        yc = [int(v) for v in pdf["yc"]]
+        n = len(yc)
+        if n < 2:
+            return pd.DataFrame(
+                {"event_type": [], "h": [], "forecast": []}
+            ).astype(
+                {"event_type": "str", "h": "int64", "forecast": "float64"}
+            )
+        st = n * (n + 1) // 2
+        stt = n * (n + 1) * (2 * n + 1) // 6
+        syc = sum(yc)
+        sty = sum((t + 1) * y for t, y in enumerate(yc))
+        bnum = n * sty - st * syc
+        bden = n * stt - st * st
+        b = float(bnum) / float(bden)
+        a = (float(syc) - b * float(st)) / float(n)
+        level = 2.0 * float(yc[0]) - (a + b * 1.0)
+        for t in range(2, n + 1):
+            x = 2.0 * float(yc[t - 1]) - (a + b * float(t))
+            level = alpha * x + (1.0 - alpha) * level
+        return pd.DataFrame(
+            {
+                "event_type": [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                # raw doubles out; caller applies F.round (HALF_UP)
+                "forecast": [
+                    (0.5 * (a + b * float(n + h)) + 0.5 * level) / 100.0
+                    for h in range(1, horizon + 1)
+                ],
+            }
+        )
+
+    return theta
+
+
+_THETA_ALPHA = 0.5
+_THETA_H = 7
+
+#: Theta as a recursive CTE: OLS on exact HUGEINT cent sums (b/a written
+#: with the same CAST-then-divide the pandas solve mirrors via
+#: float(int)/float(int)), theta2-line SES advanced one state per step —
+#: the ts_holt_linear IEEE-DAG-parity argument verbatim.
+_THETA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, yc,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), ols AS (
+    SELECT event_type, CAST(MAX(n) AS HUGEINT) AS n,
+           CAST(SUM(rn) AS HUGEINT) AS st,
+           CAST(SUM(CAST(rn AS HUGEINT) * rn) AS HUGEINT) AS stt,
+           CAST(SUM(yc) AS HUGEINT) AS syc,
+           CAST(SUM(CAST(rn AS HUGEINT) * yc) AS HUGEINT) AS sty
+    FROM seq GROUP BY event_type
+    HAVING MAX(n) >= 2
+), ab AS (
+    SELECT event_type, n,
+           CAST(n * sty - st * syc AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+           (CAST(syc AS DOUBLE)
+            - CAST(n * sty - st * syc AS DOUBLE)
+              / CAST(n * stt - st * st AS DOUBLE) * CAST(st AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+    FROM ols
+), rec(event_type, rn, n, a, b, level) AS (
+    SELECT s.event_type, 1, ab.n, ab.a, ab.b,
+           2.0 * CAST(s.yc AS DOUBLE) - (ab.a + ab.b * 1.0)
+    FROM seq s JOIN ab ON ab.event_type = s.event_type AND s.rn = 1
+    UNION ALL
+    SELECT r.event_type, r.rn + 1, r.n, r.a, r.b,
+           {_THETA_ALPHA!r} * (2.0 * CAST(s.yc AS DOUBLE)
+               - (r.a + r.b * CAST(r.rn + 1 AS DOUBLE)))
+           + {1.0 - _THETA_ALPHA!r} * r.level
+    FROM rec r JOIN seq s
+      ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    WHERE r.rn < r.n
+)
+SELECT r.event_type, g.h,
+       ROUND((0.5 * (r.a + r.b * CAST(r.n + g.h AS DOUBLE))
+              + 0.5 * r.level) / 100.0, 6) AS forecast
+FROM rec r, UNNEST(generate_series(1, {_THETA_H})) AS g(h)
+WHERE r.rn = r.n
+"""
+
+
+@register("ts_theta_forecast", oracle=_THETA_ORACLE, tags=("timeseries", "ml"))
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner; Hyndman & Billah 2003 showed it is SES with
+    drift) of daily value per event_type: decompose into the θ=0 line
+    (the OLS trend, fully deterministic) and the θ=2 line (2y − trend,
+    double the local curvature), SES the θ=2 line, and average the two
+    extrapolations. Complements ts_holt_linear (adaptive trend) and
+    ts_forecast_linear (pure OLS): Theta damps trend the way the M3/M4
+    evidence prefers.
+
+    Determinism: the OLS normal equations run on exact integer cents
+    (Σt, Σt², Σy, Σty are exact HUGEINT/Python-int sums — no unordered
+    float accumulation anywhere), and b/a enter the doubles through
+    float(int)/float(int) ≡ CAST-then-divide, identical on both
+    engines; the SES recursion is the same step-by-step IEEE DAG as
+    ts_holt_linear's recursive-CTE parity. Keys with < 2 days emit no
+    forecast (oneday/tiny fixtures). The solve input is |keys|·|days|
+    rows — applyInPandas after one map-combined daily fold, the
+    reference reduce-then-solve split."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            _theta_fn(_THETA_ALPHA, _THETA_H),
+            "event_type string, h long, forecast double",
+        )
+        .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
+    )

@@ -24,7 +24,7 @@ for name in ["multimodal_decode", "multimodal_resize", "multimodal_frame_sample"
              # factory and the zlib compressibility mapInPandas factory
              "ts_holt_winters_seasonal", "text_compression_ratio",
              # round-14 Python path: the Croston applyInPandas factory
-             "ts_forecast_croston"]:
+             "ts_forecast_croston", "ts_theta_forecast"]:
     try:
         n = qs[name](spark, SF).count()
         print("OK", name, n)
