@@ -151,8 +151,15 @@ _DRIVER_WINDOW_ALIASES = (
 )
 
 #: ROUND-16 QUEUE (committed now so the r16 flip stays a one-line edit):
-#: 1. any ROUND-15 SESSION ADDITIONS (oracle-bearing; appended to this
-#:    comment as they land this round);
+#: 1. the ROUND-15 SESSION ADDITIONS (all oracle-bearing; each was
+#:    oracle-checked at sf0.001 AND sf0.01, ulp-sweep clean, green on
+#:    the four degenerate fixtures, and covered by a sequential-Python
+#:    differential replica in tests/test_round15_ops.py on the day it
+#:    landed):
+#:      stat_welch_anova stat_mood_median_test stat_icc_oneway
+#:      ml_eval_ks_separation ml_mutual_information ts_kpss_stationarity
+#:      ts_theta_forecast olap_market_share_hhi embedding_isotropy_score
+#:      stat_dunn_posthoc
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

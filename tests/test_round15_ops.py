@@ -1,0 +1,413 @@
+"""Round-15 operators: sequential-Python differential replicas.
+
+Each test recomputes the operator's statistic from the RAW fixture rows
+with an independent pure-Python implementation (exact ints / Decimal where
+the operator is exact; textbook float formulas where it exits through
+ROUND) and requires agreement with the Spark result. This is the
+differential-kernel layer (SURVEY §5 / COVERAGE "Differential kernel
+tests"): the DuckDB oracle proves cross-ENGINE agreement, these prove the
+shared formula is the TEXTBOOK one.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+SF = None  # use the session sf_dir fixture
+
+
+def _events(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .collect()
+    )
+
+
+def test_welch_anova_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        WELCH_QUANT,
+        stat_welch_anova,
+    )
+
+    rows = _events(spark, sf_dir)
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(math.floor(r["value"] * WELCH_QUANT))
+    stats = {}
+    for g, vs in groups.items():
+        n = len(vs)
+        if n < 2:
+            continue
+        s, q = sum(vs), sum(v * v for v in vs)
+        if n * q <= s * s:
+            continue
+        mean = float(s) / float(n)
+        var = (float(q) - float(s) * float(s) / float(n)) / (float(n) - 1.0)
+        stats[g] = (n, mean, float(n) / var)
+    k = len(stats)
+    sw = sum(math.floor(w * 1e9) for _, _, w in stats.values())
+    swm = sum(math.floor(w * m * 1e9) for _, m, w in stats.values())
+    xt = float(swm) / float(sw)
+    sa = sum(
+        math.floor(w * (m - xt) * (m - xt) * 1e6) for _, m, w in stats.values()
+    )
+    sb = sum(
+        math.floor(
+            (1.0 - math.floor(w * 1e9) / float(sw)) ** 2 / (float(n) - 1.0)
+            * 1e12
+        )
+        for n, _, w in stats.values()
+    )
+    f_ref = (float(sa) / 1e6 / (float(k) - 1.0)) / (
+        1.0
+        + 2.0 * (float(k) - 2.0) / (float(k) * float(k) - 1.0)
+        * (float(sb) / 1e12)
+    )
+    got = stat_welch_anova(spark, sf_dir).collect()[0]
+    assert got["k_groups"] == k
+    assert got["f_welch"] == pytest.approx(f_ref, abs=2e-4)
+
+
+def test_mood_median_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ANOVA_QUANT,
+        stat_mood_median_test,
+    )
+
+    rows = _events(spark, sf_dir)
+    vq = sorted(math.floor(r["value"] * ANOVA_QUANT) for r in rows)
+    n = len(vq)
+    # lowest value with 2*cum >= n over the distinct grain
+    cum = 0
+    med = None
+    for val, cnt in sorted(Counter(vq).items()):
+        cum += cnt
+        if 2 * cum >= n:
+            med = val
+            break
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        q = math.floor(r["value"] * ANOVA_QUANT)
+        cells[r["event_type"]][0 if q > med else 1] += 1
+    ca = sum(a for a, _ in cells.values())
+    cb = sum(b for _, b in cells.values())
+    chi2_micros = 0
+    for a, b in cells.values():
+        ng = a + b
+        chi2_micros += math.floor(
+            float(a * n - ng * ca) ** 2 / (float(n) * float(ng) * float(ca))
+            * 1e6
+        )
+        chi2_micros += math.floor(
+            float(b * n - ng * cb) ** 2 / (float(n) * float(ng) * float(cb))
+            * 1e6
+        )
+    got = stat_mood_median_test(spark, sf_dir).collect()[0]
+    assert got["chi2_micros"] == chi2_micros
+    assert got["df"] == len(cells) - 1
+
+
+def test_icc_oneway_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ICC_QUANT,
+        stat_icc_oneway,
+    )
+
+    rows = _events(spark, sf_dir)
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append(math.floor(r["value"] * ICC_QUANT))
+    G = len(per)
+    N = sum(len(v) for v in per.values())
+    S = sum(sum(v) for v in per.values())
+    Q = sum(x * x for v in per.values() for x in v)
+    ssq = sum((sum(v) ** 2) // len(v) for v in per.values())
+    ssb = ssq - (S * S) // N
+    ssw = Q - ssq
+    nn = sum(len(v) ** 2 for v in per.values())
+    k0n = nn - (nn - nn % N) // N
+    msb = float(ssb) / (float(G) - 1.0)
+    msw = float(ssw) / (float(N) - float(G))
+    icc_ref = (msb - msw) / (
+        msb + ((float(N) - float(k0n)) / (float(G) - 1.0) - 1.0) * msw
+    )
+    got = stat_icc_oneway(spark, sf_dir).collect()[0]
+    assert got["n_groups"] == G and got["n_total"] == N
+    assert got["icc1"] == pytest.approx(icc_ref, abs=1e-6)
+    assert -1.0 <= got["icc1"] <= 1.0
+
+
+def test_ks_separation_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_ks_separation,
+    )
+
+    rows = _events(spark, sf_dir)
+    pos = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    neg = sorted(r["value"] for r in rows if r["event_type"] != "purchase")
+    npos, nneg = len(pos), len(neg)
+    grid = sorted(set(pos) | set(neg))
+    best, best_s = -1, None
+    cp = cn = 0
+    ip = ineg = 0
+    for s in grid:
+        while ip < npos and pos[ip] <= s:
+            ip += 1
+        while ineg < nneg and neg[ineg] <= s:
+            ineg += 1
+        num = abs(ip * nneg - ineg * npos)
+        if num > best:
+            best, best_s = num, s
+    got = ml_eval_ks_separation(spark, sf_dir).collect()[0]
+    assert got["n_pos"] == npos and got["n_neg"] == nneg
+    assert got["ks"] == pytest.approx(best / (npos * nneg), abs=1e-6)
+    assert got["ks_score"] == pytest.approx(best_s)
+
+
+def test_mutual_information_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        MI_BIN,
+        ml_mutual_information,
+    )
+
+    rows = _events(spark, sf_dir)
+    cells = Counter(
+        (math.floor(r["value"] / MI_BIN), r["event_type"]) for r in rows
+    )
+    rx = Counter()
+    cy = Counter()
+    for (x, y), c in cells.items():
+        rx[x] += c
+        cy[y] += c
+    n = sum(cells.values())
+    s_nanos = sum(
+        math.floor(
+            c * (math.log(c) + math.log(n) - math.log(rx[x]) - math.log(cy[y]))
+            * 1e9
+        )
+        for (x, y), c in cells.items()
+    )
+    mi_ref = (s_nanos / 1e9) / n
+    got = ml_mutual_information(spark, sf_dir).collect()[0]
+    assert got["n_cells"] == len(cells)
+    assert got["mi_nats"] == pytest.approx(mi_ref, abs=1e-6)
+    assert got["mi_nats"] >= 0.0  # MI is non-negative up to quantization
+
+
+def test_kpss_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_kpss_stationarity,
+    )
+    from decimal import Decimal
+
+    rows = _events(spark, sf_dir)
+    daily = defaultdict(lambda: defaultdict(Decimal))
+    epoch = None
+    for r in rows:
+        day = r["ts"].date().toordinal()
+        daily[r["event_type"]][day] += Decimal(str(r["value"])).quantize(
+            Decimal("0.01")
+        )
+    expected = {}
+    for g, series in daily.items():
+        yc = [int(v * 100) for _, v in sorted(series.items())]
+        n = len(yc)
+        if n < 2:
+            expected[g] = None
+            continue
+        s = sum(yc)
+        ev = [n * y - s for y in yc]
+        cum = 0
+        a = 0
+        for e in ev:
+            cum += e
+            a += cum * cum
+        d = 10 * sum(e * e for e in ev)
+        for lag, w10 in ((1, 8), (2, 6), (3, 4), (4, 2)):
+            d += 2 * w10 * sum(
+                ev[t] * ev[t - lag] for t in range(lag, n)
+            )
+        if d <= 0:
+            expected[g] = None
+            continue
+        expected[g] = (20000000 * a + n * d) // (2 * n * d)
+    got = {
+        r["event_type"]: r["eta_micros"]
+        for r in ts_kpss_stationarity(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_theta_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        _THETA_ALPHA,
+        _THETA_H,
+        ts_theta_forecast,
+    )
+    from decimal import Decimal
+
+    rows = _events(spark, sf_dir)
+    daily = defaultdict(lambda: defaultdict(Decimal))
+    for r in rows:
+        daily[r["event_type"]][r["ts"].date().toordinal()] += Decimal(
+            str(r["value"])
+        ).quantize(Decimal("0.01"))
+    expected = {}
+    for g, series in daily.items():
+        yc = [int(v * 100) for _, v in sorted(series.items())]
+        n = len(yc)
+        if n < 2:
+            continue
+        st = n * (n + 1) // 2
+        stt = n * (n + 1) * (2 * n + 1) // 6
+        syc = sum(yc)
+        sty = sum((t + 1) * y for t, y in enumerate(yc))
+        b = float(n * sty - st * syc) / float(n * stt - st * st)
+        a = (float(syc) - b * float(st)) / float(n)
+        level = 2.0 * float(yc[0]) - (a + b * 1.0)
+        for t in range(2, n + 1):
+            x = 2.0 * float(yc[t - 1]) - (a + b * float(t))
+            level = _THETA_ALPHA * x + (1.0 - _THETA_ALPHA) * level
+        for h in range(1, _THETA_H + 1):
+            expected[(g, h)] = (
+                0.5 * (a + b * float(n + h)) + 0.5 * level
+            ) / 100.0
+    got = {
+        (r["event_type"], r["h"]): r["forecast"]
+        for r in ts_theta_forecast(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k2, v in expected.items():
+        assert got[k2] == pytest.approx(v, abs=1e-6), k2
+
+
+def test_hhi_matches_sequential(spark, sf_dir):
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.operators.olap import (
+        olap_market_share_hhi,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: (r["c_mktsegment"], r["c_nationkey"])
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for o in orders:
+        seg, nat = cust[o["o_custkey"]]
+        rev[(seg, nat)] += int(
+            Decimal(str(o["o_totalprice"])).quantize(Decimal("0.01")) * 100
+        )
+    seg_tot = defaultdict(int)
+    for (seg, _), c in rev.items():
+        seg_tot[seg] += c
+    hhi = defaultdict(int)
+    top = defaultdict(int)
+    nsellers = Counter()
+    for (seg, _), c in rev.items():
+        bp = c * 10000 // seg_tot[seg]
+        hhi[seg] += bp * bp
+        top[seg] = max(top[seg], bp)
+        nsellers[seg] += 1
+    got = {r["segment"]: r for r in olap_market_share_hhi(spark, sf_dir).collect()}
+    assert set(got) == set(hhi)
+    for seg in hhi:
+        assert got[seg]["hhi"] == hhi[seg]
+        assert got[seg]["top_share_bp"] == top[seg]
+        assert got[seg]["n_sellers"] == nsellers[seg]
+        # HHI lives in [10^8/n, 10^8] (up to bp truncation)
+        assert got[seg]["hhi"] <= 10**8
+
+
+def test_isotropy_matches_bruteforce(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.similarity import (
+        embedding_isotropy_score,
+    )
+
+    vecs = [
+        [math.floor(float(x) * 1e9) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ]
+    n, d = len(vecs), len(vecs[0])
+    s = [sum(v[j] for v in vecs) for j in range(d)]
+    a = sum(x * x for x in s)
+    q = sum(x * x for v in vecs for x in v)
+    got = embedding_isotropy_score(spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["dims"] == d
+
+    def half_away(num, den):
+        return (2 * num + den) // (2 * den) if num >= 0 else -(
+            (2 * (-num) + den) // (2 * den)
+        )
+
+    assert got["mean_sq_norm_micros"] == half_away(
+        q * 10**6, n * 10**18
+    )
+    assert got["avg_pair_dot_micros"] == half_away(
+        (a - q) * 10**6, n * (n - 1) * 10**18
+    )
+    assert got["isotropy_ratio_micros"] == half_away(
+        (a - q) * 10**6, (n - 1) * q
+    )
+    # brute-force O(n^2) cross-check of the closed form itself
+    brute = sum(
+        sum(x * y for x, y in zip(vecs[i], vecs[j]))
+        for i in range(0, n, 25)
+        for j in range(n)
+        if j != i
+    )
+    closed = sum(
+        sum(vecs[i][k] * s[k] for k in range(d)) - sum(x * x for x in vecs[i])
+        for i in range(0, n, 25)
+    )
+    assert brute == closed
+
+
+def test_dunn_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_dunn_posthoc,
+    )
+
+    rows = _events(spark, sf_dir)
+    allv = sorted(r["value"] for r in rows)
+    n = len(allv)
+    # doubled midranks on the distinct grain
+    rank2 = {}
+    cum = 0
+    for val, cnt in sorted(Counter(allv).items()):
+        rank2[val] = 2 * cum + cnt + 1
+        cum += cnt
+    per = defaultdict(lambda: [0, 0])  # n_g, rank_sum2
+    for r in rows:
+        per[r["event_type"]][0] += 1
+        per[r["event_type"]][1] += rank2[r["value"]]
+    t3 = sum(c**3 - c for c in Counter(allv).values())
+    k = len(per)
+    m = k * (k - 1) // 2
+    got = {
+        (r["g1"], r["g2"]): r for r in stat_dunn_posthoc(spark, sf_dir).collect()
+    }
+    assert len(got) == m
+    var_base = n * (n + 1) / 12.0 - t3 / (12.0 * (n - 1.0))
+    for (g1, (n1, rs1)) in per.items():
+        for (g2, (n2, rs2)) in per.items():
+            if g1 >= g2:
+                continue
+            num = rs1 * n2 - rs2 * n1
+            dm = (
+                num * 10**6 // (n1 * n2)
+                if num >= 0
+                else -((-num) * 10**6 // (n1 * n2))
+            )
+            z_ref = (dm / 1e6 / 2.0) / math.sqrt(
+                var_base * (1.0 / n1 + 1.0 / n2)
+            )
+            r = got[(g1, g2)]
+            assert r["z_dunn"] == pytest.approx(z_ref, abs=2e-4)
+            if r["p_bonferroni"] is not None:
+                assert 0.0 <= r["p_bonferroni"] <= 1.0
