@@ -128,6 +128,17 @@ PROBES = [
     ("privacy_randomized_response", 10.0),
     ("ml_davies_bouldin_labels", 4.0),
     ("sim_intra_list_diversity", 4.0),
+    # round-15 additions (events step 10x, embeddings 4x)
+    ("stat_welch_anova", 10.0),
+    ("stat_mood_median_test", 10.0),
+    ("stat_icc_oneway", 10.0),
+    ("stat_dunn_posthoc", 10.0),
+    ("ml_eval_ks_separation", 10.0),
+    ("ml_mutual_information", 10.0),
+    ("ts_kpss_stationarity", 10.0),
+    ("ts_theta_forecast", 10.0),
+    ("olap_market_share_hhi", 10.0),
+    ("embedding_isotropy_score", 4.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
