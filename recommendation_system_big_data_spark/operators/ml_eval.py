@@ -4155,3 +4155,108 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_nats"),
     )
+
+
+#: Truncated-RBO parameters (Webber, Moffat & Zobel 2010): persistence p
+#: and evaluation depth K.
+RBO_P = 0.9
+RBO_K = 10
+
+#: Per-item RBO weight W(m) = Σ_{d=m..K} p^{d-1}/d, nano-quantized ONCE in
+#: Python and inlined as identical integer literals into BOTH plans — the
+#: cross-engine float question is removed by construction.
+_RBO_W_NANOS = tuple(
+    int(
+        sum(RBO_P ** (d - 1) / d for d in range(m, RBO_K + 1)) * 1_000_000_000
+    )
+    for m in range(1, RBO_K + 1)
+)
+
+_RBO_CASE = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W_NANOS, start=1)
+) + " ELSE 0 END"
+
+_RBO_ORACLE = f"""
+WITH it AS (
+    SELECT user_id, event_id % 101 AS item,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+           MAX(epoch_us(ts)) AS last_us
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY cents DESC, item ASC
+           ) AS ra,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY last_us DESC, item ASC
+           ) AS rb
+    FROM it
+), m AS (
+    SELECT user_id,
+           CASE WHEN ra >= rb THEN ra ELSE rb END AS m
+    FROM ranked
+    WHERE ra <= {RBO_K} AND rb <= {RBO_K}
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND({1.0 - RBO_P!r} * CAST(SUM({_RBO_CASE}) AS DOUBLE)
+             / 1000000000.0, 6) AS rbo
+FROM m GROUP BY user_id
+"""
+
+
+@register("ml_eval_rank_biased_overlap", oracle=_RBO_ORACLE, tags=("ml", "eval"))
+def ml_eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between each
+    user's value-ranked and recency-ranked item lists — the
+    top-weighted similarity for comparing two RANKINGS (ranker A/B
+    test, index-rebuild regression, "did the rerank change what users
+    actually see?"), where Kendall's τ (stat_kendall_tau) wrongly
+    weights position 100 like position 1. Truncated RBO@{RBO_K} with
+    p = {RBO_P}: RBO = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d.
+
+    The depth sum is inverted to one weight per ITEM: an item at ranks
+    (ra, rb) joins every depth d ≥ max(ra, rb), so its total
+    contribution is W(m) = Σ_{{d=m..K}} p^(d−1)/d — a {RBO_K}-entry
+    lookup inlined as INTEGER nano literals computed once in Python
+    (both engines sum exact BIGINTs; no float accumulation, no
+    cross-engine pow/divide). Two row_number windows per user (exact
+    cents / epoch-micros keys, item tiebreak — no float ordering), one
+    filter to the top-K intersection, one exact fold. Per-user work is
+    O(items); the windows shuffle once on user_id."""
+    from recommendation_system_big_data_spark.catalog import epoch_us
+
+    it = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("event_id") % 101).alias("item"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.max(epoch_us(F.col("ts"))).alias("last_us"),
+        )
+    )
+    wa = Window.partitionBy("user_id").orderBy(
+        F.desc("cents"), F.asc("item")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("last_us"), F.asc("item")
+    )
+    ranked = it.select(
+        "user_id",
+        "item",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    m = ranked.where(
+        (F.col("ra") <= RBO_K) & (F.col("rb") <= RBO_K)
+    ).select("user_id", F.greatest("ra", "rb").alias("m"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(
+            F.lit(1.0 - RBO_P)
+            * F.sum(F.expr(_RBO_CASE)).cast("double")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("rbo"),
+    )

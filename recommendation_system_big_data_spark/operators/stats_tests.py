@@ -5130,3 +5130,170 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("z_dunn"),
         F.expr(p).alias("p_bonferroni"),
     )
+
+
+#: Jonckheere–Terpstra z / variance fragments — shared text between the
+#: Spark plan and the oracle (inputs jt2 / e2 / varx are exact integers /
+#: one exact double each).
+_JT_Z = "((CAST(jt2 AS DOUBLE) - CAST(e2 AS DOUBLE)) / (2e0 * SQRT(varx)))"
+
+_JT_ORACLE = f"""
+WITH vt AS (
+    SELECT value, event_type AS g, CAST(COUNT(*) AS HUGEINT) AS c_g
+    FROM events GROUP BY value, event_type
+), dense AS (
+    -- densified (value, group) grid: group i needs a cumulative AT EVERY
+    -- pooled value, including values where it has no observation
+    SELECT v.value, gs.g, COALESCE(vt.c_g, 0) AS c_g
+    FROM (SELECT DISTINCT value FROM vt) v
+    CROSS JOIN (SELECT DISTINCT g FROM vt) gs
+    LEFT JOIN vt ON vt.value = v.value AND vt.g = gs.g
+), grid AS (
+    SELECT value, g, c_g,
+           COALESCE(SUM(c_g) OVER (
+               PARTITION BY g ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cb_g
+    FROM dense
+), pair AS (
+    SELECT SUM(b.c_g * (2 * a.cb_g + a.c_g)) AS jt2
+    FROM grid a JOIN vt b ON a.value = b.value AND a.g < b.g
+), per AS (
+    SELECT g, SUM(c_g) AS n_g FROM vt GROUP BY g
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(n_g) AS n, SUM(n_g * n_g) AS sn2,
+           SUM(n_g * n_g * (2 * n_g + 3)) AS sn23
+    FROM per
+), ties AS (
+    SELECT value, SUM(c_g) AS c FROM vt GROUP BY value
+), tsum AS (
+    SELECT SUM(c * c * (2 * c + 3)) AS st23 FROM ties
+), fin AS (
+    SELECT t.k, t.n,
+           (t.n * t.n - t.sn2) // 2 AS e2,
+           (CAST(t.n AS DOUBLE) * t.n * (2e0 * t.n + 3e0)
+            - CAST(t.sn23 AS DOUBLE) - CAST(s.st23 AS DOUBLE)) / 72e0
+               AS varx,
+           p.jt2
+    FROM tot t CROSS JOIN tsum s CROSS JOIN pair p
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+       CAST(jt2 AS BIGINT) AS jt2,
+       CASE WHEN k < 2 OR varx <= 0e0 THEN NULL
+            ELSE ROUND({_JT_Z}, 4) END AS z_jt
+FROM fin
+"""
+
+
+@register(
+    "stat_jonckheere_terpstra",
+    oracle=_JT_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra trend test — the ORDERED-alternative k-sample
+    test stat_kruskal_wallis cannot be: KW asks "any difference?", JT
+    asks "do values INCREASE along the group ordering?" (groups ordered
+    lexically here — the dose axis; swap in any ordinal). JT = Σ_{i<j}
+    U_ij, the sum of pairwise Mann–Whitney counts, far more powerful
+    than KW when the alternative is monotone (the standard dose-response
+    test). Normal approximation z = (JT − E)/σ with the first-order tie
+    variance (2n+3)-form; half-counted ties ride the doubled-integer
+    convention (jt2 = 2·JT exact).
+
+    Machinery: the (value, group) distinct grain carries PER-GROUP
+    exclusive prefix counts (windows PARTITIONED by group over the
+    domain-bounded quant grid — never a global order); 2·U_ij folds as
+    Σ_v c_j(v)·(2·cb_i(v) + c_i(v)) through ONE value-aligned self-join
+    of the grain with g_i < g_j — k²/2 group pairs per distinct value,
+    constant in corpus size. Everything downstream is k-row algebra
+    with exact HUGEINT/decimal sums; z is a single fixed double
+    expression. Degenerate: all-equal values (const fixture) zero the
+    variance → NULL z, and jt2 still reports the (fully tied) count."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    vt = ev.groupBy("value", F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c_g")
+    )
+    # densify: every group needs a cumulative at EVERY pooled value —
+    # a sparse per-group prefix silently drops the cross-group mass
+    # (caught by the sequential differential before first commit)
+    dense = (
+        vt.select("value")
+        .distinct()
+        .crossJoin(F.broadcast(vt.select("g").distinct()))
+        .join(vt, ["value", "g"], "left")
+        .select(
+            "value",
+            "g",
+            F.coalesce(F.col("c_g"), F.lit(0).cast("decimal(20,0)")).alias(
+                "c_g"
+            ),
+        )
+    )
+    grid = running_sums(
+        dense, ["value"], {"cb_g": ("c_g", False)}, group_cols=("g",)
+    )
+    a = grid.select(
+        F.col("value").alias("v"),
+        F.col("g").alias("gi"),
+        F.col("c_g").alias("ci"),
+        F.col("cb_g").alias("cbi"),
+    )
+    b = vt.select(
+        F.col("value").alias("v"),
+        F.col("g").alias("gj"),
+        F.col("c_g").alias("cj"),
+    )
+    pair = (
+        a.join(b, (a["v"] == b["v"]) & (F.col("gi") < F.col("gj")))
+        .agg(
+            F.sum(
+                F.expr("CAST(cj * (2 * cbi + ci) AS DECIMAL(38,0))")
+            ).alias("jt2")
+        )
+    )
+    per = vt.groupBy("g").agg(F.sum("c_g").cast("decimal(20,0)").alias("n_g"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("decimal(20,0)").alias("n"),
+        F.sum(F.expr("CAST(n_g * n_g AS DECIMAL(38,0))")).alias("sn2"),
+        F.sum(
+            F.expr("CAST(n_g * n_g * (2 * n_g + 3) AS DECIMAL(38,0))")
+        ).alias("sn23"),
+    )
+    ties = vt.groupBy("value").agg(
+        F.sum("c_g").cast("decimal(20,0)").alias("c")
+    )
+    tsum = ties.agg(
+        F.sum(
+            F.expr("CAST(c * c * (2 * c + 3) AS DECIMAL(38,0))")
+        ).alias("st23")
+    )
+    fin = (
+        tot.crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(pair))
+        .select(
+            "k",
+            F.col("n"),
+            F.expr("CAST((n * n - sn2) div 2 AS DECIMAL(38,0))").alias("e2"),
+            F.expr(
+                "(CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)"
+                " - CAST(sn23 AS DOUBLE) - CAST(st23 AS DOUBLE)) / 72e0"
+            ).alias("varx"),
+            "jt2",
+        )
+    )
+    return fin.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("jt2").cast("long").alias("jt2"),
+        F.expr(
+            f"CASE WHEN k < 2 OR varx <= 0e0 THEN NULL"
+            f" ELSE ROUND({_JT_Z}, 4) END"
+        ).alias("z_jt"),
+    )

@@ -159,7 +159,8 @@ _DRIVER_WINDOW_ALIASES = (
 #:      stat_welch_anova stat_mood_median_test stat_icc_oneway
 #:      ml_eval_ks_separation ml_mutual_information ts_kpss_stationarity
 #:      ts_theta_forecast olap_market_share_hhi embedding_isotropy_score
-#:      stat_dunn_posthoc
+#:      stat_dunn_posthoc stat_jonckheere_terpstra
+#:      ml_eval_rank_biased_overlap geo_dbscan_grid
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

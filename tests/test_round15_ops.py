@@ -411,3 +411,126 @@ def test_dunn_matches_sequential(spark, sf_dir):
             assert r["z_dunn"] == pytest.approx(z_ref, abs=2e-4)
             if r["p_bonferroni"] is not None:
                 assert 0.0 <= r["p_bonferroni"] <= 1.0
+
+
+def test_jonckheere_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_jonckheere_terpstra,
+    )
+
+    rows = _events(spark, sf_dir)
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    keys = sorted(groups)
+    jt2 = 0
+    for i, gi in enumerate(keys):
+        for gj in keys[i + 1 :]:
+            for x in groups[gi]:
+                for y in groups[gj]:
+                    if x < y:
+                        jt2 += 2
+                    elif x == y:
+                        jt2 += 1
+    n = len(rows)
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    sn23 = sum(len(v) ** 2 * (2 * len(v) + 3) for v in groups.values())
+    tc = Counter(r["value"] for r in rows)
+    st23 = sum(c * c * (2 * c + 3) for c in tc.values())
+    e2 = (n * n - sn2) // 2
+    var = (float(n) * n * (2.0 * n + 3.0) - sn23 - st23) / 72.0
+    z_ref = (jt2 - e2) / (2.0 * math.sqrt(var))
+    got = stat_jonckheere_terpstra(spark, sf_dir).collect()[0]
+    assert got["jt2"] == jt2
+    assert got["z_jt"] == pytest.approx(z_ref, abs=2e-4)
+
+
+def test_rbo_matches_sequential(spark, sf_dir):
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        RBO_K,
+        RBO_P,
+        _RBO_W_NANOS,
+        ml_eval_rank_biased_overlap,
+    )
+
+    rows = _events(spark, sf_dir)
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # cents, last_us
+    for r in rows:
+        it = per[r["user_id"]][r["event_id"] % 101]
+        it[0] += int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        us = int(r["ts"].timestamp() * 1_000_000)
+        it[1] = max(it[1], us)
+    expected = {}
+    for u, items in per.items():
+        by_val = sorted(items.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        by_rec = sorted(items.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        ra = {it: i + 1 for i, (it, _) in enumerate(by_val)}
+        rb = {it: i + 1 for i, (it, _) in enumerate(by_rec)}
+        s_nanos = 0
+        n_common = 0
+        for it in items:
+            if ra[it] <= RBO_K and rb[it] <= RBO_K:
+                n_common += 1
+                s_nanos += _RBO_W_NANOS[max(ra[it], rb[it]) - 1]
+        expected[u] = (n_common, (1.0 - RBO_P) * s_nanos / 1e9)
+    got = {
+        r["user_id"]: (r["n_common"], r["rbo"])
+        for r in ml_eval_rank_biased_overlap(spark, sf_dir).collect()
+    }
+    assert set(got) == {u for u, (nc, _) in expected.items() if nc > 0} | {
+        u for u in got
+    }
+    for u, r in got.items():
+        assert r[0] == expected[u][0], u
+        assert r[1] == pytest.approx(expected[u][1], abs=1e-6), u
+    # RBO is a similarity in [0, 1]
+    assert all(0.0 <= r[1] <= 1.0 + 1e-9 for r in got.values())
+
+
+def test_dbscan_grid_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.geo import (
+        _DBSCAN_CELL,
+        _DBSCAN_MINPTS,
+        geo_dbscan_grid,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    cells = Counter(
+        (
+            (r["c_custkey"] * 7919 % 12000) // _DBSCAN_CELL,
+            (r["c_custkey"] * 104729 % 36000) // _DBSCAN_CELL,
+        )
+        for r in cust
+    )
+    core = {cy * 1000 + cx: ((cy, cx), c) for (cy, cx), c in cells.items()
+            if c >= _DBSCAN_MINPTS}
+    # sequential union-find
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pos = {p: i for i, (p, _) in core.items()}
+    for i, ((cy, cx), _) in core.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                j = pos.get((cy + dy, cx + dx))
+                if j is not None:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+    clusters = defaultdict(lambda: [0, 0])
+    for i, (_, c) in core.items():
+        root = find(i)
+        clusters[root][0] += 1
+        clusters[root][1] += c
+    got = {
+        r["cluster_id"]: (r["n_cells"], r["n_points"])
+        for r in geo_dbscan_grid(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in clusters.items()}

@@ -139,6 +139,9 @@ PROBES = [
     ("ts_theta_forecast", 10.0),
     ("olap_market_share_hhi", 10.0),
     ("embedding_isotropy_score", 4.0),
+    ("stat_jonckheere_terpstra", 10.0),
+    ("ml_eval_rank_biased_overlap", 10.0),
+    ("geo_dbscan_grid", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
