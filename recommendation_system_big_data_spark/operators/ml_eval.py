@@ -4260,3 +4260,277 @@ def ml_eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+#: Markov attribution: transient channel states (alphabetical; `purchase`
+#: is the absorbing CONV state) and the fixed absorption-iteration count —
+#: the chain mixes in a handful of steps, 60 is far past double
+#: convergence, and a FIXED count keeps the recursion oracle-expressible
+#: (the ts_holt_linear argument).
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_ITERS = 60
+
+
+def _markov_step_exprs(
+    removed: str | None, cpfx: str = "", ppfx: str = ""
+) -> dict[str, str]:
+    """One absorption-iteration update per state, as SQL text over the
+    wide coefficient row (columns c_{s}_{t}, c_{s}_conv) and the previous
+    iterate columns p_{s}; ``cpfx``/``ppfx`` qualify the two relations in
+    the recursive member. Python's driver replica evaluates the SAME
+    expressions via eval-free mirroring in _markov_solve — term order is
+    the tuple order of _MARKOV_CHANNELS, fixed on both sides."""
+    states = ("start",) + _MARKOV_CHANNELS
+    out = {}
+    for s in states:
+        if s == removed:
+            out[s] = "0e0"
+            continue
+        terms = [
+            f"{cpfx}c_{s}_{t} * {ppfx}p_{t}"
+            for t in _MARKOV_CHANNELS
+            if t != removed
+        ]
+        terms.append(f"{cpfx}c_{s}_conv")
+        out[s] = "(" + " + ".join(terms) + ")"
+    return out
+
+
+def _markov_solve(coef: dict[str, float], removed: str | None) -> float:
+    """Driver replica of the SQL recursion: identical term order,
+    identical IEEE ops, same fixed iteration count."""
+    states = ("start",) + _MARKOV_CHANNELS
+    p = {s: 0.0 for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {}
+        for s in states:
+            if s == removed:
+                nxt[s] = 0.0
+                continue
+            acc = 0.0
+            for t in _MARKOV_CHANNELS:
+                if t != removed:
+                    acc = acc + coef[f"c_{s}_{t}"] * p[t]
+            acc = acc + coef[f"c_{s}_conv"]
+            nxt[s] = acc
+        p = nxt
+    return p["start"]
+
+
+def _markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stage: first-conversion journeys → transition counts.
+
+    Per user, events order by (ts, event_id); the journey is everything
+    up to and including the FIRST purchase (converters) or the whole
+    history (non-converters). Emitted edges: START→s₁, sᵢ→sᵢ₊₁ between
+    consecutive non-purchase states, s_last→conv / s_last→drop. One
+    window + one groupBy, both on the user_id shuffle."""
+    from recommendation_system_big_data_spark.catalog import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            epoch_us(F.col("ts")).alias("us"),
+        )
+        .withColumn(
+            "purch_before",
+            F.count(F.when(F.col("event_type") == "purchase", 1)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        # journey = rows before the first purchase, plus the purchase row
+        .where(F.col("purch_before") == 0)
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .withColumn(
+            "next_state", F.lead("event_type").over(w)
+        )
+    )
+    edges = ev.select(
+        F.coalesce(F.col("prev_state"), F.lit("start")).alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("conv"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    ).union(
+        # terminal drop edge for non-converter journeys
+        ev.where(
+            F.col("next_state").isNull()
+            & (F.col("event_type") != "purchase")
+        ).select(
+            F.col("event_type").alias("src"), F.lit("drop").alias("dst")
+        )
+    )
+    return edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _markov_coef_sql(counts_cte: str) -> str:
+    """Wide 1-row coefficient projection: c_{s}_{t} = n(s→t)/n(s→*)."""
+    states = ("start",) + _MARKOV_CHANNELS
+    cols = []
+    for s in states:
+        for t in _MARKOV_CHANNELS + ("conv",):
+            cols.append(
+                f"COALESCE(CAST(SUM(CASE WHEN src = '{s}' AND dst = '{t}'"
+                f" THEN n END) AS DOUBLE)"
+                f" / NULLIF(CAST(SUM(CASE WHEN src = '{s}' THEN n END)"
+                f" AS DOUBLE), 0e0), 0e0) AS c_{s}_{t}"
+            )
+    return (
+        f"SELECT {', '.join(cols)} FROM {counts_cte}"
+    )
+
+
+def _markov_oracle() -> str:
+    states = ("start",) + _MARKOV_CHANNELS
+    recs = []
+    for scen in (None,) + _MARKOV_CHANNELS:
+        tag = scen or "base"
+        step = _markov_step_exprs(scen, cpfx="c.", ppfx="r.")
+        init_cols = ", ".join(f"0e0 AS p_{s}" for s in states)
+        next_cols = ", ".join(f"{step[s]} AS p_{s}" for s in states)
+        recs.append(
+            f"rec_{tag}(i, {', '.join('p_' + s for s in states)}) AS (\n"
+            f"    SELECT 0, {init_cols}\n"
+            f"    UNION ALL\n"
+            f"    SELECT r.i + 1, {next_cols}\n"
+            f"    FROM rec_{tag} r CROSS JOIN coef c"
+            f" WHERE r.i < {_MARKOV_ITERS}\n"
+            f")"
+        )
+    effects = ", ".join(
+        f"(SELECT p_start FROM rec_{c} WHERE i = {_MARKOV_ITERS}) AS p_{c}"
+        for c in _MARKOV_CHANNELS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, p_conv_all,"
+        f" CASE WHEN p_conv_all <= 0e0 THEN NULL"
+        f" ELSE ROUND(1e0 - p_{c} / p_conv_all, 6) END AS removal_effect,"
+        f" CASE WHEN tot <= 0e0 THEN NULL ELSE ROUND("
+        f" (CASE WHEN p_conv_all <= 0e0 THEN 0e0"
+        f" ELSE 1e0 - p_{c} / p_conv_all END) / tot, 6) END"
+        f" AS attribution_share"
+        f" FROM fin"
+        for c in _MARKOV_CHANNELS
+    )
+    share_sum = " + ".join(
+        f"(CASE WHEN p_conv_all <= 0e0 THEN 0e0"
+        f" ELSE 1e0 - p_{c} / p_conv_all END)"
+        for c in _MARKOV_CHANNELS
+    )
+    return f"""
+WITH RECURSIVE journey AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS purch_before
+    FROM events
+), j2 AS (
+    SELECT user_id, event_id, event_type, us,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS prev_state,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS next_state
+    FROM journey WHERE purch_before = 0
+), edges AS (
+    SELECT COALESCE(prev_state, 'start') AS src,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS dst
+    FROM j2
+    UNION ALL
+    SELECT event_type AS src, 'drop' AS dst
+    FROM j2 WHERE next_state IS NULL AND event_type <> 'purchase'
+), counts AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM edges GROUP BY src, dst
+), coef AS (
+    {_markov_coef_sql('counts')}
+), {', '.join(recs)},
+base AS (
+    SELECT p_start AS p_conv_all FROM rec_base WHERE i = {_MARKOV_ITERS}
+), eff AS (
+    SELECT b.p_conv_all, {effects}
+    FROM base b
+), fin AS (
+    SELECT *, {share_sum} AS tot FROM eff
+)
+{rows}
+"""
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_markov_oracle(),
+    tags=("ml", "eval"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014) — the
+    data-driven multi-touch model that replaced heuristic last-click /
+    position rules: build the first-order journey chain over channel
+    states, compute the absorption (conversion) probability from START,
+    then each channel's worth is how much that probability DROPS when
+    the channel is removed (its transitions redirected to the drop
+    sink), normalized into attribution shares. Completes the
+    attribution ladder: interval-join last-touch
+    (attribution_click_purchase) → heuristic multi-touch
+    (ml_linear_attribution) → model-based (this).
+
+    Split: the DATA-heavy stage (journey segmentation to first
+    conversion + transition counts) is one window + one groupBy on the
+    user_id shuffle; the chain itself is a BOUNDED artifact (≤ 6×6
+    states — the kmeans-centroid collect class), solved by fixed-count
+    absorption iteration whose update is the SAME expression text the
+    oracle's recursive CTE advances (term order pinned by
+    _MARKOV_CHANNELS; coefficients enter as CAST-division of exact
+    counts ≡ float(int)/float(int)) — the ts_holt_linear IEEE-DAG
+    parity argument on a 1-row wide state. Degenerate guards: zero
+    conversions or zero total removal effect → NULL (oneday's
+    all-purchase corpus degenerates to START→conv only: every removal
+    effect 0, shares NULL on both engines)."""
+    counts = {
+        (r["src"], r["dst"]): r["n"]
+        for r in _markov_transition_counts(spark, sf_dir).collect()
+    }
+    states = ("start",) + _MARKOV_CHANNELS
+    out_tot = {
+        s: sum(n for (src, _), n in counts.items() if src == s)
+        for s in states
+    }
+    coef = {}
+    for s in states:
+        for t in _MARKOV_CHANNELS + ("conv",):
+            n = counts.get((s, t), 0)
+            coef[f"c_{s}_{t}"] = (
+                float(n) / float(out_tot[s]) if out_tot[s] else 0.0
+            )
+    p_all = _markov_solve(coef, None)
+    effects = {
+        c: (1.0 - _markov_solve(coef, c) / p_all) if p_all > 0.0 else None
+        for c in _MARKOV_CHANNELS
+    }
+    tot = sum(e if e is not None else 0.0 for e in effects.values())
+    rows = []
+    for c in _MARKOV_CHANNELS:
+        e = effects[c]
+        rows.append(
+            (
+                c,
+                p_all,
+                round(e, 6) if e is not None else None,
+                round((e if e is not None else 0.0) / tot, 6)
+                if tot > 0.0 and p_all > 0.0
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_all double, removal_effect double,"
+        " attribution_share double",
+    )

@@ -161,6 +161,7 @@ _DRIVER_WINDOW_ALIASES = (
 #:      ts_theta_forecast olap_market_share_hhi embedding_isotropy_score
 #:      stat_dunn_posthoc stat_jonckheere_terpstra
 #:      ml_eval_rank_biased_overlap geo_dbscan_grid
+#:      attribution_markov_removal
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

@@ -534,3 +534,66 @@ def test_dbscan_grid_matches_sequential(spark, sf_dir):
         for r in geo_dbscan_grid(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in clusters.items()}
+
+
+def test_markov_attribution_matches_sequential(spark, sf_dir):
+    """Independent journey segmentation (plain Python sort per user, no
+    windows) + the same fixed-iteration absorption solve — gates the
+    window-based transition builder and the coefficient algebra."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _MARKOV_CHANNELS,
+        _markov_solve,
+        attribution_markov_removal,
+    )
+
+    rows = _events(spark, sf_dir)
+    by_user = defaultdict(list)
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        by_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    counts = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = "start"
+        for _, _, t in evs:
+            if t == "purchase":
+                counts[(prev, "conv")] += 1
+                prev = None
+                break
+            counts[(prev, t)] += 1
+            prev = t
+        if prev is not None:
+            counts[(prev, "drop")] += 1
+    states = ("start",) + _MARKOV_CHANNELS
+    out_tot = {
+        s: sum(n for (src, _), n in counts.items() if src == s)
+        for s in states
+    }
+    coef = {
+        f"c_{s}_{t}": (
+            float(counts.get((s, t), 0)) / float(out_tot[s])
+            if out_tot[s]
+            else 0.0
+        )
+        for s in states
+        for t in _MARKOV_CHANNELS + ("conv",)
+    }
+    p_all = _markov_solve(coef, None)
+    got = {
+        r["channel"]: r
+        for r in attribution_markov_removal(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_MARKOV_CHANNELS)
+    tot = sum(
+        1.0 - _markov_solve(coef, c) / p_all for c in _MARKOV_CHANNELS
+    )
+    for c in _MARKOV_CHANNELS:
+        r = got[c]
+        assert r["p_conv_all"] == pytest.approx(p_all, abs=1e-9)
+        e = 1.0 - _markov_solve(coef, c) / p_all
+        assert r["removal_effect"] == pytest.approx(e, abs=1e-6)
+        assert r["attribution_share"] == pytest.approx(e / tot, abs=1e-6)
+    # shares form a distribution
+    assert sum(r["attribution_share"] for r in got.values()) == pytest.approx(
+        1.0, abs=1e-4
+    )

@@ -142,6 +142,7 @@ PROBES = [
     ("stat_jonckheere_terpstra", 10.0),
     ("ml_eval_rank_biased_overlap", 10.0),
     ("geo_dbscan_grid", 10.0),
+    ("attribution_markov_removal", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
