@@ -2302,3 +2302,130 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + COALESCE(tq_nanos, 0) / 1000000000.0), 6)"
         ).alias("jsd"),
     )
+
+
+#: TextRank candidate filter (stand-in for the POS filter of the paper:
+#: alphabetic-ish length ≥ 4, corpus frequency ≥ 5) and PageRank constants
+#: shared with graph_pagerank.
+_TEXTRANK_MIN_LEN = 4
+_TEXTRANK_MIN_COUNT = 5
+
+_TEXTRANK_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS ts FROM documents
+), big AS (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    WHERE len(ts[i]) >= {_TEXTRANK_MIN_LEN}
+      AND len(ts[i + 1]) >= {_TEXTRANK_MIN_LEN} AND ts[i] <> ts[i + 1]
+), sym AS (
+    SELECT w1, w2 FROM big UNION ALL SELECT w2, w1 FROM big
+), e0 AS (
+    SELECT w1 AS src, w2 AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM sym GROUP BY w1, w2
+    HAVING COUNT(*) >= {_TEXTRANK_MIN_COUNT}
+), outw AS (
+    SELECT src, SUM(w) AS tot FROM e0 GROUP BY src
+), e AS (
+    SELECT e0.src, e0.dst, e0.w, outw.tot FROM e0
+    JOIN outw ON outw.src = e0.src
+), nodes AS (
+    SELECT DISTINCT src AS id FROM e0
+), nn AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+    SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+), c1 AS (
+    SELECT e.dst AS id, SUM(r0.r * e.w / e.tot) AS c
+    FROM e JOIN r0 ON r0.id = e.src GROUP BY e.dst
+), r1 AS (
+    SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c1.c, 0) AS r
+    FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id
+), c2 AS (
+    SELECT e.dst AS id, SUM(r1.r * e.w / e.tot) AS c
+    FROM e JOIN r1 ON r1.id = e.src GROUP BY e.dst
+), r2 AS (
+    SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c2.c, 0) AS r
+    FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id
+), c3 AS (
+    SELECT e.dst AS id, SUM(r2.r * e.w / e.tot) AS c
+    FROM e JOIN r2 ON r2.id = e.src GROUP BY e.dst
+)
+SELECT nodes.id AS word,
+       ROUND(0.15 / nn.n + 0.85 * COALESCE(c3.c, 0), 6) AS rank
+FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id
+"""
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_ORACLE, tags=("text",))
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (adjacent candidate tokens, symmetric,
+    weight = co-occurrence count) — the graph-centrality keyword scorer
+    beside the degree/frequency family (text_rake_keywords scores by
+    degree/frequency ratio; TextRank by stationary importance, which
+    rewards words embedded in well-connected contexts rather than
+    merely frequent ones). Candidate filter = length ≥ 4 + edge support
+    ≥ 5, the repo's stand-in for the paper's POS filter.
+
+    The graph build is ONE bigram explode of the token stream (array-
+    local zip, as text_collocations_pmi) symmetrized by a union; the
+    rank loop is graph_pagerank's verbatim 3-iteration damped kernel —
+    identical IEEE per-edge expression, SUM-order drift ~1e-14, six
+    orders under the ROUND(,6) exit (its float-determinism note applies
+    unchanged). Support-floor on EDGES keeps the graph (and the output)
+    vocabulary-bounded."""
+    toks = tokens(F.col("text"))
+    big = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .where(
+            (F.length("w1") >= _TEXTRANK_MIN_LEN)
+            & (F.length("w2") >= _TEXTRANK_MIN_LEN)
+            & (F.col("w1") != F.col("w2"))
+        )
+    )
+    sym = big.union(big.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+    e0 = (
+        sym.groupBy(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .where(F.col("w") >= _TEXTRANK_MIN_COUNT)
+    )
+    outw = e0.groupBy("src").agg(F.sum("w").alias("tot"))
+    e = e0.join(outw, "src")
+    nodes = e0.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select("dst", (F.col("r") * F.col("w") / F.col("tot")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                nodes["id"],
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("id").alias("word"), F.round("r", 6).alias("rank")
+    )

@@ -4534,3 +4534,162 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_all double, removal_effect double,"
         " attribution_share double",
     )
+
+
+#: AdaBoost-on-stumps: histogram bins (fixed width 10 over the value
+#: range), boosting rounds, error clamp, and the 1e15 term quantizer that
+#: makes every cross-cell weight sum exact and order-free.
+_ADA_BIN = 10.0
+_ADA_MAX_BIN = 60
+_ADA_ROUNDS = 3
+_ADA_EPS_CLAMP = 1e-10
+_ADA_Q = 1e15
+
+
+def _ada_round_sql(r: int) -> str:
+    """One boosting round as chained CTEs over the weighted cell table
+    w{r-1}(bin, y, wt): quantized per-(threshold, polarity) errors →
+    integer argmin (tiebreak t asc, p asc) → alpha → reweighted,
+    renormalized w{r}. The SAME arithmetic is replayed by _ada_solve."""
+    prev = f"w{r - 1}"
+    return f"""er{r} AS (
+    SELECT t.t, p.p,
+           SUM(CASE WHEN (CASE WHEN w.bin <= t.t THEN p.p ELSE -p.p END)
+                    <> w.y
+               THEN CAST(FLOOR(w.wt * {_ADA_Q!r}) AS BIGINT)
+               ELSE 0 END) AS errq
+    FROM {prev} w
+    CROSS JOIN (SELECT UNNEST(generate_series(0, {_ADA_MAX_BIN})) AS t) t
+    CROSS JOIN (SELECT UNNEST([1, -1]) AS p) p
+    GROUP BY t.t, p.p
+), best{r} AS (
+    SELECT t, p, errq FROM er{r}
+    ORDER BY errq ASC, t ASC, p ASC LIMIT 1
+), ab{r} AS (
+    SELECT t, p, errq,
+           0.5 * LN((1e0 - GREATEST(LEAST(errq / {_ADA_Q!r},
+                                          1e0 - {_ADA_EPS_CLAMP!r}),
+                                    {_ADA_EPS_CLAMP!r}))
+                    / GREATEST(LEAST(errq / {_ADA_Q!r},
+                                     1e0 - {_ADA_EPS_CLAMP!r}),
+                               {_ADA_EPS_CLAMP!r})) AS alpha
+    FROM best{r}
+), u{r} AS (
+    SELECT w.bin, w.y,
+           w.wt * EXP(-ab{r}.alpha * w.y
+                      * (CASE WHEN w.bin <= ab{r}.t THEN ab{r}.p
+                              ELSE -ab{r}.p END)) AS wt
+    FROM {prev} w CROSS JOIN ab{r}
+), z{r} AS (
+    SELECT SUM(CAST(FLOOR(wt * {_ADA_Q!r}) AS BIGINT)) AS zq FROM u{r}
+), w{r} AS (
+    SELECT u.bin, u.y, u.wt / (z.zq / {_ADA_Q!r}) AS wt
+    FROM u{r} u CROSS JOIN z{r} z
+)"""
+
+
+def _ada_oracle() -> str:
+    rounds = ",\n".join(_ada_round_sql(r) for r in range(1, _ADA_ROUNDS + 1))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, CAST(t AS BIGINT) AS threshold,"
+        f" CAST(p AS BIGINT) AS polarity, ROUND(alpha, 6) AS alpha,"
+        f" ROUND(errq / {_ADA_Q!r}, 6) AS eps FROM ab{r}"
+        for r in range(1, _ADA_ROUNDS + 1)
+    )
+    return f"""
+WITH cells AS (
+    SELECT LEAST(CAST(FLOOR(value / {_ADA_BIN!r}) AS BIGINT),
+                 {_ADA_MAX_BIN}) AS bin,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), n AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+), w0 AS (
+    SELECT bin, y, CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE) AS wt
+    FROM cells CROSS JOIN n
+),
+{rounds}
+{rows}
+"""
+
+
+def _ada_solve(cells: dict, n: int) -> list[tuple]:
+    """Driver replica of the oracle's boosting rounds over the bounded
+    (≤ 2·(MAX_BIN+1)-cell) histogram artifact — same quantization, same
+    clamp, same IEEE update expression, same (errq, t, p) argmin."""
+    import math as m
+
+    w = {k: float(c) / float(n) for k, c in cells.items()}
+    out = []
+    for r in range(1, _ADA_ROUNDS + 1):
+        best = None
+        for t in range(_ADA_MAX_BIN + 1):
+            for p in (1, -1):
+                errq = sum(
+                    m.floor(wt * _ADA_Q)
+                    for (b, y), wt in w.items()
+                    if (p if b <= t else -p) != y
+                )
+                # tiebreak matches the oracle's ORDER BY errq, t, p ASC
+                # (p = -1 wins an exact tie over p = +1)
+                key = (errq, t, p)
+                if best is None or key < best[0]:
+                    best = (key, t, p, errq)
+        _, t, p, errq = best
+        eps = max(min(errq / _ADA_Q, 1.0 - _ADA_EPS_CLAMP), _ADA_EPS_CLAMP)
+        alpha = 0.5 * m.log((1.0 - eps) / eps)
+        out.append((r, t, p, round(alpha, 6), round(errq / _ADA_Q, 6)))
+        u = {
+            (b, y): wt
+            * m.exp(-alpha * y * (p if b <= t else -p))
+            for (b, y), wt in w.items()
+        }
+        zq = sum(m.floor(wt * _ADA_Q) for wt in u.values())
+        w = {k: wt / (zq / _ADA_Q) for k, wt in u.items()}
+    return out
+
+
+@register("ml_adaboost_stumps", oracle=_ada_oracle(), tags=("ml",))
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete AdaBoost (Freund & Schapire 1997) on histogram decision
+    stumps — {_ADA_ROUNDS} boosting rounds over the purchase-vs-rest
+    label: the canonical ensemble member missing between the single
+    stump (ml_decision_stump_hist) and the fitted models (ALS/logreg/
+    k-means); each round re-weights the cells its predecessor got wrong
+    and refits, which is the entire boosting idea in three rows.
+
+    Scale split (the histogram-boosting insight — LightGBM's): the ONLY
+    data-proportional work is the (bin, label) histogram fold; boosting
+    state lives on that BOUNDED ≤ 2·(bins+1)-cell artifact (the
+    kmeans-centroid collect class), so rounds cost nothing at any
+    corpus size. Determinism: per-(t, p) weighted errors and the
+    normalizer are sums of FLOOR(wt·1e15)-quantized BIGINT terms (exact,
+    order-free); the argmin is an integer-key comparison with (t, p)
+    tiebreak; alpha/weight updates are fixed IEEE expressions replayed
+    verbatim by the oracle's chained per-round CTEs. Clamped eps keeps
+    LN finite when a stump is perfect (degenerate single-class
+    fixtures)."""
+    cells_df = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.lit(_ADA_BIN)).cast("long"),
+                F.lit(_ADA_MAX_BIN),
+            ).alias("bin"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+        )
+        .groupBy("bin", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = cells_df.collect()
+    cells = {(r["bin"], r["y"]): r["cnt"] for r in rows}
+    n = sum(cells.values())
+    out = _ada_solve(cells, n)
+    return spark.createDataFrame(
+        out,
+        "round bigint, threshold bigint, polarity bigint,"
+        " alpha double, eps double",
+    )

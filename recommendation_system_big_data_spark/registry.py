@@ -161,7 +161,8 @@ _DRIVER_WINDOW_ALIASES = (
 #:      ts_theta_forecast olap_market_share_hhi embedding_isotropy_score
 #:      stat_dunn_posthoc stat_jonckheere_terpstra
 #:      ml_eval_rank_biased_overlap geo_dbscan_grid
-#:      attribution_markov_removal
+#:      attribution_markov_removal ml_adaboost_stumps
+#:      text_textrank_keywords
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

@@ -597,3 +597,54 @@ def test_markov_attribution_matches_sequential(spark, sf_dir):
     assert sum(r["attribution_share"] for r in got.values()) == pytest.approx(
         1.0, abs=1e-4
     )
+
+
+def test_adaboost_rounds_decrease_training_error(spark, sf_dir):
+    """Boosting contract gates: round-1 eps equals the best single
+    stump's weighted error under UNIFORM weights (i.e. adaboost round 1
+    == the plain stump search), every eps < 0.5 (weak-learner
+    guarantee on non-degenerate data), and alphas are positive."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _ADA_BIN,
+        _ADA_MAX_BIN,
+        ml_adaboost_stumps,
+    )
+
+    rows = _events(spark, sf_dir)
+    cells = Counter(
+        (min(math.floor(r["value"] / _ADA_BIN), _ADA_MAX_BIN),
+         1 if r["event_type"] == "purchase" else -1)
+        for r in rows
+    )
+    n = sum(cells.values())
+    best = None
+    for t in range(_ADA_MAX_BIN + 1):
+        for p in (1, -1):
+            err = sum(
+                c for (b, y), c in cells.items()
+                if (p if b <= t else -p) != y
+            )
+            if best is None or err < best:
+                best = err
+    got = {r["round"]: r for r in ml_adaboost_stumps(spark, sf_dir).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1]["eps"] == pytest.approx(best / n, abs=1e-5)
+    for r in got.values():
+        assert 0.0 < r["eps"] < 0.5
+        assert r["alpha"] > 0.0
+        assert 0 <= r["threshold"] <= _ADA_MAX_BIN
+        assert r["polarity"] in (1, -1)
+
+
+def test_textrank_ranks_form_distribution(spark, sf_dir):
+    """PageRank invariant: ranks are positive and sum to ~1 over the
+    candidate vocabulary (symmetric graph, no dangling nodes)."""
+    from recommendation_system_big_data_spark.functions.text import (
+        text_textrank_keywords,
+    )
+
+    rows = text_textrank_keywords(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-3)
+    assert all(r["rank"] > 0 for r in rows)

@@ -143,6 +143,8 @@ PROBES = [
     ("ml_eval_rank_biased_overlap", 10.0),
     ("geo_dbscan_grid", 10.0),
     ("attribution_markov_removal", 10.0),
+    ("ml_adaboost_stumps", 10.0),
+    ("text_textrank_keywords", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
