@@ -2985,3 +2985,150 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "h", F.round("forecast", 6).alias("forecast"))
     )
+
+
+#: ARCH-LM shared exit: LM = n·r² over (s_t, s_{t-1}) pairs from exact
+#: decimal sums; the χ²(1) 5% critical value compares on the ROUND(4) exit.
+_ARCH_LM = (
+    "(CAST(np AS DOUBLE)"
+    " * (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+_ARCH_GUARD = (
+    "np < 3"
+    " OR CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0e0"
+    " OR CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0e0"
+)
+
+_ARCH_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+    FROM events GROUP BY 1, 2
+), cen AS (
+    SELECT event_type, idx, yc,
+           CAST(SUM(yc) OVER (PARTITION BY event_type) AS HUGEINT)
+               // CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS m
+    FROM daily
+), sq AS (
+    SELECT event_type, idx,
+           CAST((yc - m) * (yc - m) AS HUGEINT) AS s
+    FROM cen
+), pairs AS (
+    SELECT event_type, s AS y,
+           LAG(s) OVER (PARTITION BY event_type ORDER BY idx) AS x
+    FROM sq
+), agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE x IS NOT NULL) AS BIGINT) AS np,
+           SUM(x) FILTER (WHERE x IS NOT NULL) AS sx,
+           SUM(y) FILTER (WHERE x IS NOT NULL) AS sy,
+           SUM(x * y) FILTER (WHERE x IS NOT NULL) AS sxy,
+           SUM(x * x) FILTER (WHERE x IS NOT NULL) AS sxx,
+           SUM(y * y) FILTER (WHERE x IS NOT NULL) AS syy
+    FROM pairs GROUP BY event_type
+)
+SELECT event_type, np AS n_pairs,
+       CASE WHEN {_ARCH_GUARD} THEN NULL
+            ELSE ROUND({_ARCH_LM}, 4) END AS lm_stat,
+       CASE WHEN {_ARCH_GUARD} THEN NULL
+            ELSE CAST(ROUND({_ARCH_LM}, 4) > 3.8415 AS BIGINT)
+       END AS reject_5pct
+FROM agg
+"""
+
+
+@register("ts_arch_lm_test", oracle=_ARCH_ORACLE, tags=("timeseries",))
+def ts_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test (Engle 1982, lag-1 form) per event_type daily
+    series — volatility clustering: do SQUARED deviations correlate with
+    yesterday's? `stat_ljung_box` tests autocorrelation of LEVELS; this
+    tests the second moment, the defining symptom of conditional
+    heteroskedasticity (risk/fraud streams, bursty traffic), and the
+    gate before trusting any constant-variance forecast band
+    (ts_holt_linear / ts_theta_forecast intervals). Lag-1 LM = n·r² of
+    (s_t, s_{t−1}) against χ²(1) = 3.8415 at 5%.
+
+    Exactness: daily cents are decimal-exact; centering uses the
+    TRUNCATED integer mean (S div n — the levene/mood micro-grid
+    convention, mirrored by the oracle's HUGEINT //); squared residuals
+    and all five regression sums are exact HUGEINT/decimal folds, so
+    the one double expression (n·r², written once, shared text) is
+    deterministic. Guards: < 3 pairs or a zero-variance side (const
+    fixture: all s_t = 0) → NULL. One daily fold + per-key windows on
+    the calendar-bounded grain."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
+    )
+    wk = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("idx")
+    sq = daily.select(
+        "event_type",
+        "idx",
+        F.expr(
+            "CAST((yc - CAST(SUM(yc) OVER (PARTITION BY event_type)"
+            " AS DECIMAL(30,0)) div COUNT(*) OVER (PARTITION BY event_type))"
+            " AS DECIMAL(19,0))"
+        ).alias("e"),
+    ).select(
+        "event_type",
+        "idx",
+        F.expr("CAST(e * e AS DECIMAL(38,0))").alias("s"),
+    )
+    pairs = sq.select(
+        "event_type",
+        F.col("s").alias("y"),
+        F.lag("s").over(wo).alias("x"),
+    )
+    # FILTER-clause aggregation (not a pre-filter): a key whose series is
+    # a single day keeps its output row with np = 0 → NULL stats, exactly
+    # the oracle's shape (oneday/tiny fixtures).
+    agg = pairs.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) FILTER (WHERE x IS NOT NULL) AS LONG)").alias(
+            "np"
+        ),
+        F.expr("SUM(x) FILTER (WHERE x IS NOT NULL)").alias("sx"),
+        F.expr("SUM(y) FILTER (WHERE x IS NOT NULL)").alias("sy"),
+        F.expr(
+            "SUM(CAST(x * y AS DECIMAL(38,0))) FILTER (WHERE x IS NOT NULL)"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(x * x AS DECIMAL(38,0))) FILTER (WHERE x IS NOT NULL)"
+        ).alias("sxx"),
+        F.expr(
+            "SUM(CAST(y * y AS DECIMAL(38,0))) FILTER (WHERE x IS NOT NULL)"
+        ).alias("syy"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        F.expr(
+            f"CASE WHEN {_ARCH_GUARD} THEN NULL"
+            f" ELSE ROUND({_ARCH_LM}, 4) END"
+        ).alias("lm_stat"),
+        F.expr(
+            f"CASE WHEN {_ARCH_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_ARCH_LM}, 4) > 3.8415 AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )

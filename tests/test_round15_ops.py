@@ -648,3 +648,52 @@ def test_textrank_ranks_form_distribution(spark, sf_dir):
     total = sum(r["rank"] for r in rows)
     assert total == pytest.approx(1.0, abs=1e-3)
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_arch_lm_matches_sequential(spark, sf_dir):
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_arch_lm_test,
+    )
+
+    rows = _events(spark, sf_dir)
+    daily = defaultdict(lambda: defaultdict(Decimal))
+    for r in rows:
+        daily[r["event_type"]][r["ts"].date().toordinal()] += Decimal(
+            str(r["value"])
+        ).quantize(Decimal("0.01"))
+    expected = {}
+    for g, series in daily.items():
+        yc = [int(v * 100) for _, v in sorted(series.items())]
+        n = len(yc)
+        m = sum(yc) // n
+        s = [(y - m) ** 2 for y in yc]
+        xs, ys = s[:-1], s[1:]
+        np_ = len(xs)
+        if np_ < 3:
+            expected[g] = (np_, None)
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        vx = float(np_) * float(sxx) - float(sx) * float(sx)
+        vy = float(np_) * float(syy) - float(sy) * float(sy)
+        if vx <= 0 or vy <= 0:
+            expected[g] = (np_, None)
+            continue
+        cov = float(np_) * float(sxy) - float(sx) * float(sy)
+        expected[g] = (np_, float(np_) * cov * cov / (vx * vy))
+    got = {
+        r["event_type"]: (r["n_pairs"], r["lm_stat"])
+        for r in ts_arch_lm_test(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for g, (np_, lm) in expected.items():
+        assert got[g][0] == np_
+        if lm is None:
+            assert got[g][1] is None
+        else:
+            assert got[g][1] == pytest.approx(lm, abs=2e-4)
+            assert got[g][1] >= 0.0

@@ -145,6 +145,7 @@ PROBES = [
     ("attribution_markov_removal", 10.0),
     ("ml_adaboost_stumps", 10.0),
     ("text_textrank_keywords", 10.0),
+    ("ts_arch_lm_test", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
