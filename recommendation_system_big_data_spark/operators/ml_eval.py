@@ -4025,15 +4025,22 @@ def ml_eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_p").cast("long").alias("n_pos"),
         F.sum("c_n").cast("long").alias("n_neg"),
     )
-    nums = cum.crossJoin(F.broadcast(tot)).select(
-        "s",
-        "n_pos",
-        "n_neg",
-        F.abs(
-            F.col("cp") * F.col("n_neg") - F.col("cn") * F.col("n_pos")
+    nums = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "n_pos",
+            "n_neg",
+            F.abs(
+                F.col("cp") * F.col("n_neg") - F.col("cn") * F.col("n_pos")
+            )
+            .cast("long")
+            .alias("num"),
         )
-        .cast("long")
-        .alias("num"),
+        # two consumers (max + argmin-threshold) would otherwise each
+        # replay the full two-phase prefix sum — A/B'd at sf0.1: warm
+        # band 2.2-2.6s → 1.8-2.4s and static exchanges 20 → 5
+        .localCheckpoint(eager=False)
     )
     best = nums.agg(F.max("num").alias("m"))
     at = (
