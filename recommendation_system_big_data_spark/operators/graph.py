@@ -1582,3 +1582,201 @@ def graph_powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tail").alias("hill_tail_n"),
         )
     )
+
+
+#: Betweenness sampling: seed count and the 1e9 dependency quantizer —
+#: δ contributions fold as floor(σ_v·(1e9 + δ_w)/σ_w), all exact integer
+#: algebra in DECIMAL(38)/HUGEINT (identical truncation both engines).
+_BETW_SEEDS = 4
+
+_BETWEENNESS_ORACLE = f"""
+WITH capped AS ({_CAPPED_ITEMS_SQL}
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM capped a JOIN capped b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seeds AS (
+    SELECT src AS seed FROM (
+        SELECT src, COUNT(DISTINCT dst) AS deg FROM edges GROUP BY src
+    ) ORDER BY deg DESC, src LIMIT {_BETW_SEEDS}
+), l0 AS (
+    SELECT seed, seed AS id, CAST(1 AS HUGEINT) AS sigma FROM seeds
+), l1 AS (
+    SELECT l0.seed, e.dst AS id, CAST(SUM(l0.sigma) AS HUGEINT) AS sigma
+    FROM edges e JOIN l0 ON e.src = l0.id
+    GROUP BY l0.seed, e.dst
+    HAVING NOT EXISTS (
+        SELECT 1 FROM l0 p WHERE p.seed = l0.seed AND p.id = e.dst)
+), l2 AS (
+    SELECT l1.seed, e.dst AS id, CAST(SUM(l1.sigma) AS HUGEINT) AS sigma
+    FROM edges e JOIN l1 ON e.src = l1.id
+    GROUP BY l1.seed, e.dst
+    HAVING NOT EXISTS (
+        SELECT 1 FROM l0 p WHERE p.seed = l1.seed AND p.id = e.dst)
+       AND NOT EXISTS (
+        SELECT 1 FROM l1 p WHERE p.seed = l1.seed AND p.id = e.dst)
+), l3 AS (
+    SELECT l2.seed, e.dst AS id, CAST(SUM(l2.sigma) AS HUGEINT) AS sigma
+    FROM edges e JOIN l2 ON e.src = l2.id
+    GROUP BY l2.seed, e.dst
+    HAVING NOT EXISTS (
+        SELECT 1 FROM l0 p WHERE p.seed = l2.seed AND p.id = e.dst)
+       AND NOT EXISTS (
+        SELECT 1 FROM l1 p WHERE p.seed = l2.seed AND p.id = e.dst)
+       AND NOT EXISTS (
+        SELECT 1 FROM l2 p WHERE p.seed = l2.seed AND p.id = e.dst)
+), d2 AS (
+    SELECT v.seed, v.id,
+           CAST(SUM((v.sigma * (1000000000 + 0)
+                     - (v.sigma * (1000000000 + 0)) % w.sigma)
+                    / w.sigma) AS HUGEINT) AS dq
+    FROM l2 v JOIN edges e ON e.src = v.id
+    JOIN l3 w ON w.seed = v.seed AND w.id = e.dst
+    GROUP BY v.seed, v.id
+), d1 AS (
+    SELECT v.seed, v.id,
+           CAST(SUM((v.sigma * (1000000000 + COALESCE(d2.dq, 0))
+                     - (v.sigma * (1000000000 + COALESCE(d2.dq, 0)))
+                       % w.sigma)
+                    / w.sigma) AS HUGEINT) AS dq
+    FROM l1 v JOIN edges e ON e.src = v.id
+    JOIN l2 w ON w.seed = v.seed AND w.id = e.dst
+    LEFT JOIN d2 ON d2.seed = w.seed AND d2.id = w.id
+    GROUP BY v.seed, v.id
+), alld AS (
+    SELECT seed, id, dq FROM d1
+    UNION ALL
+    SELECT seed, id, dq FROM d2
+)
+SELECT id AS part, CAST(SUM(dq) AS BIGINT) AS betweenness_nanos,
+       CAST(COUNT(DISTINCT seed) AS BIGINT) AS n_seeds
+FROM alld GROUP BY id
+HAVING SUM(dq) > 0
+"""
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=_BETWEENNESS_ORACLE,
+    tags=("graph",),
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, seed-sampled as in
+    Brandes–Pich 2007) over the co-purchase graph, truncated at 3 hops —
+    the bridge/bottleneck centrality the rest of the family cannot see:
+    pagerank/HITS reward being POPULAR, closeness rewards being NEAR,
+    betweenness rewards being BETWEEN (on many shortest paths), the
+    quantity that finds broker nodes. Exact betweenness is all-pairs;
+    production computes exactly this seed-sampled truncated form.
+
+    Forward pass: level-synchronous BFS with DISJOINT level sets and
+    exact path counts σ (σ(v, k) = Σ over in-edges from level k−1 —
+    integer, the l0/l1/l2/l3 anti-join ladder). Backward pass (the
+    Brandes accumulation δ(v) = Σ σ_v/σ_w·(1+δ_w)): dependencies are
+    INTEGER-quantized as δq(v) = Σ floor(σ_v·(1e9 + δq_w)/σ_w) — the
+    divisible-numerator exact-floor trick in DECIMAL(38)/HUGEINT, so
+    the two engines' sums are identical by construction (no float
+    anywhere) and betweenness_nanos is an exact BIGINT hash. Per-seed
+    frontier cost is the closeness ladder's; the backward pass is two
+    more level-aligned equi-joins. Output: every node on ≥ 1 shortest
+    path between a seed and its ball, with its summed quantized
+    dependency."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.countDistinct("dst").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(_BETW_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    l0 = seeds.select(
+        "seed", F.col("seed").alias("id"),
+        F.lit(1).cast("decimal(38,0)").alias("sigma"),
+    ).localCheckpoint(eager=False)
+
+    def next_level(prev: DataFrame, *earlier: DataFrame) -> DataFrame:
+        nxt = (
+            edges.join(prev, edges["src"] == prev["id"])
+            .groupBy("seed", F.col("dst").alias("nid"))
+            .agg(F.sum("sigma").cast("decimal(38,0)").alias("sigma"))
+            .withColumnRenamed("nid", "id")
+        )
+        for lv in earlier:
+            nxt = nxt.join(
+                lv.select("seed", "id"), ["seed", "id"], "left_anti"
+            )
+        return nxt.localCheckpoint(eager=False)
+
+    l1 = next_level(l0, l0)
+    l2 = next_level(l1, l0, l1)
+    l3 = next_level(l2, l0, l1, l2)
+
+    def back_level(v: DataFrame, w: DataFrame, dq_w: DataFrame | None):
+        wd = w.select(
+            F.col("seed").alias("ws"),
+            F.col("id").alias("wid"),
+            F.col("sigma").alias("wsig"),
+        )
+        if dq_w is not None:
+            wd = wd.join(
+                dq_w.select(
+                    F.col("seed").alias("ws"),
+                    F.col("id").alias("wid"),
+                    "dq",
+                ),
+                ["ws", "wid"],
+                "left",
+            ).select(
+                "ws", "wid", "wsig",
+                F.coalesce(F.col("dq"), F.lit(0).cast("decimal(38,0)")).alias(
+                    "dqw"
+                ),
+            )
+        else:
+            wd = wd.select(
+                "ws", "wid", "wsig",
+                F.lit(0).cast("decimal(38,0)").alias("dqw"),
+            )
+        num = "CAST(sigma * (1000000000 + dqw) AS DECIMAL(38,0))"
+        return (
+            v.join(edges, v["id"] == edges["src"])
+            .join(
+                wd,
+                (F.col("ws") == v["seed"]) & (F.col("wid") == edges["dst"]),
+            )
+            .groupBy(v["seed"], v["id"])
+            .agg(
+                F.sum(
+                    F.expr(f"CAST(({num} - {num} % wsig) / wsig"
+                           " AS DECIMAL(38,0))")
+                ).cast("decimal(38,0)").alias("dq")
+            )
+        )
+
+    d2 = back_level(l2, l3, None).localCheckpoint(eager=False)
+    d1 = back_level(l1, l2, d2)
+    alld = d1.unionByName(d2)
+    return (
+        alld.groupBy(F.col("id").alias("part"))
+        .agg(
+            F.sum("dq").cast("long").alias("betweenness_nanos"),
+            F.countDistinct("seed").cast("long").alias("n_seeds"),
+        )
+        .where(F.col("betweenness_nanos") > 0)
+    )

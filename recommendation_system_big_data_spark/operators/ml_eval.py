@@ -4700,3 +4700,181 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round bigint, threshold bigint, polarity bigint,"
         " alpha double, eps double",
     )
+
+
+#: 1-D GMM-EM: value-domain histogram grain (unit-width bins — bounded by
+#: the [0, 561] domain, never the corpus), component count, EM rounds, and
+#: the per-cell 1e9 quantizer that makes every cross-cell sum exact.
+_GMM_ROUNDS = 10
+_GMM_VAR_FLOOR = 1e-6
+_GMM_EXP_CLAMP = -700.0
+_GMM_Q = 1e9
+
+
+def _gmm_resp_sql(mu1: str, v1: str, pi1: str, mu2: str, v2: str, pi2: str,
+                  x: str) -> tuple[str, str]:
+    """Responsibility expressions (shared text; the 1/√(2π) factor cancels
+    in the ratio). Exponents clamp at {_GMM_EXP_CLAMP} so a far-tail cell
+    never yields 0/0."""
+    g1 = (f"(EXP(GREATEST({_GMM_EXP_CLAMP!r}, -({x} - {mu1}) * ({x} - {mu1})"
+          f" / (2e0 * {v1}))) / SQRT({v1}))")
+    g2 = (f"(EXP(GREATEST({_GMM_EXP_CLAMP!r}, -({x} - {mu2}) * ({x} - {mu2})"
+          f" / (2e0 * {v2}))) / SQRT({v2}))")
+    den = f"({pi1} * {g1} + {pi2} * {g2})"
+    return f"({pi1} * {g1} / {den})", f"({pi2} * {g2} / {den})"
+
+
+def _gmm_solve(cells: list[tuple[int, int]]) -> list[tuple]:
+    """Driver replica of the oracle's EM rounds over the bounded histogram
+    (CPython libm and DuckDB share the platform libm; all cross-cell sums
+    are FLOOR(term·1e9) exact integers, so order is irrelevant)."""
+    import math as m
+
+    n = sum(c for _, c in cells)
+    s2 = sum(c * (2 * b + 1) for b, c in cells)
+    q4 = sum(c * (2 * b + 1) ** 2 for b, c in cells)
+    mean = float(s2) / (2.0 * float(n))
+    var = max(float(q4) / (4.0 * float(n)) - mean * mean, _GMM_VAR_FLOOR)
+    sd = m.sqrt(var)
+    mu1, mu2 = mean - sd / 2.0, mean + sd / 2.0
+    v1 = v2 = var
+    pi1 = pi2 = 0.5
+    for _ in range(_GMM_ROUNDS):
+        acc = [0] * 6  # w1, x1, xx1, w2, x2, xx2 (quantized)
+        for b, c in cells:
+            x = (2.0 * b + 1.0) / 2.0
+            g1 = m.exp(max(_GMM_EXP_CLAMP,
+                           -(x - mu1) * (x - mu1) / (2.0 * v1))) / m.sqrt(v1)
+            g2 = m.exp(max(_GMM_EXP_CLAMP,
+                           -(x - mu2) * (x - mu2) / (2.0 * v2))) / m.sqrt(v2)
+            den = pi1 * g1 + pi2 * g2
+            r1 = pi1 * g1 / den
+            r2 = pi2 * g2 / den
+            acc[0] += m.floor(c * r1 * _GMM_Q)
+            acc[1] += m.floor(c * r1 * x * _GMM_Q)
+            acc[2] += m.floor(c * r1 * x * x * _GMM_Q)
+            acc[3] += m.floor(c * r2 * _GMM_Q)
+            acc[4] += m.floor(c * r2 * x * _GMM_Q)
+            acc[5] += m.floor(c * r2 * x * x * _GMM_Q)
+        w1, x1, xx1, w2, x2, xx2 = (float(a) for a in acc)
+        mu1 = x1 / w1
+        v1 = max(xx1 / w1 - mu1 * mu1, _GMM_VAR_FLOOR)
+        pi1 = w1 / (w1 + w2)
+        mu2 = x2 / w2
+        v2 = max(xx2 / w2 - mu2 * mu2, _GMM_VAR_FLOOR)
+        pi2 = w2 / (w1 + w2)
+    return [
+        (1, round(pi1, 6), round(mu1, 6), round(m.sqrt(v1), 6)),
+        (2, round(pi2, 6), round(mu2, 6), round(m.sqrt(v2), 6)),
+    ]
+
+
+def _gmm_oracle() -> str:
+    rounds = []
+    prev = "p0"
+    for r in range(1, _GMM_ROUNDS + 1):
+        r1, r2 = _gmm_resp_sql(
+            f"{prev}.mu1", f"{prev}.v1", f"{prev}.pi1",
+            f"{prev}.mu2", f"{prev}.v2", f"{prev}.pi2", "c.x",
+        )
+        rounds.append(f"""e{r} AS (
+    SELECT CAST(FLOOR(c.cnt * {r1} * {_GMM_Q!r}) AS HUGEINT) AS w1,
+           CAST(FLOOR(c.cnt * {r1} * c.x * {_GMM_Q!r}) AS HUGEINT) AS x1,
+           CAST(FLOOR(c.cnt * {r1} * c.x * c.x * {_GMM_Q!r}) AS HUGEINT)
+               AS xx1,
+           CAST(FLOOR(c.cnt * {r2} * {_GMM_Q!r}) AS HUGEINT) AS w2,
+           CAST(FLOOR(c.cnt * {r2} * c.x * {_GMM_Q!r}) AS HUGEINT) AS x2,
+           CAST(FLOOR(c.cnt * {r2} * c.x * c.x * {_GMM_Q!r}) AS HUGEINT)
+               AS xx2
+    FROM cells c CROSS JOIN {prev}
+), p{r} AS (
+    SELECT CAST(SUM(x1) AS DOUBLE) / CAST(SUM(w1) AS DOUBLE) AS mu1,
+           GREATEST(CAST(SUM(xx1) AS DOUBLE) / CAST(SUM(w1) AS DOUBLE)
+               - (CAST(SUM(x1) AS DOUBLE) / CAST(SUM(w1) AS DOUBLE))
+               * (CAST(SUM(x1) AS DOUBLE) / CAST(SUM(w1) AS DOUBLE)),
+               {_GMM_VAR_FLOOR!r}) AS v1,
+           CAST(SUM(w1) AS DOUBLE)
+               / (CAST(SUM(w1) AS DOUBLE) + CAST(SUM(w2) AS DOUBLE)) AS pi1,
+           CAST(SUM(x2) AS DOUBLE) / CAST(SUM(w2) AS DOUBLE) AS mu2,
+           GREATEST(CAST(SUM(xx2) AS DOUBLE) / CAST(SUM(w2) AS DOUBLE)
+               - (CAST(SUM(x2) AS DOUBLE) / CAST(SUM(w2) AS DOUBLE))
+               * (CAST(SUM(x2) AS DOUBLE) / CAST(SUM(w2) AS DOUBLE)),
+               {_GMM_VAR_FLOOR!r}) AS v2,
+           CAST(SUM(w2) AS DOUBLE)
+               / (CAST(SUM(w1) AS DOUBLE) + CAST(SUM(w2) AS DOUBLE)) AS pi2
+    FROM e{r}
+)""")
+        prev = f"p{r}"
+    return f"""
+WITH cells AS (
+    SELECT CAST(FLOOR(value) AS BIGINT) AS b,
+           (2e0 * CAST(FLOOR(value) AS BIGINT) + 1e0) / 2e0 AS x,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), mom AS (
+    SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+           CAST(SUM(cnt * (2 * b + 1)) AS HUGEINT) AS s2,
+           CAST(SUM(cnt * (2 * b + 1) * (2 * b + 1)) AS HUGEINT) AS q4
+    FROM cells
+), p0 AS (
+    SELECT CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))
+               - SQRT(GREATEST(CAST(q4 AS DOUBLE) / (4e0 * CAST(n AS DOUBLE))
+                   - (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)))
+                   * (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))),
+                   {_GMM_VAR_FLOOR!r})) / 2e0 AS mu1,
+           GREATEST(CAST(q4 AS DOUBLE) / (4e0 * CAST(n AS DOUBLE))
+               - (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)))
+               * (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))),
+               {_GMM_VAR_FLOOR!r}) AS v1,
+           0.5e0 AS pi1,
+           CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))
+               + SQRT(GREATEST(CAST(q4 AS DOUBLE) / (4e0 * CAST(n AS DOUBLE))
+                   - (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)))
+                   * (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))),
+                   {_GMM_VAR_FLOOR!r})) / 2e0 AS mu2,
+           GREATEST(CAST(q4 AS DOUBLE) / (4e0 * CAST(n AS DOUBLE))
+               - (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE)))
+               * (CAST(s2 AS DOUBLE) / (2e0 * CAST(n AS DOUBLE))),
+               {_GMM_VAR_FLOOR!r}) AS v2,
+           0.5e0 AS pi2
+    FROM mom
+),
+{','.join(rounds)}
+SELECT 1 AS component, ROUND(pi1, 6) AS pi, ROUND(mu1, 6) AS mu,
+       ROUND(SQRT(v1), 6) AS sigma FROM p{_GMM_ROUNDS}
+UNION ALL
+SELECT 2, ROUND(pi2, 6), ROUND(mu2, 6), ROUND(SQRT(v2), 6)
+FROM p{_GMM_ROUNDS}
+"""
+
+
+@register("ml_gmm_em_1d", oracle=_gmm_oracle(), tags=("ml",))
+def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by {_GMM_ROUNDS} EM rounds
+    (Dempster, Laird & Rubin 1977) over the event-value distribution —
+    the probabilistic sibling of ml_kmeans_lloyd (soft responsibilities
+    instead of hard assignment) and the canonical latent-variable
+    algorithm previously missing between the moment kernels and the
+    fitted models. Deterministic moment-split init (μ ± σ/2, equal
+    weights) — no random restarts to reconcile across engines.
+
+    Scale split (the adaboost/markov pattern): the ONLY data-sized work
+    is the unit-bin histogram fold, bounded by the VALUE DOMAIN (~561
+    cells), not the corpus; EM rounds run on that bounded artifact.
+    Determinism: every cross-cell sum is FLOOR(term·1e9)-quantized
+    exact integer; per-cell responsibilities are one shared expression
+    (clamped exponents — no 0/0 tail cells) whose EXP/SQRT evaluate in
+    the SAME platform libm for the driver replica and DuckDB; the
+    oracle advances each round as a chained CTE pair (terms → params).
+    Variance floors keep the const fixture (σ = 0) finite on both
+    engines."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.floor("value").cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    out = _gmm_solve([(r["b"], r["cnt"]) for r in rows])
+    return spark.createDataFrame(
+        out, "component bigint, pi double, mu double, sigma double"
+    )

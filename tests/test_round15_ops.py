@@ -697,3 +697,102 @@ def test_arch_lm_matches_sequential(spark, sf_dir):
         else:
             assert got[g][1] == pytest.approx(lm, abs=2e-4)
             assert got[g][1] >= 0.0
+
+
+def test_gmm_recovers_planted_bimodal(spark, sf_dir):
+    """EM sanity on a planted two-Gaussian histogram: means recovered
+    within a bin, weights near the planted 0.4/0.6, mu1 < mu2 by the
+    deterministic moment-split init; plus distribution invariants on
+    the registered query."""
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _gmm_solve,
+        ml_gmm_em_1d,
+    )
+    import random
+
+    rng = random.Random(7)
+    cells = Counter()
+    for _ in range(4000):
+        cells[max(0, min(560, int(rng.gauss(100, 15))))] += 1
+    for _ in range(6000):
+        cells[max(0, min(560, int(rng.gauss(400, 25))))] += 1
+    fit = _gmm_solve(sorted(cells.items()))
+    (c1, pi1, mu1, sd1), (c2, pi2, mu2, sd2) = fit
+    assert abs(mu1 - 100) < 5 and abs(mu2 - 400) < 5
+    assert abs(pi1 - 0.4) < 0.05 and abs(pi2 - 0.6) < 0.05
+    assert 5 < sd1 < 30 and 10 < sd2 < 40
+
+    got = sorted(
+        ml_gmm_em_1d(spark, sf_dir).collect(), key=lambda r: r["component"]
+    )
+    assert [r["component"] for r in got] == [1, 2]
+    assert sum(r["pi"] for r in got) == pytest.approx(1.0, abs=1e-5)
+    assert got[0]["mu"] <= got[1]["mu"]
+    assert all(r["sigma"] > 0 for r in got)
+
+
+def test_betweenness_matches_sequential_brandes(spark, sf_dir):
+    """Sequential replica of the truncated quantized Brandes pass over
+    the collected edge list — independent level construction (plain BFS
+    with dict sets) gating the anti-join ladder and the integer
+    dependency fold."""
+    from recommendation_system_big_data_spark.operators.graph import (
+        _BETW_SEEDS,
+        MAX_BASKET,
+        graph_betweenness_sampled,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in baskets.values():
+        capped = sorted(parts)[:MAX_BASKET]
+        for x in capped:
+            for y in capped:
+                if x != y:
+                    edges.add((x, y))
+    adj = defaultdict(set)
+    deg = Counter()
+    for s, d in edges:
+        adj[s].add(d)
+        deg[s] += 1
+    seeds = sorted(deg, key=lambda k: (-deg[k], k))[:_BETW_SEEDS]
+    total = Counter()
+    contributing = defaultdict(set)
+    for seed in seeds:
+        levels = [{seed: 1}]
+        seen = {seed}
+        for _ in range(3):
+            nxt = defaultdict(int)
+            for u, sig in levels[-1].items():
+                for w in adj[u]:
+                    if w not in seen:
+                        nxt[w] += sig
+            seen |= set(nxt)
+            levels.append(dict(nxt))
+        dq = [dict() for _ in range(4)]
+        for k in (2, 1):
+            for v, sig_v in levels[k].items():
+                acc = 0
+                for w in adj[v]:
+                    if w in levels[k + 1]:
+                        sig_w = levels[k + 1][w]
+                        acc += sig_v * (10**9 + dq[k + 1].get(w, 0)) // sig_w
+                if acc:
+                    dq[k][v] = acc
+        for k in (1, 2):
+            for v, q in dq[k].items():
+                total[v] += q
+                contributing[v].add(seed)
+    got = {
+        r["part"]: (r["betweenness_nanos"], r["n_seeds"])
+        for r in graph_betweenness_sampled(spark, sf_dir).collect()
+    }
+    expected = {
+        v: (q, len(contributing[v])) for v, q in total.items() if q > 0
+    }
+    assert got == expected

@@ -146,6 +146,8 @@ PROBES = [
     ("ml_adaboost_stumps", 10.0),
     ("text_textrank_keywords", 10.0),
     ("ts_arch_lm_test", 10.0),
+    ("ml_gmm_em_1d", 10.0),
+    ("graph_betweenness_sampled", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
