@@ -5297,3 +5297,157 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND({_JT_Z}, 4) END"
         ).alias("z_jt"),
     )
+
+
+#: Cramér–von Mises two-sample exit: T = U/(n·m·(n+m)) − (4nm−1)/(6(n+m)),
+#: U from doubled midranks (U4 = 4U exact); shared text both engines.
+_CVM_T = (
+    "(CAST(u4 AS DOUBLE) / 4e0"
+    " / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)"
+    "    * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))"
+    " - (4e0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1e0)"
+    "   / (6e0 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))))"
+)
+
+_CVM_ORACLE = f"""
+WITH vt AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS HUGEINT) AS a,
+           CAST(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                AS HUGEINT) AS b
+    FROM events GROUP BY value
+), grid AS (
+    SELECT value, a, b,
+           COALESCE(SUM(a + b) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cb,
+           COALESCE(SUM(a) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cba,
+           COALESCE(SUM(b) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cbb
+    FROM vt
+), terms AS (
+    -- per distinct value: Σ_{{k=k0+1}}^{{k0+c}} (R − 2k)² in closed form
+    -- (R = doubled pooled midrank, k = within-sample rank): the tied
+    -- members are identical, so the assignment order is immaterial and
+    -- the arithmetic-run sum is exact.
+    SELECT
+        a * (2 * cb + a + b + 1) * (2 * cb + a + b + 1)
+          - 4 * (2 * cb + a + b + 1) * (a * cba + a * (a + 1) // 2)
+          + 4 * (a * cba * cba + 2 * cba * (a * (a + 1) // 2)
+                 + a * (a + 1) * (2 * a + 1) // 6) AS sa,
+        b * (2 * cb + a + b + 1) * (2 * cb + a + b + 1)
+          - 4 * (2 * cb + a + b + 1) * (b * cbb + b * (b + 1) // 2)
+          + 4 * (b * cbb * cbb + 2 * cbb * (b * (b + 1) // 2)
+                 + b * (b + 1) * (2 * b + 1) // 6) AS sb
+    FROM grid
+), fold AS (
+    SELECT (SELECT SUM(a) FROM vt) AS n, (SELECT SUM(b) FROM vt) AS m,
+           SUM(sa) AS ssa, SUM(sb) AS ssb
+    FROM terms
+), fin AS (
+    SELECT CAST(n AS HUGEINT) AS n, CAST(m AS HUGEINT) AS m,
+           CAST(n AS HUGEINT) * ssa + CAST(m AS HUGEINT) * ssb AS u4
+    FROM fold
+)
+SELECT CAST(n AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE ROUND({_CVM_T}, 6) END AS t_stat,
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE CAST(ROUND({_CVM_T}, 6) > 0.461 AS BIGINT) END
+           AS reject_5pct
+FROM fin
+"""
+
+
+@register(
+    "stat_cramer_von_mises_2samp",
+    oracle=_CVM_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_cramer_von_mises_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test (Anderson 1962 rank form) between
+    the purchase and non-purchase value distributions — the INTEGRATED
+    squared CDF distance, completing the two-sample norm family:
+    Mann–Whitney sees location, KS (ml_eval_ks_separation) the single
+    widest CDF gap, CvM the whole-curve L² discrepancy that catches
+    distributed-everywhere differences a sup-norm misses. 5% critical
+    value 0.461 (large-sample).
+
+    Fully integer-exact: U = nΣ(r_i − i)² + mΣ(s_j − j)² is folded at
+    the DISTINCT-VALUE grain with doubled midranks — within a tie block
+    the members are identical so the within-sample ranks k form an
+    arithmetic run whose Σ(R − 2k)² has a closed form in exact
+    HUGEINT/decimal algebra (no per-row explode, no tie-order
+    sensitivity by construction). One distinct fold + the two-phase
+    prefix sums; T exits through one shared double expression over
+    exact integers. Single-class input → NULL (degenerate class)."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    vt = (
+        load(spark, sf_dir, "events")
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("a"),
+            F.count(F.when(F.col("event_type") != "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("b"),
+        )
+        .withColumn("ab", F.expr("CAST(a + b AS DECIMAL(20,0))"))
+    )
+    grid = running_sums(
+        vt,
+        ["value"],
+        {"cb": ("ab", False), "cba": ("a", False), "cbb": ("b", False)},
+    )
+    terms = grid.select(
+        F.expr(
+            "CAST(a * (2 * cb + a + b + 1) * (2 * cb + a + b + 1)"
+            " - 4 * (2 * cb + a + b + 1) * (a * cba + (a * (a + 1)) div 2)"
+            " + 4 * (a * cba * cba + 2 * cba * ((a * (a + 1)) div 2)"
+            " + (a * (a + 1) * (2 * a + 1)) div 6) AS DECIMAL(38,0))"
+        ).alias("sa"),
+        F.expr(
+            "CAST(b * (2 * cb + a + b + 1) * (2 * cb + a + b + 1)"
+            " - 4 * (2 * cb + a + b + 1) * (b * cbb + (b * (b + 1)) div 2)"
+            " + 4 * (b * cbb * cbb + 2 * cbb * ((b * (b + 1)) div 2)"
+            " + (b * (b + 1) * (2 * b + 1)) div 6) AS DECIMAL(38,0))"
+        ).alias("sb"),
+    )
+    tot = vt.agg(
+        F.sum("a").cast("decimal(20,0)").alias("n"),
+        F.sum("b").cast("decimal(20,0)").alias("m"),
+    )
+    fin = (
+        terms.agg(
+            F.sum("sa").alias("ssa"), F.sum("sb").alias("ssb")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "m",
+            F.expr("CAST(n * ssa + m * ssb AS DECIMAL(38,0))").alias("u4"),
+        )
+    )
+    return fin.select(
+        F.col("n").cast("long").alias("n_pos"),
+        F.col("m").cast("long").alias("n_neg"),
+        F.expr(
+            f"CASE WHEN n = 0 OR m = 0 THEN NULL"
+            f" ELSE ROUND({_CVM_T}, 6) END"
+        ).alias("t_stat"),
+        F.expr(
+            f"CASE WHEN n = 0 OR m = 0 THEN NULL"
+            f" ELSE CAST(ROUND({_CVM_T}, 6) > 0.461 AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )

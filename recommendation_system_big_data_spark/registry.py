@@ -163,7 +163,7 @@ _DRIVER_WINDOW_ALIASES = (
 #:      ml_eval_rank_biased_overlap geo_dbscan_grid
 #:      attribution_markov_removal ml_adaboost_stumps
 #:      text_textrank_keywords ts_arch_lm_test ml_gmm_em_1d
-#:      graph_betweenness_sampled
+#:      graph_betweenness_sampled stat_cramer_von_mises_2samp
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

@@ -796,3 +796,33 @@ def test_betweenness_matches_sequential_brandes(spark, sf_dir):
         v: (q, len(contributing[v])) for v, q in total.items() if q > 0
     }
     assert got == expected
+
+
+def test_cvm_matches_sequential(spark, sf_dir):
+    """Textbook O(n log n) replica: pool, midrank, per-sample within-rank
+    loop — the naive form the closed-form tie-block fold must equal."""
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_cramer_von_mises_2samp,
+    )
+
+    rows = _events(spark, sf_dir)
+    a = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    b = sorted(r["value"] for r in rows if r["event_type"] != "purchase")
+    n, m = len(a), len(b)
+    # doubled pooled midranks per distinct value
+    pooled = Counter(a) + Counter(b)
+    rank2 = {}
+    cum = 0
+    for v, c in sorted(pooled.items()):
+        rank2[v] = 2 * cum + c + 1
+        cum += c
+    u4 = 0
+    sa = sum((rank2[v] - 2 * (i + 1)) ** 2 for i, v in enumerate(a))
+    sb = sum((rank2[v] - 2 * (j + 1)) ** 2 for j, v in enumerate(b))
+    u4 = n * sa + m * sb
+    t_ref = (u4 / 4.0) / (float(n) * float(m) * float(n + m)) - (
+        4.0 * n * m - 1.0
+    ) / (6.0 * (n + m))
+    got = stat_cramer_von_mises_2samp(spark, sf_dir).collect()[0]
+    assert got["n_pos"] == n and got["n_neg"] == m
+    assert got["t_stat"] == pytest.approx(t_ref, abs=1e-6)

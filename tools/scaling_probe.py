@@ -148,6 +148,7 @@ PROBES = [
     ("ts_arch_lm_test", 10.0),
     ("ml_gmm_em_1d", 10.0),
     ("graph_betweenness_sampled", 10.0),
+    ("stat_cramer_von_mises_2samp", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
