@@ -5451,3 +5451,424 @@ def stat_cramer_von_mises_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(ROUND({_CVM_T}, 6) > 0.461 AS BIGINT) END"
         ).alias("reject_5pct"),
     )
+
+
+# --- Cliff's delta ---------------------------------------------------------
+# Ordinal effect size between the purchase and non-purchase value
+# distributions: delta = (#{x>y} - #{x<y}) / (n*m). Folded at the
+# distinct-value grain with exclusive prefix sums (no pairwise join):
+# a purchase row at value v beats exactly the non-purchase mass strictly
+# below v and loses to the mass strictly above. Emitted in exact ppm
+# integer units (sign * abs-div) so the cross-engine compare is
+# bit-free; the magnitude label applies Romano et al. thresholds
+# (0.147 / 0.33 / 0.474) to |delta| in the same integer units.
+
+_CLIFF_ORACLE = """
+WITH vt AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS HUGEINT) AS a,
+           CAST(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                AS HUGEINT) AS b
+    FROM events WHERE value IS NOT NULL GROUP BY value
+), grid AS (
+    SELECT a, b,
+           COALESCE(SUM(b) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cbb
+    FROM vt
+), fold AS (
+    SELECT (SELECT SUM(a) FROM vt) AS n, (SELECT SUM(b) FROM vt) AS m,
+           SUM(a * cbb) AS gt,
+           SUM(a * ((SELECT SUM(b) FROM vt) - cbb - b)) AS lt
+    FROM grid
+)
+SELECT CAST(n AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE CAST(CASE WHEN gt >= lt THEN 1 ELSE -1 END
+                      * ((ABS(gt - lt) * 1000000) // (n * m)) AS BIGINT)
+       END AS delta_ppm,
+       CASE WHEN n = 0 OR m = 0 THEN 'undefined'
+            WHEN (ABS(gt - lt) * 1000000) // (n * m) < 147000
+                THEN 'negligible'
+            WHEN (ABS(gt - lt) * 1000000) // (n * m) < 330000 THEN 'small'
+            WHEN (ABS(gt - lt) * 1000000) // (n * m) < 474000 THEN 'medium'
+            ELSE 'large'
+       END AS magnitude
+FROM fold
+"""
+
+
+@register(
+    "stat_cliffs_delta",
+    oracle=_CLIFF_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size (purchase vs non-purchase
+    value): the dominance probability P(X>Y) - P(X<Y) that reads a
+    Mann-Whitney rejection in practical units — `stat_mann_whitney`
+    says WHETHER the distributions differ, this says HOW MUCH, robust
+    to any monotone transform (unlike `stat_effect_sizes`' Cohen's d,
+    which assumes interval scale). Romano thresholds label |delta|.
+
+    Exact integer algebra end to end: one distinct-value fold, one
+    exclusive prefix sum (`running_sums` two-phase pattern, never a
+    bare global window), pair counts by block multiplication —
+    #{x>y} = sum a_v * cumB(<v) — then sign * abs integer division
+    into ppm units, so trunc-vs-floor never diverges on negatives and
+    no double crosses the engine boundary. Scale: the grain is
+    distinct values; the pairwise O(n*m) space is never materialized.
+    Degenerate classes: single-class input -> NULL/'undefined'; all
+    values tied -> delta 0 'negligible' by construction."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    vt = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("a"),
+            F.count(F.when(F.col("event_type") != "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("b"),
+        )
+    )
+    grid = running_sums(vt, ["value"], {"cbb": ("b", False)})
+    tot = vt.agg(
+        F.sum("a").cast("decimal(20,0)").alias("n"),
+        F.sum("b").cast("decimal(20,0)").alias("m"),
+    )
+    fold = (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+            F.sum(F.expr("a * cbb")).alias("gt"),
+            F.sum(F.expr("a * (m - cbb - b)")).alias("lt"),
+        )
+    )
+    ppm = "((ABS(gt - lt) * 1000000) div (n * m))"
+    return fold.select(
+        F.col("n").cast("long").alias("n_pos"),
+        F.col("m").cast("long").alias("n_neg"),
+        F.expr(
+            f"CASE WHEN n = 0 OR m = 0 THEN NULL"
+            f" ELSE CAST(CASE WHEN gt >= lt THEN 1 ELSE -1 END"
+            f" * {ppm} AS BIGINT) END"
+        ).alias("delta_ppm"),
+        F.expr(
+            f"CASE WHEN n = 0 OR m = 0 THEN 'undefined'"
+            f" WHEN {ppm} < 147000 THEN 'negligible'"
+            f" WHEN {ppm} < 330000 THEN 'small'"
+            f" WHEN {ppm} < 474000 THEN 'medium'"
+            f" ELSE 'large' END"
+        ).alias("magnitude"),
+    )
+
+
+# --- D'Agostino K² omnibus normality --------------------------------------
+# Finite-sample-corrected skewness (D'Agostino 1970) and kurtosis
+# (Anscombe-Glynn 1983) Z transforms, combined K2 = Z1² + Z2² ~ chi²(2).
+# Every transform is elementary algebra (sqrt/ln/cbrt), so both engines
+# evaluate ONE shared expression text over the same (nd, g1, g2) inputs
+# — the entire divergence budget is the two moment folds, same as
+# stat_jarque_bera. All n-polynomials run on nd = CAST(n AS DOUBLE) so
+# no engine ever multiplies BIGINTs (overflow-free at any n).
+
+_DK2_Y = "(g1 * SQRT((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))))"
+_DK2_B2 = (
+    "(3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)"
+    " / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)))"
+)
+_DK2_W2 = f"(-1.0 + SQRT(2.0 * ({_DK2_B2} - 1.0)))"
+_DK2_DELTA = f"(1.0 / SQRT(0.5 * LN({_DK2_W2})))"
+_DK2_ALPHA = f"SQRT(2.0 / ({_DK2_W2} - 1.0))"
+_DK2_Z1 = (
+    f"({_DK2_DELTA} * LN({_DK2_Y} / {_DK2_ALPHA}"
+    f" + SQRT(({_DK2_Y} / {_DK2_ALPHA}) * ({_DK2_Y} / {_DK2_ALPHA})"
+    f" + 1.0)))"
+)
+_DK2_EB2 = "(3.0 * (nd - 1.0) / (nd + 1.0))"
+_DK2_VB2 = (
+    "(24.0 * nd * (nd - 2.0) * (nd - 3.0)"
+    " / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)))"
+)
+_DK2_X = f"(((g2 + 3.0) - {_DK2_EB2}) / SQRT({_DK2_VB2}))"
+_DK2_SB1 = (
+    "(6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))"
+    " * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)"
+    " / (nd * (nd - 2.0) * (nd - 3.0))))"
+)
+_DK2_A = (
+    f"(6.0 + 8.0 / {_DK2_SB1} * (2.0 / {_DK2_SB1}"
+    f" + SQRT(1.0 + 4.0 / ({_DK2_SB1} * {_DK2_SB1}))))"
+)
+_DK2_Z2 = (
+    f"(((1.0 - 2.0 / (9.0 * {_DK2_A}))"
+    f" - CBRT((1.0 - 2.0 / {_DK2_A})"
+    f" / (1.0 + {_DK2_X} * SQRT(2.0 / ({_DK2_A} - 4.0)))))"
+    f" / SQRT(2.0 / (9.0 * {_DK2_A})))"
+)
+_DK2_K2 = f"({_DK2_Z1} * {_DK2_Z1} + {_DK2_Z2} * {_DK2_Z2})"
+_DK2_GUARD = "n <= 8 OR m2 IS NULL OR m2 = 0"
+
+_DK2_ORACLE = f"""
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m, COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+), cm AS (
+    SELECT e.event_type, MAX(mu.n) AS n,
+           AVG(POW(e.value - mu.m, 2)) AS m2,
+           AVG(POW(e.value - mu.m, 3)) AS m3,
+           AVG(POW(e.value - mu.m, 4)) AS m4
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+), gg AS (
+    SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE m3 / POW(m2, 1.5) END AS g1,
+           CASE WHEN m2 = 0 THEN NULL
+                ELSE m4 / POW(m2, 2) - 3.0 END AS g2,
+           m2
+    FROM cm
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN {_DK2_GUARD} THEN NULL
+            ELSE ROUND({_DK2_Z1}, 4) END AS z_skew,
+       CASE WHEN {_DK2_GUARD} THEN NULL
+            ELSE ROUND({_DK2_Z2}, 4) END AS z_kurt,
+       CASE WHEN {_DK2_GUARD} THEN NULL
+            ELSE ROUND({_DK2_K2}, 4) END AS k2_stat,
+       CASE WHEN {_DK2_GUARD} THEN NULL
+            ELSE ROUND(EXP(-{_DK2_K2} / 2.0), 6) END AS p_chi2_df2,
+       CASE WHEN {_DK2_GUARD} THEN NULL
+            ELSE CAST(ROUND({_DK2_K2}, 4) > 5.9915 AS BIGINT)
+       END AS reject_5pct
+FROM gg
+ORDER BY event_type
+"""
+
+
+@register(
+    "stat_dagostino_k2",
+    oracle=_DK2_ORACLE,
+    tags=("profile",),
+)
+def stat_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test per event type —
+    the finite-sample refinement of `stat_jarque_bera`: JB's g1²/g2²
+    sum converges to chi²(2) slowly (kurtosis is notoriously
+    long-tailed), while the D'Agostino/Anscombe-Glynn Z transforms
+    normalize each moment at the observed n before squaring, which is
+    what scipy.stats.normaltest ships. Same two-pass centered moment
+    fold as JB (single-pass E[x4] expansion cancels catastrophically);
+    everything downstream of (n, g1, g2) is ONE expression string
+    shared verbatim with the oracle, so the engines cannot diverge in
+    the transform algebra. p = exp(-K2/2) stays exact chi²(2) algebra.
+
+    Scale shape: two map-side-combined scans to k rows, broadcast mean
+    join between them; the transform runs on k rows. Guards: n <= 8
+    (transforms undefined) or zero variance -> NULL row, matching the
+    oracle CASE on both engines."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("m")
+    cm = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.avg(F.pow(d, 2)).alias("m2"),
+            F.avg(F.pow(d, 3)).alias("m3"),
+            F.avg(F.pow(d, 4)).alias("m4"),
+        )
+    )
+    gg = cm.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.expr(
+            "CASE WHEN m2 = 0 THEN NULL ELSE m3 / POW(m2, 1.5) END"
+        ).alias("g1"),
+        F.expr(
+            "CASE WHEN m2 = 0 THEN NULL ELSE m4 / POW(m2, 2) - 3.0 END"
+        ).alias("g2"),
+        "m2",
+    )
+    return gg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            f"CASE WHEN {_DK2_GUARD} THEN NULL"
+            f" ELSE ROUND({_DK2_Z1}, 4) END"
+        ).alias("z_skew"),
+        F.expr(
+            f"CASE WHEN {_DK2_GUARD} THEN NULL"
+            f" ELSE ROUND({_DK2_Z2}, 4) END"
+        ).alias("z_kurt"),
+        F.expr(
+            f"CASE WHEN {_DK2_GUARD} THEN NULL"
+            f" ELSE ROUND({_DK2_K2}, 4) END"
+        ).alias("k2_stat"),
+        F.expr(
+            f"CASE WHEN {_DK2_GUARD} THEN NULL"
+            f" ELSE ROUND(EXP(-{_DK2_K2} / 2.0), 6) END"
+        ).alias("p_chi2_df2"),
+        F.expr(
+            f"CASE WHEN {_DK2_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_DK2_K2}, 4) > 5.9915 AS BIGINT) END"
+        ).alias("reject_5pct"),
+    ).orderBy("event_type")
+
+
+# --- Ansari-Bradley scale test ---------------------------------------------
+# Rank-based two-sample dispersion test: scores s(r) = min(r, N+1-r)
+# peak at the center, so a sample concentrated in the middle scores
+# high. Ties take the score OF the pooled midrank (R's ansari.test
+# convention: pmin(rank, N+1-rank) over midranks), which makes the
+# whole block share one score — an exact integer in DOUBLED units
+# (midrank doubles are integers). The normal approximation uses the
+# tie-safe finite-population moments of a sum of m draws from the
+# realized score multiset, so no even/odd-N case split and no tie
+# correction factor is needed: E[AB] = m*S1/N and
+# Var[AB] = m*(N-m)*(N*S2 - S1²) / (N²*(N-1)) hold verbatim with ties.
+
+_AB_Z = (
+    "((CAST(ab2 AS DOUBLE)"
+    " - CAST(np AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " / SQRT(CAST(np AS DOUBLE) * CAST(mm AS DOUBLE)"
+    " * (CAST(nn AS DOUBLE) * CAST(s2t AS DOUBLE)"
+    "    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+    "    * (CAST(nn AS DOUBLE) - 1.0))))"
+)
+_AB_GUARD = (
+    "np = 0 OR mm = 0 OR nn < 3 OR nn * s2t - s1 * s1 = 0"
+)
+
+_AB_ORACLE = f"""
+WITH vt AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS HUGEINT) AS a,
+           CAST(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                AS HUGEINT) AS b
+    FROM events WHERE value IS NOT NULL GROUP BY value
+), tot AS (
+    SELECT SUM(a) AS np, SUM(b) AS mm, SUM(a + b) AS nn FROM vt
+), grid AS (
+    SELECT a, b, a + b AS t,
+           COALESCE(SUM(a + b) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cb
+    FROM vt
+), scored AS (
+    SELECT a, t,
+           LEAST(2 * cb + t + 1,
+                 2 * ((SELECT nn FROM tot) + 1) - (2 * cb + t + 1))
+               AS s2
+    FROM grid
+), fold AS (
+    SELECT (SELECT np FROM tot) AS np, (SELECT mm FROM tot) AS mm,
+           (SELECT nn FROM tot) AS nn,
+           SUM(a * s2) AS ab2, SUM(t * s2) AS s1,
+           SUM(t * s2 * s2) AS s2t
+    FROM scored
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(mm AS BIGINT) AS n_neg,
+       CAST(ab2 AS BIGINT) AS ab_stat_x2,
+       CASE WHEN {_AB_GUARD} THEN NULL
+            ELSE ROUND({_AB_Z}, 6) END AS z_stat,
+       CASE WHEN {_AB_GUARD} THEN NULL
+            ELSE CAST(ABS(ROUND({_AB_Z}, 6)) > 1.959964 AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_ansari_bradley",
+    oracle=_AB_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample scale test (purchase vs non-purchase
+    value): completes the nonparametric triad — Mann-Whitney reads
+    location, Cramér-von Mises the whole curve, AB specifically the
+    DISPERSION difference under equal medians, without the normality
+    `stat_bartlett_test` / `stat_brown_forsythe` lean on. Scores
+    min(r, N+1-r) are V-shaped, so tie blocks cannot use the
+    arithmetic-run algebra of the CvM kernel; instead the R convention
+    (score of the midrank) makes the block score constant — exact in
+    DOUBLED integer units (2*cb + t + 1 is the doubled midrank).
+
+    The z exit uses finite-population draw moments over the realized
+    score multiset (tie-safe by construction, no parity case split);
+    one shared expression string on exact integers feeds both engines.
+    Scale shape: distinct-value fold, one two-phase exclusive prefix
+    sum, one reduce; S2-family decimal(38) products cap out near
+    n ~ 1e11 pooled rows, past which the fold's final products drop to
+    doubles (documented, same budget as stat_cramer_von_mises_2samp).
+    Degenerate classes: single class or all-tied values -> NULL z."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    vt = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("a"),
+            F.count(F.when(F.col("event_type") != "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("b"),
+        )
+        .withColumn("t", F.expr("CAST(a + b AS DECIMAL(20,0))"))
+    )
+    tot = vt.agg(
+        F.sum("a").cast("decimal(20,0)").alias("np"),
+        F.sum("b").cast("decimal(20,0)").alias("mm"),
+        F.sum("t").cast("decimal(20,0)").alias("nn"),
+    )
+    grid = running_sums(vt, ["value"], {"cb": ("t", False)})
+    scored = grid.crossJoin(F.broadcast(tot)).withColumn(
+        "s2",
+        F.expr(
+            "LEAST(2 * cb + t + 1, 2 * (nn + 1) - (2 * cb + t + 1))"
+        ),
+    )
+    fold = scored.agg(
+        F.max("np").alias("np"),
+        F.max("mm").alias("mm"),
+        F.max("nn").alias("nn"),
+        F.sum(F.expr("CAST(a * s2 AS DECIMAL(38,0))")).alias("ab2"),
+        F.sum(F.expr("CAST(t * s2 AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(t * s2 * s2 AS DECIMAL(38,0))")).alias("s2t"),
+    )
+    return fold.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("mm").cast("long").alias("n_neg"),
+        F.col("ab2").cast("long").alias("ab_stat_x2"),
+        F.expr(
+            f"CASE WHEN {_AB_GUARD} THEN NULL"
+            f" ELSE ROUND({_AB_Z}, 6) END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN {_AB_GUARD} THEN NULL"
+            f" ELSE CAST(ABS(ROUND({_AB_Z}, 6)) > 1.959964 AS BIGINT)"
+            f" END"
+        ).alias("reject_5pct"),
+    )
