@@ -537,15 +537,15 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_ORACLE = """
 WITH spans AS (
     SELECT user_id,
-           epoch_us(MAX(ts) - MIN(ts)) // 3600000000 AS duration_hours,
+           MIN(ts) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
            MAX(ts) AS last_ts
     FROM events GROUP BY user_id
-), horizon AS (
-    SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events
 ), labeled AS (
-    SELECT s.duration_hours,
-           CASE WHEN s.last_ts > h.cutoff THEN 0 ELSE 1 END AS died
-    FROM spans s CROSS JOIN horizon h
+    SELECT epoch_us(COALESCE(fp, last_ts) - t0) // 3600000000
+               AS duration_hours,
+           CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS died
+    FROM spans
 ), per_t AS (
     SELECT duration_hours AS t,
            CAST(SUM(died) AS BIGINT) AS d,
@@ -560,9 +560,18 @@ WITH spans AS (
     FROM per_t
 )
 SELECT t AS duration_hours, n_at_risk, d AS n_deaths, c AS n_censored,
-       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+       -- zero-factor guard mirrors kaplan_meier_curve: once a time
+       -- where everyone at risk dies has passed, S is exactly 0 (LN(0)
+       -- RAISES in DuckDB and is NULL in Spark — neither may be summed)
+       CASE WHEN SUM(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) > 0 THEN 0.0
+       ELSE ROUND(EXP(SUM(
+                CASE WHEN d < n_at_risk
+                     THEN LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                     ELSE 0.0 END) OVER (
            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       )), 6) AS survival
+       )), 6) END AS survival
 FROM risk
 WHERE n_at_risk > 0
 """
@@ -625,11 +634,15 @@ def kaplan_meier_curve(labeled: DataFrame, t: str = "duration_hours",
 
 @register("ml_kaplan_meier", oracle=_KM_ORACLE, tags=("profile", "ml"))
 def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for user lifetime (first→last event
-    span in hours), with right-censoring: users still active in the final
-    3 days of the observation window haven't "died", they're censored —
-    the correction every naive churn-duration average silently omits.
-    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+    """Kaplan-Meier curve for TIME TO FIRST PURCHASE (hours from a
+    user's first event to their first purchase), right-censored at the
+    last observed event for users who never purchase — the correction
+    every naive mean time-to-convert silently omits.
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ). (Re-clocked in r15: the original
+    first→last-span/3-day-horizon clock censored EVERY subject on the
+    synthetic corpus — uniformly active users — so no driver row ever
+    exercised a death; the conversion clock has abundant events and a
+    real censored tail, and `stat_logrank_test` shares it verbatim.)
 
     Relational KM: users fold to (duration, died) in one groupBy (the
     censoring horizon is a 1-row broadcast); the life table groups by
@@ -642,17 +655,18 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the observation window, not the user count."""
     ev = load(spark, sf_dir, "events")
     spans = ev.groupBy("user_id").agg(
-        F.expr(
-            "timestampdiff(MICROSECOND, min(ts), max(ts)) div 3600000000"
-        ).alias("duration_hours"),
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
         F.max("ts").alias("last_ts"),
     )
-    horizon = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 3 DAY")).alias("cutoff")
-    )
-    labeled = spans.crossJoin(F.broadcast(horizon)).select(
-        "duration_hours",
-        F.when(F.col("last_ts") > F.col("cutoff"), 0).otherwise(1).alias("died"),
+    labeled = spans.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, t0, COALESCE(fp, last_ts))"
+            " div 3600000000"
+        ).alias("duration_hours"),
+        F.expr("CASE WHEN fp IS NULL THEN 0 ELSE 1 END").alias("died"),
     )
     return kaplan_meier_curve(labeled).select(
         F.col("t").alias("duration_hours"),
@@ -5870,5 +5884,602 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {_AB_GUARD} THEN NULL"
             f" ELSE CAST(ABS(ROUND({_AB_Z}, 6)) > 1.959964 AS BIGINT)"
             f" END"
+        ).alias("reject_5pct"),
+    )
+
+
+# --- Log-rank test ---------------------------------------------------------
+# Two-group survival comparison over the ml_kaplan_meier life table:
+# at each distinct event time, the treated group's observed deaths are
+# compared with the hypergeometric expectation d*n1/n given the pooled
+# at-risk sets; chi2(1) = (O1-E1)^2 / sum V_j. The time grain, at-risk
+# prefix sums, and censoring convention are EXACTLY the KM kernel's, so
+# the two operators read as one coherent survival surface.
+
+_LOGRANK_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           MIN(ts) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+           MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS HUGEINT) AS ec
+    FROM events GROUP BY user_id
+), ectot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS nu,
+           CAST(SUM(ec) AS HUGEINT) AS te
+    FROM ev
+), labeled AS (
+    SELECT epoch_us(COALESCE(fp, last_ts) - t0) // 3600000000 AS t,
+           CASE WHEN ec * (SELECT nu FROM ectot)
+                     >= (SELECT te FROM ectot) THEN 1 ELSE 0 END AS grp,
+           CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS died
+    FROM ev
+), per_t AS (
+    SELECT t,
+           SUM(CASE WHEN grp = 1 THEN died ELSE 0 END) AS d1,
+           SUM(CASE WHEN grp = 1 THEN 1 - died ELSE 0 END) AS c1,
+           SUM(CASE WHEN grp = 0 THEN died ELSE 0 END) AS d0,
+           SUM(CASE WHEN grp = 0 THEN 1 - died ELSE 0 END) AS c0
+    FROM labeled GROUP BY t
+), tot AS (
+    SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1_tot,
+           SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0_tot
+    FROM labeled
+), risk AS (
+    SELECT t, d1, d0,
+           (SELECT n1_tot FROM tot) - COALESCE(SUM(d1 + c1) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n1,
+           (SELECT n0_tot FROM tot) - COALESCE(SUM(d0 + c0) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n0
+    FROM per_t
+), terms AS (
+    SELECT d1,
+           CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0) AS e1,
+           CASE WHEN n1 + n0 > 1 THEN
+               CAST(d1 + d0 AS DOUBLE) * n1 * n0
+               * (n1 + n0 - d1 - d0)
+               / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1))
+           ELSE 0.0 END AS v
+    FROM risk WHERE d1 + d0 > 0 AND n1 > 0 AND n0 > 0
+), fold AS (
+    SELECT (SELECT n1_tot FROM tot) AS n1_tot,
+           (SELECT n0_tot FROM tot) AS n0_tot,
+           COALESCE(SUM(d1), 0) AS o1, COALESCE(SUM(e1), 0.0) AS e1,
+           COALESCE(SUM(v), 0.0) AS v
+    FROM terms
+)
+SELECT CAST(n1_tot AS BIGINT) AS n_treat, CAST(n0_tot AS BIGINT) AS n_ctrl,
+       CAST(o1 AS BIGINT) AS observed_treat,
+       ROUND(e1, 6) AS expected_treat,
+       CASE WHEN v <= 0 THEN NULL
+            ELSE ROUND((o1 - e1) * (o1 - e1) / v, 4) END AS chi2_stat,
+       CASE WHEN v <= 0 THEN NULL
+            ELSE CAST(ROUND((o1 - e1) * (o1 - e1) / v, 4) > 3.8415
+                      AS BIGINT) END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_logrank_test",
+    oracle=_LOGRANK_ORACLE,
+    tags=("profile", "ml", "experiment"),
+)
+def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test on TIME TO FIRST PURCHASE: do heavy
+    users (at-or-above-mean event count, decided by exact integer
+    cross-multiplication so no double boundary exists) convert on the
+    same clock as light users? The hypothesis test that completes
+    `ml_kaplan_meier`'s product-limit machinery — duration is hours
+    from a user's first event to their first purchase, right-censored
+    at the last observed event for users who never purchase (the
+    correction a naive mean time-to-convert silently omits). At each
+    distinct conversion time the treated conversions are scored
+    against the hypergeometric expectation d·n1/n with variance
+    d·n1·n0·(n−d) / (n²(n−1)), and chi²(1) = (ΣO−ΣE)²/ΣV.
+
+    Scale shape: one groupBy(user) fold, one distinct-duration life
+    table, ONE two-phase exclusive prefix sum over the bounded
+    duration grain (running_sums; never a data-proportional bare
+    window), one reduce. Counts stay exact integers through the prefix
+    sums; E and V are double sums over the bounded grain under the
+    ROUND(6)/ROUND(4) budget shared with the chi² family. Degenerate
+    classes: a single group or zero observed events → NULL chi²."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("ec"),
+    )
+    ectot = spans.agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("nu"),
+        F.sum("ec").cast("decimal(20,0)").alias("te"),
+    )
+    labeled = spans.crossJoin(F.broadcast(ectot)).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, t0, COALESCE(fp, last_ts))"
+            " div 3600000000"
+        ).alias("t"),
+        # heavy vs light users by exact integer cross-multiply
+        # (ec >= mean without ever comparing against a double)
+        F.expr("CASE WHEN ec * nu >= te THEN 1 ELSE 0 END").alias("grp"),
+        F.expr("CASE WHEN fp IS NULL THEN 0 ELSE 1 END").alias("died"),
+    )
+    per_t = labeled.groupBy("t").agg(
+        F.sum(F.expr("CASE WHEN grp = 1 THEN died ELSE 0 END"))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 - died ELSE 0 END"))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN died ELSE 0 END"))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 - died ELSE 0 END"))
+        .cast("long")
+        .alias("c0"),
+    )
+    tot = labeled.agg(
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n1_tot"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n0_tot"),
+    )
+    grid = running_sums(
+        per_t, ["t"], {"cum1": ("d1", False), "cumc1": ("c1", False),
+                       "cum0": ("d0", False), "cumc0": ("c0", False)}
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d0",
+        "n1_tot",
+        "n0_tot",
+        F.expr("n1_tot - cum1 - cumc1").alias("n1"),
+        F.expr("n0_tot - cum0 - cumc0").alias("n0"),
+    )
+    terms = risk.where("d1 + d0 > 0 AND n1 > 0 AND n0 > 0").select(
+        "d1",
+        "n1_tot",
+        "n0_tot",
+        F.expr("CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)").alias("e1"),
+        F.expr(
+            "CASE WHEN n1 + n0 > 1 THEN"
+            " CAST(d1 + d0 AS DOUBLE) * n1 * n0"
+            " * (n1 + n0 - d1 - d0)"
+            " / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1))"
+            " ELSE 0.0 END"
+        ).alias("v"),
+    )
+    # agg with no groupBy always yields ONE row (NULL/0 sums on an empty
+    # terms frame — e.g. a fixture where every user is in one group), so
+    # totals join in AFTER the fold and survive the empty case.
+    fold = terms.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("e1"), F.lit(0.0)).alias("e1"),
+        F.coalesce(F.sum("v"), F.lit(0.0)).alias("v"),
+    ).crossJoin(F.broadcast(tot))
+    return fold.select(
+        F.col("n1_tot").cast("long").alias("n_treat"),
+        F.col("n0_tot").cast("long").alias("n_ctrl"),
+        F.col("o1").cast("long").alias("observed_treat"),
+        F.round("e1", 6).alias("expected_treat"),
+        F.expr(
+            "CASE WHEN v <= 0 THEN NULL"
+            " ELSE ROUND((o1 - e1) * (o1 - e1) / v, 4) END"
+        ).alias("chi2_stat"),
+        F.expr(
+            "CASE WHEN v <= 0 THEN NULL"
+            " ELSE CAST(ROUND((o1 - e1) * (o1 - e1) / v, 4) > 3.8415"
+            " AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )
+
+
+# --- Nelson-Aalen cumulative hazard ----------------------------------------
+# The hazard-scale twin of ml_kaplan_meier on the same conversion
+# clock: H(t) = sum_{ti<=t} d_i/n_i with Poisson-type variance
+# sum d_i*(n_i-d_i)/n_i^3. Total where KM's product hits zero (H just
+# grows), and the natural input to hazard-ratio eyeballing before a
+# formal stat_logrank_test readout.
+
+_NA_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           MIN(ts) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+), labeled AS (
+    SELECT epoch_us(COALESCE(fp, last_ts) - t0) // 3600000000 AS t,
+           CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS died
+    FROM spans
+), per_t AS (
+    SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+           CAST(COUNT(*) - SUM(died) AS BIGINT) AS c
+    FROM labeled GROUP BY t
+), risk AS (
+    SELECT t, d, c,
+           CAST((SELECT COUNT(*) FROM labeled) AS BIGINT)
+           - COALESCE(CAST(SUM(d + c) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS n_at_risk
+    FROM per_t
+)
+SELECT t AS duration_hours, n_at_risk, d AS n_deaths,
+       ROUND(SUM(CAST(d AS DOUBLE) / n_at_risk) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS cum_hazard,
+       ROUND(SUM(CAST(d AS DOUBLE) * (n_at_risk - d)
+                 / (CAST(n_at_risk AS DOUBLE) * n_at_risk * n_at_risk))
+             OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS var_hazard
+FROM risk
+WHERE n_at_risk > 0
+"""
+
+
+@register(
+    "survival_nelson_aalen",
+    oracle=_NA_ORACLE,
+    tags=("profile", "ml"),
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator on the conversion clock
+    shared with `ml_kaplan_meier` / `stat_logrank_test` (hours from
+    first event to first purchase, right-censored at last event):
+    H(t) = Σ d/n with variance Σ d(n−d)/n³. KM's product-limit S(t)
+    collapses to exactly 0 the moment every at-risk subject converts
+    (its zero-factor guard); H keeps resolving the hazard structure
+    past that point, and exp(−H) is the Fleming-Harrington survival
+    alternative a consumer can derive row-wise.
+
+    Scale shape: identical to the KM kernel — one user fold, life
+    table on the bounded distinct-duration grain, at-risk counts from
+    the prior-row running sum, two running sums of exact-integer
+    ratios on that bounded grain. No data-proportional window."""
+    ev = load(spark, sf_dir, "events")
+    labeled = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("fp"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND, t0, COALESCE(fp, last_ts))"
+                " div 3600000000"
+            ).alias("t"),
+            F.expr("CASE WHEN fp IS NULL THEN 0 ELSE 1 END").alias("died"),
+        )
+    )
+    per_t = labeled.groupBy("t").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("long").alias("c"),
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    return risk.where(F.col("n_at_risk") > 0).select(
+        F.col("t").alias("duration_hours"),
+        "n_at_risk",
+        F.col("d").alias("n_deaths"),
+        F.round(
+            F.sum(F.expr("CAST(d AS DOUBLE) / n_at_risk")).over(run), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(d AS DOUBLE) * (n_at_risk - d)"
+                    " / (CAST(n_at_risk AS DOUBLE) * n_at_risk * n_at_risk)"
+                )
+            ).over(run),
+            6,
+        ).alias("var_hazard"),
+    )
+
+
+# --- Cochran-Mantel-Haenszel test + MH pooled odds ratio -------------------
+# Stratified 2x2 association: does urgent priority associate with
+# order failure AFTER controlling for market segment? Per stratum the
+# 2x2 cell counts are one conditional-count fold; the CMH statistic
+# scores sum(a - E[a]) against the hypergeometric variance with the
+# standard 0.5 continuity correction, and the Mantel-Haenszel pooled
+# odds ratio sum(ad/N)/sum(bc/N) is the confounding-adjusted effect.
+
+_CMH_CHI2 = (
+    "(POW(GREATEST(ABS(sa - se) - 0.5, 0.0), 2) / sv)"
+)
+_CMH_GUARD = "sv <= 0"
+
+_CMH_ORACLE = f"""
+WITH j AS (
+    SELECT c.c_mktsegment AS stratum,
+           CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS exposed,
+           CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+    SELECT stratum,
+           CAST(SUM(exposed * bad) AS BIGINT) AS a,
+           CAST(SUM(exposed * (1 - bad)) AS BIGINT) AS b,
+           CAST(SUM((1 - exposed) * bad) AS BIGINT) AS cc,
+           CAST(SUM((1 - exposed) * (1 - bad)) AS BIGINT) AS d
+    FROM j GROUP BY stratum
+), terms AS (
+    SELECT a,
+           CAST(a + b AS DOUBLE) * (a + cc) / (a + b + cc + d) AS e,
+           CAST(a + b AS DOUBLE) * (cc + d) * (a + cc) * (b + d)
+           / (POW(CAST(a + b + cc + d AS DOUBLE), 2)
+              * (a + b + cc + d - 1)) AS v,
+           CAST(a AS DOUBLE) * d / (a + b + cc + d) AS r,
+           CAST(b AS DOUBLE) * cc / (a + b + cc + d) AS s
+    FROM cells WHERE a + b + cc + d > 1
+), fold AS (
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS k,
+           COALESCE(SUM(a), 0) AS sa, COALESCE(SUM(e), 0.0) AS se,
+           COALESCE(SUM(v), 0.0) AS sv,
+           COALESCE(SUM(r), 0.0) AS sr, COALESCE(SUM(s), 0.0) AS ss
+    FROM terms
+)
+SELECT k AS n_strata, CAST(sa AS BIGINT) AS exposed_bad,
+       ROUND(se, 6) AS expected,
+       CASE WHEN {_CMH_GUARD} THEN NULL
+            ELSE ROUND({_CMH_CHI2}, 4) END AS cmh_chi2,
+       CASE WHEN {_CMH_GUARD} THEN NULL
+            ELSE CAST(ROUND({_CMH_CHI2}, 4) > 3.8415 AS BIGINT)
+       END AS reject_5pct,
+       CASE WHEN ss <= 0 THEN NULL
+            ELSE ROUND(sr / ss, 6) END AS or_mh
+FROM fold
+"""
+
+
+@register(
+    "stat_mantel_haenszel",
+    oracle=_CMH_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test with the MH pooled
+    odds ratio: urgent-priority vs order-failure association
+    CONTROLLING for market segment — the confounder-adjusted reading
+    that a marginal `stat_g_test` / chi² cannot give (Simpson's
+    reversal is exactly the failure mode this guards). Continuity-
+    corrected chi²(1) = (|Σa − ΣE| − ½)² / ΣV with hypergeometric
+    per-stratum variance; OR_MH = Σ(ad/N) / Σ(bc/N).
+
+    Scale shape: one dim-broadcast join, one conditional-count fold to
+    the stratum grain (k rows), one reduce of closed-form per-stratum
+    terms. Cell counts are exact integers; E/V/OR terms are doubles on
+    the bounded stratum grain under the chi²-family ROUND budget.
+    Degenerate classes: single-subject strata are excluded (N>1
+    required by V's denominator); all-zero variance → NULL."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("stratum")
+    )
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "stratum",
+            F.expr(
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END"
+            ).alias("exposed"),
+            F.expr(
+                "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+            ).alias("bad"),
+        )
+    )
+    cells = j.groupBy("stratum").agg(
+        F.sum(F.expr("exposed * bad")).cast("long").alias("a"),
+        F.sum(F.expr("exposed * (1 - bad)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - exposed) * bad")).cast("long").alias("cc"),
+        F.sum(F.expr("(1 - exposed) * (1 - bad)")).cast("long").alias("d"),
+    )
+    terms = cells.where("a + b + cc + d > 1").select(
+        "a",
+        F.expr(
+            "CAST(a + b AS DOUBLE) * (a + cc) / (a + b + cc + d)"
+        ).alias("e"),
+        F.expr(
+            "CAST(a + b AS DOUBLE) * (cc + d) * (a + cc) * (b + d)"
+            " / (POW(CAST(a + b + cc + d AS DOUBLE), 2)"
+            " * (a + b + cc + d - 1))"
+        ).alias("v"),
+        F.expr("CAST(a AS DOUBLE) * d / (a + b + cc + d)").alias("r"),
+        F.expr("CAST(b AS DOUBLE) * cc / (a + b + cc + d)").alias("s"),
+    )
+    kcount = cells.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    fold = terms.agg(
+        F.coalesce(F.sum("a"), F.lit(0)).alias("sa"),
+        F.coalesce(F.sum("e"), F.lit(0.0)).alias("se"),
+        F.coalesce(F.sum("v"), F.lit(0.0)).alias("sv"),
+        F.coalesce(F.sum("r"), F.lit(0.0)).alias("sr"),
+        F.coalesce(F.sum("s"), F.lit(0.0)).alias("ss"),
+    ).crossJoin(F.broadcast(kcount))
+    return fold.select(
+        F.col("k").alias("n_strata"),
+        F.col("sa").cast("long").alias("exposed_bad"),
+        F.round("se", 6).alias("expected"),
+        F.expr(
+            f"CASE WHEN {_CMH_GUARD} THEN NULL"
+            f" ELSE ROUND({_CMH_CHI2}, 4) END"
+        ).alias("cmh_chi2"),
+        F.expr(
+            f"CASE WHEN {_CMH_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_CMH_CHI2}, 4) > 3.8415 AS BIGINT) END"
+        ).alias("reject_5pct"),
+        F.expr(
+            "CASE WHEN ss <= 0 THEN NULL ELSE ROUND(sr / ss, 6) END"
+        ).alias("or_mh"),
+    )
+
+
+# --- Cochran's Q test -------------------------------------------------------
+# Repeated-measures binary outcomes: does engagement incidence differ
+# across event types when every user is their own control? The k
+# "treatments" are event types, x_ut = 1 iff user u emitted type t.
+# Q = k(k-1) * (k*sumC2 - T^2) / (k*T - sumR2) with T = total
+# successes, sumC2 = sum of squared column (type) totals, sumR2 = sum
+# of squared row (user) totals — every term an exact integer from two
+# folds of the distinct (user, type) presence frame.
+
+_CQ_Q = (
+    "(CAST((k - 1) * (k * sc2 - tt * tt) AS DOUBLE)"
+    " / CAST(k * tt - sr2 AS DOUBLE))"
+)
+_CQ_GUARD = "k < 2 OR k * tt - sr2 = 0"
+
+_CQ_ORACLE = f"""
+WITH cnt AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS HUGEINT) AS n_ut
+    FROM events GROUP BY user_id, event_type
+), nu AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu FROM events
+), tj AS (
+    SELECT event_type, CAST(SUM(n_ut) AS HUGEINT) AS tp
+    FROM cnt GROUP BY event_type
+), k AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM tj
+), pres AS (
+    SELECT cnt.user_id, cnt.event_type
+    FROM cnt JOIN tj ON cnt.event_type = tj.event_type
+    WHERE cnt.n_ut * (SELECT nu FROM nu) >= tj.tp
+), rowsum AS (
+    SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS r
+    FROM pres GROUP BY user_id
+), colsum AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS c
+    FROM pres GROUP BY event_type
+), fold AS (
+    SELECT (SELECT k FROM k) AS k,
+           COALESCE((SELECT SUM(r) FROM rowsum), 0) AS tt,
+           COALESCE((SELECT SUM(r * r) FROM rowsum), 0) AS sr2,
+           COALESCE((SELECT SUM(c * c) FROM colsum), 0) AS sc2,
+           (SELECT nu FROM nu) AS n_users
+)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(k AS BIGINT) AS k_types,
+       CASE WHEN {_CQ_GUARD} THEN NULL
+            ELSE ROUND({_CQ_Q}, 4) END AS q_stat,
+       CASE WHEN {_CQ_GUARD} THEN NULL
+            ELSE CAST(ROUND({_CQ_Q}, 4) >
+                 CASE CAST(k AS BIGINT)
+                      WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915
+                      WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877
+                      WHEN 6 THEN 11.0705 WHEN 7 THEN 12.5916
+                      WHEN 8 THEN 14.0671 WHEN 9 THEN 15.5073
+                      ELSE 16.9190 END AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_cochran_q",
+    oracle=_CQ_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for k related binary samples: with each user
+    as their own control, is the probability of being a HEAVY emitter
+    (at-or-above-mean event count for that type, decided by exact
+    integer cross-multiplication — raw presence is vacuous on an
+    always-active corpus where kT = ΣR² exactly) constant across the
+    k event types? The repeated-measures extension of McNemar
+    (`stat_mcnemar_test` is exactly Q at k=2) and the binary analogue
+    of `stat_friedman_test` — completing the within-subject family.
+    Q = (k−1)(kΣC² − T²) / (kT − ΣR²) ~ chi²(k−1).
+
+    Exact integer algebra: one (user, type) count fold, per-type
+    totals as a k-row broadcast, row/column sums and their squares
+    from two grouped folds; Q's numerator and denominator are exact
+    decimal polynomials with ONE double division at the exit. The
+    chi²(k−1) critical value is selected by a CASE over the observed
+    k (df ≤ 10 tabulated, the classical-table convention used across
+    this module). Users absent from the heavy frame contribute R=0
+    exactly as the formula requires. Scale: every fold is map-side
+    combinable; the user grain never leaves its aggregation.
+    Degenerate classes: k=1 or all-R∈{0,k} (denominator 0) → NULL."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_ut")
+    )
+    nuf = ev.agg(
+        F.countDistinct("user_id").cast("decimal(20,0)").alias("nu")
+    )
+    tj = cnt.groupBy("event_type").agg(
+        F.sum("n_ut").cast("decimal(20,0)").alias("tp")
+    )
+    kf = tj.agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("k"))
+    pres = (
+        cnt.join(F.broadcast(tj), "event_type")
+        .crossJoin(F.broadcast(nuf))
+        .where("n_ut * nu >= tp")
+        .select("user_id", "event_type")
+    )
+    rowsum = pres.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("r")
+    )
+    colsum = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    rfold = rowsum.agg(
+        F.coalesce(F.sum("r"), F.lit(0)).cast("decimal(38,0)").alias("tt"),
+        F.coalesce(F.sum(F.expr("r * r")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+    )
+    cfold = colsum.agg(
+        F.coalesce(F.sum(F.expr("c * c")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sc2")
+    )
+    fold = (
+        rfold.crossJoin(F.broadcast(cfold))
+        .crossJoin(F.broadcast(kf))
+        .crossJoin(F.broadcast(nuf))
+    )
+    return fold.select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k_types"),
+        F.expr(
+            f"CASE WHEN {_CQ_GUARD} THEN NULL"
+            f" ELSE ROUND({_CQ_Q}, 4) END"
+        ).alias("q_stat"),
+        F.expr(
+            f"CASE WHEN {_CQ_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_CQ_Q}, 4) >"
+            f" CASE CAST(k AS BIGINT)"
+            f" WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915"
+            f" WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877"
+            f" WHEN 6 THEN 11.0705 WHEN 7 THEN 12.5916"
+            f" WHEN 8 THEN 14.0671 WHEN 9 THEN 15.5073"
+            f" ELSE 16.9190 END AS BIGINT) END"
         ).alias("reject_5pct"),
     )

@@ -11,7 +11,7 @@ formula and not merely self-consistent across engines.
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 
 def _values_by_class(spark, sf_dir):
@@ -162,3 +162,205 @@ def test_ansari_bradley_matches_bruteforce(spark, sf_dir):
         z = (sum(scores[:n]) - E) / math.sqrt(V)
         assert abs(got["z_stat"] - round(z, 6)) <= 1e-5
         assert got["reject_5pct"] == (1 if abs(round(z, 6)) > 1.959964 else 0)
+
+
+def _conversion_frame(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        u = r["user_id"]
+        e = per.setdefault(u, {"t0": r["ts"], "fp": None, "last": r["ts"]})
+        if r["ts"] < e["t0"]:
+            e["t0"] = r["ts"]
+        if r["ts"] > e["last"]:
+            e["last"] = r["ts"]
+        if r["event_type"] == "purchase" and (
+            e["fp"] is None or r["ts"] < e["fp"]
+        ):
+            e["fp"] = r["ts"]
+    out = []
+    for e in per.values():
+        end = e["fp"] if e["fp"] is not None else e["last"]
+        us = int((end - e["t0"]).total_seconds() * 1_000_000)
+        out.append((us // 3_600_000_000, 1 if e["fp"] is not None else 0))
+    return out
+
+
+def test_logrank_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_logrank_test,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        u = r["user_id"]
+        e = per.setdefault(
+            u, {"t0": r["ts"], "fp": None, "last": r["ts"], "ec": 0}
+        )
+        e["ec"] += 1
+        if r["ts"] < e["t0"]:
+            e["t0"] = r["ts"]
+        if r["ts"] > e["last"]:
+            e["last"] = r["ts"]
+        if r["event_type"] == "purchase" and (
+            e["fp"] is None or r["ts"] < e["fp"]
+        ):
+            e["fp"] = r["ts"]
+    nu = len(per)
+    te = sum(e["ec"] for e in per.values())
+    subj = []
+    for e in per.values():
+        end = e["fp"] if e["fp"] is not None else e["last"]
+        us = int((end - e["t0"]).total_seconds() * 1_000_000)
+        t = us // 3_600_000_000
+        subj.append(
+            (t, 1 if e["ec"] * nu >= te else 0, 1 if e["fp"] else 0)
+        )
+    r1 = sum(1 for _, g, _ in subj if g == 1)
+    r0 = len(subj) - r1
+    n1t, n0t = r1, r0
+    O1 = E1 = V = 0.0
+    for t in sorted({t for t, _, _ in subj}):
+        d1 = sum(1 for tt, g, d in subj if tt == t and g == 1 and d == 1)
+        c1 = sum(1 for tt, g, d in subj if tt == t and g == 1 and d == 0)
+        d0 = sum(1 for tt, g, d in subj if tt == t and g == 0 and d == 1)
+        c0 = sum(1 for tt, g, d in subj if tt == t and g == 0 and d == 0)
+        d, n = d1 + d0, r1 + r0
+        if d > 0 and r1 > 0 and r0 > 0:
+            O1 += d1
+            E1 += d * r1 / n
+            if n > 1:
+                V += d * r1 * r0 * (n - d) / (n * n * (n - 1))
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    got = stat_logrank_test(spark, sf_dir).collect()[0]
+    assert got["n_treat"] == n1t and got["n_ctrl"] == n0t
+    assert got["observed_treat"] == int(O1)
+    assert abs(got["expected_treat"] - round(E1, 6)) <= 1e-5
+    if V > 0:
+        chi2 = (O1 - E1) ** 2 / V
+        assert abs(got["chi2_stat"] - round(chi2, 4)) <= 1e-3
+    else:
+        assert got["chi2_stat"] is None
+
+
+def test_nelson_aalen_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        survival_nelson_aalen,
+    )
+
+    subj = _conversion_frame(spark, sf_dir)
+    times = sorted({t for t, _ in subj})
+    n_at_risk = len(subj)
+    H = VH = 0.0
+    want = {}
+    for t in times:
+        d = sum(1 for tt, died in subj if tt == t and died == 1)
+        c = sum(1 for tt, died in subj if tt == t and died == 0)
+        if n_at_risk > 0:
+            H += d / n_at_risk
+            VH += d * (n_at_risk - d) / n_at_risk**3
+            want[t] = (n_at_risk, d, round(H, 6), round(VH, 6))
+        n_at_risk -= d + c
+    got = {
+        r["duration_hours"]: (
+            r["n_at_risk"],
+            r["n_deaths"],
+            r["cum_hazard"],
+            r["var_hazard"],
+        )
+        for r in survival_nelson_aalen(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0] and got[t][1] == want[t][1]
+        assert abs(got[t][2] - want[t][2]) <= 1e-5
+        assert abs(got[t][3] - want[t][3]) <= 1e-5
+
+
+def test_mantel_haenszel_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_mantel_haenszel,
+    )
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for r in orders:
+        if r["o_custkey"] not in seg:
+            continue
+        s = seg[r["o_custkey"]]
+        e = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        b = 1 if r["o_orderstatus"] == "F" else 0
+        cells[s][0 if e and b else 1 if e else 2 if b else 3] += 1
+    sa = se = sv = sr = ss = 0.0
+    for a, b, c, d in cells.values():
+        N = a + b + c + d
+        if N <= 1:
+            continue
+        sa += a
+        se += (a + b) * (a + c) / N
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (N**2 * (N - 1))
+        sr += a * d / N
+        ss += b * c / N
+    got = stat_mantel_haenszel(spark, sf_dir).collect()[0]
+    assert got["n_strata"] == len(cells)
+    assert got["exposed_bad"] == int(sa)
+    if sv > 0:
+        chi2 = max(abs(sa - se) - 0.5, 0.0) ** 2 / sv
+        assert abs(got["cmh_chi2"] - round(chi2, 4)) <= 1e-3
+    if ss > 0:
+        assert abs(got["or_mh"] - round(sr / ss, 6)) <= 1e-5
+
+
+def test_cochran_q_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_cochran_q,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    cnt = Counter((r["user_id"], r["event_type"]) for r in rows)
+    nu = len({u for u, _ in cnt})
+    tp = Counter()
+    for (u, t), c in cnt.items():
+        tp[t] += c
+    k = len(tp)
+    R = Counter()
+    C = Counter()
+    for (u, t), c in cnt.items():
+        if c * nu >= tp[t]:
+            R[u] += 1
+            C[t] += 1
+    T = sum(R.values())
+    sr2 = sum(r * r for r in R.values())
+    sc2 = sum(c * c for c in C.values())
+    den = k * T - sr2
+    got = stat_cochran_q(spark, sf_dir).collect()[0]
+    assert got["n_users"] == nu and got["k_types"] == k
+    if k >= 2 and den != 0:
+        q = (k - 1) * (k * sc2 - T * T) / den
+        assert abs(got["q_stat"] - round(q, 4)) <= 1e-3
+    else:
+        assert got["q_stat"] is None
