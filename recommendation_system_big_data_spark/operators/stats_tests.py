@@ -6483,3 +6483,125 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 16.9190 END AS BIGINT) END"
         ).alias("reject_5pct"),
     )
+
+
+# --- Tukey-Kramer HSD -------------------------------------------------------
+# All-pairs post-hoc after ANOVA on the parametric track: q_ij =
+# |m_i - m_j| / sqrt((MSE/2)(1/n_i + 1/n_j)) against the studentized-
+# range critical value q_{k,inf,0.05} (the df=inf row is the honest
+# asymptote at engine scale where N-k is astronomically large). The
+# nonparametric siblings are stat_dunn_posthoc (rank-based) and
+# stat_games_howell-style Welch corrections; HSD is the equal-variance
+# classic every stats text reaches for first.
+
+_HSD_Q = (
+    "(ABS(m_a - m_b) / SQRT((mse / 2.0) * (1.0 / n_a + 1.0 / n_b)))"
+)
+_HSD_CRIT = (
+    "CASE k WHEN 2 THEN 2.7718 WHEN 3 THEN 3.3145 WHEN 4 THEN 3.6332"
+    " WHEN 5 THEN 3.8577 WHEN 6 THEN 4.0301 WHEN 7 THEN 4.1696"
+    " WHEN 8 THEN 4.2862 WHEN 9 THEN 4.3866 ELSE 4.4745 END"
+)
+_HSD_GUARD = "mse <= 0 OR n_a < 2 OR n_b < 2"
+
+_HSD_ORACLE = f"""
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS m,
+           SUM(value * value) - COUNT(*) * AVG(value) * AVG(value) AS ssw
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+), pool AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(ssw) AS ssw_tot,
+           SUM(n) AS n_tot
+    FROM g
+), mse AS (
+    SELECT k, CASE WHEN n_tot > k THEN ssw_tot / (n_tot - k)
+                   ELSE NULL END AS mse
+    FROM pool
+), pairs AS (
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+           (SELECT k FROM mse) AS k, (SELECT mse FROM mse) AS mse
+    FROM g a JOIN g b ON a.event_type < b.event_type
+)
+SELECT group_a, group_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(m_a - m_b, 6) AS mean_diff,
+       CASE WHEN {_HSD_GUARD} THEN NULL
+            ELSE ROUND({_HSD_Q}, 4) END AS q_stat,
+       CASE WHEN {_HSD_GUARD} THEN NULL
+            ELSE CAST(ROUND({_HSD_Q}, 4) > {_HSD_CRIT} AS BIGINT)
+       END AS reject_5pct
+FROM pairs ORDER BY group_a, group_b
+"""
+
+
+@register(
+    "stat_tukey_hsd",
+    oracle=_HSD_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD all-pairs comparison of event-type value means
+    — the parametric post-hoc that answers WHICH groups differ after
+    an omnibus F/Welch rejection, with family-wise error controlled by
+    the studentized-range distribution instead of `stat_dunn_posthoc`'s
+    Bonferroni-on-ranks. Unequal n handled by the Kramer form
+    q = |Δm| / sqrt((MSE/2)(1/n_a + 1/n_b)); critical values are the
+    df=∞ studentized-range 5% row selected by the observed k (at
+    engine scale N−k dwarfs any finite-df row — the honest asymptote,
+    same convention as the module's chi² tables).
+
+    Scale shape: ONE conditional fold of the fact table to the k-row
+    group grain (count/mean/SS per group, Welford-free expanded form),
+    pooled MSE as a 1-row broadcast, and the pair frame is a k×k
+    self-join of the BOUNDED group table — never a fact-table join.
+    Degenerate classes: zero MSE (all constant) or a group with n<2 →
+    NULL q; k=1 → zero pair rows."""
+    g = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("m"),
+            F.expr(
+                "SUM(value * value) - COUNT(*) * AVG(value) * AVG(value)"
+            ).alias("ssw"),
+        )
+    )
+    pool = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "CASE WHEN SUM(n) > COUNT(*) THEN SUM(ssw) / (SUM(n) - COUNT(*))"
+            " ELSE NULL END"
+        ).alias("mse"),
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(pool))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(F.expr("m_a - m_b"), 6).alias("mean_diff"),
+        F.expr(
+            f"CASE WHEN {_HSD_GUARD} THEN NULL"
+            f" ELSE ROUND({_HSD_Q}, 4) END"
+        ).alias("q_stat"),
+        F.expr(
+            f"CASE WHEN {_HSD_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_HSD_Q}, 4) > {_HSD_CRIT} AS BIGINT) END"
+        ).alias("reject_5pct"),
+    ).orderBy("group_a", "group_b")

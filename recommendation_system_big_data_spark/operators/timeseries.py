@@ -3132,3 +3132,290 @@ def ts_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(ROUND({_ARCH_LM}, 4) > 3.8415 AS BIGINT) END"
         ).alias("reject_5pct"),
     )
+
+
+# --- Yule-Walker PACF (closed form, lags 1-3) ------------------------------
+# Partial autocorrelation via the closed-form solutions of the k-th
+# Yule-Walker Toeplitz system (Cramer's rule at k=3): phi_kk is the
+# AR(k) coefficient on the deepest lag — the quantity the Box-Jenkins
+# AR-order cut-off rule actually reads, which the raw ACF
+# (ts_autocorrelation) cannot give. YW convention: r_k uses the GLOBAL
+# mean and variance (sum over aligned products / total SS), not the
+# per-lag re-centered Pearson of ts_autocorrelation — the two
+# operators are deliberately different estimators.
+
+_PACF2 = "((r2 - r1 * r1) / (1.0 - r1 * r1))"
+# det of the order-3 Toeplitz and its Cramer numerator, expanded:
+_PACF3_DEN = "(1.0 - 2.0 * r1 * r1 - r2 * r2 + 2.0 * r1 * r1 * r2)"
+_PACF3_NUM = (
+    "(r3 - r1 * r2 - r1 * (r1 * r3 - r2 * r2)"
+    " + r1 * (r1 * r1 - r2) * 1.0 - 0.0"
+    " + (r1 * r1 - r2) * 0.0)"
+)
+_PACF3 = f"({_PACF3_NUM} / {_PACF3_DEN})"
+
+_PACF_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY o_orderdate
+), stats AS (
+    SELECT COUNT(*) AS n, AVG(rev) AS mu,
+           SUM(rev * rev) - COUNT(*) * AVG(rev) * AVG(rev) AS ss
+    FROM daily
+), lagged AS (
+    SELECT rev - (SELECT mu FROM stats) AS x,
+           LAG(rev, 1) OVER (ORDER BY d) - (SELECT mu FROM stats) AS x1,
+           LAG(rev, 2) OVER (ORDER BY d) - (SELECT mu FROM stats) AS x2,
+           LAG(rev, 3) OVER (ORDER BY d) - (SELECT mu FROM stats) AS x3
+    FROM daily
+), acf AS (
+    SELECT (SELECT n FROM stats) AS n,
+           SUM(x * x1) / (SELECT ss FROM stats) AS r1,
+           SUM(x * x2) / (SELECT ss FROM stats) AS r2,
+           SUM(x * x3) / (SELECT ss FROM stats) AS r3
+    FROM lagged
+    WHERE (SELECT ss FROM stats) > 0
+    HAVING COUNT(*) > 0
+)
+SELECT lag_k, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN lag_k = 1 THEN ROUND(r1, 6)
+            WHEN lag_k = 2 THEN
+                CASE WHEN ABS(1.0 - r1 * r1) < 1e-12 THEN NULL
+                     ELSE ROUND({_PACF2}, 6) END
+            ELSE
+                CASE WHEN ABS({_PACF3_DEN}) < 1e-12 THEN NULL
+                     ELSE ROUND({_PACF3}, 6) END
+       END AS pacf
+FROM acf CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lag_k) lags
+ORDER BY lag_k
+"""
+
+
+@register("ts_pacf_yule_walker", oracle=_PACF_ORACLE, tags=("window", "ml"))
+def ts_pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 by the
+    closed-form Yule-Walker solutions: phi_11 = r1,
+    phi_22 = (r2−r1²)/(1−r1²), and phi_33 from Cramer's rule on the
+    order-3 Toeplitz system — the AR-order selection readout
+    (`ts_autocorrelation` decays slowly for ANY AR process; the PACF
+    cuts off sharply at the true order, which is what Box-Jenkins
+    actually inspects). No Levinson recursion loop: at fixed small k
+    the solve is a ratio of determinant polynomials in (r1, r2, r3),
+    shared verbatim with the oracle.
+
+    Scale shape: the fact table folds to the bounded daily grain; the
+    global mean/SS is one reduce; three LAG columns ride ONE window
+    sort on the daily grain; the r_k sums are one fold; the Toeplitz
+    algebra runs on a single row. Degenerate classes: zero variance →
+    no acf row (0 output rows); |1−r1²| or det→0 → NULL pacf."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("rev").alias("mu"),
+        F.expr(
+            "SUM(rev * rev) - COUNT(*) * AVG(rev) * AVG(rev)"
+        ).alias("ss"),
+    )
+    w = Window.orderBy(F.asc("d"))
+    lagged = (
+        daily.select(
+            "d",
+            "rev",
+            F.lag("rev", 1).over(w).alias("p1"),
+            F.lag("rev", 2).over(w).alias("p2"),
+            F.lag("rev", 3).over(w).alias("p3"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n",
+            "ss",
+            F.expr("rev - mu").alias("x"),
+            F.expr("p1 - mu").alias("x1"),
+            F.expr("p2 - mu").alias("x2"),
+            F.expr("p3 - mu").alias("x3"),
+        )
+    )
+    acf = (
+        lagged.where("ss > 0")
+        .agg(
+            F.max("n").alias("n"),
+            F.expr("SUM(x * x1) / MAX(ss)").alias("r1"),
+            F.expr("SUM(x * x2) / MAX(ss)").alias("r2"),
+            F.expr("SUM(x * x3) / MAX(ss)").alias("r3"),
+        )
+        .where(F.col("n").isNotNull())
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_k"))
+    return (
+        acf.crossJoin(F.broadcast(lags))
+        .select(
+            "lag_k",
+            F.col("n").cast("long").alias("n_days"),
+            F.expr(
+                f"CASE WHEN lag_k = 1 THEN ROUND(r1, 6)"
+                f" WHEN lag_k = 2 THEN"
+                f" CASE WHEN ABS(1.0 - r1 * r1) < 1e-12 THEN NULL"
+                f" ELSE ROUND({_PACF2}, 6) END"
+                f" ELSE CASE WHEN ABS({_PACF3_DEN}) < 1e-12 THEN NULL"
+                f" ELSE ROUND({_PACF3}, 6) END END"
+            ).alias("pacf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+# --- Lo-MacKinlay variance-ratio test --------------------------------------
+# Random-walk diagnostic on the log daily-revenue series: under a
+# random walk, the variance of q-period increments is exactly q times
+# the 1-period variance; VR(q) far from 1 means mean-reversion (<1) or
+# momentum (>1). Overlapping q-sums with the Lo-MacKinlay small-sample
+# bias corrections and the homoskedastic asymptotic z.
+
+_VR_Z = "((vr - 1.0) / SQRT(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * tn)))"
+
+_VR_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY o_orderdate
+), lx AS (
+    SELECT d, LN(rev) AS x FROM daily WHERE rev > 0
+), r AS (
+    SELECT x - LAG(x, 1) OVER (ORDER BY d) AS r1,
+           x - LAG(x, 2) OVER (ORDER BY d) AS r2,
+           x - LAG(x, 4) OVER (ORDER BY d) AS r4
+    FROM lx
+), base AS (
+    SELECT COUNT(r1) AS tn, AVG(r1) AS mu,
+           SUM(r1 * r1) - COUNT(r1) * AVG(r1) * AVG(r1) AS ss1_num
+    FROM r
+), s1 AS (
+    SELECT tn, mu,
+           CASE WHEN tn > 1 THEN ss1_num / (tn - 1) ELSE NULL END AS s1v
+    FROM base
+), sq AS (
+    SELECT q,
+           CASE WHEN q = 2 THEN
+               (SELECT SUM((r2 - 2 * (SELECT mu FROM s1))
+                          * (r2 - 2 * (SELECT mu FROM s1))) FROM r
+                WHERE r2 IS NOT NULL)
+           ELSE
+               (SELECT SUM((r4 - 4 * (SELECT mu FROM s1))
+                          * (r4 - 4 * (SELECT mu FROM s1))) FROM r
+                WHERE r4 IS NOT NULL)
+           END AS ssq,
+           CASE WHEN q = 2 THEN
+               (SELECT COUNT(r2) FROM r)
+           ELSE (SELECT COUNT(r4) FROM r) END AS nq
+    FROM (SELECT UNNEST([2, 4]) AS q)
+), vrq AS (
+    SELECT q, (SELECT CAST(tn AS DOUBLE) FROM s1) AS tn,
+           CASE WHEN (SELECT s1v FROM s1) IS NULL
+                     OR (SELECT s1v FROM s1) <= 0
+                     OR nq = 0 OR (1.0 - CAST(q AS DOUBLE) / (SELECT tn FROM s1)) <= 0
+                THEN NULL
+                ELSE (ssq / (q * nq
+                             * (1.0 - CAST(q AS DOUBLE) / (SELECT tn FROM s1))))
+                     / (SELECT s1v FROM s1)
+           END AS vr
+    FROM sq
+)
+SELECT CAST(q AS INT) AS q, CAST(tn AS BIGINT) AS n_returns,
+       ROUND(vr, 6) AS variance_ratio,
+       CASE WHEN vr IS NULL OR tn < 2 THEN NULL
+            ELSE ROUND({_VR_Z}, 4) END AS z_stat,
+       CASE WHEN vr IS NULL OR tn < 2 THEN NULL
+            ELSE CAST(ABS(ROUND({_VR_Z}, 4)) > 1.9600 AS BIGINT)
+       END AS reject_5pct
+FROM vrq ORDER BY q
+"""
+
+
+@register(
+    "ts_variance_ratio_test", oracle=_VR_ORACLE, tags=("window", "ml")
+)
+def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q = 2, 4) on log daily
+    revenue: is the series a random walk, mean-reverting (VR < 1), or
+    trending (VR > 1)? The diagnostic that separates "forecastable
+    structure exists" from `ts_adf_stationarity`'s unit-root question
+    — ADF can fail to reject while VR already shows strong
+    mean-reversion at short horizons. Overlapping q-period increments
+    (x_t − x_{t−q}) with the (T−q+1)(1−q/T) small-sample denominator
+    and the homoskedastic z = (VR−1)/sqrt(2(2q−1)(q−1)/(3qT)).
+
+    Scale shape: daily fold → LN → three LAG columns on ONE bounded
+    daily-grain window sort → constant-row algebra. Degenerate
+    classes: <2 returns, zero 1-period variance, or an empty q-diff
+    column → NULL ratio/z (ANSI-null through, matching the oracle)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    lx = daily.where("rev > 0").select("d", F.expr("LN(rev)").alias("x"))
+    w = Window.orderBy(F.asc("d"))
+    r = lx.select(
+        (F.col("x") - F.lag("x", 1).over(w)).alias("r1"),
+        (F.col("x") - F.lag("x", 2).over(w)).alias("r2"),
+        (F.col("x") - F.lag("x", 4).over(w)).alias("r4"),
+    )
+    s1 = r.agg(
+        F.count("r1").cast("double").alias("tn"),
+        F.avg("r1").alias("mu"),
+        F.expr(
+            "CASE WHEN COUNT(r1) > 1 THEN"
+            " (SUM(r1 * r1) - COUNT(r1) * AVG(r1) * AVG(r1))"
+            " / (COUNT(r1) - 1) ELSE NULL END"
+        ).alias("s1v"),
+    )
+    qsums = r.crossJoin(F.broadcast(s1)).agg(
+        F.max("tn").alias("tn"),
+        F.max("mu").alias("mu"),
+        F.max("s1v").alias("s1v"),
+        F.sum(F.expr("(r2 - 2 * mu) * (r2 - 2 * mu)")).alias("ss2"),
+        F.count("r2").alias("n2"),
+        F.sum(F.expr("(r4 - 4 * mu) * (r4 - 4 * mu)")).alias("ss4"),
+        F.count("r4").alias("n4"),
+    )
+    qs = spark.range(0, 2).select(
+        F.expr("CAST(CASE WHEN id = 0 THEN 2 ELSE 4 END AS INT)").alias("q")
+    )
+    vrq = qsums.crossJoin(F.broadcast(qs)).select(
+        "q",
+        "tn",
+        F.expr(
+            "CASE WHEN s1v IS NULL OR s1v <= 0"
+            " OR (CASE WHEN q = 2 THEN n2 ELSE n4 END) = 0"
+            " OR (1.0 - CAST(q AS DOUBLE) / tn) <= 0 THEN NULL"
+            " ELSE ((CASE WHEN q = 2 THEN ss2 ELSE ss4 END)"
+            " / (q * (CASE WHEN q = 2 THEN n2 ELSE n4 END)"
+            " * (1.0 - CAST(q AS DOUBLE) / tn))) / s1v END"
+        ).alias("vr"),
+    )
+    return vrq.select(
+        "q",
+        F.col("tn").cast("long").alias("n_returns"),
+        F.round("vr", 6).alias("variance_ratio"),
+        F.expr(
+            f"CASE WHEN vr IS NULL OR tn < 2 THEN NULL"
+            f" ELSE ROUND({_VR_Z}, 4) END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN vr IS NULL OR tn < 2 THEN NULL"
+            f" ELSE CAST(ABS(ROUND({_VR_Z}, 4)) > 1.9600 AS BIGINT) END"
+        ).alias("reject_5pct"),
+    ).orderBy("q")

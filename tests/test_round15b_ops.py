@@ -364,3 +364,128 @@ def test_cochran_q_matches_sequential(spark, sf_dir):
         assert abs(got["q_stat"] - round(q, 4)) <= 1e-3
     else:
         assert got["q_stat"] is None
+
+
+def _daily_rev(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    agg = defaultdict(Decimal)
+    for r in rows:
+        agg[r["o_orderdate"]] += Decimal(str(r["o_totalprice"])).quantize(
+            Decimal("0.01")
+        )
+    return [float(agg[d]) for d in sorted(agg)]
+
+
+def test_pacf_yule_walker_matches_linear_solve(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_pacf_yule_walker,
+    )
+
+    import numpy as np
+
+    x = np.array(_daily_rev(spark, sf_dir))
+    got = {r["lag_k"]: r for r in ts_pacf_yule_walker(spark, sf_dir).collect()}
+    n = len(x)
+    mu = x.mean()
+    ss = ((x - mu) ** 2).sum()
+    if ss == 0:
+        assert not got
+        return
+    r = [1.0] + [
+        float(((x[k:] - mu) * (x[:-k] - mu)).sum() / ss) for k in (1, 2, 3)
+    ]
+    for k in (1, 2, 3):
+        T = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+        det = np.linalg.det(T)
+        assert got[k]["n_days"] == n
+        if abs(det) < 1e-12:
+            assert got[k]["pacf"] is None
+            continue
+        phi = np.linalg.solve(T, np.array(r[1 : k + 1]))
+        assert got[k]["pacf"] is not None
+        assert abs(got[k]["pacf"] - round(float(phi[-1]), 6)) <= 1e-5
+
+
+def test_variance_ratio_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_variance_ratio_test,
+    )
+
+    import numpy as np
+
+    x = np.array(_daily_rev(spark, sf_dir))
+    lx = np.log(x[x > 0])
+    got = {r["q"]: r for r in ts_variance_ratio_test(spark, sf_dir).collect()}
+    r1 = np.diff(lx)
+    T = len(r1)
+    if T < 2:
+        for q in got:
+            assert got[q]["variance_ratio"] is None or got[q]["z_stat"] is None
+        return
+    mu = r1.mean()
+    s1 = ((r1 - mu) ** 2).sum() / (T - 1)
+    for q in (2, 4):
+        if len(lx) <= q or s1 <= 0 or 1 - q / T <= 0:
+            assert got[q]["variance_ratio"] is None
+            continue
+        rq = lx[q:] - lx[:-q]
+        nq = len(rq)
+        sq = ((rq - q * mu) ** 2).sum() / (q * nq * (1 - q / T))
+        vr = sq / s1
+        z = (vr - 1) / math.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * T))
+        assert abs(got[q]["variance_ratio"] - round(vr, 6)) <= 1e-5
+        assert abs(got[q]["z_stat"] - round(z, 4)) <= 1e-3
+
+
+def test_tukey_hsd_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_tukey_hsd,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .where("value IS NOT NULL")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    stats = {
+        g: (len(v), sum(v) / len(v)) for g, v in groups.items()
+    }
+    ssw = sum(
+        sum((x - stats[g][1]) ** 2 for x in v) for g, v in groups.items()
+    )
+    k = len(groups)
+    n_tot = sum(n for n, _ in stats.values())
+    mse = ssw / (n_tot - k) if n_tot > k else None
+    crit = {2: 2.7718, 3: 3.3145, 4: 3.6332, 5: 3.8577, 6: 4.0301}.get(
+        k, 4.4745 if k > 9 else None
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in stat_tukey_hsd(spark, sf_dir).collect()
+    }
+    names = sorted(groups)
+    assert len(got) == k * (k - 1) // 2
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = names[i], names[j]
+            row = got[(a, b)]
+            na, ma = stats[a]
+            nb, mb = stats[b]
+            assert abs(row["mean_diff"] - round(ma - mb, 6)) <= 2e-6
+            if mse is None or mse <= 0 or na < 2 or nb < 2:
+                assert row["q_stat"] is None
+                continue
+            q = abs(ma - mb) / math.sqrt((mse / 2) * (1 / na + 1 / nb))
+            assert abs(row["q_stat"] - round(q, 4)) <= 1e-3
+            if crit is not None:
+                assert row["reject_5pct"] == (1 if round(q, 4) > crit else 0)
