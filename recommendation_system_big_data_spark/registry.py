@@ -164,6 +164,13 @@ _DRIVER_WINDOW_ALIASES = (
 #:      attribution_markov_removal ml_adaboost_stumps
 #:      text_textrank_keywords ts_arch_lm_test ml_gmm_em_1d
 #:      graph_betweenness_sampled stat_cramer_von_mises_2samp
+#:    plus the session-B additions (same evidence bar, replicas in
+#:    tests/test_round15b_ops.py; ml_kaplan_meier re-clocked to the
+#:    conversion clock this session also wants a refreshed row):
+#:      stat_cliffs_delta stat_dagostino_k2 stat_ansari_bradley
+#:      stat_logrank_test survival_nelson_aalen stat_mantel_haenszel
+#:      stat_cochran_q ts_pacf_yule_walker ts_variance_ratio_test
+#:      stat_tukey_hsd ml_kaplan_meier
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

@@ -149,6 +149,17 @@ PROBES = [
     ("ml_gmm_em_1d", 10.0),
     ("graph_betweenness_sampled", 10.0),
     ("stat_cramer_von_mises_2samp", 10.0),
+    # r15 session-B additions
+    ("stat_cliffs_delta", 10.0),
+    ("stat_dagostino_k2", 10.0),
+    ("stat_ansari_bradley", 10.0),
+    ("stat_logrank_test", 10.0),
+    ("survival_nelson_aalen", 10.0),
+    ("stat_mantel_haenszel", 10.0),
+    ("stat_cochran_q", 10.0),
+    ("ts_pacf_yule_walker", 10.0),
+    ("ts_variance_ratio_test", 10.0),
+    ("stat_tukey_hsd", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
