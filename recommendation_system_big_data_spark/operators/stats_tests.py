@@ -6605,3 +6605,231 @@ def stat_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(ROUND({_HSD_Q}, 4) > {_HSD_CRIT} AS BIGINT) END"
         ).alias("reject_5pct"),
     ).orderBy("group_a", "group_b")
+
+
+# --- Fligner-Killeen test ---------------------------------------------------
+# The most-robust rung of the variance-homogeneity ladder (Conover,
+# Johnson & Johnson 1981 simulation study; scipy.stats.fligner):
+# normal scores a(r) = PHI^-1(0.5 + r/(2(N+1))) of the pooled midranks
+# of |x - median_g|, X2 = (sum_g S_g^2/n_g - N*abar^2) / s^2 ~
+# chi2(k-1). PHI^-1 is Acklam's rational approximation (|eps| < 1.2e-9,
+# public domain) emitted as ONE expression string shared verbatim by
+# both engines — identical IEEE trees, so the scores cannot diverge.
+
+
+def _acklam_upper_half(p: str) -> str:
+    """Inverse normal CDF for p in (0.5, 1) — Acklam's two-branch
+    rational approximation (central |p-0.5| <= 0.47575, else upper
+    tail), as a SQL expression string over the sub-expression ``p``."""
+    q = f"({p} - 0.5)"
+    r = f"({q} * {q})"
+    central_num = (
+        f"((((( -3.969683028665376e+01 * {r} + 2.209460984245205e+02)"
+        f" * {r} - 2.759285104469687e+02) * {r} + 1.383577518672690e+02)"
+        f" * {r} - 3.066479806614716e+01) * {r} + 2.506628277459239e+00)"
+        f" * {q}"
+    )
+    central_den = (
+        f"((((( -5.447609879822406e+01 * {r} + 1.615858368580409e+02)"
+        f" * {r} - 1.556989798598866e+02) * {r} + 6.680131188771972e+01)"
+        f" * {r} - 1.328068155288572e+01) * {r} + 1.0)"
+    )
+    t = f"SQRT(-2.0 * LN(1.0 - {p}))"
+    tail_num = (
+        f"(((( -7.784894002430293e-03 * {t} - 3.223964580411365e-01)"
+        f" * {t} - 2.400758277161838e+00) * {t} - 2.549732539343734e+00)"
+        f" * {t} + 4.374664141464968e+00) * {t} + 2.938163982698783e+00"
+    )
+    tail_den = (
+        f"((((7.784695709041462e-03 * {t} + 3.224671290700398e-01)"
+        f" * {t} + 2.445134137142996e+00) * {t} + 3.754408661907416e+00)"
+        f" * {t} + 1.0)"
+    )
+    return (
+        f"(CASE WHEN {p} <= 0.97575"
+        f" THEN ({central_num}) / ({central_den})"
+        f" ELSE -(({tail_num})) / ({tail_den}) END)"
+    )
+
+
+#: normal score from the DOUBLED midrank R2 and pooled N:
+#: p = 0.5 + (R2/2) / (2(N+1)) = 0.5 + R2 / (4(N+1))
+_FK_P = "(0.5 + CAST(r2 AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0)))"
+_FK_SCORE = None  # assigned below (needs the helper above)
+_FK_SCORE = _acklam_upper_half(_FK_P)
+
+_FK_X2 = "((sgq - nn * abar * abar) / s2)"
+#: the zero-variance decision is STRUCTURAL (ndist < 2 exact-integer
+#: distinct-deviation count), never a float-sign read: with one
+#: distinct deviation the true s2 is identically 0 but each engine's
+#: cancellation residue lands on a different side of 0.0 (const-
+#: fixture catch); with >= 2 distinct scores s2 is O(1)-positive.
+_FK_GUARD = "nn < 2 OR k < 2 OR ndist < 2 OR s2 IS NULL OR s2 <= 0"
+_FK_CRIT = (
+    "CASE k WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915 WHEN 4 THEN 7.8147"
+    " WHEN 5 THEN 9.4877 WHEN 6 THEN 11.0705 WHEN 7 THEN 12.5916"
+    " WHEN 8 THEN 14.0671 WHEN 9 THEN 15.5073 WHEN 10 THEN 16.9190"
+    " ELSE 18.3070 END"
+)
+
+_FK_ORACLE = f"""
+WITH obs AS (
+    SELECT event_type AS g,
+           CAST(FLOOR(value * {ANOVA_QUANT}) AS BIGINT) AS vq
+    FROM events WHERE value IS NOT NULL
+), dist AS (
+    SELECT g, vq, CAST(COUNT(*) AS HUGEINT) AS cnt
+    FROM obs GROUP BY g, vq
+), cum AS (
+    SELECT g, vq, cnt,
+           SUM(cnt) OVER (PARTITION BY g ORDER BY vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+           SUM(cnt) OVER (PARTITION BY g) AS n_g
+    FROM dist
+), med AS (
+    SELECT g, MIN(vq) AS m_g FROM cum WHERE 2 * c >= n_g GROUP BY g
+), dev AS (
+    SELECT o.g, ABS(o.vq - med.m_g) AS a
+    FROM obs o JOIN med ON o.g = med.g
+), devg AS (
+    SELECT g, a, CAST(COUNT(*) AS HUGEINT) AS cnt
+    FROM dev GROUP BY g, a
+), grid AS (
+    SELECT a, SUM(cnt) AS t,
+           COALESCE(SUM(SUM(cnt)) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM devg GROUP BY a
+), scored AS (
+    SELECT a, 2 * cb + t + 1 AS r2,
+           (SELECT SUM(t) FROM grid) AS nn
+    FROM grid
+), sc AS (
+    SELECT a, {_FK_SCORE} AS s FROM scored
+), pg AS (
+    SELECT devg.g, SUM(devg.cnt * sc.s) AS s_g,
+           CAST(SUM(devg.cnt) AS DOUBLE) AS n_g,
+           SUM(devg.cnt * sc.s * sc.s) AS q_g
+    FROM devg JOIN sc ON devg.a = sc.a
+    GROUP BY devg.g
+), fold AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n_g) AS nn,
+           (SELECT COUNT(*) FROM grid) AS ndist,
+           SUM(s_g) / SUM(n_g) AS abar,
+           SUM(s_g * s_g / n_g) AS sgq,
+           CASE WHEN SUM(n_g) > 1 THEN
+               (SUM(q_g) - SUM(s_g) * SUM(s_g) / SUM(n_g))
+               / (SUM(n_g) - 1)
+           ELSE NULL END AS s2
+    FROM pg
+)
+SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+       CASE WHEN {_FK_GUARD} THEN NULL
+            ELSE ROUND({_FK_X2}, 4) END AS fk_chi2,
+       CASE WHEN {_FK_GUARD} THEN NULL
+            ELSE CAST(ROUND({_FK_X2}, 4) > {_FK_CRIT} AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_fligner_killeen",
+    oracle=_FK_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen variance-homogeneity test across event types —
+    the top, most-robust rung of the ladder `stat_bartlett_test` →
+    `stat_levene_variance` → `stat_brown_forsythe` → here: normal
+    scores of the pooled midranks of |x − median_g| make the statistic
+    distribution-free in location AND resistant to outliers, which is
+    why scipy's fligner() is the recommendation when normality is
+    doubtful. X² = (Σ S_g²/n_g − N·ā²)/s² ~ chi²(k−1).
+
+    Engine shape: the Brown-Forsythe lower-median kernel (count-based
+    over the per-group quantized distinct grid — never an engine
+    quantile), deviations fold to the (group, deviation) distinct
+    grain, ONE pooled prefix sum gives doubled midranks (exact
+    integers), and PHI⁻¹ is Acklam's rational approximation emitted as
+    one expression string shared verbatim with the oracle (identical
+    IEEE trees; |approx err| < 1.2e-9, far inside the ROUND(4) exit).
+    Tie blocks share a midrank hence a score, so all score sums run on
+    the bounded distinct-deviation grain. Degenerate classes: k<2,
+    N<2, or zero score variance (all deviations tied — e.g. constant
+    values) → NULL."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    vq = F.floor(F.col("value") * F.lit(float(ANOVA_QUANT))).cast("long")
+    obs = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("g"), vq.alias("vq"))
+    )
+    dist = obs.groupBy("g", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("g").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        "g",
+        "vq",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n_g"),
+    )
+    med = (
+        cum.where(F.expr("2 * c >= n_g"))
+        .groupBy("g")
+        .agg(F.min("vq").alias("m_g"))
+    )
+    devg = (
+        obs.join(F.broadcast(med), "g")
+        .select("g", F.abs(F.col("vq") - F.col("m_g")).alias("a"))
+        .groupBy("g", "a")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("cnt"))
+    )
+    grid = devg.groupBy("a").agg(
+        F.sum("cnt").cast("decimal(20,0)").alias("t")
+    )
+    grid = running_sums(grid, ["a"], {"cb": ("t", False)})
+    nntot = grid.agg(F.sum("t").cast("decimal(20,0)").alias("nn"))
+    sc = grid.crossJoin(F.broadcast(nntot)).select(
+        "a",
+        F.expr("2 * cb + t + 1").alias("r2"),
+        "nn",
+    ).select("a", F.expr(_FK_SCORE).alias("s"))
+    pg = (
+        devg.join(sc, "a")
+        .groupBy("g")
+        .agg(
+            F.sum(F.expr("cnt * s")).alias("s_g"),
+            F.sum("cnt").cast("double").alias("n_g"),
+            F.sum(F.expr("cnt * s * s")).alias("q_g"),
+        )
+    )
+    nd = grid.agg(F.count(F.lit(1)).cast("long").alias("ndist"))
+    fold = pg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").alias("nn"),
+        F.expr("SUM(s_g) / SUM(n_g)").alias("abar"),
+        F.expr("SUM(s_g * s_g / n_g)").alias("sgq"),
+        F.expr(
+            "CASE WHEN SUM(n_g) > 1 THEN"
+            " (SUM(q_g) - SUM(s_g) * SUM(s_g) / SUM(n_g))"
+            " / (SUM(n_g) - 1) ELSE NULL END"
+        ).alias("s2"),
+    ).crossJoin(F.broadcast(nd))
+    return fold.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.expr(
+            f"CASE WHEN {_FK_GUARD} THEN NULL"
+            f" ELSE ROUND({_FK_X2}, 4) END"
+        ).alias("fk_chi2"),
+        F.expr(
+            f"CASE WHEN {_FK_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_FK_X2}, 4) > {_FK_CRIT} AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )

@@ -3419,3 +3419,130 @@ def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(ABS(ROUND({_VR_Z}, 4)) > 1.9600 AS BIGINT) END"
         ).alias("reject_5pct"),
     ).orderBy("q")
+
+
+# --- Durbin-Watson on detrended daily revenue ------------------------------
+# The classic first-order residual-autocorrelation statistic on the
+# OLS-detrended daily series: DW = sum (e_t - e_{t-1})^2 / sum e_t^2,
+# ~ 2(1 - rho1). The linear fit is the closed-form two-sum OLS on the
+# calendar-day grain (same shape as ts_forecast_linear); residual
+# differencing is one LAG on the bounded daily window.
+
+_DW = "(sdiff / sse)"
+_DW_GUARD = "sse IS NULL OR sse <= 0 OR n < 3"
+
+_DW_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(o_orderdate - (SELECT MIN(o_orderdate) FROM orders))
+               // 86400000000 AS t,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY o_orderdate
+), fit AS (
+    SELECT COUNT(*) AS n, AVG(CAST(t AS DOUBLE)) AS mx, AVG(y) AS my,
+           SUM(CAST(t AS DOUBLE) * y) - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y) AS sxy,
+           SUM(CAST(t AS DOUBLE) * t) - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE)) AS sxx
+    FROM daily
+), resid AS (
+    SELECT y - ((SELECT my FROM fit)
+                + CASE WHEN (SELECT sxx FROM fit) > 0
+                       THEN (SELECT sxy FROM fit) / (SELECT sxx FROM fit)
+                       ELSE 0.0 END
+                  * (CAST(t AS DOUBLE) - (SELECT mx FROM fit))) AS e,
+           t
+    FROM daily
+), lagged AS (
+    SELECT e, e - LAG(e, 1) OVER (ORDER BY t) AS de FROM resid
+), fold AS (
+    SELECT (SELECT n FROM fit) AS n,
+           SUM(e * e) AS sse, SUM(de * de) AS sdiff
+    FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN {_DW_GUARD} THEN NULL
+            ELSE ROUND({_DW}, 4) END AS dw_stat,
+       CASE WHEN {_DW_GUARD} THEN 'undefined'
+            WHEN ROUND({_DW}, 4) < 1.5 THEN 'positive_autocorr'
+            WHEN ROUND({_DW}, 4) > 2.5 THEN 'negative_autocorr'
+            ELSE 'none'
+       END AS verdict
+FROM fold
+"""
+
+
+@register("ts_durbin_watson", oracle=_DW_ORACLE, tags=("window", "ml"))
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on OLS-detrended daily revenue — the
+    residual-independence check every regression readout
+    (`ts_forecast_linear`, `ts_interrupted_series`) silently assumes:
+    DW ≈ 2(1−ρ₁), < 1.5 flags positive serial correlation (reported
+    standard errors are too small; switch to Newey-West or model the
+    AR term), > 2.5 negative. Complements `stat_ljung_box` (which
+    tests the raw series) by testing AFTER the trend is removed.
+
+    Scale shape: fact table folds once to the calendar-day grain; the
+    OLS fit is the closed-form two-sum form in ONE reduce; residuals
+    and their first difference ride one bounded daily-grain window;
+    the DW ratio is a final 1-row fold. Day index is exact integer
+    days from the minimum date (epoch_us // 86400000000 — the r15
+    seam: never `//` on DuckDB EPOCH doubles). Degenerate classes:
+    n < 3 or zero residual variance (perfect fit / flat series) →
+    NULL + 'undefined'."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mind = daily.agg(F.min("o_orderdate").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(mind)).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, d0, o_orderdate) div 86400000000"
+        ).alias("t"),
+        "y",
+    )
+    fit = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("t").cast("double")).alias("mx"),
+        F.avg("y").alias("my"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * y)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y)"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * t)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE))"
+        ).alias("sxx"),
+    )
+    resid = keyed.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        F.expr(
+            "y - (my + CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END"
+            " * (CAST(t AS DOUBLE) - mx))"
+        ).alias("e"),
+    )
+    w = Window.orderBy(F.asc("t"))
+    lagged = resid.select(
+        "n", "e", (F.col("e") - F.lag("e", 1).over(w)).alias("de")
+    )
+    fold = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("e * e")).alias("sse"),
+        F.sum(F.expr("de * de")).alias("sdiff"),
+    )
+    return fold.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            f"CASE WHEN {_DW_GUARD} THEN NULL"
+            f" ELSE ROUND({_DW}, 4) END"
+        ).alias("dw_stat"),
+        F.expr(
+            f"CASE WHEN {_DW_GUARD} THEN 'undefined'"
+            f" WHEN ROUND({_DW}, 4) < 1.5 THEN 'positive_autocorr'"
+            f" WHEN ROUND({_DW}, 4) > 2.5 THEN 'negative_autocorr'"
+            f" ELSE 'none' END"
+        ).alias("verdict"),
+    )

@@ -489,3 +489,124 @@ def test_tukey_hsd_matches_sequential(spark, sf_dir):
             assert abs(row["q_stat"] - round(q, 4)) <= 1e-3
             if crit is not None:
                 assert row["reject_5pct"] == (1 if round(q, 4) > crit else 0)
+
+
+def test_durbin_watson_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_durbin_watson,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    agg = defaultdict(Decimal)
+    for r in rows:
+        agg[r["o_orderdate"]] += Decimal(str(r["o_totalprice"])).quantize(
+            Decimal("0.01")
+        )
+    days = sorted(agg)
+    d0 = days[0]
+    pts = [
+        (
+            int((d - d0).total_seconds() * 1_000_000) // 86_400_000_000,
+            float(agg[d]),
+        )
+        for d in days
+    ]
+    n = len(pts)
+    got = ts_durbin_watson(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    if n < 3:
+        assert got["dw_stat"] is None
+        return
+    mx = sum(t for t, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    sxy = sum(t * y for t, y in pts) - n * mx * my
+    sxx = sum(t * t for t, _ in pts) - n * mx * mx
+    slope = sxy / sxx if sxx > 0 else 0.0
+    e = [y - (my + slope * (t - mx)) for t, y in pts]
+    sse = sum(x * x for x in e)
+    sdiff = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+    if sse <= 0:
+        assert got["dw_stat"] is None
+        return
+    dw = sdiff / sse
+    assert abs(got["dw_stat"] - round(dw, 4)) <= 1e-3
+    want_v = (
+        "positive_autocorr"
+        if round(dw, 4) < 1.5
+        else "negative_autocorr" if round(dw, 4) > 2.5 else "none"
+    )
+    assert got["verdict"] == want_v
+
+
+def test_fligner_killeen_matches_exact_invcdf(spark, sf_dir):
+    """The engine uses Acklam's PHI^-1 approximation; the replica uses
+    statistics.NormalDist().inv_cdf (exact) — agreement at the ROUND(4)
+    exit proves the approximation error is immaterial AND the rank/
+    median/fold plumbing is the textbook FK statistic."""
+    from statistics import NormalDist
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ANOVA_QUANT,
+        stat_fligner_killeen,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .where("value IS NOT NULL")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(
+            math.floor(r["value"] * ANOVA_QUANT)
+        )
+    got = stat_fligner_killeen(spark, sf_dir).collect()[0]
+    k = len(groups)
+    N = sum(len(v) for v in groups.values())
+    assert got["k_groups"] == k and got["n_total"] == N
+    devs = []
+    for g, vs in groups.items():
+        cnt = Counter(vs)
+        cum = 0
+        med = None
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= len(vs):
+                med = v
+                break
+        devs += [(g, abs(v - med)) for v in vs]
+    c = Counter(d for _, d in devs)
+    mid = {}
+    cb = 0
+    for v in sorted(c):
+        t = c[v]
+        mid[v] = cb + (t + 1) / 2
+        cb += t
+    nd = NormalDist()
+    score = {v: nd.inv_cdf(0.5 + mid[v] / (2 * (N + 1))) for v in mid}
+    S = Counter()
+    n_g = Counter()
+    Q = tot = 0.0
+    for g, d in devs:
+        s = score[d]
+        S[g] += s
+        n_g[g] += 1
+        Q += s * s
+        tot += s
+    if k < 2 or N < 2:
+        assert got["fk_chi2"] is None
+        return
+    abar = tot / N
+    s2 = (Q - N * abar * abar) / (N - 1)
+    if s2 <= 0:
+        assert got["fk_chi2"] is None
+        return
+    X2 = (sum(S[g] ** 2 / n_g[g] for g in S) - N * abar * abar) / s2
+    assert abs(got["fk_chi2"] - round(X2, 4)) <= 1e-3
