@@ -2429,3 +2429,129 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("word"), F.round("r", 6).alias("rank")
     )
+
+
+# --- Bigram-LM perplexity scoring ------------------------------------------
+# The CCNet-style perplexity filter at bigram order: train add-k
+# smoothed bigram transition probabilities on the WHOLE corpus, score
+# every document's cross-entropy under that model, and report the
+# per-source perplexity profile. text_bigram_lm builds the pruned
+# model artifact; THIS op closes the loop by scoring documents with it
+# — the standard "train cheap LM, drop high-perplexity docs"
+# pretraining-data gate. Smoothing k = 0.5 over the context
+# vocabulary keeps every transition finite (no OOV special-casing, no
+# ln(0) on either engine).
+
+_PPL_K = "0.5"
+
+_PPL_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+    FROM documents WHERE length(trim(text)) > 0
+), pairs AS (
+    SELECT doc_id, source, tk[u.i] AS w1, tk[u.i + 1] AS w2
+    FROM toks CROSS JOIN UNNEST(range(1, len(tk))) AS u(i)
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+    FROM (SELECT w1 AS w FROM pairs UNION SELECT w2 FROM pairs)
+), big AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM pairs GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+), scored AS (
+    SELECT p.doc_id, p.source,
+           LN((b.c12 + {_PPL_K})
+              / (c.c1 + {_PPL_K} * (SELECT v FROM vocab))) AS lp
+    FROM pairs p
+    JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN ctx c ON p.w1 = c.w1
+), perdoc AS (
+    SELECT doc_id, source, EXP(-AVG(lp)) AS ppl
+    FROM scored GROUP BY doc_id, source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ppl), 4) AS avg_ppl,
+       ROUND(MIN(ppl), 4) AS min_ppl,
+       ROUND(MAX(ppl), 4) AS max_ppl
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+@register("text_lm_perplexity", oracle=_PPL_ORACLE, tags=("text", "quality"))
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram-LM perplexity profile — the scoring half of
+    the classic perplexity data filter (CCNet/Wenzek et al.): train an
+    add-k bigram model on the corpus itself, compute each document's
+    perplexity exp(−mean ln P(w_i|w_{i−1})), and profile by source so
+    a pipeline can set the drop threshold per slice.
+    `text_bigram_lm` ships the model artifact; `text_dsir_importance`
+    and `text_ccnet_quality_buckets` rank by unigram surprisal — this
+    is the transition-probability upgrade that catches shuffled-word
+    gibberish unigram models score as fluent.
+
+    Engine shape: in-row zip_with bigram extraction (no self-join),
+    ONE groupBy for bigram counts, context totals re-aggregated from
+    the bigram table (not the corpus), then the score join runs keyed
+    on (w1, w2) — Zipf-skewed keys, exactly AQE skew-split territory,
+    documented as such. Per-doc and per-source folds are one shuffle
+    each. k = 0.5 smoothing over the pair-derived vocabulary keeps
+    ln() total on both engines. Scale: every stage is a hash
+    aggregation or equi-join on token keys; nothing quadratic, no
+    driver-side state."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim("text"), r"\s+").alias("tk"),
+        )
+    )
+    pairs = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice(
+                    F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    vocab = (
+        pairs.select(F.col("w1").alias("w"))
+        .union(pairs.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"LN((c12 + {_PPL_K}) / (c1 + {_PPL_K} * v))"
+            ).alias("lp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.expr("EXP(-AVG(lp))").alias("ppl")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+        )
+        .orderBy("source")
+    )

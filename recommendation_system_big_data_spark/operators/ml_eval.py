@@ -4878,3 +4878,123 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "component bigint, pi double, mu double, sigma double"
     )
+
+
+# --- Logistic regression via IRLS ------------------------------------------
+# The one classical GLM the suite lacked: binary response fit by
+# iteratively reweighted least squares with a d=4 design (intercept +
+# three engagement features). Each IRLS step is ONE map-side-combined
+# aggregation producing the 4x4 normal matrix and 4-vector (14 sums, a
+# bounded driver artifact); the driver solves the tiny system with
+# numpy and broadcasts the next beta — the MLlib LogisticRegression
+# shape (treeAggregate of gram partials) re-expressed relationally.
+# Rows-only (iterative matrix solve is outside single-statement SQL);
+# the differential gate is tests/test_round15b_ops.py's independent
+# numpy IRLS on the collected feature frame.
+
+_IRLS_ITERS = 8
+
+
+@register("ml_logistic_irls", oracle=None, tags=("ml",))
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(user has an 'error' event | engagement)
+    fit by IRLS: features x1 = ln(1 + n_events), x2 = purchase ratio,
+    x3 = avg value / 100, plus intercept. 8 Newton steps; each step
+    aggregates the weighted Gram matrix X'WX (10 unique entries) and
+    X'W(eta + (y-mu)/w) (4 entries) in ONE distributed fold — the
+    only driver-side state is the 4x4 solve (numpy), broadcast back
+    as literals in the next step's expressions. Sigmoid input clamped
+    to +/-30 so exp() never overflows under ANSI.
+
+    Scale: the feature frame is one groupBy(user) of the fact table,
+    cached across the 8 folds; per-step work is map-side combinable
+    and the driver artifact is O(d^2), independent of n. Output: one
+    row per term with the fitted coefficient, n_users and the final
+    deviance-scale log loss repeated as context columns. Evidence ⊘:
+    sequential numpy IRLS replica (same features, independent linear
+    algebra) must match coefficients to 1e-4."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    feats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "np_"
+            ),
+            F.avg("value").alias("av"),
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            F.expr("LN(1.0 + ne)").alias("x1"),
+            F.expr("CAST(np_ AS DOUBLE) / ne").alias("x2"),
+            F.expr("COALESCE(av, 0.0) / 100.0").alias("x3"),
+            F.col("y").cast("double").alias("y"),
+        )
+        .cache()
+    )
+    n_users = feats.count()  # also materializes the cache
+    if n_users == 0:
+        feats.unpersist()
+        return spark.createDataFrame(
+            [], "term string, coef double, n_users bigint, log_loss double"
+        )
+    beta = np.zeros(4)
+    xs = ["1.0", "x1", "x2", "x3"]
+    for _ in range(_IRLS_ITERS):
+        z = (
+            f"GREATEST(-30.0, LEAST(30.0, {beta[0]!r} + {beta[1]!r} * x1"
+            f" + {beta[2]!r} * x2 + {beta[3]!r} * x3))"
+        )
+        mu = f"(1.0 / (1.0 + EXP(-({z}))))"
+        w = f"GREATEST({mu} * (1.0 - {mu}), 1e-10)"
+        # working response eta = z + (y - mu) / w
+        eta = f"({z} + (y - {mu}) / {w})"
+        aggs = []
+        for i in range(4):
+            for j in range(i, 4):
+                aggs.append(
+                    F.sum(F.expr(f"{w} * {xs[i]} * {xs[j]}")).alias(
+                        f"a{i}{j}"
+                    )
+                )
+        for i in range(4):
+            aggs.append(
+                F.sum(F.expr(f"{w} * {xs[i]} * {eta}")).alias(f"b{i}")
+            )
+        row = feats.agg(*aggs).collect()[0]
+        A = np.zeros((4, 4))
+        b = np.zeros(4)
+        for i in range(4):
+            for j in range(i, 4):
+                A[i, j] = A[j, i] = row[f"a{i}{j}"]
+            b[i] = row[f"b{i}"]
+        try:
+            beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            break
+    zf = (
+        f"GREATEST(-30.0, LEAST(30.0, {beta[0]!r} + {beta[1]!r} * x1"
+        f" + {beta[2]!r} * x2 + {beta[3]!r} * x3))"
+    )
+    muf = f"(1.0 / (1.0 + EXP(-({zf}))))"
+    ll = feats.agg(
+        F.avg(
+            F.expr(
+                f"-(y * LN(GREATEST({muf}, 1e-15))"
+                f" + (1.0 - y) * LN(GREATEST(1.0 - {muf}, 1e-15)))"
+            )
+        ).alias("ll")
+    ).collect()[0]["ll"]
+    feats.unpersist()
+    terms = ["intercept", "log1p_events", "purchase_ratio", "avg_value_h"]
+    return spark.createDataFrame(
+        [
+            (t, round(float(beta[i]), 6), n_users, round(float(ll), 6))
+            for i, t in enumerate(terms)
+        ],
+        "term string, coef double, n_users bigint, log_loss double",
+    )

@@ -610,3 +610,100 @@ def test_fligner_killeen_matches_exact_invcdf(spark, sf_dir):
         return
     X2 = (sum(S[g] ** 2 / n_g[g] for g in S) - N * abar * abar) / s2
     assert abs(got["fk_chi2"] - round(X2, 4)) <= 1e-3
+
+
+def test_lm_perplexity_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.functions.text import (
+        text_lm_perplexity,
+    )
+
+    import re as _re
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    pairs = []
+    for r in docs:
+        t = (r["text"] or "").strip()
+        if not t:
+            continue
+        tk = _re.split(r"\s+", t)
+        for i in range(len(tk) - 1):
+            pairs.append((r["doc_id"], r["source"], tk[i], tk[i + 1]))
+    vocab = {w for _, _, w1, w2 in pairs for w in (w1, w2)}
+    V = len(vocab)
+    big = Counter((w1, w2) for _, _, w1, w2 in pairs)
+    ctx = Counter()
+    for (w1, _), c in big.items():
+        ctx[w1] += c
+    k = 0.5
+    lps = defaultdict(list)
+    for d, s, w1, w2 in pairs:
+        lps[(d, s)].append(
+            math.log((big[(w1, w2)] + k) / (ctx[w1] + k * V))
+        )
+    bysrc = defaultdict(list)
+    for (d, s), v in lps.items():
+        bysrc[s].append(math.exp(-sum(v) / len(v)))
+    got = {r["source"]: r for r in text_lm_perplexity(spark, sf_dir).collect()}
+    assert set(got) == set(bysrc)
+    for s, ppls in bysrc.items():
+        assert got[s]["n_docs"] == len(ppls)
+        assert abs(got[s]["avg_ppl"] - round(sum(ppls) / len(ppls), 4)) <= 1e-2
+        assert abs(got[s]["min_ppl"] - round(min(ppls), 4)) <= 1e-2
+        assert abs(got[s]["max_ppl"] - round(max(ppls), 4)) <= 1e-2
+
+
+def test_logistic_irls_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _IRLS_ITERS,
+        ml_logistic_irls,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0.0, 0])
+    for r in rows:
+        e = per[r["user_id"]]
+        e[0] += 1
+        if r["event_type"] == "purchase":
+            e[1] += 1
+        if r["value"] is not None:
+            e[2] += r["value"]
+        if r["event_type"] == "error":
+            e[3] = 1
+    X = []
+    y = []
+    for ne, npur, sv, has_err in per.values():
+        X.append([1.0, math.log(1.0 + ne), npur / ne, (sv / ne) / 100.0])
+        y.append(float(has_err))
+    X = np.array(X)
+    y = np.array(y)
+    beta = np.zeros(4)
+    for _ in range(_IRLS_ITERS):
+        z = np.clip(X @ beta, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-z))
+        w = np.maximum(mu * (1 - mu), 1e-10)
+        eta = z + (y - mu) / w
+        A = X.T @ (X * w[:, None])
+        b = X.T @ (w * eta)
+        beta = np.linalg.solve(A, b)
+    got = {r["term"]: r for r in ml_logistic_irls(spark, sf_dir).collect()}
+    assert got["intercept"]["n_users"] == len(per)
+    terms = ["intercept", "log1p_events", "purchase_ratio", "avg_value_h"]
+    for i, t in enumerate(terms):
+        assert abs(got[t]["coef"] - beta[i]) <= 1e-4, (t, got[t]["coef"], beta[i])
+    z = np.clip(X @ beta, -30, 30)
+    mu = 1.0 / (1.0 + np.exp(-z))
+    ll = -np.mean(
+        y * np.log(np.maximum(mu, 1e-15))
+        + (1 - y) * np.log(np.maximum(1 - mu, 1e-15))
+    )
+    assert abs(got["intercept"]["log_loss"] - ll) <= 1e-4
