@@ -6833,3 +6833,399 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(ROUND({_FK_X2}, 4) > {_FK_CRIT} AS BIGINT) END"
         ).alias("reject_5pct"),
     )
+
+
+# --- Wilcoxon signed-rank test ---------------------------------------------
+# The PAIRED rank test the suite lacked (stat_mann_whitney is the
+# unpaired sibling): per user, the click-vs-view average-value gap in
+# exact integer micro-units (truncating (s*1e6) div n on the decimal
+# sums — never a double subtraction, so the tie structure is engine-
+# invariant), then midranks of |d| over the distinct-|d| grain and the
+# normal approximation with the standard tie correction
+# Var = m(m+1)(2m+1)/24 - sum t(t^2-1)/48. Zeros drop (Wilcoxon's
+# convention); W+ stays an exact integer in DOUBLED rank units.
+
+_WSR_Z = (
+    "((CAST(wp2 AS DOUBLE) / 2.0"
+    " - CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 4.0)"
+    " / SQRT(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(m AS DOUBLE) + 1.0) / 24.0"
+    " - CAST(tcorr AS DOUBLE) / 48.0))"
+)
+#: Var(W+) = [2m(m+1)(2m+1) - tcorr] / 48; the tie-corrected variance
+#: is strictly positive for any m >= 1 (even a single all-m tie block
+#: leaves m(m+1)(3m+3)/48), so the second clause is a belt-and-braces
+#: exact-integer guard, not a reachable branch.
+_WSR_GUARD = (
+    "m < 1 OR 2 * m * (m + 1) * (2 * m + 1) - tcorr <= 0"
+)
+
+_WSR_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                * 1000000 AS HUGEINT) AS s_c,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_c,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                * 1000000 AS HUGEINT) AS s_v,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_v
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+), diffs AS (
+    SELECT (CASE WHEN s_c >= 0 THEN s_c // n_c
+                 ELSE -((-s_c) // n_c) END)
+           - (CASE WHEN s_v >= 0 THEN s_v // n_v
+                   ELSE -((-s_v) // n_v) END) AS d
+    FROM per_user WHERE n_c > 0 AND n_v > 0
+), nz AS (
+    SELECT d, ABS(d) AS ad FROM diffs WHERE d <> 0
+), grid AS (
+    SELECT ad, CAST(COUNT(*) AS HUGEINT) AS t,
+           CAST(COUNT(CASE WHEN d > 0 THEN 1 END) AS HUGEINT) AS tp,
+           COALESCE(SUM(CAST(COUNT(*) AS HUGEINT)) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+    FROM nz GROUP BY ad
+), fold AS (
+    SELECT COALESCE(SUM(t), 0) AS m,
+           COALESCE(SUM(tp * (2 * cb + t + 1)), 0) AS wp2,
+           COALESCE(SUM(t * (t * t - 1)), 0) AS tcorr
+    FROM grid
+)
+SELECT CAST(m AS BIGINT) AS n_nonzero_pairs,
+       CAST(wp2 AS BIGINT) AS w_plus_x2,
+       CASE WHEN {_WSR_GUARD} THEN NULL
+            ELSE ROUND({_WSR_Z}, 6) END AS z_stat,
+       CASE WHEN {_WSR_GUARD} THEN NULL
+            ELSE CAST(ABS(ROUND({_WSR_Z}, 6)) > 1.959964 AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_wilcoxon_signed_rank",
+    oracle=_WSR_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: within the SAME user, is the average
+    click value shifted against the average view value? The paired
+    counterpart of `stat_mann_whitney` — pairing removes the
+    between-user variance that swamps unpaired tests, and ranks make
+    it median-robust where `stat_ttest_welch` on per-user diffs is
+    not. Zero differences drop (Wilcoxon's convention); ties take
+    midranks with the t(t²−1)/48 variance correction.
+
+    Exactness: the paired difference is computed in integer
+    micro-units by truncating integer division of the exact decimal
+    sums (sign-split so `div`/`//` truncation agrees on negatives) —
+    a double subtraction here would let a last-ulp disagreement flip
+    a tie block. W+ rides in doubled rank units (exact integers
+    through the distinct-|d| prefix sum); one shared z expression at
+    the exit. Scale shape: one groupBy(user) fold, one distinct-grain
+    prefix sum (running_sums), one reduce. Degenerate classes: no
+    complete pairs, all-zero diffs, or a single tie block spanning
+    everything (variance 0) → NULL."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(value AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(38,0))"
+            ).alias("s_c"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(value AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(38,0))"
+            ).alias("s_v"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_v"),
+        )
+    )
+    diffs = per_user.where("n_c > 0 AND n_v > 0").select(
+        F.expr(
+            "(CASE WHEN s_c >= 0 THEN s_c div n_c"
+            " ELSE -((-s_c) div n_c) END)"
+            " - (CASE WHEN s_v >= 0 THEN s_v div n_v"
+            " ELSE -((-s_v) div n_v) END)"
+        ).alias("d")
+    )
+    nz = diffs.where("d <> 0").select(
+        "d", F.abs(F.col("d")).alias("ad")
+    )
+    grid = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("t"),
+        F.count(F.when(F.col("d") > 0, 1))
+        .cast("decimal(20,0)")
+        .alias("tp"),
+    )
+    grid = running_sums(grid, ["ad"], {"cb": ("t", False)})
+    fold = grid.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("decimal(38,0)").alias("m"),
+        F.coalesce(
+            F.sum(F.expr("tp * (2 * cb + t + 1)")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("wp2"),
+        F.coalesce(F.sum(F.expr("t * (t * t - 1)")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("tcorr"),
+    )
+    return fold.select(
+        F.col("m").cast("long").alias("n_nonzero_pairs"),
+        F.col("wp2").cast("long").alias("w_plus_x2"),
+        F.expr(
+            f"CASE WHEN {_WSR_GUARD} THEN NULL"
+            f" ELSE ROUND({_WSR_Z}, 6) END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN {_WSR_GUARD} THEN NULL"
+            f" ELSE CAST(ABS(ROUND({_WSR_Z}, 6)) > 1.959964 AS BIGINT)"
+            f" END"
+        ).alias("reject_5pct"),
+    )
+
+
+# --- Sign test --------------------------------------------------------------
+# The assumption-free floor under the paired ladder: only the SIGN of
+# each user's click-vs-view gap is used, so it is valid under any
+# continuous within-pair distribution. Continuity-corrected normal
+# approximation z = sgn(2S+ - n) * max(|2S+ - n| - 1, 0) / sqrt(n) —
+# every input an exact integer, one shared expression at the exit.
+
+_SIGN_Z = (
+    "(CAST(CASE WHEN 2 * sp >= n THEN 1 ELSE -1 END"
+    " * GREATEST(ABS(2 * sp - n) - 1, 0) AS DOUBLE)"
+    " / SQRT(CAST(n AS DOUBLE)))"
+)
+_SIGN_GUARD = "n < 1"
+
+_SIGN_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                * 1000000 AS HUGEINT) AS s_c,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_c,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(18,6)) END)
+                * 1000000 AS HUGEINT) AS s_v,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_v
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+), diffs AS (
+    SELECT (CASE WHEN s_c >= 0 THEN s_c // n_c
+                 ELSE -((-s_c) // n_c) END)
+           - (CASE WHEN s_v >= 0 THEN s_v // n_v
+                   ELSE -((-s_v) // n_v) END) AS d
+    FROM per_user WHERE n_c > 0 AND n_v > 0
+), fold AS (
+    SELECT CAST(COUNT(CASE WHEN d <> 0 THEN 1 END) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS sp
+    FROM diffs
+)
+SELECT n AS n_nonzero_pairs, sp AS n_positive,
+       CASE WHEN {_SIGN_GUARD} THEN NULL
+            ELSE ROUND({_SIGN_Z}, 6) END AS z_stat,
+       CASE WHEN {_SIGN_GUARD} THEN NULL
+            ELSE CAST(ABS(ROUND({_SIGN_Z}, 6)) > 1.959964 AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_sign_test",
+    oracle=_SIGN_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on the per-user click-vs-view value gap — the
+    bottom, assumption-free rung of the paired ladder
+    (`stat_ttest_paired`-style t needs normality,
+    `stat_wilcoxon_signed_rank` needs symmetric differences, the sign
+    test needs NOTHING beyond exchangeable signs). Less power, total
+    robustness; disagreement between the three IS the diagnostic.
+
+    Same exact integer-micros difference kernel as the signed-rank
+    test (truncating decimal division, sign-split); the statistic
+    needs only two conditional counts and exits through one shared
+    continuity-corrected z expression. One groupBy(user) fold + one
+    reduce; nothing else. Degenerate class: zero nonzero pairs →
+    NULL."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(value AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(38,0))"
+            ).alias("s_c"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(value AS DECIMAL(18,6)) END)"
+                " * 1000000 AS DECIMAL(38,0))"
+            ).alias("s_v"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_v"),
+        )
+    )
+    diffs = per_user.where("n_c > 0 AND n_v > 0").select(
+        F.expr(
+            "(CASE WHEN s_c >= 0 THEN s_c div n_c"
+            " ELSE -((-s_c) div n_c) END)"
+            " - (CASE WHEN s_v >= 0 THEN s_v div n_v"
+            " ELSE -((-s_v) div n_v) END)"
+        ).alias("d")
+    )
+    fold = diffs.agg(
+        F.count(F.when(F.col("d") != 0, 1)).cast("long").alias("n"),
+        F.count(F.when(F.col("d") > 0, 1)).cast("long").alias("sp"),
+    )
+    return fold.select(
+        F.col("n").alias("n_nonzero_pairs"),
+        F.col("sp").alias("n_positive"),
+        F.expr(
+            f"CASE WHEN {_SIGN_GUARD} THEN NULL"
+            f" ELSE ROUND({_SIGN_Z}, 6) END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN {_SIGN_GUARD} THEN NULL"
+            f" ELSE CAST(ABS(ROUND({_SIGN_Z}, 6)) > 1.959964 AS BIGINT)"
+            f" END"
+        ).alias("reject_5pct"),
+    )
+
+
+# --- Lilliefors test for exponentiality ------------------------------------
+# One-sample KS against an exponential with ESTIMATED rate (Lilliefors
+# 1969): are inter-event gaps memoryless? The companion of
+# stat_lilliefors_normality on the other classical null, and the
+# principled check before any exponential/Poisson queueing assumption
+# (sessionization gap thresholds, arrival-rate models). D folds on the
+# distinct-gap grain: D = max over grid of max(F_n(x) - F0(x),
+# F0(x) - F_n(x^-)) with F0(x) = 1 - exp(-x / xbar).
+
+_LEXP_F0 = "(1.0 - EXP(-CAST(g AS DOUBLE) / xbar))"
+_LEXP_GUARD = "n < 2 OR xbar <= 0"
+
+_LEXP_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+), gaps AS (
+    SELECT epoch_us(ts - prev_ts) // 1000000 AS g
+    FROM seq WHERE prev_ts IS NOT NULL
+), grid AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS c,
+           SUM(CAST(COUNT(*) AS HUGEINT)) OVER (ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM gaps GROUP BY g
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(g AS DOUBLE)) AS xbar
+    FROM gaps
+), dgrid AS (
+    SELECT GREATEST(
+               CAST(cum AS DOUBLE) / (SELECT n FROM tot)
+                   - {_LEXP_F0.replace("xbar", "(SELECT xbar FROM tot)")},
+               {_LEXP_F0.replace("xbar", "(SELECT xbar FROM tot)")}
+                   - CAST(cum - c AS DOUBLE) / (SELECT n FROM tot)
+           ) AS dd
+    FROM grid
+), fold AS (
+    SELECT (SELECT n FROM tot) AS n, (SELECT xbar FROM tot) AS xbar,
+           MAX(dd) AS d
+    FROM dgrid
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       ROUND(xbar, 4) AS mean_gap_sec,
+       CASE WHEN {_LEXP_GUARD} THEN NULL ELSE ROUND(d, 6) END AS d_stat,
+       CASE WHEN {_LEXP_GUARD} THEN NULL
+            ELSE CAST(ROUND(d, 6) >
+                 1.06 / SQRT(CAST(n AS DOUBLE)) AS BIGINT)
+       END AS reject_5pct
+FROM fold
+"""
+
+
+@register(
+    "stat_lilliefors_exponential",
+    oracle=_LEXP_ORACLE,
+    tags=("profile",),
+)
+def stat_lilliefors_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors test for EXPONENTIALITY of inter-event gaps (seconds
+    between a user's consecutive events): the memorylessness check
+    behind every Poisson-arrival assumption — sessionization gap
+    cutoffs, arrival-rate capacity models, exponential back-off
+    analyses. One-sample KS with the rate estimated from the data,
+    so the 1.06/√n critical value (Lilliefors 1969 asymptotic row)
+    replaces the plain-KS table, exactly as
+    `stat_lilliefors_normality` does for the Gaussian null.
+
+    Engine shape: per-user LAG on the (user, ts) partitioned window —
+    a properly keyed window, scale-safe — gaps fold to the distinct-
+    second grain (bounded by the observation window in seconds), the
+    ECDF is one prefix sum there, and D evaluates both one-sided gaps
+    at each grid point (F_n jump vs F0) before one MAX reduce. Gap
+    seconds are exact integers (epoch-micros division — never `//` on
+    a DuckDB EPOCH double); F0 is one shared double expression.
+    Degenerate classes: <2 gaps or zero mean gap (all simultaneous) →
+    NULL."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gaps = seq.where(F.col("prev_ts").isNotNull()).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, prev_ts, ts) div 1000000"
+        ).alias("g")
+    )
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    grid = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    grid = running_sums(grid, ["g"], {"cum": ("c", True)})
+    tot = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("g").cast("double")).alias("xbar"),
+    )
+    f0 = _LEXP_F0
+    dgrid = grid.crossJoin(F.broadcast(tot)).select(
+        F.greatest(
+            F.expr(f"CAST(cum AS DOUBLE) / n - {f0}"),
+            F.expr(f"{f0} - CAST(cum - c AS DOUBLE) / n"),
+        ).alias("dd")
+    )
+    fold = dgrid.agg(F.max("dd").alias("d")).crossJoin(F.broadcast(tot))
+    return fold.select(
+        F.col("n").alias("n_gaps"),
+        F.round("xbar", 4).alias("mean_gap_sec"),
+        F.expr(
+            f"CASE WHEN {_LEXP_GUARD} THEN NULL"
+            f" ELSE ROUND(d, 6) END"
+        ).alias("d_stat"),
+        F.expr(
+            f"CASE WHEN {_LEXP_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND(d, 6) >"
+            f" 1.06 / SQRT(CAST(n AS DOUBLE)) AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )

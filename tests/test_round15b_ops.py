@@ -707,3 +707,134 @@ def test_logistic_irls_matches_numpy(spark, sf_dir):
         + (1 - y) * np.log(np.maximum(1 - mu, 1e-15))
     )
     assert abs(got["intercept"]["log_loss"] - ll) <= 1e-4
+
+
+def _paired_micro_diffs(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .where("value IS NOT NULL")
+        .collect()
+    )
+    per = defaultdict(lambda: [Decimal(0), 0, Decimal(0), 0])
+    for r in rows:
+        e = per[r["user_id"]]
+        if r["event_type"] == "click":
+            e[0] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+            e[1] += 1
+        if r["event_type"] == "view":
+            e[2] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+            e[3] += 1
+    ds = []
+    for s_c, n_c, s_v, n_v in per.values():
+        if n_c > 0 and n_v > 0:
+            a = (
+                int(s_c * 1000000) // n_c
+                if s_c >= 0
+                else -((-int(s_c * 1000000)) // n_c)
+            )
+            b = (
+                int(s_v * 1000000) // n_v
+                if s_v >= 0
+                else -((-int(s_v * 1000000)) // n_v)
+            )
+            ds.append(a - b)
+    return ds
+
+
+def test_wilcoxon_signed_rank_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_wilcoxon_signed_rank,
+    )
+
+    nz = [d for d in _paired_micro_diffs(spark, sf_dir) if d != 0]
+    m = len(nz)
+    got = stat_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got["n_nonzero_pairs"] == m
+    if m < 1:
+        assert got["z_stat"] is None
+        return
+    c = Counter(abs(d) for d in nz)
+    mid = {}
+    cb = 0
+    for v in sorted(c):
+        t = c[v]
+        mid[v] = cb + (t + 1) / 2
+        cb += t
+    Wp = sum(mid[abs(d)] for d in nz if d > 0)
+    tcorr = sum(t * (t * t - 1) for t in c.values())
+    assert got["w_plus_x2"] == int(round(Wp * 2))
+    V = m * (m + 1) * (2 * m + 1) / 24 - tcorr / 48
+    if V <= 0:
+        assert got["z_stat"] is None
+        return
+    z = (Wp - m * (m + 1) / 4) / math.sqrt(V)
+    assert abs(got["z_stat"] - round(z, 6)) <= 1e-5
+
+
+def test_sign_test_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_sign_test,
+    )
+
+    ds = _paired_micro_diffs(spark, sf_dir)
+    nz = [d for d in ds if d != 0]
+    m = len(nz)
+    sp = sum(1 for d in nz if d > 0)
+    got = stat_sign_test(spark, sf_dir).collect()[0]
+    assert got["n_nonzero_pairs"] == m and got["n_positive"] == sp
+    if m < 1:
+        assert got["z_stat"] is None
+        return
+    z = (
+        (1 if 2 * sp >= m else -1)
+        * max(abs(2 * sp - m) - 1, 0)
+        / math.sqrt(m)
+    )
+    assert abs(got["z_stat"] - round(z, 6)) <= 1e-6
+
+
+def test_lilliefors_exponential_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_lilliefors_exponential,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = []
+    for v in per.values():
+        v.sort()
+        for i in range(1, len(v)):
+            us = int((v[i][0] - v[i - 1][0]).total_seconds() * 1_000_000)
+            gaps.append(us // 1_000_000)
+    got = stat_lilliefors_exponential(spark, sf_dir).collect()[0]
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    if n < 2:
+        assert got["d_stat"] is None
+        return
+    xbar = sum(gaps) / n
+    assert abs(got["mean_gap_sec"] - round(xbar, 4)) <= 1e-3
+    if xbar <= 0:
+        assert got["d_stat"] is None
+        return
+    c = Counter(gaps)
+    cum = 0
+    D = 0.0
+    for v in sorted(c):
+        f0 = 1 - math.exp(-v / xbar)
+        lo = cum / n
+        cum += c[v]
+        D = max(D, cum / n - f0, f0 - lo)
+    assert abs(got["d_stat"] - round(D, 6)) <= 1e-5
+    assert got["reject_5pct"] == (
+        1 if round(D, 6) > 1.06 / math.sqrt(n) else 0
+    )
