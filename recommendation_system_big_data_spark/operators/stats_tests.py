@@ -7229,3 +7229,187 @@ def stat_lilliefors_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 1.06 / SQRT(CAST(n AS DOUBLE)) AS BIGINT) END"
         ).alias("reject_5pct"),
     )
+
+
+# --- Delta-method CI for a ratio metric ------------------------------------
+# The experiment readout ab_test_report cannot give: for a RATIO
+# metric (value per event), user-level randomization makes the naive
+# per-event variance wrong (events cluster within users); the correct
+# per-arm variance is the delta-method expansion of R = xbar/ybar over
+# the USER-level (x, y) pairs:
+#   Var(R) ~ (var_x - 2 R cov_xy + R^2 var_y) / (n * ybar^2).
+# Arms ride the engine-portable md5 bucket (sampling.portable_bucket),
+# the same assignment convention as ab_test_report.
+
+_DELTA_R = "(mx / my)"
+#: GREATEST(, 0): when x is an exact multiple of y for every user
+#: (const fixture), the quadratic form is identically 0 and each
+#: engine's cancellation residue can land fractionally NEGATIVE —
+#: DuckDB SQRT then RAISES and Spark yields NaN, layout-dependently.
+#: Clamping to 0 makes the exact-zero-variance class read se = 0 on
+#: both engines.
+_DELTA_V = (
+    f"(GREATEST(vx - 2.0 * {_DELTA_R} * cxy"
+    f" + {_DELTA_R} * {_DELTA_R} * vy, 0.0)"
+    f" / (CAST(n AS DOUBLE) * my * my))"
+)
+_DELTA_GUARD = "n < 2 OR my = 0"
+
+_RATIO_CI_ORACLE = f"""
+WITH per_user AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS arm,
+           SUM(COALESCE(value, 0.0)) AS x,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+), arms AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           AVG(x) AS mx, AVG(y) AS my,
+           CASE WHEN COUNT(*) > 1 THEN
+               (SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)) / (COUNT(*) - 1)
+           ELSE 0.0 END AS vx,
+           CASE WHEN COUNT(*) > 1 THEN
+               (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)) / (COUNT(*) - 1)
+           ELSE 0.0 END AS vy,
+           CASE WHEN COUNT(*) > 1 THEN
+               (SUM(x * y) - COUNT(*) * AVG(x) * AVG(y)) / (COUNT(*) - 1)
+           ELSE 0.0 END AS cxy
+    FROM per_user GROUP BY arm
+), readout AS (
+    SELECT arm, n,
+           CASE WHEN {_DELTA_GUARD} THEN NULL
+                ELSE {_DELTA_R} END AS r,
+           CASE WHEN {_DELTA_GUARD} THEN NULL
+                ELSE {_DELTA_V} END AS v
+    FROM arms
+), diff AS (
+    SELECT SUM(CASE WHEN arm = 1 THEN r END)
+               - SUM(CASE WHEN arm = 0 THEN r END) AS dr,
+           SUM(CASE WHEN arm = 1 THEN v END)
+               + SUM(CASE WHEN arm = 0 THEN v END) AS dv
+    FROM readout
+)
+SELECT r.arm AS arm, r.n AS n_users,
+       ROUND(r.r, 6) AS ratio_value_per_event,
+       CASE WHEN r.v IS NULL THEN NULL
+            ELSE ROUND(SQRT(r.v), 6) END AS se,
+       CASE WHEN r.v IS NULL THEN NULL
+            ELSE ROUND(r.r - 1.959964 * SQRT(r.v), 6) END AS ci_lo,
+       CASE WHEN r.v IS NULL THEN NULL
+            ELSE ROUND(r.r + 1.959964 * SQRT(r.v), 6) END AS ci_hi,
+       CASE WHEN d.dr IS NULL OR d.dv IS NULL OR d.dv <= 0 THEN NULL
+            ELSE ROUND(d.dr / SQRT(d.dv), 4) END AS z_diff,
+       CASE WHEN d.dr IS NULL OR d.dv IS NULL OR d.dv <= 0 THEN NULL
+            ELSE CAST(ABS(ROUND(d.dr / SQRT(d.dv), 4)) > 1.9600
+                      AS BIGINT) END AS reject_5pct
+FROM readout r CROSS JOIN diff d
+ORDER BY arm
+"""
+
+
+@register(
+    "stat_ratio_metric_delta_ci",
+    oracle=_RATIO_CI_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (value per
+    event) under user-level randomization — the readout
+    `ab_test_report`'s binary-conversion z cannot give. Events cluster
+    within users, so a per-event variance is anticonservative; the
+    delta method expands Var(x̄/ȳ) over user-level (Σvalue, n_events)
+    pairs — the Deng et al. "ratio metrics in A/B tests" standard.
+    Arms come from the same engine-portable md5 bucket as
+    ab_test_report, so the two readouts describe ONE experiment.
+
+    One groupBy(user) fold, one groupBy(arm) moment fold (expanded
+    sample var/cov forms), the arm-difference z via conditional sums
+    on the 2-row frame. Emits per-arm rows with the pooled diff
+    z/reject repeated (uniform schema). Degenerate classes: an arm
+    with n<2 or zero mean denominator → NULL row stats and NULL diff
+    (NULL propagates through the conditional sums on both engines)."""
+    from recommendation_system_big_data_spark.operators.sampling import (
+        portable_bucket,
+    )
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("COALESCE(value, 0.0)")).alias("x"),
+            F.count(F.lit(1)).cast("double").alias("y"),
+        )
+        .select(
+            portable_bucket(F.col("user_id"), 2).alias("arm"), "x", "y"
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.expr(
+            "CASE WHEN COUNT(*) > 1 THEN"
+            " (SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)) / (COUNT(*) - 1)"
+            " ELSE 0.0 END"
+        ).alias("vx"),
+        F.expr(
+            "CASE WHEN COUNT(*) > 1 THEN"
+            " (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)) / (COUNT(*) - 1)"
+            " ELSE 0.0 END"
+        ).alias("vy"),
+        F.expr(
+            "CASE WHEN COUNT(*) > 1 THEN"
+            " (SUM(x * y) - COUNT(*) * AVG(x) * AVG(y)) / (COUNT(*) - 1)"
+            " ELSE 0.0 END"
+        ).alias("cxy"),
+    )
+    readout = arms.select(
+        "arm",
+        "n",
+        F.expr(
+            f"CASE WHEN {_DELTA_GUARD} THEN NULL ELSE {_DELTA_R} END"
+        ).alias("r"),
+        F.expr(
+            f"CASE WHEN {_DELTA_GUARD} THEN NULL ELSE {_DELTA_V} END"
+        ).alias("v"),
+    )
+    diff = readout.agg(
+        F.expr(
+            "SUM(CASE WHEN arm = 1 THEN r END)"
+            " - SUM(CASE WHEN arm = 0 THEN r END)"
+        ).alias("dr"),
+        F.expr(
+            "SUM(CASE WHEN arm = 1 THEN v END)"
+            " + SUM(CASE WHEN arm = 0 THEN v END)"
+        ).alias("dv"),
+    )
+    return (
+        readout.crossJoin(F.broadcast(diff))
+        .select(
+            "arm",
+            F.col("n").alias("n_users"),
+            F.round("r", 6).alias("ratio_value_per_event"),
+            F.expr(
+                "CASE WHEN v IS NULL THEN NULL"
+                " ELSE ROUND(SQRT(v), 6) END"
+            ).alias("se"),
+            F.expr(
+                "CASE WHEN v IS NULL THEN NULL"
+                " ELSE ROUND(r - 1.959964 * SQRT(v), 6) END"
+            ).alias("ci_lo"),
+            F.expr(
+                "CASE WHEN v IS NULL THEN NULL"
+                " ELSE ROUND(r + 1.959964 * SQRT(v), 6) END"
+            ).alias("ci_hi"),
+            F.expr(
+                "CASE WHEN dr IS NULL OR dv IS NULL OR dv <= 0 THEN NULL"
+                " ELSE ROUND(dr / SQRT(dv), 4) END"
+            ).alias("z_diff"),
+            F.expr(
+                "CASE WHEN dr IS NULL OR dv IS NULL OR dv <= 0 THEN NULL"
+                " ELSE CAST(ABS(ROUND(dr / SQRT(dv), 4)) > 1.9600"
+                " AS BIGINT) END"
+            ).alias("reject_5pct"),
+        )
+        .orderBy("arm")
+    )

@@ -838,3 +838,55 @@ def test_lilliefors_exponential_matches_sequential(spark, sf_dir):
     assert got["reject_5pct"] == (
         1 if round(D, 6) > 1.06 / math.sqrt(n) else 0
     )
+
+
+def test_ratio_metric_delta_ci_matches_sequential(spark, sf_dir):
+    import hashlib
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_ratio_metric_delta_ci,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        e = per[r["user_id"]]
+        e[0] += r["value"] if r["value"] is not None else 0.0
+        e[1] += 1
+    arms = defaultdict(list)
+    for u, (x, y) in per.items():
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        arms[arm].append((x, float(y)))
+    got = {r["arm"]: r for r in stat_ratio_metric_delta_ci(spark, sf_dir).collect()}
+    stats = {}
+    for arm, pts in arms.items():
+        n = len(pts)
+        assert got[arm]["n_users"] == n
+        if n < 2:
+            assert got[arm]["ratio_value_per_event"] is None
+            stats[arm] = None
+            continue
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        vx = sum((x - mx) ** 2 for x, _ in pts) / (n - 1)
+        vy = sum((y - my) ** 2 for _, y in pts) / (n - 1)
+        cxy = sum((x - mx) * (y - my) for x, y in pts) / (n - 1)
+        if my == 0:
+            assert got[arm]["ratio_value_per_event"] is None
+            stats[arm] = None
+            continue
+        r_ = mx / my
+        v = (vx - 2 * r_ * cxy + r_ * r_ * vy) / (n * my * my)
+        stats[arm] = (r_, v)
+        assert abs(got[arm]["ratio_value_per_event"] - round(r_, 6)) <= 1e-5
+        assert abs(got[arm]["se"] - round(math.sqrt(v), 6)) <= 1e-5
+    if stats.get(0) and stats.get(1):
+        dr = stats[1][0] - stats[0][0]
+        dv = stats[1][1] + stats[0][1]
+        z = dr / math.sqrt(dv)
+        for arm in got:
+            assert abs(got[arm]["z_diff"] - round(z, 4)) <= 1e-3
