@@ -1780,3 +1780,166 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("betweenness_nanos") > 0)
     )
+
+
+_KTRUSS_K = 3
+#: Same defensive backstop contract as graph_kcore: each non-fixpoint
+#: round strictly removes at least one edge, so rounds are bounded by
+#: |E|; hitting the cap means a checkpointing bug and the loop RAISES.
+_KTRUSS_MAX_ITERS = 10_000
+
+
+@register("graph_ktruss", oracle=None, tags=("graph",))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k=3) of the part co-purchase graph:
+    iteratively drop every edge whose SUPPORT (number of triangles it
+    closes) is below k−2, recomputing supports after each peel, until
+    fixpoint. The edge-grained sharpening of `graph_kcore`: a k-core
+    keeps nodes with enough neighbors, a k-truss keeps edges embedded
+    in enough mutual-neighbor structure — the standard cohesive-
+    subgraph ladder (Cohen 2008), and the cheaper community-core
+    primitive that seeded truss-based community search.
+
+    Per round, supports come from the SAME compact-forward kernel as
+    `graph_triangle_count`: orient by (degree, id) — max out-degree
+    O(sqrt m), total intersection work O(m^1.5) honest pricing, never
+    all-pairs — enumerate each triangle once via adjacency-array
+    intersection, and explode it back onto its three undirected edges
+    for one support fold. (An id-only orientation GC-thrashed at sf0.1:
+    hub parts keep their whole neighborhood in the wedge set; degree
+    ordering is the scale guarantee, not a nicety.) The driver loop follows the
+    kcore fixpoint discipline verbatim: localCheckpoint per round,
+    scalar counts only, RAISE on the unreachable iteration cap.
+    ⊘ rows-only (fixpoint iteration isn't single-statement SQL); the
+    pytest gates pin: surviving supports ≥ k−2 recomputed in pure
+    Python on the final edge set, monotone edge-count shrinkage, and
+    agreement with a sequential k-truss replica on the capped graph."""
+    li = _capped_items(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_m = -1
+    supports = None
+    for it in range(_KTRUSS_MAX_ITERS + 1):
+        if it == _KTRUSS_MAX_ITERS:
+            raise RuntimeError(
+                f"graph_ktruss: no fixpoint after {_KTRUSS_MAX_ITERS} "
+                "peel rounds — monotone edge peeling cannot do this; "
+                "checkpointing bug"
+            )
+        # Compact-forward enumeration per round (graph_triangle_count's
+        # kernel): orient by (degree, id) so max out-degree is O(sqrt m)
+        # — the id-only orientation first tried here GC-thrashed at
+        # sf0.1 because hub parts kept their full neighborhoods in the
+        # wedge join. Each triangle surfaces once, at the oriented edge
+        # whose endpoints both point at w; all three UNDIRECTED edges
+        # then get one support credit.
+        deg = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        du = deg.select(F.col("node").alias("src"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dv"))
+        oriented = (
+            edges.join(du, "src")
+            .join(dv, "dst")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | (
+                        (F.col("du") == F.col("dv"))
+                        & (F.col("src") < F.col("dst"))
+                    ),
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                )
+                .otherwise(
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d"))
+                )
+                .alias("e")
+            )
+            .select(F.col("e.s").alias("os"), F.col("e.d").alias("od"))
+            .localCheckpoint()
+        )
+        adj = oriented.groupBy("os").agg(
+            F.sort_array(F.collect_list("od")).alias("nbrs")
+        )
+        tri_edges = (
+            oriented.join(
+                adj.select(
+                    F.col("os").alias("u_key"), F.col("nbrs").alias("nbrs_u")
+                ),
+                F.col("os") == F.col("u_key"),
+            )
+            .join(
+                adj.select(
+                    F.col("os").alias("v_key"), F.col("nbrs").alias("nbrs_v")
+                ),
+                F.col("od") == F.col("v_key"),
+            )
+            .select(
+                "os", "od", F.array_intersect("nbrs_u", "nbrs_v").alias("ws")
+            )
+            .select("os", "od", F.explode("ws").alias("w"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("os", "od").alias("src"),
+                            F.greatest("os", "od").alias("dst"),
+                        ),
+                        F.struct(
+                            F.least("os", "w").alias("src"),
+                            F.greatest("os", "w").alias("dst"),
+                        ),
+                        F.struct(
+                            F.least("od", "w").alias("src"),
+                            F.greatest("od", "w").alias("dst"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        supports = (
+            edges.join(
+                tri_edges.groupBy("src", "dst").agg(
+                    F.count(F.lit(1)).cast("long").alias("support")
+                ),
+                ["src", "dst"],
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            )
+            .localCheckpoint()
+        )
+        kept = supports.where(
+            F.col("support") >= F.lit(_KTRUSS_K - 2)
+        ).select("src", "dst")
+        m = kept.count()
+        if m == prev_m:
+            break
+        prev_m = m
+        edges = kept.localCheckpoint()
+    return (
+        supports.where(F.col("support") >= F.lit(_KTRUSS_K - 2))
+        .orderBy(F.desc("support"), F.asc("src"), F.asc("dst"))
+        .limit(100)
+    )

@@ -890,3 +890,49 @@ def test_ratio_metric_delta_ci_matches_sequential(spark, sf_dir):
         z = dr / math.sqrt(dv)
         for arm in got:
             assert abs(got[arm]["z_diff"] - round(z, 4)) <= 1e-3
+
+
+def test_ktruss_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.graph import (
+        _KTRUSS_K,
+        MAX_BASKET,
+        graph_ktruss,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in baskets.values():
+        capped = sorted(parts)[:MAX_BASKET]
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                edges.add((capped[i], capped[j]))
+    # sequential k-truss peel
+    while True:
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        support = {
+            (u, v): len(adj[u] & adj[v]) for u, v in edges
+        }
+        kept = {e for e in edges if support[e] >= _KTRUSS_K - 2}
+        if kept == edges:
+            break
+        edges = kept
+    got = graph_ktruss(spark, sf_dir).collect()
+    want = sorted(
+        ((u, v, support[(u, v)]) for u, v in edges),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:100]
+    got_t = [(r["src"], r["dst"], r["support"]) for r in got]
+    assert got_t == want
+    # invariant: every surviving edge has support >= k-2 in the truss
+    for _, _, s in got_t:
+        assert s >= _KTRUSS_K - 2
