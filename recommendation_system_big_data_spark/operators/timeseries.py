@@ -3546,3 +3546,315 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 'none' END"
         ).alias("verdict"),
     )
+
+
+# --- Breusch-Pagan heteroskedasticity test ---------------------------------
+# Koenker's studentized form on the daily OLS residuals: regress e^2
+# on the day index, LM = n * R^2_aux ~ chi2(1). The variance twin of
+# ts_durbin_watson's serial-correlation check — together they decide
+# whether the OLS standard-error column of any daily-trend readout
+# can be trusted at all.
+
+_BP_LM = "(CAST(n AS DOUBLE) * sxy2 * sxy2 / (sxx2 * syy2))"
+_BP_GUARD = "n < 3 OR sxx2 <= 0 OR syy2 <= 0"
+
+_BP_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(o_orderdate - (SELECT MIN(o_orderdate) FROM orders))
+               // 86400000000 AS t,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY o_orderdate
+), fit AS (
+    SELECT COUNT(*) AS n, AVG(CAST(t AS DOUBLE)) AS mx, AVG(y) AS my,
+           SUM(CAST(t AS DOUBLE) * y)
+               - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y) AS sxy,
+           SUM(CAST(t AS DOUBLE) * t)
+               - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE))
+               AS sxx
+    FROM daily
+), resid AS (
+    SELECT CAST(t AS DOUBLE) AS x,
+           POW(y - ((SELECT my FROM fit)
+                + CASE WHEN (SELECT sxx FROM fit) > 0
+                       THEN (SELECT sxy FROM fit) / (SELECT sxx FROM fit)
+                       ELSE 0.0 END
+                  * (CAST(t AS DOUBLE) - (SELECT mx FROM fit))), 2) AS e2
+    FROM daily
+), aux AS (
+    SELECT (SELECT n FROM fit) AS n,
+           SUM(x * e2) - COUNT(*) * AVG(x) * AVG(e2) AS sxy2,
+           SUM(x * x) - COUNT(*) * AVG(x) * AVG(x) AS sxx2,
+           SUM(e2 * e2) - COUNT(*) * AVG(e2) * AVG(e2) AS syy2
+    FROM resid
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN {_BP_GUARD} THEN NULL
+            ELSE ROUND({_BP_LM}, 4) END AS bp_lm_stat,
+       CASE WHEN {_BP_GUARD} THEN NULL
+            ELSE CAST(ROUND({_BP_LM}, 4) > 3.8415 AS BIGINT)
+       END AS reject_5pct
+FROM aux
+"""
+
+
+@register("ts_breusch_pagan", oracle=_BP_ORACLE, tags=("window", "ml"))
+def ts_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized) heteroskedasticity test on
+    the daily-revenue trend residuals: does residual VARIANCE drift
+    with time? The variance twin of `ts_durbin_watson` — DW flags
+    serial correlation, BP flags variance growth; either one breaks
+    the homoskedastic OLS standard errors that `ts_forecast_linear`'s
+    confidence band assumes. LM = n·R² of the e²-on-t auxiliary
+    regression, chi²(1); the Koenker form needs no normality of e.
+
+    Scale shape: same closed-form two-sum OLS on the calendar-day
+    grain as ts_durbin_watson (one fact fold, one broadcast fit row),
+    auxiliary moments one more bounded-grain fold. Degenerate
+    classes: n<3, flat day index, or zero e² variance (perfect fit /
+    const series) → NULL."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mind = daily.agg(F.min("o_orderdate").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(mind)).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, d0, o_orderdate) div 86400000000"
+        ).alias("t"),
+        "y",
+    )
+    fit = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("t").cast("double")).alias("mx"),
+        F.avg("y").alias("my"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * y)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y)"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * t)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE))"
+        ).alias("sxx"),
+    )
+    resid = keyed.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.col("t").cast("double").alias("x"),
+        F.expr(
+            "POW(y - (my + CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END"
+            " * (CAST(t AS DOUBLE) - mx)), 2)"
+        ).alias("e2"),
+    )
+    aux = resid.agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "SUM(x * e2) - COUNT(*) * AVG(x) * AVG(e2)"
+        ).alias("sxy2"),
+        F.expr("SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)").alias("sxx2"),
+        F.expr(
+            "SUM(e2 * e2) - COUNT(*) * AVG(e2) * AVG(e2)"
+        ).alias("syy2"),
+    )
+    return aux.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            f"CASE WHEN {_BP_GUARD} THEN NULL"
+            f" ELSE ROUND({_BP_LM}, 4) END"
+        ).alias("bp_lm_stat"),
+        F.expr(
+            f"CASE WHEN {_BP_GUARD} THEN NULL"
+            f" ELSE CAST(ROUND({_BP_LM}, 4) > 3.8415 AS BIGINT) END"
+        ).alias("reject_5pct"),
+    )
+
+
+# --- Newey-West HAC standard error for the trend slope ----------------------
+# When ts_durbin_watson flags serial correlation, the honest follow-up
+# is not to abandon OLS but to fix its standard error: the
+# Newey-West/Bartlett HAC variance over the slope scores
+# u_t = (t - tbar) e_t with lag window L = 5,
+#   V_NW(b) = (S0 + 2 sum_l (1 - l/(L+1)) S_l) / sxx^2.
+
+_NW_L = 5
+
+_NW_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(o_orderdate - (SELECT MIN(o_orderdate) FROM orders))
+               // 86400000000 AS t,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY o_orderdate
+), fit AS (
+    SELECT COUNT(*) AS n, AVG(CAST(t AS DOUBLE)) AS mx, AVG(y) AS my,
+           SUM(CAST(t AS DOUBLE) * y)
+               - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y) AS sxy,
+           SUM(CAST(t AS DOUBLE) * t)
+               - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE))
+               AS sxx
+    FROM daily
+), scores AS (
+    SELECT t,
+           (CAST(t AS DOUBLE) - (SELECT mx FROM fit))
+           * (y - ((SELECT my FROM fit)
+                   + CASE WHEN (SELECT sxx FROM fit) > 0
+                          THEN (SELECT sxy FROM fit) / (SELECT sxx FROM fit)
+                          ELSE 0.0 END
+                     * (CAST(t AS DOUBLE) - (SELECT mx FROM fit)))) AS u
+    FROM daily
+), lagged AS (
+    SELECT u,
+           LAG(u, 1) OVER (ORDER BY t) AS u1,
+           LAG(u, 2) OVER (ORDER BY t) AS u2,
+           LAG(u, 3) OVER (ORDER BY t) AS u3,
+           LAG(u, 4) OVER (ORDER BY t) AS u4,
+           LAG(u, 5) OVER (ORDER BY t) AS u5
+    FROM scores
+), fold AS (
+    SELECT (SELECT n FROM fit) AS n, (SELECT sxx FROM fit) AS sxx,
+           (SELECT sxy FROM fit) AS sxy,
+           SUM(u * u) AS s0,
+           COALESCE(SUM(u * u1), 0.0) AS s1,
+           COALESCE(SUM(u * u2), 0.0) AS s2,
+           COALESCE(SUM(u * u3), 0.0) AS s3,
+           COALESCE(SUM(u * u4), 0.0) AS s4,
+           COALESCE(SUM(u * u5), 0.0) AS s5
+    FROM lagged
+), vnw AS (
+    SELECT n, sxx, sxy,
+           CASE WHEN sxx > 0 THEN
+               (s0 + 2.0 * ((1.0 - 1.0 / {_NW_L + 1}) * s1
+                            + (1.0 - 2.0 / {_NW_L + 1}) * s2
+                            + (1.0 - 3.0 / {_NW_L + 1}) * s3
+                            + (1.0 - 4.0 / {_NW_L + 1}) * s4
+                            + (1.0 - 5.0 / {_NW_L + 1}) * s5))
+                   / (sxx * sxx)
+           ELSE NULL END AS v,
+           CASE WHEN sxx > 0 THEN s0 / (sxx * sxx) ELSE NULL END AS v_iid
+    FROM fold
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n < 3 OR sxx <= 0 THEN NULL
+            ELSE ROUND(sxy / sxx, 6) END AS slope,
+       CASE WHEN n < 3 OR sxx <= 0 OR v_iid IS NULL OR v_iid < 0 THEN NULL
+            ELSE ROUND(SQRT(v_iid), 6) END AS se_white_iid,
+       CASE WHEN n < 3 OR sxx <= 0 OR v IS NULL OR v <= 0 THEN NULL
+            ELSE ROUND(SQRT(v), 6) END AS se_newey_west,
+       CASE WHEN n < 3 OR sxx <= 0 OR v IS NULL OR v <= 0 THEN NULL
+            ELSE ROUND((sxy / sxx) / SQRT(v), 4) END AS t_stat_nw
+FROM vnw
+"""
+
+
+@register("ts_newey_west_slope", oracle=_NW_ORACLE, tags=("window", "ml"))
+def ts_newey_west_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard error (Bartlett kernel, L=5) for the
+    daily-revenue trend slope — the repair `ts_durbin_watson`
+    prescribes when it flags serial correlation: keep the OLS point
+    estimate, replace its variance with the autocovariance-weighted
+    sandwich over the slope scores u_t = (t−t̄)e_t. Reports the
+    sandwich-vs-White-iid SE pair so the correction factor is visible,
+    plus the corrected t statistic.
+
+    Scale shape: one calendar-day fold, one broadcast fit row, five
+    LAG columns on ONE bounded daily-grain window sort, one reduce.
+    Degenerate classes: n<3, flat day index, or nonpositive sandwich
+    (all-zero residuals) → NULL."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mind = daily.agg(F.min("o_orderdate").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(mind)).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, d0, o_orderdate) div 86400000000"
+        ).alias("t"),
+        "y",
+    )
+    fit = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("t").cast("double")).alias("mx"),
+        F.avg("y").alias("my"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * y)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(y)"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(t AS DOUBLE) * t)"
+            " - COUNT(*) * AVG(CAST(t AS DOUBLE)) * AVG(CAST(t AS DOUBLE))"
+        ).alias("sxx"),
+    )
+    scores = keyed.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "sxx",
+        "sxy",
+        F.expr(
+            "(CAST(t AS DOUBLE) - mx)"
+            " * (y - (my + CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END"
+            " * (CAST(t AS DOUBLE) - mx)))"
+        ).alias("u"),
+    )
+    w = Window.orderBy(F.asc("t"))
+    lagged = scores.select(
+        "n",
+        "sxx",
+        "sxy",
+        "u",
+        *[F.lag("u", i).over(w).alias(f"u{i}") for i in range(1, _NW_L + 1)],
+    )
+    fold = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("sxx").alias("sxx"),
+        F.max("sxy").alias("sxy"),
+        F.sum(F.expr("u * u")).alias("s0"),
+        *[
+            F.coalesce(F.sum(F.expr(f"u * u{i}")), F.lit(0.0)).alias(
+                f"s{i}"
+            )
+            for i in range(1, _NW_L + 1)
+        ],
+    )
+    bart = " + ".join(
+        f"(1.0 - {i}.0 / {_NW_L + 1}) * s{i}" for i in range(1, _NW_L + 1)
+    )
+    vnw = fold.select(
+        "n",
+        "sxx",
+        "sxy",
+        # sxx = 0 (single day / flat index) must short-circuit BEFORE the
+        # division: ANSI Spark raises DIVIDE_BY_ZERO on the eager form.
+        F.expr(
+            f"CASE WHEN sxx > 0 THEN (s0 + 2.0 * ({bart})) / (sxx * sxx)"
+            f" ELSE NULL END"
+        ).alias("v"),
+        F.expr(
+            "CASE WHEN sxx > 0 THEN s0 / (sxx * sxx) ELSE NULL END"
+        ).alias("v_iid"),
+    )
+    return vnw.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CASE WHEN n < 3 OR sxx <= 0 THEN NULL"
+            " ELSE ROUND(sxy / sxx, 6) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN n < 3 OR sxx <= 0 OR v_iid IS NULL OR v_iid < 0 THEN NULL"
+            " ELSE ROUND(SQRT(v_iid), 6) END"
+        ).alias("se_white_iid"),
+        F.expr(
+            "CASE WHEN n < 3 OR sxx <= 0 OR v IS NULL OR v <= 0 THEN NULL"
+            " ELSE ROUND(SQRT(v), 6) END"
+        ).alias("se_newey_west"),
+        F.expr(
+            "CASE WHEN n < 3 OR sxx <= 0 OR v IS NULL OR v <= 0 THEN NULL"
+            " ELSE ROUND((sxy / sxx) / SQRT(v), 4) END"
+        ).alias("t_stat_nw"),
+    )

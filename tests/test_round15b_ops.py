@@ -936,3 +936,108 @@ def test_ktruss_matches_sequential(spark, sf_dir):
     # invariant: every surviving edge has support >= k-2 in the truss
     for _, _, s in got_t:
         assert s >= _KTRUSS_K - 2
+
+
+def test_breusch_pagan_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        ts_breusch_pagan,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    agg = defaultdict(Decimal)
+    for r in rows:
+        agg[r["o_orderdate"]] += Decimal(str(r["o_totalprice"])).quantize(
+            Decimal("0.01")
+        )
+    days = sorted(agg)
+    d0 = days[0]
+    pts = [
+        (
+            int((d - d0).total_seconds() * 1_000_000) // 86_400_000_000,
+            float(agg[d]),
+        )
+        for d in days
+    ]
+    n = len(pts)
+    got = ts_breusch_pagan(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    if n < 3:
+        assert got["bp_lm_stat"] is None
+        return
+    mx = sum(t for t, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    sxy = sum(t * y for t, y in pts) - n * mx * my
+    sxx = sum(t * t for t, _ in pts) - n * mx * mx
+    slope = sxy / sxx if sxx > 0 else 0.0
+    e2 = [(t, (y - (my + slope * (t - mx))) ** 2) for t, y in pts]
+    mx2 = sum(t for t, _ in e2) / n
+    me2 = sum(v for _, v in e2) / n
+    sxy2 = sum(t * v for t, v in e2) - n * mx2 * me2
+    sxx2 = sum(t * t for t, _ in e2) - n * mx2 * mx2
+    syy2 = sum(v * v for _, v in e2) - n * me2 * me2
+    if sxx2 <= 0 or syy2 <= 0:
+        assert got["bp_lm_stat"] is None
+        return
+    lm = n * sxy2 * sxy2 / (sxx2 * syy2)
+    assert abs(got["bp_lm_stat"] - round(lm, 4)) <= 2e-3
+
+
+def test_newey_west_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.timeseries import (
+        _NW_L,
+        ts_newey_west_slope,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    agg = defaultdict(Decimal)
+    for r in rows:
+        agg[r["o_orderdate"]] += Decimal(str(r["o_totalprice"])).quantize(
+            Decimal("0.01")
+        )
+    days = sorted(agg)
+    d0 = days[0]
+    pts = [
+        (
+            int((d - d0).total_seconds() * 1_000_000) // 86_400_000_000,
+            float(agg[d]),
+        )
+        for d in days
+    ]
+    n = len(pts)
+    got = ts_newey_west_slope(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    if n < 3:
+        assert got["slope"] is None
+        return
+    mx = sum(t for t, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    sxy = sum(t * y for t, y in pts) - n * mx * my
+    sxx = sum(t * t for t, _ in pts) - n * mx * mx
+    if sxx <= 0:
+        assert got["slope"] is None
+        return
+    slope = sxy / sxx
+    u = [(t - mx) * (y - (my + slope * (t - mx))) for t, y in pts]
+    s = [sum(x * x for x in u)] + [
+        sum(u[i] * u[i - l] for i in range(l, n)) for l in range(1, _NW_L + 1)
+    ]
+    v = (
+        s[0]
+        + 2.0 * sum((1.0 - l / (_NW_L + 1)) * s[l] for l in range(1, _NW_L + 1))
+    ) / (sxx * sxx)
+    assert abs(got["slope"] - round(slope, 6)) <= 1e-5
+    if v > 0:
+        assert abs(got["se_newey_west"] - round(math.sqrt(v), 6)) <= 1e-5
+        assert abs(got["t_stat_nw"] - round(slope / math.sqrt(v), 4)) <= 1e-3
