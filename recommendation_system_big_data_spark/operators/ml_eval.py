@@ -4998,3 +4998,128 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "term string, coef double, n_users bigint, log_loss double",
     )
+
+
+# --- Variance inflation factors --------------------------------------------
+# Multicollinearity screen for the engagement design matrix (the same
+# d=3 feature frame ml_logistic_irls fits on): VIF_j = diag(R^-1)_jj
+# over the predictor correlation matrix, closed form at k=3 —
+#   det = 1 - r12^2 - r13^2 - r23^2 + 2 r12 r13 r23
+#   VIF_1 = (1 - r23^2)/det   (and cyclically).
+# One moment fold; correlations from expanded sums so both engines
+# share the identical expression tree.
+
+_VIF_DET = (
+    "(1.0 - r12 * r12 - r13 * r13 - r23 * r23"
+    " + 2.0 * r12 * r13 * r23)"
+)
+_VIF_GUARD = f"r12 IS NULL OR r13 IS NULL OR r23 IS NULL OR {_VIF_DET} <= 1e-12"
+
+
+def _vif_corr(i: int, j: int) -> str:
+    return (
+        f"(CASE WHEN (s{i}{i} - n * m{i} * m{i}) <= 0"
+        f" OR (s{j}{j} - n * m{j} * m{j}) <= 0 THEN NULL"
+        f" ELSE (s{i}{j} - n * m{i} * m{j})"
+        f" / SQRT((s{i}{i} - n * m{i} * m{i})"
+        f" * (s{j}{j} - n * m{j} * m{j})) END)"
+    )
+
+
+_VIF_ORACLE = f"""
+WITH feats AS (
+    SELECT LN(1.0 + COUNT(*)) AS x1,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS x2,
+           COALESCE(AVG(value), 0.0) / 100.0 AS x3
+    FROM events GROUP BY user_id
+), mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           AVG(x1) AS m1, AVG(x2) AS m2, AVG(x3) AS m3,
+           SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x3 * x3) AS s33,
+           SUM(x1 * x2) AS s12, SUM(x1 * x3) AS s13, SUM(x2 * x3) AS s23
+    FROM feats
+), corr AS (
+    SELECT n, {_vif_corr(1, 2)} AS r12, {_vif_corr(1, 3)} AS r13,
+           {_vif_corr(2, 3)} AS r23
+    FROM mom
+)
+SELECT f.feature, CAST(n AS BIGINT) AS n_users,
+       CASE WHEN {_VIF_GUARD} THEN NULL
+            ELSE ROUND(CASE f.feature
+                 WHEN 'log1p_events' THEN (1.0 - r23 * r23) / {_VIF_DET}
+                 WHEN 'purchase_ratio' THEN (1.0 - r13 * r13) / {_VIF_DET}
+                 ELSE (1.0 - r12 * r12) / {_VIF_DET} END, 4)
+       END AS vif
+FROM corr CROSS JOIN (
+    SELECT UNNEST(['log1p_events', 'purchase_ratio', 'avg_value_h'])
+        AS feature) f
+ORDER BY f.feature
+"""
+
+
+@register("ml_feature_vif", oracle=_VIF_ORACLE, tags=("ml", "feature"))
+def ml_feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the engagement design matrix —
+    the multicollinearity screen run before trusting ANY coefficient
+    readout (`ml_logistic_irls` fits exactly these features; VIF > 5
+    means its standard errors are inflated and the coefficients are
+    unstable under resampling). Closed form at k=3: VIF_j is the j-th
+    diagonal of the inverse predictor correlation matrix, a ratio of
+    determinant polynomials in (r12, r13, r23).
+
+    One groupBy(user) feature fold, ONE nine-sum moment reduce,
+    correlations from expanded sums (identical expression text both
+    engines), and the 3-row output rides a literal feature spine.
+    Degenerate classes: any zero-variance predictor or a singular
+    correlation matrix (det ≤ 1e-12, exact collinearity) → NULL VIFs
+    on all rows."""
+    feats = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("LN(1.0 + COUNT(*))").alias("x1"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("x2"),
+            F.expr("COALESCE(AVG(value), 0.0) / 100.0").alias("x3"),
+        )
+    )
+    mom = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("x3").alias("m3"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum(F.expr("x3 * x3")).alias("s33"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x1 * x3")).alias("s13"),
+        F.sum(F.expr("x2 * x3")).alias("s23"),
+    )
+    corr = mom.select(
+        "n",
+        F.expr(_vif_corr(1, 2)).alias("r12"),
+        F.expr(_vif_corr(1, 3)).alias("r13"),
+        F.expr(_vif_corr(2, 3)).alias("r23"),
+    )
+    spine = spark.createDataFrame(
+        [("log1p_events",), ("purchase_ratio",), ("avg_value_h",)],
+        "feature string",
+    )
+    return (
+        corr.crossJoin(F.broadcast(spine))
+        .select(
+            "feature",
+            F.col("n").cast("long").alias("n_users"),
+            F.expr(
+                f"CASE WHEN {_VIF_GUARD} THEN NULL"
+                f" ELSE ROUND(CASE feature"
+                f" WHEN 'log1p_events' THEN (1.0 - r23 * r23) / {_VIF_DET}"
+                f" WHEN 'purchase_ratio' THEN (1.0 - r13 * r13) / {_VIF_DET}"
+                f" ELSE (1.0 - r12 * r12) / {_VIF_DET} END, 4) END"
+            ).alias("vif"),
+        )
+        .orderBy("feature")
+    )

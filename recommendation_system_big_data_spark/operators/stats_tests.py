@@ -7413,3 +7413,151 @@ def stat_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- Nemenyi post-hoc after Friedman ---------------------------------------
+# Demsar (2006) critical-difference readout: after stat_friedman_test
+# rejects, WHICH event types differ? Mean within-block (weekly) ranks
+# compared pairwise against CD = q_alpha * sqrt(k(k+1)/(6n)), with
+# q_alpha the infinite-df studentized range / sqrt(2) row selected by
+# the observed k. Shares stat_friedman_test's block convention
+# verbatim (weekly value sums, complete blocks, doubled midranks), so
+# the omnibus and the post-hoc read the same experiment.
+
+_NEMENYI_Q = (
+    "CASE k WHEN 2 THEN 1.959964 WHEN 3 THEN 2.343701"
+    " WHEN 4 THEN 2.569032 WHEN 5 THEN 2.727747"
+    " WHEN 6 THEN 2.849705 WHEN 7 THEN 2.948320"
+    " WHEN 8 THEN 3.030879 WHEN 9 THEN 3.101730"
+    " ELSE 3.163684 END"
+)
+_NEMENYI_CD = (
+    f"({_NEMENYI_Q} * SQRT(CAST(k AS DOUBLE) * (k + 1)"
+    f" / (6.0 * CAST(n AS DOUBLE))))"
+)
+_NEMENYI_GUARD = "n < 1 OR k < 2"
+
+_NEMENYI_ORACLE = f"""
+WITH weekly AS (
+    SELECT date_trunc('week', ts) AS wk, event_type,
+           SUM(CAST(value AS DECIMAL(18,6))) AS v
+    FROM events GROUP BY 1, 2
+), kk AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM weekly
+), complete AS (
+    SELECT w.wk, w.event_type, w.v, kk.k
+    FROM weekly w, kk
+    WHERE w.wk IN (SELECT wk FROM weekly
+                   GROUP BY wk HAVING COUNT(*) = (SELECT k FROM kk))
+), ranked AS (
+    SELECT wk, event_type, k,
+           CAST(2 * RANK() OVER (PARTITION BY wk ORDER BY v)
+                + COUNT(*) OVER (PARTITION BY wk, v) - 1 AS BIGINT) AS r2
+    FROM complete
+), sums AS (
+    SELECT event_type, MAX(k) AS k,
+           CAST(SUM(r2) AS BIGINT) AS r2_j,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.k AS k, a.n AS n, a.r2_j AS ra, b.r2_j AS rb
+    FROM sums a JOIN sums b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_blocks,
+       CASE WHEN {_NEMENYI_GUARD} THEN NULL
+            ELSE ROUND(CAST(ra AS DOUBLE) / (2 * n), 4) END AS mean_rank_a,
+       CASE WHEN {_NEMENYI_GUARD} THEN NULL
+            ELSE ROUND(CAST(rb AS DOUBLE) / (2 * n), 4) END AS mean_rank_b,
+       CASE WHEN {_NEMENYI_GUARD} THEN NULL
+            ELSE ROUND({_NEMENYI_CD}, 4) END AS critical_difference,
+       CASE WHEN {_NEMENYI_GUARD} THEN NULL
+            ELSE CAST(ABS(CAST(ra AS DOUBLE) - rb) / (2 * n)
+                      > {_NEMENYI_CD} AS BIGINT) END AS reject_5pct
+FROM pairs ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "stat_nemenyi_posthoc",
+    oracle=_NEMENYI_ORACLE,
+    tags=("profile", "experiment"),
+)
+def stat_nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemenyi critical-difference post-hoc after Friedman (Demšar
+    2006): all-pairs comparison of mean within-week ranks of the event
+    types against CD = q_α·sqrt(k(k+1)/(6n)) — the blocked-design
+    sibling of `stat_tukey_hsd` (independent groups) and
+    `stat_dunn_posthoc` (unpaired ranks), closing the post-hoc
+    triangle. Shares `stat_friedman_test`'s machinery verbatim:
+    weekly value sums as blocks, complete blocks only, doubled
+    midranks so rank sums stay exact integers.
+
+    Scale shape: weekly fold (bounded calendar grain), per-week rank
+    windows keyed by week, one k-row sum fold, then a k×k self-join
+    of the BOUNDED treatment table. Degenerate classes: k<2 (zero
+    pair rows by construction of the self-join) or zero complete
+    blocks → NULL readouts."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    kk = weekly.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    counts = weekly.groupBy("wk").agg(F.count(F.lit(1)).alias("c"))
+    complete = (
+        weekly.join(F.broadcast(kk))
+        .join(counts, "wk")
+        .where(F.col("c") == F.col("k"))
+        .select("wk", "event_type", "v", "k")
+    )
+    wrank = Window.partitionBy("wk").orderBy("v")
+    wtie = Window.partitionBy("wk", "v")
+    ranked = complete.select(
+        "event_type",
+        "k",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wtie) - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.sum("r2").cast("long").alias("r2_j"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = sums.select(
+        F.col("event_type").alias("type_a"),
+        F.col("k"),
+        F.col("n"),
+        F.col("r2_j").alias("ra"),
+    )
+    b = sums.select(
+        F.col("event_type").alias("type_b"),
+        F.col("r2_j").alias("rb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_blocks"),
+        F.expr(
+            f"CASE WHEN {_NEMENYI_GUARD} THEN NULL"
+            f" ELSE ROUND(CAST(ra AS DOUBLE) / (2 * n), 4) END"
+        ).alias("mean_rank_a"),
+        F.expr(
+            f"CASE WHEN {_NEMENYI_GUARD} THEN NULL"
+            f" ELSE ROUND(CAST(rb AS DOUBLE) / (2 * n), 4) END"
+        ).alias("mean_rank_b"),
+        F.expr(
+            f"CASE WHEN {_NEMENYI_GUARD} THEN NULL"
+            f" ELSE ROUND({_NEMENYI_CD}, 4) END"
+        ).alias("critical_difference"),
+        F.expr(
+            f"CASE WHEN {_NEMENYI_GUARD} THEN NULL"
+            f" ELSE CAST(ABS(CAST(ra AS DOUBLE) - rb) / (2 * n)"
+            f" > {_NEMENYI_CD} AS BIGINT) END"
+        ).alias("reject_5pct"),
+    ).orderBy("type_a", "type_b")

@@ -1041,3 +1041,104 @@ def test_newey_west_matches_sequential(spark, sf_dir):
     if v > 0:
         assert abs(got["se_newey_west"] - round(math.sqrt(v), 6)) <= 1e-5
         assert abs(got["t_stat_nw"] - round(slope / math.sqrt(v), 4)) <= 1e-3
+
+
+def test_nemenyi_matches_sequential(spark, sf_dir):
+    from decimal import Decimal
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_nemenyi_posthoc,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    weekly = defaultdict(Decimal)
+    for r in rows:
+        wk = (r["ts"] - __import__("datetime").timedelta(
+            days=r["ts"].weekday()
+        )).date()
+        weekly[(wk, r["event_type"])] += Decimal(str(r["value"])).quantize(
+            Decimal("0.000001")
+        )
+    types = sorted({t for _, t in weekly})
+    k = len(types)
+    blocks = defaultdict(dict)
+    for (wk, t), v in weekly.items():
+        blocks[wk][t] = v
+    complete = {wk: d for wk, d in blocks.items() if len(d) == k}
+    n = len(complete)
+    r2sum = Counter()
+    for d in complete.values():
+        vals = sorted(d.values())
+        for t, v in d.items():
+            rank = vals.index(v) + 1  # min rank of the tie block
+            ties = vals.count(v)
+            r2sum[t] += 2 * rank + ties - 1
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in stat_nemenyi_posthoc(spark, sf_dir).collect()
+    }
+    assert len(got) == k * (k - 1) // 2
+    q = {2: 1.959964, 3: 2.343701, 4: 2.569032, 5: 2.727747}.get(k)
+    for i in range(k):
+        for j in range(i + 1, k):
+            row = got[(types[i], types[j])]
+            assert row["n_blocks"] == n
+            if n < 1 or k < 2:
+                assert row["critical_difference"] is None
+                continue
+            ma = r2sum[types[i]] / (2 * n)
+            mb = r2sum[types[j]] / (2 * n)
+            assert abs(row["mean_rank_a"] - round(ma, 4)) <= 1e-3
+            assert abs(row["mean_rank_b"] - round(mb, 4)) <= 1e-3
+            if q is not None:
+                cd = q * math.sqrt(k * (k + 1) / (6.0 * n))
+                assert abs(row["critical_difference"] - round(cd, 4)) <= 1e-3
+                assert row["reject_5pct"] == (1 if abs(ma - mb) > cd else 0)
+
+
+def test_feature_vif_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_feature_vif,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0.0, 0])
+    for r in rows:
+        e = per[r["user_id"]]
+        e[0] += 1
+        if r["event_type"] == "purchase":
+            e[1] += 1
+        if r["value"] is not None:
+            e[2] += r["value"]
+            e[3] += 1
+    X = np.array(
+        [
+            [
+                math.log(1.0 + ne),
+                npur / ne,
+                ((sv / nv) if nv else 0.0) / 100.0,
+            ]
+            for ne, npur, sv, nv in per.values()
+        ]
+    )
+    got = {r["feature"]: r for r in ml_feature_vif(spark, sf_dir).collect()}
+    R = np.corrcoef(X, rowvar=False)
+    det = np.linalg.det(R)
+    names = ["log1p_events", "purchase_ratio", "avg_value_h"]
+    if det <= 1e-12:
+        for t in names:
+            assert got[t]["vif"] is None
+        return
+    inv = np.linalg.inv(R)
+    for i, t in enumerate(names):
+        assert abs(got[t]["vif"] - round(float(inv[i, i]), 4)) <= 1e-3
