@@ -170,7 +170,12 @@ _DRIVER_WINDOW_ALIASES = (
 #:      stat_cliffs_delta stat_dagostino_k2 stat_ansari_bradley
 #:      stat_logrank_test survival_nelson_aalen stat_mantel_haenszel
 #:      stat_cochran_q ts_pacf_yule_walker ts_variance_ratio_test
-#:      stat_tukey_hsd ml_kaplan_meier
+#:      stat_tukey_hsd ml_kaplan_meier ts_durbin_watson
+#:      stat_fligner_killeen text_lm_perplexity
+#:      stat_wilcoxon_signed_rank stat_sign_test
+#:      stat_lilliefors_exponential stat_ratio_metric_delta_ci
+#:      ts_breusch_pagan ts_newey_west_slope stat_nemenyi_posthoc
+#:      ml_feature_vif
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50
 #:    (rows-only names stay excluded, oracle=None — r12 #3 rule).
 

@@ -160,6 +160,19 @@ PROBES = [
     ("ts_pacf_yule_walker", 10.0),
     ("ts_variance_ratio_test", 10.0),
     ("stat_tukey_hsd", 10.0),
+    ("ts_durbin_watson", 10.0),
+    ("stat_fligner_killeen", 10.0),
+    ("text_lm_perplexity", 10.0),
+    ("ml_logistic_irls", 10.0),
+    ("stat_wilcoxon_signed_rank", 10.0),
+    ("stat_sign_test", 10.0),
+    ("stat_lilliefors_exponential", 10.0),
+    ("stat_ratio_metric_delta_ci", 10.0),
+    ("graph_ktruss", 10.0),
+    ("ts_breusch_pagan", 10.0),
+    ("ts_newey_west_slope", 10.0),
+    ("stat_nemenyi_posthoc", 10.0),
+    ("ml_feature_vif", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
