@@ -5123,3 +5123,188 @@ def ml_feature_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --- DeLong confidence interval for AUC ------------------------------------
+# ml_eval_auc_roc reports the exact point estimate; this op adds the
+# DeLong (1988) nonparametric variance so the AUC ships with a CI —
+# the difference between "0.71" and "0.71 +/- 0.02" is the difference
+# between a readout and a decision. The placement formulation folds on
+# the distinct-score grain: a positive's placement is the fraction of
+# negatives below it (ties count half) — exact integers in doubled
+# units from the same exclusive prefix sums the AUC rank identity
+# uses; S10/S01 are weighted variances of the two placement columns.
+
+_DELONG_GUARD = "n_pos < 2 OR n_neg < 2"
+
+_DELONG_ORACLE = f"""
+WITH s AS (
+    SELECT value AS score,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS HUGEINT) AS c_p,
+           CAST(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                AS HUGEINT) AS c_n
+    FROM events WHERE value IS NOT NULL GROUP BY value
+), grid AS (
+    SELECT c_p, c_n,
+           COALESCE(SUM(c_p) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_pb,
+           COALESCE(SUM(c_n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_nb
+    FROM s
+), tot AS (
+    SELECT CAST(SUM(c_p) AS BIGINT) AS n_pos,
+           CAST(SUM(c_n) AS BIGINT) AS n_neg
+    FROM s
+), placed AS (
+    -- doubled placements: v10x2 = 2*neg_below + neg_tied (per positive),
+    -- v01x2 = 2*pos_above + pos_tied (per negative)
+    SELECT c_p, c_n,
+           2 * cum_nb + c_n AS v10x2,
+           2 * ((SELECT n_pos FROM tot) - cum_pb - c_p) + c_p AS v01x2
+    FROM grid
+), mom AS (
+    SELECT (SELECT n_pos FROM tot) AS n_pos,
+           (SELECT n_neg FROM tot) AS n_neg,
+           SUM(c_p * v10x2) AS sp1, SUM(c_p * v10x2 * v10x2) AS sp2,
+           SUM(c_n * v01x2) AS sn1, SUM(c_n * v01x2 * v01x2) AS sn2
+    FROM placed
+), fin AS (
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST(sp1 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc,
+           CASE WHEN n_pos > 1 AND n_neg > 0 THEN
+               (CAST(sp2 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n_pos)
+               / (n_pos - 1) / (4.0 * n_neg * n_neg)
+           ELSE NULL END AS s10,
+           CASE WHEN n_neg > 1 AND n_pos > 0 THEN
+               (CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * sn1 / n_neg)
+               / (n_neg - 1) / (4.0 * n_pos * n_pos)
+           ELSE NULL END AS s01
+    FROM mom
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE ROUND(auc, 6) END AS auc,
+       CASE WHEN {_DELONG_GUARD} THEN NULL
+            ELSE ROUND(SQRT(s10 / n_pos + s01 / n_neg), 6) END AS se,
+       CASE WHEN {_DELONG_GUARD} THEN NULL
+            ELSE ROUND(auc - 1.959964 * SQRT(s10 / n_pos + s01 / n_neg), 6)
+       END AS ci_lo,
+       CASE WHEN {_DELONG_GUARD} THEN NULL
+            ELSE ROUND(auc + 1.959964 * SQRT(s10 / n_pos + s01 / n_neg), 6)
+       END AS ci_hi
+FROM fin
+"""
+
+
+@register(
+    "ml_eval_auc_delong_ci",
+    oracle=_DELONG_ORACLE,
+    tags=("ml", "eval"),
+)
+def ml_eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong (1988) nonparametric CI for the ROC AUC of value as a
+    purchase-vs-rest score — the uncertainty `ml_eval_auc_roc`'s point
+    estimate lacks. Placement formulation: each positive's placement
+    is the fraction of negatives scored below it (ties half), each
+    negative's the fraction of positives above; AUC is the mean of
+    either column and SE² = S10/n₁ + S01/n₀ over their sample
+    variances. Placements stay EXACT integers in doubled units on the
+    distinct-score grain (the same exclusive prefix sums as the AUC
+    rank identity — one running_sums pass produces both classes'
+    cumulative counts), so the only doubles are the final variance
+    folds over that grain under the ROUND budget.
+
+    Scale shape: one distinct-score fold, one two-phase prefix sum,
+    one weighted-moment reduce. Degenerate classes: single-class input
+    → NULL AUC; a class with n<2 → AUC but NULL SE/CI."""
+    from recommendation_system_big_data_spark.operators.ranges import (
+        running_sums,
+    )
+
+    s = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.col("value").alias("score"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("c_p"),
+            F.count(F.when(F.col("event_type") != "purchase", 1))
+            .cast("decimal(20,0)")
+            .alias("c_n"),
+        )
+    )
+    grid = running_sums(
+        s, ["score"], {"cum_pb": ("c_p", False), "cum_nb": ("c_n", False)}
+    )
+    tot = s.agg(
+        F.sum("c_p").cast("long").alias("n_pos"),
+        F.sum("c_n").cast("long").alias("n_neg"),
+    )
+    placed = grid.crossJoin(F.broadcast(tot)).select(
+        "c_p",
+        "c_n",
+        "n_pos",
+        "n_neg",
+        F.expr("2 * cum_nb + c_n").alias("v10x2"),
+        F.expr("2 * (n_pos - cum_pb - c_p) + c_p").alias("v01x2"),
+    )
+    mom = placed.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(F.expr("c_p * v10x2")).cast("decimal(38,0)").alias("sp1"),
+        F.sum(F.expr("c_p * v10x2 * v10x2"))
+        .cast("decimal(38,0)")
+        .alias("sp2"),
+        F.sum(F.expr("c_n * v01x2")).cast("decimal(38,0)").alias("sn1"),
+        F.sum(F.expr("c_n * v01x2 * v01x2"))
+        .cast("decimal(38,0)")
+        .alias("sn2"),
+    )
+    # every division names its zero class in the guard: ANSI Spark
+    # raises DIVIDE_BY_ZERO eagerly on a single-class frame (oneday/
+    # tiny fixtures) where DuckDB would only produce a masked inf.
+    fin = mom.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE CAST(sp1 AS DOUBLE) / (2.0 * n_pos * n_neg) END"
+        ).alias("auc"),
+        F.expr(
+            "CASE WHEN n_pos > 1 AND n_neg > 0 THEN"
+            " (CAST(sp2 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n_pos)"
+            " / (n_pos - 1) / (4.0 * n_neg * n_neg) ELSE NULL END"
+        ).alias("s10"),
+        F.expr(
+            "CASE WHEN n_neg > 1 AND n_pos > 0 THEN"
+            " (CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * sn1 / n_neg)"
+            " / (n_neg - 1) / (4.0 * n_pos * n_pos) ELSE NULL END"
+        ).alias("s01"),
+    )
+    return fin.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE ROUND(auc, 6) END"
+        ).alias("auc"),
+        F.expr(
+            f"CASE WHEN {_DELONG_GUARD} THEN NULL"
+            f" ELSE ROUND(SQRT(s10 / n_pos + s01 / n_neg), 6) END"
+        ).alias("se"),
+        F.expr(
+            f"CASE WHEN {_DELONG_GUARD} THEN NULL"
+            f" ELSE ROUND(auc - 1.959964 * SQRT(s10 / n_pos + s01 / n_neg),"
+            f" 6) END"
+        ).alias("ci_lo"),
+        F.expr(
+            f"CASE WHEN {_DELONG_GUARD} THEN NULL"
+            f" ELSE ROUND(auc + 1.959964 * SQRT(s10 / n_pos + s01 / n_neg),"
+            f" 6) END"
+        ).alias("ci_hi"),
+    )

@@ -1142,3 +1142,46 @@ def test_feature_vif_matches_numpy(spark, sf_dir):
     inv = np.linalg.inv(R)
     for i, t in enumerate(names):
         assert abs(got[t]["vif"] - round(float(inv[i, i]), 4)) <= 1e-3
+
+
+def test_delong_auc_ci_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        ml_eval_auc_delong_ci,
+    )
+
+    x, y = _values_by_class(spark, sf_dir)  # positives, negatives
+    n1, n0 = len(x), len(y)
+    got = ml_eval_auc_delong_ci(spark, sf_dir).collect()[0]
+    assert got["n_pos"] == n1 and got["n_neg"] == n0
+    if n1 == 0 or n0 == 0:
+        assert got["auc"] is None
+        return
+    import bisect
+
+    ys = sorted(y)
+    xs = sorted(x)
+    v10 = [
+        (bisect.bisect_left(ys, xi)
+         + 0.5 * (bisect.bisect_right(ys, xi) - bisect.bisect_left(ys, xi)))
+        / n0
+        for xi in x
+    ]
+    v01 = [
+        ((n1 - bisect.bisect_right(xs, yi))
+         + 0.5 * (bisect.bisect_right(xs, yi) - bisect.bisect_left(xs, yi)))
+        / n1
+        for yi in y
+    ]
+    auc = sum(v10) / n1
+    assert abs(got["auc"] - round(auc, 6)) <= 1e-5
+    if n1 < 2 or n0 < 2:
+        assert got["se"] is None
+        return
+    m10 = sum(v10) / n1
+    m01 = sum(v01) / n0
+    s10 = sum((v - m10) ** 2 for v in v10) / (n1 - 1)
+    s01 = sum((v - m01) ** 2 for v in v01) / (n0 - 1)
+    se = math.sqrt(s10 / n1 + s01 / n0)
+    assert abs(got["se"] - round(se, 6)) <= 1e-5
+    assert abs(got["ci_lo"] - round(auc - 1.959964 * se, 6)) <= 1e-5
+    assert abs(got["ci_hi"] - round(auc + 1.959964 * se, 6)) <= 1e-5
