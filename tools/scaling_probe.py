@@ -173,6 +173,7 @@ PROBES = [
     ("ts_newey_west_slope", 10.0),
     ("stat_nemenyi_posthoc", 10.0),
     ("ml_feature_vif", 10.0),
+    ("ml_eval_auc_delong_ci", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
