@@ -6863,13 +6863,13 @@ _WSR_GUARD = (
 _WSR_ORACLE = f"""
 WITH per_user AS (
     SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'click'
-                         THEN CAST(value AS DECIMAL(18,6)) END)
-                * 1000000 AS HUGEINT) AS s_c,
+           SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value * 1000000) AS HUGEINT) END)
+               AS s_c,
            COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_c,
-           CAST(SUM(CASE WHEN event_type = 'view'
-                         THEN CAST(value AS DECIMAL(18,6)) END)
-                * 1000000 AS HUGEINT) AS s_v,
+           SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(FLOOR(value * 1000000) AS HUGEINT) END)
+               AS s_v,
            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_v
     FROM events WHERE value IS NOT NULL
     GROUP BY user_id
@@ -6920,10 +6920,13 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     midranks with the t(t²−1)/48 variance correction.
 
     Exactness: the paired difference is computed in integer
-    micro-units by truncating integer division of the exact decimal
-    sums (sign-split so `div`/`//` truncation agrees on negatives) —
-    a double subtraction here would let a last-ulp disagreement flip
-    a tie block. W+ rides in doubled rank units (exact integers
+    micro-units: values FLOOR-quantize to micros per row (the COVERAGE
+    r10 convention — a double->DECIMAL CAST here would ride Spark's
+    shortest-repr HALF_UP against DuckDB's exact-binary rounding, a
+    probed midpoint-class divergence), exact integer sums, then
+    sign-split truncating division so `div`/`//` agree on negatives —
+    a double subtraction would let a last-ulp disagreement flip a tie
+    block. W+ rides in doubled rank units (exact integers
     through the distinct-|d| prefix sum); one shared z expression at
     the exit. Scale shape: one groupBy(user) fold, one distinct-grain
     prefix sum (running_sums), one reduce. Degenerate classes: no
@@ -6939,15 +6942,13 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.expr(
-                "CAST(SUM(CASE WHEN event_type = 'click'"
-                " THEN CAST(value AS DECIMAL(18,6)) END)"
-                " * 1000000 AS DECIMAL(38,0))"
+                "SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(FLOOR(value * 1000000) AS DECIMAL(38,0)) END)"
             ).alias("s_c"),
             F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
             F.expr(
-                "CAST(SUM(CASE WHEN event_type = 'view'"
-                " THEN CAST(value AS DECIMAL(18,6)) END)"
-                " * 1000000 AS DECIMAL(38,0))"
+                "SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(FLOOR(value * 1000000) AS DECIMAL(38,0)) END)"
             ).alias("s_v"),
             F.count(F.when(F.col("event_type") == "view", 1)).alias("n_v"),
         )
@@ -7013,13 +7014,13 @@ _SIGN_GUARD = "n < 1"
 _SIGN_ORACLE = f"""
 WITH per_user AS (
     SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'click'
-                         THEN CAST(value AS DECIMAL(18,6)) END)
-                * 1000000 AS HUGEINT) AS s_c,
+           SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value * 1000000) AS HUGEINT) END)
+               AS s_c,
            COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_c,
-           CAST(SUM(CASE WHEN event_type = 'view'
-                         THEN CAST(value AS DECIMAL(18,6)) END)
-                * 1000000 AS HUGEINT) AS s_v,
+           SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(FLOOR(value * 1000000) AS HUGEINT) END)
+               AS s_v,
            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_v
     FROM events WHERE value IS NOT NULL
     GROUP BY user_id
@@ -7069,15 +7070,13 @@ def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.expr(
-                "CAST(SUM(CASE WHEN event_type = 'click'"
-                " THEN CAST(value AS DECIMAL(18,6)) END)"
-                " * 1000000 AS DECIMAL(38,0))"
+                "SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(FLOOR(value * 1000000) AS DECIMAL(38,0)) END)"
             ).alias("s_c"),
             F.count(F.when(F.col("event_type") == "click", 1)).alias("n_c"),
             F.expr(
-                "CAST(SUM(CASE WHEN event_type = 'view'"
-                " THEN CAST(value AS DECIMAL(18,6)) END)"
-                " * 1000000 AS DECIMAL(38,0))"
+                "SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(FLOOR(value * 1000000) AS DECIMAL(38,0)) END)"
             ).alias("s_v"),
             F.count(F.when(F.col("event_type") == "view", 1)).alias("n_v"),
         )

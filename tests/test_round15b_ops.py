@@ -710,36 +710,26 @@ def test_logistic_irls_matches_numpy(spark, sf_dir):
 
 
 def _paired_micro_diffs(spark, sf_dir):
-    from decimal import Decimal
-
     rows = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("user_id", "event_type", "value")
         .where("value IS NOT NULL")
         .collect()
     )
-    per = defaultdict(lambda: [Decimal(0), 0, Decimal(0), 0])
+    per = defaultdict(lambda: [0, 0, 0, 0])
     for r in rows:
         e = per[r["user_id"]]
         if r["event_type"] == "click":
-            e[0] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+            e[0] += math.floor(r["value"] * 1000000)
             e[1] += 1
         if r["event_type"] == "view":
-            e[2] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+            e[2] += math.floor(r["value"] * 1000000)
             e[3] += 1
     ds = []
     for s_c, n_c, s_v, n_v in per.values():
         if n_c > 0 and n_v > 0:
-            a = (
-                int(s_c * 1000000) // n_c
-                if s_c >= 0
-                else -((-int(s_c * 1000000)) // n_c)
-            )
-            b = (
-                int(s_v * 1000000) // n_v
-                if s_v >= 0
-                else -((-int(s_v * 1000000)) // n_v)
-            )
+            a = s_c // n_c if s_c >= 0 else -((-s_c) // n_c)
+            b = s_v // n_v if s_v >= 0 else -((-s_v) // n_v)
             ds.append(a - b)
     return ds
 
