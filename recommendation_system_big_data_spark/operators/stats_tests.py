@@ -6088,8 +6088,8 @@ def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Nelson-Aalen cumulative hazard ----------------------------------------
 # The hazard-scale twin of ml_kaplan_meier on the same conversion
-# clock: H(t) = sum_{ti<=t} d_i/n_i with Poisson-type variance
-# sum d_i*(n_i-d_i)/n_i^3. Total where KM's product hits zero (H just
+# clock: H(t) = sum_{ti<=t} d_i/n_i with the binomial (Klein 1991)
+# variance sum d_i*(n_i-d_i)/n_i^3. Total where KM's product hits zero (H just
 # grows), and the natural input to hazard-ratio eyeballing before a
 # formal stat_logrank_test readout.
 
@@ -6139,7 +6139,7 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative-hazard estimator on the conversion clock
     shared with `ml_kaplan_meier` / `stat_logrank_test` (hours from
     first event to first purchase, right-censored at last event):
-    H(t) = Σ d/n with variance Σ d(n−d)/n³. KM's product-limit S(t)
+    H(t) = Σ d/n with the binomial (Klein) variance Σ d(n−d)/n³. KM's product-limit S(t)
     collapses to exactly 0 the moment every at-risk subject converts
     (its zero-factor guard); H keeps resolving the hazard structure
     past that point, and exp(−H) is the Fleming-Harrington survival
