@@ -2520,3 +2520,101 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("err_acc10k_micros"),
     )
     return rows
+
+
+# --- Functional-dependency audit -------------------------------------------
+# Metanome/Tane-style FD verification for a declared candidate list:
+# for each lhs -> rhs candidate, the g3 error is the minimum fraction
+# of rows to delete for the FD to hold exactly —
+# g3 = (n_rows - sum_lhs max_rhs_count) / n_rows — computed from one
+# (lhs, rhs) count fold + one (lhs) max fold per candidate. A mix of
+# holding (PK-implied) and violated candidates makes the readout
+# non-vacuous in both directions.
+
+_FD_CANDIDATES = (
+    # (name, table, lhs, rhs) — two that hold by key structure, three
+    # that genuinely fail on TPC-H-shaped data
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("customer.c_custkey->c_mktsegment", "customer", "c_custkey",
+     "c_mktsegment"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey",
+     "l_suppkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+)
+
+
+def _fd_candidate_sql(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{name}' AS candidate,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(total) AS BIGINT) AS n_rows,
+       CAST(SUM(total - mx) AS BIGINT) AS n_violating_rows,
+       ROUND(CAST(SUM(total - mx) AS DOUBLE) / SUM(total), 6) AS g3_error,
+       CAST(SUM(total - mx) = 0 AS BIGINT) AS holds
+FROM (
+    SELECT {lhs}, SUM(c) AS total, MAX(c) AS mx
+    FROM (
+        SELECT {lhs}, {rhs}, CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} WHERE {lhs} IS NOT NULL
+        GROUP BY {lhs}, {rhs}
+    ) GROUP BY {lhs}
+)"""
+
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    _fd_candidate_sql(*cand) for cand in _FD_CANDIDATES
+) + "\nORDER BY candidate"
+
+
+@register("profile_fd_audit", oracle=_FD_ORACLE, tags=("profile", "quality"))
+def profile_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over a declared candidate list — the
+    schema-profiling capability (Metanome/Tane's verification step)
+    that tells a pipeline which column determinations it may rely on:
+    g3 error = minimum row fraction to delete for lhs → rhs to hold
+    exactly, Σ_lhs (group − max-agreeing-rhs) / n. Candidates mix
+    PK-implied FDs (must hold, holds=1 is a data-integrity assertion)
+    with genuinely violated ones (g3 > 0 readouts), so neither branch
+    is vacuous. `fk_integrity_report` checks INTER-table references;
+    this checks INTRA-table determinations.
+
+    Scale shape per candidate: one map-side-combined (lhs, rhs) count
+    fold, one (lhs) max/total fold, one 1-row reduce — all shuffles on
+    the lhs key; candidates union at the 1-row grain. NULL lhs rows
+    are excluded (an FD is a statement about present keys, the SQL
+    standard's treatment)."""
+    outs = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        t = load(spark, sf_dir, table).where(F.col(lhs).isNotNull())
+        pair = t.groupBy(lhs, rhs).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        grp = pair.groupBy(lhs).agg(
+            F.sum("c").alias("total"), F.max("c").alias("mx")
+        )
+        outs.append(
+            grp.agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum("total").cast("long").alias("n_rows"),
+                F.sum(F.expr("total - mx"))
+                .cast("long")
+                .alias("n_violating_rows"),
+                F.round(
+                    F.expr(
+                        "CAST(SUM(total - mx) AS DOUBLE) / SUM(total)"
+                    ),
+                    6,
+                ).alias("g3_error"),
+                F.expr(
+                    "CAST(SUM(total - mx) = 0 AS BIGINT)"
+                ).alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("candidate")

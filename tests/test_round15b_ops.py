@@ -1175,3 +1175,35 @@ def test_delong_auc_ci_matches_sequential(spark, sf_dir):
     assert abs(got["se"] - round(se, 6)) <= 1e-5
     assert abs(got["ci_lo"] - round(auc - 1.959964 * se, 6)) <= 1e-5
     assert abs(got["ci_hi"] - round(auc + 1.959964 * se, 6)) <= 1e-5
+
+
+def test_fd_audit_matches_sequential(spark, sf_dir):
+    from recommendation_system_big_data_spark.operators.profile import (
+        _FD_CANDIDATES,
+        profile_fd_audit,
+    )
+
+    got = {r["candidate"]: r for r in profile_fd_audit(spark, sf_dir).collect()}
+    assert len(got) == len(_FD_CANDIDATES)
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        rows = (
+            spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            .select(lhs, rhs)
+            .collect()
+        )
+        pair = Counter(
+            (r[lhs], r[rhs]) for r in rows if r[lhs] is not None
+        )
+        total = Counter()
+        mx = Counter()
+        for (l, _), c in pair.items():
+            total[l] += c
+            mx[l] = max(mx[l], c)
+        n_rows = sum(total.values())
+        viol = sum(total[l] - mx[l] for l in total)
+        row = got[name]
+        assert row["n_groups"] == len(total)
+        assert row["n_rows"] == n_rows
+        assert row["n_violating_rows"] == viol
+        assert row["holds"] == (1 if viol == 0 else 0)
+        assert abs(row["g3_error"] - round(viol / n_rows, 6)) <= 1e-9

@@ -174,6 +174,7 @@ PROBES = [
     ("stat_nemenyi_posthoc", 10.0),
     ("ml_feature_vif", 10.0),
     ("ml_eval_auc_delong_ci", 10.0),
+    ("profile_fd_audit", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
