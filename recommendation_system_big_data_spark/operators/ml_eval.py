@@ -5308,3 +5308,148 @@ def ml_eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 6) END"
         ).alias("ci_hi"),
     )
+
+
+# --- Frequent sequential patterns (PrefixSpan) -----------------------------
+# The pattern-mining family was absent: basket_rules_lift hand-rolls
+# PAIRWISE association rules, but frequent SEQUENCES (ordered journey
+# motifs like view->click->purchase) need PrefixSpan's projected-
+# database recursion — MLlib ships it distributed (ml.fpm.PrefixSpan,
+# the same library precedent as the ALS pipeline). Sequences are each
+# user's JOURNEY PREFIX — the first _PSPAN_MAX_EVENTS event types by
+# (ts, event_id). The prefix cap is analytical, not just a bound: on
+# an always-active corpus every short motif is a subsequence of every
+# FULL history (all 155 candidates pass at any support — vacuous);
+# 5-event prefixes make support discriminative (12/155 at 0.3).
+
+_PSPAN_MIN_SUPPORT = 0.3
+_PSPAN_MAX_LEN = 3
+_PSPAN_MAX_EVENTS = 5
+
+
+@register("sequence_prefixspan", oracle=None, tags=("ml", "sequence"))
+def sequence_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns of user event types via MLlib
+    PrefixSpan (minSupport 0.3, maxPatternLength 3): WHICH journey
+    motifs are common — the ordered counterpart of
+    `basket_rules_lift`'s co-occurrence rules and the data-driven
+    input to funnel design (`funnel_window_gap` checks a DECLARED
+    funnel; this discovers candidates). Each user contributes their
+    JOURNEY PREFIX — the first 5 events by (ts, event_id) as
+    single-item itemsets: on an always-active corpus, full histories
+    contain every short motif (all 155 candidates frequent at any
+    reasonable support — a vacuous readout the landing check caught);
+    prefixes ask the discriminative question "how do journeys START"
+    and also bound every projected database by construction.
+
+    Scale: PrefixSpan's projected-database passes are MLlib-
+    distributed (the local-processing threshold keeps small
+    projections on executors); the sequence build is one keyed window
+    + groupBy(user). Deterministic given the corpus (support counts
+    are exact; output ordered by support desc, then pattern string).
+    ⊘ rows-only: recursive pattern growth isn't single-statement SQL;
+    the differential gate enumerates ALL length-≤3 patterns over the
+    5-symbol alphabet and counts subsequence support sequentially
+    (tests/test_round15b_ops.py)."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PSPAN_MAX_EVENTS)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=_PSPAN_MIN_SUPPORT,
+        maxPatternLength=_PSPAN_MAX_LEN,
+        maxLocalProjDBSize=32_000_000,
+    )
+    res = ps.findFrequentSequentialPatterns(seqs)
+    return res.select(
+        F.expr(
+            "array_join(transform(sequence, x -> array_join(x, '+')), '>')"
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("support_count"),
+    ).orderBy(F.desc("support_count"), F.asc("pattern"))
+
+
+# --- Frequent itemsets (FP-Growth) -----------------------------------------
+# The unordered half of the pattern-mining family: basket_rules_lift
+# hand-rolls PAIRWISE lift; FP-Growth mines frequent itemsets of ANY
+# size without candidate generation (conditional FP-tree recursion,
+# MLlib-distributed). Baskets are each order's distinct part set.
+
+#: ABSOLUTE support floor (orders). A fractional floor cannot stay
+#: non-vacuous across scale factors here: the part catalog grows with
+#: the corpus, so pair co-occurrence support DILUTES (max pair count 5
+#: at both sf0.001 and sf0.01 while n_orders grows 10x — 0.2% passes
+#: 433 pairs at sf0.001 and ZERO at sf0.01). MLlib takes a fraction,
+#: so the op computes n_orders first and passes _FPG_MIN_COUNT / n.
+_FPG_MIN_COUNT = 3
+
+
+@register("basket_fpgrowth", oracle=None, tags=("ml", "olap"))
+def basket_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part itemsets over order baskets via MLlib FP-Growth
+    (absolute support >= 3 orders): the general-size completion of
+    `basket_rules_lift`'s pairwise rules — FP-Growth's conditional-
+    tree recursion finds ALL frequent itemsets without enumerating
+    candidates, which is the only shape that survives wide baskets at
+    scale. Baskets are distinct part sets per order (one groupBy).
+
+    Scale: MLlib's distributed FP-Growth partitions conditional trees
+    by item suffix (the PFP paper's shape); the basket build is one
+    map-side-combined fold. Deterministic given the corpus: exact
+    support counts, items within an itemset sorted, output ordered by
+    (support desc, itemset string). ⊘ rows-only: variable-size
+    itemset recursion isn't single-statement SQL; the differential
+    gate runs a sequential apriori over the collected baskets and
+    must match the (itemset, support) table cell-exactly."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    n_orders = baskets.count()
+    if n_orders < _FPG_MIN_COUNT:
+        # fewer baskets than the absolute floor: nothing can qualify,
+        # and 3/n would exceed MLlib's [0,1] minSupport domain (tiny
+        # fixture catch).
+        return spark.createDataFrame(
+            [], "itemset string, itemset_size int, support_count bigint"
+        )
+    fp = FPGrowth(
+        itemsCol="items",
+        # epsilon keeps float truncation from excluding exact-count-3
+        minSupport=max(_FPG_MIN_COUNT / n_orders - 1e-12, 1e-12),
+        minConfidence=0.1,
+    )
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets
+        # singleton itemsets are plain part frequencies
+        # (agg_topk_categories territory) and would crowd the readout:
+        # keep the associative sizes, every one of them.
+        .where(F.size("items") >= 2)
+        .select(
+            F.expr(
+                "array_join(transform(array_sort(items),"
+                " x -> CAST(x AS STRING)), '+')"
+            ).alias("itemset"),
+            F.size("items").alias("itemset_size"),
+            F.col("freq").cast("long").alias("support_count"),
+        )
+        .orderBy(F.desc("support_count"), F.asc("itemset"))
+    )

@@ -1207,3 +1207,95 @@ def test_fd_audit_matches_sequential(spark, sf_dir):
         assert row["n_violating_rows"] == viol
         assert row["holds"] == (1 if viol == 0 else 0)
         assert abs(row["g3_error"] - round(viol / n_rows, 6)) <= 1e-9
+
+
+def test_prefixspan_matches_exhaustive_enumeration(spark, sf_dir):
+    from itertools import product
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _PSPAN_MAX_EVENTS,
+        _PSPAN_MAX_LEN,
+        _PSPAN_MIN_SUPPORT,
+        sequence_prefixspan,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    seqs = []
+    for v in per.values():
+        v.sort()
+        seqs.append([t for _, _, t in v[:_PSPAN_MAX_EVENTS]])
+    n = len(seqs)
+    types = sorted({t for s in seqs for t in s})
+
+    def contains(seq, pat):
+        i = 0
+        for s in seq:
+            if i < len(pat) and s == pat[i]:
+                i += 1
+        return i == len(pat)
+
+    want = {}
+    for L in range(1, _PSPAN_MAX_LEN + 1):
+        for pat in product(types, repeat=L):
+            c = sum(contains(s, pat) for s in seqs)
+            if c >= _PSPAN_MIN_SUPPORT * n:
+                want[">".join(pat)] = c
+    got = {
+        r["pattern"]: r["support_count"]
+        for r in sequence_prefixspan(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_fpgrowth_matches_sequential_apriori(spark, sf_dir):
+    from itertools import combinations
+
+    from recommendation_system_big_data_spark.operators.ml_eval import (
+        _FPG_MIN_COUNT,
+        basket_fpgrowth,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    baskets = [frozenset(b) for b in baskets.values()]
+    # level-wise apriori, sizes >= 2 (the op excludes singletons)
+    freq_prev = {
+        frozenset([i])
+        for i in {x for b in baskets for x in b}
+        if sum(1 for b in baskets if i in b) >= _FPG_MIN_COUNT
+    }
+    want = {}
+    size = 2
+    while freq_prev:
+        cands = {
+            a | b
+            for a in freq_prev
+            for b in freq_prev
+            if len(a | b) == size
+        }
+        freq_now = set()
+        for c in cands:
+            sup = sum(1 for b in baskets if c <= b)
+            if sup >= _FPG_MIN_COUNT:
+                freq_now.add(c)
+                want["+".join(str(x) for x in sorted(c))] = sup
+        freq_prev = freq_now
+        size += 1
+    got = {
+        r["itemset"]: r["support_count"]
+        for r in basket_fpgrowth(spark, sf_dir).collect()
+    }
+    assert got == want

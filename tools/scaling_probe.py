@@ -175,6 +175,8 @@ PROBES = [
     ("ml_feature_vif", 10.0),
     ("ml_eval_auc_delong_ci", 10.0),
     ("profile_fd_audit", 10.0),
+    ("sequence_prefixspan", 10.0),
+    ("basket_fpgrowth", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
