@@ -199,3 +199,136 @@ def test_wilcoxon_and_sign_random_tie_heavy(spark, tmp_path, seed):
             / math.sqrt(m)
         )
         assert abs(got_s["z_stat"] - round(z, 6)) <= 1e-6
+
+
+@pytest.mark.parametrize("seed,censor_frac", [(21, 0.3), (22, 0.6), (23, 1.0)])
+def test_survival_family_with_real_censoring(spark, tmp_path, seed,
+                                             censor_frac):
+    """Every user in the driver corpus purchases, so the CENSORING
+    branch of the registered survival operators never executes on
+    fixture data (the shared kaplan_meier_curve kernel is property-
+    tested, but stat_logrank_test / survival_nelson_aalen carry their
+    own labeled-frame construction). These seeds make 30%/60%/100% of
+    users purchase-free and require the full operators to match
+    sequential life-table replicas — including the all-censored seed
+    where every statistic must go NULL/empty-tail rather than raise."""
+    import datetime
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_logrank_test,
+        survival_nelson_aalen,
+    )
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    n_users = 14
+    for u in range(n_users):
+        purchases = rng.random() >= censor_frac
+        n_ev = rng.randrange(3, 12)
+        for i in range(n_ev):
+            if purchases and i == n_ev - 2:
+                et = "purchase"
+            else:
+                et = rng.choice(["click", "view", "error"])
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(
+                        hours=u * 3 + i * rng.randrange(1, 30)
+                    ),
+                    u,
+                    et,
+                    round(rng.random() * 100, 2),
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    out = f"{tmp_path}/events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    sf = str(tmp_path)
+
+    # sequential conversion-clock frame
+    per = {}
+    for r in rows:
+        _, ts, u, et, _, _ = r
+        e = per.setdefault(u, {"t0": ts, "fp": None, "last": ts, "ec": 0})
+        e["ec"] += 1
+        if ts < e["t0"]:
+            e["t0"] = ts
+        if ts > e["last"]:
+            e["last"] = ts
+        if et == "purchase" and (e["fp"] is None or ts < e["fp"]):
+            e["fp"] = ts
+    subj = []
+    nu = len(per)
+    te = sum(e["ec"] for e in per.values())
+    for e in per.values():
+        end = e["fp"] if e["fp"] is not None else e["last"]
+        us = int((end - e["t0"]).total_seconds() * 1_000_000)
+        subj.append(
+            (
+                us // 3_600_000_000,
+                1 if e["ec"] * nu >= te else 0,
+                1 if e["fp"] is not None else 0,
+            )
+        )
+    n_censored = sum(1 for _, _, d in subj if d == 0)
+    assert censor_frac == 0 or n_censored > 0 or censor_frac < 0.4
+
+    # Nelson-Aalen replica
+    times = sorted({t for t, _, _ in subj})
+    at_risk = len(subj)
+    H = 0.0
+    want_na = {}
+    for t in times:
+        d = sum(1 for tt, _, dd in subj if tt == t and dd == 1)
+        c = sum(1 for tt, _, dd in subj if tt == t and dd == 0)
+        if at_risk > 0:
+            H += d / at_risk
+            want_na[t] = (at_risk, d, round(H, 6))
+        at_risk -= d + c
+    got_na = {
+        r["duration_hours"]: (
+            r["n_at_risk"], r["n_deaths"], r["cum_hazard"]
+        )
+        for r in survival_nelson_aalen(spark, sf).collect()
+    }
+    assert set(got_na) == set(want_na)
+    for t in want_na:
+        assert got_na[t][0] == want_na[t][0]
+        assert got_na[t][1] == want_na[t][1]
+        assert abs(got_na[t][2] - want_na[t][2]) <= 1e-5
+
+    # log-rank replica
+    r1 = sum(1 for _, g, _ in subj if g == 1)
+    r0 = len(subj) - r1
+    O1 = E1 = V = 0.0
+    rr1, rr0 = r1, r0
+    for t in times:
+        d1 = sum(1 for tt, g, d in subj if tt == t and g == 1 and d == 1)
+        c1 = sum(1 for tt, g, d in subj if tt == t and g == 1 and d == 0)
+        d0 = sum(1 for tt, g, d in subj if tt == t and g == 0 and d == 1)
+        c0 = sum(1 for tt, g, d in subj if tt == t and g == 0 and d == 0)
+        d, n = d1 + d0, rr1 + rr0
+        if d > 0 and rr1 > 0 and rr0 > 0:
+            O1 += d1
+            E1 += d * rr1 / n
+            if n > 1:
+                V += d * rr1 * rr0 * (n - d) / (n * n * (n - 1))
+        rr1 -= d1 + c1
+        rr0 -= d0 + c0
+    got_lr = stat_logrank_test(spark, sf).collect()[0]
+    assert got_lr["n_treat"] == r1 and got_lr["n_ctrl"] == r0
+    assert got_lr["observed_treat"] == int(O1)
+    assert abs(got_lr["expected_treat"] - round(E1, 6)) <= 1e-5
+    if V > 0:
+        assert abs(got_lr["chi2_stat"] - round((O1 - E1) ** 2 / V, 4)) <= 1e-3
+    else:
+        assert got_lr["chi2_stat"] is None
