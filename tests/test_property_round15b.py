@@ -324,6 +324,39 @@ def test_survival_family_with_real_censoring(spark, tmp_path, seed,
                 V += d * rr1 * rr0 * (n - d) / (n * n * (n - 1))
         rr1 -= d1 + c1
         rr0 -= d0 + c0
+    # Kaplan-Meier on the same frame (shared clock; zero-factor guard
+    # must coexist with a censored tail)
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        ml_kaplan_meier,
+    )
+
+    at_risk = len(subj)
+    km_s = 1.0
+    want_km = {}
+    zeroed = False
+    for t in times:
+        d = sum(1 for tt, _, dd in subj if tt == t and dd == 1)
+        c = sum(1 for tt, _, dd in subj if tt == t and dd == 0)
+        if at_risk > 0:
+            if d >= at_risk:
+                zeroed = True
+            if zeroed:
+                km_s = 0.0
+            else:
+                km_s *= 1.0 - d / at_risk
+            want_km[t] = (at_risk, d, c, round(km_s, 6))
+        at_risk -= d + c
+    got_km = {
+        r["duration_hours"]: (
+            r["n_at_risk"], r["n_deaths"], r["n_censored"], r["survival"]
+        )
+        for r in ml_kaplan_meier(spark, sf).collect()
+    }
+    assert set(got_km) == set(want_km)
+    for t in want_km:
+        assert got_km[t][:3] == want_km[t][:3]
+        assert abs(got_km[t][3] - want_km[t][3]) <= 1e-5
+
     got_lr = stat_logrank_test(spark, sf).collect()[0]
     assert got_lr["n_treat"] == r1 and got_lr["n_ctrl"] == r0
     assert got_lr["observed_treat"] == int(O1)
