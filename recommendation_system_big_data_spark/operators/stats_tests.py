@@ -7560,3 +7560,140 @@ def stat_nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {_NEMENYI_CD} AS BIGINT) END"
         ).alias("reject_5pct"),
     ).orderBy("type_a", "type_b")
+
+
+# --- Partial correlation ----------------------------------------------------
+# First-order partial correlation of engagement intensity and average
+# spend CONTROLLING for purchase propensity:
+#   r_xy.z = (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2)),
+# with the Fisher-z significance test at n - 3 effective dof. The
+# confounder-adjusted pairwise readout that a raw agg_corr_matrix
+# cannot give, and the bivariate sibling of ml_feature_vif's
+# whole-matrix collinearity screen.
+
+_PCORR = (
+    "((r_xy - r_xz * r_yz)"
+    " / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)))"
+)
+_PCORR_GUARD = (
+    "r_xy IS NULL OR r_xz IS NULL OR r_yz IS NULL OR n < 4"
+    " OR (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) <= 1e-12"
+)
+#: Fisher z of the partial r, SE 1/sqrt(n - 3 - 1) (one conditioning
+#: variable); |z| > 1.96 rejects zero partial correlation.
+_PCORR_Z = (
+    f"(0.5 * LN((1.0 + {_PCORR}) / (1.0 - {_PCORR}))"
+    f" * SQRT(CAST(n AS DOUBLE) - 4.0))"
+)
+
+
+def _pcorr_corr(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN (s{a}{a} - n * m{a} * m{a}) <= 0"
+        f" OR (s{b}{b} - n * m{b} * m{b}) <= 0 THEN NULL"
+        f" ELSE (s{a}{b} - n * m{a} * m{b})"
+        f" / SQRT((s{a}{a} - n * m{a} * m{a})"
+        f" * (s{b}{b} - n * m{b} * m{b})) END)"
+    )
+
+
+_PCORR_ORACLE = f"""
+WITH feats AS (
+    SELECT LN(1.0 + COUNT(*)) AS x,
+           COALESCE(AVG(value), 0.0) AS y,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS z
+    FROM events GROUP BY user_id
+), mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           AVG(x) AS mx, AVG(y) AS my, AVG(z) AS mz,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+           SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+    FROM feats
+), corr AS (
+    SELECT n,
+           {_pcorr_corr('x', 'y')} AS r_xy,
+           {_pcorr_corr('x', 'z')} AS r_xz,
+           {_pcorr_corr('y', 'z')} AS r_yz
+    FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(r_xy, 6) AS r_raw,
+       CASE WHEN {_PCORR_GUARD} THEN NULL
+            ELSE ROUND({_PCORR}, 6) END AS r_partial,
+       CASE WHEN {_PCORR_GUARD} OR ABS({_PCORR}) >= 1.0 THEN NULL
+            ELSE ROUND({_PCORR_Z}, 4) END AS fisher_z,
+       CASE WHEN {_PCORR_GUARD} OR ABS({_PCORR}) >= 1.0 THEN NULL
+            ELSE CAST(ABS(ROUND({_PCORR_Z}, 4)) > 1.9600 AS BIGINT)
+       END AS reject_5pct
+FROM corr
+"""
+
+
+@register(
+    "stat_partial_correlation",
+    oracle=_PCORR_ORACLE,
+    tags=("profile",),
+)
+def stat_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation: does engagement intensity
+    (ln(1+events)) correlate with average spend ONCE purchase
+    propensity is controlled for? The confounder-adjusted readout the
+    raw `agg_corr_matrix` cannot give — a strong r_raw with a near-
+    zero r_partial is the classic "both driven by the confounder"
+    signature. Closed form r_xy.z over the three pairwise Pearson r's;
+    Fisher z with n−4 effective dof prices it.
+
+    One groupBy(user) feature fold, ONE nine-sum moment reduce,
+    everything after on a single row with expressions shared verbatim
+    between engines (the ml_feature_vif discipline). Degenerate
+    classes: any zero-variance marginal, |r| = 1 conditioning
+    (denominator ≤ 1e-12 structural guard), or n < 4 → NULL partial
+    readouts while r_raw still reports."""
+    feats = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("LN(1.0 + COUNT(*))").alias("x"),
+            F.expr("COALESCE(AVG(value), 0.0)").alias("y"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("z"),
+        )
+    )
+    mom = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("z * z")).alias("szz"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * z")).alias("sxz"),
+        F.sum(F.expr("y * z")).alias("syz"),
+    )
+    corr = mom.select(
+        "n",
+        F.expr(_pcorr_corr("x", "y")).alias("r_xy"),
+        F.expr(_pcorr_corr("x", "z")).alias("r_xz"),
+        F.expr(_pcorr_corr("y", "z")).alias("r_yz"),
+    )
+    return corr.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round("r_xy", 6).alias("r_raw"),
+        F.expr(
+            f"CASE WHEN {_PCORR_GUARD} THEN NULL"
+            f" ELSE ROUND({_PCORR}, 6) END"
+        ).alias("r_partial"),
+        F.expr(
+            f"CASE WHEN {_PCORR_GUARD} OR ABS({_PCORR}) >= 1.0 THEN NULL"
+            f" ELSE ROUND({_PCORR_Z}, 4) END"
+        ).alias("fisher_z"),
+        F.expr(
+            f"CASE WHEN {_PCORR_GUARD} OR ABS({_PCORR}) >= 1.0 THEN NULL"
+            f" ELSE CAST(ABS(ROUND({_PCORR_Z}, 4)) > 1.9600 AS BIGINT)"
+            f" END"
+        ).alias("reject_5pct"),
+    )

@@ -176,6 +176,7 @@ _DRIVER_WINDOW_ALIASES = (
 #:      stat_lilliefors_exponential stat_ratio_metric_delta_ci
 #:      ts_breusch_pagan ts_newey_west_slope stat_nemenyi_posthoc
 #:      ml_feature_vif ml_eval_auc_delong_ci profile_fd_audit
+#:      stat_partial_correlation
 #:    (rows-only, pytest-gated: ml_logistic_irls graph_ktruss
 #:     sequence_prefixspan basket_fpgrowth)
 #: 2. then r6-vintage oracle-bearing refresh rows alphabetical to 50

@@ -1299,3 +1299,51 @@ def test_fpgrowth_matches_sequential_apriori(spark, sf_dir):
         for r in basket_fpgrowth(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_partial_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from recommendation_system_big_data_spark.operators.stats_tests import (
+        stat_partial_correlation,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0.0, 0])
+    for r in rows:
+        e = per[r["user_id"]]
+        e[0] += 1
+        if r["event_type"] == "purchase":
+            e[1] += 1
+        if r["value"] is not None:
+            e[2] += r["value"]
+            e[3] += 1
+    X = np.array(
+        [
+            [
+                math.log(1.0 + ne),
+                (sv / nv) if nv else 0.0,
+                npur / ne,
+            ]
+            for ne, npur, sv, nv in per.values()
+        ]
+    )
+    n = len(X)
+    got = stat_partial_correlation(spark, sf_dir).collect()[0]
+    assert got["n_users"] == n
+    R = np.corrcoef(X, rowvar=False)
+    r_xy, r_xz, r_yz = R[0, 1], R[0, 2], R[1, 2]
+    assert abs(got["r_raw"] - round(float(r_xy), 6)) <= 1e-5
+    den = (1 - r_xz**2) * (1 - r_yz**2)
+    if n < 4 or den <= 1e-12:
+        assert got["r_partial"] is None
+        return
+    rp = (r_xy - r_xz * r_yz) / math.sqrt(den)
+    assert abs(got["r_partial"] - round(float(rp), 6)) <= 1e-5
+    if abs(rp) < 1.0:
+        z = 0.5 * math.log((1 + rp) / (1 - rp)) * math.sqrt(n - 4.0)
+        assert abs(got["fisher_z"] - round(z, 4)) <= 1e-3

@@ -177,6 +177,7 @@ PROBES = [
     ("profile_fd_audit", 10.0),
     ("sequence_prefixspan", 10.0),
     ("basket_fpgrowth", 10.0),
+    ("stat_partial_correlation", 10.0),
 ]
 
 SF_LO = "/root/testdata/sf0.01"
