@@ -53,12 +53,75 @@ def _capped_items(li: DataFrame) -> DataFrame:
 
     The dense_rank window shuffles on l_orderkey — the same key the pair
     self-join hashes on, so the partitioning is reused and the cap adds
-    no extra exchange."""
+    no extra exchange. This row-level spelling is for consumers whose
+    edge WEIGHTS carry row multiplicity (pagerank, modularity, label
+    propagation, link-prediction support counts); DISTINCT-edge consumers
+    go through _edges_undirected/_edges_directed below, which skip the
+    window and the pair self-join entirely."""
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
     return (
         li.withColumn("irk", F.dense_rank().over(w))
         .filter(F.col("irk") <= MAX_BASKET)
         .drop("irk")
+    )
+
+
+def _order_part_sets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, parts): each order's first MAX_BASKET distinct part
+    keys as a sorted array — the set-based spelling of _capped_items for
+    DISTINCT-pair consumers (slice(array_sort(collect_set), 1, cap) keeps
+    exactly the dense_rank≤cap part values). One exchange (the groupBy
+    combiner-aggregates map-side); the window spelling pays the same
+    exchange plus a per-order sort and re-emits every fact row."""
+    return li.groupBy("l_orderkey").agg(
+        F.slice(F.array_sort(F.collect_set("l_partkey")), 1, MAX_BASKET).alias(
+            "parts"
+        )
+    )
+
+
+#: All unordered pairs u < v within each order's sorted capped part set,
+#: generated in-array (codegen, no join): element i pairs with every
+#: element after it.
+_PAIR_EXPR = (
+    "flatten(transform(parts, (x, i) -> "
+    "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
+)
+
+
+def _edges_undirected(li: DataFrame) -> DataFrame:
+    """DISTINCT undirected co-purchase edges (u < v) without the pair
+    self-join: the capped row self-join shuffles the fact scan twice and
+    emits BOTH orientations of every within-order pair into the distinct,
+    while this spelling shuffles the scan once (into _order_part_sets)
+    and feeds the distinct half the rows — each order's C(basket, 2)
+    pairs exactly once. Same edge set by construction (guide §2.3/§2.4:
+    shuffle fewer bytes, remove the second exchange outright). Consumers
+    needing per-row multiplicity must keep the self-join (_capped_items)."""
+    return (
+        _order_part_sets(li)
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+    )
+
+
+def _edges_directed(li: DataFrame) -> DataFrame:
+    """DISTINCT directed co-purchase edges (src, dst) — both orientations
+    of every undirected edge, mirrored AFTER the distinct (one explode
+    pass, not a self-union that would re-run the dedup) so the dedup
+    shuffle carries m rows instead of 2m."""
+    return (
+        _edges_undirected(li)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
     )
 
 
@@ -228,26 +291,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-sampling estimator below (graph_triangle_count_doulion), which
     is unbiased and concentrates exactly where the exact kernel is most
     expensive."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        _edges_undirected(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
-        .distinct()
-        # The fact self-join is the most expensive subtree and feeds THREE
+        # The edge build is the most expensive subtree and feeds THREE
         # consumers below (edges itself + the two degree broadcasts);
         # without a cut Spark re-evaluates it per consumer (measured ~2s
         # each at sf0.1). Same persist-the-edge-list discipline as the
-        # oriented checkpoint.
+        # adjacency checkpoint.
         .localCheckpoint()
     )
     deg = (
@@ -277,34 +329,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
     )
-    # The oriented edge list feeds both the adjacency build and the
-    # per-edge probe; materializing it — tiny next to the fact table — is
-    # exactly what a 100 TB deployment does (persist the edge list, then
-    # enumerate).
-    oriented = oriented.localCheckpoint()
+    # Materialize the ADJACENCY (src → sorted out-neighbors), not the raw
+    # oriented list: exploding nbrs reproduces every (src, dst, nbrs_u)
+    # row in-place, so the probe below needs ONE join (on dst) instead of
+    # two — the r14 plan exchanged oriented by src, and built adj twice
+    # (no exchange reuse across the two probe joins: 2 ObjectHashAggregate
+    # + 5 Exchange before, 1 + 4 after; warm-min 4.08s → 3.63s at sf0.1).
+    # Persisting the per-node index then enumerating edge-by-edge is
+    # exactly the 100 TB deployment shape.
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
-    # Inner joins are lossless here: an endpoint missing from adj has no
+    ).localCheckpoint()
+    # The inner join is lossless here: a dst missing from adj has no
     # out-neighbors, so its intersection is empty — the edge closes no
     # triangle either way.
-    tri_w = (
-        oriented.join(
-            adj.select(
-                F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")
-            ),
-            F.col("src") == F.col("u_key"),
-        )
-        .join(
-            adj.select(
-                F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")
-            ),
-            F.col("dst") == F.col("v_key"),
-        )
-        .select(
-            "src", "dst", F.array_intersect("nbrs_u", "nbrs_v").alias("ws")
-        )
+    left = adj.select(
+        "src", F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("dst")
     )
+    tri_w = left.join(
+        adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")),
+        F.col("dst") == F.col("v_key"),
+    ).select("src", "dst", F.array_intersect("nbrs_u", "nbrs_v").alias("ws"))
     return (
         tri_w.select("src", "dst", F.explode("ws").alias("w"))
         .select(F.explode(F.array("src", "dst", "w")).alias("node"))
@@ -349,21 +394,8 @@ def graph_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_bucket,
     )
 
-    li = _capped_items(
+    edges = _edges_undirected(
         load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
-        .distinct()
     )
     # The DOULION coin: deterministic per-edge keep/drop at rate p.
     kept = edges.filter(
@@ -392,6 +424,10 @@ def graph_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
         .localCheckpoint()
+        # MERGE hint vetoes the misestimate-driven broadcast of the
+        # oriented edge list into its own wedge self-join — see
+        # graph_bfs_hops.
+        .hint("merge")
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
@@ -458,30 +494,34 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     support joins, so only reportable rules flow into them. Both engines
     evaluate the identical ratio expressions; ROUND(6) absorbs nothing
     but display noise (counts are exact integers)."""
-    items = (
-        _capped_items(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
-        .distinct()
+    # One set-per-order frame feeds all three aggregates: the order total
+    # (one row per order by construction), item supports (explode the
+    # set), and pair supports. Pair co-occurrence counts are SYMMETRIC —
+    # n(a,b) == n(b,a) == |orders containing both| — so aggregate the
+    # unordered u < v grain (half the shuffle the ordered self-join fed)
+    # and mirror both rule orientations AFTER the count + min-support
+    # filter. Identical rows to the ordered spelling.
+    sets = _order_part_sets(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ).localCheckpoint(eager=False)
+    n_orders = sets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    item_supp = (
+        sets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_item"))
     )
-    n_orders = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    )
-    item_supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("double").alias("n_item")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pair_supp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("antecedent"),
-            F.col("b.l_partkey").alias("consequent"),
-        )
-        .groupBy("antecedent", "consequent")
+    pair_und = (
+        sets.select(F.explode(F.expr(_PAIR_EXPR)).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
         .filter(F.col("n_pair") >= _RULE_MIN_SUPPORT)
+    )
+    pair_supp = pair_und.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_pair"
+    ).unionAll(
+        pair_und.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_pair"
+        )
     )
     sa = maybe_broadcast(item_supp, sf_dir, "part").select(
         F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("supp_a")
@@ -550,19 +590,20 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops 1 and 3 reports 1. Fixed depth keeps it oracle-expressible; the
     unbounded variant is the CC fixpoint loop (dedup.py:592) with the same
     per-iteration localCheckpoint lineage cut."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    # MERGE hint: the set-based edge build carries a tiny Catalyst size
+    # estimate (no join inflates it, and localCheckpoint's LogicalRDD
+    # keeps the origin estimate), so the planner BROADCASTS the edge
+    # list into the frontier joins and streams each level through one
+    # task (measured 2.8s → 8s+ at sf0.1; at scale a broadcast edge
+    # list is an OOM). Guide §3.1: when estimates are wrong, pick the
+    # strategy explicitly — SMJ is the shape these level joins always
+    # ran as and the only one that survives any frontier size.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        _edges_directed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
         .localCheckpoint(eager=False)
+        .hint("merge")
     )
     frontier = (
         edges.select(F.col("src").alias("id"))
@@ -719,20 +760,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|. ⊘ rows-only (fixpoint iteration isn't SQL); test gates pin the
     invariants: every surviving node has degree ≥ k within the core,
     node counts shrink monotonically, deterministic."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _edges_undirected(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint()
     )
     prev_n = -1
@@ -931,23 +963,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the vocabulary-sized degree table twice (AQE broadcasts at
     fixture scale, shuffle-hash at web scale); the statistic folds
     map-side to one row."""
-    li = _capped_items(
+    edges = _edges_undirected(
         load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
     directed = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -1292,22 +1310,14 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth keeps it oracle-expressible AND bounds every frontier — the
     unbounded variant is the CC fixpoint with per-iteration
     checkpointing."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    # MERGE hint vetoes the misestimate-driven broadcast of the edge
+    # list — see graph_bfs_hops.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        _edges_directed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
         .localCheckpoint(eager=False)
+        .hint("merge")
     )
     seeds = (
         edges.groupBy("src")
@@ -1394,22 +1404,14 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on node id. Exact integer counts; φ exits as a truncating
     micro division. Tiers with < 2 rich nodes pin NULL (density
     undefined)."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    # MERGE hint vetoes the misestimate-driven broadcast of the edge
+    # list into the induced-edge joins — see graph_bfs_hops.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        _edges_directed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
         .localCheckpoint(eager=False)
+        .hint("merge")
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -1512,21 +1514,8 @@ def graph_powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one aggregate over nodes. Exact integer counts in; the two
     regressions/ratios are shared double expressions (ROUND 4).
     Degenerate tails (n_tail = 0, < 3 CCDF points) pin NULL."""
-    li = _capped_items(
+    edges = _edges_directed(
         load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -1681,22 +1670,14 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     more level-aligned equi-joins. Output: every node on ≥ 1 shortest
     path between a seed and its ball, with its summed quantized
     dependency."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    # MERGE hint vetoes the misestimate-driven broadcast of the edge
+    # list — see graph_bfs_hops.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        _edges_directed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
         .localCheckpoint(eager=False)
+        .hint("merge")
     )
     seeds = (
         edges.groupBy("src")
@@ -1814,22 +1795,15 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest gates pin: surviving supports ≥ k−2 recomputed in pure
     Python on the final edge set, monotone edge-count shrinkage, and
     agreement with a sequential k-truss replica on the capped graph."""
-    li = _capped_items(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _edges_undirected(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint()
+        # MERGE hint vetoes the misestimate-driven broadcast of the edge
+        # list into the per-round wedge/support joins — see graph_bfs_hops.
+        .hint("merge")
     )
     prev_m = -1
     supports = None
