@@ -348,9 +348,17 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per query survive each partial sort at scale). Lucene's
     +1-inside-the-log idf keeps scores positive for df > n/2 terms."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).where(F.col("token") != "")
+    # The corpus token explode feeds four consumers (postings → the score
+    # join AND dfreq; dl → stats): without a cut Spark re-runs the full
+    # tokenize+explode per consumer (only the postings exchange is
+    # reusable). Materializing the narrow (doc_id, token) stream once
+    # measured 3.4s → 2.7s warm-min at sf0.1, identical rows — the same
+    # ≥3-consumer checkpoint rule as pipeline_dedup_cascade's shingles.
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
     postings = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )

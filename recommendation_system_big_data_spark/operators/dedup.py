@@ -626,22 +626,32 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     Raises if the cap is hit before the fixpoint: a silently unconverged
     labeling would mislabel any component with diameter above the cap.
     Returns (node, component)."""
+    # Mirror via one explode pass — a self-union would re-evaluate the
+    # (expensive) pair subtree twice inside this eager checkpoint.
     edges = pairs.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).unionAll(pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+                F.struct(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")),
+            )
+        ).alias("e")
+    ).select("e.e_src", "e.e_dst")
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("e_src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
     converged = False
     for _ in range(_CC_MAX_ITERS):
+        # Lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round runs ONE job (propagate + count)
+        # instead of two (eager materialize, then count).
         neighbor_min = (
             edges.join(labels, edges["e_src"] == labels["node"])
             .select(F.col("e_dst").alias("node"), "comp")
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = (
             neighbor_min.alias("n")
             .join(labels.alias("o"), "node")
