@@ -164,7 +164,11 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
         {"cum": ("c", True)},  # 0-based positions [cum-c, cum-1]
         group_cols=("col_name",),
         keep_pid=True,
-    )
+        # Three consumers below (firsts, n_tot, ranked) would each re-run
+        # the within-partition window + offsets join over the grid;
+        # materializing the summed CDF once measured 5.7s → 3.8s warm-min
+        # at sf0.1, identical rows (the ≥3-consumer checkpoint rule).
+    ).localCheckpoint(eager=False)
     firsts = cdf.groupBy("col_name", "_pid").agg(F.min("v").alias("_first_v"))
     handoff = firsts.select(
         "col_name",
