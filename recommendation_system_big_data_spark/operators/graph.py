@@ -337,9 +337,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + 5 Exchange before, 1 + 4 after; warm-min 4.08s → 3.63s at sf0.1).
     # Persisting the per-node index then enumerating edge-by-edge is
     # exactly the 100 TB deployment shape.
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    ).localCheckpoint()
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint()
+        # SHUFFLE_HASH hint: the checkpointed adjacency carries a tiny
+        # size estimate, and without a veto the planner BROADCASTS the
+        # whole per-node index into the probe join — adj scales with the
+        # corpus, so that plan dies at scale (see graph_bfs_hops).
+        # Shuffled-hash (build = adj's per-partition slice, bounded by
+        # the partitioning) beats merge here because merge would SORT
+        # the wedge-heavy exploded side.
+        .hint("shuffle_hash")
+    )
     # The inner join is lossless here: a dst missing from adj has no
     # out-neighbors, so its intersection is empty — the edge closes no
     # triangle either way.
