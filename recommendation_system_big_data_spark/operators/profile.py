@@ -158,17 +158,22 @@ def summarize(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
         running_sums,
     )
 
+    # NOT checkpointed despite three consumers (firsts, n_tot, ranked):
+    # a lazy checkpoint of the summed grid won a fresh-session
+    # interleaved A/B decisively (5.7s → 3.8s) but LOST reproducibly in
+    # the bench's session context (3.0-3.5s plain vs 3.7-4.0s ckpt after
+    # the smoke trio + 10 queries' accumulated cached blocks) — the
+    # 50 MB×3-runs of wide checkpointed rows cost more under storage
+    # pressure than the recompute they save. Round-15 optimization
+    # finding; the ≥3-consumer rule needs a bench-context A/B, not just
+    # a fresh-session one.
     cdf = running_sums(
         counts,
         ["v"],
         {"cum": ("c", True)},  # 0-based positions [cum-c, cum-1]
         group_cols=("col_name",),
         keep_pid=True,
-        # Three consumers below (firsts, n_tot, ranked) would each re-run
-        # the within-partition window + offsets join over the grid;
-        # materializing the summed CDF once measured 5.7s → 3.8s warm-min
-        # at sf0.1, identical rows (the ≥3-consumer checkpoint rule).
-    ).localCheckpoint(eager=False)
+    )
     firsts = cdf.groupBy("col_name", "_pid").agg(F.min("v").alias("_first_v"))
     handoff = firsts.select(
         "col_name",
